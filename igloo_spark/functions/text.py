@@ -51,7 +51,7 @@ def token_count_sql(expr: str) -> str:
     Avoids split/list functions (different semantics across engines):
     collapse space runs to single spaces, then count remaining spaces.
     """
-    norm = f"regexp_replace(trim({expr}), '[ ]+', ' ')"
+    norm = f"regexp_replace(trim({expr}), '[ ]+', ' ', 'g')"
     return (
         f"(CASE WHEN length(trim({expr})) = 0 THEN 0 "
         f"ELSE CAST(length({norm}) - length(replace({norm}, ' ', '')) + 1 AS INT) END)"
@@ -68,7 +68,7 @@ def alpha_ratio(text: Column) -> Column:
 
 def alpha_ratio_sql(expr: str) -> str:
     return (
-        f"(CAST(length(regexp_replace({expr}, '[^a-zA-Z]', '')) AS DOUBLE)"
+        f"(CAST(length(regexp_replace({expr}, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
         f" / greatest(length({expr}), 1))"
     )
 
@@ -132,4 +132,4 @@ def doc_fingerprint(text: Column) -> Column:
 
 
 def doc_fingerprint_sql(expr: str) -> str:
-    return f"md5(lower(regexp_replace(trim({expr}), '[ ]+', ' ')))"
+    return f"md5(lower(regexp_replace(trim({expr}), '[ ]+', ' ', 'g')))"

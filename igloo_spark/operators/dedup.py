@@ -1,0 +1,195 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five tiers, all shuffle-conscious:
+
+- exact: md5 fingerprint groupBy — one shuffle on the fingerprint.
+- MinHash + LSH: shingle → universal-hash signature → banded keys →
+  equi-join on band key. The crucial scale property: candidate
+  generation is an *equi-join on band keys* (hash-partitioned), never
+  an O(n²) crossJoin; at 100 TB the band-key join shuffles only
+  (doc_id, band_key) pairs, and skewed bands (boilerplate docs) are
+  handled by AQE skew-join splitting.
+- SimHash: per-token bit votes → 16-bit signature → exact-bucket join.
+- n-gram Jaccard: exact set similarity, blocked (e.g. by lang/source
+  or an LSH band) to bound the pair space.
+- embedding near-dup: cosine over candidate pairs, blocked by label
+  or LSH bucket (igloo_spark.operators.similarity).
+
+Hashes use md5-derived universal hashing (igloo_spark.functions.
+hashing) so the DuckDB oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from igloo_spark.functions.hashing import MERSENNE_P, hash_coeffs, hex_prefix_hash, minhash_value
+from igloo_spark.functions.text import doc_fingerprint
+
+DEFAULT_N_HASHES = 16
+DEFAULT_BANDS = 4
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-row fingerprint + canonical flag (keep = min id per group).
+
+    One shuffle (window over fingerprint); at scale the fingerprint is
+    a high-cardinality key so partitioning is even.
+    """
+    from pyspark.sql.window import Window
+
+    fp = doc_fingerprint(F.col(text_col))
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .withColumn("keep_id", F.min(id_col).over(w).cast("bigint"))
+        .withColumn("is_canonical", (F.col(id_col) == F.col("keep_id")))
+        .withColumn("group_size", F.count("*").over(w).cast("bigint"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Whitespace-normalized, consecutive-word n-grams via a higher-order
+    ``transform`` over the token array — stays in codegen, no Python.
+    """
+    ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+    idx = F.sequence(F.lit(1), F.size(F.col("ws")) - (n - 1))  # guarded by size >= n filter
+    shingle_arr = F.transform(idx, lambda i: F.concat_ws(" ", *[
+        F.element_at(F.col("ws"), (i + j).cast("int")) for j in range(n)
+    ]))
+    return (
+        df.select(F.col(id_col), ws.alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, n_hashes: int = DEFAULT_N_HASHES
+) -> DataFrame:
+    """(id, s0..s{K-1}) — min of each universal hash over the doc's
+    shingle set. Single groupBy shuffle; K mins fold map-side."""
+    h = hex_prefix_hash(F.col("shingle"))
+    aggs = [F.min(minhash_value(h, k)).alias(f"s{k}") for k in range(n_hashes)]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Long-format (id, band, band_key): md5 over each band's rows."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("band_key")))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, est_sim).
+
+    est_sim = fraction of matching signature components (unbiased
+    Jaccard estimate). Plan shape: shingle explode (narrow) → groupBy
+    signature (1 shuffle) → band explode (narrow) → self equi-join on
+    (band, band_key) (1 shuffle) → distinct pairs → signature re-join.
+    """
+    sig = minhash_signatures(word_shingles(df, id_col, text_col, shingle_n), id_col, n_hashes)
+    sig.persist()
+    bands_df = lsh_band_keys(sig, id_col, n_hashes, bands)
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.s{k}") == F.col(f"sb.s{k}"), 1).otherwise(0) for k in range(n_hashes)
+    )
+    return (
+        cand.join(sa, cand.doc_a == F.col(f"sa.{id_col}"))
+        .join(sb, cand.doc_b == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", (matches / F.lit(float(n_hashes))).alias("est_sim"))
+        .filter(F.col("est_sim") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over distinct words → (id, simhash).
+
+    Bit votes are conditional sums over the exploded token set — one
+    groupBy shuffle, all expression-level.
+    """
+    words = word_shingles(df, id_col, text_col, n=1).withColumnRenamed("shingle", "word")
+    h = hex_prefix_hash(F.col("word"))
+    votes = [
+        F.sum(F.when((h % (1 << (bit + 1))) >= (1 << bit), 1).otherwise(-1)).alias(f"v{bit}")
+        for bit in range(bits)
+    ]
+    voted = words.groupBy(id_col).agg(*votes)
+    sim = sum(
+        F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0)) for bit in range(bits)
+    )
+    return voted.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard within blocks → (doc_a, doc_b, jaccard).
+
+    Blocking keeps the self-join bounded: shingles are joined on
+    (block, shingle), so only same-block docs sharing an n-gram pair
+    up. At 100 TB choose block_cols with enough cardinality (or feed
+    LSH candidates in) so no block exceeds executor memory.
+    """
+    base = df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in block_cols])
+    sh = word_shingles(base, id_col, text_col, n)
+    sh = sh.join(base.select(id_col, *block_cols), id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    inter = (
+        a.join(b, [F.col("a.shingle") == F.col("b.shingle"), *block_eq])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sza = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a")
+    szb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring how a 100 TB pipeline actually runs ANN:
+
+- ``brute_force_topk``: exact cosine top-k. The query set is small →
+  **broadcast** it; each partition of the corpus computes cosines
+  locally (narrow, codegen'd zip_with/aggregate), then a per-query
+  window takes top-k. No corpus shuffle at all until the final
+  (tiny) top-k aggregation.
+- ``lsh_topk``: random-hyperplane LSH. Bucket = sign-bit string of
+  dot products with D deterministic hyperplanes; candidates = corpus
+  rows in the query's bucket (equi-join on bucket key) → exact cosine
+  re-rank. Trades recall for turning an all-pairs problem into a
+  hash-partitioned equi-join — the only shape that survives 1000
+  executors. Hyperplanes are deterministic integer patterns so the
+  DuckDB oracle reproduces bucket assignment exactly.
+
+Near-dup pairs (``embedding_neardup_pairs``) block on a label/bucket
+column for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from igloo_spark.functions.vectors import cosine_similarity
+
+
+def lsh_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes with entries in
+    {-1, 0, 1}: plane p, component j = ((p*31 + j*17 + 3) % 3) - 1,
+    reproducible in plain SQL on both engines."""
+    return [[((p * 31 + j * 17 + 3) % 3) - 1 for j in range(dim)] for p in range(n_planes)]
+
+
+def lsh_bucket(vec_col, planes: list[list[int]]):
+    """Sign-bit bucket id for a vector column given integer planes."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("bigint")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k: broadcast queries × corpus cosine + window top-k.
+
+    Returns (query_id, neighbor_id, cosine, rank); excludes self-match.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("query_vec"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket,
+    re-ranked by exact cosine. Bucket join is an equi-join → scales.
+    """
+    planes = lsh_planes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            cosine_similarity(F.col("query_vec"), F.col("vec")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vector pairs within blocks: equi-join on the
+    block column, exact cosine, keep pairs ≥ threshold."""
+    side = df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+    a = side.alias("a")
+    b = side.alias("b")
+    return (
+        a.join(b, F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col(f"a.{block_col}").alias(block_col),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,318 @@
+"""Window functions, event analytics, JSON, and array surface
+(SURVEY §2.B rows: window functions, frames; array/struct/map;
+plus the events-table analytics the reference's CDC roadmap implies).
+
+Parity rules: ranking funcs cast to BIGINT (Spark INT vs DuckDB
+BIGINT); ntile cast likewise; array element math in DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from igloo_spark.queries.registry import register, table
+
+
+@register(
+    "q30_window_ranking",
+    "ranking window functions: row_number/rank/dense_rank/percent_rank/cume_dist/ntile",
+    """
+    SELECT * FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cdist,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE rn <= 5
+    """,
+    tags=("window",),
+    bench=True,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "q31_window_offsets",
+    "offset window functions: lag/lead/first_value/last_value/nth_value + running sum",
+    """
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+           nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_val,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.nth_value("value", 2).over(w_full).alias("second_val"),
+        F.sum("value").over(w_run).alias("running_sum"),
+    )
+
+
+@register(
+    "q32_window_range_frame",
+    "RANGE BETWEEN numeric frame (value-based window)",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band,
+           avg(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS band_avg
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    tags=("window",),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w1 = Window.partitionBy("o_orderpriority").orderBy("o_totalprice").rangeBetween(-10000, 0)
+    w2 = Window.partitionBy("o_orderpriority").orderBy("o_totalprice").rangeBetween(-10000, 10000)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count("*").over(w1).alias("n_in_band"),
+        F.avg("o_totalprice").over(w2).alias("band_avg"),
+    )
+
+
+@register(
+    "q33_sessionization",
+    "session assignment via lag + gap>30min cumulative sum (classic stream-on-batch)",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "events"),
+    bench=True,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+    )
+
+
+@register(
+    "q34_pivot_conditional",
+    "pivot via conditional aggregation (event_type → columns)",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           sum(value) FILTER (WHERE event_type = 'click') AS click_value,
+           sum(value) FILTER (WHERE event_type = 'view') AS view_value,
+           sum(value) FILTER (WHERE event_type = 'purchase') AS purchase_value,
+           count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signups
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    tags=("aggregation", "events"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    et = F.col("event_type")
+    return e.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.sum(F.when(et == "click", F.col("value"))).alias("click_value"),
+        F.sum(F.when(et == "view", F.col("value"))).alias("view_value"),
+        F.sum(F.when(et == "purchase", F.col("value"))).alias("purchase_value"),
+        F.count(F.when(et == "error", 1)).alias("n_errors"),
+        F.count(F.when(et == "signup", 1)).alias("n_signups"),
+    )
+
+
+@register(
+    "q35_json_extraction",
+    "JSON field extraction from the events.props string column",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           avg(value) AS avg_value
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+    """,
+    tags=("functions", "events"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("bigint") % 10
+    return e.groupBy(k.alias("k_bucket")).agg(
+        F.count("*").alias("n"), F.avg("value").alias("avg_value")
+    )
+
+
+@register(
+    "q36_time_bucket_agg",
+    "date_bin-style time bucketing (date_trunc day) over the event stream",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           count(*) AS n,
+           sum(value) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+    tags=("aggregation", "events"),
+    bench=True,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day"), F.col("event_type")).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q37_array_explode",
+    "array explode/unnest: per-bucket stats over flattened embeddings",
+    """
+    SELECT vec_id % 10 AS bucket,
+           count(*) AS n_elems,
+           avg(CAST(e AS DOUBLE)) AS avg_val,
+           min(CAST(e AS DOUBLE)) AS min_val,
+           max(CAST(e AS DOUBLE)) AS max_val
+    FROM embeddings, unnest(embedding) AS t(e)
+    GROUP BY vec_id % 10
+    """,
+    tags=("arrays",),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select((F.col("vec_id") % 10).alias("bucket"), F.explode("embedding").alias("e"))
+    ed = F.col("e").cast("double")
+    return flat.groupBy("bucket").agg(
+        F.count("*").alias("n_elems"),
+        F.avg(ed).alias("avg_val"),
+        F.min(ed).alias("min_val"),
+        F.max(ed).alias("max_val"),
+    )
+
+
+@register(
+    "q38_array_functions",
+    "array functions: size, element_at, array min/max/contains-style predicates",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_elem,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_elem,
+           label
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("arrays",),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.array_max("embedding").cast("double").alias("max_elem"),
+        F.array_min("embedding").cast("double").alias("min_elem"),
+        "label",
+    )
+
+
+@register(
+    "q39_struct_map",
+    "struct construction + field access through an aggregation",
+    """
+    SELECT seg_info.seg AS segment, seg_info.tier AS tier, count(*) AS n
+    FROM (
+        SELECT {'seg': c_mktsegment,
+                'tier': CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END} AS seg_info
+        FROM customer
+    )
+    GROUP BY seg_info.seg, seg_info.tier
+    """,
+    tags=("arrays",),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    seg_info = F.struct(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_acctbal") > 5000, "gold").otherwise("std").alias("tier"),
+    )
+    return (
+        c.select(seg_info.alias("seg_info"))
+        .groupBy(F.col("seg_info.seg").alias("segment"), F.col("seg_info.tier").alias("tier"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,414 @@
+"""LLM-data-pipeline operators as declared queries (SURVEY §2.D +
+BASELINE.json north-star): dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard / embedding), similarity search (brute-force + LSH),
+text analysis, multimodal plumbing.
+
+DuckDB oracles are *generated from the same constants* as the Spark
+expressions (igloo_spark.functions.hashing / text / vectors), so both
+engines compute bit-identical hashes and signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from igloo_spark.functions.hashing import (
+    MERSENNE_P,
+    hash_coeffs,
+    hex_prefix_hash_sql_duckdb,
+    minhash_value_sql,
+)
+from igloo_spark.functions.text import (
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    language_id,
+    language_id_sql,
+    quality_score,
+    quality_score_sql,
+    token_count,
+    token_count_sql,
+)
+from igloo_spark.functions.vectors import cosine_sql_duckdb
+from igloo_spark.operators.similarity import lsh_planes
+from igloo_spark.queries.registry import register, table
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+ANN_QUERY_IDS = (0, 1, 2)
+ANN_K = 5
+NEARDUP_THRESHOLD = 0.25
+LSH_N_PLANES = 6
+EMB_DIM = 64
+
+
+# --------------------------------------------------------------------------
+# oracle SQL builders (shared constants with the Spark side)
+# --------------------------------------------------------------------------
+def _sig_cte() -> str:
+    """DuckDB CTEs: documents → distinct bigram shingles → minhash sig."""
+    mins = ",\n           ".join(
+        f"min({minhash_value_sql(hex_prefix_hash_sql_duckdb('shingle'), k)}) AS s{k}"
+        for k in range(N_HASHES)
+    )
+    return f"""
+    toks AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM toks WHERE len(ws) >= 2
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM sh GROUP BY doc_id
+    )"""
+
+
+def _bands_cte() -> str:
+    arms = []
+    for b in range(BANDS):
+        cols = ", ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        arms.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    return ",\n    bands AS (\n        " + "\n        UNION ALL\n        ".join(arms) + "\n    )"
+
+
+MINHASH_BANDS_ORACLE = (
+    "WITH "
+    + _sig_cte()
+    + _bands_cte()
+    + "\n    SELECT doc_id, CAST(band AS BIGINT) AS band, band_key FROM bands"
+)
+
+_est_matches = " + ".join(
+    f"(CASE WHEN sa.s{k} = sb.s{k} THEN 1 ELSE 0 END)" for k in range(N_HASHES)
+)
+MINHASH_PAIRS_ORACLE = (
+    "WITH "
+    + _sig_cte()
+    + _bands_cte()
+    + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ({_est_matches}) / {float(N_HASHES)} AS est_sim
+    FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+              JOIN sig sb ON cand.doc_b = sb.doc_id
+    WHERE ({_est_matches}) / {float(N_HASHES)} >= 0.5"""
+)
+
+_simhash_votes = ",\n           ".join(
+    f"sum(CASE WHEN (h % {1 << (bit + 1)}) >= {1 << bit} THEN 1 ELSE -1 END) AS v{bit}"
+    for bit in range(16)
+)
+_simhash_weight = " + ".join(
+    f"(CASE WHEN v{bit} > 0 THEN {1 << bit} ELSE 0 END)" for bit in range(16)
+)
+SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    w_raw AS (SELECT doc_id, unnest(ws) AS word FROM toks WHERE len(ws) >= 1),
+    words AS (SELECT DISTINCT doc_id, word FROM w_raw),
+    hv AS (SELECT doc_id, {hex_prefix_hash_sql_duckdb('word')} AS h FROM words),
+    votes AS (
+        SELECT doc_id,
+           {_simhash_votes}
+        FROM hv GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_simhash_weight} AS BIGINT) AS simhash FROM votes
+"""
+
+NGRAM_JACCARD_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM base WHERE len(ws) >= 2
+    ),
+    sh AS (SELECT DISTINCT doc_id, lang, source, shingle FROM sh_raw),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+"""
+
+
+def _ann_bruteforce_oracle() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = cosine_sql_duckdb("q.qv", "e.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})),
+    scored AS (
+        SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+               {cos} AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+def _lsh_bucket_sql_duckdb(vec: str) -> str:
+    planes = lsh_planes(LSH_N_PLANES, EMB_DIM)
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]::DOUBLE[]"
+        d = f"list_dot_product({vec}::DOUBLE[], {arr})"
+        bits.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _ann_lsh_oracle() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = cosine_sql_duckdb("q.qv", "e.embedding")
+    bucket = _lsh_bucket_sql_duckdb("embedding")
+    return f"""
+    WITH c AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM c WHERE vec_id IN ({ids})),
+    scored AS (
+        SELECT q.qid AS query_id, e.vec_id AS neighbor_id, e.bucket AS bucket,
+               {cos} AS cosine
+        FROM c e JOIN q ON e.bucket = q.bucket
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+NEARDUP_ORACLE = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           {cosine_sql_duckdb('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cosine_sql_duckdb('a.embedding', 'b.embedding')} >= {NEARDUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+@register(
+    "x40_dedup_exact",
+    "exact dedup: normalized md5 fingerprint + canonical-row flag",
+    f"""
+    SELECT doc_id, fingerprint,
+           CAST(min(doc_id) OVER (PARTITION BY fingerprint) AS BIGINT) AS keep_id,
+           (doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS is_canonical,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size
+    FROM (SELECT doc_id, {doc_fingerprint_sql('text')} AS fingerprint FROM documents)
+    """,
+    tags=("dedup", "llm"),
+    bench=True,
+)
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "x41_minhash_bands",
+    "MinHash signatures → LSH band keys per document (bit-identical to oracle)",
+    MINHASH_BANDS_ORACLE,
+    tags=("dedup", "llm"),
+    bench=True,
+)
+def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.dedup import lsh_band_keys, minhash_signatures, word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(word_shingles(docs, "doc_id", "text", n=2), "doc_id", N_HASHES)
+    return lsh_band_keys(sig, "doc_id", N_HASHES, BANDS).select(
+        "doc_id", F.col("band").cast("bigint").alias("band"), "band_key"
+    )
+
+
+@register(
+    "x42_minhash_neardup_pairs",
+    "MinHash-LSH candidate pairs with estimated Jaccard ≥ 0.5",
+    MINHASH_PAIRS_ORACLE,
+    tags=("dedup", "llm"),
+)
+def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS, shingle_n=2, threshold=0.5
+    )
+
+
+@register(
+    "x43_simhash",
+    "16-bit SimHash per document from distinct-word bit votes",
+    SIMHASH_ORACLE,
+    tags=("dedup", "llm"),
+)
+def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.dedup import simhash
+
+    return simhash(table(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+@register(
+    "x44_ngram_jaccard_pairs",
+    "exact word-bigram Jaccard ≥ 0.2 within (lang, source) blocks",
+    NGRAM_JACCARD_ORACLE,
+    tags=("dedup", "llm"),
+)
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], n=2, threshold=0.2)
+
+
+@register(
+    "x45_embedding_neardup",
+    f"embedding near-dup pairs: cosine ≥ {NEARDUP_THRESHOLD} within label blocks",
+    NEARDUP_ORACLE,
+    tags=("dedup", "similarity", "llm"),
+)
+def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", NEARDUP_THRESHOLD
+    )
+
+
+@register(
+    "x46_ann_bruteforce_topk",
+    "exact cosine top-5 neighbors for 3 query vectors (broadcast + window)",
+    _ann_bruteforce_oracle(),
+    tags=("similarity", "llm"),
+    bench=True,
+)
+def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    return brute_force_topk(emb, queries, "vec_id", "embedding", ANN_K)
+
+
+@register(
+    "x47_ann_lsh_topk",
+    "LSH-bucketed approximate top-5 (sign-projection buckets, equi-join)",
+    _ann_lsh_oracle(),
+    tags=("similarity", "llm"),
+)
+def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    return lsh_topk(emb, queries, "vec_id", "embedding", ANN_K, LSH_N_PLANES, EMB_DIM)
+
+
+@register(
+    "x48_language_id",
+    "heuristic language ID vs labeled lang (confusion matrix)",
+    f"""
+    SELECT lang AS actual_lang, {language_id_sql('text')} AS detected_lang, count(*) AS n
+    FROM documents GROUP BY lang, {language_id_sql('text')}
+    """,
+    tags=("text", "llm"),
+)
+def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("actual_lang"), language_id(F.col("text")).alias("detected_lang"))
+        .groupBy("actual_lang", "detected_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "x49_quality_score",
+    "quality-score histogram (decile buckets) per source",
+    f"""
+    SELECT source, CAST(floor({quality_score_sql('text')} * 10) AS BIGINT) AS q_bucket,
+           count(*) AS n, avg({quality_score_sql('text')}) AS avg_q
+    FROM documents GROUP BY source, CAST(floor({quality_score_sql('text')} * 10) AS BIGINT)
+    """,
+    tags=("text", "llm"),
+)
+def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return d.select(
+        "source", F.floor(q * 10).cast("bigint").alias("q_bucket"), q.alias("q")
+    ).groupBy("source", "q_bucket").agg(F.count("*").alias("n"), F.avg("q").alias("avg_q"))
+
+
+@register(
+    "x50_token_stats",
+    "token counting + fingerprint per document",
+    f"""
+    SELECT doc_id,
+           CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
+           {doc_fingerprint_sql('text')} AS fingerprint,
+           n_chars
+    FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        "n_chars",
+    )
+
+
+@register(
+    "x51_multimodal_decode",
+    "multimodal plumbing: binary payload + metadata → mapInPandas fake decode "
+    "(deterministic stub; real codec gated behind NotImplementedError)",
+    """
+    SELECT doc_id, 'image/fake' AS mime,
+           CAST(length(text) AS BIGINT) AS byte_size,
+           CAST((length(text) % 640) + 1 AS BIGINT) AS width,
+           CAST(ascii(substring(text, 1, 1)) + 1 AS BIGINT) AS height,
+           CAST(((length(text) % 640) + 1) * (ascii(substring(text, 1, 1)) + 1) AS BIGINT) AS n_pixels
+    FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.multimodal import attach_binary, decode_media
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_media(attach_binary(docs, "doc_id", "text"), fake=True)

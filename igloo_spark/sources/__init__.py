@@ -52,6 +52,10 @@ def load_testdata_table(spark: SparkSession, sf_dir: str, table: str) -> DataFra
     float division would lose precision above 2^53 ns) — matching
     DuckDB's native ns→µs truncation on the same file.
     """
+    if table == "events":
+        # runtime-settable; needed when the caller's session was built
+        # without our defaults (e.g. the driver's own SparkSession)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
