@@ -14,6 +14,7 @@ from igloo_spark.queries.registry import REGISTRY, QuerySpec, register, table  #
 from igloo_spark.queries import core  # noqa: E402,F401
 from igloo_spark.queries import analytics  # noqa: E402,F401
 from igloo_spark.queries import llm_ops  # noqa: E402,F401
+from igloo_spark.queries import surface  # noqa: E402,F401
 
 
 def all_queries():

@@ -1,0 +1,12 @@
+"""Serving layer: Arrow Flight-style server (reference parity with
+igloo-io/igloo crates/api) — import-gated so environments without
+pyarrow.flight can still use the engine."""
+
+try:
+    from igloo_spark.serving.flight import (  # noqa: F401
+        IglooFlightServer,
+        query_via_flight,
+        serve_in_background,
+    )
+except ImportError:  # pyarrow built without Flight
+    IglooFlightServer = None  # type: ignore[assignment]

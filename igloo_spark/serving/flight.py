@@ -1,0 +1,82 @@
+"""Arrow Flight SQL-style serving.
+
+Mirrors the reference's Flight surface (igloo-io/igloo
+``crates/api/src/lib.rs:67-184``):
+
+- ``get_flight_info`` (lib.rs:81-99): client sends a FlightDescriptor
+  whose ``cmd`` is the SQL bytes; we return the result schema + a
+  ticket echoing the SQL. The reference executes the whole query
+  eagerly just to learn the schema — a design wart its comments admit;
+  we derive the schema from the *analyzed lazy plan* (zero execution).
+- ``do_get`` (lib.rs:108-149): ticket = SQL bytes → execute → stream
+  Arrow record batches.
+- The reference's 7 other RPCs are ``unimplemented`` (lib.rs:67-79,
+  101-106,151-184); we inherit FlightServerBase's default NotImplemented
+  for exactly the same surface.
+
+Scale posture: this server is a *driver-side* result spout, as in the
+reference. Heavy lifting happens on the cluster; ``toArrow`` collects
+the (already aggregated/limited) result. For full-table exports use
+``df.write`` to distributed storage instead of Flight.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pyarrow as pa
+import pyarrow.flight as flight
+
+
+def _spark_to_arrow_schema(df) -> pa.Schema:
+    """Result schema from the lazy plan — no execution (improves on the
+    reference's execute-to-learn-schema, crates/api/src/lib.rs:86-92)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
+
+
+class IglooFlightServer(flight.FlightServerBase):
+    """Flight server over an IglooSession.
+
+    Protocol (reference parity): descriptor.command = SQL utf-8 bytes;
+    ticket = the same SQL bytes.
+    """
+
+    def __init__(self, session, location: str = "grpc://127.0.0.1:0") -> None:
+        super().__init__(location)
+        self.session = session
+
+    # reference: crates/api/src/lib.rs:81-99
+    def get_flight_info(self, context, descriptor):
+        sql = descriptor.command.decode("utf-8")
+        df = self.session.execute(sql)  # lazy — schema only
+        schema = _spark_to_arrow_schema(df)
+        ticket = flight.Ticket(sql.encode("utf-8"))
+        endpoint = flight.FlightEndpoint(ticket, [f"grpc://127.0.0.1:{self.port}"])
+        return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+    # reference: crates/api/src/lib.rs:108-149
+    def do_get(self, context, ticket):
+        sql = ticket.ticket.decode("utf-8")
+        tbl = self.session.execute(sql).toArrow()
+        return flight.RecordBatchStream(tbl)
+
+
+def serve_in_background(session, port: int = 0) -> tuple[IglooFlightServer, threading.Thread]:
+    """Start a Flight server on a daemon thread; returns (server, thread).
+    ``server.port`` holds the bound port (0 → ephemeral)."""
+    server = IglooFlightServer(session, f"grpc://127.0.0.1:{port}")
+    thread = threading.Thread(target=server.serve, daemon=True)
+    thread.start()
+    return server, thread
+
+
+def query_via_flight(port: int, sql: str) -> pa.Table:
+    """Client helper: the two-step get_flight_info → do_get round trip
+    the reference's README demonstrates (crates/client is an empty stub
+    there; this supersedes it)."""
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(sql.encode("utf-8")))
+    reader = client.do_get(info.endpoints[0].ticket)
+    return reader.read_all()

@@ -1,0 +1,68 @@
+"""CDC ingestion + windowed aggregation + cache invalidation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+CDC_SCHEMA = StructType(
+    [
+        StructField("table_name", StringType(), False),
+        StructField("op", StringType(), False),  # insert | update | delete
+        StructField("key", StringType(), True),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+
+def change_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-based change feed (JSON lines) as a streaming DataFrame.
+
+    Production swaps this for Kafka/Debezium by changing the format —
+    the downstream operators are source-agnostic.
+    """
+    return (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(source_dir)
+    )
+
+
+def windowed_counts(changes: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling-window change counts per table/op."""
+    return (
+        changes.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "table_name", "op")
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "table_name",
+            "op",
+            "n_changes",
+        )
+    )
+
+
+def cache_invalidator(changes: DataFrame, cache, table_keys: dict[str, list[str]], checkpoint: str):
+    """foreachBatch sink: invalidate result-cache entries whose source
+    tables appear in the change feed.
+
+    ``table_keys`` maps table name → cache keys derived from it (the
+    session records this when ``execute_cached`` runs). Returns the
+    StreamingQuery; caller stops it.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        touched = [r.table_name for r in batch_df.select("table_name").distinct().collect()]
+        for t in touched:
+            for key in table_keys.get(t, []):
+                cache.invalidate(key)
+
+    return (
+        changes.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

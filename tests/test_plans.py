@@ -1,0 +1,96 @@
+"""Plan-shape audits: the scale properties the 100 TB design depends
+on, asserted against .explain output so regressions are caught:
+
+- filters reach the parquet scan (PushedFilters);
+- projections prune the read schema (ReadSchema);
+- dimension joins broadcast (BroadcastHashJoin);
+- aggregations are partial+final (two HashAggregate levels);
+- LSH candidate generation contains NO cartesian product;
+- expression pipelines stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def spec(name: str):
+    from igloo_spark.queries import all_queries
+
+    return all_queries()[name]
+
+
+def test_q01_pushdown_and_partial_agg(spark):
+    plan = explain_str(spec("q01_pricing_summary").spark(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns, not all 11
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # codegen markers: '*(n)' appears on the AQE *final* plan, so run first
+    df = spec("q01_pricing_summary").spark(spark, SF)
+    df.collect()
+    final_plan = explain_str(df, "simple")
+    assert "isFinalPlan=true" in final_plan
+    assert "*(" in final_plan, "whole-stage codegen missing from final plan"
+
+
+def test_q03_broadcasts_dimension(spark):
+    plan = explain_str(spec("q03_shipping_priority").spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # sort+limit fused
+
+
+def test_q05_all_dims_broadcast(spark):
+    plan = explain_str(spec("q05_local_supplier_volume").spark(spark, SF))
+    # supplier/nation/region are hinted broadcast; no shuffled join for dims
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q06_fully_pushed_scan(spark):
+    plan = explain_str(spec("q06_revenue_change").spark(spark, SF))
+    assert "PushedFilters" in plan
+    for f in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24.0)"):
+        assert f in plan, f"missing pushed filter {f}"
+
+
+def test_minhash_no_cartesian(spark):
+    plan = explain_str(spec("x42_minhash_neardup_pairs").spark(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    plan = explain_str(spec("x44_ngram_jaccard_pairs").spark(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_lsh_equijoin(spark):
+    plan = explain_str(spec("x47_ann_lsh_topk").spark(spark, SF))
+    # bucket join must be a hash join on the bucket key, not a loop join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_scan_column_pruning_documents(spark):
+    plan = explain_str(spec("x50_token_stats").spark(spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_semi_anti_join_shapes(spark):
+    semi = explain_str(spec("q09_semi_join").spark(spark, SF))
+    anti = explain_str(spec("q10_anti_join").spark(spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti

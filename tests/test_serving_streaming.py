@@ -1,0 +1,101 @@
+"""End-to-end tests: Flight round trip + streaming CDC pipeline."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+
+def test_flight_round_trip(igloo):
+    # reference semantics: get_flight_info(cmd=sql) → schema; do_get(ticket=sql) → batches
+    # (crates/api/src/lib.rs:81-149)
+    flight = pytest.importorskip("pyarrow.flight")
+    from igloo_spark.serving import query_via_flight, serve_in_background
+
+    igloo.register_parquet_dir("/root/testdata/sf0.001", ["nation", "region"])
+    server, thread = serve_in_background(igloo)
+    try:
+        client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+        sql = "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_name LIMIT 5"
+        info = client.get_flight_info(flight.FlightDescriptor.for_command(sql.encode()))
+        assert [f.name for f in info.schema] == ["n_name", "r_name"]
+
+        tbl = query_via_flight(server.port, sql)
+        assert tbl.num_rows == 5
+        assert tbl.column_names == ["n_name", "r_name"]
+    finally:
+        server.shutdown()
+
+
+def test_flight_schema_is_lazy(igloo):
+    """get_flight_info must not execute the query (unlike the reference,
+    which eagerly collects — lib.rs:86-92). A query whose execution
+    would fail (division by a column that errors under strict mode) is
+    fine here because schema derivation never runs the plan."""
+    flight = pytest.importorskip("pyarrow.flight")
+    from igloo_spark.serving import serve_in_background
+
+    server, _ = serve_in_background(igloo)
+    try:
+        client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+        # raise_error would fail at runtime; schema derivation must succeed
+        sql = "SELECT CAST(raise_error('must not execute') AS STRING) AS boom"
+        info = client.get_flight_info(flight.FlightDescriptor.for_command(sql.encode()))
+        assert [f.name for f in info.schema] == ["boom"]
+    finally:
+        server.shutdown()
+
+
+def test_streaming_windowed_counts(igloo, tmp_path):
+    from igloo_spark.streaming import change_stream, windowed_counts
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    rows = [
+        {"table_name": "orders", "op": "insert", "key": "1", "ts": "2024-01-01T00:00:10"},
+        {"table_name": "orders", "op": "insert", "key": "2", "ts": "2024-01-01T00:00:20"},
+        {"table_name": "customer", "op": "delete", "key": "9", "ts": "2024-01-01T00:01:30"},
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = change_stream(igloo.spark, str(src))
+    assert stream.isStreaming
+    agg = windowed_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cdc_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {(r.table_name, r.op): r.n_changes for r in igloo.spark.sql("SELECT * FROM cdc_counts").collect()}
+    assert out[("orders", "insert")] == 2
+    assert out[("customer", "delete")] == 1
+
+
+def test_streaming_cache_invalidation(igloo, tmp_path):
+    from igloo_spark.streaming import cache_invalidator, change_stream
+
+    df = igloo.spark.range(5).toDF("id")
+    igloo.cache.put("orders_summary", df)
+    igloo.cache.put("unrelated", df)
+    assert igloo.cache.get("orders_summary") is not None
+
+    src = tmp_path / "cdc2"
+    src.mkdir()
+    (src / "b.json").write_text(
+        json.dumps({"table_name": "orders", "op": "update", "key": "1", "ts": "2024-01-01T00:00:00"})
+    )
+    q = cache_invalidator(
+        change_stream(igloo.spark, str(src)),
+        igloo.cache,
+        {"orders": ["orders_summary"]},
+        str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(60)
+    assert igloo.cache.get("orders_summary") is None
+    assert igloo.cache.get("unrelated") is not None
