@@ -20,6 +20,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--data-dir", default=None, help="directory of <table>.parquet files to register")
     parser.add_argument("--master", default=None, help="Spark master URL (default local[ncpus])")
     parser.add_argument("--limit", type=int, default=20, help="max rows to display")
+    parser.add_argument("--output", default=None, help="write result to this path instead of printing")
+    parser.add_argument(
+        "--output-format", default="parquet", choices=["parquet", "csv", "json"],
+        help="sink format for --output",
+    )
     args = parser.parse_args(argv)
 
     from igloo_spark import IglooSession
@@ -40,7 +45,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.explain:
                 print(session.explain(args.sql))
             df = session.execute(args.sql)
-            df.show(args.limit, truncate=False)
+            if args.output:
+                from igloo_spark import sinks
+
+                writer = {"parquet": sinks.write_parquet, "csv": sinks.write_csv, "json": sinks.write_json}
+                writer[args.output_format](df, args.output)
+                print(f"wrote {args.output_format} to {args.output}")
+            else:
+                df.show(args.limit, truncate=False)
         except Exception as e:  # surface a clean one-line SQL error, not a traceback
             msg = str(e).strip().split("\n")[0]
             print(f"error: {msg}", file=sys.stderr)

@@ -168,6 +168,202 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q59_higher_order_lambdas",
+    "higher-order array functions: transform/filter/exists/forall/aggregate/zip_with",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           len(list_filter(embedding, x -> x > 2.5)) > 0 AS any_large,
+           len(list_filter(embedding, x -> NOT (abs(x) < 100))) = 0 AS all_small,
+           list_sum(CAST(embedding AS DOUBLE[])) AS vec_sum,
+           list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS self_dot
+    FROM embeddings WHERE vec_id < 200
+    """,
+    tags=("arrays", "lambdas"),
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's lambda expression surface (SURVEY §2.B array/struct row).
+
+    All five run JVM-side inside whole-stage codegen — no Python UDF;
+    at 100 TB this is the difference between a scan-bound job and a
+    serialization-bound one.
+    """
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.exists("embedding", lambda x: x > 2.5).alias("any_large"),
+        F.forall("embedding", lambda x: F.abs(x) < 100).alias("all_small"),
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+        F.aggregate(F.zip_with(dbl, dbl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x).alias(
+            "self_dot"
+        ),
+    )
+
+
+@register(
+    "q60_posexplode",
+    "posexplode: tokens with positions (explode with ordinality)",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(ws, 1) - 1 AS INT) AS pos,
+           unnest(ws) AS word
+    FROM toks
+    """,
+    tags=("arrays",),
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
+    return d.select("doc_id", F.posexplode(words).alias("pos", "word"))
+
+
+@register(
+    "q61_unpivot",
+    "UNPIVOT / stack: wide metric columns to long (metric, value) rows",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+        UNPIVOT (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS quantity,
+                   CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                   CAST(l_discount AS DOUBLE) AS discount,
+                   CAST(l_tax AS DOUBLE) AS tax
+            FROM lineitem WHERE l_orderkey < 100
+        ) ON quantity, extendedprice, discount, tax INTO NAME metric VALUE value
+    )
+    """,
+    tags=("reshape",),
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "q62_try_arithmetic",
+    "TRY_CAST / null-safe division (try_divide semantics)",
+    """
+    SELECT p_partkey,
+           try_cast(p_brand AS INTEGER) AS brand_as_int,
+           try_cast(substring(p_brand, 7, 2) AS INTEGER) AS brand_num,
+           p_retailprice / nullif(p_size - p_size, 0) AS div_by_zero,
+           p_retailprice / nullif(p_size, 0) AS per_size
+    FROM part WHERE p_partkey < 200
+    """,
+    tags=("expressions",),
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.substring("p_brand", 7, 2).try_cast("int").alias("brand_num"),
+        F.try_divide(F.col("p_retailprice"), F.col("p_size") - F.col("p_size")).alias("div_by_zero"),
+        F.try_divide(F.col("p_retailprice"), F.col("p_size")).alias("per_size"),
+    )
+
+
+@register(
+    "q63_sequence_array_setops",
+    "sequence generation + array_intersect/union/except (canonical sorted order)",
+    """
+    SELECT p_partkey,
+           range(1, least(p_size, 8) + 1) AS seq,
+           list_sort(list_intersect(range(1, least(p_size, 8) + 1), [2,3,5,8])) AS inter,
+           list_sort(list_distinct(list_concat(range(1, least(p_size, 8) + 1), [2,3,5,8]))) AS uni,
+           list_sort(list_filter(list_distinct(range(1, least(p_size, 8) + 1)),
+                                 x -> NOT list_contains([2,3,5,8], x))) AS diff
+    FROM part WHERE p_partkey < 200
+    """,
+    tags=("arrays",),
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    seq = F.sequence(F.lit(1), F.least(F.col("p_size"), F.lit(8)))
+    ref = F.array(*[F.lit(x) for x in (2, 3, 5, 8)])
+    return p.select(
+        "p_partkey",
+        seq.alias("seq"),
+        F.array_sort(F.array_intersect(seq, ref)).alias("inter"),
+        F.array_sort(F.array_union(seq, ref)).alias("uni"),
+        F.array_sort(F.array_except(seq, ref)).alias("diff"),
+    )
+
+
+@register(
+    "q64_lateral_subquery",
+    "correlated LATERAL subquery (per-customer aggregate applied lateral)",
+    """
+    SELECT c_custkey, o.n_orders, o.max_price
+    FROM customer, LATERAL (
+        SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+        FROM orders WHERE o_custkey = c_custkey
+    ) o
+    WHERE c_custkey < 200
+    """,
+    tags=("join", "subquery"),
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, o.n_orders, o.max_price
+        FROM customer, LATERAL (
+            SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+            FROM orders WHERE o_custkey = c_custkey
+        ) o
+        WHERE c_custkey < 200
+        """
+    )
+
+
+@register(
+    "q65_str_to_map",
+    "str_to_map parsing + key extraction from encoded kv strings",
+    """
+    WITH enc AS (
+        SELECT p_partkey, concat('brand:', p_brand, ',type:', p_type) AS kv
+        FROM part WHERE p_partkey < 200
+    )
+    SELECT p_partkey, kv,
+           string_split(list_filter(string_split(kv, ','), p -> starts_with(p, 'brand:'))[1], ':')[2] AS brand_val,
+           string_split(list_filter(string_split(kv, ','), p -> starts_with(p, 'type:'))[1], ':')[2] AS type_val
+    FROM enc
+    """,
+    tags=("functions",),
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    kv = F.concat(F.lit("brand:"), F.col("p_brand"), F.lit(",type:"), F.col("p_type"))
+    m = F.str_to_map(kv, F.lit(","), F.lit(":"))
+    return p.select(
+        "p_partkey",
+        kv.alias("kv"),
+        m[F.lit("brand")].alias("brand_val"),
+        m[F.lit("type")].alias("type_val"),
+    )
+
+
+@register(
     "q58_epoch_roundtrip",
     "epoch seconds ↔ timestamp conversion (UTC-pinned)",
     """

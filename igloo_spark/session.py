@@ -99,6 +99,11 @@ class IglooSession:
     """
 
     def __init__(self, spark: SparkSession | None = None, **spark_kwargs: Any) -> None:
+        # Ownership: only stop() a JVM session we actually created.
+        # getOrCreate() reuses any active session, so an IglooSession
+        # built inside a larger app (or test harness) must not tear
+        # down the host's SparkSession on exit.
+        self._owns_spark = spark is None and SparkSession.getActiveSession() is None
         self.spark = spark or build_spark(**spark_kwargs)
         from igloo_spark.functions import register_all_udfs
 
@@ -166,8 +171,11 @@ class IglooSession:
         """Execute and return a pyarrow.Table (Flight/do_get path)."""
         return self.execute(sql).toArrow()
 
-    def stop(self) -> None:
-        self.spark.stop()
+    def stop(self, force: bool = False) -> None:
+        """Stop the underlying SparkSession if this IglooSession created
+        it (or ``force=True``). No-op for adopted/reused sessions."""
+        if self._owns_spark or force:
+            self.spark.stop()
 
     def __enter__(self) -> "IglooSession":
         return self

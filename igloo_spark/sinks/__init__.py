@@ -1,0 +1,156 @@
+"""Sink connectors (write path).
+
+The reference implements **no sinks at all** — no INSERT/CTAS/write
+path exists anywhere in igloo-io/igloo (``do_put`` is unimplemented,
+``crates/api/src/lib.rs:151-156``; results are only streamed to the
+client or pretty-printed, ``crates/igloo/src/main.rs:92``). A complete
+engine needs one: the result-cache materialization tier, benchmark
+output, and any ETL/training-data pipeline all write.
+
+Scale posture (100 TB):
+
+- **File sizing**: ``maxRecordsPerFile`` caps file size so a skewed
+  partition doesn't produce one 500 GB file; AQE coalescing keeps the
+  small-file count down on the other end.
+- **Partitioned layout**: ``partition_by`` → Hive-style directory
+  partitioning; readers get partition pruning for free. Combined with
+  a repartition on the partition columns before the write, each task
+  writes at most one file per partition value instead of
+  ``n_tasks × n_partitions`` small files.
+- **Bucketing**: ``bucket_by`` pre-shuffles on the join key at write
+  time, so repeated large joins on that key skip their shuffle —
+  the classic fact-table optimization for recurring pipelines.
+- **Compression**: zstd default (better ratio than snappy at similar
+  decode speed on modern CPUs; matters at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | str | None = None,
+    compression: str = "zstd",
+    max_records_per_file: int | None = 5_000_000,
+    single_file_per_partition: bool = True,
+    **options,
+) -> None:
+    """Parquet sink with scale-aware layout.
+
+    With ``partition_by`` and ``single_file_per_partition`` the frame
+    is repartitioned on the partition columns first — one shuffle now
+    buys a clean one-file-per-directory layout that scans and prunes
+    well forever after.
+    """
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    writer_df = df
+    if partition_by and single_file_per_partition:
+        writer_df = df.repartition(*partition_by)
+    writer = writer_df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    **options,
+) -> None:
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    writer.csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    writer = df.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    writer.json(path)
+
+
+def write_iceberg_dir(df: DataFrame, table_path: str, mode: str = "overwrite") -> None:
+    """Write the directory layout the reference's Iceberg scan reads
+    (``crates/connectors/iceberg/src/lib.rs:42-76``: parquet files under
+    ``<root>/data/``). Roundtrips with ``sources.read_iceberg_dir``.
+
+    This is layout-parity only — no Iceberg metadata/manifests, exactly
+    like the reference reader ignores them. Real Iceberg tables should
+    use ``df.writeTo(name)`` against an
+    ``org.apache.iceberg.spark.SparkCatalog`` (runtime jar not in this
+    container, so that path is config-documented, not executed).
+    """
+    write_parquet(df, os.path.join(table_path, "data"), mode=mode, partition_by=None)
+
+
+def ctas(
+    spark: SparkSession,
+    name: str,
+    sql: str,
+    path: str | None = None,
+    partition_by: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """CREATE TABLE AS SELECT.
+
+    With ``path``: materialize to parquet and register the scan-backed
+    view (partition-prunable, survives the session directory-wise).
+    Without: a metastore-managed table via ``saveAsTable``.
+    """
+    df = spark.sql(sql)
+    if path is not None:
+        write_parquet(df, path, mode=mode, partition_by=partition_by)
+        out = spark.read.parquet(path)
+        out.createOrReplaceTempView(name)
+        return out
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    writer.saveAsTable(name)
+    return spark.table(name)
+
+
+def insert_into(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Append rows to an existing path-backed table (INSERT INTO)."""
+    df.write.mode("append").format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: list[str] | str,
+    n_buckets: int,
+    sort_by: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled on the join/agg key.
+
+    Two bucketed tables with the same bucket count join WITHOUT a
+    shuffle (SortMergeJoin over co-located buckets) — at 100 TB this
+    turns the recurring fact-fact join from the dominant cost into a
+    local merge. Requires ``saveAsTable`` (bucketing metadata lives in
+    the catalog, not the directory layout).
+    """
+    if isinstance(bucket_by, str):
+        bucket_by = [bucket_by]
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        if isinstance(sort_by, str):
+            sort_by = [sort_by]
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(name)

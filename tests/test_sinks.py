@@ -1,0 +1,125 @@
+"""Write-path tests: parquet (partitioned + pruned), CSV, JSON,
+iceberg-dir roundtrip, CTAS, append, bucketed tables.
+
+The reference has no sinks (igloo-io/igloo ``crates/api/src/lib.rs:
+151-156`` — ``do_put`` unimplemented); these tests cover the write
+surface our engine adds on top of reference parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from igloo_spark import sinks
+from igloo_spark.sources import load_testdata_table, read_iceberg_dir
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def nation(spark):
+    return load_testdata_table(spark, SF_SMOKE, "nation")
+
+
+def test_parquet_roundtrip_partitioned(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_part")
+    sinks.write_parquet(nation, path, partition_by="n_regionkey")
+    back = spark.read.parquet(path)
+    assert back.count() == nation.count()
+    # Hive-style layout → one directory per region key
+    dirs = [d for d in os.listdir(path) if d.startswith("n_regionkey=")]
+    assert len(dirs) == nation.select("n_regionkey").distinct().count()
+    # partition pruning: a filter on the partition col reaches the scan
+    pruned = back.filter(F.col("n_regionkey") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "n_regionkey" in plan.split("PartitionFilters")[1][:200]
+    assert pruned.count() == nation.filter("n_regionkey = 0").count()
+
+
+def test_parquet_single_file_per_partition(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_onefile")
+    sinks.write_parquet(nation, path, partition_by="n_regionkey")
+    for d in os.listdir(path):
+        if d.startswith("n_regionkey="):
+            files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+            assert len(files) == 1
+
+
+def test_csv_json_roundtrip(spark, nation, tmp_path):
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    sinks.write_csv(nation, csv_path)
+    sinks.write_json(nation, json_path)
+    csv_back = spark.read.option("header", True).option("inferSchema", True).csv(csv_path)
+    json_back = spark.read.json(json_path)
+    assert csv_back.count() == nation.count()
+    assert json_back.count() == nation.count()
+    assert set(csv_back.columns) == set(nation.columns)
+
+
+def test_iceberg_dir_roundtrip(spark, nation, tmp_path):
+    table_path = str(tmp_path / "nation_iceberg")
+    sinks.write_iceberg_dir(nation, table_path)
+    back = read_iceberg_dir(spark, table_path)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+
+
+def test_ctas_path_backed(spark, tmp_path):
+    load_testdata_table(spark, SF_SMOKE, "region").createOrReplaceTempView("region")
+    path = str(tmp_path / "ctas_region")
+    out = sinks.ctas(
+        spark, "region_named", "SELECT r_regionkey, upper(r_name) AS r_name FROM region", path=path
+    )
+    assert out.count() == 5
+    assert spark.table("region_named").filter("r_name = 'ASIA'").count() == 1
+
+
+def test_insert_into_appends(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_append")
+    sinks.write_parquet(nation, path)
+    sinks.insert_into(nation.limit(3), path)
+    assert spark.read.parquet(path).count() == nation.count() + 3
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key → SortMergeJoin without
+    Exchange. This is the write-time pre-shuffle that makes recurring
+    100 TB fact joins cheap."""
+    warehouse_cleanup = []
+    orders = load_testdata_table(spark, SF_SMOKE, "orders")
+    lineitem = load_testdata_table(spark, SF_SMOKE, "lineitem")
+    sinks.write_bucketed_table(orders, "orders_b", "o_orderkey", 4, sort_by="o_orderkey")
+    sinks.write_bucketed_table(
+        lineitem.select("l_orderkey", "l_quantity"), "lineitem_b", "l_orderkey", 4, sort_by="l_orderkey"
+    )
+    warehouse_cleanup += ["orders_b", "lineitem_b"]
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (at sf0.001 everything broadcasts,
+        # which hides the property under test: co-located buckets)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "Bucketed: true" in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        for t in warehouse_cleanup:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_output_flag(tmp_path):
+    from igloo_spark.cli import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(["--sql", "SELECT 42 AS answer", "--output", out, "--output-format", "json"])
+    assert rc == 0
+    assert os.path.isdir(out)
