@@ -167,6 +167,13 @@ class IglooSession:
             self.spark.sql(sql).explain(mode=mode)
         return buf.getvalue()
 
+    def audit(self, sql: str) -> str:
+        """Scale diagnostics for a query's physical plan (shuffle count,
+        pushdown, join strategies, Python-UDF stages)."""
+        from igloo_spark.plans.audit import audit_report
+
+        return audit_report(self.spark.sql(sql))
+
     def to_arrow(self, sql: str):
         """Execute and return a pyarrow.Table (Flight/do_get path)."""
         return self.execute(sql).toArrow()

@@ -19,3 +19,4 @@ per micro-batch and only touches cache metadata, never data.
 """
 
 from igloo_spark.streaming.cdc import cache_invalidator, change_stream, windowed_counts  # noqa: F401
+from igloo_spark.streaming.stateful import sessionize_stream  # noqa: F401

@@ -94,3 +94,55 @@ def test_semi_anti_join_shapes(spark):
     anti = explain_str(spec("q10_anti_join").spark(spark, SF))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+# --------------------------------------------------------------------------
+# plans.audit module
+# --------------------------------------------------------------------------
+def test_audit_flags_cartesian_and_counts_joins(spark):
+    from igloo_spark.plans import audit_plan
+
+    from igloo_spark.sources import load_testdata_table
+
+    n = load_testdata_table(spark, SF, "nation")
+    r = load_testdata_table(spark, SF, "region")
+    cart = n.crossJoin(r.hint("shuffle_replicate_nl"))
+    a = audit_plan(cart)
+    assert a.cartesian_products >= 1
+    assert not a.ok and "CartesianProduct" in a.warnings[0]
+
+    joined = n.join(r, n.n_regionkey == r.r_regionkey)
+    a2 = audit_plan(joined)
+    assert a2.broadcast_hash_joins >= 1
+    assert a2.cartesian_products == 0
+
+
+def test_audit_reports_pushed_filters(spark):
+    from igloo_spark.plans import audit_plan
+    from igloo_spark.sources import load_testdata_table
+    from pyspark.sql import functions as F
+
+    li = load_testdata_table(spark, SF, "lineitem").filter(F.col("l_orderkey") == 7).select("l_orderkey", "l_quantity")
+    a = audit_plan(li)
+    assert a.scans, "no FileScan parsed from plan"
+    assert any("EqualTo(l_orderkey,7)" in f for s in a.scans for f in s.pushed_filters)
+    assert "l_quantity" in a.scans[0].read_schema and "l_discount" not in a.scans[0].read_schema
+
+
+def test_audit_flags_row_python_udf(spark):
+    from igloo_spark.plans import audit_plan
+    from igloo_spark.sources import load_testdata_table
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    slow = F.udf(lambda s: s.upper() if s else None, StringType())
+    df = load_testdata_table(spark, SF, "region").select(slow("r_name").alias("u"))
+    a = audit_plan(df)
+    assert a.python_row_udfs >= 1
+    assert any("BatchEvalPython" in w for w in a.warnings)
+
+
+def test_session_audit_report(igloo):
+    igloo.register_parquet_dir(SF, ["nation", "region"])
+    report = igloo.audit("SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey")
+    assert "shuffles=" in report and "scan" in report

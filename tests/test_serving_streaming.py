@@ -99,3 +99,59 @@ def test_streaming_cache_invalidation(igloo, tmp_path):
     q.awaitTermination(60)
     assert igloo.cache.get("orders_summary") is None
     assert igloo.cache.get("unrelated") is not None
+
+
+def test_stateful_sessionization_spans_batches(igloo, tmp_path):
+    """A session whose events arrive in two different micro-batches must
+    be emitted once, stitched together from the state store."""
+    from igloo_spark.streaming import sessionize_stream
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", StringType())]
+    )
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # batch 1: two events 10s apart (same session, stays open in state)
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+                {"user_id": 1, "ts": "2024-01-01T00:00:10"},
+            ]
+        )
+    )
+    # batch 2: one continuation (+10s) then a far-future event that
+    # closes the session
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts": "2024-01-01T00:00:20"},
+                {"user_id": 1, "ts": "2024-01-01T12:00:00"},
+            ]
+        )
+    )
+    events = (
+        igloo.spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    sessions = sessionize_stream(events, gap_seconds=60)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = igloo.spark.sql("SELECT * FROM sessions_out").collect()
+    assert len(rows) == 1, f"expected exactly one closed session, got {rows}"
+    r = rows[0]
+    assert r.user_id == 1 and r.n_events == 3
+    assert r.session_start.isoformat() == "2024-01-01T00:00:00"
+    assert r.session_end.isoformat() == "2024-01-01T00:00:20"
