@@ -394,6 +394,161 @@ def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x52_stratified_sample",
+    "deterministic hash-based stratified sampling: ~1-in-8 per (lang, source) stratum",
+    f"""
+    SELECT lang, source,
+           count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    WHERE ({hex_prefix_hash_sql_duckdb("concat('sample:', CAST(doc_id AS VARCHAR))")}) % 8 = 0
+    GROUP BY lang, source
+    """,
+    tags=("sampling", "llm"),
+)
+def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling — the pipeline primitive behind held-out
+    splits and decontamination audits. Hash-gated (not ``rand()``) so
+    the same doc_id always lands in the same split, on any cluster, at
+    any parallelism; the filter is a pure JVM expression that runs
+    pre-shuffle at scan speed."""
+    from igloo_spark.functions.hashing import hex_prefix_hash
+
+    d = table(spark, sf_dir, "documents")
+    gate = hex_prefix_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 8 == 0
+    return (
+        d.filter(gate)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "x53_topk_ngrams",
+    "corpus heavy hitters: top-20 word bigrams per language (count desc, bigram asc)",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT lang, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM toks WHERE len(ws) >= 2
+    ),
+    counted AS (
+        SELECT lang, bigram, count(*) AS n FROM grams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank
+        FROM counted
+    ) WHERE rank <= 20
+    """,
+    tags=("text", "llm"),
+    bench=True,
+)
+def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter mining: explode → two-level aggregation → windowed
+    top-k. The groupBy does a partial (map-side) count before the
+    shuffle, so the shuffle carries one row per distinct bigram, not
+    one per occurrence — the difference between shuffling ~100 GB and
+    ~100 TB of exploded tokens."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
+    d = d.select("lang", ws.alias("ws")).filter(F.size("ws") >= 2)
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1]),
+            )
+        ).alias("bigram"),
+    )
+    counted = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "bigram", "n", "rank")
+    )
+
+
+@register(
+    "x54_tfidf_top_terms",
+    "TF-IDF: top-3 distinguishing words per document (doc_id < 100)",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    n_docs AS (SELECT count(*) AS total FROM toks),
+    words AS (
+        SELECT doc_id, unnest(ws) AS word, len(ws) AS doc_len
+        FROM toks WHERE len(ws) >= 1
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) * 1.0 / any_value(doc_len) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, count(DISTINCT doc_id) AS n_docs_with
+        FROM words GROUP BY word
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * ln((SELECT total FROM n_docs) * 1.0 / df.n_docs_with) AS tfidf
+        FROM tf JOIN df ON tf.word = df.word
+        WHERE tf.doc_id < 100
+    )
+    SELECT doc_id, word, tfidf, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("text", "llm"),
+)
+def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF entirely in relational ops: explode once, aggregate twice
+    (TF per doc, DF per word), broadcast the corpus size. The DF side
+    is small (vocabulary-sized) so Spark broadcasts it into the TF
+    join; the doc_id filter prunes before the window."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
+    toks = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 1)
+    total = toks.count()
+    words = toks.select("doc_id", F.size("ws").alias("doc_len"), F.explode("ws").alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(
+        (F.count("*") * 1.0 / F.any_value("doc_len")).alias("tf")
+    )
+    df_ = words.groupBy("word").agg(F.count_distinct("doc_id").alias("n_docs_with"))
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(df_), "word")
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.log(F.lit(float(total)) / F.col("n_docs_with"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", "rank")
+    )
+
+
+@register(
     "x51_multimodal_decode",
     "multimodal plumbing: binary payload + metadata → mapInPandas fake decode "
     "(deterministic stub; real codec gated behind NotImplementedError)",
