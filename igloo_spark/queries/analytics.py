@@ -316,3 +316,62 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("seg_info.seg").alias("segment"), F.col("seg_info.tier").alias("tier"))
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (operators Spark lacks built-in; igloo_spark.operators.temporal)
+# --------------------------------------------------------------------------
+@register(
+    "q66_asof_join",
+    "as-of join: each click event gets the latest prior purchase value per user "
+    "(union+forward-fill plan: one shuffle+sort, no nested-loop join)",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.value,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("temporal", "join", "events"),
+    bench=True,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="p_ts",
+        right_cols=["p_ts", "p_value"],
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        F.col("p_ts").alias("purchase_ts"), F.col("p_value").alias("purchase_value"),
+    )
+
+
+@register(
+    "q67_band_join",
+    "band join: same-user event pairs within 60s (bucketed equi-join, no O(n^2) theta join)",
+    """
+    SELECT a.user_id,
+           a.event_id AS event_id_a, b.event_id AS event_id_b,
+           a.ts AS ts_a, b.ts AS ts_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch(a.ts) - epoch(b.ts)) <= 60
+    """,
+    tags=("temporal", "join", "events"),
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.temporal import band_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return band_join(ev, key="user_id", ts="ts", band_seconds=60, id_col="event_id")

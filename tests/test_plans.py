@@ -146,3 +146,23 @@ def test_session_audit_report(igloo):
     igloo.register_parquet_dir(SF, ["nation", "region"])
     report = igloo.audit("SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey")
     assert "shuffles=" in report and "scan" in report
+
+
+def test_asof_join_is_not_nested_loop(spark):
+    """asof_join must plan as shuffle+window, never BNLJ/cartesian."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("q66_asof_join").spark(spark, SF))
+    assert a.broadcast_nested_loop_joins == 0
+    assert a.cartesian_products == 0
+
+
+def test_band_join_is_hash_join(spark):
+    """band_join's bucketed formulation must produce an equi (hash/SMJ)
+    join — the exact band predicate is a post-join filter."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("q67_band_join").spark(spark, SF))
+    assert a.cartesian_products == 0
+    assert a.broadcast_nested_loop_joins == 0
+    assert a.broadcast_hash_joins + a.sort_merge_joins >= 1
