@@ -78,6 +78,53 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_mapside(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """(id, s0..s{K-1}) with **zero shuffles**.
+
+    MinHash is idempotent over duplicate shingles (min of a multiset
+    equals min of its set), so the explode → distinct → groupBy
+    pipeline of :func:`minhash_signatures` is unnecessary: build the
+    shingle array per row and take ``array_min`` of each universal
+    hash via higher-order ``transform`` — a narrow, codegen'd
+    projection. At 100 TB this removes the largest shuffle of the
+    dedup pipeline (the exploded shingle stream); only the band-key
+    join shuffles.
+
+    The shingle hash array is materialized in a child projection so
+    the 16 ``array_min(transform(...))`` columns share one md5 pass
+    per shingle (Catalyst keeps non-cheap multi-referenced aliases
+    un-collapsed).
+    """
+    ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+    idx = F.sequence(F.lit(1), F.size(F.col("ws")) - (shingle_n - 1))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("ws"), (i + j).cast("int")) for j in range(shingle_n)]
+        ),
+    )
+    hashed = F.transform(shingles, hex_prefix_hash)
+    base = (
+        df.select(F.col(id_col), ws.alias("ws"))
+        .filter(F.size("ws") >= shingle_n)
+        .select(F.col(id_col), hashed.alias("hs"))
+    )
+    def _mh(k: int):
+        # single-arg lambda: a 2-arg lambda would receive (element, index)
+        return lambda h: minhash_value(h, k)
+
+    return base.select(
+        F.col(id_col),
+        *[F.array_min(F.transform(F.col("hs"), _mh(k))).alias(f"s{k}") for k in range(n_hashes)],
+    )
+
+
 def lsh_band_keys(
     signatures: DataFrame,
     id_col: str,
@@ -107,11 +154,11 @@ def minhash_candidate_pairs(
     """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, est_sim).
 
     est_sim = fraction of matching signature components (unbiased
-    Jaccard estimate). Plan shape: shingle explode (narrow) → groupBy
-    signature (1 shuffle) → band explode (narrow) → self equi-join on
-    (band, band_key) (1 shuffle) → distinct pairs → signature re-join.
+    Jaccard estimate). Plan shape: map-side signatures (0 shuffles) →
+    band explode (narrow) → self equi-join on (band, band_key)
+    (1 shuffle) → distinct pairs → signature re-join.
     """
-    sig = minhash_signatures(word_shingles(df, id_col, text_col, shingle_n), id_col, n_hashes)
+    sig = minhash_signatures_mapside(df, id_col, text_col, shingle_n, n_hashes)
     sig.persist()
     bands_df = lsh_band_keys(sig, id_col, n_hashes, bands)
     a = bands_df.alias("a")

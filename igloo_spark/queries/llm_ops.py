@@ -243,10 +243,10 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from igloo_spark.operators.dedup import lsh_band_keys, minhash_signatures, word_shingles
+    from igloo_spark.operators.dedup import lsh_band_keys, minhash_signatures_mapside
 
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(word_shingles(docs, "doc_id", "text", n=2), "doc_id", N_HASHES)
+    sig = minhash_signatures_mapside(docs, "doc_id", "text", 2, N_HASHES)
     return lsh_band_keys(sig, "doc_id", N_HASHES, BANDS).select(
         "doc_id", F.col("band").cast("bigint").alias("band"), "band_key"
     )
