@@ -185,20 +185,36 @@ def minhash_candidate_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-doc SimHash over distinct words → (id, simhash).
 
-    Bit votes are conditional sums over the exploded token set — one
-    groupBy shuffle, all expression-level.
+    **Zero shuffles**: the distinct-word set is per-row
+    (``array_distinct``), so bit votes are per-row array aggregates —
+    for each bit, sum ±1 weights over the word-hash array via
+    higher-order ``aggregate``. All narrow, all codegen; the explode →
+    groupBy formulation (one shuffle of every token) is never needed
+    because SimHash state is confined to a single document.
     """
-    words = word_shingles(df, id_col, text_col, n=1).withColumnRenamed("shingle", "word")
-    h = hex_prefix_hash(F.col("word"))
-    votes = [
-        F.sum(F.when((h % (1 << (bit + 1))) >= (1 << bit), 1).otherwise(-1)).alias(f"v{bit}")
-        for bit in range(bits)
-    ]
-    voted = words.groupBy(id_col).agg(*votes)
+    ws = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+    base = (
+        df.select(F.col(id_col), ws.alias("ws"))
+        .filter(F.size("ws") >= 1)
+        .select(F.col(id_col), F.transform(F.array_distinct("ws"), hex_prefix_hash).alias("hs"))
+    )
+
+    def _vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            (h % (1 << (bit + 1))) >= (1 << bit), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    votes = base.select(
+        F.col(id_col),
+        *[
+            F.aggregate("hs", F.lit(0), _vote(bit)).alias(f"v{bit}")
+            for bit in range(bits)
+        ],
+    )
     sim = sum(
         F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0)) for bit in range(bits)
     )
-    return voted.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+    return votes.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
