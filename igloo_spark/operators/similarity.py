@@ -118,6 +118,100 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic unit-normalized coarse-quantizer centroids.
+
+    Raw entries follow an integer pattern (reproducible in plain SQL on
+    both engines); normalization happens here in Python doubles so both
+    sides embed the exact same literals.
+    """
+    cents = []
+    for c in range(n_cells):
+        raw = [float(((c * 37 + j * 13 + 5) % 19) - 9) for j in range(dim)]
+        norm = sum(v * v for v in raw) ** 0.5
+        cents.append([v / norm for v in raw])
+    return cents
+
+
+def _centroid_dot_structs(vec_col, centroids: list[list[float]]) -> list:
+    """One struct (d, negc) per centroid: dot with the centroid plus a
+    negated-index tiebreaker so struct max/sort order is
+    (d DESC, cell ASC)."""
+    from igloo_spark.functions.vectors import dot
+
+    return [
+        F.struct(
+            dot(vec_col, F.array(*[F.lit(w) for w in cent])).alias("d"),
+            F.lit(-i).alias("negc"),
+        )
+        for i, cent in enumerate(centroids)
+    ]
+
+
+def ivf_cell(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid cell id (argmax cosine — centroids are unit
+    vectors, so argmax dot). Pure per-row expression: no shuffle, no
+    window — the assignment happens map-side inside the scan stage."""
+    best = F.array_max(F.array(*_centroid_dot_structs(vec_col, centroids)))
+    return (-best["negc"]).cast("bigint")
+
+
+def ivf_probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
+    """Array of the query's nprobe nearest cells, best first. Map-side:
+    sort the (d, negc) structs descending and slice."""
+    ranked = F.reverse(F.array_sort(F.array(*_centroid_dot_structs(vec_col, centroids))))
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: (-s["negc"]).cast("bigint")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    coarse-centroid cell; each query probes its ``nprobe`` nearest
+    cells; candidates re-ranked by exact cosine.
+
+    Scale shape: cell assignment is a narrow per-row expression (no
+    shuffle), the probe side is tiny and broadcast, so the candidate
+    join is a broadcast hash join against the full corpus scan — at
+    1000 executors the corpus is touched exactly once with no shuffle,
+    and with a cell-partitioned corpus layout (``.write.partitionBy
+    ('cell')``) partition pruning drops ~(1 - nprobe/n_cells) of IO.
+    """
+    cents = ivf_centroids(n_cells, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(ivf_probe_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            cosine_similarity(F.col("query_vec"), F.col("vec")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -41,6 +41,8 @@ ANN_K = 5
 NEARDUP_THRESHOLD = 0.25
 LSH_N_PLANES = 6
 EMB_DIM = 64
+IVF_CELLS = 8
+IVF_NPROBE = 2
 
 
 # --------------------------------------------------------------------------
@@ -202,6 +204,70 @@ def _ann_lsh_oracle() -> str:
         FROM scored
     ) WHERE rank <= {ANN_K}
     """
+
+
+def _ivf_oracle() -> str:
+    from igloo_spark.operators.similarity import ivf_centroids
+
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = cosine_sql_duckdb("eq.embedding", "en.embedding")
+    arms = []
+    for i, cent in enumerate(ivf_centroids(IVF_CELLS, EMB_DIM)):
+        arr = "[" + ", ".join(repr(w) for w in cent) + "]::DOUBLE[]"
+        arms.append(
+            f"SELECT vec_id, {i} AS cell, "
+            f"list_dot_product(embedding::DOUBLE[], {arr}) AS d FROM embeddings"
+        )
+    cd = "\n        UNION ALL\n        ".join(arms)
+    return f"""
+    WITH cd AS (
+        {cd}
+    ),
+    ranked AS (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rnk
+        FROM cd
+    ),
+    corpus AS (
+        SELECT vec_id AS neighbor_id, CAST(cell AS BIGINT) AS cell FROM ranked WHERE rnk = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, CAST(cell AS BIGINT) AS cell
+        FROM ranked WHERE rnk <= {IVF_NPROBE} AND vec_id IN ({ids})
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id, c.cell, {cos} AS cosine
+        FROM corpus c JOIN probe p ON c.cell = p.cell AND c.neighbor_id <> p.query_id
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings en ON en.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+PREP_PIPELINE_ORACLE = f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               {doc_fingerprint_sql('text')} AS fingerprint,
+               {quality_score_sql('text')} AS q,
+               {language_id_sql('text')} AS detected_lang,
+               {token_count_sql('text')} AS n_tokens
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM enriched
+        ) WHERE doc_id = keep_id AND q >= 0.5
+    )
+    SELECT detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           avg(q) AS avg_quality
+    FROM kept GROUP BY detected_lang
+"""
 
 
 NEARDUP_ORACLE = f"""
@@ -567,3 +633,56 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decode_media(attach_binary(docs, "doc_id", "text"), fake=True)
+
+
+@register(
+    "x55_ann_ivf_topk",
+    "IVF approximate top-5: nearest-centroid cells, nprobe=2 probe, exact re-rank",
+    _ivf_oracle(),
+    tags=("similarity", "llm"),
+    bench=True,
+)
+def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", ANN_K, IVF_CELLS, IVF_NPROBE, EMB_DIM
+    )
+
+
+@register(
+    "x56_training_data_prep",
+    "end-to-end prep pipeline: fingerprint dedup → quality gate → per-language corpus stats",
+    PREP_PIPELINE_ORACLE,
+    tags=("text", "dedup", "llm"),
+    bench=True,
+)
+def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data-prep flow a 100 TB corpus actually
+    runs: one pass computes fingerprint + quality + language + token
+    count (all narrow, codegen'd expressions inside the scan stage),
+    one shuffle on fingerprint picks the canonical copy per duplicate
+    group, and the final per-language rollup does a map-side partial
+    aggregate so the last shuffle carries one row per language."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        quality_score(F.col("text")).alias("q"),
+        language_id(F.col("text")).alias("detected_lang"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("fingerprint")
+    kept = (
+        enriched.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter((F.col("doc_id") == F.col("keep_id")) & (F.col("q") >= 0.5))
+    )
+    return kept.groupBy("detected_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.avg("q").alias("avg_quality"),
+    )

@@ -82,6 +82,23 @@ def test_ann_lsh_equijoin(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_ann_ivf_broadcast_no_corpus_shuffle(spark):
+    plan = explain_str(spec("x55_ann_ivf_topk").spark(spark, SF))
+    # candidate join is broadcast on the cell key: the corpus is scanned
+    # once with its cell assigned map-side and never shuffled before the
+    # (tiny) top-k window
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prep_pipeline_partial_agg(spark):
+    plan = explain_str(spec("x56_training_data_prep").spark(spark, SF))
+    # final rollup must be partial+final so the last shuffle carries one
+    # row per (partition, language), not one per document
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_scan_column_pruning_documents(spark):
     plan = explain_str(spec("x50_token_stats").spark(spark, SF))
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
