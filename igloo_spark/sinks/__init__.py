@@ -83,6 +83,23 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> 
     writer.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | str | None = None,
+    **options,
+) -> None:
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    writer.orc(path)
+
+
 def write_iceberg_dir(df: DataFrame, table_path: str, mode: str = "overwrite") -> None:
     """Write the directory layout the reference's Iceberg scan reads
     (``crates/connectors/iceberg/src/lib.rs:42-76``: parquet files under

@@ -112,6 +112,32 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None, 
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source — same pushdown/pruning posture as parquet (Catalyst
+    pushes predicates to the ORC reader's stripe/row-group indexes)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Line-oriented (or whole-file) text source → one ``value`` string
+    column; the raw-corpus entry point for the document pipeline."""
+    return spark.read.option("wholetext", whole_file).text(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque media files as (path, modificationTime, length, content)
+    with ``content: binary`` — the multimodal-column ingestion path
+    (pair with ``operators.multimodal.decode_media``). Globbing happens
+    at the source so pruning is free."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def memtable(spark: SparkSession, data: Iterable, schema) -> DataFrame:
     """In-memory table (reference MemTable, crates/engine/src/lib.rs:198)."""
     return spark.createDataFrame(data, schema)

@@ -18,5 +18,10 @@ hash-partitioned by (window, key); foreachBatch runs driver-side
 per micro-batch and only touches cache metadata, never data.
 """
 
-from igloo_spark.streaming.cdc import cache_invalidator, change_stream, windowed_counts  # noqa: F401
+from igloo_spark.streaming.cdc import (  # noqa: F401
+    cache_invalidator,
+    change_stream,
+    dedup_stream,
+    windowed_counts,
+)
 from igloo_spark.streaming.stateful import sessionize_stream  # noqa: F401

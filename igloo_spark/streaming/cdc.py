@@ -45,6 +45,26 @@ def windowed_counts(changes: DataFrame, window: str = "1 minute", watermark: str
     )
 
 
+def dedup_stream(
+    changes: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys within the watermark
+    horizon (at-least-once feeds → effectively-once downstream).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes, so state size is bounded by the event-time
+    horizon, not the stream's lifetime — the property that lets this
+    run forever on an unbounded 100 TB/day feed where a plain
+    ``dropDuplicates`` would accumulate state without bound.
+    """
+    if key_cols is None:
+        key_cols = ["table_name", "op", "key"]
+    return changes.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def cache_invalidator(changes: DataFrame, cache, table_keys: dict[str, list[str]], checkpoint: str):
     """foreachBatch sink: invalidate result-cache entries whose source
     tables appear in the change feed.

@@ -101,6 +101,44 @@ def test_streaming_cache_invalidation(igloo, tmp_path):
     assert igloo.cache.get("unrelated") is not None
 
 
+def test_streaming_dedup_within_watermark(igloo, tmp_path):
+    """Duplicate change events — including a replay arriving in a later
+    micro-batch — must be emitted exactly once."""
+    from igloo_spark.streaming import change_stream, dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    rows = [
+        {"table_name": "orders", "op": "insert", "key": "1", "ts": "2024-01-01T00:00:10"},
+        {"table_name": "orders", "op": "insert", "key": "1", "ts": "2024-01-01T00:00:11"},
+        {"table_name": "orders", "op": "insert", "key": "2", "ts": "2024-01-01T00:00:12"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    # batch 2: replay of key=1 within the watermark horizon
+    (src / "b2.json").write_text(
+        json.dumps(
+            {"table_name": "orders", "op": "insert", "key": "1", "ts": "2024-01-01T00:00:30"}
+        )
+    )
+    stream = (
+        igloo.spark.readStream.schema(change_stream(igloo.spark, str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    deduped = dedup_stream(stream, ["table_name", "op", "key"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = igloo.spark.sql("SELECT key, count(*) AS n FROM dedup_out GROUP BY key").collect()
+    assert {r.key: r.n for r in out} == {"1": 1, "2": 1}
+
+
 def test_stateful_sessionization_spans_batches(igloo, tmp_path):
     """A session whose events arrive in two different micro-batches must
     be emitted once, stitched together from the state store."""

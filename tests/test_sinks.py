@@ -59,6 +59,34 @@ def test_csv_json_roundtrip(spark, nation, tmp_path):
     assert set(csv_back.columns) == set(nation.columns)
 
 
+def test_orc_roundtrip_with_pushdown(spark, nation, tmp_path):
+    from igloo_spark.sources import read_orc
+
+    path = str(tmp_path / "nation_orc")
+    sinks.write_orc(nation, path, partition_by="n_regionkey")
+    back = read_orc(spark, path)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+    pruned = back.filter(F.col("n_nationkey") == 7).select("n_name")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:200]
+    assert pruned.count() == 1
+
+
+def test_text_and_binary_file_sources(spark, tmp_path):
+    from igloo_spark.sources import read_binary_files, read_text
+
+    (tmp_path / "a.txt").write_text("hello\nworld\n")
+    (tmp_path / "b.bin").write_bytes(b"\x00\x01\x02\x03")
+    lines = read_text(spark, str(tmp_path / "a.txt"))
+    assert [r.value for r in lines.orderBy("value").collect()] == ["hello", "world"]
+    blobs = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = blobs.select("path", "length", "content").collect()
+    assert len(rows) == 1
+    assert rows[0].length == 4 and bytes(rows[0].content) == b"\x00\x01\x02\x03"
+    assert dict(blobs.dtypes)["content"] == "binary"
+
+
 def test_iceberg_dir_roundtrip(spark, nation, tmp_path):
     table_path = str(tmp_path / "nation_iceberg")
     sinks.write_iceberg_dir(nation, table_path)
