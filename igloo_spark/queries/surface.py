@@ -382,3 +382,35 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_s.alias("epoch_s"),
         F.timestamp_seconds(epoch_s).cast("timestamp_ntz").alias("ts_roundtrip"),
     )
+
+
+@register(
+    "q68_pivot",
+    "PIVOT: return-flag × line-status quantity matrix (df.groupBy().pivot())",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END) AS price_f,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END) AS price_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregation",),
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot. Explicit pivot values keep the plan static
+    (no extra distinct-values job) — at 100 TB an implicit pivot first
+    scans the fact table just to enumerate columns."""
+    li = table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity").alias("qty"), F.sum("l_extendedprice").alias("price"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_price").alias("price_f"),
+        F.col("O_price").alias("price_o"),
+    )

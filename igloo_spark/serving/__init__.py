@@ -7,6 +7,7 @@ try:
         IglooFlightServer,
         query_via_flight,
         serve_in_background,
+        upload_via_flight,
     )
 except ImportError:  # pyarrow built without Flight
     IglooFlightServer = None  # type: ignore[assignment]

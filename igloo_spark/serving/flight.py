@@ -62,6 +62,15 @@ class IglooFlightServer(flight.FlightServerBase):
         tbl = self.session.execute(sql).toArrow()
         return flight.RecordBatchStream(tbl)
 
+    # reference leaves do_put unimplemented (crates/api/src/lib.rs:151-156);
+    # we accept an upload and register it as a queryable table — the
+    # natural inverse of do_get. descriptor.path[0] = table name.
+    def do_put(self, context, descriptor, reader, writer):
+        name = descriptor.path[0].decode("utf-8")
+        tbl = reader.read_all()
+        df = self.session.spark.createDataFrame(tbl.to_pandas())
+        self.session.register_table(name, df)
+
 
 def serve_in_background(session, port: int = 0) -> tuple[IglooFlightServer, threading.Thread]:
     """Start a Flight server on a daemon thread; returns (server, thread).
@@ -70,6 +79,16 @@ def serve_in_background(session, port: int = 0) -> tuple[IglooFlightServer, thre
     thread = threading.Thread(target=server.serve, daemon=True)
     thread.start()
     return server, thread
+
+
+def upload_via_flight(port: int, name: str, tbl: pa.Table) -> None:
+    """Client helper: do_put an Arrow table under a table name, making
+    it queryable via subsequent Flight SQL calls."""
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    descriptor = flight.FlightDescriptor.for_path(name.encode("utf-8"))
+    writer, _ = client.do_put(descriptor, tbl.schema)
+    writer.write_table(tbl)
+    writer.close()
 
 
 def query_via_flight(port: int, sql: str) -> pa.Table:

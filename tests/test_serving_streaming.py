@@ -48,6 +48,25 @@ def test_flight_schema_is_lazy(igloo):
         server.shutdown()
 
 
+def test_flight_do_put_registers_table(igloo):
+    # reference leaves do_put unimplemented (crates/api/src/lib.rs:151-156);
+    # ours accepts an upload and makes it queryable in the same session
+    pytest.importorskip("pyarrow.flight")
+    import pyarrow as pa
+
+    from igloo_spark.serving import query_via_flight, serve_in_background, upload_via_flight
+
+    server, _ = serve_in_background(igloo)
+    try:
+        tbl = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+        upload_via_flight(server.port, "uploaded", tbl)
+        out = query_via_flight(server.port, "SELECT k, v FROM uploaded WHERE k >= 2 ORDER BY k")
+        assert out.column_names == ["k", "v"]
+        assert out.column("k").to_pylist() == [2, 3]
+    finally:
+        server.shutdown()
+
+
 def test_streaming_windowed_counts(igloo, tmp_path):
     from igloo_spark.streaming import change_stream, windowed_counts
 
