@@ -15,7 +15,11 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="igloo-spark")
-    parser.add_argument("--sql", required=True, help="SQL query to execute")
+    parser.add_argument("--sql", default=None, help="SQL query to execute")
+    parser.add_argument(
+        "--serve", type=int, default=None, metavar="PORT",
+        help="start an Arrow Flight server on PORT instead of running a query (0 = ephemeral)",
+    )
     parser.add_argument("--explain", action="store_true", help="print the optimized plan")
     parser.add_argument("--data-dir", default=None, help="directory of <table>.parquet files to register")
     parser.add_argument("--master", default=None, help="Spark master URL (default local[ncpus])")
@@ -26,6 +30,8 @@ def main(argv: list[str] | None = None) -> int:
         help="sink format for --output",
     )
     args = parser.parse_args(argv)
+    if args.sql is None and args.serve is None:
+        parser.error("one of --sql or --serve is required")
 
     from igloo_spark import IglooSession
 
@@ -41,6 +47,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"warning: no <table>.parquet files under {args.data_dir}", file=sys.stderr)
         else:
             _register_demo_tables(session)
+        if args.serve is not None:
+            # serving path: the coordinator's Flight endpoint
+            # (reference: crates/coordinator/src/main.rs:19-78)
+            from igloo_spark.serving import IglooFlightServer
+
+            server = IglooFlightServer(session, f"grpc://127.0.0.1:{args.serve}")
+            print(f"igloo-spark Flight server listening on grpc://127.0.0.1:{server.port}", flush=True)
+            server.serve()
+            return 0
         try:
             if args.explain:
                 print(session.explain(args.sql))

@@ -133,33 +133,46 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
     return cents
 
 
-def _centroid_dot_structs(vec_col, centroids: list[list[float]]) -> list:
-    """One struct (d, negc) per centroid: dot with the centroid plus a
-    negated-index tiebreaker so struct max/sort order is
-    (d DESC, cell ASC)."""
-    from igloo_spark.functions.vectors import dot
-
-    return [
-        F.struct(
-            dot(vec_col, F.array(*[F.lit(w) for w in cent])).alias("d"),
-            F.lit(-i).alias("negc"),
-        )
-        for i, cent in enumerate(centroids)
-    ]
+def centroids_table(spark, centroids: list[list[float]]) -> DataFrame:
+    """Centroid matrix as a one-row broadcastable table. Centroids are
+    *data*, not expression literals: a literal form would put
+    n_cells × dim constant nodes into every plan that touches them,
+    and Catalyst analysis of that tree ends up costing more than the
+    query. This is also the shape a learned quantizer arrives in
+    (k-means output is a DataFrame, not source code)."""
+    return spark.createDataFrame([(centroids,)], "cents: array<array<double>>")
 
 
-def ivf_cell(vec_col, centroids: list[list[float]]):
+def _centroid_dot_structs(vec_col):
+    """Array of structs (d, negc), one per centroid in the joined
+    ``cents`` column: dot with the centroid plus a negated-index
+    tiebreaker so struct max/sort order is (d DESC, cell ASC)."""
+    return F.transform(
+        F.col("cents"),
+        lambda cent, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec_col, cent, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            (-i).alias("negc"),
+        ),
+    )
+
+
+def ivf_cell(vec_col):
     """Nearest-centroid cell id (argmax cosine — centroids are unit
-    vectors, so argmax dot). Pure per-row expression: no shuffle, no
-    window — the assignment happens map-side inside the scan stage."""
-    best = F.array_max(F.array(*_centroid_dot_structs(vec_col, centroids)))
+    vectors, so argmax dot) from the joined ``cents`` column. Pure
+    per-row expression: no shuffle, no window — the assignment happens
+    map-side inside the scan stage."""
+    best = F.array_max(_centroid_dot_structs(vec_col))
     return (-best["negc"]).cast("bigint")
 
 
-def ivf_probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
+def ivf_probe_cells(vec_col, nprobe: int):
     """Array of the query's nprobe nearest cells, best first. Map-side:
     sort the (d, negc) structs descending and slice."""
-    ranked = F.reverse(F.array_sort(F.array(*_centroid_dot_structs(vec_col, centroids))))
+    ranked = F.reverse(F.array_sort(_centroid_dot_structs(vec_col)))
     return F.transform(
         F.slice(ranked, 1, nprobe), lambda s: (-s["negc"]).cast("bigint")
     )
@@ -186,16 +199,16 @@ def ivf_topk(
     and with a cell-partitioned corpus layout (``.write.partitionBy
     ('cell')``) partition pruning drops ~(1 - nprobe/n_cells) of IO.
     """
-    cents = ivf_centroids(n_cells, dim)
-    c = corpus.select(
+    cents_df = centroids_table(corpus.sparkSession, ivf_centroids(n_cells, dim))
+    c = corpus.crossJoin(F.broadcast(cents_df)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        ivf_cell(F.col(vec_col), cents).alias("cell"),
+        ivf_cell(F.col(vec_col)).alias("cell"),
     )
-    q = queries.select(
+    q = queries.crossJoin(F.broadcast(cents_df)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        F.explode(ivf_probe_cells(F.col(vec_col), cents, nprobe)).alias("cell"),
+        F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -414,3 +414,41 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_price").alias("price_f"),
         F.col("O_price").alias("price_o"),
     )
+
+
+@register(
+    "q69_recursive_cte",
+    "WITH RECURSIVE month spine (0..35) left-joined to per-month order counts",
+    """
+    WITH RECURSIVE months(m) AS (
+        SELECT 0 UNION ALL SELECT m + 1 FROM months WHERE m < 35
+    )
+    SELECT CAST(m AS BIGINT) AS month_offset,
+           TIMESTAMP '1996-01-01 00:00:00' + INTERVAL (m) MONTH AS month_start,
+           count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON date_trunc('month', o_orderdate) = TIMESTAMP '1996-01-01 00:00:00' + INTERVAL (m) MONTH
+    GROUP BY m
+    """,
+    tags=("subqueries",),
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 UnionLoop). The recursion itself is a
+    36-row driver-side spine — the fact table joins against it
+    broadcast, so recursion depth never touches the big-data path."""
+    from igloo_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT 0 UNION ALL SELECT m + 1 FROM months WHERE m < 35
+        )
+        SELECT CAST(m AS BIGINT) AS month_offset,
+               CAST(TIMESTAMP '1996-01-01 00:00:00' AS TIMESTAMP_NTZ) + make_interval(0, m) AS month_start,
+               count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON date_trunc('MONTH', o_orderdate) = CAST(TIMESTAMP '1996-01-01 00:00:00' AS TIMESTAMP_NTZ) + make_interval(0, m)
+        GROUP BY m
+        """
+    )

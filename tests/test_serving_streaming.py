@@ -67,6 +67,36 @@ def test_flight_do_put_registers_table(igloo):
         server.shutdown()
 
 
+def test_cli_serve_flag():
+    """`igloo_spark.cli --serve` must expose the catalog over Flight."""
+    pytest.importorskip("pyarrow.flight")
+    import re
+    import subprocess
+
+    from igloo_spark.serving import query_via_flight
+
+    proc = subprocess.Popen(
+        ["python", "-m", "igloo_spark.cli", "--serve", "0",
+         "--data-dir", "/root/testdata/sf0.001"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        port = None
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            m = re.search(r"listening on grpc://127\.0\.0\.1:(\d+)", line or "")
+            if m:
+                port = int(m.group(1))
+                break
+        assert port, "server did not report a port"
+        tbl = query_via_flight(port, "SELECT count(*) AS n FROM nation")
+        assert tbl.column("n").to_pylist() == [25]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_streaming_windowed_counts(igloo, tmp_path):
     from igloo_spark.streaming import change_stream, windowed_counts
 
