@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = "doc_id bigint, mime string, byte_size bigint, width bigint, height bigint, n_pixels bigint"
+RESIZED_SCHEMA = DECODED_SCHEMA + ", out_w bigint, out_h bigint, scale double"
+FRAMES_SCHEMA = "doc_id bigint, n_frames bigint, frame_idx bigint, frame_ts double"
+FEATURES_SCHEMA = "doc_id bigint, features array<double>"
+FEATURE_DIM = 8
+FRAME_BYTES = 16  # fake codec: one "frame" per 16 payload bytes
+FPS = 30.0
 
 
 def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -85,3 +91,66 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             yield _fake_decode(batch)
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_media(decoded: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Aspect-preserving resize (1→1 batch shape). Real path would call
+    the codec's scaler; the deterministic stand-in computes the output
+    geometry only — which is exactly what the *plumbing* needs to carry
+    (the resized bytes would ride a binary column, never a groupBy key).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            scale = pd.concat(
+                [target_w / b["width"], target_h / b["height"]], axis=1
+            ).min(axis=1)
+            out = b.copy()
+            out["out_w"] = (b["width"] * scale).astype("int64")
+            out["out_h"] = (b["height"] * scale).astype("int64")
+            out["scale"] = scale
+            yield out
+
+    return decoded.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling (1→many batch shape): treat the payload as a
+    video of ``byte_size // FRAME_BYTES + 1`` frames and keep every
+    ``every_n``-th frame. mapInPandas lets one input row emit many
+    output rows without an explode + re-shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            sizes = b["payload"].map(len).astype("int64")
+            n_frames = sizes // FRAME_BYTES + 1
+            rows = {"doc_id": [], "n_frames": [], "frame_idx": []}
+            for doc_id, nf in zip(b["doc_id"], n_frames):
+                for idx in range(0, int(nf), every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["n_frames"].append(nf)
+                    rows["frame_idx"].append(idx)
+            out = pd.DataFrame(rows, dtype="int64")
+            out["frame_ts"] = out["frame_idx"] / FPS
+            yield out
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction (1→vector batch shape): payload → fixed-dim
+    ``array<double>``, the hand-off point into the embedding/ANN path
+    (x46/x47/x55). Deterministic integer arithmetic stands in for a
+    real encoder so the oracle reproduces it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            sizes = b["payload"].map(len).astype("int64")
+            first = b["payload"].map(lambda x: x[0] if len(x) else 0).astype("int64")
+            feats = [
+                [float(((int(s) * (j + 1) + int(f)) % 1000) / 1000.0) for j in range(dim)]
+                for s, f in zip(sizes, first)
+            ]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "features": feats})
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)

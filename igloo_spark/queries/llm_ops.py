@@ -636,6 +636,44 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x57_frame_sampling",
+    "multimodal frame sampling: every 4th fake-video frame via mapInPandas (1→many)",
+    """
+    SELECT doc_id,
+           CAST(length(text) // 16 + 1 AS BIGINT) AS n_frames,
+           CAST(unnest(range(0, length(text) // 16 + 1, 4)) AS BIGINT) AS frame_idx,
+           CAST(unnest(range(0, length(text) // 16 + 1, 4)) AS DOUBLE) / 30.0 AS frame_ts
+    FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.multimodal import attach_binary, sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary(docs, "doc_id", "text"), every_n=4)
+
+
+@register(
+    "x58_media_features",
+    "multimodal feature extraction: payload → 8-dim vector via mapInPandas (ANN hand-off)",
+    """
+    SELECT doc_id,
+           list_transform(range(0, 8),
+               j -> CAST((length(text) * (j + 1) + ascii(substring(text, 1, 1))) % 1000 AS DOUBLE) / 1000.0
+           ) AS features
+    FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.multimodal import attach_binary, extract_features
+
+    docs = table(spark, sf_dir, "documents")
+    return extract_features(attach_binary(docs, "doc_id", "text"))
+
+
+@register(
     "x55_ann_ivf_topk",
     "IVF approximate top-5: nearest-centroid cells, nprobe=2 probe, exact re-rank",
     _ivf_oracle(),

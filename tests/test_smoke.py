@@ -7,6 +7,7 @@ Citations are to igloo-io/igloo files the scenario was lifted from.
 from __future__ import annotations
 
 import pytest
+from conftest import SF_SMOKE
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 USERS_SCHEMA = StructType(
@@ -132,3 +133,32 @@ def test_execute_cached_fingerprint(igloo):
     n1 = len(igloo.cache)
     igloo.execute_cached("SELECT name FROM users WHERE age > 30")
     assert len(igloo.cache) == n1
+
+
+def test_multimodal_resize_plumbing(spark):
+    """resize_media: aspect-preserving geometry through the same
+    mapInPandas path the real scaler would use."""
+    from igloo_spark.operators.multimodal import attach_binary, decode_media, resize_media
+    from igloo_spark.sources import load_testdata_table
+
+    docs = load_testdata_table(spark, SF_SMOKE, "documents").limit(50)
+    decoded = decode_media(attach_binary(docs, "doc_id", "text"), fake=True)
+    resized = resize_media(decoded, target_w=224, target_h=224)
+    rows = resized.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.out_w <= 224 and r.out_h <= 224
+        assert abs(r.scale - min(224 / r.width, 224 / r.height)) < 1e-12
+        # aspect preserved (integer floor tolerance)
+        assert r.out_w == int(r.width * r.scale) and r.out_h == int(r.height * r.scale)
+
+
+def test_multimodal_real_decode_is_gated(spark):
+    from igloo_spark.operators.multimodal import attach_binary, decode_media
+    from igloo_spark.sources import load_testdata_table
+
+    import pytest as _pytest
+
+    docs = load_testdata_table(spark, SF_SMOKE, "documents").limit(1)
+    with _pytest.raises(NotImplementedError):
+        decode_media(attach_binary(docs, "doc_id", "text"), fake=False)
