@@ -256,3 +256,61 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-group clustering: connected components over a
+    candidate-pair edge list via iterative min-label propagation.
+
+    Returns (node, component) where component = min node id reachable.
+    This is the standard final step of a near-dup pipeline: LSH emits
+    *pairs*; transitive closure turns pairs into *groups* so one
+    canonical doc survives per group (A~B, B~C must collapse to one
+    group even though A~C was never compared).
+
+    Scale shape: each iteration is one hash-partitioned join + groupBy
+    on node id (no crossJoin, no driver-side graph); `localCheckpoint`
+    truncates lineage so plans don't grow with iterations. Min-label
+    propagation converges in O(diameter) rounds — dup clusters are
+    near-cliques (diameter ~2), so 3-4 rounds in practice; `max_iter`
+    bounds adversarial chains.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("component"),
+    )

@@ -270,6 +270,23 @@ PREP_PIPELINE_ORACLE = f"""
 """
 
 
+DEDUP_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, CAST(min(b) AS BIGINT) AS component FROM reach GROUP BY a
+"""
+
+
 NEARDUP_ORACLE = f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            {cosine_sql_duckdb('a.embedding', 'b.embedding')} AS cosine
@@ -633,6 +650,22 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decode_media(attach_binary(docs, "doc_id", "text"), fake=True)
+
+
+@register(
+    "x59_dedup_components",
+    "duplicate-group clustering: connected components over MinHash candidate pairs",
+    DEDUP_COMPONENTS_ORACLE,
+    tags=("dedup", "llm"),
+)
+def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.operators.dedup import connected_components, minhash_candidate_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS, shingle_n=2, threshold=0.5
+    )
+    return connected_components(pairs, "doc_a", "doc_b")
 
 
 @register(
