@@ -29,7 +29,17 @@ from pyspark.storagelevel import StorageLevel
 
 
 def plan_fingerprint(df: DataFrame) -> str:
-    """Stable key for a query's analyzed logical plan."""
+    """Stable key for a query's analyzed logical plan.
+
+    Expression IDs (``name#123``) are freshly allocated per query for
+    every alias/aggregate the analyzer creates, so they must be
+    stripped — otherwise two runs of the *same* aggregate query hash
+    differently and the cache never hits. Relation attributes keep
+    stable ids, but normalizing all of them is both safe and simpler:
+    plan *structure* plus names is the identity.
+    """
+    import re
+
     try:
         plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
     except Exception:  # Spark Connect or API drift: fall back to schema+explain
@@ -40,6 +50,7 @@ def plan_fingerprint(df: DataFrame) -> str:
         with contextlib.redirect_stdout(buf):
             df.explain(extended=True)
         plan = buf.getvalue()
+    plan = re.sub(r"#\d+", "#", plan)
     return hashlib.sha256(plan.encode()).hexdigest()[:32]
 
 
@@ -57,7 +68,7 @@ class ResultCache:
         self.spark = spark
         self.spill_dir = spill_dir
         self.max_entries = max_entries
-        self._entries: dict[str, DataFrame] = {}  # insertion-ordered → FIFO eviction
+        self._entries: dict[str, DataFrame] = {}  # order = recency → LRU eviction
 
     # -- reference-parity surface --
 
@@ -70,7 +81,10 @@ class ResultCache:
         self._entries[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
 
     def get(self, key: str) -> DataFrame | None:
-        return self._entries.get(key)
+        df = self._entries.get(key)
+        if df is not None:
+            self._entries[key] = self._entries.pop(key)  # refresh recency
+        return df
 
     def invalidate(self, key: str) -> bool:
         df = self._entries.pop(key, None)

@@ -229,3 +229,33 @@ def test_connected_components_transitive(spark):
     )
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cache_lru_eviction(igloo):
+    """Beyond max_entries, the least-recently-USED entry goes first —
+    a get() refreshes recency (the reference cache has no eviction at
+    all; crates/cache/src/lib.rs:20-56)."""
+    from igloo_spark.plans import ResultCache
+
+    cache = ResultCache(igloo.spark, max_entries=2)
+    a = igloo.spark.range(1)
+    b = igloo.spark.range(2)
+    c = igloo.spark.range(3)
+    cache.put("a", a)
+    cache.put("b", b)
+    assert cache.get("a") is not None  # refresh: now b is least-recent
+    cache.put("c", c)                  # evicts b, not a
+    assert cache.get("b") is None
+    assert cache.get("a") is not None and cache.get("c") is not None
+
+
+def test_execute_cached_fingerprint_with_aggregates(igloo):
+    """Aggregate aliases allocate fresh expression ids per query; the
+    fingerprint must normalize them so repeated (and syntactically
+    variant) aggregate queries share one cache entry."""
+    igloo.cache.clear()
+    igloo.register_table("users", igloo.spark.createDataFrame(USERS_ROWS, USERS_SCHEMA))
+    igloo.execute_cached("SELECT count(*) AS n FROM users WHERE age > 30")
+    n1 = len(igloo.cache)
+    igloo.execute_cached("select COUNT(*) as n from users where age > 30")
+    assert len(igloo.cache) == n1
