@@ -452,3 +452,58 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@register(
+    "q70_edit_distance",
+    "fuzzy matching: levenshtein over region-blocked nation-name pairs",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 10
+    """,
+    tags=("functions", "text"),
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching, blocked on an equi-key so the pair
+    space is bounded — the same blocked-self-join shape every fuzzy
+    dedup uses at scale (block → pairwise distance → threshold)."""
+    n = table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 10)
+    )
+
+
+@register(
+    "q71_group_by_all",
+    "GROUP BY ALL / ORDER BY ALL resolution sugar",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY ALL ORDER BY ALL
+    """,
+    tags=("aggregation",),
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from igloo_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY ALL ORDER BY ALL
+        """
+    )
