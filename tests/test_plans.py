@@ -183,3 +183,20 @@ def test_band_join_is_hash_join(spark):
     assert a.cartesian_products == 0
     assert a.broadcast_nested_loop_joins == 0
     assert a.broadcast_hash_joins + a.sort_merge_joins >= 1
+
+
+def _bench_specs():
+    from igloo_spark.queries import all_queries
+
+    return [s for s in all_queries().values() if s.bench]
+
+
+@pytest.mark.parametrize("bspec", _bench_specs(), ids=lambda s: s.name)
+def test_bench_queries_scale_hygiene(spark, bspec):
+    """Blanket regression net over the headline set: nothing in it may
+    cartesian-join or drop to row-at-a-time Python."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(bspec.spark(spark, SF))
+    assert a.cartesian_products == 0, f"{bspec.name} has a cartesian product"
+    assert a.python_row_udfs == 0, f"{bspec.name} uses a row-Python UDF"
