@@ -866,3 +866,148 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
     )
+
+
+@register(
+    "q72_returned_items",
+    "TPC-H Q10 shape: revenue lost to returned items per customer/nation (top 20)",
+    """
+    SELECT c_custkey, c_name, n_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           any_value(c_acctbal) AS c_acctbal
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("joins", "aggregation", "tpch"),
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join shuffles on the order key; customer and nation
+    broadcast; the returnflag + date filters prune at the scans."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.any_value("c_acctbal").alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q73_customer_distribution",
+    "TPC-H Q13 shape: distribution of customers by order count (incl. zero)",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    tags=("joins", "aggregation", "tpch"),
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join keeps order-less customers (count 0); two aggregation
+    levels — the second groups on a tiny domain, so its shuffle carries
+    one row per distinct count."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q74_large_volume_customers",
+    "TPC-H Q18 shape: customers whose single order exceeds 150 total quantity",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    """,
+    tags=("joins", "subqueries", "tpch"),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING subquery is a semi-join on the order key — it reuses
+    the same hash partitioning as the main lineitem join, so AQE plans
+    one co-partitioned exchange, not two."""
+    from igloo_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum(l_quantity) AS total_qty
+        FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        """
+    )
+
+
+@register(
+    "q75_global_sales_opportunity",
+    "TPC-H Q22 shape: high-balance customers with no orders, by nation",
+    """
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           sum(c_acctbal) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("subqueries", "aggregation", "tpch"),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (broadcast single row) + anti join; the anti
+    join's build side is just order keys — column-pruned to 8 bytes/row
+    before the exchange."""
+    from igloo_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               sum(c_acctbal) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        """
+    )
