@@ -375,3 +375,48 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     return band_join(ev, key="user_id", ts="ts", band_seconds=60, id_col="event_id")
+
+
+@register(
+    "q76_session_window",
+    "built-in session_window (30-min gap) cross-validated vs first-principles islands SQL",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("window", "events"),
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window aggregation — one shuffle on the
+    session key, merge done inside the aggregation operator (no window
+    function pass). The oracle recomputes sessions from first
+    principles (lag + gap-sum islands), so this query proves the
+    built-in operator's semantics, not just its plumbing."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -97,3 +97,21 @@ def test_order_limit_parity(igloo, pred, col, desc, limit):
         f"ORDER BY {col} {direction}, p_partkey ASC LIMIT {limit}"
     )
     assert_matches_oracle(igloo.execute(sql), sql, SF_SMOKE)
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """q29 is rows-only in the oracle gate (sketch internals are
+    engine-specific by design); this pins the part that IS checkable:
+    the estimates land within documented error bounds of exact values."""
+    from igloo_spark.sources import load_testdata_table
+    from pyspark.sql import functions as F
+
+    li = load_testdata_table(spark, "/root/testdata/sf0.01", "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_n"),
+        F.count_distinct("l_orderkey").alias("exact_n"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+    ).collect()[0]
+    assert abs(row.approx_n - row.exact_n) / row.exact_n < 0.05
+    assert abs(row.approx_med - row.exact_med) / row.exact_med < 0.01
