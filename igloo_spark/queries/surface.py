@@ -507,3 +507,29 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY ALL ORDER BY ALL
         """
     )
+
+
+@register(
+    "q77_union_by_name",
+    "schema-evolution union: unionByName with missing columns (old/new file generations)",
+    """
+    SELECT * FROM (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 1
+    )
+    """,
+    tags=("setops",),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse schema-evolution union: a newer file generation
+    has an extra column, the older one null-fills it. Positional union
+    would silently misalign; by-name union is the correct primitive."""
+    o = table(spark, sf_dir, "orders")
+    new_gen = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old_gen = o.filter(F.col("o_orderkey") % 7 == 1).select("o_orderkey", "o_totalprice")
+    return new_gen.unionByName(old_gen, allowMissingColumns=True)

@@ -259,3 +259,34 @@ def test_execute_cached_fingerprint_with_aggregates(igloo):
     n1 = len(igloo.cache)
     igloo.execute_cached("select COUNT(*) as n from users where age > 30")
     assert len(igloo.cache) == n1
+
+
+def test_cache_concurrent_access(igloo):
+    """Mirrors the reference's cache concurrency test
+    (crates/cache/src/lib.rs:106-191: 10 concurrent tasks put/get):
+    interleaved put/get from 10 threads must neither corrupt entries
+    nor lose the ones within capacity."""
+    import threading
+
+    from igloo_spark.plans import ResultCache
+
+    cache = ResultCache(igloo.spark, max_entries=32)
+    errors: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            df = igloo.spark.range(i, i + 3)
+            cache.put(f"k{i}", df)
+            got = cache.get(f"k{i}")
+            assert got is not None
+            assert [r.id for r in got.collect()] == [i, i + 1, i + 2]
+        except Exception as e:  # surfaced below on the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(cache) == 10
