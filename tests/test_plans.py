@@ -200,3 +200,29 @@ def test_bench_queries_scale_hygiene(spark, bspec):
     a = audit_plan(bspec.spark(spark, SF))
     assert a.cartesian_products == 0, f"{bspec.name} has a cartesian product"
     assert a.python_row_udfs == 0, f"{bspec.name} uses a row-Python UDF"
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must get a runtime
+    partition-pruning subquery — at 100 TB this is the difference
+    between scanning one partition and scanning the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    fact_path = str(tmp_path / "orders_part")
+    dim_path = str(tmp_path / "dim")
+    o.write.partitionBy("o_orderstatus").parquet(fact_path)
+    (
+        o.select("o_orderstatus").distinct()
+        .withColumn("label", F.concat(F.lit("s_"), F.col("o_orderstatus")))
+        .write.parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("label") == "s_F")
+    j = fact.join(dim, "o_orderstatus").select("o_orderkey", "label")
+    ex = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in ex.lower(), "no DPP subquery injected"
+    only_f = o.filter("o_orderstatus = 'F'").count()
+    assert j.count() == only_f
