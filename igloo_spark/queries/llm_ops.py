@@ -757,3 +757,43 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.avg("q").alias("avg_quality"),
     )
+
+
+@register(
+    "x60_outlier_filter",
+    "training-data outlier gate: keep docs within per-language p5..p95 length band",
+    """
+    WITH stats AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.05) AS p5,
+               quantile_cont(n_chars, 0.95) AS p95
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           count(*) AS n_kept,
+           CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(max(d.n_chars) AS BIGINT) AS max_chars
+    FROM documents d JOIN stats s ON d.lang = s.lang
+    WHERE d.n_chars >= s.p5 AND d.n_chars <= s.p95
+    GROUP BY d.lang
+    """,
+    tags=("text", "llm"),
+)
+def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier removal, the standard first cleaning gate: exact
+    per-group percentiles over the (tiny) per-language domain, broadcast
+    back onto the corpus — the corpus itself shuffles only for the final
+    partial-aggregated count."""
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p5"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    kept = d.join(F.broadcast(stats), "lang").filter(
+        (F.col("n_chars") >= F.col("p5")) & (F.col("n_chars") <= F.col("p95"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
