@@ -797,3 +797,36 @@ def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@register(
+    "x61_salted_aggregation",
+    "hot-key-safe salted aggregation — must equal the plain GROUP BY exactly",
+    """
+    SELECT l_returnflag,
+           sum(l_quantity) AS total_qty,
+           CAST(count(l_quantity) AS BIGINT) AS n,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "skew"),
+)
+def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase plan (hot keys spread over 16 reducers)
+    must be *value-identical* to the plain aggregation — the oracle is
+    the unsalted SQL, so the equivalence is hash-checked, not assumed.
+    """
+    from igloo_spark.operators.skew import salted_aggregate
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "total_qty": ("sum", "l_quantity"),
+            "n": ("count", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+    ).withColumn("n", F.col("n").cast("bigint"))
