@@ -42,6 +42,11 @@ def register(
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from igloo_spark.sources import load_testdata_table
 
+    # The driver's correctness gate calls queries with ITS OWN session,
+    # which may not carry our build_spark defaults. Oracle parity needs
+    # UTC (ltz↔ntz conversions use the session timezone); it is
+    # runtime-settable, so pin it on every table load.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_testdata_table(spark, sf_dir, name)
 
 

@@ -115,3 +115,25 @@ def test_approx_sketches_within_error_bounds(spark):
     ).collect()[0]
     assert abs(row.approx_n - row.exact_n) / row.exact_n < 0.05
     assert abs(row.approx_med - row.exact_med) / row.exact_med < 0.01
+
+
+def test_queries_robust_to_non_utc_driver_session():
+    """The driver's gate may call queries() with a session built
+    without our UTC default; registry.table() pins the timezone at
+    runtime so ltz↔ntz conversions stay oracle-compatible."""
+    from pyspark.sql import SparkSession
+
+    from tests.conftest import assert_matches_oracle
+    import __spark_entry__ as e
+
+    spark = SparkSession.builder.getOrCreate()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        qs, osql = e.queries(), e.oracle_sql()
+        for name in ("q58_epoch_roundtrip", "q76_session_window"):
+            assert_matches_oracle(
+                qs[name](spark, "/root/testdata/sf0.001"), osql[name], "/root/testdata/sf0.001"
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
