@@ -16,6 +16,10 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="igloo-spark")
     parser.add_argument("--sql", default=None, help="SQL query to execute")
+    parser.add_argument("--query", default=None, metavar="NAME",
+                        help="run a named query from the declared corpus (needs --data-dir)")
+    parser.add_argument("--list-queries", action="store_true",
+                        help="list the declared query corpus and exit")
     parser.add_argument(
         "--serve", type=int, default=None, metavar="PORT",
         help="start an Arrow Flight server on PORT instead of running a query (0 = ephemeral)",
@@ -30,8 +34,16 @@ def main(argv: list[str] | None = None) -> int:
         help="sink format for --output",
     )
     args = parser.parse_args(argv)
-    if args.sql is None and args.serve is None:
-        parser.error("one of --sql or --serve is required")
+    if args.list_queries:
+        from igloo_spark.queries import all_queries
+
+        for spec in all_queries().values():
+            print(f"{spec.name:32s} {spec.description}")
+        return 0
+    if args.sql is None and args.serve is None and args.query is None:
+        parser.error("one of --sql, --query, or --serve is required")
+    if args.query is not None and not args.data_dir:
+        parser.error("--query needs --data-dir (tables to run against)")
 
     from igloo_spark import IglooSession
 
@@ -57,9 +69,18 @@ def main(argv: list[str] | None = None) -> int:
             server.serve()
             return 0
         try:
-            if args.explain:
-                print(session.explain(args.sql))
-            df = session.execute(args.sql)
+            if args.query is not None:
+                from igloo_spark.queries import all_queries
+
+                specs = all_queries()
+                if args.query not in specs:
+                    print(f"error: unknown query {args.query!r}; see --list-queries", file=sys.stderr)
+                    return 1
+                df = specs[args.query].spark(session.spark, args.data_dir)
+            else:
+                if args.explain:
+                    print(session.explain(args.sql))
+                df = session.execute(args.sql)
             if args.output:
                 from igloo_spark import sinks
 

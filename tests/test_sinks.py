@@ -151,3 +151,29 @@ def test_cli_output_flag(tmp_path):
     rc = main(["--sql", "SELECT 42 AS answer", "--output", out, "--output-format", "json"])
     assert rc == 0
     assert os.path.isdir(out)
+
+
+def test_cli_query_and_list_flags(tmp_path):
+    import subprocess
+
+    out = subprocess.run(
+        ["python", "-m", "igloo_spark.cli", "--list-queries"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0
+    assert "q01_pricing_summary" in out.stdout and len(out.stdout.splitlines()) >= 80
+
+    run = subprocess.run(
+        ["python", "-m", "igloo_spark.cli", "--data-dir", "/root/testdata/sf0.001",
+         "--query", "q06_revenue_change"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert run.returncode == 0
+    assert "revenue" in run.stdout
+
+    bad = subprocess.run(
+        ["python", "-m", "igloo_spark.cli", "--data-dir", "/root/testdata/sf0.001",
+         "--query", "nope"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert bad.returncode == 1 and "unknown query" in bad.stderr
