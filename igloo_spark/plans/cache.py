@@ -22,24 +22,39 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 
-def plan_fingerprint(df: DataFrame) -> str:
-    """Stable key for a query's analyzed logical plan.
+def _canonicalize_expr_ids(plan: str) -> str:
+    """Renumber expression IDs (``name#123``) by first occurrence.
 
-    Expression IDs (``name#123``) are freshly allocated per query for
-    every alias/aggregate the analyzer creates, so they must be
-    stripped — otherwise two runs of the *same* aggregate query hash
-    differently and the cache never hits. Relation attributes keep
-    stable ids, but normalizing all of them is both safe and simpler:
-    plan *structure* plus names is the identity.
+    Expression IDs are freshly allocated per query, so two runs of the
+    *same* query carry different numbers and must hash identically —
+    but the numbers also distinguish attribute *instances* (e.g. the
+    two sides of a self-join), so erasing them outright conflates
+    ``SELECT a.v`` with ``SELECT b.v`` over ``t a JOIN t b``.
+    Canonical renumbering in scan order preserves which references
+    are the same instance while being stable across re-analysis.
     """
-    import re
+    mapping: dict[str, str] = {}
 
+    def repl(m: re.Match) -> str:
+        eid = m.group(0)
+        if eid not in mapping:
+            mapping[eid] = f"#c{len(mapping)}"
+        return mapping[eid]
+
+    return re.sub(r"#\d+", repl, plan)
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable key for a query's analyzed logical plan: plan structure
+    plus names plus canonically-renumbered attribute instances."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
     except Exception:  # Spark Connect or API drift: fall back to schema+explain
@@ -50,7 +65,7 @@ def plan_fingerprint(df: DataFrame) -> str:
         with contextlib.redirect_stdout(buf):
             df.explain(extended=True)
         plan = buf.getvalue()
-    plan = re.sub(r"#\d+", "#", plan)
+    plan = _canonicalize_expr_ids(plan)
     return hashlib.sha256(plan.encode()).hexdigest()[:32]
 
 
@@ -69,39 +84,53 @@ class ResultCache:
         self.spill_dir = spill_dir
         self.max_entries = max_entries
         self._entries: dict[str, DataFrame] = {}  # order = recency → LRU eviction
+        # get/put run on query threads while the CDC invalidator runs on
+        # the streaming foreachBatch thread — every dict mutation must
+        # hold this lock or get()'s recency refresh races invalidate().
+        self._lock = threading.Lock()
 
     # -- reference-parity surface --
 
     def put(self, key: str, df: DataFrame) -> None:
-        if key in self._entries:
-            self._entries.pop(key).unpersist()
-        elif len(self._entries) >= self.max_entries:
-            oldest = next(iter(self._entries))
-            self._entries.pop(oldest).unpersist()
-        self._entries[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+        evicted: DataFrame | None = None
+        with self._lock:
+            if key in self._entries:
+                evicted = self._entries.pop(key)
+            elif len(self._entries) >= self.max_entries:
+                oldest = next(iter(self._entries))
+                evicted = self._entries.pop(oldest)
+            self._entries[key] = persisted
+        if evicted is not None:
+            evicted.unpersist()
 
     def get(self, key: str) -> DataFrame | None:
-        df = self._entries.get(key)
-        if df is not None:
-            self._entries[key] = self._entries.pop(key)  # refresh recency
+        with self._lock:
+            df = self._entries.pop(key, None)
+            if df is not None:
+                self._entries[key] = df  # refresh recency
         return df
 
     def invalidate(self, key: str) -> bool:
-        df = self._entries.pop(key, None)
+        with self._lock:
+            df = self._entries.pop(key, None)
         if df is not None:
             df.unpersist()
             return True
         return False
 
     def clear(self) -> None:
-        for df in self._entries.values():
+        with self._lock:
+            entries = list(self._entries.values())
+            self._entries.clear()
+        for df in entries:
             df.unpersist()
-        self._entries.clear()
         if self.spill_dir and os.path.isdir(self.spill_dir):
             shutil.rmtree(self.spill_dir, ignore_errors=True)
 
     def __len__(self) -> int:
-        return len(self._entries)
+        with self._lock:
+            return len(self._entries)
 
     # -- query-path wiring --
 

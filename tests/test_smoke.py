@@ -290,3 +290,62 @@ def test_cache_concurrent_access(igloo):
         t.join()
     assert not errors, errors
     assert len(cache) == 10
+
+def test_cache_concurrent_shared_key(igloo):
+    """get() vs invalidate() on the SAME key from different threads —
+    the CDC invalidator runs on the streaming thread, so the recency
+    refresh inside get() must be atomic (no KeyError, no resurrection
+    of an entry invalidate() already removed and unpersisted)."""
+    import threading
+
+    from igloo_spark.plans import ResultCache
+
+    cache = ResultCache(igloo.spark, max_entries=32)
+    df = igloo.spark.range(3)
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def getter() -> None:
+        try:
+            while not stop.is_set():
+                cache.get("shared")  # None or a frame — never raises
+        except Exception as e:
+            errors.append(e)
+
+    def churner() -> None:
+        try:
+            for _ in range(200):
+                cache.put("shared", df)
+                cache.invalidate("shared")
+        except Exception as e:
+            errors.append(e)
+        finally:
+            stop.set()
+
+    threads = [threading.Thread(target=getter) for _ in range(4)]
+    threads.append(threading.Thread(target=churner))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert cache.get("shared") is None
+
+
+def test_fingerprint_distinguishes_attribute_instances(igloo):
+    """Self-join projecting a.v vs b.v returns different rows, so the
+    fingerprints must differ — erasing expression ids wholesale would
+    conflate them (they differ ONLY in which instance is referenced)."""
+    from igloo_spark.plans.cache import plan_fingerprint
+
+    igloo.spark.createDataFrame(
+        [(1, 10), (2, 20)], "k int, v int"
+    ).createOrReplaceTempView("fp_t")
+    qa = igloo.spark.sql("SELECT a.v AS v FROM fp_t a JOIN fp_t b ON a.k < b.k")
+    qb = igloo.spark.sql("SELECT b.v AS v FROM fp_t a JOIN fp_t b ON a.k < b.k")
+    assert [r.v for r in qa.collect()] != [r.v for r in qb.collect()]
+    assert plan_fingerprint(qa) != plan_fingerprint(qb)
+    # …while re-analysis of the SAME query (fresh expression ids) must
+    # still collapse to one fingerprint.
+    qa2 = igloo.spark.sql("SELECT a.v AS v FROM fp_t a JOIN fp_t b ON a.k < b.k")
+    assert plan_fingerprint(qa) == plan_fingerprint(qa2)
