@@ -602,13 +602,16 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF entirely in relational ops: explode once, aggregate twice
     (TF per doc, DF per word), broadcast the corpus size. The DF side
     is small (vocabulary-sized) so Spark broadcasts it into the TF
-    join; the doc_id filter prunes before the window."""
+    join; the doc_id filter prunes before the window. Corpus size is
+    a 1-row aggregate broadcast-crossJoined into the plan — NOT a
+    driver-side .count(), which would force an extra full scan as a
+    separate job before the pipeline even starts."""
     from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents")
     ws = F.split(F.regexp_replace(F.trim(F.col("text")), " +", " "), " ")
     toks = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 1)
-    total = toks.count()
+    n_docs = toks.agg(F.count("*").alias("corpus_n"))
     words = toks.select("doc_id", F.size("ws").alias("doc_len"), F.explode("ws").alias("word"))
     tf = words.groupBy("doc_id", "word").agg(
         (F.count("*") * 1.0 / F.any_value("doc_len")).alias("tf")
@@ -617,10 +620,11 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.filter(F.col("doc_id") < 100)
         .join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "word",
-            (F.col("tf") * F.log(F.lit(float(total)) / F.col("n_docs_with"))).alias("tfidf"),
+            (F.col("tf") * F.log(F.col("corpus_n") / F.col("n_docs_with"))).alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
@@ -636,12 +640,23 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal plumbing: binary payload + metadata → mapInPandas fake decode "
     "(deterministic stub; real codec gated behind NotImplementedError)",
     """
+    -- Byte semantics, not characters: the Spark side measures the UTF-8
+    -- payload (len(bytes), bytes[0]), so the oracle must use
+    -- octet_length and the first UTF-8 BYTE (hex of the encoded blob),
+    -- which diverge from length()/ascii() on any non-ASCII document.
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS nbytes,
+               CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                    ELSE CAST('0x' || substring(hex(encode(text)), 1, 2) AS INTEGER) END AS byte0
+        FROM documents
+    )
     SELECT doc_id, 'image/fake' AS mime,
-           CAST(length(text) AS BIGINT) AS byte_size,
-           CAST((length(text) % 640) + 1 AS BIGINT) AS width,
-           CAST(ascii(substring(text, 1, 1)) + 1 AS BIGINT) AS height,
-           CAST(((length(text) % 640) + 1) * (ascii(substring(text, 1, 1)) + 1) AS BIGINT) AS n_pixels
-    FROM documents
+           CAST(nbytes AS BIGINT) AS byte_size,
+           CAST((nbytes % 640) + 1 AS BIGINT) AS width,
+           CAST(byte0 + 1 AS BIGINT) AS height,
+           CAST(((nbytes % 640) + 1) * (byte0 + 1) AS BIGINT) AS n_pixels
+    FROM b
     """,
     tags=("multimodal", "llm"),
 )
@@ -672,10 +687,12 @@ def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x57_frame_sampling",
     "multimodal frame sampling: every 4th fake-video frame via mapInPandas (1→many)",
     """
+    -- octet_length(encode(..)): frame count derives from payload BYTES
+    -- (matches the Spark side's len() over the binary column).
     SELECT doc_id,
-           CAST(length(text) // 16 + 1 AS BIGINT) AS n_frames,
-           CAST(unnest(range(0, length(text) // 16 + 1, 4)) AS BIGINT) AS frame_idx,
-           CAST(unnest(range(0, length(text) // 16 + 1, 4)) AS DOUBLE) / 30.0 AS frame_ts
+           CAST(octet_length(encode(text)) // 16 + 1 AS BIGINT) AS n_frames,
+           CAST(unnest(range(0, octet_length(encode(text)) // 16 + 1, 4)) AS BIGINT) AS frame_idx,
+           CAST(unnest(range(0, octet_length(encode(text)) // 16 + 1, 4)) AS DOUBLE) / 30.0 AS frame_ts
     FROM documents
     """,
     tags=("multimodal", "llm"),
@@ -691,11 +708,20 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x58_media_features",
     "multimodal feature extraction: payload → 8-dim vector via mapInPandas (ANN hand-off)",
     """
+    -- Byte semantics (octet_length + first UTF-8 byte) to match the
+    -- Spark side's arithmetic over the binary payload.
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS nbytes,
+               CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                    ELSE CAST('0x' || substring(hex(encode(text)), 1, 2) AS INTEGER) END AS byte0
+        FROM documents
+    )
     SELECT doc_id,
            list_transform(range(0, 8),
-               j -> CAST((length(text) * (j + 1) + ascii(substring(text, 1, 1))) % 1000 AS DOUBLE) / 1000.0
+               j -> CAST((nbytes * (j + 1) + byte0) % 1000 AS DOUBLE) / 1000.0
            ) AS features
-    FROM documents
+    FROM b
     """,
     tags=("multimodal", "llm"),
 )

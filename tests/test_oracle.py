@@ -30,3 +30,37 @@ def test_query_matches_oracle(igloo, spec):
         assert df.count() >= 0
         return
     assert_matches_oracle(df, spec.oracle, SF_DIR)
+
+
+def test_multimodal_oracles_survive_non_ascii(igloo, tmp_path):
+    """The x51/x57/x58 oracles measure payload BYTES (octet_length +
+    first UTF-8 byte); character-based length()/ascii() would diverge
+    on any non-ASCII document. Fixture mixes ASCII, accented, CJK and
+    emoji text so byte length != char length for 3 of 4 rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries import all_queries
+
+    rows = [
+        (0, "plain ascii text here", "en", "web", 21),
+        (1, "héllo wörld café", "fr", "web", 16),
+        (2, "日本語のテキストです", "ja", "books", 10),
+        (3, "emoji 🎉 mixed ascii", "en", "web", 19),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    qs = all_queries()
+    for name in ("x51_multimodal_decode", "x57_frame_sampling", "x58_media_features"):
+        spec = qs[name]
+        assert_matches_oracle(spec.spark(igloo.spark, str(tmp_path)), spec.oracle, str(tmp_path))

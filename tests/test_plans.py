@@ -226,3 +226,34 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in ex.lower(), "no DPP subquery injected"
     only_f = o.filter("o_orderstatus = 'F'").count()
     assert j.count() == only_f
+
+
+def test_x54_no_driver_side_count(spark):
+    """Corpus size must ride the plan as a broadcast 1-row aggregate.
+    Every spark.read.parquet launches one footer-read metadata job, so
+    the bar is: building the full query costs exactly as many jobs as
+    loading its one source table — a driver-side .count() would add a
+    full-scan job on top."""
+    from igloo_spark.sources import load_testdata_table
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs() -> int:
+        return len(tracker.getJobIdsForGroup())
+
+    n0 = jobs()
+    load_testdata_table(spark, SF, "documents")
+    load_delta = jobs() - n0
+
+    n1 = jobs()
+    df = spec("x54_tfidf_top_terms").spark(spark, SF)
+    build_delta = jobs() - n1
+    assert build_delta <= load_delta, (
+        f"query construction ran {build_delta - load_delta} extra job(s) "
+        "beyond the table load — driver-side action crept back in"
+    )
+    # and the count arrives via a broadcast exchange in the single plan
+    plan = explain_str(df)
+    assert "corpus_n" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
