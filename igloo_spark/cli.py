@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("one of --sql, --query, or --serve is required")
     if args.query is not None and not args.data_dir:
         parser.error("--query needs --data-dir (tables to run against)")
+    # fail loudly on conflicting modes rather than silently ignoring one
+    if args.serve is not None and (args.sql is not None or args.query is not None):
+        parser.error("--serve starts a server; it cannot be combined with --sql/--query")
+    if args.sql is not None and args.query is not None:
+        parser.error("--sql and --query are mutually exclusive")
 
     from igloo_spark import IglooSession
 
@@ -77,6 +82,14 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"error: unknown query {args.query!r}; see --list-queries", file=sys.stderr)
                     return 1
                 df = specs[args.query].spark(session.spark, args.data_dir)
+                if args.explain:
+                    import contextlib
+                    import io
+
+                    buf = io.StringIO()
+                    with contextlib.redirect_stdout(buf):
+                        df.explain(mode="formatted")
+                    print(buf.getvalue())
             else:
                 if args.explain:
                     print(session.explain(args.sql))

@@ -150,6 +150,7 @@ def minhash_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 2,
     threshold: float = 0.5,
+    max_band_members: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, est_sim).
 
@@ -157,10 +158,30 @@ def minhash_candidate_pairs(
     Jaccard estimate). Plan shape: map-side signatures (0 shuffles) →
     band explode (narrow) → self equi-join on (band, band_key)
     (1 shuffle) → distinct pairs → signature re-join.
+
+    ``max_band_members`` is the hot-band cap: a band key shared by m
+    documents emits m·(m-1)/2 candidate pairs, so one boilerplate
+    template repeated 100k times would make a single key quadratic
+    (5·10⁹ pairs). Keys with more than N members are dropped from
+    candidate generation — their documents are near-identical
+    boilerplate that the exact-dedup path (md5 fingerprint groupBy)
+    already collapses at linear cost. The membership count is a window
+    over the same (band, band_key) partitioning the self-join uses, so
+    the cap adds no extra shuffle of the band stream. None = uncapped
+    (oracle-parity mode); production at scale should set ~1000.
     """
     sig = minhash_signatures_mapside(df, id_col, text_col, shingle_n, n_hashes)
     sig.persist()
     bands_df = lsh_band_keys(sig, id_col, n_hashes, bands)
+    if max_band_members is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_key")
+        bands_df = (
+            bands_df.withColumn("_members", F.count("*").over(w))
+            .filter(F.col("_members") <= max_band_members)
+            .drop("_members")
+        )
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (

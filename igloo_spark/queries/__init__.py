@@ -63,9 +63,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q70_edit_distance",
     "q71_group_by_all",
     "q77_union_by_name",
-    # -- 13 re-confirmations, one per verified family --
-    "q01_pricing_summary",  # aggregation
-    "q02_filter_expressions",  # projection/filter
+    "x62_minhash_capped_pairs",  # new in round 2 (hot-band cap)
+    # -- 12 re-confirmations, one per verified family --
+    "q01_pricing_summary",  # aggregation + scan/filter
     "q03_shipping_priority",  # joins + fused top-k
     "q17_sort_limit_offset",  # sort/limit/offset
     "q18_set_operations",  # set ops

@@ -107,6 +107,28 @@ MINHASH_PAIRS_ORACLE = (
     WHERE ({_est_matches}) / {float(N_HASHES)} >= 0.5"""
 )
 
+HOT_BAND_CAP = 10  # prod-hardening dial; small enough to bite on testdata
+
+MINHASH_PAIRS_CAPPED_ORACLE = (
+    "WITH "
+    + _sig_cte()
+    + _bands_cte()
+    + f""",
+    kept AS (
+        SELECT doc_id, band, band_key FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {HOT_BAND_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ({_est_matches}) / {float(N_HASHES)} AS est_sim
+    FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+              JOIN sig sb ON cand.doc_b = sb.doc_id
+    WHERE ({_est_matches}) / {float(N_HASHES)} >= 0.5"""
+)
+
 _simhash_votes = ",\n           ".join(
     f"sum(CASE WHEN (h % {1 << (bit + 1)}) >= {1 << bit} THEN 1 ELSE -1 END) AS v{bit}"
     for bit in range(16)
@@ -347,6 +369,32 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
         docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS, shingle_n=2, threshold=0.5
+    )
+
+
+@register(
+    "x62_minhash_capped_pairs",
+    f"MinHash-LSH pairs with hot-band cap (band keys >{HOT_BAND_CAP} members dropped)",
+    MINHASH_PAIRS_CAPPED_ORACLE,
+    tags=("dedup", "llm"),
+)
+def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x42 with the production hot-band guard: a band key shared by
+    more than HOT_BAND_CAP documents is boilerplate and would emit
+    O(m²) pairs; those documents are left to the linear exact-dedup
+    path instead (see operators/dedup.py:minhash_candidate_pairs)."""
+    from igloo_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        shingle_n=2,
+        threshold=0.5,
+        max_band_members=HOT_BAND_CAP,
     )
 
 

@@ -68,7 +68,11 @@ class IglooFlightServer(flight.FlightServerBase):
     def do_put(self, context, descriptor, reader, writer):
         name = descriptor.path[0].decode("utf-8")
         tbl = reader.read_all()
-        df = self.session.spark.createDataFrame(tbl.to_pandas())
+        # Arrow table straight into Spark (PySpark 4 accepts pa.Table):
+        # a pandas hop would turn nullable ints into float64 and mangle
+        # timestamp precision/tz, so the registered schema would no
+        # longer match what the client uploaded.
+        df = self.session.spark.createDataFrame(tbl)
         self.session.register_table(name, df)
 
 

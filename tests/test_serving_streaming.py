@@ -67,6 +67,42 @@ def test_flight_do_put_registers_table(igloo):
         server.shutdown()
 
 
+def test_flight_do_put_preserves_types(igloo):
+    """Upload must keep the client's schema exactly: nullable ints stay
+    integral (a pandas hop would widen them to float64) and timestamp
+    values survive to the microsecond."""
+    pytest.importorskip("pyarrow.flight")
+    from datetime import datetime
+
+    import pyarrow as pa
+
+    from igloo_spark.serving import query_via_flight, serve_in_background, upload_via_flight
+
+    server, _ = serve_in_background(igloo)
+    try:
+        tbl = pa.table(
+            {
+                "k": pa.array([1, None, 3], pa.int64()),
+                "ts": pa.array(
+                    [datetime(2024, 5, 1, 12, 30, 0, 123456), None, datetime(2024, 5, 2)],
+                    pa.timestamp("us"),
+                ),
+                "d": pa.array([None, 2.5, 3.25], pa.float64()),
+            }
+        )
+        upload_via_flight(server.port, "typed_upload", tbl)
+        out = query_via_flight(server.port, "SELECT k, ts, d FROM typed_upload ORDER BY d NULLS FIRST")
+        assert pa.types.is_integer(out.schema.field("k").type), out.schema
+        assert pa.types.is_timestamp(out.schema.field("ts").type), out.schema
+        assert out.column("k").to_pylist() == [1, None, 3]
+        # Spark serves timestamps as TIMESTAMP_LTZ in the session (UTC)
+        # zone; the instant — down to the microsecond — must be intact.
+        got_ts = out.column("ts").to_pylist()[0]
+        assert got_ts.replace(tzinfo=None) == datetime(2024, 5, 1, 12, 30, 0, 123456)
+    finally:
+        server.shutdown()
+
+
 def test_cli_serve_flag():
     """`igloo_spark.cli --serve` must expose the catalog over Flight."""
     pytest.importorskip("pyarrow.flight")

@@ -177,3 +177,28 @@ def test_cli_query_and_list_flags(tmp_path):
         capture_output=True, text=True, timeout=300,
     )
     assert bad.returncode == 1 and "unknown query" in bad.stderr
+
+
+def test_cli_flag_combinations(tmp_path):
+    """--explain must work with --query, and conflicting modes must
+    error loudly instead of silently ignoring a flag."""
+    import subprocess
+
+    run = subprocess.run(
+        ["python", "-m", "igloo_spark.cli", "--data-dir", "/root/testdata/sf0.001",
+         "--query", "q06_revenue_change", "--explain"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert run.returncode == 0
+    assert "Physical Plan" in run.stdout  # the plan actually printed
+
+    from igloo_spark.cli import main
+
+    for argv in (
+        ["--serve", "0", "--sql", "SELECT 1"],
+        ["--serve", "0", "--query", "q01_pricing_summary", "--data-dir", "/tmp"],
+        ["--sql", "SELECT 1", "--query", "q01_pricing_summary", "--data-dir", "/tmp"],
+    ):
+        with pytest.raises(SystemExit) as exc:
+            main(argv)
+        assert exc.value.code == 2, argv

@@ -349,3 +349,39 @@ def test_fingerprint_distinguishes_attribute_instances(igloo):
     # still collapse to one fingerprint.
     qa2 = igloo.spark.sql("SELECT a.v AS v FROM fp_t a JOIN fp_t b ON a.k < b.k")
     assert plan_fingerprint(qa) == plan_fingerprint(qa2)
+
+
+def test_minhash_hot_band_cap(spark):
+    """A boilerplate template repeated m times makes one band key emit
+    m·(m-1)/2 pairs — the cap must drop those keys (linear exact-dedup
+    handles the docs instead) while leaving normal near-dup pairs
+    untouched."""
+    from igloo_spark.operators.dedup import minhash_candidate_pairs
+
+    boiler = [(i, "terms of service apply to all users of this site") for i in range(30)]
+    normal = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy cat today"),
+        (200, "completely unrelated text about spark physical plans"),
+    ]
+    df = spark.createDataFrame(boiler + normal, "doc_id bigint, text string")
+
+    uncapped = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.0)
+    capped = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.0, max_band_members=5)
+
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 30 * 29 // 2  # boilerplate is quadratic without the cap
+    capped_rows = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # no boilerplate pair survives the cap...
+    assert not any(a < 30 and b < 30 for a, b in capped_rows)
+    # ...but pairs between normal docs are exactly the uncapped ones
+    normal_uncapped = {
+        (r.doc_a, r.doc_b) for r in uncapped.collect() if r.doc_a >= 100 and r.doc_b >= 100
+    }
+    normal_capped = {(a, b) for a, b in capped_rows if a >= 100 and b >= 100}
+    assert normal_capped == normal_uncapped
+    # a generous cap changes nothing at all
+    wide = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.0, max_band_members=1000)
+    assert {(r.doc_a, r.doc_b) for r in wide.collect()} == {
+        (r.doc_a, r.doc_b) for r in uncapped.collect()
+    }
