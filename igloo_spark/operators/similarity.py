@@ -30,9 +30,25 @@ from igloo_spark.functions.vectors import cosine_similarity
 
 def lsh_planes(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes with entries in
-    {-1, 0, 1}: plane p, component j = ((p*31 + j*17 + 3) % 3) - 1,
-    reproducible in plain SQL on both engines."""
-    return [[((p * 31 + j * 17 + 3) % 3) - 1 for j in range(dim)] for p in range(n_planes)]
+    {-1, 0, 1} from a 64-bit LCG seeded per plane. The values are
+    embedded as literals on BOTH engines (Spark expressions and the
+    DuckDB oracle SQL are generated from this same function), so the
+    generator only needs determinism, not SQL-expressibility.
+
+    A linear pattern like ``(p*31 + j*17) % 3`` must NOT be used here:
+    arithmetic mod 3 is periodic in p, making plane p+3 identical to
+    plane p — the bucket space collapses to duplicated-bit codes and
+    every single-bit multi-probe flip lands in an impossible bucket.
+    """
+    planes = []
+    for p in range(n_planes):
+        x = (p * 2654435761 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+        row = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            row.append(int((x >> 33) % 3) - 1)
+        planes.append(row)
+    return planes
 
 
 def lsh_bucket(vec_col, planes: list[list[int]]):
@@ -47,6 +63,45 @@ def lsh_bucket(vec_col, planes: list[list[int]]):
         )
         bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("bigint")
+
+
+def lsh_probe_buckets(vec_col, planes: list[list[int]], n_probe_buckets: int):
+    """Multi-probe bucket list: the vector's own bucket plus the
+    buckets reached by flipping the lowest-|margin| sign bits, in
+    increasing-margin order (classic multi-probe LSH: the planes the
+    vector sits closest to are the likeliest to disagree with a true
+    neighbor's signature). Returns an array of ``n_probe_buckets``
+    bucket ids, computed entirely map-side."""
+    dots = []
+    for plane in planes:
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        dots.append(
+            F.aggregate(
+                F.zip_with(vec_col, arr, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    base = F.lit(0)
+    for p, d in enumerate(dots):
+        base = base + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    base = base.cast("bigint")
+    # carry the flipped bucket inside the struct (plane index is a
+    # Python literal here, so 1<<p folds to a constant) and sort by
+    # margin — no column-valued bit shifts needed
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(d).alias("m"),
+                base.bitwiseXOR(F.lit(1 << p).cast("bigint")).alias("fb"),
+            )
+            for p, d in enumerate(dots)
+        ]
+    )
+    flips = F.transform(
+        F.slice(F.array_sort(margins), 1, n_probe_buckets - 1), lambda s: s["fb"]
+    )
+    return F.concat(F.array(base), flips)
 
 
 def brute_force_topk(
@@ -88,9 +143,16 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 6,
     dim: int = 64,
+    n_probe_buckets: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket,
     re-ranked by exact cosine. Bucket join is an equi-join → scales.
+
+    ``n_probe_buckets`` > 1 turns on multi-probe: each query also
+    probes the buckets reached by flipping its lowest-margin sign
+    bits, raising recall at a candidate-budget cost of roughly
+    ×n_probe_buckets — still an equi-join (the probe list explodes on
+    the tiny broadcast query side only; the corpus is never re-keyed).
     """
     planes = lsh_planes(n_planes, dim)
     c = corpus.select(
@@ -101,7 +163,9 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(
+            lsh_probe_buckets(F.col(vec_col), planes, n_probe_buckets)
+        ).alias("bucket"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -131,6 +195,41 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
         norm = sum(v * v for v in raw) ** 0.5
         cents.append([v / norm for v in raw])
     return cents
+
+
+def learned_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """k-means coarse quantizer learned from (a sample of) the corpus.
+
+    Returns unit-normalized centroids in the same shape as
+    :func:`ivf_centroids`, so they drop straight into
+    ``centroids_table`` / ``ivf_topk`` and the broadcast plan is
+    unchanged. At 100 TB fit on a sample (``sample_fraction`` ≪ 1):
+    k-means quality converges long before the full corpus is seen,
+    and the fit is a side job whose output is just k×dim doubles.
+    The deterministic :func:`ivf_centroids` remains the oracle path
+    (k-means assignments are data-dependent, not SQL-reproducible).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction < 1.0:
+        vecs = vecs.sample(fraction=sample_fraction, seed=seed)
+    feats = vecs.select(array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    out = []
+    for cent in model.clusterCenters():
+        raw = [float(v) for v in cent]
+        norm = sum(v * v for v in raw) ** 0.5 or 1.0
+        out.append([v / norm for v in raw])
+    return out
 
 
 def centroids_table(spark, centroids: list[list[float]]) -> DataFrame:
@@ -187,10 +286,15 @@ def ivf_topk(
     n_cells: int = 8,
     nprobe: int = 2,
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     coarse-centroid cell; each query probes its ``nprobe`` nearest
     cells; candidates re-ranked by exact cosine.
+
+    ``centroids`` overrides the deterministic quantizer — pass
+    :func:`learned_ivf_centroids` output for data-adapted cells; the
+    plan shape (broadcast probe join, no corpus shuffle) is identical.
 
     Scale shape: cell assignment is a narrow per-row expression (no
     shuffle), the probe side is tiny and broadcast, so the candidate
@@ -199,7 +303,9 @@ def ivf_topk(
     and with a cell-partitioned corpus layout (``.write.partitionBy
     ('cell')``) partition pruning drops ~(1 - nprobe/n_cells) of IO.
     """
-    cents_df = centroids_table(corpus.sparkSession, ivf_centroids(n_cells, dim))
+    if centroids is None:
+        centroids = ivf_centroids(n_cells, dim)
+    cents_df = centroids_table(corpus.sparkSession, centroids)
     c = corpus.crossJoin(F.broadcast(cents_df)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),

@@ -64,11 +64,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q71_group_by_all",
     "q77_union_by_name",
     "x62_minhash_capped_pairs",  # new in round 2 (hot-band cap)
-    # -- 12 re-confirmations, one per verified family --
+    "x63_ann_lsh_multiprobe",  # new in round 2 (multi-probe LSH)
+    "x64_ann_ivf_learned",  # new in round 2 (k-means IVF, rows-only)
+    # -- 10 re-confirmations, one per verified family --
     "q01_pricing_summary",  # aggregation + scan/filter
-    "q03_shipping_priority",  # joins + fused top-k
-    "q17_sort_limit_offset",  # sort/limit/offset
-    "q18_set_operations",  # set ops
+    "q03_shipping_priority",  # joins + fused top-k (sort/limit fused)
     "q21_subqueries",  # subqueries/CTE
     "q25_datetime_functions",  # date/time
     "q27_capitalize_udf",  # UDF surface

@@ -40,6 +40,7 @@ ANN_QUERY_IDS = (0, 1, 2)
 ANN_K = 5
 NEARDUP_THRESHOLD = 0.25
 LSH_N_PLANES = 6
+LSH_PROBE_BUCKETS = 3
 EMB_DIM = 64
 IVF_CELLS = 8
 IVF_NPROBE = 2
@@ -219,6 +220,52 @@ def _ann_lsh_oracle() -> str:
         SELECT q.qid AS query_id, e.vec_id AS neighbor_id, e.bucket AS bucket,
                {cos} AS cosine
         FROM c e JOIN q ON e.bucket = q.bucket
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+def _ann_lsh_multiprobe_oracle(n_probe_buckets: int) -> str:
+    """Multi-probe LSH oracle: base bucket + (n-1) lowest-|margin|
+    single-bit flips per query, matching lsh_probe_buckets exactly
+    (same plane literals, same (margin, flipped-bucket) tiebreak)."""
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = cosine_sql_duckdb("q.qv", "e.embedding")
+    bucket = _lsh_bucket_sql_duckdb("embedding")
+    planes = lsh_planes(LSH_N_PLANES, EMB_DIM)
+    arms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]::DOUBLE[]"
+        arms.append(
+            f"SELECT qid, qv, base, {p} AS p, "
+            f"abs(list_dot_product(qv::DOUBLE[], {arr})) AS m, "
+            f"xor(base, {1 << p}) AS fb FROM q0"
+        )
+    pd = "\n        UNION ALL\n        ".join(arms)
+    return f"""
+    WITH c AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket AS base FROM c WHERE vec_id IN ({ids})),
+    pd AS (
+        {pd}
+    ),
+    flips AS (
+        SELECT qid, qv, fb AS bucket FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY m ASC, fb ASC) AS rn FROM pd
+        ) WHERE rn <= {n_probe_buckets - 1}
+    ),
+    probes AS (
+        SELECT qid, qv, base AS bucket FROM q0
+        UNION ALL
+        SELECT qid, qv, bucket FROM flips
+    ),
+    scored AS (
+        SELECT q.qid AS query_id, e.vec_id AS neighbor_id, e.bucket AS bucket,
+               {cos} AS cosine
+        FROM c e JOIN probes q ON e.bucket = q.bucket
         WHERE e.vec_id <> q.qid
     )
     SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
@@ -464,6 +511,26 @@ def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
     return lsh_topk(emb, queries, "vec_id", "embedding", ANN_K, LSH_N_PLANES, EMB_DIM)
+
+
+@register(
+    "x63_ann_lsh_multiprobe",
+    f"multi-probe LSH top-5: base bucket + {LSH_PROBE_BUCKETS - 1} lowest-margin bit flips",
+    _ann_lsh_multiprobe_oracle(LSH_PROBE_BUCKETS),
+    tags=("similarity", "llm"),
+)
+def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x47 with the recall dial turned up: each query also probes the
+    buckets reached by flipping its lowest-|margin| sign bits — the
+    corpus side stays a single equi-join with no re-keying."""
+    from igloo_spark.operators.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    return lsh_topk(
+        emb, queries, "vec_id", "embedding", ANN_K, LSH_N_PLANES, EMB_DIM,
+        n_probe_buckets=LSH_PROBE_BUCKETS,
+    )
 
 
 @register(
@@ -794,6 +861,29 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
     return ivf_topk(
         emb, queries, "vec_id", "embedding", ANN_K, IVF_CELLS, IVF_NPROBE, EMB_DIM
+    )
+
+
+@register(
+    "x64_ann_ivf_learned",
+    "IVF top-5 with k-means-learned coarse quantizer (same broadcast plan)",
+    None,  # k-means assignments are data-dependent → rows-only driver check
+    tags=("similarity", "llm"),
+)
+def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x55 with learned centroids: a seeded k-means fit (sampled at
+    scale) replaces the deterministic quantizer. The candidate join is
+    the identical broadcast shape — only the k×dim centroid doubles
+    change — so this is the production path while x55 stays the
+    SQL-reproducible oracle path."""
+    from igloo_spark.operators.similarity import ivf_topk, learned_ivf_centroids
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = learned_ivf_centroids(emb, "embedding", n_cells=IVF_CELLS, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", ANN_K, IVF_CELLS, IVF_NPROBE, EMB_DIM,
+        centroids=cents,
     )
 
 

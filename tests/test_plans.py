@@ -257,3 +257,15 @@ def test_x54_no_driver_side_count(spark):
     assert "corpus_n" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_learned_centroids_same_plan_shape(spark):
+    """Learned (k-means) centroids must keep x55's scale shape:
+    broadcast candidate join, no cartesian product, no corpus shuffle
+    before the top-k window."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("x64_ann_ivf_learned").spark(spark, SF))
+    assert a.broadcast_hash_joins >= 1
+    assert a.cartesian_products == 0
+    assert a.python_row_udfs == 0

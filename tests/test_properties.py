@@ -137,3 +137,26 @@ def test_queries_robust_to_non_utc_driver_session():
             )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_multiprobe_lsh_recall_improves(spark):
+    """Multi-probe must raise recall vs brute-force monotonically as
+    the probe budget grows, and strictly beat single-bucket probing —
+    deterministic data + deterministic planes, so exact assertions."""
+    from igloo_spark.operators.similarity import brute_force_topk, lsh_topk
+    from igloo_spark.sources import load_testdata_table
+
+    emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 10")
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(n_probe_buckets: int) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(emb, queries, k=5, n_probe_buckets=n_probe_buckets).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r4 > r1, "multi-probe at 4 buckets should strictly beat single-probe"
