@@ -1,0 +1,141 @@
+"""Connector tests beyond parquet/CSV/JSON: live JDBC federation
+(embedded Derby — Spark bundles the driver), Avro, and the real
+Iceberg catalog path. Avro/Iceberg skip cleanly when their jars are
+absent (this container has no network to fetch them); the wiring is
+exercised the moment a jar appears on the classpath.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_jdbc_derby_predicate_pushdown(spark):
+    """Live JDBC federation against an in-process Derby database —
+    supersedes the reference's empty Postgres/MySQL stubs
+    (crates/connectors/postgres/src/lib.rs:1). The filter must reach
+    the remote scan (PushedFilters on the JDBC relation), i.e. the
+    WHERE clause executes in the database, not in Spark."""
+    from igloo_spark.sources import read_jdbc
+
+    jvm = spark._jvm
+    url = "jdbc:derby:memory:igloo_fed;create=true"
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        with contextlib.suppress(Exception):  # leftover from a prior run
+            st.executeUpdate("DROP TABLE people")
+        st.executeUpdate("CREATE TABLE people (id INT, name VARCHAR(50), age INT)")
+        for row in ("(1,'alice',25)", "(2,'bob',35)", "(3,'carol',41)", "(4,'dan',17)"):
+            st.executeUpdate(f"INSERT INTO people VALUES {row}")
+        st.close()
+    finally:
+        conn.close()
+
+    df = read_jdbc(
+        spark, url, "people", driver="org.apache.derby.jdbc.EmbeddedDriver"
+    )
+    q = df.filter("age > 30").select("NAME")
+    plan = _explain(q)
+    assert "JDBCRelation" in plan or "jdbc" in plan.lower()
+    assert "GreaterThan(AGE,30)" in plan, f"filter not pushed to the database:\n{plan}"
+    assert sorted(r.NAME for r in q.collect()) == ["bob", "carol"]
+
+
+def test_jdbc_derby_partitioned_read(spark):
+    """Partition-column parallel JDBC read: numPartitions range splits
+    become independent remote queries (the 100 TB ingestion shape)."""
+    from igloo_spark.sources import read_jdbc
+
+    jvm = spark._jvm
+    url = "jdbc:derby:memory:igloo_fed2;create=true"
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        with contextlib.suppress(Exception):
+            st.executeUpdate("DROP TABLE nums")
+        st.executeUpdate("CREATE TABLE nums (id INT, v INT)")
+        for i in range(40):
+            st.executeUpdate(f"INSERT INTO nums VALUES ({i}, {i * i})")
+        st.close()
+    finally:
+        conn.close()
+
+    df = read_jdbc(
+        spark,
+        url,
+        "nums",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=40,
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 40
+    assert df.agg({"v": "sum"}).collect()[0][0] == sum(i * i for i in range(40))
+
+
+def test_avro_roundtrip_or_skip(spark, tmp_path):
+    """Avro read-back equality — runs only when the spark-avro
+    datasource jar is present; read_avro raises a clear error
+    otherwise (asserted in the skip branch so the gate itself is
+    always tested)."""
+    from igloo_spark.sources import has_avro_datasource, read_avro
+
+    if not has_avro_datasource(spark):
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_avro(spark, str(tmp_path / "nope.avro"))
+        pytest.skip("spark-avro datasource jar not on classpath")
+
+    src = spark.read.parquet(f"{SF}/nation.parquet")
+    path = str(tmp_path / "nation_avro")
+    src.write.format("avro").save(path)
+    back = read_avro(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_iceberg_catalog_or_skip(tmp_path):
+    """REAL Iceberg path (metadata-aware, snapshot reads, time travel)
+    — strictly superior to the reference's directory walk
+    (crates/connectors/iceberg/src/lib.rs:42-76), which
+    read_iceberg_dir reproduces for parity. Skips when the runtime jar
+    is absent; the catalog conf itself is validated either way."""
+    from pyspark.sql import SparkSession
+
+    from igloo_spark.sources import has_iceberg_runtime, iceberg_catalog_conf
+
+    conf = iceberg_catalog_conf("ice", str(tmp_path / "warehouse"))
+    assert conf["spark.sql.catalog.ice"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.ice.warehouse"].endswith("warehouse")
+
+    active = SparkSession.getActiveSession()
+    if active is None or not has_iceberg_runtime(active):
+        pytest.skip("iceberg-spark-runtime jar not on classpath")
+
+    # live path (executes only with the jar present): snapshot commit,
+    # metadata-aware read, time travel to the first snapshot
+    spark = active
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ice.db")
+    spark.range(5).writeTo("ice.db.t").createOrReplace()
+    assert spark.table("ice.db.t").count() == 5
+    spark.range(5, 8).writeTo("ice.db.t").append()
+    assert spark.table("ice.db.t").count() == 8
+    snaps = spark.sql("SELECT snapshot_id FROM ice.db.t.snapshots ORDER BY committed_at").collect()
+    first = snaps[0].snapshot_id
+    assert spark.sql(f"SELECT count(*) AS n FROM ice.db.t VERSION AS OF {first}").collect()[0].n == 5
