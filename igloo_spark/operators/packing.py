@@ -1,0 +1,100 @@
+"""Training-batch assembly operators: sequence packing and source
+mixture sampling.
+
+These are the last mile of an LLM data pipeline — after dedup/quality
+filtering (operators.dedup, functions.text), documents must be (a)
+packed into fixed token-budget training sequences and (b) re-weighted
+to a target source mixture. Neither exists in the reference
+(igloo-io/igloo has no data-pipeline operators at all); both are
+first-class here per the BASELINE.json north star.
+
+Both are deterministic and hash-gated (never ``rand()``), so any
+cluster at any parallelism produces the identical assignment — the
+property that makes training runs reproducible and resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from igloo_spark.functions.hashing import hex_prefix_hash
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col,
+    stream_cols: list[str],
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign each document to a fixed-budget training sequence (bin).
+
+    Documents are ordered by id within a (stream, shard) substream and
+    placed contiguously; a document belongs to the bin where its first
+    token lands (``floor(exclusive_prefix_sum / budget)``). This is
+    streaming concatenation — the standard GPT-style packing — not
+    best-fit bin packing (which is NP-hard and order-unstable).
+
+    Scale shape: the only shuffle is the window over
+    ``(stream_cols..., shard)``; ``n_shards`` bounds each window
+    partition to ~1/n_shards of a stream, so parallelism is
+    ``n_streams × n_shards`` regardless of corpus size. The shard gate
+    is a deterministic hash of the id — no data movement decides it.
+    """
+    shard = hex_prefix_hash(
+        F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
+    ) % n_shards
+    w = Window.partitionBy(*stream_cols, "shard").orderBy(id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in stream_cols],
+            token_col.cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("shard", shard.cast("bigint"))
+        .withColumn(
+            "start_tok",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+        )
+        .withColumn("bin", F.floor(F.col("start_tok") / budget).cast("bigint"))
+    )
+
+
+def pack_stats(packed: DataFrame, stream_cols: list[str], budget: int) -> DataFrame:
+    """Per-bin fill statistics — the packing-efficiency rollup a
+    pipeline monitors (fill < 1 means padding waste)."""
+    return packed.groupBy(*stream_cols, "shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") / F.lit(float(budget))).alias("fill_ratio"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    mix_col: str,
+    rates: dict[str, tuple[int, int]],
+    default_rate: tuple[int, int] = (1, 1),
+) -> DataFrame:
+    """Deterministic source-mixture resampling: keep a row of mixture
+    class ``c`` iff ``hash(id) % denom(c) < num(c)``.
+
+    ``rates`` maps class value → (numerator, denominator), e.g.
+    ``{"web": (1, 4), "books": (1, 1)}`` keeps ~25% of web and all of
+    books. Hash-gated per id so the kept set is stable across runs and
+    cluster layouts; the gate is a pure codegen'd expression evaluated
+    at scan speed before any shuffle.
+    """
+    h = hex_prefix_hash(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+    gate = None
+    for value, (num, den) in rates.items():
+        cond = (F.col(mix_col) == value) & ((h % den) < num)
+        gate = cond if gate is None else (gate | cond)
+    num, den = default_rate
+    other = ~F.col(mix_col).isin(*rates.keys()) & ((h % den) < num)
+    gate = other if gate is None else (gate | other)
+    return df.filter(gate)

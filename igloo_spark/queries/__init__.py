@@ -66,16 +66,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x62_minhash_capped_pairs",  # new in round 2 (hot-band cap)
     "x63_ann_lsh_multiprobe",  # new in round 2 (multi-probe LSH)
     "x64_ann_ivf_learned",  # new in round 2 (k-means IVF, rows-only)
-    # -- 10 re-confirmations, one per verified family --
+    "x65_sequence_packing",  # new in round 2 (token-budget packing)
+    "x66_data_mixture",  # new in round 2 (mixture resampling)
+    # -- 8 re-confirmations, one per verified family --
     "q01_pricing_summary",  # aggregation + scan/filter
     "q03_shipping_priority",  # joins + fused top-k (sort/limit fused)
     "q21_subqueries",  # subqueries/CTE
-    "q25_datetime_functions",  # date/time
     "q27_capitalize_udf",  # UDF surface
     "q30_window_ranking",  # window functions
     "q35_json_extraction",  # array/struct/map/JSON
     "q66_asof_join",  # temporal joins
-    "q76_session_window",  # native session window
     "x40_dedup_exact",  # LLM-ops dedup family
 )
 

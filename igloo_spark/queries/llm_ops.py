@@ -626,6 +626,86 @@ def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 256
+PACK_SHARDS = 4
+_pack_hash = hex_prefix_hash_sql_duckdb("concat('pack:', CAST(doc_id AS VARCHAR))")
+_mix_hash = hex_prefix_hash_sql_duckdb("concat('mix:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "x65_sequence_packing",
+    f"pack documents into {PACK_BUDGET}-token training sequences per (lang, shard) stream",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
+               CAST(({_pack_hash}) % {PACK_SHARDS} AS BIGINT) AS shard
+        FROM documents
+    ),
+    p AS (
+        SELECT lang, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start_tok
+        FROM t
+    )
+    SELECT lang, shard, CAST(floor(start_tok / {PACK_BUDGET}) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           sum(n_tokens) / {float(PACK_BUDGET)} AS fill_ratio
+    FROM p GROUP BY lang, shard, bin
+    """,
+    tags=("packing", "llm"),
+)
+def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style streaming concatenation into fixed token budgets:
+    deterministic shard gate bounds every window partition, so
+    parallelism is streams × shards at any corpus size (see
+    operators/packing.py)."""
+    from igloo_spark.functions.text import token_count
+    from igloo_spark.operators.packing import pack_sequences, pack_stats
+
+    d = table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d, "doc_id", token_count(F.col("text")), ["lang"], PACK_BUDGET, PACK_SHARDS
+    )
+    return pack_stats(packed, ["lang"], PACK_BUDGET)
+
+
+@register(
+    "x66_data_mixture",
+    "deterministic source-mixture resampling: per-source keep rates via hash gate",
+    f"""
+    SELECT source, count(*) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    WHERE (source = 'src0' AND ({_mix_hash}) % 2 < 1)
+       OR (source = 'src1' AND ({_mix_hash}) % 4 < 1)
+       OR (source NOT IN ('src0', 'src1') AND ({_mix_hash}) % 4 < 3)
+    GROUP BY source
+    """,
+    tags=("sampling", "llm"),
+)
+def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-weighting a corpus to a target source mixture (keep 50% of
+    src0, 25% of src1, 75% of the rest) with a reproducible hash gate
+    — the primitive behind data-mixture laws experiments. Pure scan-
+    speed filter, no shuffle (see operators/packing.py)."""
+    from igloo_spark.operators.packing import mixture_sample
+
+    d = table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d, "doc_id", "source", {"src0": (1, 2), "src1": (1, 4)}, default_rate=(3, 4)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
 @register(
     "x53_topk_ngrams",
     "corpus heavy hitters: top-20 word bigrams per language (count desc, bigram asc)",

@@ -269,3 +269,26 @@ def test_ivf_learned_centroids_same_plan_shape(spark):
     assert a.broadcast_hash_joins >= 1
     assert a.cartesian_products == 0
     assert a.python_row_udfs == 0
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """Packing's only wide op is the (stream, shard) window; the
+    per-bin rollup reuses that partitioning (hash on a subset of the
+    groupBy keys still co-locates every group), so the whole pipeline
+    is ONE shuffle."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("x65_sequence_packing").spark(spark, SF))
+    assert a.shuffles == 1, f"expected 1 shuffle, saw {a.shuffles}"
+    assert a.python_row_udfs == 0
+
+
+def test_mixture_sample_is_scan_speed(spark):
+    """The mixture gate is a pure filter evaluated in the scan stage —
+    the only shuffle is the final per-source rollup."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("x66_data_mixture").spark(spark, SF))
+    assert a.shuffles <= 1
+    assert a.python_row_udfs == 0
+    assert a.cartesian_products == 0
