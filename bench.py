@@ -33,7 +33,11 @@ def main() -> int:
     # (warm) run is the steady-state cost that scales with data volume
     # — the number that matters at 100 TB, where compilation amortizes
     # to zero. Both are reported; "value" is the warm total.
-    specs = [s for s in all_queries().values() if s.bench]
+    # Stable name order: all_queries() is ordered for the correctness
+    # gate's rotation and reshuffles between rounds, which would move
+    # JIT-warmup cost onto whichever query happens to run first and
+    # make per-query numbers incomparable across rounds.
+    specs = sorted((s for s in all_queries().values() if s.bench), key=lambda s: s.name)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for spec in specs:
