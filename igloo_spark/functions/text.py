@@ -126,6 +126,50 @@ def language_id_sql(expr: str) -> str:
     return f"(CASE WHEN {best} <= 0 THEN 'und'{whens} END)"
 
 
+def bigram_array(text: Column) -> Column:
+    """Consecutive word-bigram array (with duplicates) — empty for
+    docs under two tokens. Pure per-row expression, no explode."""
+    ws = F.split(F.regexp_replace(F.trim(text), "[ ]+", " "), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0)))
+    return F.when(F.size(ws) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i.cast("int")), F.element_at(ws, (i + 1).cast("int"))
+            ),
+        )
+    )
+
+
+def bigram_array_sql(expr: str) -> str:
+    norm = f"string_split(regexp_replace(trim({expr}), '[ ]+', ' ', 'g'), ' ')"
+    return (
+        f"(CASE WHEN len({norm}) < 2 THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len({norm})), "
+        f"i -> {norm}[i] || ' ' || {norm}[i+1]) END)"
+    )
+
+
+def repetition_ratio(text: Column) -> Column:
+    """Duplicate-bigram fraction (Gopher-style repetition signal):
+    1 - distinct/total over the doc's bigram multiset; 0 for short
+    docs. High values flag boilerplate/spam — the cheap repetition
+    gate a corpus filter runs before any model-based scoring."""
+    grams = bigram_array(text)
+    n = F.size(grams)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (F.lit(1.0) - F.size(F.array_distinct(grams)) / n).cast("double")
+    )
+
+
+def repetition_ratio_sql(expr: str) -> str:
+    grams = bigram_array_sql(expr)
+    return (
+        f"(CASE WHEN len({grams}) <= 0 THEN 0.0 "
+        f"ELSE CAST(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / len({grams}) AS DOUBLE) END)"
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Whitespace-normalized md5 fingerprint for exact-dup detection."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), "[ ]+", " ")))

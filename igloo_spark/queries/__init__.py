@@ -68,13 +68,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x64_ann_ivf_learned",  # new in round 2 (k-means IVF, rows-only)
     "x65_sequence_packing",  # new in round 2 (token-budget packing)
     "x66_data_mixture",  # new in round 2 (mixture resampling)
-    # -- 8 re-confirmations, one per verified family --
+    "x67_decontamination",  # new in round 2 (eval-set overlap)
+    "x68_repetition_score",  # new in round 2 (repetition gate)
+    # -- 6 re-confirmations across verified families --
     "q01_pricing_summary",  # aggregation + scan/filter
     "q03_shipping_priority",  # joins + fused top-k (sort/limit fused)
-    "q21_subqueries",  # subqueries/CTE
     "q27_capitalize_udf",  # UDF surface
     "q30_window_ranking",  # window functions
-    "q35_json_extraction",  # array/struct/map/JSON
     "q66_asof_join",  # temporal joins
     "x40_dedup_exact",  # LLM-ops dedup family
 )

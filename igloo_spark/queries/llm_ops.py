@@ -26,6 +26,7 @@ from igloo_spark.functions.text import (
     language_id_sql,
     quality_score,
     quality_score_sql,
+    repetition_ratio_sql,
     token_count,
     token_count_sql,
 )
@@ -703,6 +704,98 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+EVAL_SET_MOD = 50  # doc_id % 50 == 0 stands in for the benchmark/eval set
+DECON_THRESHOLD = 0.2
+
+
+@register(
+    "x67_decontamination",
+    "benchmark decontamination: train docs sharing ≥20% of bigrams with the eval set",
+    f"""
+    WITH base AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM base WHERE len(ws) >= 2
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_SET_MOD} = 0),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_shingles FROM sh
+        WHERE doc_id % {EVAL_SET_MOD} <> 0 GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT s.doc_id, count(*) AS n_shared
+        FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+        WHERE s.doc_id % {EVAL_SET_MOD} <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT h.doc_id, h.n_shared, z.n_shingles,
+           CAST(h.n_shared AS DOUBLE) / z.n_shingles AS contamination
+    FROM hits h JOIN sizes z ON h.doc_id = z.doc_id
+    WHERE CAST(h.n_shared AS DOUBLE) / z.n_shingles >= {DECON_THRESHOLD}
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — flag training documents whose bigram
+    sets overlap a held-out benchmark too much. The eval vocabulary is
+    benchmark-sized (tiny vs the corpus), so it broadcasts and the
+    check is a map-side hash probe of the training shingle stream: no
+    corpus shuffle beyond the per-doc rollup. At 100 TB this is the
+    shape that works — never join corpus × corpus."""
+    from igloo_spark.operators.dedup import word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=2)
+    train = sh.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+    eval_sh = sh.filter(F.col("doc_id") % EVAL_SET_MOD == 0).select("shingle").distinct()
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            (F.col("n_shared").cast("double") / F.col("n_shingles")).alias("contamination"),
+        )
+        .filter(F.col("contamination") >= DECON_THRESHOLD)
+    )
+
+
+@register(
+    "x68_repetition_score",
+    "duplicate-bigram fraction per document (Gopher-style repetition gate)",
+    f"""
+    SELECT doc_id, lang,
+           {repetition_ratio_sql('text')} AS rep_ratio,
+           CAST({token_count_sql('text')} AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring as a pure per-row array expression (bigram
+    multiset vs its distinct size) — zero shuffles, zero Python; the
+    whole filter runs inside the scan stage at any corpus size."""
+    from igloo_spark.functions.text import repetition_ratio, token_count
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        repetition_ratio(F.col("text")).alias("rep_ratio"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
     )
 
 

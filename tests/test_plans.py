@@ -292,3 +292,23 @@ def test_mixture_sample_is_scan_speed(spark):
     assert a.shuffles <= 1
     assert a.python_row_udfs == 0
     assert a.cartesian_products == 0
+
+
+def test_decontamination_broadcasts_eval_set(spark):
+    """The eval vocabulary must broadcast (it's benchmark-sized); the
+    training shingle stream is probed map-side, never self-joined."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("x67_decontamination").spark(spark, SF))
+    assert a.broadcast_hash_joins >= 1
+    assert a.cartesian_products == 0
+
+
+def test_repetition_score_zero_shuffle(spark):
+    """Per-row array expression: the whole scoring pass must run
+    inside the scan stage with no exchange at all."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("x68_repetition_score").spark(spark, SF))
+    assert a.shuffles == 0
+    assert a.python_row_udfs == 0
