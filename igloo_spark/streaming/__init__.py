@@ -22,6 +22,7 @@ from igloo_spark.streaming.cdc import (  # noqa: F401
     cache_invalidator,
     change_stream,
     dedup_stream,
+    enrich_stream,
     windowed_counts,
 )
 from igloo_spark.streaming.stateful import sessionize_stream  # noqa: F401

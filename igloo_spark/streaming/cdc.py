@@ -65,6 +65,24 @@ def dedup_stream(
     return changes.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static enrichment join: attach dimension attributes to a
+    change feed. The static side is broadcast (dims are small by
+    definition), so each micro-batch is a map-side hash probe — no
+    per-batch shuffle of the stream and no streaming state at all
+    (unlike stream–stream joins). The standard production shape for
+    decorating CDC events with reference data; Spark re-reads the
+    static side per micro-batch, so a dim table updated in place is
+    picked up automatically.
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
 def cache_invalidator(changes: DataFrame, cache, table_keys: dict[str, list[str]], checkpoint: str):
     """foreachBatch sink: invalidate result-cache entries whose source
     tables appear in the change feed.

@@ -278,3 +278,37 @@ def test_stateful_sessionization_spans_batches(igloo, tmp_path):
     assert r.user_id == 1 and r.n_events == 3
     assert r.session_start.isoformat() == "2024-01-01T00:00:00"
     assert r.session_end.isoformat() == "2024-01-01T00:00:20"
+
+
+def test_streaming_static_enrichment(igloo, tmp_path):
+    """Stream–static join: change events decorated with dimension
+    attributes via a broadcast probe — no stream shuffle, no state."""
+    from igloo_spark.streaming import change_stream, enrich_stream
+
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    rows = [
+        {"table_name": "orders", "op": "insert", "key": "1", "ts": "2024-01-01T00:00:10"},
+        {"table_name": "customer", "op": "delete", "key": "9", "ts": "2024-01-01T00:00:20"},
+        {"table_name": "unknown_tbl", "op": "insert", "key": "3", "ts": "2024-01-01T00:00:30"},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    dim = igloo.spark.createDataFrame(
+        [("orders", "fact", 1), ("customer", "dim", 2)],
+        "table_name string, kind string, tier int",
+    )
+    enriched = enrich_stream(change_stream(igloo.spark, str(src)), dim, on="table_name")
+    assert enriched.isStreaming
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_cdc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {r.table_name: (r.kind, r.tier) for r in igloo.spark.sql("SELECT * FROM enriched_cdc").collect()}
+    assert out["orders"] == ("fact", 1)
+    assert out["customer"] == ("dim", 2)
+    assert out["unknown_tbl"] == (None, None)  # left join keeps unmatched events
