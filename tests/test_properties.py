@@ -160,3 +160,16 @@ def test_multiprobe_lsh_recall_improves(spark):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4, (r1, r2, r4)
     assert r4 > r1, "multi-probe at 4 buckets should strictly beat single-probe"
+
+
+def test_ivf_vectorized_matches_hof_path(spark):
+    """The Arrow/numpy cell assignment must produce the identical
+    result set as the pure-Catalyst HOF path at every sf we test."""
+    from igloo_spark.operators.similarity import ivf_topk
+    from igloo_spark.sources import load_testdata_table
+
+    emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 3")
+    fast = {tuple(r) for r in ivf_topk(emb, q, vectorized=True).collect()}
+    ref = {tuple(r) for r in ivf_topk(emb, q, vectorized=False).collect()}
+    assert fast == ref
