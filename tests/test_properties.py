@@ -173,3 +173,74 @@ def test_ivf_vectorized_matches_hof_path(spark):
     fast = {tuple(r) for r in ivf_topk(emb, q, vectorized=True).collect()}
     ref = {tuple(r) for r in ivf_topk(emb, q, vectorized=False).collect()}
     assert fast == ref
+
+
+def test_text_functions_edge_case_parity(igloo, tmp_path):
+    """Differential check of every text Column expression vs its SQL
+    twin over adversarial strings: empty, blank, single-token, tabs,
+    repeated runs of spaces, unicode, pure punctuation, and a
+    high-repetition doc. Catches drift between the Spark expression
+    and the DuckDB oracle that the corpus (ordinary prose) would not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from igloo_spark.functions.text import (
+        doc_fingerprint,
+        doc_fingerprint_sql,
+        language_id,
+        language_id_sql,
+        quality_score,
+        quality_score_sql,
+        repetition_ratio,
+        repetition_ratio_sql,
+        token_count,
+        token_count_sql,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "",
+        " ",
+        "   ",
+        "one",
+        "one two",
+        "a  b   c    d",  # multi-space runs
+        "the the the the the",  # max repetition
+        "tab\tseparated\ttokens stay one token",
+        "¡unicode! métal 日本語 text",
+        "...!!!???",
+        "the quick brown fox and the lazy dog of the farm",
+        ("dup " * 30).strip(),
+    ]
+    rows = list(enumerate(texts))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["t"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    df = igloo.spark.read.parquet(str(tmp_path / "documents.parquet")).select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        repetition_ratio(F.col("text")).alias("rep"),
+        quality_score(F.col("text")).alias("q"),
+        language_id(F.col("text")).alias("lang_id"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    oracle = f"""
+    SELECT doc_id,
+           CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
+           {repetition_ratio_sql('text')} AS rep,
+           {quality_score_sql('text')} AS q,
+           {language_id_sql('text')} AS lang_id,
+           {doc_fingerprint_sql('text')} AS fp
+    FROM documents
+    """
+    assert_matches_oracle(df, oracle, str(tmp_path))
