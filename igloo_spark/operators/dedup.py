@@ -203,6 +203,53 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dedup a new ingest batch against the historical corpus.
+
+    Returns one row per new document: (id, fingerprint, dup_of) where
+    ``dup_of`` is 'history' (fingerprint already in the corpus),
+    'batch' (duplicate of an earlier doc in the same batch), or
+    'unique'. Only 'unique' rows should be appended to the corpus.
+
+    Scale shape: the new batch is small (a daily increment) and
+    history is the 100 TB corpus, so the batch's fingerprint set is
+    **broadcast** and history is probed with a scan-speed semi-join —
+    the corpus is never shuffled and never rebuilt. The matching
+    fingerprints (⊆ batch size) come back tiny and re-join the batch
+    broadcast-side. Within-batch dups use one window over the batch
+    itself.
+    """
+    from pyspark.sql.window import Window
+
+    fp = doc_fingerprint(F.col(text_col))
+    batch = new_df.select(F.col(id_col), fp.alias("fingerprint"))
+    # history ⋉ broadcast(batch fingerprints): which batch prints exist?
+    seen = (
+        history_df.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .join(F.broadcast(batch.select("fingerprint").distinct()), "fingerprint", "left_semi")
+        .distinct()
+        .withColumn("in_history", F.lit(True))
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        batch.join(F.broadcast(seen), "fingerprint", "left")
+        .withColumn("first_id", F.min(id_col).over(w))
+        .select(
+            F.col(id_col),
+            "fingerprint",
+            F.when(F.col("in_history"), F.lit("history"))
+            .when(F.col(id_col) != F.col("first_id"), F.lit("batch"))
+            .otherwise(F.lit("unique"))
+            .alias("dup_of"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-doc SimHash over distinct words → (id, simhash).
 

@@ -70,11 +70,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x66_data_mixture",  # new in round 2 (mixture resampling)
     "x67_decontamination",  # new in round 2 (eval-set overlap)
     "x68_repetition_score",  # new in round 2 (repetition gate)
-    # -- 6 re-confirmations across verified families --
+    "x69_incremental_dedup",  # new in round 2 (batch-vs-history dedup)
+    "x70_sketch_rollup",  # new in round 2 (mergeable HLL, rows-only)
+    # -- 4 re-confirmations across verified families --
     "q01_pricing_summary",  # aggregation + scan/filter
     "q03_shipping_priority",  # joins + fused top-k (sort/limit fused)
-    "q27_capitalize_udf",  # UDF surface
-    "q30_window_ranking",  # window functions
     "q66_asof_join",  # temporal joins
     "x40_dedup_exact",  # LLM-ops dedup family
 )

@@ -447,6 +447,73 @@ def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x69_incremental_dedup",
+    "dedup a new ingest batch (doc_id%10>=8) against the historical corpus",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, {doc_fingerprint_sql('text')} AS fingerprint FROM documents
+    ),
+    batch AS (SELECT * FROM fp WHERE doc_id % 10 >= 8),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 < 8),
+    firsts AS (SELECT fingerprint, min(doc_id) AS first_id FROM batch GROUP BY fingerprint)
+    SELECT b.doc_id, b.fingerprint,
+           CASE WHEN h.fingerprint IS NOT NULL THEN 'history'
+                WHEN b.doc_id <> f.first_id THEN 'batch'
+                ELSE 'unique' END AS dup_of
+    FROM batch b
+    LEFT JOIN hist h ON b.fingerprint = h.fingerprint
+    JOIN firsts f ON b.fingerprint = f.fingerprint
+    """,
+    tags=("dedup", "llm"),
+)
+def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup: the historical corpus is probed with a
+    scan-speed semi-join against the broadcast batch fingerprint set —
+    the 100 TB side is never shuffled (see
+    operators/dedup.py:incremental_dedup)."""
+    from igloo_spark.operators.dedup import incremental_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 10 >= 8), d.filter(F.col("doc_id") % 10 < 8), "doc_id", "text"
+    )
+
+
+@register(
+    "x70_sketch_rollup",
+    "mergeable HLL sketch rollup: per-(lang,source) sketches unioned per lang",
+    None,  # Datasketches binaries are engine-specific → rows-only check;
+    # estimate accuracy is pinned in test_properties.py
+    tags=("sketch", "llm"),
+)
+def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch pattern that replaces COUNT(DISTINCT) at
+    100 TB: build small per-partition HLL sketches ONCE (here per
+    (lang, source)), persist them as a tiny rollup table, then answer
+    any coarser distinct-count (per lang, global, ...) by unioning
+    sketches — no rescan of the corpus, error ~1.6% at default lgk.
+    Exactly the pre-aggregation shape a lakehouse stores next to the
+    raw table."""
+    from igloo_spark.functions.text import doc_fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    per_part = (
+        d.select("lang", "source", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("lang", "source")
+        .agg(F.hll_sketch_agg("fp").alias("sk"), F.count("*").alias("n_docs"))
+    )
+    return (
+        per_part.groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_unique_docs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.count("*").alias("n_sketches"),
+        )
+        .select("lang", "est_unique_docs", "n_docs", "n_sketches")
+    )
+
+
+@register(
     "x43_simhash",
     "16-bit SimHash per document from distinct-word bit votes",
     SIMHASH_ORACLE,

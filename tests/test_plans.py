@@ -312,3 +312,20 @@ def test_repetition_score_zero_shuffle(spark):
     a = audit_plan(spec("x68_repetition_score").spark(spark, SF))
     assert a.shuffles == 0
     assert a.python_row_udfs == 0
+
+
+def test_incremental_dedup_history_not_shuffled(spark):
+    """The history side (the 100 TB corpus) must be probed via a
+    broadcast semi-join — its fingerprints may be projected and
+    scanned but never exchanged."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("x69_incremental_dedup").spark(spark, SF))
+    assert a.cartesian_products == 0
+    # both joins (history semi-probe + seen re-attach) must broadcast;
+    # a sort-merge join would mean a corpus-sized exchange
+    assert a.broadcast_hash_joins >= 2
+    assert a.sort_merge_joins == 0
+    # exchanges are batch-sized only: batch-distinct, seen-distinct,
+    # and the batch window — never a fourth for the history side
+    assert a.shuffles <= 3

@@ -244,3 +244,28 @@ def test_text_functions_edge_case_parity(igloo, tmp_path):
     FROM documents
     """
     assert_matches_oracle(df, oracle, str(tmp_path))
+
+
+def test_sketch_rollup_estimates_within_bounds(spark):
+    """x70 is rows-only in the oracle gate (sketch binaries are
+    engine-specific); the checkable part is that the unioned-sketch
+    estimate tracks the exact per-lang distinct fingerprint count."""
+    from igloo_spark.functions.text import doc_fingerprint
+    from igloo_spark.queries import all_queries
+    from igloo_spark.sources import load_testdata_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r.lang: r.est_unique_docs
+        for r in all_queries()["x70_sketch_rollup"].spark(spark, "/root/testdata/sf0.01").collect()
+    }
+    exact = {
+        r.lang: r.n
+        for r in load_testdata_table(spark, "/root/testdata/sf0.01", "documents")
+        .groupBy("lang")
+        .agg(F.count_distinct(doc_fingerprint(F.col("text"))).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for lang, est in got.items():
+        assert abs(est - exact[lang]) / exact[lang] < 0.05, (lang, est, exact[lang])
