@@ -62,6 +62,20 @@ class IglooFlightServer(flight.FlightServerBase):
         tbl = self.session.execute(sql).toArrow()
         return flight.RecordBatchStream(tbl)
 
+    # reference leaves list_flights unimplemented (crates/api/src/lib.rs:67-72);
+    # ours advertises every catalog table as a flight whose ticket is a
+    # SELECT * over it — catalog discovery for generic Flight clients.
+    def list_flights(self, context, criteria):
+        for name in sorted(t.name for t in self.session.spark.catalog.listTables()):
+            sql = f"SELECT * FROM {name}"
+            df = self.session.spark.table(name)
+            descriptor = flight.FlightDescriptor.for_command(sql.encode("utf-8"))
+            ticket = flight.Ticket(sql.encode("utf-8"))
+            endpoint = flight.FlightEndpoint(ticket, [f"grpc://127.0.0.1:{self.port}"])
+            yield flight.FlightInfo(
+                _spark_to_arrow_schema(df), descriptor, [endpoint], -1, -1
+            )
+
     # reference leaves do_put unimplemented (crates/api/src/lib.rs:151-156);
     # we accept an upload and register it as a queryable table — the
     # natural inverse of do_get. descriptor.path[0] = table name.

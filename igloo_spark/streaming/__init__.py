@@ -21,6 +21,7 @@ per micro-batch and only touches cache metadata, never data.
 from igloo_spark.streaming.cdc import (  # noqa: F401
     cache_invalidator,
     change_stream,
+    correlate_streams,
     dedup_stream,
     enrich_stream,
     windowed_counts,

@@ -83,6 +83,39 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), on=on, how=how)
 
 
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Stream–stream interval join: match events from two feeds on a
+    key where the right event lands within ``within`` after the left
+    one (order placed → payment received, request → response, ...).
+
+    Both sides carry watermarks and the join condition is time-bounded
+    in BOTH directions, so Spark can expire state: each side buffers
+    at most ``watermark + within`` of events per key — bounded state
+    on unbounded feeds, which is the property that separates a
+    production stream join from an out-of-memory incident. Right
+    columns are suffixed to avoid collisions between same-schema
+    feeds.
+    """
+    lw = left.withWatermark(ts_col, watermark)
+    rw = right.withWatermark(ts_col, watermark).select(
+        *[F.col(c).alias(f"{c}{right_suffix}") for c in right.columns]
+    )
+    cond = (
+        (lw[key] == rw[f"{key}{right_suffix}"])
+        & (rw[f"{ts_col}{right_suffix}"] >= lw[ts_col])
+        & (rw[f"{ts_col}{right_suffix}"] <= lw[ts_col] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond)
+
+
 def cache_invalidator(changes: DataFrame, cache, table_keys: dict[str, list[str]], checkpoint: str):
     """foreachBatch sink: invalidate result-cache entries whose source
     tables appear in the change feed.

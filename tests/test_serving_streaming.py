@@ -312,3 +312,76 @@ def test_streaming_static_enrichment(igloo, tmp_path):
     assert out["orders"] == ("fact", 1)
     assert out["customer"] == ("dim", 2)
     assert out["unknown_tbl"] == (None, None)  # left join keeps unmatched events
+
+
+def test_stream_stream_interval_join(igloo, tmp_path):
+    """Two change feeds correlated on key within a time bound: the
+    in-window pair matches, the out-of-window pair does not, and both
+    sides keep bounded state (watermark + interval condition)."""
+    from igloo_spark.streaming import change_stream, correlate_streams
+
+    lsrc = tmp_path / "left_src"
+    rsrc = tmp_path / "right_src"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    (lsrc / "l.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"table_name": "orders", "op": "insert", "key": "A", "ts": "2024-01-01T00:00:00"},
+                {"table_name": "orders", "op": "insert", "key": "B", "ts": "2024-01-01T00:00:00"},
+            ]
+        )
+    )
+    (rsrc / "r.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                # A: 2 minutes later -> inside the 5-minute window
+                {"table_name": "payments", "op": "insert", "key": "A", "ts": "2024-01-01T00:02:00"},
+                # B: 9 minutes later -> outside
+                {"table_name": "payments", "op": "insert", "key": "B", "ts": "2024-01-01T00:09:00"},
+            ]
+        )
+    )
+    joined = correlate_streams(
+        change_stream(igloo.spark, str(lsrc)),
+        change_stream(igloo.spark, str(rsrc)),
+        key="key",
+        within="5 minutes",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("correlated")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_corr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = igloo.spark.sql("SELECT key, table_name, table_name_r FROM correlated").collect()
+    assert [(r.key, r.table_name, r.table_name_r) for r in rows] == [("A", "orders", "payments")]
+
+
+def test_flight_list_flights_advertises_catalog(igloo):
+    """list_flights (unimplemented in the reference) must advertise
+    every registered table with its schema and a runnable ticket."""
+    flight = pytest.importorskip("pyarrow.flight")
+    from igloo_spark.serving import serve_in_background
+
+    igloo.register_parquet_dir("/root/testdata/sf0.001", ["nation", "region"])
+    server, _ = serve_in_background(igloo)
+    try:
+        client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+        infos = {
+            i.descriptor.command.decode(): [f.name for f in i.schema]
+            for i in client.list_flights()
+        }
+        assert "SELECT * FROM nation" in infos
+        assert "n_name" in infos["SELECT * FROM nation"]
+        # the advertised ticket is directly runnable
+        reader = client.do_get(flight.Ticket(b"SELECT * FROM region"))
+        assert reader.read_all().num_rows == 5
+    finally:
+        server.shutdown()
