@@ -139,3 +139,37 @@ def test_iceberg_catalog_or_skip(tmp_path):
     snaps = spark.sql("SELECT snapshot_id FROM ice.db.t.snapshots ORDER BY committed_at").collect()
     first = snaps[0].snapshot_id
     assert spark.sql(f"SELECT count(*) AS n FROM ice.db.t VERSION AS OF {first}").collect()[0].n == 5
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """Native snapshot semantics (the capability the reference's
+    metadata-ignoring scan lacks): append and overwrite commits,
+    latest-read, time travel to any version, and invisibility of
+    unreferenced files."""
+    from igloo_spark.sources.versioned import read_versioned, snapshots, write_versioned
+
+    root = str(tmp_path / "vt")
+    v1 = write_versioned(spark.range(5).toDF("id"), root, mode="overwrite")
+    v2 = write_versioned(spark.range(5, 8).toDF("id"), root, mode="append")
+    assert (v1, v2) == (1, 2)
+
+    assert read_versioned(spark, root).count() == 8  # latest
+    assert read_versioned(spark, root, version=1).count() == 5  # time travel
+    v3 = write_versioned(spark.range(100, 102).toDF("id"), root, mode="overwrite")
+    assert sorted(r.id for r in read_versioned(spark, root).collect()) == [100, 101]
+    assert read_versioned(spark, root, version=2).count() == 8  # old snapshot intact
+
+    log = snapshots(root)
+    assert [s["version"] for s in log] == [1, 2, 3]
+    assert [s["op"] for s in log] == ["overwrite", "append", "overwrite"]
+
+    # a file dropped into data/ outside a commit is never visible
+    import shutil, os
+    stray = os.path.join(root, "data", "stray")
+    os.makedirs(stray)
+    spark.range(1000, 1100).toDF("id").write.parquet(stray, mode="overwrite")
+    assert read_versioned(spark, root).count() == 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in"):
+        read_versioned(spark, root, version=99)
