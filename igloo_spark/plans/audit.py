@@ -106,6 +106,69 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     return a
 
 
+def runtime_metrics(df: DataFrame) -> list[tuple[int, str, dict[str, int]]]:
+    """Post-execution metric tree: (depth, node, metrics) per physical
+    operator, from the AQE *final* plan. Runs the query if the caller
+    hasn't (metrics are populated by execution).
+
+    This is the "quantify performance" capability the reference left
+    on its roadmap (igloo-io/igloo roadmap.md:17): actual rows per
+    operator, shuffle bytes/records, spill, peak memory, and the
+    AQE-coalesced partition counts — the numbers that tell you whether
+    partial aggregation and AQE actually did their job on real data.
+    """
+    # Execute THIS Dataset's own QueryExecution: count()/write would
+    # build a new plan and leave these metrics empty. Audit queries
+    # should be bounded (aggregated/limited) — this collects.
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
+
+    def walk(node, depth, out):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            return walk(node.executedPlan(), depth, out)
+        if name.startswith(("ResultQueryStage", "ShuffleQueryStage", "BroadcastQueryStage")):
+            return walk(node.plan(), depth, out)
+        if name.startswith("WholeStageCodegen") or name == "InputAdapter":
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), depth, out)
+            return out
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+        out.append((depth, name, metrics))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), depth + 1, out)
+        return out
+
+    return walk(ep, 0, [])
+
+
+_RUNTIME_KEYS = (
+    "numOutputRows",
+    "numFiles",
+    "dataSize",
+    "shuffleRecordsWritten",
+    "spillSize",
+    "peakMemory",
+    "numPartitions",
+)
+
+
+def runtime_report(df: DataFrame) -> str:
+    """Human-readable runtime metric tree (executes the query)."""
+    lines = []
+    for depth, name, metrics in runtime_metrics(df):
+        keep = {k: metrics[k] for k in _RUNTIME_KEYS if k in metrics}
+        kv = " ".join(f"{k}={v}" for k, v in keep.items())
+        lines.append(f"{'  ' * depth}{name} {kv}".rstrip())
+    return "\n".join(lines)
+
+
 def audit_report(df: DataFrame) -> str:
     a = audit_plan(df)
     lines = [

@@ -174,6 +174,15 @@ class IglooSession:
 
         return audit_report(self.spark.sql(sql))
 
+    def audit_runtime(self, sql: str) -> str:
+        """EXPLAIN ANALYZE equivalent: execute the query and report the
+        per-operator runtime metric tree (actual rows, shuffle bytes,
+        spill, peak memory, AQE-coalesced partition counts) — the
+        reference only roadmapped benchmarking (roadmap.md:17)."""
+        from igloo_spark.plans.audit import runtime_report
+
+        return runtime_report(self.spark.sql(sql))
+
     def to_arrow(self, sql: str):
         """Execute and return a pyarrow.Table (Flight/do_get path)."""
         return self.execute(sql).toArrow()

@@ -329,3 +329,31 @@ def test_incremental_dedup_history_not_shuffled(spark):
     # exchanges are batch-sized only: batch-distinct, seen-distinct,
     # and the batch window — never a fourth for the history side
     assert a.shuffles <= 3
+
+
+def test_runtime_metrics_show_partial_agg_and_aqe(igloo):
+    """audit_runtime must surface real execution numbers: map-side
+    combine shrinking the shuffle (partial rows << input rows) and AQE
+    coalescing the exchange's partitions."""
+    from igloo_spark.plans import runtime_metrics
+
+    igloo.register_parquet_dir(SF, ["lineitem"])
+    df = igloo.execute(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    nodes = runtime_metrics(df)
+    by_name: dict = {}
+    for _, name, metrics in nodes:
+        by_name.setdefault(name, []).append(metrics)
+    scan_rows = by_name["Scan parquet "][0].get("numOutputRows") if "Scan parquet " in by_name else None
+    if scan_rows is None:  # node name varies with format version
+        scan_rows = max(
+            m.get("numOutputRows", 0) for ms in by_name.values() for m in ms
+        )
+    exchange = by_name["Exchange"][0]
+    assert exchange["shuffleRecordsWritten"] <= 4 * 32  # partial agg: ≤ groups×tasks
+    assert exchange["shuffleRecordsWritten"] < scan_rows
+    report = igloo.audit_runtime(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    assert "Exchange" in report and "shuffleRecordsWritten" in report
