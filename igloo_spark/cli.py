@@ -25,6 +25,14 @@ def main(argv: list[str] | None = None) -> int:
         help="start an Arrow Flight server on PORT instead of running a query (0 = ephemeral)",
     )
     parser.add_argument("--explain", action="store_true", help="print the optimized plan")
+    parser.add_argument(
+        "--audit", action="store_true",
+        help="print scale diagnostics (shuffles, joins, pushdown, Python stages)",
+    )
+    parser.add_argument(
+        "--audit-runtime", action="store_true",
+        help="execute and print per-operator runtime metrics (rows, shuffle bytes, spill)",
+    )
     parser.add_argument("--data-dir", default=None, help="directory of <table>.parquet files to register")
     parser.add_argument("--master", default=None, help="Spark master URL (default local[ncpus])")
     parser.add_argument("--limit", type=int, default=20, help="max rows to display")
@@ -94,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
                 if args.explain:
                     print(session.explain(args.sql))
                 df = session.execute(args.sql)
+            if args.audit:
+                from igloo_spark.plans import audit_report
+
+                print(audit_report(df))
+            if args.audit_runtime:
+                from igloo_spark.plans import runtime_report
+
+                print(runtime_report(df))
             if args.output:
                 from igloo_spark import sinks
 

@@ -202,3 +202,16 @@ def test_cli_flag_combinations(tmp_path):
         with pytest.raises(SystemExit) as exc:
             main(argv)
         assert exc.value.code == 2, argv
+
+
+def test_cli_audit_flags(tmp_path):
+    import subprocess
+
+    run = subprocess.run(
+        ["python", "-m", "igloo_spark.cli", "--data-dir", "/root/testdata/sf0.001",
+         "--query", "q01_pricing_summary", "--audit", "--audit-runtime"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert run.returncode == 0
+    assert "shuffles=" in run.stdout  # static audit
+    assert "numOutputRows" in run.stdout  # runtime metrics
