@@ -215,3 +215,56 @@ def test_cli_audit_flags(tmp_path):
     assert run.returncode == 0
     assert "shuffles=" in run.stdout  # static audit
     assert "numOutputRows" in run.stdout  # runtime metrics
+
+
+def test_sorted_layout_enables_data_skipping(spark, tmp_path):
+    """The same selective range filter must read far fewer rows from a
+    range-sorted layout (tight per-file min/max -> row groups pruned)
+    than from a random layout (every file's min/max matches)."""
+    from igloo_spark import sinks
+    from igloo_spark.plans import runtime_metrics
+
+    li = load_testdata_table(spark, SF_SMOKE, "lineitem")
+    sorted_path = str(tmp_path / "li_sorted")
+    random_path = str(tmp_path / "li_random")
+    sinks.write_sorted(li, sorted_path, "l_orderkey", n_files=8)
+    li.repartition(8).write.parquet(random_path)  # random distribution
+
+    pred = "l_orderkey BETWEEN 100 AND 200"
+
+    def scan_rows(path: str) -> int:
+        df = spark.read.parquet(path).filter(pred).select("l_orderkey")
+        total = 0
+        for _, name, metrics in runtime_metrics(df):
+            if name.startswith("Scan parquet"):
+                total += metrics.get("numOutputRows", 0)
+        return total
+
+    sorted_rows = scan_rows(sorted_path)
+    random_rows = scan_rows(random_path)
+    full = li.count()
+    # row-group pruning: the filter range straddles at most 2 of the 8
+    # range-partitioned files; random layout decodes everything
+    assert sorted_rows <= full / 3, (sorted_rows, full)
+    assert random_rows >= full * 0.9, (random_rows, full)
+    # identical results either way
+    a = spark.read.parquet(sorted_path).filter(pred).count()
+    b = spark.read.parquet(random_path).filter(pred).count()
+    assert a == b
+
+
+def test_analyze_table_feeds_cbo(igloo):
+    """analyze_table must leave row-count stats the optimizer can see."""
+    from igloo_spark import sinks
+
+    igloo.spark.sql("DROP TABLE IF EXISTS stats_t")
+    load_testdata_table(igloo.spark, SF_SMOKE, "nation").write.saveAsTable("stats_t")
+    try:
+        sinks.analyze_table(igloo.spark, "stats_t", ["n_nationkey", "n_name"])
+        desc = {
+            r.col_name: r.data_type
+            for r in igloo.spark.sql("DESCRIBE TABLE EXTENDED stats_t").collect()
+        }
+        assert "Statistics" in desc and "25 rows" in desc["Statistics"]
+    finally:
+        igloo.spark.sql("DROP TABLE IF EXISTS stats_t")
