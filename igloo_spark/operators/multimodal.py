@@ -46,6 +46,25 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), payload.alias("payload"), meta.alias("media_meta"))
 
 
+def from_binary_files(files_df: DataFrame, mime: str = "application/octet-stream") -> DataFrame:
+    """Adapt a ``binaryFile``-source frame (path, modificationTime,
+    length, content) to the multimodal layout (doc_id, payload,
+    media_meta) so the decode/frames/features operators run unchanged
+    on real files from disk/object storage. doc_id is a stable 63-bit
+    hash of the path (deterministic across clusters)."""
+    doc_id = F.abs(F.xxhash64(F.col("path")))
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        F.col("length").cast("bigint").alias("byte_size"),
+        F.md5(F.col("content")).alias("checksum"),
+    )
+    return files_df.select(
+        doc_id.alias("doc_id"),
+        F.col("content").alias("payload"),
+        meta.alias("media_meta"),
+    )
+
+
 def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
     """Deterministic fake codec: dimensions derived from payload bytes.
 

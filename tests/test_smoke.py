@@ -385,3 +385,29 @@ def test_minhash_hot_band_cap(spark):
     assert {(r.doc_a, r.doc_b) for r in wide.collect()} == {
         (r.doc_a, r.doc_b) for r in uncapped.collect()
     }
+
+
+def test_binary_file_ingestion_to_decode(spark, tmp_path):
+    """Real media-ingestion path: opaque files on disk → binaryFile
+    source → multimodal layout → mapInPandas decode — the end-to-end
+    pipeline a real corpus would run, with the codec faked."""
+    from igloo_spark.operators.multimodal import decode_media, from_binary_files, sample_frames
+    from igloo_spark.sources import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"img_{i}.bin": bytes(range(10 + i * 7))[:10 + i * 7] for i in range(5)}
+    for name, data in payloads.items():
+        (media / name).write_bytes(data)
+    (media / "notes.txt").write_text("not media")
+
+    files = read_binary_files(spark, str(media), glob="*.bin")
+    mm = from_binary_files(files, mime="image/fake")
+    decoded = decode_media(mm, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 5  # glob filtered the .txt out
+    assert sorted(r.byte_size for r in rows) == sorted(len(p) for p in payloads.values())
+    assert all(r.mime == "image/fake" for r in rows)
+    # 1→many frame sampling over the same ingested frame
+    frames = sample_frames(mm, every_n=2)
+    assert frames.count() >= 5
