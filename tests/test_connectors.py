@@ -155,7 +155,7 @@ def test_versioned_table_time_travel(spark, tmp_path):
 
     assert read_versioned(spark, root).count() == 8  # latest
     assert read_versioned(spark, root, version=1).count() == 5  # time travel
-    v3 = write_versioned(spark.range(100, 102).toDF("id"), root, mode="overwrite")
+    write_versioned(spark.range(100, 102).toDF("id"), root, mode="overwrite")
     assert sorted(r.id for r in read_versioned(spark, root).collect()) == [100, 101]
     assert read_versioned(spark, root, version=2).count() == 8  # old snapshot intact
 
@@ -164,7 +164,7 @@ def test_versioned_table_time_travel(spark, tmp_path):
     assert [s["op"] for s in log] == ["overwrite", "append", "overwrite"]
 
     # a file dropped into data/ outside a commit is never visible
-    import shutil, os
+    import os
     stray = os.path.join(root, "data", "stray")
     os.makedirs(stray)
     spark.range(1000, 1100).toDF("id").write.parquet(stray, mode="overwrite")
