@@ -15,5 +15,5 @@ Public surface:
 
 from igloo_spark.session import IglooSession, build_spark  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 __all__ = ["IglooSession", "build_spark", "__version__"]

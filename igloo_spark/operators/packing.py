@@ -44,6 +44,8 @@ def pack_sequences(
     ``n_streams × n_shards`` regardless of corpus size. The shard gate
     is a deterministic hash of the id — no data movement decides it.
     """
+    if budget < 1 or n_shards < 1:
+        raise ValueError(f"budget and n_shards must be >= 1, got {budget}, {n_shards}")
     shard = hex_prefix_hash(
         F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
     ) % n_shards
@@ -89,12 +91,17 @@ def mixture_sample(
     cluster layouts; the gate is a pure codegen'd expression evaluated
     at scan speed before any shuffle.
     """
+    for value, (num, den) in {**rates, "<default>": default_rate}.items():
+        if den < 1 or num < 0 or num > den:
+            raise ValueError(f"rate for {value!r} must satisfy 0 <= num <= den, got {num}/{den}")
     h = hex_prefix_hash(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
     gate = None
     for value, (num, den) in rates.items():
         cond = (F.col(mix_col) == value) & ((h % den) < num)
         gate = cond if gate is None else (gate | cond)
     num, den = default_rate
-    other = ~F.col(mix_col).isin(*rates.keys()) & ((h % den) < num)
-    gate = other if gate is None else (gate | other)
+    in_default = (h % den) < num
+    if rates:
+        in_default = ~F.col(mix_col).isin(*rates.keys()) & in_default
+    gate = in_default if gate is None else (gate | in_default)
     return df.filter(gate)

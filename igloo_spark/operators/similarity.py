@@ -74,6 +74,8 @@ def lsh_probe_buckets(vec_col, planes: list[list[int]], n_probe_buckets: int):
     vector sits closest to are the likeliest to disagree with a true
     neighbor's signature). Returns an array of ``n_probe_buckets``
     bucket ids, computed entirely map-side."""
+    if n_probe_buckets < 1:
+        raise ValueError(f"n_probe_buckets must be >= 1, got {n_probe_buckets}")
     dots = []
     for plane in planes:
         arr = F.array(*[F.lit(float(w)) for w in plane])
