@@ -357,3 +357,29 @@ def test_runtime_metrics_show_partial_agg_and_aqe(igloo):
         "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag"
     )
     assert "Exchange" in report and "shuffleRecordsWritten" in report
+
+
+def _all_specs():
+    from igloo_spark.queries import all_queries
+
+    # x64 runs a k-means fit at plan-construction time — exercised by
+    # its own tests; excluded here to keep this net fast
+    return [s for s in all_queries().values() if s.name != "x64_ann_ivf_learned"]
+
+
+# Deliberate exceptions to the no-cartesian rule: the cross-join surface
+# itself and the exact (all-pairs by definition) ANN baseline.
+_INTENTIONAL_CROSS = {"q12_cross_join", "x46_ann_bruteforce_topk", "q11_theta_join"}
+
+
+@pytest.mark.parametrize("qspec", _all_specs(), ids=lambda s: s.name)
+def test_corpus_plan_hygiene(spark, qspec):
+    """Blanket net over the ENTIRE corpus: no row-at-a-time Python
+    anywhere, and no accidental cartesian products (the two failure
+    modes that silently sink a 100 TB run)."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(qspec.spark(spark, SF))
+    assert a.python_row_udfs == 0, f"{qspec.name} uses a row-Python UDF"
+    if qspec.name not in _INTENTIONAL_CROSS:
+        assert a.cartesian_products == 0, f"{qspec.name} has a cartesian product"
