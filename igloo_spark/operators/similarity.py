@@ -385,3 +385,41 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """The scale form of :func:`embedding_neardup_pairs`: block on the
+    sign-projection LSH bucket instead of a data column. Near-identical
+    vectors agree on every sign bit with overwhelming probability, so
+    candidate generation stays an equi-join whose block sizes are
+    content-determined (corpus_size / 2^n_planes expected) rather than
+    hostage to a skewed label distribution — turn ``n_planes`` up as
+    the corpus grows. Same output columns, with the bucket as the
+    block key.
+    """
+    planes = lsh_planes(n_planes, dim)
+    side = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = side.alias("a")
+    b = side.alias("b")
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

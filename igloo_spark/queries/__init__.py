@@ -72,10 +72,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x68_repetition_score",  # new in round 2 (repetition gate)
     "x69_incremental_dedup",  # new in round 2 (batch-vs-history dedup)
     "x70_sketch_rollup",  # new in round 2 (mergeable HLL, rows-only)
-    # -- 4 re-confirmations across verified families --
+    "x71_embedding_neardup_lsh",  # new in round 2 (LSH-blocked near-dup)
+    # -- 3 re-confirmations across verified families --
     "q01_pricing_summary",  # aggregation + scan/filter
     "q03_shipping_priority",  # joins + fused top-k (sort/limit fused)
-    "q66_asof_join",  # temporal joins
     "x40_dedup_exact",  # LLM-ops dedup family
 )
 

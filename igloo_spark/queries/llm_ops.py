@@ -366,6 +366,20 @@ NEARDUP_ORACLE = f"""
 """
 
 
+def _neardup_lsh_oracle() -> str:
+    from igloo_spark.operators.similarity import lsh_planes  # noqa: F401  (shared constants)
+
+    bucket = _lsh_bucket_sql_duckdb("embedding")
+    cos = cosine_sql_duckdb("a.embedding", "b.embedding")
+    return f"""
+    WITH c AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+           {cos} AS cosine
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {NEARDUP_THRESHOLD}
+    """
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -549,6 +563,25 @@ def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return embedding_neardup_pairs(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", NEARDUP_THRESHOLD
+    )
+
+
+@register(
+    "x71_embedding_neardup_lsh",
+    f"embedding near-dup pairs: cosine ≥ {NEARDUP_THRESHOLD} within LSH-bucket blocks",
+    _neardup_lsh_oracle(),
+    tags=("dedup", "similarity", "llm"),
+)
+def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x45's scale form: block on the sign-projection LSH bucket
+    instead of the label column, so block sizes are content-determined
+    (corpus/2^planes expected) instead of hostage to label skew — the
+    swap SCALE.md prescribes for 100 TB."""
+    from igloo_spark.operators.similarity import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        NEARDUP_THRESHOLD, LSH_N_PLANES, EMB_DIM,
     )
 
 
