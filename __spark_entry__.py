@@ -21,7 +21,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Dict order is deliberate: the correctness gate records the first 50
+    entries per round, so queries without a driver-side verdict yet are
+    listed first (rotation policy + rationale in
+    ``igloo_spark/queries/__init__.py``); the full corpus is always
+    present.
+    """
     from igloo_spark.queries import all_queries
 
     return {name: spec.spark for name, spec in all_queries().items()}
