@@ -533,3 +533,48 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_gen = o.filter(F.col("o_orderkey") % 7 == 1).select("o_orderkey", "o_totalprice")
     return new_gen.unionByName(old_gen, allowMissingColumns=True)
+
+
+@register(
+    "q78_regexp_extract_all",
+    "regexp_extract_all: every number token from priority+date text → array + count",
+    """
+    SELECT o_orderkey,
+           regexp_extract_all(o_orderpriority || ' ' || CAST(o_orderdate AS VARCHAR), '[0-9]+') AS nums,
+           CAST(len(regexp_extract_all(o_orderpriority || ' ' || CAST(o_orderdate AS VARCHAR), '[0-9]+')) AS BIGINT) AS n_nums
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    tags=("string",),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    text = F.concat_ws(" ", F.col("o_orderpriority"), F.col("o_orderdate").cast("string"))
+    nums = F.regexp_extract_all(text, F.lit("[0-9]+"), F.lit(0))
+    return (
+        o.filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", nums.alias("nums"), F.size(nums).cast("bigint").alias("n_nums"))
+    )
+
+
+@register(
+    "q79_bitwise_aggregates",
+    "bitwise aggregate surface: bit_and/bit_or/bit_xor + shifts per group",
+    """
+    SELECT l_linestatus,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS all_bits,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS any_bits,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS parity_bits,
+           CAST(sum(l_linenumber << 2) AS BIGINT) AS shifted_sum
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("aggregation", "math"),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bit_and("l_linenumber").cast("bigint").alias("all_bits"),
+        F.bit_or("l_linenumber").cast("bigint").alias("any_bits"),
+        F.bit_xor("l_linenumber").cast("bigint").alias("parity_bits"),
+        F.sum(F.shiftleft(F.col("l_linenumber"), 2)).cast("bigint").alias("shifted_sum"),
+    )
