@@ -54,7 +54,11 @@ def _canonicalize_expr_ids(plan: str) -> str:
 
 def plan_fingerprint(df: DataFrame) -> str:
     """Stable key for a query's analyzed logical plan: plan structure
-    plus names plus canonically-renumbered attribute instances."""
+    plus names plus canonically-renumbered attribute instances, mixed
+    with Spark's tree-level ``semanticHash`` — the text form is easy
+    to inspect, while the semantic hash is immune to any textual
+    ambiguity the plan printer might introduce (defense in depth;
+    either alone distinguishing two plans makes the keys distinct)."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
     except Exception:  # Spark Connect or API drift: fall back to schema+explain
@@ -66,7 +70,11 @@ def plan_fingerprint(df: DataFrame) -> str:
             df.explain(extended=True)
         plan = buf.getvalue()
     plan = _canonicalize_expr_ids(plan)
-    return hashlib.sha256(plan.encode()).hexdigest()[:32]
+    try:
+        sem = str(df.semanticHash())
+    except Exception:
+        sem = ""
+    return hashlib.sha256(f"{plan}\x00{sem}".encode()).hexdigest()[:32]
 
 
 class ResultCache:

@@ -411,3 +411,21 @@ def test_binary_file_ingestion_to_decode(spark, tmp_path):
     # 1→many frame sampling over the same ingested frame
     frames = sample_frames(mm, every_n=2)
     assert frames.count() >= 5
+
+
+def test_fingerprint_distinguishes_literal_only_difference(igloo):
+    """Queries differing only in a string literal that LOOKS like an
+    attribute reference (s = 'x#1' vs 'x#2') must get different keys —
+    guarded by both the canonical text and the semantic hash."""
+    from igloo_spark.plans.cache import plan_fingerprint
+
+    igloo.spark.createDataFrame(
+        [("x#1", 1), ("x#2", 2)], "s string, v int"
+    ).createOrReplaceTempView("fp_lit")
+    qa = igloo.spark.sql("SELECT v FROM fp_lit WHERE s = 'x#1'")
+    qb = igloo.spark.sql("SELECT v FROM fp_lit WHERE s = 'x#2'")
+    assert [r.v for r in qa.collect()] != [r.v for r in qb.collect()]
+    assert plan_fingerprint(qa) != plan_fingerprint(qb)
+    # stability across re-analysis still holds with the hash mixed in
+    qa2 = igloo.spark.sql("SELECT v FROM fp_lit WHERE s = 'x#1'")
+    assert plan_fingerprint(qa) == plan_fingerprint(qa2)
