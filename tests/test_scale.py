@@ -1,0 +1,94 @@
+"""Opt-in scale experiments (set IGLOO_SCALE_TESTS=1 to run).
+
+These reproduce the measured numbers recorded in SCALE.md — data
+amplified 8-64× from the driver fixtures, written with a real
+multi-file layout, and pushed through the headline shapes and the full
+dedup pipeline. Excluded from the default suite because each takes
+minutes; they exist so the scale claims stay reproducible, not
+anecdotal.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("IGLOO_SCALE_TESTS"),
+    reason="scale experiments are opt-in: set IGLOO_SCALE_TESTS=1",
+)
+
+SF = "/root/testdata/sf0.1"
+
+
+def _amplify(df, key_col: str, factor: int, text_col: str | None = None):
+    copies = []
+    for i in range(factor):
+        c = df.withColumn(key_col, F.col(key_col) + F.lit(i * 10_000_000))
+        if text_col and i % 4 != 0:
+            c = c.withColumn(text_col, F.concat(F.col(text_col), F.lit(f" tail{i}")))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def test_aggregation_scales_sublinearly(spark, tmp_path):
+    """8× more rows must cost well under 8× the time once the layout
+    parallelizes (SCALE.md 'Measured scaling' table)."""
+    from igloo_spark import sinks
+    from igloo_spark.sources import load_testdata_table
+
+    li = load_testdata_table(spark, SF, "lineitem")
+    for factor in (1, 8):
+        sinks.write_sorted(
+            _amplify(li, "l_orderkey", factor), str(tmp_path / f"li_{factor}"),
+            "l_orderkey", n_files=16,
+        )
+
+    def timed(path: str) -> float:
+        lif = spark.read.parquet(path)
+
+        def q():
+            return (
+                lif.filter(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+                .collect()
+            )
+
+        q()  # compile
+        t = time.perf_counter()
+        q()
+        return time.perf_counter() - t
+
+    t1 = timed(str(tmp_path / "li_1"))
+    t8 = timed(str(tmp_path / "li_8"))
+    assert t8 < t1 * 4, f"8x data cost {t8 / t1:.1f}x time — scaling regressed"
+
+
+def test_dedup_pipeline_at_64x(spark, tmp_path):
+    """The full MinHash → candidate pairs → connected components
+    pipeline over 320k documents (1/4 exact duplicates) must complete
+    with bounded pair density and find the duplicate clusters."""
+    from igloo_spark.operators.dedup import connected_components, minhash_candidate_pairs
+    from igloo_spark.sources import load_testdata_table
+
+    docs = load_testdata_table(spark, SF, "documents")
+    big_path = str(tmp_path / "docs_big")
+    _amplify(docs, "doc_id", 64, "text").repartition(32).write.parquet(big_path)
+    big = spark.read.parquet(big_path)
+    n = big.count()
+    assert n == 64 * docs.count()
+
+    pairs = minhash_candidate_pairs(big, "doc_id", "text", threshold=0.5, max_band_members=200)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < n * 100, "pair density blew past the hot-band cap's bound"
+    comp = connected_components(pairs)
+    n_components = comp.select("component").distinct().count()
+    # every base doc has 16 exact copies → clusters must have formed
+    assert n_components < n / 10
