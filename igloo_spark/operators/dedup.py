@@ -382,3 +382,61 @@ def connected_components(
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("component"),
     )
+
+
+def chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 8
+) -> DataFrame:
+    """Span-level exact dedup: per-document stats after global
+    chunk deduplication.
+
+    The sub-document analogue of :func:`exact_dedup` — the operation
+    LLM pipelines run to strip repeated boilerplate *inside* otherwise
+    unique documents (license headers, navigation chrome, quoted
+    replies). Documents are cut into consecutive non-overlapping
+    ``chunk_tokens``-token chunks; a chunk instance is *kept* iff it is
+    the corpus-wide first occurrence of its text, ordered by
+    ``(id, chunk_idx)``.
+
+    Scale shape: the chunk explode is map-side (sequence + transform,
+    no Python); the keep-first decision is ONE shuffle on the chunk
+    text — a high-cardinality key, so partitioning stays even at
+    100 TB (boilerplate mega-chunks are the exception, and AQE
+    skew-split handles those); the per-doc rollup is a second shuffle
+    on the doc id. Nothing is quadratic and no driver action runs.
+
+    Returns (id, n_chunks, n_kept, kept_ratio) per document.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+    n_chunks = F.ceil(F.size("ts") / F.lit(float(chunk_tokens))).cast("bigint")
+    chunks = (
+        df.select(F.col(id_col), toks.alias("ts"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("ts", i * chunk_tokens + 1, chunk_tokens)
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_chunks"), 4).alias("kept_ratio"),
+        )
+    )

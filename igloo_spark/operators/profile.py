@@ -1,0 +1,61 @@
+"""Single-pass column profiling: the data-quality summary a pipeline
+runs over every freshly-landed table (nulls, cardinality, range) before
+deciding to train on it.
+
+Reference parity note: the reference exposes table statistics only as
+an internal planner concern; this makes the profile a first-class
+query. Complements sinks.analyze_table (which feeds the same numbers
+to the cost-based optimizer via the catalog).
+
+Scale shape: ONE aggregation job for all columns — per-column
+count/min/max/null-count are plain partial aggregates, and the exact
+distinct counts share the same shuffle via Spark's Expand (one
+replicated stream per DISTINCT column). At 100 TB swap
+``approx_count_distinct`` in via ``exact=False`` — HLL turns the
+Expand into a plain partial aggregate at ~2% error, which is what a
+profiler wants at that scale anyway. The long-format pivot of the
+single result row is driver-free (inline over a literal struct array).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
+    """Profile ``cols`` (numeric) in one aggregation pass.
+
+    Returns one row per column: (col_name, n_rows, n_nulls,
+    n_distinct, min_v, max_v). min/max are cast to double so the
+    long-format output stays single-typed.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in dataframe: {missing}")
+    ndv = F.count_distinct if exact else (lambda c: F.approx_count_distinct(c))
+    aggs = [F.count("*").alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"),
+            ndv(c).alias(f"_ndv_{c}"),
+            F.min(c).cast("double").alias(f"_min_{c}"),
+            F.max(c).cast("double").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n_rows").cast("bigint").alias("n_rows"),
+                F.col(f"_nulls_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"_ndv_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_v"),
+                F.col(f"_max_{c}").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.inline(structs))

@@ -73,10 +73,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x69_incremental_dedup",  # new in round 2 (batch-vs-history dedup)
     "x70_sketch_rollup",  # new in round 2 (mergeable HLL, rows-only)
     "x71_embedding_neardup_lsh",  # new in round 2 (LSH-blocked near-dup)
-    # -- 3 re-confirmations across verified families --
-    "q01_pricing_summary",  # aggregation + scan/filter
-    "q03_shipping_priority",  # joins + fused top-k (sort/limit fused)
-    "x40_dedup_exact",  # LLM-ops dedup family
+    # -- new in round 2, second batch (displace the re-confirmation
+    # canaries: q01/q03/x40 already hold r01 verdicts) --
+    "x72_chunk_dedup",  # span-level exact dedup
+    "q80_merge_upsert",  # MERGE INTO semantics
+    "x73_column_profile",  # single-pass profiler
 )
 
 

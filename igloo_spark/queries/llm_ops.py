@@ -1267,3 +1267,96 @@ def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price": ("max", "l_extendedprice"),
         },
     ).withColumn("n", F.col("n").cast("bigint"))
+
+
+@register(
+    "x72_chunk_dedup",
+    "span-level exact dedup: keep corpus-wide first occurrence of each 8-token chunk",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ts,
+               unnest(range(CAST(ceil(len(ts)/8.0) AS BIGINT))) AS i
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(
+                   list_slice(ts, CAST(i*8+1 AS BIGINT), CAST(i*8+8 AS BIGINT)),
+                   ' ') AS chunk
+        FROM idx
+    ),
+    ranked AS (
+        SELECT doc_id, chunk_idx, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+               AS kept_ratio
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("dedup", "llm"),
+)
+def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup — the in-document
+    boilerplate strip the reference has no analogue for; see
+    operators/dedup.py:chunk_dedup for the two-shuffle scale shape.
+    """
+    from igloo_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "x73_column_profile",
+    "single-pass column profiler: nulls/cardinality/range for 5 lineitem columns",
+    """
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(min(l_quantity) AS DOUBLE) AS min_v,
+           CAST(max(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           CAST(count(*) - count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*),
+           CAST(count(*) - count(l_tax) AS BIGINT),
+           CAST(count(DISTINCT l_tax) AS BIGINT),
+           CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(*),
+           CAST(count(*) - count(l_linenumber) AS BIGINT),
+           CAST(count(DISTINCT l_linenumber) AS BIGINT),
+           CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE)
+    FROM lineitem
+    """,
+    tags=("profiling", "llm"),
+)
+def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landed-data quality gate: one aggregation pass over the table
+    yields per-column nulls/NDV/range (operators/profile.py). The
+    oracle recomputes each column independently — five scans — so the
+    hash match also certifies the single-pass fusion is lossless."""
+    from igloo_spark.operators.profile import profile_columns
+
+    li = table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
+    )

@@ -578,3 +578,46 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("l_linenumber").cast("bigint").alias("parity_bits"),
         F.sum(F.shiftleft(F.col("l_linenumber"), 2)).cast("bigint").alias("shifted_sum"),
     )
+
+
+@register(
+    "q80_merge_upsert",
+    "MERGE INTO semantics: delta upserted into base with per-row action tags",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 3 <> 0
+    ),
+    delta AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey
+                ELSE b.o_custkey END AS o_custkey,
+           CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN d.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                     THEN 'update'
+                WHEN b.o_orderkey IS NULL THEN 'insert'
+                ELSE 'keep' END AS merge_action
+    FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+    """,
+    tags=("join", "dml"),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DML face of the engine: upsert as one relational plan (see
+    sources/versioned.py:merge_upsert; pairs with write_versioned for
+    copy-on-write MERGE INTO a snapshot table)."""
+    from igloo_spark.sources.versioned import merge_upsert
+
+    o = table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    delta = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+    )
+    return merge_upsert(base, delta, ["o_orderkey"])

@@ -126,3 +126,66 @@ def snapshots(root: str) -> list[dict]:
         }
         for v in _list_versions(root)
     ]
+
+
+def merge_upsert(
+    base: DataFrame, delta: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """MERGE INTO semantics as one relational plan: matched rows take
+    the delta's values ("when matched update *"), delta-only rows are
+    inserted, base-only rows pass through — each tagged in a
+    ``merge_action`` column (update / insert / keep).
+
+    Both inputs must share a schema. The plan is a single full-outer
+    shuffle join on the key; at 100 TB the winning layout is both
+    sides bucketed on the key (sinks.write_bucketed_table) so the
+    merge is a zero-shuffle sort-merge join. When the delta is small
+    and per-row actions aren't needed, the cheaper upsert is
+    ``base.join(broadcast(delta), keys, "left_anti").union(delta)`` —
+    the 100 TB base side never shuffles at all; this function keeps
+    the general form because it also reports what happened per row.
+
+    A full outer join cannot broadcast either side, so the general
+    path is always a shuffle join — that is inherent to needing
+    base-only rows in the output, not a plan miss.
+    """
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    missing = [c for c in base.columns if c not in delta.columns]
+    if missing or len(base.columns) != len(delta.columns):
+        raise ValueError(f"base/delta schemas differ (base-only: {missing})")
+    b, d = base.alias("b"), delta.alias("d")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    in_delta = F.col(f"d.{key_cols[0]}").isNotNull()
+    in_base = F.col(f"b.{key_cols[0]}").isNotNull()
+    out = [
+        F.coalesce(F.col(f"d.{k}"), F.col(f"b.{k}")).alias(k) for k in key_cols
+    ] + [
+        F.when(in_delta, F.col(f"d.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+        for c in base.columns
+        if c not in key_cols
+    ]
+    action = (
+        F.when(in_delta & in_base, F.lit("update"))
+        .when(in_delta, F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("merge_action")
+    )
+    return b.join(d, cond, "full_outer").select(*out, action)
+
+
+def merge_into_versioned(
+    spark: SparkSession, root: str, delta: DataFrame, key_cols: list[str]
+) -> int:
+    """Read the latest snapshot, merge ``delta`` in, commit the result
+    as a new overwrite snapshot; returns the new version. The
+    read-merge-write round trip is what Delta/Iceberg MERGE INTO does
+    under copy-on-write."""
+    base = read_versioned(spark, root)
+    merged = merge_upsert(base, delta.select(*base.columns), key_cols)
+    return write_versioned(merged.drop("merge_action"), root, mode="overwrite")

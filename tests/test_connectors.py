@@ -173,3 +173,84 @@ def test_versioned_table_time_travel(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not in"):
         read_versioned(spark, root, version=99)
+
+
+def test_merge_upsert_actions_and_versioned_merge(spark, tmp_path):
+    """MERGE semantics: matched rows take delta values, delta-only rows
+    insert, base-only rows keep; merge_into_versioned commits the
+    merged state while time travel still sees the pre-merge snapshot."""
+    from pyspark.sql import functions as F
+
+    from igloo_spark.sources.versioned import (
+        merge_into_versioned,
+        merge_upsert,
+        read_versioned,
+        write_versioned,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    delta = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    out = {r["k"]: r for r in merge_upsert(base, delta, ["k"]).collect()}
+    assert out[1]["merge_action"] == "keep" and out[1]["v"] == 10.0
+    assert out[2]["merge_action"] == "update" and out[2]["name"] == "b2" and out[2]["v"] == 99.0
+    assert out[3]["merge_action"] == "keep"
+    assert out[4]["merge_action"] == "insert" and out[4]["v"] == 40.0
+
+    root = str(tmp_path / "vt")
+    v1 = write_versioned(base, root, mode="overwrite")
+    v2 = merge_into_versioned(spark, root, delta, ["k"])
+    assert v2 == v1 + 1
+    latest = {r["k"]: r["v"] for r in read_versioned(spark, root).collect()}
+    assert latest == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    old = {r["k"]: r["v"] for r in read_versioned(spark, root, version=v1).collect()}
+    assert old == {1: 10.0, 2: 20.0, 3: 30.0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_upsert(base, delta.drop("v"), ["k"])
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_upsert(base, delta, [])
+
+
+def test_chunk_dedup_known_fixture(spark):
+    """Two docs sharing one 2-token chunk: the later occurrence is
+    counted as removed; unique chunks all survive."""
+    from igloo_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb zz yy"), (3, "cc dd")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, "doc_id", "text", chunk_tokens=2).collect()}
+    # doc1: chunks [aa bb][cc dd] both first -> kept 2/2
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    # doc2: [aa bb] is a dup of doc1's, [zz yy] unique -> kept 1/2
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 1)
+    # doc3: [cc dd] dup of doc1's second chunk -> kept 0/1
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (1, 0)
+    assert out[2]["kept_ratio"] == 0.5
+
+
+def test_profile_columns_validation_and_approx(spark):
+    from igloo_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 2.0), (4, 2.0)], "k int, v double"
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["n_distinct"] == 2
+    assert rows["k"]["min_v"] == 1.0 and rows["k"]["max_v"] == 4.0
+    approx = {r["col_name"]: r for r in profile_columns(df, ["k"], exact=False).collect()}
+    assert approx["k"]["n_distinct"] == 4  # HLL exact at tiny cardinality
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in dataframe"):
+        profile_columns(df, ["nope"])
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_columns(df, [])
