@@ -268,3 +268,70 @@ def test_analyze_table_feeds_cbo(igloo):
         assert "Statistics" in desc and "25 rows" in desc["Statistics"]
     finally:
         igloo.spark.sql("DROP TABLE IF EXISTS stats_t")
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-order clustering must prune decoded rows for selective
+    filters on EITHER clustered column, where a linear sort prunes
+    only its leading column; results stay identical to the linear
+    layout's."""
+    from igloo_spark import sinks
+    from igloo_spark.plans import runtime_metrics
+
+    li = load_testdata_table(spark, SF_SMOKE, "lineitem")
+    z_path = str(tmp_path / "li_zorder")
+    lin_path = str(tmp_path / "li_linear")
+    sinks.write_zordered(li, z_path, ["l_partkey", "l_orderkey"], n_files=16)
+    sinks.write_sorted(li, lin_path, "l_partkey", n_files=16)
+
+    # ~10% of each column's domain (l_partkey 0-199, l_orderkey 0-~1500)
+    preds = {"l_partkey": "l_partkey BETWEEN 0 AND 19",
+             "l_orderkey": "l_orderkey BETWEEN 0 AND 150"}
+
+    def scan_rows(path: str, col: str) -> int:
+        df = spark.read.parquet(path).filter(preds[col]).select(col)
+        return sum(
+            m.get("numOutputRows", 0)
+            for _, name, m in runtime_metrics(df)
+            if name.startswith("Scan parquet")
+        )
+
+    full = li.count()
+    # leading-column pruning: both layouts good on l_partkey
+    assert scan_rows(z_path, "l_partkey") <= full * 0.6
+    assert scan_rows(lin_path, "l_partkey") <= full * 0.3
+    # second-column pruning: only the z-order layout helps
+    z_second = scan_rows(z_path, "l_orderkey")
+    lin_second = scan_rows(lin_path, "l_orderkey")
+    assert z_second <= full * 0.6, (z_second, full)
+    assert lin_second >= full * 0.9, (lin_second, full)
+    # same query answers from both layouts
+    for col in ("l_partkey", "l_orderkey"):
+        a = spark.read.parquet(z_path).filter(preds[col]).count()
+        b = spark.read.parquet(lin_path).filter(preds[col]).count()
+        assert a == b
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """Known 2-bit fixture: z(b1=3, b2=0) interleaves to 0b0101 = 5."""
+    from pyspark.sql import functions as F
+
+    from igloo_spark.sinks import zorder_value
+
+    # x in [0,3] buckets to itself with bits=2 over min=0 max=3;
+    # width_bucket maps max to the top bucket via the least() clamp
+    df = spark.createDataFrame([(0, 0), (3, 0), (0, 3), (3, 3)], "x int, y int")
+    z = zorder_value(df, ["x", "y"], bits=2)
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", z).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(3, 0)] == 0b0101  # x bits at even positions
+    assert got[(0, 3)] == 0b1010  # y bits at odd positions
+    assert got[(3, 3)] == 0b1111
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        zorder_value(df, [])
