@@ -440,3 +440,50 @@ def chunk_dedup(
             F.round(F.col("n_kept") / F.col("n_chunks"), 4).alias("kept_ratio"),
         )
     )
+
+
+def dedup_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dedup manifest: every document mapped to its
+    canonical representative.
+
+    Composes the whole pipeline a training run actually executes:
+    MinHash-LSH candidate pairs → Jaccard-verified edges → connected
+    components → canonical = component min-id, with singleton
+    documents passing through as their own canonical. The output is
+    the join-able manifest (id, canonical_id, is_canonical,
+    group_size) that downstream jobs filter on.
+
+    Scale shape: inherits the equi-join/banded pair generation and
+    O(diameter) component rounds of the pieces; the final manifest
+    join is a broadcast of the component labels (pairs are a tiny
+    fraction of the corpus) against the never-shuffled document side,
+    then one window on canonical_id for group sizes.
+    """
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    from pyspark.sql.window import Window
+
+    canon = F.coalesce(F.col("component"), F.col(id_col)).cast("bigint")
+    out = (
+        df.select(F.col(id_col))
+        .join(F.broadcast(labels), F.col(id_col) == F.col("node"), "left")
+        .select(F.col(id_col), canon.alias("canonical_id"))
+    )
+    w = Window.partitionBy("canonical_id")
+    return out.select(
+        id_col,
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        F.count("*").over(w).cast("bigint").alias("group_size"),
+    )

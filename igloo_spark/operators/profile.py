@@ -59,3 +59,51 @@ def profile_columns(df: DataFrame, cols: list[str], exact: bool = True) -> DataF
         ]
     )
     return one.select(F.inline(structs))
+
+
+def numeric_histogram(df: DataFrame, col: str, nbuckets: int = 16) -> DataFrame:
+    """Uniform-width histogram of a numeric column, as ONE plan.
+
+    The bucket ranges come from a 1-row min/max aggregate that rides
+    the plan as a broadcast scalar (crossJoin(broadcast(...)) — never
+    a driver-side collect), bucket assignment is map-side arithmetic,
+    and the rollup is one shuffle on the bucket id (≤ ``nbuckets``
+    groups after map-side partial aggregation). Nulls are excluded.
+
+    Returns (bucket, lo, hi, n) — lo/hi are the bucket bounds, the
+    last bucket is closed at the column max.
+    """
+    if nbuckets < 1:
+        raise ValueError("nbuckets must be >= 1")
+    nb = F.lit(float(nbuckets))
+    v = F.col(col).cast("double")
+    vals = df.filter(v.isNotNull()).select(v.alias("v"))
+    stats = vals.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    bucket = (
+        F.when(F.col("mn") == F.col("mx"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(nbuckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * nb),
+                ),
+            )
+        )
+        .cast("bigint")
+    )
+    width = (F.col("mx") - F.col("mn")) / nb
+    return (
+        vals.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("mn") + F.col("bucket").cast("double") * width).alias("lo"),
+            F.when(F.col("bucket") == nbuckets - 1, F.col("mx"))
+            .otherwise(F.col("mn") + (F.col("bucket") + 1).cast("double") * width)
+            .alias("hi"),
+            "n",
+        )
+    )

@@ -1011,3 +1011,38 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+@register(
+    "q04_order_priority",
+    "TPC-H Q4 shape: correlated EXISTS semi join → priority counts",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    tags=("subqueries", "join", "tpch"),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted to the testdata schema (no commit/receipt
+    dates, so the EXISTS probes large-quantity lines instead —
+    reference test corpus has no Q4 either, cf. igloo-io/igloo
+    crates/engine/tests). LeftSemi keeps orders un-duplicated; the
+    probe side is column-pruned to the join key before the exchange.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+        )
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )

@@ -1360,3 +1360,77 @@ def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
     )
+
+
+@register(
+    "x74_numeric_histogram",
+    "uniform 16-bucket histogram of l_extendedprice as one broadcast-scalar plan",
+    """
+    WITH vals AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    stats AS (SELECT min(v) AS mn, max(v) AS mx FROM vals),
+    b AS (
+        SELECT CAST(CASE WHEN mn = mx THEN 0
+                    ELSE least(15, greatest(0,
+                         CAST(floor((v - mn) / (mx - mn) * 16.0) AS BIGINT)))
+               END AS BIGINT) AS bucket, mn, mx
+        FROM vals, stats
+    )
+    SELECT bucket,
+           mn + CAST(bucket AS DOUBLE) * ((mx - mn) / 16.0) AS lo,
+           CASE WHEN bucket = 15 THEN mx
+                ELSE mn + CAST(bucket + 1 AS DOUBLE) * ((mx - mn) / 16.0) END AS hi,
+           count(*) AS n
+    FROM b GROUP BY bucket, mn, mx
+    """,
+    tags=("profiling", "llm"),
+)
+def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling: bucket bounds ride the plan as a
+    broadcast 1-row min/max (the x54 lesson — no driver-side stats
+    collect), assignment is map-side arithmetic, rollup is one
+    ≤16-group shuffle (operators/profile.py:numeric_histogram)."""
+    from igloo_spark.operators.profile import numeric_histogram
+
+    return numeric_histogram(table(spark, sf_dir, "lineitem"), "l_extendedprice", 16)
+
+
+@register(
+    "x75_dedup_manifest",
+    "end-to-end near-dedup manifest: every doc → canonical id (LSH→components→canonical)",
+    f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+           d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical,
+           CAST(count(*) OVER (PARTITION BY coalesce(c.component, d.doc_id)) AS BIGINT)
+               AS group_size
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    tags=("dedup", "llm"),
+)
+def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact a dedup run actually ships: the full-corpus
+    manifest (doc → canonical representative, group sizes, keep
+    flags), composed from LSH pairs + connected components with
+    singletons passing through (operators/dedup.py:dedup_manifest)."""
+    from igloo_spark.operators.dedup import dedup_manifest
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_manifest(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS, shingle_n=2, threshold=0.5
+    )

@@ -254,3 +254,46 @@ def test_profile_columns_validation_and_approx(spark):
         profile_columns(df, ["nope"])
     with pytest.raises(ValueError, match="non-empty"):
         profile_columns(df, [])
+
+
+def test_numeric_histogram_edges(spark):
+    """Constant column collapses to bucket 0; nulls are excluded; the
+    bucket counts sum to the non-null row count."""
+    from igloo_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,), (10.0,)], "v double")
+    rows = numeric_histogram(df, "v", 4).collect()
+    assert sum(r["n"] for r in rows) == 3
+    top = max(rows, key=lambda r: r["bucket"])
+    assert top["hi"] == 10.0  # last bucket closed at the max
+
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    crows = numeric_histogram(const, "v", 4).collect()
+    assert len(crows) == 1 and crows[0]["bucket"] == 0 and crows[0]["n"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nbuckets"):
+        numeric_histogram(df, "v", 0)
+
+
+def test_dedup_manifest_covers_all_docs(spark):
+    """Every input id appears exactly once; canonical ids are component
+    minima; singletons are their own canonical."""
+    from igloo_spark.operators.dedup import dedup_manifest
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "completely different text about spark shuffles and joins here"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_manifest(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["canonical_id"] == 1 and rows[1]["is_canonical"]
+    assert rows[2]["canonical_id"] == 1 and not rows[2]["is_canonical"]
+    assert rows[2]["group_size"] == 2
+    assert rows[3]["canonical_id"] == 3 and rows[3]["is_canonical"]
+    assert rows[3]["group_size"] == 1
