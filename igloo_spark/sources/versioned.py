@@ -57,7 +57,9 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
-def write_versioned(df: DataFrame, root: str, mode: str = "append") -> int:
+def write_versioned(
+    df: DataFrame, root: str, mode: str = "append", batch_id: int | None = None
+) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     ``append`` keeps the previous snapshot's files visible alongside
@@ -86,6 +88,7 @@ def write_versioned(df: DataFrame, root: str, mode: str = "append") -> int:
         "op": mode,
         "committed_at": time.time(),
         "files": files,
+        "batch_id": batch_id,
     }
     final = os.path.join(_manifest_dir(root), f"v{new_version:06d}.json")
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -189,3 +192,40 @@ def merge_into_versioned(
     base = read_versioned(spark, root)
     merged = merge_upsert(base, delta.select(*base.columns), key_cols)
     return write_versioned(merged.drop("merge_action"), root, mode="overwrite")
+
+
+def last_committed_batch(root: str) -> int:
+    """Highest streaming batch id recorded in any manifest (-1 if
+    none). The idempotence watermark for :func:`versioned_stream_sink`."""
+    return max(
+        (
+            b
+            for v in _list_versions(root)
+            if (b := _read_manifest(root, v).get("batch_id")) is not None
+        ),
+        default=-1,
+    )
+
+
+def versioned_stream_sink(root: str, mode: str = "append"):
+    """Exactly-once streaming sink: a ``foreachBatch`` handler that
+    commits each micro-batch as a versioned snapshot, keyed by the
+    batch id.
+
+    Structured Streaming guarantees at-least-once delivery to
+    foreachBatch; exactly-once falls out of making the commit
+    idempotent — a replayed batch id (crash between sink commit and
+    checkpoint advance) finds itself at-or-below the manifest
+    watermark and becomes a no-op. This is the transactional-sink
+    pattern Delta implements with txnAppId/txnVersion, carried by the
+    manifest chain here. Assumes one writing query per table root
+    (matching the format's single-writer contract) and a stable
+    checkpoint (batch ids restart if the checkpoint is deleted).
+    """
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(root):
+            return  # replayed batch — already durable, skip
+        write_versioned(batch_df, root, mode=mode, batch_id=batch_id)
+
+    return commit

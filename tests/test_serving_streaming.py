@@ -385,3 +385,47 @@ def test_flight_list_flights_advertises_catalog(igloo):
         assert reader.read_all().num_rows == 5
     finally:
         server.shutdown()
+
+
+def test_versioned_stream_sink_exactly_once(igloo, tmp_path):
+    """Streamed micro-batches land as snapshots; a replayed batch id
+    (at-least-once delivery) is a no-op, a fresh one appends."""
+    from igloo_spark.streaming import change_stream
+    from igloo_spark.sources.versioned import (
+        last_committed_batch,
+        read_versioned,
+        snapshots,
+        versioned_stream_sink,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    rows = [
+        {"table_name": "orders", "op": "insert", "key": str(i), "ts": f"2024-01-01T00:00:{i:02d}"}
+        for i in range(6)
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    root = str(tmp_path / "sink_table")
+    q = (
+        change_stream(igloo.spark, str(src))
+        .writeStream.foreachBatch(versioned_stream_sink(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert read_versioned(igloo.spark, root).count() == 6
+    committed = last_committed_batch(root)
+    assert committed >= 0
+
+    # simulated crash-replay: same batch id delivered again -> no-op
+    replay = read_versioned(igloo.spark, root).limit(3)
+    versioned_stream_sink(root)(replay, committed)
+    assert read_versioned(igloo.spark, root).count() == 6
+    assert len(snapshots(root)) == 1
+
+    # a genuinely new batch appends
+    versioned_stream_sink(root)(replay, committed + 1)
+    assert read_versioned(igloo.spark, root).count() == 9
+    assert last_committed_batch(root) == committed + 1
