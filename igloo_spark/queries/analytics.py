@@ -420,3 +420,119 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "x76_hypertable_rollup",
+    "continuous-aggregate rollup: hour AND day grains in ONE scan via grouping sets",
+    """
+    SELECT *,
+           CASE WHEN hour_b IS NULL THEN 'day' ELSE 'hour' END AS grain
+    FROM (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_b,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_b,
+               event_type,
+               count(*) AS n,
+               sum(value) AS total_value
+        FROM events
+        GROUP BY event_type,
+                 GROUPING SETS ((date_trunc('hour', ts)), (date_trunc('day', ts)))
+    )
+    """,
+    tags=("aggregation", "events", "timeseries"),
+)
+def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Timescale continuous-aggregate / ClickHouse rollup shape:
+    every grain of the time hierarchy from ONE scan of the events
+    (Expand x2 + one shuffle), instead of one scan per grain. At
+    100 TB the rollup output is what gets stored and re-served; the
+    raw table is read once."""
+    from igloo_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT *,
+               CASE WHEN hour_b IS NULL THEN 'day' ELSE 'hour' END AS grain
+        FROM (
+            SELECT date_trunc('hour', ts) AS hour_b,
+                   date_trunc('day', ts) AS day_b,
+                   event_type,
+                   count(*) AS n,
+                   sum(value) AS total_value
+            FROM events
+            GROUP BY event_type,
+                     GROUPING SETS ((date_trunc('hour', ts)), (date_trunc('day', ts)))
+        )
+        """
+    )
+
+
+@register(
+    "x77_funnel",
+    "ordered funnel: users reaching view -> click -> purchase, stages strictly in order",
+    """
+    WITH s0 AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND e.ts > s0.t0
+        GROUP BY e.user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+           CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'view > click',
+           CAST((SELECT count(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'view > click > purchase',
+           CAST((SELECT count(*) FROM s2) AS BIGINT)
+    """,
+    tags=("events", "window"),
+)
+def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse windowFunnel equivalent. The oracle computes each
+    stage with a join per stage; the Spark side layers conditional-min
+    windows on ONE user-keyed Exchange (operators/events.py) — the
+    hash match certifies the single-shuffle formulation."""
+    from igloo_spark.operators.events import funnel_counts
+
+    e = table(spark, sf_dir, "events")
+    return funnel_counts(e, ["view", "click", "purchase"])
+
+
+@register(
+    "x78_retention_cohorts",
+    "weekly retention cohorts: first-touch week x activity week distinct users",
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+           CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS period_n,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY f.cohort, date_trunc('week', e.ts)
+    """,
+    tags=("events", "aggregation"),
+)
+def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amplitude-style cohort retention (operators/events.py):
+    first-touch is a user-keyed partial aggregate; the activity join
+    shares the user key, so the exchange is reused rather than
+    re-shuffled."""
+    from igloo_spark.operators.events import retention_cohorts
+
+    e = table(spark, sf_dir, "events")
+    return retention_cohorts(e, grain="week")

@@ -383,3 +383,19 @@ def test_corpus_plan_hygiene(spark, qspec):
     assert a.python_row_udfs == 0, f"{qspec.name} uses a row-Python UDF"
     if qspec.name not in _INTENTIONAL_CROSS:
         assert a.cartesian_products == 0, f"{qspec.name} has a cartesian product"
+
+
+def test_funnel_single_exchange(spark):
+    """A 3-stage funnel must layer its conditional-min windows on ONE
+    user-keyed exchange, not shuffle once per stage."""
+    plan = explain_str(spec("x77_funnel").spark(spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") >= 3
+
+
+def test_hypertable_rollup_single_scan(spark):
+    """Both grains must come from one scan of events (Expand), not a
+    scan-per-grain union."""
+    plan = explain_str(spec("x76_hypertable_rollup").spark(spark, SF), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan

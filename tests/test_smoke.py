@@ -429,3 +429,60 @@ def test_fingerprint_distinguishes_literal_only_difference(igloo):
     # stability across re-analysis still holds with the hash mixed in
     qa2 = igloo.spark.sql("SELECT v FROM fp_lit WHERE s = 'x#1'")
     assert plan_fingerprint(qa) == plan_fingerprint(qa2)
+
+
+def test_funnel_requires_stage_order(spark):
+    """A user whose 'click' precedes every 'view' converts to stage 1
+    but not stage 2 — ordering is strict, not mere membership."""
+    from pyspark.sql import functions as F
+
+    from igloo_spark.operators.events import funnel_counts
+
+    rows = [
+        # user 1: view -> click (in order)
+        (1, "2024-01-01T00:00:00", "view"),
+        (1, "2024-01-01T01:00:00", "click"),
+        # user 2: click BEFORE view — must not count as view>click
+        (2, "2024-01-01T00:00:00", "click"),
+        (2, "2024-01-01T01:00:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_s string, event_type string").select(
+        "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_type"
+    )
+    out = {r["stage"]: r["n_users"] for r in funnel_counts(df, ["view", "click"]).collect()}
+    assert out["view"] == 2
+    assert out["view > click"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(df, [])
+
+
+def test_retention_cohorts_period_numbers(spark):
+    from pyspark.sql import functions as F
+
+    from igloo_spark.operators.events import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01T10:00:00"),  # Monday, cohort week 0
+        (1, "2024-01-09T10:00:00"),  # next week -> period 1
+        (2, "2024-01-10T10:00:00"),  # cohort week of Jan 8
+        (2, "2024-01-10T12:00:00"),  # same week -> period 0 only
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    ).withColumn("event_type", F.lit("e"))
+    got = {
+        (str(r["cohort"]), r["period_n"]): r["n_active"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert got[("2024-01-01 00:00:00", 0)] == 1
+    assert got[("2024-01-01 00:00:00", 1)] == 1
+    assert got[("2024-01-08 00:00:00", 0)] == 1
+    assert len(got) == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="grain"):
+        retention_cohorts(df, grain="month")
