@@ -229,3 +229,51 @@ def versioned_stream_sink(root: str, mode: str = "append"):
         write_versioned(batch_df, root, mode=mode, batch_id=batch_id)
 
     return commit
+
+
+def apply_changelog(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> int:
+    """Apply a CDC changelog (insert/update/delete rows) to a
+    versioned table and commit the new state.
+
+    The Debezium→lakehouse apply step: per key, the LAST change wins
+    (ordered by ``seq_col`` when given — required if one batch can
+    carry several changes for a key); upserts go through
+    :func:`merge_upsert`, then delete keys are anti-joined away.
+    Returns the committed version.
+
+    Scale shape: the last-writer window partitions by key over the
+    (small) changelog; the upsert is the merge plan (bucket both
+    sides at 100 TB); the delete anti-join broadcasts the delete keys
+    so the big merged side never shuffles for it.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ops = changes.select(F.col(op_col)).distinct()
+    allowed = {"insert", "update", "delete"}
+    seen = {r[0] for r in ops.collect()}
+    if not seen <= allowed:
+        raise ValueError(f"unknown ops in changelog: {sorted(seen - allowed)}")
+    if seq_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    base = read_versioned(spark, root)
+    extra = [op_col] + ([seq_col] if seq_col else [])
+    upserts = changes.filter(F.col(op_col) != "delete").drop(*extra)
+    deletes = changes.filter(F.col(op_col) == "delete").select(*key_cols)
+    merged = merge_upsert(base, upserts.select(*base.columns), key_cols).drop(
+        "merge_action"
+    )
+    result = merged.join(F.broadcast(deletes), key_cols, "left_anti")
+    return write_versioned(result, root, mode="overwrite")

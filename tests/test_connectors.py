@@ -297,3 +297,43 @@ def test_dedup_manifest_covers_all_docs(spark):
     assert rows[2]["group_size"] == 2
     assert rows[3]["canonical_id"] == 3 and rows[3]["is_canonical"]
     assert rows[3]["group_size"] == 1
+
+
+def test_apply_changelog_last_writer_wins(spark, tmp_path):
+    """CDC apply: updates replace, deletes remove, inserts add; with a
+    sequence column, the latest change per key wins (an insert
+    followed by a delete leaves nothing)."""
+    from igloo_spark.sources.versioned import (
+        apply_changelog,
+        read_versioned,
+        write_versioned,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    )
+    root = str(tmp_path / "cdc_table")
+    v1 = write_versioned(base, root, mode="overwrite")
+
+    changes = spark.createDataFrame(
+        [
+            (2, 99.0, "update", 1),
+            (3, None, "delete", 1),
+            (4, 40.0, "insert", 1),
+            (5, 50.0, "insert", 1),
+            (5, None, "delete", 2),  # later seq: delete wins over insert
+            (1, 11.0, "update", 1),
+            (1, 12.0, "update", 2),  # later seq: 12.0 wins
+        ],
+        "k int, v double, op string, seq int",
+    )
+    v2 = apply_changelog(spark, root, changes, ["k"], seq_col="seq")
+    assert v2 == v1 + 1
+    state = {r["k"]: r["v"] for r in read_versioned(spark, root).collect()}
+    assert state == {1: 12.0, 2: 99.0, 4: 40.0}
+
+    import pytest
+
+    bad = spark.createDataFrame([(1, 1.0, "upsert", 1)], "k int, v double, op string, seq int")
+    with pytest.raises(ValueError, match="unknown ops"):
+        apply_changelog(spark, root, bad, ["k"], seq_col="seq")
