@@ -335,3 +335,41 @@ def test_zorder_value_interleaves_bits(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         zorder_value(df, [])
+
+
+def test_bloom_filter_prunes_point_lookups(spark, tmp_path):
+    """An equality probe on a high-cardinality unsorted column must
+    decode far fewer rows when the file carries a bloom filter for it
+    (min/max stats are useless on a random layout)."""
+    from pyspark.sql import functions as F
+
+    from igloo_spark import sinks
+    from igloo_spark.plans import runtime_metrics
+
+    df = spark.range(0, 200000).select(
+        (F.xxhash64("id") % 1000000007).alias("k"), F.col("id").alias("v")
+    )
+    bloom = str(tmp_path / "bloom")
+    plain = str(tmp_path / "plain")
+    opts = dict(max_records_per_file=None)
+    sinks.write_parquet(
+        df.repartition(4), bloom, bloom_filter_cols=["k"],
+        **{"parquet.block.size": 262144}, **opts,
+    )
+    sinks.write_parquet(
+        df.repartition(4), plain, **{"parquet.block.size": 262144}, **opts
+    )
+    target = df.filter(F.col("v") == 4242).select("k").first()["k"]
+
+    def decoded(path: str) -> int:
+        q = spark.read.parquet(path).filter(F.col("k") == target)
+        assert q.count() >= 1
+        return sum(
+            m.get("numOutputRows", 0)
+            for _, n, m in runtime_metrics(q)
+            if n.startswith("Scan parquet")
+        )
+
+    total = df.count()
+    assert decoded(bloom) <= total * 0.25
+    assert decoded(plain) >= total * 0.9
