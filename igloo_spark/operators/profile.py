@@ -107,3 +107,40 @@ def numeric_histogram(df: DataFrame, col: str, nbuckets: int = 16) -> DataFrame:
             "n",
         )
     )
+
+
+def quantile_bins(df: DataFrame, col: str, probs: list[float] | None = None) -> DataFrame:
+    """Quantile (equal-frequency) binning: rows bucketed by exact
+    percentile boundaries, as ONE plan.
+
+    Complements :func:`numeric_histogram` (equal-width): the
+    boundaries are an exact ``percentile`` aggregate that rides the
+    plan as a broadcast 1-row scalar; bin assignment is map-side; the
+    rollup shuffles ≤ ``len(probs)+1`` groups. At 100 TB swap the
+    boundary aggregate for ``approx_percentile`` — the KLL-sketch
+    path with identical downstream shape.
+
+    Returns (bin, n, min_v, max_v) with bins closed on the right at
+    each boundary.
+    """
+    probs = probs if probs is not None else [0.25, 0.5, 0.75]
+    if not probs or sorted(probs) != list(probs) or not all(0 < p < 1 for p in probs):
+        raise ValueError("probs must be a sorted list of fractions in (0, 1)")
+    v = F.col(col).cast("double")
+    vals = df.filter(v.isNotNull()).select(v.alias("v"))
+    bounds = vals.agg(
+        *[F.percentile("v", F.lit(p)).alias(f"q{i}") for i, p in enumerate(probs)]
+    )
+    binned = vals.crossJoin(F.broadcast(bounds))
+    bin_expr = F.lit(len(probs))
+    for i in range(len(probs) - 1, -1, -1):
+        bin_expr = F.when(F.col("v") <= F.col(f"q{i}"), F.lit(i)).otherwise(bin_expr)
+    return (
+        binned.select(bin_expr.cast("bigint").alias("bin"), "v")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )

@@ -1434,3 +1434,35 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_manifest(
         docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS, shingle_n=2, threshold=0.5
     )
+
+
+@register(
+    "x79_quantile_binning",
+    "equal-frequency quartile binning of l_extendedprice via broadcast exact boundaries",
+    """
+    WITH b AS (
+        SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q0,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)  AS q1,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q2
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT CAST(CASE WHEN v <= q0 THEN 0
+                     WHEN v <= q1 THEN 1
+                     WHEN v <= q2 THEN 2
+                     ELSE 3 END AS BIGINT) AS bin,
+           count(*) AS n, min(v) AS min_v, max(v) AS max_v
+    FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+          WHERE l_extendedprice IS NOT NULL), b
+    GROUP BY 1
+    """,
+    tags=("profiling", "llm"),
+)
+def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature discretization for ML prep: exact interpolated
+    percentile boundaries broadcast into a map-side CASE (q28 already
+    certified Spark percentile == DuckDB quantile_cont bit-for-bit);
+    approx_percentile is the drop-in 100 TB boundary path
+    (operators/profile.py:quantile_bins)."""
+    from igloo_spark.operators.profile import quantile_bins
+
+    return quantile_bins(table(spark, sf_dir, "lineitem"), "l_extendedprice")

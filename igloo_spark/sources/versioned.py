@@ -277,3 +277,63 @@ def apply_changelog(
     )
     result = merged.join(F.broadcast(deletes), key_cols, "left_anti")
     return write_versioned(result, root, mode="overwrite")
+
+
+def compact_versioned(spark: SparkSession, root: str, n_files: int = 8) -> int:
+    """OPTIMIZE: rewrite the latest snapshot into ``n_files`` files
+    and commit it as a new version.
+
+    Streaming appends leave one small file per micro-batch; scan cost
+    at 100 TB is dominated by file count (footer reads, task
+    scheduling), so periodic compaction is part of the table's
+    lifecycle. Old versions stay readable until :func:`vacuum_versioned`.
+    """
+    if n_files < 1:
+        raise ValueError("n_files must be >= 1")
+    df = read_versioned(spark, root)
+    return write_versioned(df.repartition(n_files), root, mode="overwrite")
+
+
+def vacuum_versioned(root: str, keep_last: int = 1) -> list[str]:
+    """VACUUM: drop manifests older than the newest ``keep_last``
+    versions and delete data files no surviving manifest references.
+    Returns the deleted data-file paths.
+
+    The retention step the module docstring promises: time travel
+    works until vacuum, then storage is reclaimed. Deletion order is
+    manifests first, then files — a crashed vacuum leaves orphaned
+    (invisible) files, never a manifest pointing at deleted data.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_versions(root)
+    if len(versions) <= keep_last:
+        return []
+    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(root, v)["files"])
+    doomed = []
+    for v in drop:
+        for f in _read_manifest(root, v)["files"]:
+            if f not in referenced:
+                doomed.append(f)
+    for v in drop:
+        os.remove(os.path.join(_manifest_dir(root), f"v{v:06d}.json"))
+    deleted = []
+    for f in sorted(set(doomed)):
+        if os.path.exists(f):
+            os.remove(f)
+            deleted.append(f)
+    # prune now-empty commit directories
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            if os.path.isdir(full) and not any(
+                name.endswith(".parquet") for name in os.listdir(full)
+            ):
+                import shutil
+
+                shutil.rmtree(full)
+    return deleted

@@ -337,3 +337,51 @@ def test_apply_changelog_last_writer_wins(spark, tmp_path):
     bad = spark.createDataFrame([(1, 1.0, "upsert", 1)], "k int, v double, op string, seq int")
     with pytest.raises(ValueError, match="unknown ops"):
         apply_changelog(spark, root, bad, ["k"], seq_col="seq")
+
+
+def test_compact_and_vacuum_lifecycle(spark, tmp_path):
+    """Append-heavy table: compaction folds the file tail into a new
+    snapshot, vacuum reclaims everything older while the latest
+    snapshot stays intact; vacuumed versions stop time-traveling."""
+    import os
+
+    from igloo_spark.sources.versioned import (
+        compact_versioned,
+        read_versioned,
+        snapshots,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "life")
+    for i in range(3):
+        write_versioned(spark.range(i * 10, (i + 1) * 10).toDF("id"), root)
+    assert snapshots(root)[-1]["n_files"] >= 3
+
+    v = compact_versioned(spark, root, n_files=2)
+    assert snapshots(root)[-1]["n_files"] == 2
+    assert read_versioned(spark, root).count() == 30
+
+    deleted = vacuum_versioned(root, keep_last=1)
+    assert deleted and all(not os.path.exists(f) for f in deleted)
+    # latest snapshot fully readable after the purge
+    assert read_versioned(spark, root).count() == 30
+    assert [s["version"] for s in snapshots(root)] == [v]
+    # old version no longer time-travelable
+    import pytest
+
+    with pytest.raises(ValueError, match="not in"):
+        read_versioned(spark, root, version=1)
+    # idempotent when nothing to reclaim
+    assert vacuum_versioned(root, keep_last=1) == []
+
+
+def test_quantile_bins_validation(spark):
+    from igloo_spark.operators.profile import quantile_bins
+
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    for bad in ([], [0.5, 0.25], [0.0, 0.5], [0.5, 1.0]):
+        with pytest.raises(ValueError, match="probs"):
+            quantile_bins(df, "v", bad)
