@@ -29,17 +29,27 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: how many users reached stage i by
     doing ``stages[i]`` strictly after their stage i-1 time.
 
     Stage time t_i = min event time of type ``stages[i]`` with
-    ``ts > t_{i-1}`` for that user (t_0 unconstrained). Returns one
-    row per stage: (stage_idx, stage, n_users), where n_users is the
-    count of users with a non-null t_i.
+    ``ts > t_{i-1}`` for that user (t_0 unconstrained). ``within``
+    bounds each step by an interval string (e.g. ``"1 hour"`` — the
+    ClickHouse ``windowFunnel`` conversion window): the step then also
+    requires ``ts <= t_{i-1} + INTERVAL within``. Returns one row per
+    stage: (stage_idx, stage, n_users), where n_users is the count of
+    users with a non-null t_i.
     """
     if not stages:
         raise ValueError("stages must be non-empty")
+    gap = None
+    if within is not None:
+        parts = within.split()
+        if len(parts) != 2 or not parts[0].replace(".", "", 1).isdigit():
+            raise ValueError(f"within must look like '1 hour', got {within!r}")
+        gap = F.expr(f"INTERVAL {within}")
     w = Window.partitionBy(user_col)
     df = events.select(user_col, ts_col, type_col)
     prev = None
@@ -47,6 +57,8 @@ def funnel_counts(
         cond = F.col(type_col) == stage
         if prev is not None:
             cond = cond & (F.col(ts_col) > F.col(prev))
+            if gap is not None:
+                cond = cond & (F.col(ts_col) <= F.col(prev) + gap)
         df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
         prev = f"_t{i}"
     per_user = df.groupBy(user_col).agg(

@@ -269,3 +269,62 @@ def test_sketch_rollup_estimates_within_bounds(spark):
     assert set(got) == set(exact)
     for lang, est in got.items():
         assert abs(est - exact[lang]) / exact[lang] < 0.05, (lang, est, exact[lang])
+
+
+@settings(deadline=None, max_examples=8, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    base_keys=st.sets(st.integers(0, 12), min_size=1, max_size=8),
+    delta_keys=st.sets(st.integers(0, 12), min_size=1, max_size=8),
+)
+def test_merge_upsert_matches_reference_semantics(igloo, base_keys, delta_keys):
+    """merge_upsert over arbitrary overlapping key sets must equal the
+    dict-based reference merge: delta wins on overlap, base-only rows
+    keep, delta-only rows insert — with the action tags to match."""
+    from igloo_spark.sources.versioned import merge_upsert
+
+    base_rows = [(k, float(k * 10)) for k in sorted(base_keys)]
+    delta_rows = [(k, float(k * 100 + 1)) for k in sorted(delta_keys)]
+    base = igloo.spark.createDataFrame(base_rows, "k int, v double")
+    delta = igloo.spark.createDataFrame(delta_rows, "k int, v double")
+    got = {
+        r["k"]: (r["v"], r["merge_action"])
+        for r in merge_upsert(base, delta, ["k"]).collect()
+    }
+    expect = {}
+    for k, v in base_rows:
+        expect[k] = (v, "keep")
+    for k, v in delta_rows:
+        expect[k] = (v, "update" if k in base_keys else "insert")
+    assert got == expect
+
+
+@settings(deadline=None, max_examples=8, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=11),
+        min_size=1,
+        max_size=6,
+    ),
+    chunk=st.sampled_from([2, 3]),
+)
+def test_chunk_dedup_invariants(igloo, docs, chunk):
+    """For any corpus: per-doc chunk counts are ceil(tokens/chunk),
+    total kept chunks == number of DISTINCT chunk texts in the corpus,
+    and every doc appears exactly once."""
+    import math
+
+    from igloo_spark.operators.dedup import chunk_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = igloo.spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in chunk_dedup(df, "doc_id", "text", chunk_tokens=chunk).collect()}
+    assert set(out) == set(range(len(docs)))
+    distinct_chunks = set()
+    for i, toks in enumerate(docs):
+        n_expected = math.ceil(len(toks) / chunk)
+        assert out[i]["n_chunks"] == n_expected, (i, toks)
+        for c in range(n_expected):
+            distinct_chunks.add(" ".join(toks[c * chunk:(c + 1) * chunk]))
+    assert sum(r["n_kept"] for r in out.values()) == len(distinct_chunks)

@@ -486,3 +486,33 @@ def test_retention_cohorts_period_numbers(spark):
 
     with pytest.raises(ValueError, match="grain"):
         retention_cohorts(df, grain="month")
+
+
+def test_funnel_conversion_window(spark):
+    """With within='1 hour', a conversion 2 hours after the previous
+    stage no longer counts; without it, it does."""
+    from pyspark.sql import functions as F
+
+    from igloo_spark.operators.events import funnel_counts
+
+    rows = [
+        (1, "2024-01-01T00:00:00", "view"),
+        (1, "2024-01-01T00:30:00", "click"),  # within the hour
+        (2, "2024-01-01T00:00:00", "view"),
+        (2, "2024-01-01T02:00:00", "click"),  # 2h later
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_s string, event_type string").select(
+        "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_type"
+    )
+    loose = {r["stage"]: r["n_users"] for r in funnel_counts(df, ["view", "click"]).collect()}
+    tight = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(df, ["view", "click"], within="1 hour").collect()
+    }
+    assert loose["view > click"] == 2
+    assert tight["view > click"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="within"):
+        funnel_counts(df, ["view"], within="soonish")
