@@ -621,3 +621,91 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
     )
     return merge_upsert(base, delta, ["o_orderkey"])
+
+
+@register(
+    "q81_time_range_frame",
+    "RANGE frame over a time interval: rolling 1-hour event count/sum per user",
+    """
+    SELECT user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           sum(value) OVER w AS v_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frames (q32 covers numeric ranges): the
+    rolling-window primitive behind rate limiting / anomaly scoring.
+    One user-keyed exchange; the frame scan is sorted-run local."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+               sum(value) OVER w AS v_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@register(
+    "q82_string_agg_ordered",
+    "ordered string aggregation (LISTAGG / string_agg with ORDER BY)",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("aggregation", "string"),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: explicit element order makes the
+    concatenation reproducible across engines and partitionings —
+    the only safe form at any scale."""
+    register_views(spark, sf_dir, ["nation"])
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+               CAST(count(*) AS BIGINT) AS n
+        FROM nation GROUP BY n_regionkey
+        """
+    )
+
+
+@register(
+    "q83_correlated_scalar_select",
+    "correlated scalar subquery in the SELECT list",
+    """
+    SELECT c_custkey, c_acctbal,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT max(o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE c_custkey < 200
+    """,
+    tags=("subqueries",),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-list correlated scalars (q21 covers WHERE-position):
+    Catalyst de-correlates both into one left outer aggregate join —
+    no per-row re-execution at any scale."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT max(o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        WHERE c_custkey < 200
+        """
+    )
