@@ -80,9 +80,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x73_column_profile",  # single-pass profiler
 )
 # Added after the round-2 window froze (builder-green only until round
-# 3): q04, q78, q79, x74, x75, x76, x77, x78. Round-3 rotation: move
-# these 8 to the front, then re-confirmation canaries from distinct
-# verified families in the remaining slots.
+# 3): q04, q78, q79, x74–x79, q81–q83. Round-3 rotation: move these 12
+# to the front, then re-confirmation canaries from distinct verified
+# families in the remaining slots.
 
 
 def all_queries():
