@@ -423,3 +423,31 @@ def embedding_neardup_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def normalize_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Embedding post-processing for training/serving hand-off:
+    L2-normalize, then int8-quantize (the 4x storage cut vector
+    stores apply before indexing).
+
+    Quantization is ``floor(v_norm * 127 + 0.5)`` — written as
+    floor(+0.5) rather than round() so the DuckDB oracle reproduces
+    it bit-for-bit regardless of either engine's rounding mode.
+    All higher-order-function arithmetic, zero shuffles, zero Python.
+    Zero-norm vectors quantize to all-zero rather than NaN.
+    """
+    from igloo_spark.functions.vectors import l2_norm
+
+    v = F.col(vec_col)
+    norm = l2_norm(v)
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    quant = F.transform(
+        v,
+        lambda x: F.floor(x.cast("double") / safe * 127.0 + F.lit(0.5)).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("l2_norm"),
+        quant.alias("q8"),
+        F.size(v).cast("bigint").alias("dim"),
+    )

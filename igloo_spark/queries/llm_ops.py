@@ -1466,3 +1466,34 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igloo_spark.operators.profile import quantile_bins
 
     return quantile_bins(table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
+    "x80_embedding_quantize",
+    "L2-normalize + int8-quantize embeddings (vector-store prep)",
+    """
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS l2_norm
+        FROM embeddings
+    )
+    SELECT vec_id, l2_norm,
+           list_transform(
+               embedding::DOUBLE[],
+               x -> CAST(floor(x / (CASE WHEN l2_norm = 0 THEN 1.0 ELSE l2_norm END)
+                               * 127.0 + 0.5) AS BIGINT)
+           ) AS q8,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM n
+    """,
+    tags=("similarity", "llm"),
+)
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store-side prep before ANN indexing: unit-normalize so
+    cosine becomes dot, int8-quantize for the 4x footprint cut.
+    floor(+0.5) quantization so both engines agree bit-for-bit
+    (operators/similarity.py:normalize_quantize)."""
+    from igloo_spark.operators.similarity import normalize_quantize
+
+    return normalize_quantize(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")

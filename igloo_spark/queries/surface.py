@@ -709,3 +709,32 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey < 200
         """
     )
+
+
+@register(
+    "q84_variant_json",
+    "VARIANT semi-structured path: parse_json once, typed variant_get extraction",
+    """
+    SELECT event_type,
+           CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                           THEN 1 END) AS BIGINT) AS n_high,
+           avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "events"),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT (q35 covers string-path get_json_object): parse
+    once into the binary variant encoding, then typed variant_get —
+    the open-format answer to a JSON column scanned by many paths; at
+    100 TB parse-once beats re-tokenizing the string per path."""
+    e = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k") > 50, 1)).cast("bigint").alias("n_high"),
+            F.avg("k").alias("avg_k"),
+        )
+    )
