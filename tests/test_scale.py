@@ -92,3 +92,33 @@ def test_dedup_pipeline_at_64x(spark, tmp_path):
     n_components = comp.select("component").distinct().count()
     # every base doc has 16 exact copies → clusters must have formed
     assert n_components < n / 10
+
+
+def test_second_batch_operators_scale_flat(spark):
+    """Reproduces SCALE.md 'Second-batch operators' measurements: the
+    new operators' warm cost must grow far slower than the 10× data
+    growth from sf0.01 to sf0.1 (fixed-overhead-bound below
+    saturation). Ratios printed for the record, bounded loosely."""
+    from igloo_spark.queries import all_queries
+
+    qs = all_queries()
+    names = [
+        "x72_chunk_dedup",
+        "x76_hypertable_rollup",
+        "x79_quantile_binning",
+        "q81_time_range_frame",
+    ]
+    for name in names:
+        warm = {}
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            spec = qs[name]
+            spec.spark(spark, sf).count()  # codegen warmup
+            t0 = time.perf_counter()
+            spec.spark(spark, sf).count()
+            warm[sf] = time.perf_counter() - t0
+        ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
+        print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
+              f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
+        # 10x data, well under 10x time (x79's exact-percentile sort is
+        # the worst case at ~4x; see SCALE.md for the approx swap)
+        assert ratio < 8, (name, ratio)
