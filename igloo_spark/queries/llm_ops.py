@@ -1497,3 +1497,53 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igloo_spark.operators.similarity import normalize_quantize
 
     return normalize_quantize(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@register(
+    "x81_data_expectations",
+    "data-quality expectations: non-null/range/unique/FK violations as one summary",
+    """
+    SELECT 'not_null(o_custkey)' AS rule,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,1000000)',
+           CAST(sum(CASE WHEN o_totalprice IS NULL
+                              OR o_totalprice < 0 OR o_totalprice > 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(coalesce(sum(n), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'fk(o_custkey)->(c_custkey)',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    tags=("profiling", "llm"),
+)
+def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The promotion gate a pipeline runs before training on a fresh
+    drop (operators/expectations.py): row rules fuse into one scan,
+    uniqueness is one groupBy, the FK check is a broadcast anti join
+    — violations are counted, never collected."""
+    from igloo_spark.operators.expectations import (
+        check_expectations,
+        expect_in_range,
+        expect_not_null,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return check_expectations(
+        o,
+        row_rules=[
+            expect_not_null("o_custkey"),
+            expect_in_range("o_totalprice", 0, 1000000),
+        ],
+        unique_keys=[["o_orderkey"]],
+        foreign_keys=[(["o_custkey"], c, ["c_custkey"])],
+    )

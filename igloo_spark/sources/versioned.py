@@ -99,11 +99,19 @@ def write_versioned(
 
 
 def read_versioned(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read: latest manifest by default, ``version=N`` for
     time travel. Only manifest-listed files are scanned — files from
-    uncommitted or failed writes are invisible by construction."""
+    uncommitted or failed writes are invisible by construction.
+
+    ``merge_schema=True`` reconciles schema evolution across commits
+    (columns added by later appends read as null in older files) at
+    the cost of reading every file footer — at 100 TB, turn it on for
+    evolved tables or compact to a uniform schema and leave it off."""
     versions = _list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no manifests under {root}")
@@ -114,7 +122,10 @@ def read_versioned(
     files = _read_manifest(root, version)["files"]
     if not files:
         raise ValueError(f"version {version} has an empty file list")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def snapshots(root: str) -> list[dict]:

@@ -385,3 +385,68 @@ def test_quantile_bins_validation(spark):
     for bad in ([], [0.5, 0.25], [0.0, 0.5], [0.5, 1.0]):
         with pytest.raises(ValueError, match="probs"):
             quantile_bins(df, "v", bad)
+
+
+def test_expectations_count_real_violations(spark):
+    """Each rule kind must count its violations on a deliberately
+    dirty frame: nulls, out-of-range, duplicate keys, orphaned FKs."""
+    from igloo_spark.operators.expectations import (
+        check_expectations,
+        expect_in_range,
+        expect_matches,
+        expect_not_null,
+    )
+
+    child = spark.createDataFrame(
+        [
+            (1, 10.0, "ok-1"),
+            (1, -5.0, "ok-2"),    # dup key + below range
+            (None, 20.0, "bad"),  # null key (opts out of FK) + regex fail
+            (9, None, "ok-3"),    # orphan FK + null value
+        ],
+        "k int, v double, tag string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in check_expectations(
+            child,
+            row_rules=[
+                expect_not_null("k"),
+                expect_in_range("v", 0, 100),
+                expect_matches("tag", "^ok-"),
+            ],
+            unique_keys=[["k"]],
+            foreign_keys=[(["k"], parent, ["pk"])],
+        ).collect()
+    }
+    assert out["not_null(k)"] == 1
+    assert out["in_range(v,0,100)"] == 2  # -5.0 and the null value
+    assert out["matches(tag)"] == 1
+    assert out["unique(k)"] == 2  # both rows of the duplicated key
+    assert out["fk(k)->(pk)"] == 1  # k=9; the null key opted out
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        check_expectations(child)
+
+
+def test_versioned_schema_evolution(spark, tmp_path):
+    """A later append may add columns; merge_schema reads the union
+    schema with nulls backfilled for older commits, while the default
+    read keeps the cheap single-footer behavior."""
+    from pyspark.sql import functions as F
+
+    from igloo_spark.sources.versioned import read_versioned, write_versioned
+
+    root = str(tmp_path / "evolve")
+    write_versioned(spark.range(3).toDF("id"), root, mode="overwrite")
+    write_versioned(
+        spark.range(3, 5).toDF("id").withColumn("extra", F.lit("new")), root
+    )
+    merged = read_versioned(spark, root, merge_schema=True)
+    assert set(merged.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows[0] is None and rows[4] == "new"
+    assert merged.count() == 5
