@@ -80,7 +80,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x73_column_profile",  # single-pass profiler
 )
 # Added after the round-2 window froze (builder-green only until round
-# 3): q04, q78, q79, x74–x80, q81–q84. Round-3 rotation: move these 14
+# 3): q04, q78, q79, x74–x81, q81–q84. Round-3 rotation: move these 15
 # to the front, then re-confirmation canaries from distinct verified
 # families in the remaining slots.
 
