@@ -101,7 +101,8 @@ def band_join(
     payload with _a/_b suffixes).
     """
     payload = payload or []
-    micros = F.col(ts).cast("double")
+    # NTZ-safe: TIMESTAMP_NTZ→timestamp→double works for both flavors
+    micros = F.col(ts).cast("timestamp").cast("double")
     base = df.select(
         F.col(key).alias("__k"),
         F.col(id_col).alias("__id"),

@@ -149,9 +149,12 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NTZ-safe epoch seconds: TIMESTAMP_NTZ can't cast straight to long,
+    # but NTZ→timestamp→long is valid for both timestamp flavors.
+    ts_s = F.col("ts").cast("timestamp").cast("long")
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+        prev_ts.isNull() | (ts_s - prev_ts.cast("timestamp").cast("long") > 1800), 1
     ).otherwise(0)
     return (
         e.withColumn("new_session", new_session)
@@ -159,9 +162,7 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
-            .cast("bigint")
-            .alias("duration_s"),
+            (F.max(ts_s) - F.min(ts_s)).cast("bigint").alias("duration_s"),
         )
     )
 

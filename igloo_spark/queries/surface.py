@@ -395,7 +395,8 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
-    epoch_s = F.col("ts").cast("long")
+    # NTZ-safe: TIMESTAMP_NTZ→timestamp→long works for both flavors
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
     return e.select(
         "event_id",
         epoch_s.alias("epoch_s"),

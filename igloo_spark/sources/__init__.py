@@ -46,19 +46,27 @@ _EXT_FORMAT = {
 def load_testdata_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-testdata table with type normalization.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that
-    we convert to a µs timestamp with *integer* division (``DIV`` —
-    float division would lose precision above 2^53 ns) — matching
-    DuckDB's native ns→µs truncation on the same file.
+    ``events.ts`` has shipped as three parquet physical types across
+    fixture generations: TIMESTAMP(NANOS) (read as long via
+    ``nanosAsLong`` and converted with integer ns→µs division — ``DIV``,
+    not float division, which would lose precision above 2^53 ns),
+    TIMESTAMP(MICROS) without timezone (Spark ``TIMESTAMP_NTZ``), and
+    plain TIMESTAMP. All three normalize here to session-TZ
+    ``timestamp``; the session TZ is pinned UTC (``registry.py``), so
+    the NTZ→TZ cast is lossless and oracle-stable (DuckDB treats the
+    same file's wall-clock values as UTC instants).
     """
     if table == "events":
         # runtime-settable; needed when the caller's session was built
         # without our defaults (e.g. the driver's own SparkSession)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if table == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
