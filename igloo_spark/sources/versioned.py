@@ -95,6 +95,10 @@ def write_versioned(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.rename(tmp, final)  # atomic publication
+    if batch_id is not None:
+        # after the manifest rename: the manifest is the commit record;
+        # the watermark file is the vacuum-proof copy of its batch id
+        _advance_watermark(root, batch_id)
     return new_version
 
 
@@ -170,13 +174,17 @@ def merge_upsert(
     missing = [c for c in base.columns if c not in delta.columns]
     if missing or len(base.columns) != len(delta.columns):
         raise ValueError(f"base/delta schemas differ (base-only: {missing})")
-    b, d = base.alias("b"), delta.alias("d")
+    # Presence is detected via literal markers, not key-isNotNull: the
+    # join condition is eqNullSafe, so NULL key values are legal match
+    # keys and must not read as "row absent" after the full outer join.
+    b = base.withColumn("__in_base", F.lit(True)).alias("b")
+    d = delta.withColumn("__in_delta", F.lit(True)).alias("d")
     cond = None
     for k in key_cols:
         eq = F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}"))
         cond = eq if cond is None else (cond & eq)
-    in_delta = F.col(f"d.{key_cols[0]}").isNotNull()
-    in_base = F.col(f"b.{key_cols[0]}").isNotNull()
+    in_delta = F.col("d.__in_delta").isNotNull()
+    in_base = F.col("b.__in_base").isNotNull()
     out = [
         F.coalesce(F.col(f"d.{k}"), F.col(f"b.{k}")).alias(k) for k in key_cols
     ] + [
@@ -205,10 +213,41 @@ def merge_into_versioned(
     return write_versioned(merged.drop("merge_action"), root, mode="overwrite")
 
 
+def _watermark_path(root: str) -> str:
+    # lives beside the manifests but doesn't match the v*.json pattern,
+    # so version listing never picks it up
+    return os.path.join(_manifest_dir(root), "batch-watermark.json")
+
+
+def _read_watermark(root: str) -> int:
+    path = _watermark_path(root)
+    if not os.path.exists(path):
+        return -1
+    with open(path) as f:
+        return json.load(f).get("max_batch_id", -1)
+
+
+def _advance_watermark(root: str, batch_id: int) -> None:
+    """Monotonically raise the durable batch watermark (atomic rename)."""
+    if batch_id <= _read_watermark(root):
+        return
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    path = _watermark_path(root)
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"max_batch_id": batch_id}, f)
+    os.rename(tmp, path)
+
+
 def last_committed_batch(root: str) -> int:
-    """Highest streaming batch id recorded in any manifest (-1 if
-    none). The idempotence watermark for :func:`versioned_stream_sink`."""
-    return max(
+    """Highest streaming batch id durably committed (-1 if none). The
+    idempotence watermark for :func:`versioned_stream_sink`.
+
+    Two sources, max of both: the dedicated watermark file (survives
+    :func:`vacuum_versioned`, which deletes old manifests) and a scan of
+    surviving manifests (covers a crash after manifest publication but
+    before the watermark-file update)."""
+    manifest_max = max(
         (
             b
             for v in _list_versions(root)
@@ -216,6 +255,7 @@ def last_committed_batch(root: str) -> int:
         ),
         default=-1,
     )
+    return max(manifest_max, _read_watermark(root))
 
 
 def versioned_stream_sink(root: str, mode: str = "append"):
@@ -329,6 +369,20 @@ def vacuum_versioned(root: str, keep_last: int = 1) -> list[str]:
         for f in _read_manifest(root, v)["files"]:
             if f not in referenced:
                 doomed.append(f)
+    # fold the batch ids of the manifests being dropped into the
+    # watermark file BEFORE deleting them — otherwise a crash-replayed
+    # micro-batch whose manifest was vacuumed would re-commit as a
+    # duplicate snapshot
+    drop_batch_max = max(
+        (
+            b
+            for v in drop
+            if (b := _read_manifest(root, v).get("batch_id")) is not None
+        ),
+        default=-1,
+    )
+    if drop_batch_max >= 0:
+        _advance_watermark(root, drop_batch_max)
     for v in drop:
         os.remove(os.path.join(_manifest_dir(root), f"v{v:06d}.json"))
     deleted = []

@@ -217,6 +217,62 @@ def test_merge_upsert_actions_and_versioned_merge(spark, tmp_path):
         merge_upsert(base, delta, [])
 
 
+def test_merge_upsert_null_keys(spark):
+    """NULL is a legal merge key under eqNullSafe: a NULL-key delta row
+    must UPDATE a NULL-key base row (not be dropped or double-counted),
+    and a NULL-key delta row with no base match must INSERT."""
+    from igloo_spark.sources.versioned import merge_upsert
+
+    base = spark.createDataFrame(
+        [(None, "base-null", 1.0), (1, "one", 10.0)], "k int, name string, v double"
+    )
+    delta = spark.createDataFrame(
+        [(None, "delta-null", 99.0), (2, "two", 20.0)], "k int, name string, v double"
+    )
+    rows = merge_upsert(base, delta, ["k"]).collect()
+    assert len(rows) == 3
+    out = {r["k"]: r for r in rows}
+    assert out[None]["merge_action"] == "update"
+    assert out[None]["name"] == "delta-null" and out[None]["v"] == 99.0
+    assert out[1]["merge_action"] == "keep"
+    assert out[2]["merge_action"] == "insert"
+
+    # delta-only NULL key (no base NULL row) must insert, not vanish
+    only_insert = merge_upsert(
+        base.filter("k IS NOT NULL"), delta, ["k"]
+    ).collect()
+    acts = {r["k"]: r["merge_action"] for r in only_insert}
+    assert acts == {None: "insert", 1: "keep", 2: "insert"}
+
+
+def test_stream_sink_watermark_survives_vacuum(spark, tmp_path):
+    """Exactly-once must hold across VACUUM: after vacuum deletes the
+    manifests that recorded earlier batch ids, a crash-replayed
+    micro-batch must still be recognized as committed and skipped."""
+    from igloo_spark.sources.versioned import (
+        last_committed_batch,
+        snapshots,
+        vacuum_versioned,
+        versioned_stream_sink,
+    )
+
+    root = str(tmp_path / "wm")
+    sink = versioned_stream_sink(root, mode="overwrite")
+    for bid in (0, 1, 2):
+        sink(spark.range(10 * (bid + 1)).toDF("id"), bid)
+    assert last_committed_batch(root) == 2
+
+    vacuum_versioned(root, keep_last=1)  # drops the batch-0/1 manifests
+    assert last_committed_batch(root) == 2
+
+    # vacuum everything down to a snapshot whose manifest has no batch
+    # id at all, then replay an old batch — still a no-op
+    n_before = len(snapshots(root))
+    sink(spark.range(5).toDF("id"), 1)  # replayed batch 1
+    assert len(snapshots(root)) == n_before, "replayed batch re-committed"
+    assert last_committed_batch(root) == 2
+
+
 def test_chunk_dedup_known_fixture(spark):
     """Two docs sharing one 2-token chunk: the later occurrence is
     counted as removed; unique chunks all survive."""
