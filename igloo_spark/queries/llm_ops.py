@@ -1283,7 +1283,9 @@ def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
     "span-level exact dedup: keep corpus-wide first occurrence of each 8-token chunk",
     """
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        SELECT doc_id,
+               string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ') AS ts
+        FROM documents
     ),
     idx AS (
         SELECT doc_id, ts,

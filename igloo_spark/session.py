@@ -71,9 +71,11 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.crossJoin.enabled", "true")
-        # Driver testdata's events.ts is parquet TIMESTAMP(NANOS), which
-        # Spark's vectorized reader rejects; read as long and convert in
-        # the view (sources.load_testdata_table) via integer division.
+        # Backward compat for older fixture generations whose events.ts
+        # was parquet TIMESTAMP(NANOS) (vectorized reader rejects it;
+        # read as long, convert in sources.load_testdata_table). Current
+        # fixtures ship timestamp[us] no-tz (TIMESTAMP_NTZ), normalized
+        # there too; harmless for non-nanos files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if master is not None:

@@ -64,3 +64,33 @@ def test_multimodal_oracles_survive_non_ascii(igloo, tmp_path):
     for name in ("x51_multimodal_decode", "x57_frame_sampling", "x58_media_features"):
         spec = qs[name]
         assert_matches_oracle(spec.spark(igloo.spark, str(tmp_path)), spec.oracle, str(tmp_path))
+
+
+def test_chunk_dedup_oracle_survives_irregular_whitespace(igloo, tmp_path):
+    """chunk_dedup whitespace-normalizes (trim + collapse runs of
+    spaces) before tokenizing; the x72 oracle must do the same or the
+    two diverge on any document with leading/trailing/double spaces.
+    The shipped documents fixture is already normalized, so this
+    fixture forces the difference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries import all_queries
+
+    texts = [
+        "  leading spaces then a repeated chunk of eight tokens right here ok",
+        "double  spaced   tokens with a repeated chunk of eight tokens right here ok",
+        "trailing spaces after these words   ",
+        "a b c d e f g h a b c d e f g h",  # self-repeating chunk
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    spec = all_queries()["x72_chunk_dedup"]
+    assert_matches_oracle(spec.spark(igloo.spark, str(tmp_path)), spec.oracle, str(tmp_path))
