@@ -341,12 +341,17 @@ def connected_components(
     canonical doc survives per group (A~B, B~C must collapse to one
     group even though A~C was never compared).
 
-    Scale shape: each iteration is one hash-partitioned join + groupBy
-    on node id (no crossJoin, no driver-side graph); `localCheckpoint`
-    truncates lineage so plans don't grow with iterations. Min-label
-    propagation converges in O(diameter) rounds — dup clusters are
-    near-cliques (diameter ~2), so 3-4 rounds in practice; `max_iter`
-    bounds adversarial chains.
+    Scale shape: each iteration is two hash-partitioned joins + a
+    groupBy on node id (no crossJoin, no driver-side graph);
+    `localCheckpoint` truncates lineage so plans don't grow with
+    iterations. Plain min-label propagation needs O(diameter) rounds —
+    fine for dup clusters (near-cliques, diameter ~2) but an
+    adversarial chain of length > max_iter would silently return
+    unconverged labels. Each round therefore also *pointer-jumps*
+    (label(node) ← label(label(node))), which halves chain distances
+    per round: convergence is O(log diameter), so max_iter=25 covers
+    any graph up to ~2^25 diameter. If the loop still exits
+    unconverged, raise instead of returning wrong groups.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -359,15 +364,38 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"), F.col("label")
         )
-        new_labels = (
+        # checkpoint BEFORE the self-join: it both truncates lineage
+        # and gives the join two clean scans of the same materialized
+        # data (a raw self-join here trips attribute dedup in the
+        # optimizer on deep upstream plans)
+        prop = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
+        )
+        # pointer jump: adopt the label's own label when it is smaller
+        # (path compression — turns O(diameter) chains into O(log))
+        new_labels = (
+            prop.alias("x")
+            .join(
+                prop.select(
+                    F.col("node").alias("lnode"), F.col("label").alias("llabel")
+                ),
+                F.col("x.label") == F.col("lnode"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.label"), F.coalesce(F.col("llabel"), F.col("x.label"))
+                ).alias("label"),
+            )
         )
         changed = (
             new_labels.alias("n")
@@ -377,7 +405,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
     return labels.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("component"),

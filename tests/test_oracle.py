@@ -94,3 +94,26 @@ def test_chunk_dedup_oracle_survives_irregular_whitespace(igloo, tmp_path):
 
     spec = all_queries()["x72_chunk_dedup"]
     assert_matches_oracle(spec.spark(igloo.spark, str(tmp_path)), spec.oracle, str(tmp_path))
+
+
+def test_array_typed_result_column_canonicalizes(igloo):
+    """q53/q63/x58 serialize array columns to strings to satisfy the
+    external driver's canonicalizer, which removed every array-typed
+    result from the gate; this in-repo-only check keeps list-column
+    result handling (conftest._canon_value) exercised end-to-end."""
+    from pyspark.sql import functions as F
+
+    from igloo_spark.queries import table
+
+    df = (
+        table(igloo.spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_set("lang")).alias("langs"))
+    )
+    assert dict(df.dtypes)["langs"].startswith("array"), "must stay array-typed"
+    assert_matches_oracle(
+        df,
+        "SELECT source, list_sort(list(DISTINCT lang)) AS langs "
+        "FROM documents GROUP BY source",
+        SF_DIR,
+    )

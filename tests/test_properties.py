@@ -328,3 +328,58 @@ def test_chunk_dedup_invariants(igloo, docs, chunk):
         for c in range(n_expected):
             distinct_chunks.add(" ".join(toks[c * chunk:(c + 1) * chunk]))
     assert sum(r["n_kept"] for r in out.values()) == len(distinct_chunks)
+
+
+def _union_find_components(edges):
+    """Driver-side union-find oracle (test only, small edge lists)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min node reachable, matching connected_components
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_deep_chain_converges(igloo):
+    """A 300-node path graph has diameter 300 >> max_iter=25; plain
+    min-label propagation would silently return unconverged groups.
+    Pointer jumping must converge it (O(log n) rounds) to one
+    component rooted at node 0."""
+    from igloo_spark.operators.dedup import connected_components
+
+    n = 300
+    edges = igloo.spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(out) == set(range(n))
+    assert set(out.values()) == {0}
+
+
+@settings(deadline=None, max_examples=8, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_connected_components_matches_union_find(igloo, pairs):
+    """For arbitrary edge lists (self-loops and duplicates included),
+    the distributed result must equal a driver-side union-find with
+    min-node component ids."""
+    from igloo_spark.operators.dedup import connected_components
+
+    edges = igloo.spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == _union_find_components(pairs)
