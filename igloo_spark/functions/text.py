@@ -177,3 +177,92 @@ def doc_fingerprint(text: Column) -> Column:
 
 def doc_fingerprint_sql(expr: str) -> str:
     return f"md5(lower(regexp_replace(trim({expr}), '[ ]+', ' ', 'g')))"
+
+
+# --- PII detection / redaction -------------------------------------------
+#
+# Regexes restricted to syntax Java regex and RE2 (DuckDB) treat
+# identically: literal classes, bounded repetition, \b word boundaries.
+# Ordered dict: redaction applies in this order, so an SSN-shaped string
+# is tagged [SSN] before the phone pattern could claim a substring.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII kind (email/ssn/phone/ipv4) — codegen'd
+    regexp_count, no Python in the scan stage."""
+    pat, _ = PII_PATTERNS[kind]
+    return F.regexp_count(text, F.lit(pat)).cast("bigint")
+
+
+def pii_count_sql(expr: str, kind: str) -> str:
+    pat, _ = PII_PATTERNS[kind]
+    pat_sql = pat.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pat_sql}')) AS BIGINT)"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its class token ([EMAIL], [SSN],
+    [PHONE], [IP]) — the standard pre-training scrub. Chained
+    regexp_replace stays inside whole-stage codegen; order matters and
+    is fixed by PII_PATTERNS."""
+    out = text
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    out = expr
+    for pat, token in PII_PATTERNS.values():
+        pat_sql = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat_sql}', '{token}', 'g')"
+    return out
+
+
+# --- URL canonicalization -------------------------------------------------
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL for dedup keys: drop the #fragment, drop utm_*
+    tracking params (fixing a dangling '?'/'&'), lowercase scheme+host,
+    strip a default :80/:443 port and any trailing slash. Pure
+    regexp_replace chain — codegen'd, matched step-for-step by
+    :func:`canonicalize_url_sql` so oracles agree."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")  # tracking params
+    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")  # '&' left leading the query
+    u = F.regexp_replace(u, r"\?$", "")  # empty query
+    # lowercase scheme://host[:port] (never the path), drop default ports
+    head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1))
+    head = F.regexp_replace(head, r":(80|443)$", "")
+    tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+    u = F.concat(head, tail)
+    return F.regexp_replace(u, r"/$", "")
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    u = f"regexp_replace({expr}, '#.*$', '', 'g')"
+    u = f"regexp_replace({u}, '[?&]utm_[^&#]*', '', 'g')"
+    u = f"regexp_replace({u}, '^([^?]*)&', '\\1?')"
+    u = f"regexp_replace({u}, '\\?$', '')"
+    head = f"regexp_replace(lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)), ':(80|443)$', '')"
+    tail = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '')"
+    return f"regexp_replace({head} || {tail}, '/$', '')"
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-ish domain (last two host labels) of a canonical
+    URL — the grouping key for per-site dedup/rate stats."""
+    host = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)
+    return F.lower(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+
+
+def url_domain_sql(expr: str) -> str:
+    host = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)"
+    return f"lower(regexp_extract({host}, '([^.]+\\.[^.]+)$', 1))"

@@ -32,7 +32,7 @@ from igloo_spark.functions.text import (
 )
 from igloo_spark.functions.vectors import cosine_sql_duckdb
 from igloo_spark.operators.similarity import lsh_planes
-from igloo_spark.queries.registry import register, table
+from igloo_spark.queries.registry import REGISTRY, register, table
 
 N_HASHES = 16
 BANDS = 4
@@ -1558,3 +1558,253 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_keys=[["o_orderkey"]],
         foreign_keys=[(["o_custkey"], c, ["c_custkey"])],
     )
+
+
+@register(
+    "x82_pii_scrub",
+    "per-source PII census: email/ssn/phone/ip counts + chars removed by redaction",
+    f"""
+    WITH per_doc AS (
+        SELECT source,
+               {{email}} AS n_emails,
+               {{ssn}} AS n_ssns,
+               {{phone}} AS n_phones,
+               {{ipv4}} AS n_ips,
+               CAST(length(text) - length({{redacted}}) AS BIGINT) AS delta_chars
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_ssns) AS BIGINT) AS n_ssns,
+           CAST(sum(n_phones) AS BIGINT) AS n_phones,
+           CAST(sum(n_ips) AS BIGINT) AS n_ips,
+           CAST(sum(delta_chars) AS BIGINT) AS delta_chars
+    FROM per_doc GROUP BY source
+    """.format(
+        email=__import__("igloo_spark.functions.text", fromlist=["x"]).pii_count_sql("text", "email"),
+        ssn=__import__("igloo_spark.functions.text", fromlist=["x"]).pii_count_sql("text", "ssn"),
+        phone=__import__("igloo_spark.functions.text", fromlist=["x"]).pii_count_sql("text", "phone"),
+        ipv4=__import__("igloo_spark.functions.text", fromlist=["x"]).pii_count_sql("text", "ipv4"),
+        redacted=__import__("igloo_spark.functions.text", fromlist=["x"]).redact_pii_sql("text"),
+    ),
+    tags=("text", "pii", "llm"),
+)
+def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub census — the audit step before a redacted corpus
+    ships. All four detectors are codegen'd regexp_count and the
+    redaction is a chained regexp_replace in the same scan stage: one
+    shuffle total (the per-source rollup). 100 TB shape: map-side
+    partial aggregation on a low-cardinality key."""
+    from igloo_spark.functions.text import pii_count, redact_pii
+
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = d.select(
+        "source",
+        pii_count(t, "email").alias("n_emails"),
+        pii_count(t, "ssn").alias("n_ssns"),
+        pii_count(t, "phone").alias("n_phones"),
+        pii_count(t, "ipv4").alias("n_ips"),
+        (F.length(t) - F.length(redact_pii(t))).cast("bigint").alias("delta_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_ssns").cast("bigint").alias("n_ssns"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum("n_ips").cast("bigint").alias("n_ips"),
+        F.sum("delta_chars").cast("bigint").alias("delta_chars"),
+    )
+
+
+@register(
+    "x83_rag_chunking",
+    "overlapping 32-token/stride-16 RAG chunks for the first 200 docs",
+    None,  # oracle attached below via sliding_chunks_sql (needs import)
+    tags=("text", "rag", "llm"),
+)
+def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-index chunking (operators/chunking.py): overlapping
+    token windows, fully map-side (split → sequence/transform →
+    posexplode, zero shuffles). The doc_id < 200 cap bounds the gate
+    result; at 100 TB the same plan streams chunks partition-local
+    into the embedding stage."""
+    from igloo_spark.operators.chunking import sliding_chunks
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return sliding_chunks(d, "doc_id", "text", chunk_tokens=32, stride=16)
+
+
+# x83's oracle shares the windowing math with the operator module;
+# registered post-hoc so the SQL builder lives next to the Spark code.
+def _x83_oracle() -> str:
+    from igloo_spark.operators.chunking import sliding_chunks_sql
+
+    inner = sliding_chunks_sql(
+        "(SELECT * FROM documents WHERE doc_id < 200)",
+        "doc_id",
+        "text",
+        chunk_tokens=32,
+        stride=16,
+    )
+    return f"SELECT id AS doc_id, chunk_idx, n_tokens, chunk FROM ({inner})"
+
+
+import dataclasses as _dc
+
+REGISTRY["x83_rag_chunking"] = _dc.replace(
+    REGISTRY["x83_rag_chunking"], oracle=_x83_oracle()
+)
+
+
+@register(
+    "x84_touch_attribution",
+    "first-touch / last-touch attribution for users with a purchase",
+    """
+    WITH fp AS (
+        SELECT user_id, min(ts) AS first_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pre AS (
+        SELECT e.user_id, e.ts, e.event_id, e.event_type
+        FROM events e JOIN fp USING (user_id)
+        WHERE e.ts < fp.first_purchase
+    ),
+    ranked AS (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last,
+               count(*) OVER (PARTITION BY user_id) AS n_pre_events
+        FROM pre
+    )
+    SELECT f.user_id,
+           f.event_type AS first_touch,
+           f.ts AS first_touch_ts,
+           l.event_type AS last_touch,
+           l.ts AS last_touch_ts,
+           CAST(f.n_pre_events AS BIGINT) AS n_pre_events
+    FROM (SELECT * FROM ranked WHERE rn_first = 1) f
+    JOIN (SELECT * FROM ranked WHERE rn_last = 1) l USING (user_id)
+    """,
+    tags=("events", "window", "llm"),
+)
+def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style attribution: for each user who purchased,
+    their first event ever and last event before the first purchase.
+    One shuffle keys everything by user_id: the purchase floor is a
+    grouped min, the pre-purchase slice an equi-join on that key, and
+    both touches come from one window pass (rn ascending + descending
+    over the same Exchange)."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    pre = e.join(fp, "user_id").filter(F.col("ts") < F.col("first_purchase"))
+    w = Window.partitionBy("user_id")
+    ranked = pre.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn_first"),
+        F.row_number()
+        .over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_last"),
+        F.count("*").over(w).alias("n_pre_events"),
+    )
+    first = ranked.filter(F.col("rn_first") == 1).select(
+        "user_id",
+        F.col("event_type").alias("first_touch"),
+        F.col("ts").alias("first_touch_ts"),
+        F.col("n_pre_events").cast("bigint").alias("n_pre_events"),
+    )
+    last = ranked.filter(F.col("rn_last") == 1).select(
+        "user_id",
+        F.col("event_type").alias("last_touch"),
+        F.col("ts").alias("last_touch_ts"),
+    )
+    return first.join(last, "user_id").select(
+        "user_id",
+        "first_touch",
+        "first_touch_ts",
+        "last_touch",
+        "last_touch_ts",
+        "n_pre_events",
+    )
+
+
+_X85_RAW_URL_SQL = (
+    "'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || "
+    "'/p/' || CAST(doc_id % 50 AS VARCHAR) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+@register(
+    "x85_url_dedup",
+    "URL canonicalization + per-domain dedup stats over synthesized crawl URLs",
+    None,  # oracle attached below (builds on canonicalize_url_sql)
+    tags=("text", "dedup", "llm"),
+)
+def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier hygiene: canonicalize URLs (case, tracking
+    params, fragments, default ports), then per-domain dedup stats.
+    URLs are synthesized deterministically from doc_id so the oracle
+    sees byte-identical input. Pure regexp chain in the scan stage +
+    one rollup shuffle on the (tiny-cardinality) domain key."""
+    from igloo_spark.functions.text import canonicalize_url, url_domain
+
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("/?utm_source=feed&ref="), (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = canonicalize_url(raw)
+    return (
+        d.select(
+            canon.alias("url"),
+            url_domain(canon).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("url").alias("n_canonical"),
+        )
+        .select(
+            "domain",
+            F.col("n_urls").cast("bigint").alias("n_urls"),
+            F.col("n_canonical").cast("bigint").alias("n_canonical"),
+        )
+    )
+
+
+def _x85_oracle() -> str:
+    from igloo_spark.functions.text import canonicalize_url_sql, url_domain_sql
+
+    canon = canonicalize_url_sql(_X85_RAW_URL_SQL)
+    dom = url_domain_sql(canon)
+    return f"""
+    WITH u AS (SELECT {canon} AS url, {dom} AS domain FROM documents)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_canonical
+    FROM u GROUP BY domain
+    """
+
+
+REGISTRY["x85_url_dedup"] = _dc.replace(
+    REGISTRY["x85_url_dedup"], oracle=_x85_oracle()
+)

@@ -758,3 +758,275 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("k").alias("avg_k"),
         )
     )
+
+
+@register(
+    "q85_grouping_id",
+    "CUBE with grouping_id(): distinguish which dimensions each super-aggregate row collapses",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregation",),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id() disambiguation over CUBE (q15 covers the CUBE
+    rows themselves): the bitmask says which NULLs mean 'all' vs data
+    NULLs — required by any BI layer reading super-aggregates.
+    DuckDB spells the mask GROUPING(a)*2+GROUPING(b)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "q86_width_bucket",
+    "width_bucket histogram of order totals (fixed-width bins, out-of-range buckets 0/n+1)",
+    """
+    WITH b AS (
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 500000 THEN 11
+                         ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket
+        FROM orders
+    )
+    SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+    """,
+    tags=("functions", "aggregation"),
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard width_bucket(v, lo, hi, n): values below lo land
+    in bucket 0, above-or-at hi in n+1. The oracle spells out the
+    same arithmetic (DuckDB lacks the function); a histogram over a
+    codegen'd expression — one scan + tiny-key rollup at any scale."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(10))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q87_interval_arithmetic",
+    "timestamp ± INTERVAL arithmetic: shipping deadline windows",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 45 DAY AS due_date,
+           o_orderdate + INTERVAL 3 MONTH AS quarter_end,
+           CAST(o_orderdate - INTERVAL 1 HOUR < o_orderdate AS BOOLEAN) AS sanity
+    FROM orders WHERE o_orderkey < 500
+    """,
+    tags=("functions", "datetime"),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL literal arithmetic on timestamps (q25 covers named
+    date functions): day and month intervals shift differently
+    (months are calendar-aware), both engines agree on the NTZ
+    wall-clock. The day count deliberately avoids 90: DuckDB compares
+    INTERVAL 90 DAY equal to INTERVAL 3 MONTH (30-day canonical
+    months) and its subexpression dedup then conflates the two
+    column additions."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("quarter_end"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 HOUR") < F.col("o_orderdate")).alias(
+            "sanity"
+        ),
+    )
+
+
+@register(
+    "q88_map_zip_filter",
+    "higher-order map functions: zip two maps, filter entries, explode to rows",
+    """
+    WITH pairs AS (
+        SELECT p_partkey,
+               length(p_name) AS a_name,
+               length(p_type) AS a_type,
+               p_size AS b_name,
+               p_retailprice AS b_type
+        FROM part WHERE p_partkey < 100
+    )
+    SELECT p_partkey, k, v FROM (
+        SELECT p_partkey, 'name' AS k,
+               CAST(a_name + b_name AS DOUBLE) AS v FROM pairs
+        UNION ALL
+        SELECT p_partkey, 'type', CAST(a_type + b_type AS DOUBLE) FROM pairs
+    ) WHERE v > 20
+    """,
+    tags=("functions", "complex-types"),
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_zip_with + map_filter + explode (q55/q65 cover map
+    construction): two maps on the same keys are zipped value-wise,
+    small entries dropped, and the map exploded back to rows. The
+    oracle computes the same per-key arithmetic via UNION ALL —
+    DuckDB's map surface lacks the higher-order forms."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    m1 = F.create_map(
+        F.lit("name"), F.length("p_name").cast("double"),
+        F.lit("type"), F.length("p_type").cast("double"),
+    )
+    m2 = F.create_map(
+        F.lit("name"), F.col("p_size").cast("double"),
+        F.lit("type"), F.col("p_retailprice"),
+    )
+    zipped = F.map_zip_with(m1, m2, lambda k, a, b: a + b)
+    kept = F.map_filter(zipped, lambda k, v: v > 20)
+    return (
+        p.select("p_partkey", F.explode(kept).alias("k", "v"))
+        .select("p_partkey", "k", F.col("v").cast("double").alias("v"))
+    )
+
+
+@register(
+    "q89_stack_rows",
+    "stack() generator: widen one supplier row into (metric, value) rows",
+    """
+    SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'nation', CAST(s_nationkey AS DOUBLE) FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'name_len', CAST(length(s_name) AS DOUBLE) FROM supplier
+    """,
+    tags=("functions", "generator"),
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack(n, k1, v1, ...) row generator — the inline UNPIVOT
+    (q61 covers the UNPIVOT clause): one scan emits three rows per
+    input row; the oracle is the equivalent UNION ALL which scans
+    three times — the generator is the 100 TB-friendly form."""
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.expr(
+            "stack(3, 'acctbal', s_acctbal,"
+            " 'nation', CAST(s_nationkey AS DOUBLE),"
+            " 'name_len', CAST(length(s_name) AS DOUBLE))"
+        ).alias("metric", "value"),
+    )
+
+
+@register(
+    "q90_regexp_count_like",
+    "regexp_count + rlike filters over part names",
+    """
+    SELECT p_partkey, p_name,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+           CAST(len(regexp_extract_all(p_name, '(^| )s')) AS BIGINT) AS n_s_words
+    FROM part
+    WHERE regexp_matches(p_name, 'o[a-z]*e')
+    """,
+    tags=("functions", "string"),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_count + rlike (q23/q78 cover extract/replace): count
+    and filter by pattern inside codegen. DuckDB spells count as
+    len(regexp_extract_all) and rlike as regexp_matches."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("o[a-z]*e")).select(
+        "p_partkey",
+        "p_name",
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("bigint").alias("n_vowels"),
+        F.regexp_count("p_name", F.lit("(^| )s")).cast("bigint").alias("n_s_words"),
+    )
+
+
+@register(
+    "q91_try_to_timestamp",
+    "tolerant timestamp parsing: valid rows parse, garbage yields NULL not errors",
+    """
+    WITH raw AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                    ELSE 'not-a-date-' || CAST(o_orderkey AS VARCHAR) END AS s
+        FROM orders WHERE o_orderkey < 300
+    )
+    SELECT o_orderkey, s,
+           TRY_CAST(s AS TIMESTAMP) AS parsed,
+           CAST(TRY_CAST(s AS TIMESTAMP) IS NOT NULL AS BOOLEAN) AS ok
+    FROM raw
+    """,
+    tags=("functions", "datetime"),
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_to_timestamp (q62 covers try arithmetic): ELT pipelines
+    parse dirty date strings without failing the job; mixed
+    valid/garbage input, NULL for the garbage. Cast to NTZ so both
+    engines compare wall-clock."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    s = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+    ).otherwise(F.concat(F.lit("not-a-date-"), F.col("o_orderkey").cast("string")))
+    raw = o.select("o_orderkey", s.alias("s"))
+    parsed = F.try_to_timestamp(F.col("s"), F.lit("yyyy-MM-dd HH:mm:ss")).cast(
+        "timestamp_ntz"
+    )
+    return raw.select(
+        "o_orderkey", "s", parsed.alias("parsed"), parsed.isNotNull().alias("ok")
+    )
+
+
+@register(
+    "q92_bitmap_distinct",
+    "bitmap aggregates: exact distinct via bitmap_construct_agg vs plain count(DISTINCT)",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "sketch"),
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 3.5 bitmap aggregates (q29 covers approx sketches): an
+    exact distinct count as a mergeable bitmap — count(DISTINCT)
+    needs a key+value shuffle, the bitmap path ships fixed-size
+    buckets and ORs them, the re-aggregatable form a rollup cube
+    stores. The oracle is the semantically-equal count(DISTINCT)."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def bitmap_distinct(col: str, out: str):
+        # partial: one bitmap per (group, 32k-bucket); final: OR-merge
+        # counts — the mergeable two-level shape a rollup store keeps
+        return (
+            li.groupBy(
+                "l_returnflag", F.expr(f"bitmap_bucket_number({col})").alias("_b")
+            )
+            .agg(
+                F.expr(f"bitmap_construct_agg(bitmap_bit_position({col}))").alias("bm")
+            )
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.expr("bitmap_count(bm)")).alias(out))
+        )
+
+    return bitmap_distinct("l_suppkey", "n_supp").join(
+        bitmap_distinct("l_partkey", "n_part"), "l_returnflag"
+    )

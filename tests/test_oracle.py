@@ -117,3 +117,131 @@ def test_array_typed_result_column_canonicalizes(igloo):
         "FROM documents GROUP BY source",
         SF_DIR,
     )
+
+
+def test_pii_scrub_oracle_on_pii_laden_fixture(igloo, tmp_path):
+    """The shipped documents fixture contains little or no PII, so x82
+    could pass trivially; this fixture plants every pattern kind plus
+    near-misses (a 3-2-4 SSN shape is not a phone; an IP inside a
+    sentence; an email with subdomains) and re-checks oracle parity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries import all_queries
+
+    texts = [
+        "contact alice.smith+spam@mail.example.co.uk for details",
+        "ssn 123-45-6789 and phone 415-555-1234 in one line",
+        "server at 10.0.255.3 and also 192.168.1.1 responded",
+        "dotted phone 415.555.2671 should redact once",
+        "no pii here at all, just words",
+        "two emails: a@b.io c@d.org and an ip 8.8.8.8",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["web", "web", "logs", "logs", "web", "logs"], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    spec = all_queries()["x82_pii_scrub"]
+    assert_matches_oracle(spec.spark(igloo.spark, str(tmp_path)), spec.oracle, str(tmp_path))
+
+    # direct redaction semantics on the same fixture
+    from pyspark.sql import functions as F
+
+    from igloo_spark.functions.text import redact_pii
+
+    out = {
+        r["doc_id"]: r["red"]
+        for r in igloo.spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .select("doc_id", redact_pii(F.col("text")).alias("red"))
+        .collect()
+    }
+    assert out[0] == "contact [EMAIL] for details"
+    assert out[1] == "ssn [SSN] and phone [PHONE] in one line"
+    assert out[2] == "server at [IP] and also [IP] responded"
+    assert out[3] == "dotted phone [PHONE] should redact once"
+    assert out[4] == "no pii here at all, just words"
+    assert out[5] == "two emails: [EMAIL] [EMAIL] and an ip [IP]"
+
+
+def test_rag_chunking_oracle_on_irregular_fixture(igloo, tmp_path):
+    """Chunk windowing on boundary-case docs: shorter than one window,
+    exactly one window, exact multiple of stride, one token over, and
+    irregular whitespace."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import assert_matches_oracle
+    from igloo_spark.operators.chunking import sliding_chunks, sliding_chunks_sql
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    texts = [words(3), words(8), words(16), words(17), "  a   b  c "]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    df = sliding_chunks(
+        igloo.spark.read.parquet(str(tmp_path / "documents.parquet")),
+        "doc_id",
+        "text",
+        chunk_tokens=8,
+        stride=4,
+    )
+    inner = sliding_chunks_sql("documents", "doc_id", "text", chunk_tokens=8, stride=4)
+    assert_matches_oracle(
+        df,
+        f"SELECT id AS doc_id, chunk_idx, n_tokens, chunk FROM ({inner})",
+        str(tmp_path),
+    )
+    rows = df.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 3 tokens -> 1 window; 8 -> 1; 16 -> ceil((16-8)/4)+1 = 3; 17 -> 4
+    assert {d: len(v) for d, v in by_doc.items()} == {0: 1, 1: 1, 2: 3, 3: 4, 4: 1}
+    # every token covered: union of windows == token stream
+    for d, toks in ((2, 16), (3, 17)):
+        seen = set()
+        for r in by_doc[d]:
+            seen.update(r["chunk"].split(" "))
+        assert seen == {f"w{i}" for i in range(toks)}
+
+
+def test_url_canonicalize_edge_cases(igloo):
+    """Canonicalizer semantics pinned: case, default ports, utm strip
+    with dangling separators, fragments, trailing slash."""
+    from pyspark.sql import functions as F
+
+    from igloo_spark.functions.text import canonicalize_url, url_domain
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/", "https://www.example.com/Path"),
+        ("http://a.b.Example.org:80/x?utm_source=f&q=1#frag", "http://a.b.example.org/x?q=1"),
+        ("https://site.io/p?utm_a=1&utm_b=2", "https://site.io/p"),
+        ("https://site.io/p?keep=1&utm_x=2", "https://site.io/p?keep=1"),
+        ("https://Site.io:8080/q", "https://site.io:8080/q"),
+    ]
+    df = igloo.spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    doms = [
+        r["d"]
+        for r in df.select(url_domain(canonicalize_url(F.col("url"))).alias("d")).collect()
+    ]
+    assert doms == ["example.com", "example.org", "site.io", "site.io", "site.io"]
