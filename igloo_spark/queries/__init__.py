@@ -54,39 +54,41 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q36_time_bucket_agg",
     "q66_asof_join",
     "q76_session_window",
+    # -- new in round 4 (no driver verdict yet) --
+    "x82_pii_scrub",
+    "x83_rag_chunking",
+    "x84_touch_attribution",
+    "x85_url_dedup",
+    "q85_grouping_id",
+    "q86_width_bucket",
+    "q87_interval_arithmetic",
+    "q88_map_zip_filter",
+    "q89_stack_rows",
+    "q90_regexp_count_like",
+    "q91_try_to_timestamp",
+    "q92_bitmap_distinct",
     # -- canaries: one representative per already-verified family --
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "q06_revenue_change",
     "q07_outer_join_counts",
-    "q09_semi_join",
-    "q10_anti_join",
     "q13_stat_aggregates",
-    "q14_rollup_grouping",
     "q17_sort_limit_offset",
     "q18_set_operations",
     "q21_subqueries",
-    "q22_cte_top_supplier",
     "q25_datetime_functions",
-    "q27_capitalize_udf",
     "q28_exact_percentiles",
     "q30_window_ranking",
-    "q32_window_range_frame",
     "q37_array_explode",
-    "q53_array_agg",
     "q80_merge_upsert",
     "x40_dedup_exact",
-    "x41_minhash_bands",
-    "x46_ann_bruteforce_topk",
     "x55_ann_ivf_topk",
     "x56_training_data_prep",
-    "x65_sequence_packing",
-    "x72_chunk_dedup",
 )
-# Round-4 rotation (executed): the 15 never-checked queries lead, then
-# the three NTZ-regression fixes, then the rest of the events family
-# (stale pre-regeneration verdicts), then cross-family canaries —
-# exactly 50 entries, the driver's per-round gate window.
+# Round-4 rotation (executed): the 15 queries never driver-checked
+# through r03 lead, then the three NTZ-regression fixes, then the rest
+# of the events family (stale pre-regeneration verdicts), then the 12
+# queries added this round, then cross-family canaries — exactly 50
+# entries, the driver's per-round gate window.
 
 
 def all_queries():
