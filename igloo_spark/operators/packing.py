@@ -105,3 +105,62 @@ def mixture_sample(
         in_default = ~F.col(mix_col).isin(*rates.keys()) & in_default
     gate = in_default if gate is None else (gate | in_default)
     return df.filter(gate)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    Every row gains a ``split`` column chosen by where
+    ``hash(salt || id) % 10000`` falls in the cumulative fraction
+    ranges — a pure map-side expression: no shuffle, no rand(), stable
+    under any partitioning/parallelism, and re-runs (or late-arriving
+    shards at 100 TB) land rows in the same split every time. Changing
+    ``salt`` re-rolls the whole assignment atomically.
+
+    ``fractions`` maps split name → fraction, must sum to 1 (within
+    1e-9); iteration order defines the cumulative ranges, so use the
+    same dict everywhere (dicts preserve insertion order).
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hex_prefix_hash(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    ) % 10000
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = int(round(cum * 10000))
+        cond = bucket < bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql_duckdb(
+    id_expr: str, fractions: dict[str, float] | None = None, salt: str = "split-v1"
+) -> str:
+    """DuckDB expression matching :func:`split_assign` bit-for-bit."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    from igloo_spark.functions.hashing import hex_prefix_hash_sql_duckdb
+
+    bucket = (
+        hex_prefix_hash_sql_duckdb(f"'{salt}:' || CAST({id_expr} AS VARCHAR)")
+        + " % 10000"
+    )
+    names = list(fractions)
+    parts = ["CASE"]
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        parts.append(f"WHEN ({bucket}) < {int(round(cum * 10000))} THEN '{name}'")
+    parts.append(f"ELSE '{names[-1]}' END")
+    return " ".join(parts)

@@ -67,6 +67,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q90_regexp_count_like",
     "q91_try_to_timestamp",
     "q92_bitmap_distinct",
+    "x86_dataset_split",
     # -- canaries: one representative per already-verified family --
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -78,7 +79,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q25_datetime_functions",
     "q28_exact_percentiles",
     "q30_window_ranking",
-    "q37_array_explode",
     "q80_merge_upsert",
     "x40_dedup_exact",
     "x55_ann_ivf_topk",

@@ -1690,12 +1690,12 @@ REGISTRY["x83_rag_chunking"] = _dc.replace(
 def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing-style attribution: for each user who purchased,
     their first event ever and last event before the first purchase.
-    One shuffle keys everything by user_id: the purchase floor is a
-    grouped min, the pre-purchase slice an equi-join on that key, and
-    both touches come from one window pass (rn ascending + descending
-    over the same Exchange)."""
-    from pyspark.sql.window import Window
-
+    Everything is keyed on user_id: the purchase floor is a grouped
+    min, the pre-purchase slice an equi-join on that key, and BOTH
+    touches plus the count come out of ONE aggregation via
+    min_by/max_by with a (ts, event_id) struct tiebreaker — no window
+    sort, no two-branch self-join. The oracle computes the same rows
+    with the row_number formulation."""
     e = table(spark, sf_dir, "events")
     fp = (
         e.filter(F.col("event_type") == "purchase")
@@ -1703,35 +1703,23 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("first_purchase"))
     )
     pre = e.join(fp, "user_id").filter(F.col("ts") < F.col("first_purchase"))
-    w = Window.partitionBy("user_id")
-    ranked = pre.select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn_first"),
-        F.row_number()
-        .over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
-        .alias("rn_last"),
-        F.count("*").over(w).alias("n_pre_events"),
-    )
-    first = ranked.filter(F.col("rn_first") == 1).select(
-        "user_id",
-        F.col("event_type").alias("first_touch"),
-        F.col("ts").alias("first_touch_ts"),
-        F.col("n_pre_events").cast("bigint").alias("n_pre_events"),
-    )
-    last = ranked.filter(F.col("rn_last") == 1).select(
-        "user_id",
-        F.col("event_type").alias("last_touch"),
-        F.col("ts").alias("last_touch_ts"),
-    )
-    return first.join(last, "user_id").select(
-        "user_id",
-        "first_touch",
-        "first_touch_ts",
-        "last_touch",
-        "last_touch_ts",
-        "n_pre_events",
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    touch = F.struct(F.col("event_type"), F.col("ts"))
+    return (
+        pre.groupBy("user_id")
+        .agg(
+            F.min_by(touch, order).alias("f"),
+            F.max_by(touch, order).alias("l"),
+            F.count("*").alias("n_pre_events"),
+        )
+        .select(
+            "user_id",
+            F.col("f.event_type").alias("first_touch"),
+            F.col("f.ts").alias("first_touch_ts"),
+            F.col("l.event_type").alias("last_touch"),
+            F.col("l.ts").alias("last_touch_ts"),
+            F.col("n_pre_events").cast("bigint").alias("n_pre_events"),
+        )
     )
 
 
@@ -1807,4 +1795,49 @@ def _x85_oracle() -> str:
 
 REGISTRY["x85_url_dedup"] = _dc.replace(
     REGISTRY["x85_url_dedup"], oracle=_x85_oracle()
+)
+
+
+@register(
+    "x86_dataset_split",
+    "deterministic hash-gated train/val/test split with per-split rollup",
+    None,  # oracle attached below (shares the CASE text with the operator)
+    tags=("sampling", "llm"),
+)
+def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible dataset splits (operators/packing.split_assign):
+    a pure map-side hash expression assigns every document, so any
+    parallelism — or a re-run over late shards at 100 TB — lands each
+    row in the same split; the rollup is the only shuffle."""
+    from igloo_spark.operators.packing import split_assign
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+def _x86_oracle() -> str:
+    from igloo_spark.operators.packing import split_assign_sql_duckdb
+
+    case = split_assign_sql_duckdb("doc_id")
+    return f"""
+    SELECT {case} AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents GROUP BY 1
+    """
+
+
+REGISTRY["x86_dataset_split"] = _dc.replace(
+    REGISTRY["x86_dataset_split"], oracle=_x86_oracle()
 )

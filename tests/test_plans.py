@@ -399,3 +399,47 @@ def test_hypertable_rollup_single_scan(spark):
     plan = explain_str(spec("x76_hypertable_rollup").spark(spark, SF), "simple")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Expand" in plan
+
+
+def test_rag_chunking_zero_shuffle(spark):
+    """Chunk explode is map-side only: split → sequence/transform →
+    posexplode with no exchange — the chunk stream must feed the
+    embedding stage partition-local at 100 TB."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("x83_rag_chunking").spark(spark, SF))
+    assert a.shuffles == 0
+    assert a.python_row_udfs == 0
+
+
+def test_pii_scrub_single_rollup_shuffle(spark):
+    """All four PII detectors + redaction delta run inside the scan
+    stage; the only exchange is the per-source rollup."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("x82_pii_scrub").spark(spark, SF))
+    assert a.shuffles == 1
+    assert a.python_row_udfs == 0
+
+
+def test_touch_attribution_no_window_sort(spark):
+    """Both touches come from one min_by/max_by aggregation: at most
+    the purchase-floor rollup + the final agg exchange, never a
+    cartesian or a per-user window sort chain."""
+    from igloo_spark.plans import audit_plan
+
+    a = audit_plan(spec("x84_touch_attribution").spark(spark, SF))
+    assert a.shuffles <= 2
+    assert a.cartesian_products == 0
+
+
+def test_dataset_split_map_side(spark):
+    """Split assignment itself must be shuffle-free; x86's one
+    exchange is the per-split rollup."""
+    from igloo_spark.operators.packing import split_assign
+    from igloo_spark.plans import audit_plan
+    from igloo_spark.sources import load_testdata_table
+
+    d = load_testdata_table(spark, SF, "documents")
+    assert audit_plan(split_assign(d, "doc_id")).shuffles == 0
+    assert audit_plan(spec("x86_dataset_split").spark(spark, SF)).shuffles == 1

@@ -383,3 +383,29 @@ def test_connected_components_matches_union_find(igloo, pairs):
     edges = igloo.spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == _union_find_components(pairs)
+
+
+def test_split_assign_deterministic_and_exclusive(igloo):
+    """Hash-gated splits: stable across re-runs and repartitioning,
+    exhaustive and mutually exclusive, fractions roughly honored, and
+    a salt change re-rolls assignments."""
+    from igloo_spark.operators.packing import split_assign
+
+    df = igloo.spark.range(2000).toDF("id")
+    a = {r["id"]: r["split"] for r in split_assign(df, "id").collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in split_assign(df.repartition(7), "id").collect()
+    }
+    assert a == b, "assignment must not depend on partitioning"
+    assert set(a.values()) <= {"train", "val", "test"}
+    n = len(a)
+    train_frac = sum(1 for s in a.values() if s == "train") / n
+    assert 0.75 < train_frac < 0.85
+    c = {r["id"]: r["split"] for r in split_assign(df, "id", salt="v2").collect()}
+    assert c != a, "salt change must re-roll"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, "id", fractions={"train": 0.5, "val": 0.1})
