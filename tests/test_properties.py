@@ -131,7 +131,11 @@ def test_queries_robust_to_non_utc_driver_session():
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         qs, osql = e.queries(), e.oracle_sql()
-        for name in ("q58_epoch_roundtrip", "q76_session_window"):
+        for name in (
+            "q58_epoch_roundtrip",
+            "q76_session_window",
+            "x84_touch_attribution",  # raw event timestamps in the result
+        ):
             assert_matches_oracle(
                 qs[name](spark, "/root/testdata/sf0.001"), osql[name], "/root/testdata/sf0.001"
             )

@@ -122,3 +122,32 @@ def test_second_batch_operators_scale_flat(spark):
         # 10x data, well under 10x time (x79's exact-percentile sort is
         # the worst case at ~4x; see SCALE.md for the approx swap)
         assert ratio < 8, (name, ratio)
+
+
+def test_round4_operators_scale_flat(spark):
+    """Round-4 operators at sf0.01 → sf0.1 (10× docs/events): PII
+    scrub, chunking, attribution, URL dedup, and splits are map-side
+    + one small rollup, so warm cost must grow well under the data
+    growth."""
+    from igloo_spark.queries import all_queries
+
+    qs = all_queries()
+    names = [
+        "x82_pii_scrub",
+        "x83_rag_chunking",
+        "x84_touch_attribution",
+        "x85_url_dedup",
+        "x86_dataset_split",
+    ]
+    for name in names:
+        warm = {}
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            spec = qs[name]
+            spec.spark(spark, sf).count()  # codegen warmup
+            t0 = time.perf_counter()
+            spec.spark(spark, sf).count()
+            warm[sf] = time.perf_counter() - t0
+        ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
+        print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
+              f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
+        assert ratio < 8, (name, ratio)

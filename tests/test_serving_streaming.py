@@ -429,3 +429,56 @@ def test_versioned_stream_sink_exactly_once(igloo, tmp_path):
     versioned_stream_sink(root)(replay, committed + 1)
     assert read_versioned(igloo.spark, root).count() == 9
     assert last_committed_batch(root) == committed + 1
+
+
+def test_streaming_pii_scrub(igloo, tmp_path):
+    """The PII functions are stateless column expressions, so they
+    compose with readStream unchanged — the ingest-time scrub an LLM
+    pipeline runs before raw text ever lands. Verifies counts and
+    redaction on a file stream, micro-batch by micro-batch."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from igloo_spark.functions.text import pii_count, redact_pii
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "mail me at a@b.io today"},
+                {"doc_id": 2, "text": "clean document"},
+            ]
+        )
+    )
+    (src / "b2.json").write_text(
+        _json.dumps({"doc_id": 3, "text": "ssn 123-45-6789 leaked"})
+    )
+    schema = "doc_id BIGINT, text STRING"
+    stream = (
+        igloo.spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    scrubbed = stream.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("text"),
+        (pii_count(F.col("text"), "email") + pii_count(F.col("text"), "ssn")).alias(
+            "n_pii"
+        ),
+    )
+    q = (
+        scrubbed.writeStream.format("memory")
+        .queryName("pii_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pii_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.doc_id: r for r in igloo.spark.sql("SELECT * FROM pii_out").collect()}
+    assert out[1].text == "mail me at [EMAIL] today" and out[1].n_pii == 1
+    assert out[2].text == "clean document" and out[2].n_pii == 0
+    assert out[3].text == "ssn [SSN] leaked" and out[3].n_pii == 1
