@@ -537,3 +537,52 @@ def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return retention_cohorts(e, grain="week")
+
+
+@register(
+    "q93_rolling_zscore",
+    "rolling z-score anomaly flags: value vs trailing 20-event mean/std per user",
+    """
+    WITH stats AS (
+        SELECT user_id, event_id, ts, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sd,
+               count(*) OVER w AS n_hist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, value,
+           round((value - mu) / sd, 6) AS z
+    FROM stats
+    WHERE n_hist >= 5 AND sd > 0 AND abs(round((value - mu) / sd, 6)) > 2.5
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry anomaly gate: each event's value scored against its
+    own user's trailing 20-event distribution — one window pass on the
+    user-keyed exchange (the same single-Exchange shape as q33/x77).
+    The >= 5-event history floor avoids unstable early stds; z is
+    rounded before thresholding so both engines flag identical rows.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    stats = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        stats.filter((F.col("n_hist") >= 5) & (F.col("sd") > 0))
+        .select("user_id", "event_id", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )

@@ -1841,3 +1841,87 @@ def _x86_oracle() -> str:
 REGISTRY["x86_dataset_split"] = _dc.replace(
     REGISTRY["x86_dataset_split"], oracle=_x86_oracle()
 )
+
+
+@register(
+    "x87_pagerank_dupgraph",
+    "3-iteration PageRank over the near-dup pair graph (canonical-doc ranking)",
+    None,  # oracle attached below (nests the x44 pair oracle as a CTE)
+    tags=("dedup", "iterative", "llm"),
+)
+def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-algorithm coverage beyond connected components:
+    PageRank (damping 0.85, 3 unrolled iterations) over the symmetric
+    near-dup graph — the centrality signal that picks the canonical
+    representative of a dup cluster. Each iteration is one
+    hash-partitioned join + groupBy on the node id (same scale shape
+    as connected_components); degree and node count are computed once
+    and reused. Deterministic: fixed iteration count, rounded output.
+    """
+    from igloo_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "source"], n=2, threshold=0.2
+    ).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint()  # reused 3x: cut the pair-gen lineage
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n = edges.select("src").distinct().count()
+    ranks = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(0.15 / n) + F.lit(0.85) * F.sum("c")).alias("r")
+        )
+    return ranks.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round("r", 8).alias("rank"),
+    )
+
+
+def _x87_oracle() -> str:
+    pair_sql = REGISTRY["x44_ngram_jaccard_pairs"].oracle
+    return f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({pair_sql})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+    r0 AS (SELECT DISTINCT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM edges),
+    r1 AS (
+        SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(r0.r / deg.d) AS r
+        FROM edges e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(r1.r / deg.d) AS r
+        FROM edges e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ),
+    r3 AS (
+        SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn) + 0.85 * sum(r2.r / deg.d) AS r
+        FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    )
+    SELECT CAST(node AS BIGINT) AS node, round(r, 8) AS rank FROM r3
+    """
+
+
+REGISTRY["x87_pagerank_dupgraph"] = _dc.replace(
+    REGISTRY["x87_pagerank_dupgraph"], oracle=_x87_oracle()
+)
