@@ -68,6 +68,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q91_try_to_timestamp",
     "q92_bitmap_distinct",
     "x86_dataset_split",
+    "x87_pagerank_dupgraph",
+    "q93_rolling_zscore",
     # -- canaries: one representative per already-verified family --
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -77,8 +79,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q18_set_operations",
     "q21_subqueries",
     "q25_datetime_functions",
-    "q28_exact_percentiles",
-    "q30_window_ranking",
     "q80_merge_upsert",
     "x40_dedup_exact",
     "x55_ann_ivf_topk",
