@@ -413,3 +413,78 @@ def test_split_assign_deterministic_and_exclusive(igloo):
 
     with pytest.raises(ValueError, match="sum to 1"):
         split_assign(df, "id", fractions={"train": 0.5, "val": 0.1})
+
+
+def test_pii_and_url_functions_cross_engine_parity(igloo, tmp_path):
+    """Differential guard for the regex-based functions: Java regex
+    (Spark) and RE2 (DuckDB) must agree on every PII count, the full
+    redacted string, and the canonical URL over adversarial inputs —
+    boundary digits, nested punctuation, multiple matches per line,
+    near-misses, unicode neighbors, empty strings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import assert_matches_oracle
+    from igloo_spark.functions.text import (
+        canonicalize_url,
+        canonicalize_url_sql,
+        pii_count,
+        pii_count_sql,
+        redact_pii,
+        redact_pii_sql,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "",
+        " ",
+        "a@b.c",  # TLD too short -> not an email
+        "a@b.io",
+        "x.y+z@sub.dom.example.museum trailing",
+        "999-99-9999 123-456-7890 1.2.3.4",
+        "123-45-678 not an ssn; 1234-56-7890 not a phone",
+        "ip 999.999.999.999 matches the shape on purpose",
+        "two in a row: a@b.io c@d.io",
+        "email@dom.com.",  # trailing dot stays outside the match
+        "Émile’s café at 10.0.0.1 — unicode neighbors",
+        "phone.415.555.1234.phone",
+        "55.123-45-6789-77",
+    ]
+    urls = [
+        "https://EXAMPLE.com",
+        "https://example.com/",
+        "https://example.com:443",
+        "http://example.com:80/a/b?utm_x=1",
+        "https://h.example.io/p?a=1&utm_b=2&c=3#f",
+        "ftp://Files.Example.ORG/pub/",
+        "https://x.io/?utm_only=1",
+        "https://x.io/path#only-frag",
+    ]
+    n = max(len(texts), len(urls))
+    texts += [""] * (n - len(texts))
+    urls += ["https://pad.io"] * (n - len(urls))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "url": pa.array(urls, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    df = igloo.spark.read.parquet(str(tmp_path / "documents.parquet")).select(
+        "doc_id",
+        *[pii_count(F.col("text"), k).alias(f"n_{k}") for k in ("email", "ssn", "phone", "ipv4")],
+        redact_pii(F.col("text")).alias("red"),
+        canonicalize_url(F.col("url")).alias("canon"),
+    )
+    oracle = (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"{pii_count_sql('text', k)} AS n_{k}"
+            for k in ("email", "ssn", "phone", "ipv4")
+        )
+        + f", {redact_pii_sql('text')} AS red"
+        + f", {canonicalize_url_sql('url')} AS canon FROM documents"
+    )
+    assert_matches_oracle(df, oracle, str(tmp_path))
