@@ -231,16 +231,18 @@ def redact_pii_sql(expr: str) -> str:
 def canonicalize_url(url: Column) -> Column:
     """Canonical URL for dedup keys: drop the #fragment, drop utm_*
     tracking params (fixing a dangling '?'/'&'), lowercase scheme+host,
-    strip a default :80/:443 port and any trailing slash. Pure
-    regexp_replace chain — codegen'd, matched step-for-step by
-    :func:`canonicalize_url_sql` so oracles agree."""
+    strip the scheme's OWN default port (http:80, https:443 — an
+    http://host:443 is a genuinely distinct endpoint and is kept) and
+    any trailing slash. Pure regexp_replace chain — codegen'd, matched
+    step-for-step by :func:`canonicalize_url_sql` so oracles agree."""
     u = F.regexp_replace(url, r"#.*$", "")  # fragment
     u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")  # tracking params
     u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")  # '&' left leading the query
     u = F.regexp_replace(u, r"\?$", "")  # empty query
-    # lowercase scheme://host[:port] (never the path), drop default ports
+    # lowercase scheme://host[:port] (never the path), drop default port
     head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1))
-    head = F.regexp_replace(head, r":(80|443)$", "")
+    head = F.regexp_replace(head, r"^(http://[^/:]+):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/:]+):443$", r"$1")
     tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
     u = F.concat(head, tail)
     return F.regexp_replace(u, r"/$", "")
@@ -251,7 +253,9 @@ def canonicalize_url_sql(expr: str) -> str:
     u = f"regexp_replace({u}, '[?&]utm_[^&#]*', '', 'g')"
     u = f"regexp_replace({u}, '^([^?]*)&', '\\1?')"
     u = f"regexp_replace({u}, '\\?$', '')"
-    head = f"regexp_replace(lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)), ':(80|443)$', '')"
+    head = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1))"
+    head = f"regexp_replace({head}, '^(http://[^/:]+):80$', '\\1')"
+    head = f"regexp_replace({head}, '^(https://[^/:]+):443$', '\\1')"
     tail = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '')"
     return f"regexp_replace({head} || {tail}, '/$', '')"
 

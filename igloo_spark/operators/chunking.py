@@ -33,6 +33,7 @@ def sliding_chunks(
     covers tokens ``[i*stride, i*stride + chunk_tokens)``; the last
     window starts at the largest ``i*stride`` still inside the doc, so
     every token lands in >= 1 chunk and no empty chunks are emitted.
+    Empty / whitespace-only documents produce no rows.
 
     Returns (id, chunk_idx, n_tokens, chunk) — one row per window.
     """
@@ -50,10 +51,10 @@ def sliding_chunks(
         )
     )
     return (
-        df.select(F.col(id_col), toks.alias("ts"))
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("ts"))
         .select(
             id_col,
-            F.size("ts").alias("__n"),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), n_win - 1),
@@ -80,6 +81,7 @@ def sliding_chunks_sql(
         SELECT {id_expr} AS id,
                string_split(regexp_replace(trim({text_expr}), '[ ]+', ' ', 'g'), ' ') AS ts
         FROM {table}
+        WHERE length(trim({text_expr})) > 0
     ),
     wins AS (
         SELECT id, ts,

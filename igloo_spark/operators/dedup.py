@@ -365,6 +365,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     converged = False
+    prev_cached: DataFrame | None = None
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"), F.col("label")
@@ -396,6 +397,12 @@ def connected_components(
                     F.col("x.label"), F.coalesce(F.col("llabel"), F.col("x.label"))
                 ).alias("label"),
             )
+            # cache, not checkpoint: new_labels is read 3x (the changed
+            # count, next round's neigh join + union) and its lineage is
+            # already shallow (one join over the checkpointed prop);
+            # checkpointing the self-join result trips the same
+            # optimizer attribute-dedup bug prop's checkpoint avoids
+            .cache()
         )
         changed = (
             new_labels.alias("n")
@@ -403,6 +410,9 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
             converged = True

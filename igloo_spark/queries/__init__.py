@@ -86,9 +86,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 # Round-4 rotation (executed): the 15 queries never driver-checked
 # through r03 lead, then the three NTZ-regression fixes, then the rest
-# of the events family (stale pre-regeneration verdicts), then the 12
-# queries added this round, then cross-family canaries — exactly 50
-# entries, the driver's per-round gate window.
+# of the events family (stale pre-regeneration verdicts), then the 15
+# queries added this round (x82-x87, q85-q93), then cross-family
+# canaries — exactly 50 entries, the driver's per-round gate window.
 
 
 def all_queries():

@@ -24,8 +24,10 @@ from igloo_spark.functions.text import (
     doc_fingerprint_sql,
     language_id,
     language_id_sql,
+    pii_count_sql,
     quality_score,
     quality_score_sql,
+    redact_pii_sql,
     repetition_ratio_sql,
     token_count,
     token_count_sql,
@@ -1581,11 +1583,11 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(delta_chars) AS BIGINT) AS delta_chars
     FROM per_doc GROUP BY source
     """.format(
-        email=__import__("igloo_spark.functions.text", fromlist=["x"]).pii_count_sql("text", "email"),
-        ssn=__import__("igloo_spark.functions.text", fromlist=["x"]).pii_count_sql("text", "ssn"),
-        phone=__import__("igloo_spark.functions.text", fromlist=["x"]).pii_count_sql("text", "phone"),
-        ipv4=__import__("igloo_spark.functions.text", fromlist=["x"]).pii_count_sql("text", "ipv4"),
-        redacted=__import__("igloo_spark.functions.text", fromlist=["x"]).redact_pii_sql("text"),
+        email=pii_count_sql("text", "email"),
+        ssn=pii_count_sql("text", "ssn"),
+        phone=pii_count_sql("text", "phone"),
+        ipv4=pii_count_sql("text", "ipv4"),
+        redacted=redact_pii_sql("text"),
     ),
     tags=("text", "pii", "llm"),
 )
@@ -1870,6 +1872,10 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.localCheckpoint()  # reused 3x: cut the pair-gen lineage
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     n = edges.select("src").distinct().count()
+    if n == 0:
+        # empty dup graph (e.g. a fixture with no near-dup pairs):
+        # match the oracle's empty result instead of dividing by zero
+        return spark.createDataFrame([], "node bigint, rank double")
     ranks = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
     )

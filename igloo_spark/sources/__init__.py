@@ -66,7 +66,19 @@ def load_testdata_table(spark: SparkSession, sf_dir: str, table: str) -> DataFra
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # Interpret the NTZ wall clock as UTC *independent of the
+            # session timezone* (a plain cast would shift by the session
+            # TZ at execution time — and the cast is lazy, so even a
+            # conf pin here could be undone before the query runs):
+            # rewrite the wall clock from UTC into the execution-time
+            # session TZ, then cast — the two conversions cancel into
+            # the correct UTC instant under any session TZ.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
+                ),
+            )
     return df
 
 

@@ -233,6 +233,9 @@ def test_url_canonicalize_edge_cases(igloo):
         ("https://site.io/p?utm_a=1&utm_b=2", "https://site.io/p"),
         ("https://site.io/p?keep=1&utm_x=2", "https://site.io/p?keep=1"),
         ("https://Site.io:8080/q", "https://site.io:8080/q"),
+        # non-default scheme/port combos are distinct endpoints — kept
+        ("http://h.io:443/x", "http://h.io:443/x"),
+        ("https://h.io:80/x", "https://h.io:80/x"),
     ]
     df = igloo.spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
@@ -244,4 +247,12 @@ def test_url_canonicalize_edge_cases(igloo):
         r["d"]
         for r in df.select(url_domain(canonicalize_url(F.col("url"))).alias("d")).collect()
     ]
-    assert doms == ["example.com", "example.org", "site.io", "site.io", "site.io"]
+    assert doms == [
+        "example.com",
+        "example.org",
+        "site.io",
+        "site.io",
+        "site.io",
+        "h.io",
+        "h.io",
+    ]
