@@ -120,24 +120,26 @@ def test_approx_sketches_within_error_bounds(spark):
 def test_queries_robust_to_non_utc_driver_session():
     """The driver's gate may call queries() with a session built
     without our UTC default; registry.table() pins the timezone at
-    runtime so ltz↔ntz conversions stay oracle-compatible."""
+    runtime and the loader's NTZ normalization is session-TZ-
+    independent, so ltz↔ntz conversions stay oracle-compatible. Runs
+    the ENTIRE events-tagged family (every query that touches the ts
+    column) plus the epoch roundtrip under a non-UTC session."""
     from pyspark.sql import SparkSession
 
+    from igloo_spark.queries import all_queries
     from tests.conftest import assert_matches_oracle
-    import __spark_entry__ as e
 
     spark = SparkSession.builder.getOrCreate()
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        qs, osql = e.queries(), e.oracle_sql()
-        for name in (
-            "q58_epoch_roundtrip",
-            "q76_session_window",
-            "x84_touch_attribution",  # raw event timestamps in the result
-        ):
+        for name, s in all_queries().items():
+            if "events" not in s.tags or s.oracle is None:
+                continue
             assert_matches_oracle(
-                qs[name](spark, "/root/testdata/sf0.001"), osql[name], "/root/testdata/sf0.001"
+                s.spark(spark, "/root/testdata/sf0.001"),
+                s.oracle,
+                "/root/testdata/sf0.001",
             )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
