@@ -70,13 +70,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x86_dataset_split",
     "x87_pagerank_dupgraph",
     "q93_rolling_zscore",
+    "x88_unigram_logprob",
+    "q94_explode_outer",
+    "q95_forward_fill",
     # -- canaries: one representative per already-verified family --
     "q01_pricing_summary",
     "q03_shipping_priority",
-    "q07_outer_join_counts",
     "q13_stat_aggregates",
-    "q17_sort_limit_offset",
-    "q18_set_operations",
     "q21_subqueries",
     "q25_datetime_functions",
     "q80_merge_upsert",
@@ -86,8 +86,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 # Round-4 rotation (executed): the 15 queries never driver-checked
 # through r03 lead, then the three NTZ-regression fixes, then the rest
-# of the events family (stale pre-regeneration verdicts), then the 15
-# queries added this round (x82-x87, q85-q93), then cross-family
+# of the events family (stale pre-regeneration verdicts), then the 18
+# queries added this round (x82-x88, q85-q95), then cross-family
 # canaries — exactly 50 entries, the driver's per-round gate window.
 
 

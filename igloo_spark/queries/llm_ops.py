@@ -1931,3 +1931,60 @@ def _x87_oracle() -> str:
 REGISTRY["x87_pagerank_dupgraph"] = _dc.replace(
     REGISTRY["x87_pagerank_dupgraph"], oracle=_x87_oracle()
 )
+
+
+@register(
+    "x88_unigram_logprob",
+    "statistical quality score: mean unigram log-prob under corpus frequencies (top-1000 vocab, smoothed OOV)",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ')) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT sum(c) AS n FROM freq),
+    vocab AS (SELECT tok, c FROM freq ORDER BY c DESC, tok ASC LIMIT 1000),
+    scored AS (
+        SELECT t.doc_id,
+               ln(coalesce(v.c, 0.5) / (SELECT n FROM total)) AS lp
+        FROM toks t LEFT JOIN vocab v USING (tok)
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(lp), 6) AS mean_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style quality proxy without a model: score each document
+    by its tokens' corpus-level unigram log-probabilities. The shape
+    is the canonical two-pass statistical scorer — one shuffle builds
+    the frequency table, the top-1000 vocabulary (tiny by
+    construction) broadcasts back, and scoring + the per-doc rollup
+    ride the token stream. At 100 TB the vocab cap is what makes the
+    broadcast safe regardless of corpus vocabulary growth; out-of-vocab
+    tokens get a 0.5-count floor (additive smoothing)."""
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.trim("text"), "[ ]+", " "), " ")
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    vocab = freq.orderBy(F.desc("c"), F.asc("tok")).limit(1000)
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.coalesce(F.col("c"), F.lit(0.5)) / F.col("n")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )

@@ -1030,3 +1030,72 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_distinct("l_suppkey", "n_supp").join(
         bitmap_distinct("l_partkey", "n_part"), "l_returnflag"
     )
+
+
+@register(
+    "q94_explode_outer",
+    "explode_outer: generator preserving rows whose array is empty",
+    """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' '),
+                           t -> length(t) >= 10) AS longtoks
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT a.doc_id, u.tok
+    FROM arrs a LEFT JOIN (
+        SELECT doc_id, unnest(longtoks) AS tok FROM arrs
+    ) u USING (doc_id)
+    """,
+    tags=("generator", "complex-types"),
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer (q37/q60 cover plain explode): documents with NO
+    long token survive as a (doc_id, NULL) row — the outer-generator
+    semantic a filter-then-flatten pipeline needs to avoid silently
+    dropping rows. The oracle spells it LEFT JOIN unnest."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    arr = F.filter(
+        F.split(F.regexp_replace(F.trim("text"), "[ ]+", " "), " "),
+        lambda t: F.length(t) >= 10,
+    )
+    return d.select("doc_id", F.explode_outer(arr).alias("tok"))
+
+
+@register(
+    "q95_forward_fill",
+    "IGNORE NULLS window: forward-fill the last non-null reading per user",
+    """
+    SELECT user_id, event_id, ts, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events WHERE user_id < 50
+    )
+    """,
+    tags=("window", "events"),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value(... IGNORE NULLS) — the gap-filling idiom for sensor
+    / telemetry streams (error readings nulled, then forward-filled
+    from the same user's history in one window pass)."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    src = e.select("user_id", "event_id", "ts", v.alias("v"))
+    return src.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
