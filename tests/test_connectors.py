@@ -506,3 +506,66 @@ def test_versioned_schema_evolution(spark, tmp_path):
     rows = {r["id"]: r["extra"] for r in merged.collect()}
     assert rows[0] is None and rows[4] == "new"
     assert merged.count() == 5
+
+
+def test_csv_json_corrupt_record_modes(spark, tmp_path):
+    """Dirty-ingest surface: the three reader modes Spark offers for
+    malformed rows — PERMISSIVE (null-fill + _corrupt_record),
+    DROPMALFORMED (silently skip), FAILFAST (raise) — on both CSV and
+    JSON. A 100 TB crawl drop always contains garbage lines; mode
+    choice is the difference between a poisoned column, a silent gap,
+    and a failed job."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    csv_path = tmp_path / "dirty.csv"
+    csv_path.write_text("id,v\n1,10\n2,notanum\n3,30\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", LongType())]
+    )
+
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(str(csv_path))
+    )
+    rows = {r["id"]: r["v"] for r in permissive.collect()}
+    assert rows == {1: 10, 2: None, 3: 30}
+
+    dropped = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(csv_path))
+    )
+    assert {r["id"] for r in dropped.collect()} == {1, 3}
+
+    failfast = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(str(csv_path))
+    )
+    with _pytest.raises(Exception, match="FAILFAST|Malformed"):
+        failfast.collect()
+
+    json_path = tmp_path / "dirty.jsonl"
+    json_path.write_text('{"id": 1, "v": 10}\nnot json at all\n{"id": 3, "v": 30}\n')
+    jschema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    pj = spark.read.schema(jschema).json(str(json_path))
+    bad = pj.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json at all"
+    good = {r["id"]: r["v"] for r in pj.filter("_corrupt_record IS NULL").collect()}
+    assert good == {1: 10, 3: 30}

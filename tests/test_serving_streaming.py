@@ -482,3 +482,72 @@ def test_streaming_pii_scrub(igloo, tmp_path):
     assert out[1].text == "mail me at [EMAIL] today" and out[1].n_pii == 1
     assert out[2].text == "clean document" and out[2].n_pii == 0
     assert out[3].text == "ssn [SSN] leaked" and out[3].n_pii == 1
+
+
+def test_streaming_ingest_pipeline_end_to_end(igloo, tmp_path):
+    """The full ingest composition a training pipeline runs on a raw
+    document stream: quality gate (token floor) → PII scrub →
+    exactly-once versioned sink — then a batch reader sees the scrubbed
+    state, a replayed micro-batch commits nothing, and time travel
+    still shows the first micro-batch alone."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from igloo_spark.functions.text import redact_pii, token_count
+    from igloo_spark.sources.versioned import (
+        last_committed_batch,
+        read_versioned,
+        snapshots,
+        versioned_stream_sink,
+    )
+
+    src = tmp_path / "raw_docs"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "reach me at a@b.io for the full dataset details"},
+                {"doc_id": 2, "text": "short"},  # fails the token floor
+                {"doc_id": 3, "text": "a clean document with enough tokens to pass easily"},
+            ]
+        )
+    )
+    (src / "b2.jsonl").write_text(
+        _json.dumps(
+            {"doc_id": 4, "text": "second batch calls 415-555-1234 about the corpus"}
+        )
+    )
+
+    root = str(tmp_path / "clean_docs")
+    stream = (
+        igloo.spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    cleaned = stream.filter(token_count(F.col("text")) >= 5).select(
+        "doc_id", redact_pii(F.col("text")).alias("text")
+    )
+    q = (
+        cleaned.writeStream.foreachBatch(versioned_stream_sink(root, mode="append"))
+        .option("checkpointLocation", str(tmp_path / "ingest_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = {r["doc_id"]: r["text"] for r in read_versioned(igloo.spark, root).collect()}
+    assert set(out) == {1, 3, 4}, "quality gate must drop doc 2"
+    assert out[1] == "reach me at [EMAIL] for the full dataset details"
+    assert out[4] == "second batch calls [PHONE] about the corpus"
+
+    # exactly-once: replaying the last committed batch is a no-op
+    wm = last_committed_batch(root)
+    n_snaps = len(snapshots(root))
+    replay = igloo.spark.createDataFrame([(9, "replayed row not committed")], "doc_id bigint, text string")
+    versioned_stream_sink(root, mode="append")(replay, wm)
+    assert len(snapshots(root)) == n_snaps
+
+    # time travel: the first snapshot holds only micro-batch 1's docs
+    assert {r["doc_id"] for r in read_versioned(igloo.spark, root, version=1).collect()} == {1, 3}
