@@ -28,11 +28,14 @@ def main() -> int:
     # warmup: JVM + parquet footer caches
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # Each query runs twice: the first (cold) run pays one-time
-    # whole-stage-codegen compilation for the query shape; the second
-    # (warm) run is the steady-state cost that scales with data volume
-    # — the number that matters at 100 TB, where compilation amortizes
-    # to zero. Both are reported; "value" is the warm total.
+    # Each query runs three times: the first (cold) run pays one-time
+    # whole-stage-codegen compilation for the query shape; the warm
+    # number is the MIN of the next two runs — the steady-state cost
+    # that scales with data volume (what matters at 100 TB, where
+    # compilation amortizes to zero). Min-of-two keeps a transient
+    # host-contention burst (shared-VM CPU steal) from poisoning the
+    # round's recorded number; both are reported, "value" is the warm
+    # total.
     # Stable name order: all_queries() is ordered for the correctness
     # gate's rotation and reshuffles between rounds, which would move
     # JIT-warmup cost onto whichever query happens to run first and
@@ -44,9 +47,12 @@ def main() -> int:
         t0 = time.perf_counter()
         n = spec.spark(spark, sf_dir).count()
         cold[spec.name] = round(time.perf_counter() - t0, 4)
-        t1 = time.perf_counter()
-        n = spec.spark(spark, sf_dir).count()
-        timings[spec.name] = round(time.perf_counter() - t1, 4)
+        warm_runs = []
+        for _ in range(2):
+            t1 = time.perf_counter()
+            n = spec.spark(spark, sf_dir).count()
+            warm_runs.append(time.perf_counter() - t1)
+        timings[spec.name] = round(min(warm_runs), 4)
         print(
             f"# {spec.name}: cold {cold[spec.name]:.3f}s warm {timings[spec.name]:.3f}s ({n} rows)",
             file=sys.stderr,
