@@ -74,6 +74,10 @@ def main() -> int:
                 "cold_total": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": sf_val,
+                # methodology marker: r01-r03 recorded a single warm
+                # pass; from r04 warm is min-of-2 (see comment above),
+                # which biases at most slightly low vs earlier rounds
+                "warm_policy": "min_of_2",
             }
         )
     )

@@ -73,7 +73,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x88_unigram_logprob",
     "q94_explode_outer",
     "q95_forward_fill",
-    # -- canaries: one representative per already-verified family --
+    # -- canaries from high-traffic verified families (not exhaustive:
+    # outer-join/sort-limit/set-op canaries were displaced by this
+    # round's new queries; they re-enter next rotation) --
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q13_stat_aggregates",

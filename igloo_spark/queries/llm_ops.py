@@ -1973,7 +1973,10 @@ def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.regexp_replace(F.trim("text"), "[ ]+", " "), " ")
         ).alias("tok"),
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # cache: freq (vocabulary-sized, tiny vs the corpus) feeds two
+    # downstream jobs (total + vocab top-k) — without it the full
+    # token-explode shuffle would run twice
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c")).cache()
     total = freq.agg(F.sum("c").alias("n"))
     vocab = freq.orderBy(F.desc("c"), F.asc("tok")).limit(1000)
     scored = (

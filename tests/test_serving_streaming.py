@@ -519,6 +519,14 @@ def test_streaming_ingest_pipeline_end_to_end(igloo, tmp_path):
             {"doc_id": 4, "text": "second batch calls 415-555-1234 about the corpus"}
         )
     )
+    # FileStreamSource orders by mtime with filesystem-dependent tie
+    # order; pin distinct mtimes so b1 is deterministically batch 0
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "b1.jsonl", (now - 10, now - 10))
+    _os.utime(src / "b2.jsonl", (now, now))
 
     root = str(tmp_path / "clean_docs")
     stream = (

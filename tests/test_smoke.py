@@ -516,3 +516,25 @@ def test_funnel_conversion_window(spark):
 
     with pytest.raises(ValueError, match="within"):
         funnel_counts(df, ["view"], within="soonish")
+
+
+def test_driver_entry_contract(igloo):
+    """The external driver's actual contract surface: entry(spark)
+    returns a DataFrame with rows and a stable schema; queries() maps
+    the full registry; oracle_sql() covers every oracle-backed query
+    with matching keys. This test is the in-repo stand-in for the
+    driver's smoke gate — keep it importing __spark_entry__ directly."""
+    import __spark_entry__ as e
+
+    from igloo_spark.queries import all_queries
+
+    df = e.entry(igloo.spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+    qs, osql = e.queries(), e.oracle_sql()
+    reg = all_queries()
+    assert set(qs) == set(reg)
+    assert set(osql) == {n for n, s in reg.items() if s.oracle is not None}
+    assert all(callable(fn) for fn in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
