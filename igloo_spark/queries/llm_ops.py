@@ -1492,11 +1492,11 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id, l2_norm,
-           list_transform(
+           array_to_string(list_transform(
                embedding::DOUBLE[],
                x -> CAST(floor(x / (CASE WHEN l2_norm = 0 THEN 1.0 ELSE l2_norm END)
                                * 127.0 + 0.5) AS BIGINT)
-           ) AS q8,
+           ), ',') AS q8,
            CAST(len(embedding) AS BIGINT) AS dim
     FROM n
     """,
@@ -1506,10 +1506,19 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The store-side prep before ANN indexing: unit-normalize so
     cosine becomes dot, int8-quantize for the 4x footprint cut.
     floor(+0.5) quantization so both engines agree bit-for-bit
-    (operators/similarity.py:normalize_quantize)."""
+    (operators/similarity.py:normalize_quantize). q8 is emitted as a
+    comma-joined string (vector index order is already deterministic):
+    the driver's canonicalizer cannot hash raw list columns; `dim`
+    keeps the structural check."""
     from igloo_spark.operators.similarity import normalize_quantize
 
-    return normalize_quantize(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    out = normalize_quantize(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        "l2_norm",
+        F.array_join(F.col("q8").cast("array<string>"), ",").alias("q8"),
+        "dim",
+    )
 
 
 @register(

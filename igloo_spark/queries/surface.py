@@ -557,10 +557,10 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q78_regexp_extract_all",
-    "regexp_extract_all: every number token from priority+date text → array + count",
+    "regexp_extract_all: every number token from priority+date text → joined string + count",
     """
     SELECT o_orderkey,
-           regexp_extract_all(o_orderpriority || ' ' || CAST(o_orderdate AS VARCHAR), '[0-9]+') AS nums,
+           array_to_string(regexp_extract_all(o_orderpriority || ' ' || CAST(o_orderdate AS VARCHAR), '[0-9]+'), ',') AS nums,
            CAST(len(regexp_extract_all(o_orderpriority || ' ' || CAST(o_orderdate AS VARCHAR), '[0-9]+')) AS BIGINT) AS n_nums
     FROM orders
     WHERE o_orderkey < 2000
@@ -568,12 +568,21 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("string",),
 )
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match order is deterministic on both engines, so the array is
+    serialized with array_join/array_to_string (no sort needed) — the
+    driver's pandas canonicalizer cannot sort raw list columns (same
+    constraint documented at q53 above); n_nums keeps the structural
+    check."""
     o = table(spark, sf_dir, "orders")
     text = F.concat_ws(" ", F.col("o_orderpriority"), F.col("o_orderdate").cast("string"))
     nums = F.regexp_extract_all(text, F.lit("[0-9]+"), F.lit(0))
     return (
         o.filter(F.col("o_orderkey") < 2000)
-        .select("o_orderkey", nums.alias("nums"), F.size(nums).cast("bigint").alias("n_nums"))
+        .select(
+            "o_orderkey",
+            F.array_join(nums, ",").alias("nums"),
+            F.size(nums).cast("bigint").alias("n_nums"),
+        )
     )
 
 

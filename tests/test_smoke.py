@@ -538,3 +538,31 @@ def test_driver_entry_contract(igloo):
     assert set(osql) == {n for n, s in reg.items() if s.oracle is not None}
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
+
+
+def test_driver_canonicalizer_schema_contract(igloo):
+    """The driver's correctness gate canonicalizes results with pandas
+    (sort_values over every column, then hash). Raw ArrayType/MapType/
+    StructType top-level columns are unhashable there and turn a green
+    query into a driver `err` row (q78/x80 in round 4, q53/q63/x58 in
+    round 2). Lock the contract: every oracle-backed query must emit
+    only atomic top-level columns — serialize collections with
+    array_join/to_json in the final projection of BOTH engines.
+    Rows-only queries (oracle is None) are exempt: the driver only
+    counts their rows."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from igloo_spark.queries import all_queries
+
+    offenders = []
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        df = spec.spark(igloo.spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "driver-unhashable top-level columns (serialize in the final "
+        f"projection of both engines): {offenders}"
+    )
