@@ -854,17 +854,51 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q29_approx_aggregates",
-    "approx_count_distinct + approx percentile (sketch impls differ per "
-    "engine → rows-only driver check, no value oracle)",
-    None,
+    "approx_count_distinct + approx percentile, hash-gated as "
+    "within-error-bound booleans vs exact values (sketch internals are "
+    "engine-specific; the bounds are the checkable surface)",
+    """
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+           TRUE AS approx_orders_ok,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem
+    """,
     tags=("aggregation", "approx"),
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++/KLL sketch binaries differ per engine, so raw estimates
+    can't hash-match an oracle. The hard driver signal instead: emit
+    the EXACT values (oracle-reproducible) plus booleans asserting the
+    sketch estimates land inside their documented error bounds (rsd
+    2% → 5% gate on distinct counts; 1% on the median, accuracy
+    10000). A drifting sketch flips a boolean → hash mismatch → red.
+    Bounds match tests/test_properties.py::
+    test_approx_sketches_within_error_bounds."""
     li = table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    both = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_med"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+    )
+    return both.select(
+        "exact_orders",
+        "exact_parts",
+        "exact_median_price",
+        (F.abs(F.col("a_orders") - F.col("exact_orders")) / F.col("exact_orders") < 0.05)
+        .alias("approx_orders_ok"),
+        (F.abs(F.col("a_parts") - F.col("exact_parts")) / F.col("exact_parts") < 0.05)
+        .alias("approx_parts_ok"),
+        (
+            F.abs(F.col("a_med") - F.col("exact_median_price"))
+            / F.col("exact_median_price")
+            < 0.01
+        ).alias("approx_median_ok"),
     )
 
 

@@ -253,22 +253,28 @@ def test_text_functions_edge_case_parity(igloo, tmp_path):
 
 
 def test_sketch_rollup_estimates_within_bounds(spark):
-    """x70 is rows-only in the oracle gate (sketch binaries are
-    engine-specific); the checkable part is that the unioned-sketch
-    estimate tracks the exact per-lang distinct fingerprint count."""
+    """The raw unioned-sketch estimate (not just the query's in-plan
+    boolean) must track the exact per-lang distinct fingerprint count.
+    x70's gate query asserts the same ±5% bound in-plan; this test
+    recomputes the estimate independently so a bug in the gate's own
+    boolean arithmetic can't mask a drifting sketch."""
     from igloo_spark.functions.text import doc_fingerprint
-    from igloo_spark.queries import all_queries
     from igloo_spark.sources import load_testdata_table
     from pyspark.sql import functions as F
 
+    d = load_testdata_table(spark, "/root/testdata/sf0.01", "documents")
     got = {
-        r.lang: r.est_unique_docs
-        for r in all_queries()["x70_sketch_rollup"].spark(spark, "/root/testdata/sf0.01").collect()
+        r.lang: r.est
+        for r in d.select("lang", "source", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("lang", "source")
+        .agg(F.hll_sketch_agg("fp").alias("sk"))
+        .groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
     }
     exact = {
         r.lang: r.n
-        for r in load_testdata_table(spark, "/root/testdata/sf0.01", "documents")
-        .groupBy("lang")
+        for r in d.groupBy("lang")
         .agg(F.count_distinct(doc_fingerprint(F.col("text"))).alias("n"))
         .collect()
     }
