@@ -1959,22 +1959,30 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = edges.localCheckpoint()  # reused 3x: cut the pair-gen lineage
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    n = edges.select("src").distinct().count()
-    if n == 0:
-        # empty dup graph (e.g. a fixture with no near-dup pairs):
-        # match the oracle's empty result instead of dividing by zero
-        return spark.createDataFrame([], "node bigint, rank double")
-    ranks = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
+    # node count rides the plan as a broadcast 1-row aggregate (the
+    # x74 histogram-bounds pattern) — no driver-side action, and the
+    # empty-graph case falls out naturally (empty distinct × 1 row =
+    # empty result, so 1/n never evaluates against n=0)
+    nn = edges.select(F.count_distinct("src").alias("n"))
+    ranks = (
+        edges.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(nn))
+        .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r"), "n")
     )
     for _ in range(3):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("r") / F.col("d")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("r") / F.col("d")).alias("c"),
+                F.col("n"),
+            )
         )
         ranks = contrib.groupBy("node").agg(
-            (F.lit(0.15 / n) + F.lit(0.85) * F.sum("c")).alias("r")
+            (F.lit(0.15) / F.first("n") + F.lit(0.85) * F.sum("c")).alias("r"),
+            F.first("n").alias("n"),
         )
     return ranks.select(
         F.col("node").cast("bigint").alias("node"),

@@ -252,6 +252,37 @@ def test_text_functions_edge_case_parity(igloo, tmp_path):
     assert_matches_oracle(df, oracle, str(tmp_path))
 
 
+def test_pagerank_empty_dup_graph(spark, tmp_path):
+    """x87's node count rides the plan as a broadcast 1-row aggregate;
+    a fixture with zero near-dup pairs must yield an empty result
+    (matching the oracle) rather than a divide-by-zero — the case the
+    old driver-side `if n == 0` branch guarded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from igloo_spark.queries import all_queries
+    from tests.conftest import assert_matches_oracle
+
+    rows = [
+        (0, "alpha bravo charlie delta echo", "en", "web"),
+        (1, "foxtrot golf hotel india juliet", "en", "web"),
+        (2, "kilo lima mike november oscar", "en", "web"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    spec = all_queries()["x87_pagerank_dupgraph"]
+    df = spec.spark(spark, str(tmp_path))
+    assert df.count() == 0
+    assert_matches_oracle(df, spec.oracle, str(tmp_path))
+
+
 def test_sketch_rollup_estimates_within_bounds(spark):
     """The raw unioned-sketch estimate (not just the query's in-plan
     boolean) must track the exact per-lang distinct fingerprint count.
