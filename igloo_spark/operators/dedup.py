@@ -418,13 +418,25 @@ def connected_components(
             converged = True
             break
     if not converged:
+        if prev_cached is not None:
+            prev_cached.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
         )
-    return labels.select(
+    # materialize the converged labels OUT of the loop's cache, then
+    # drop it — otherwise the final iteration's cache entry outlives
+    # the call and repeated invocations (hypothesis sweeps, multi-stage
+    # pipelines) accumulate block-manager residents. localCheckpoint
+    # here reads the already-computed cache, so it cannot trip the
+    # optimizer attribute-dedup issue the in-loop comment describes
+    # (that concerns checkpointing the raw self-join plan).
+    out = labels.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("component"),
-    )
+    ).localCheckpoint()
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    return out
 
 
 def chunk_dedup(

@@ -25,72 +25,77 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- 15 queries with no driver CORRECTNESS row through r03
-    # (builder-green only; added after the round-2 window froze) --
-    "q04_order_priority",
+    # -- the two round-4 driver-RED rows, fixed this round (array
+    # outputs serialized for the driver's canonicalizer) --
     "q78_regexp_extract_all",
-    "q79_bitwise_aggregates",
-    "q81_time_range_frame",
-    "q82_string_agg_ordered",
-    "q83_correlated_scalar_select",
-    "q84_variant_json",
-    "x74_numeric_histogram",
-    "x75_dedup_manifest",
-    "x76_hypertable_rollup",
-    "x77_funnel",
-    "x78_retention_cohorts",
-    "x79_quantile_binning",
     "x80_embedding_quantize",
-    "x81_data_expectations",
-    # -- regression re-confirmations: broken in r03 by the events.ts
-    # TIMESTAMP_NTZ fixture drift, fixed this round --
-    "q58_epoch_roundtrip",
-    "q33_sessionization",
-    "q67_band_join",
-    # -- events-family re-confirmation: green verdicts predate the
-    # fixture regeneration, so re-verify on the current files --
-    "q34_pivot_conditional",
-    "q35_json_extraction",
-    "q36_time_bucket_agg",
-    "q66_asof_join",
-    "q76_session_window",
-    # -- new in round 4 (no driver verdict yet) --
-    "x82_pii_scrub",
-    "x83_rag_chunking",
-    "x84_touch_attribution",
-    "x85_url_dedup",
-    "q85_grouping_id",
-    "q86_width_bucket",
-    "q87_interval_arithmetic",
-    "q88_map_zip_filter",
-    "q89_stack_rows",
-    "q90_regexp_count_like",
-    "q91_try_to_timestamp",
-    "q92_bitmap_distinct",
-    "x86_dataset_split",
+    # -- formerly rows-only (err: no_oracle), reshaped this round into
+    # bound-check queries with exact oracles --
+    "q29_approx_aggregates",
+    "x64_ann_ivf_learned",
+    "x70_sketch_rollup",
+    # -- code changed this round (node count moved into the plan /
+    # connected-components cache lifecycle) → re-verify --
     "x87_pagerank_dupgraph",
-    "q93_rolling_zscore",
-    "x88_unigram_logprob",
-    "q94_explode_outer",
-    "q95_forward_fill",
-    # -- canaries from high-traffic verified families (not exhaustive:
-    # outer-join/sort-limit/set-op canaries were displaced by this
-    # round's new queries; they re-enter next rotation) --
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q13_stat_aggregates",
-    "q21_subqueries",
-    "q25_datetime_functions",
-    "q80_merge_upsert",
-    "x40_dedup_exact",
-    "x55_ann_ivf_topk",
-    "x56_training_data_prep",
+    "x59_dedup_components",
+    # -- the 36 remaining queries whose latest driver verdict is r01
+    # (displaced by the r03/r04 windows; oldest-first per the r04
+    # verdict's rotation ask) --
+    "q02_filter_expressions",
+    "q05_local_supplier_volume",
+    "q06_revenue_change",
+    "q07_outer_join_counts",
+    "q08_right_full_outer",
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_theta_join",
+    "q12_cross_join",
+    "q14_rollup_grouping",
+    "q15_cube_grouping_sets",
+    "q16_having_filter_clause",
+    "q17_sort_limit_offset",
+    "q18_set_operations",
+    "q19_intersect_except_all",
+    "q20_distinct_dedup",
+    "q22_cte_top_supplier",
+    "q23_string_functions",
+    "q24_math_functions",
+    "q26_conditional_functions",
+    "q27_capitalize_udf",
+    "q28_exact_percentiles",
+    "q72_returned_items",
+    "q73_customer_distribution",
+    "q74_large_volume_customers",
+    "q75_global_sales_opportunity",
+    "q30_window_ranking",
+    "q31_window_offsets",
+    "q32_window_range_frame",
+    "q37_array_explode",
+    "q38_array_functions",
+    "q39_struct_map",
+    "x41_minhash_bands",
+    "x42_minhash_neardup_pairs",
+    "x43_simhash",
+    "x44_ngram_jaccard_pairs",
+    # -- fill to the 50-slot window with the oldest r03 verdicts,
+    # one per family: exact-ANN truth set, chunk dedup, array-agg
+    # serialization canary, recursive CTE, multimodal, lateral,
+    # skew toolbox --
+    "x46_ann_bruteforce_topk",
+    "x72_chunk_dedup",
+    "q53_array_agg",
+    "q69_recursive_cte",
+    "x51_multimodal_decode",
+    "q64_lateral_subquery",
+    "x61_salted_aggregation",
 )
-# Round-4 rotation (executed): the 15 queries never driver-checked
-# through r03 lead, then the three NTZ-regression fixes, then the rest
-# of the events family (stale pre-regeneration verdicts), then the 18
-# queries added this round (x82-x88, q85-q95), then cross-family
-# canaries — exactly 50 entries, the driver's per-round gate window.
+# Round-5 rotation (executed): the two r04 canonicalizer-RED fixes
+# lead, then the reshaped ex-rows-only trio, then the two queries
+# whose code changed this round, then every query still holding only
+# an r01 verdict, then oldest-r03 family canaries — exactly 50
+# entries, the driver's per-round gate window. After this window the
+# r01 backlog clears entirely; the remaining r03-verdict queries (two
+# rounds old) rotate first in r06.
 
 
 def all_queries():

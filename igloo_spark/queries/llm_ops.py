@@ -1779,7 +1779,9 @@ REGISTRY["x83_rag_chunking"] = _dc.replace(
 )
 def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing-style attribution: for each user who purchased,
-    their first event ever and last event before the first purchase.
+    their first and last event BEFORE the first purchase (users whose
+    very first event is the purchase have no pre-purchase events and
+    are omitted — both engines agree).
     Everything is keyed on user_id: the purchase floor is a grouped
     min, the pre-purchase slice an equi-join on that key, and BOTH
     touches plus the count come out of ONE aggregation via
