@@ -542,3 +542,89 @@ def dedup_manifest(
         (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
         F.count("*").over(w).cast("bigint").alias("group_size"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_fp_docs: int = 50,
+) -> DataFrame:
+    """Winnowed rolling-hash fingerprints per document: (id, fp).
+
+    The MOSS/winnowing local-fingerprint scheme (Schleimer, Wilkerson,
+    Aiken, SIGMOD'03): hash every k-token gram, slide a w-gram window,
+    and keep each window's minimum hash. Guarantees any shared run of
+    >= k + w - 1 tokens between two documents yields at least one
+    shared fingerprint, while storing only ~1/w of the gram hashes.
+
+    Entirely map-side (split -> transform -> array_min over slices, all
+    whole-stage codegen; no explode until the final distinct
+    fingerprint list) so at 100 TB the selection costs a scan, not a
+    shuffle. Hashes are md5 hex strings compared lexicographically —
+    both engines order ASCII hex identically, so the DuckDB oracle
+    reproduces the selection bit-for-bit.
+
+    Fingerprints seen in more than ``max_fp_docs`` documents are
+    dropped (template/boilerplate text) — the same hot-key cap that
+    keeps the LSH band join (``minhash_candidate_pairs``) from going
+    quadratic on popular keys.
+    """
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+    base = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+    )
+    g = base.select(id_col, grams.alias("grams"))
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("grams") - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("grams"), j, w)),
+    )
+    fp = (
+        g.select(id_col, F.explode(F.array_distinct(windows)).alias("fp"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    wfp = Window.partitionBy("fp")
+    return (
+        fp.withColumn("n_docs", F.count("*").over(wfp))
+        .filter(F.col("n_docs") <= max_fp_docs)
+        .drop("n_docs")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_fp_docs: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints.
+
+    Candidate generation is an equi-join on the fingerprint key —
+    hash-partitioned, never a crossJoin — with the hot-fingerprint cap
+    bounding any one key's contribution to ``max_fp_docs**2`` pairs.
+    The same 100 TB posture as the LSH band join: pair volume is
+    controlled by construction, and AQE skew-join splits anything that
+    still runs hot.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w, max_fp_docs=max_fp_docs)
+    a = fp.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fp.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

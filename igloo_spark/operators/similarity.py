@@ -451,3 +451,69 @@ def normalize_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         quant.alias("q8"),
         F.size(v).cast("bigint").alias("dim"),
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    z: float = 2.0,
+) -> DataFrame:
+    """Per-cluster prototypicality scoring (the SemDeDup/D4-style
+    semantic quality gate): cosine of each vector to its cluster
+    centroid, flagged as an outlier when it falls more than ``z``
+    standard deviations below the cluster's mean cosine.
+
+    100 TB shape — nothing corpus-sized ever shuffles:
+
+    - centroids: posexplode(vec) -> groupBy(label, pos) avg. The key
+      space is |labels| * dim (here 640), so map-side partial
+      aggregation collapses each task's contribution to <= 640 rows
+      before the exchange — the shuffle moves kilobytes regardless of
+      corpus size.
+    - the centroid table (|labels| rows after re-assembly) broadcasts
+      back; cosine is a codegen'd zip_with/aggregate in the scan.
+    - per-label mean/std of the cosine is the same tiny-key partial
+      aggregate, broadcast back for the flag.
+
+    Deliberately NOT a per-label rank/window: with few labels a
+    window over the full corpus is a maximally-skewed exchange. The
+    z-score flag gives the same "worst of each cluster" signal from
+    two broadcast-sized aggregates. Cosines are rounded to 6 dp
+    before the mean/std so both engines threshold identical values.
+    """
+    from igloo_spark.functions.vectors import cosine_similarity
+
+    elems = df.select(
+        label_col,
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).select(label_col, "pos", F.col("v").cast("double").alias("v"))
+    cent = (
+        elems.groupBy(label_col, "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(label_col, F.col("pm.m").alias("centroid"))
+    )
+    scored = (
+        df.join(F.broadcast(cent), label_col)
+        .select(
+            id_col,
+            label_col,
+            F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6).alias(
+                "cos_centroid"
+            ),
+        )
+    )
+    stats = scored.groupBy(label_col).agg(
+        F.round(F.avg("cos_centroid") - z * F.stddev_samp("cos_centroid"), 6).alias(
+            "cut"
+        )
+    )
+    return scored.join(F.broadcast(stats), label_col).select(
+        id_col,
+        label_col,
+        "cos_centroid",
+        (F.col("cos_centroid") < F.col("cut")).alias("is_outlier"),
+    )

@@ -77,25 +77,26 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x42_minhash_neardup_pairs",
     "x43_simhash",
     "x44_ngram_jaccard_pairs",
-    # -- fill to the 50-slot window with the oldest r03 verdicts,
-    # one per family: exact-ANN truth set, chunk dedup, array-agg
-    # serialization canary, recursive CTE, multimodal, lateral,
-    # skew toolbox --
-    "x46_ann_bruteforce_topk",
-    "x72_chunk_dedup",
-    "q53_array_agg",
-    "q69_recursive_cte",
-    "x51_multimodal_decode",
-    "q64_lateral_subquery",
-    "x61_salted_aggregation",
+    # -- fill to the 50-slot window with the seven queries ADDED this
+    # round (never driver-checked yet — first verdicts beat
+    # re-verifying r03 greens that are still inside the two-round
+    # staleness bound) --
+    "x89_winnowing_pairs",
+    "x90_semantic_outliers",
+    "q96_regression_aggregates",
+    "q97_conditional_aggregates",
+    "q98_fuzzy_name_match",
+    "q99_gaps_islands",
+    "x91_scd2_history",
 )
 # Round-5 rotation (executed): the two r04 canonicalizer-RED fixes
 # lead, then the reshaped ex-rows-only trio, then the two queries
 # whose code changed this round, then every query still holding only
-# an r01 verdict, then oldest-r03 family canaries — exactly 50
+# an r01 verdict, then the seven new round-5 queries — exactly 50
 # entries, the driver's per-round gate window. After this window the
-# r01 backlog clears entirely; the remaining r03-verdict queries (two
-# rounds old) rotate first in r06.
+# r01 backlog clears entirely and no query is never-checked; the
+# r03-verdict queries (two rounds old, the oldest remaining) rotate
+# first in r06.
 
 
 def all_queries():

@@ -586,3 +586,99 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+@register(
+    "q99_gaps_islands",
+    "gaps-and-islands: maximal runs of consecutive active days per user",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+        SELECT user_id, d,
+               date_diff('day', DATE '2024-01-01', d)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    )
+    SELECT user_id, min(d) AS island_start, max(d) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM seq GROUP BY user_id, grp
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands idiom (streak detection): day
+    ordinal minus per-user row_number is constant within a run of
+    consecutive days, so maximal streaks fall out of one groupBy. The
+    distinct, the window and the island rollup all share the user key
+    — a single user-keyed Exchange end to end, the q33/x77 shape."""
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = days.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    return (
+        seq.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("island_start"),
+            F.max("d").alias("island_end"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+        .drop("grp")
+    )
+
+
+@register(
+    "x91_scd2_history",
+    "SCD Type-2 build: per-user event_type validity intervals with current flag",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS version,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current
+    FROM changes
+    """,
+    tags=("window", "events", "warehouse"),
+)
+def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history build from a change
+    stream: collapse repeats to change points (lag), then stamp each
+    with its validity interval (lead) and version. Both windows share
+    the user-keyed sort, so the whole dimension build is one Exchange
+    + one sort — the standard warehouse pattern a MERGE-based SCD2
+    (q80 covers MERGE) would otherwise need multiple passes for.
+    Ordering ties break on event_id in both engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    changes = ordered.filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

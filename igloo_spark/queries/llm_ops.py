@@ -2089,3 +2089,109 @@ def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+_WINNOW_K = 5
+_WINNOW_W = 4
+_WINNOW_CAP = 50
+_WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "x89_winnowing_pairs",
+    "winnowed rolling k-gram fingerprints (MOSS scheme): doc pairs sharing >= 2 selected hashes",
+    f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - {_WINNOW_K} + 2),
+                              i -> md5(array_to_string(list_slice(toks, i, i + {_WINNOW_K - 1}), ' '))) AS grams
+        FROM docs WHERE len(toks) >= {_WINNOW_K}
+    ),
+    wn AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(grams) - {_WINNOW_W} + 1, 1) + 1),
+                   j -> list_aggregate(list_slice(grams, j, j + {_WINNOW_W - 1}), 'min'))) AS fps
+        FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wn),
+    ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {_WINNOW_CAP}),
+    fpo AS (SELECT f.doc_id, f.fp FROM fp f JOIN ok USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fpo a JOIN fpo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    tags=("dedup", "fingerprint", "llm"),
+)
+def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD'03) document fingerprinting — the
+    local-minimum rolling-hash selection MOSS uses, the third
+    fingerprinting tier after whole-doc md5 (x40) and MinHash bands
+    (x41): guarantees detection of any shared run of k+w-1 tokens
+    while keeping ~1/w of the gram hashes. Selection is pure map-side
+    codegen (transform + array_min over slices); candidate pairs come
+    from an equi-join on the fingerprint with a hot-key cap — the
+    identical 100 TB posture as the LSH band join, never a crossJoin.
+    Reference computes no fingerprints at all (pyigloo surfaces only
+    SQL); this is part of the §2.D training-data surface."""
+    from igloo_spark.operators.dedup import winnow_pairs
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return winnow_pairs(
+        d, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W,
+        max_fp_docs=_WINNOW_CAP, min_shared=_WINNOW_MIN_SHARED,
+    )
+
+
+@register(
+    "x90_semantic_outliers",
+    "SemDeDup-style prototypicality: cosine to cluster centroid, z-score outlier flag",
+    """
+    WITH elems AS (
+        SELECT vec_id, label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (SELECT label, pos, avg(v) AS m FROM elems GROUP BY label, pos),
+    sims AS (
+        SELECT e.vec_id, e.label,
+               sum(e.v * c.m) AS dot, sum(e.v * e.v) AS na, sum(c.m * c.m) AS nb
+        FROM elems e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+        GROUP BY e.vec_id, e.label
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                          ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS cos_centroid
+        FROM sims
+    ),
+    stats AS (
+        SELECT label,
+               round(avg(cos_centroid) - 2.0 * stddev_samp(cos_centroid), 6) AS cut
+        FROM scored GROUP BY label
+    )
+    SELECT s.vec_id, s.label, s.cos_centroid,
+           (s.cos_centroid < t.cut) AS is_outlier
+    FROM scored s JOIN stats t USING (label)
+    """,
+    tags=("similarity", "quality", "llm"),
+)
+def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic quality gate (SemDeDup / D4 family): score every
+    embedding by cosine to its cluster centroid and flag vectors more
+    than 2 sigma below their cluster's mean prototypicality. The
+    centroid and the per-cluster stats are both tiny-key partial
+    aggregates (map-side combine collapses each task to <= |labels| *
+    dim rows) broadcast back into the scan; scoring is codegen'd
+    zip_with/aggregate. Deliberately no per-label rank window — with
+    few labels that exchange is maximally skewed at 100 TB; the
+    z-score flag extracts the same worst-of-cluster signal from
+    broadcast-sized aggregates."""
+    from igloo_spark.operators.similarity import centroid_outliers
+
+    e = table(spark, sf_dir, "embeddings")
+    return centroid_outliers(e, "vec_id", "embedding", "label", z=2.0)

@@ -1108,3 +1108,109 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@register(
+    "q96_regression_aggregates",
+    "linear-regression aggregates: regr_slope/intercept/r2 + corr/covar per group",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_p,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "statistics"),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI linear-regression aggregate family (regr_*), plus the
+    corr/covar pair q13 doesn't cover — one partial-aggregable pass,
+    so at 100 TB the exchange carries |groups| rows of sufficient
+    statistics (sums and cross-products), not data."""
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(x, y), 6).alias("corr_qp"),
+        F.round(F.covar_samp(x, y), 6).alias("covar_s"),
+        F.round(F.covar_pop(x, y), 6).alias("covar_p"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "q97_conditional_aggregates",
+    "count_if / bool_and / bool_or / max_by / min_by per market segment",
+    """
+    SELECT c_mktsegment,
+           CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
+           bool_and(c_acctbal > -999.99) AS all_above_floor,
+           bool_or(c_acctbal > 9000) AS any_high,
+           max_by(c_name, c_custkey) AS latest_name,
+           min_by(c_name, c_custkey) AS earliest_name
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregation",),
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional/selection aggregate family: count_if,
+    bool_and/bool_or (ANSI every/any), and max_by/min_by keyed on the
+    unique custkey so the selected row is deterministic in both
+    engines. All partial-aggregable — the 100 TB exchange carries one
+    row per segment."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count_if(F.col("c_acctbal") > 0).cast("bigint").alias("n_positive"),
+        F.bool_and(F.col("c_acctbal") > -999.99).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_high"),
+        F.max_by("c_name", "c_custkey").alias("latest_name"),
+        F.min_by("c_name", "c_custkey").alias("earliest_name"),
+    )
+
+
+@register(
+    "q98_fuzzy_name_match",
+    "blocked levenshtein fuzzy matching over the distinct part-name vocabulary",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    t AS (
+        SELECT p_name, regexp_extract(p_name, '([^ ]+)$', 1) AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("string", "dedup"),
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-style fuzzy matching: edit distance over the
+    DISTINCT name vocabulary (vocab-sized, orders of magnitude smaller
+    than the row count at 100 TB), candidate pairs blocked by the
+    name's last token so the join is an equi-join on the block key —
+    levenshtein only ever runs inside a block, never all-pairs."""
+    p = table(spark, sf_dir, "part")
+    t = (
+        p.select("p_name")
+        .distinct()
+        .select(
+            "p_name", F.regexp_extract("p_name", r"([^ ]+)$", 1).alias("blk")
+        )
+    )
+    a = t.select(F.col("p_name").alias("name_a"), "blk")
+    b = t.select(F.col("p_name").alias("name_b"), "blk")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 2)
+        .select("name_a", "name_b", dist.cast("bigint").alias("dist"))
+    )

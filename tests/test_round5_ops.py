@@ -1,0 +1,177 @@
+"""Behavioral tests for the round-5 operators: winnowing
+fingerprints, semantic centroid outliers, SCD2 build, gaps/islands.
+
+The oracle suite (test_oracle.py) certifies cross-engine parity on
+the shipped fixtures; these tests pin the SEMANTICS on constructed
+fixtures where the expected answer is known by hand.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self, spark):
+        """Winnowing's core guarantee: two docs sharing a run of
+        >= k + w - 1 tokens share at least one fingerprint."""
+        from igloo_spark.operators.dedup import winnow_pairs
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1 (k=5,w=4)
+        df = _docs(
+            spark,
+            [
+                f"intro words here {shared} tail one",
+                f"completely different prefix {shared} other suffix tokens",
+                "no overlap with anything else at all whatsoever in this document",
+            ],
+        )
+        pairs = winnow_pairs(df, "doc_id", "text", k=5, w=4, min_shared=1).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+
+    def test_no_false_pairs_below_k(self, spark):
+        """Shared runs shorter than k tokens produce no shared gram,
+        hence no pair."""
+        from igloo_spark.operators.dedup import winnow_pairs
+
+        df = _docs(
+            spark,
+            [
+                "one two three four unique1 unique2 unique3 unique4 unique5",
+                "one two three four other5 other6 other7 other8 other9",
+            ],
+        )
+        assert (
+            winnow_pairs(df, "doc_id", "text", k=5, w=4, min_shared=1).count() == 0
+        )
+
+    def test_hot_fingerprint_cap(self, spark):
+        """A fingerprint present in more docs than max_fp_docs is
+        boilerplate — it must not generate pairs."""
+        from igloo_spark.operators.dedup import winnow_pairs
+
+        boiler = "standard footer text appears in every single document here"
+        df = _docs(spark, [f"doc {i} body {boiler}" for i in range(6)])
+        # cap below the 6 occurrences -> no candidate pairs at all
+        assert (
+            winnow_pairs(
+                df, "doc_id", "text", k=5, w=4, max_fp_docs=5, min_shared=1
+            ).count()
+            == 0
+        )
+
+    def test_density_reduction(self, spark):
+        """Winnowing keeps roughly 1/w of the gram hashes (the whole
+        point of the scheme) — assert the selected set is materially
+        smaller than the full gram set."""
+        from igloo_spark.operators.dedup import winnow_fingerprints
+
+        text = " ".join(f"tok{i * 7919 % 1000}w{i}" for i in range(200))
+        df = _docs(spark, [text])
+        n_grams = 200 - 5 + 1
+        n_fps = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).count()
+        assert n_fps < n_grams / 2  # ~1/w expected; 1/2 is a safe bound
+        assert n_fps > 0
+
+
+class TestCentroidOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        """A vector pointing away from an otherwise-tight cluster is
+        the one flagged."""
+        from igloo_spark.operators.similarity import centroid_outliers
+
+        rows = []
+        # tight cluster along +x (with tiny per-vector jitter in y)
+        for i in range(20):
+            rows.append((i, [1.0, 0.001 * i, 0.0], 0))
+        rows.append((99, [-1.0, 0.0, 0.0], 0))  # anti-aligned outlier
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {r["vec_id"]: r for r in centroid_outliers(
+            df, "vec_id", "embedding", "label"
+        ).collect()}
+        assert out[99]["is_outlier"] is True
+        assert not any(out[i]["is_outlier"] for i in range(20))
+        assert out[99]["cos_centroid"] < 0 < out[0]["cos_centroid"]
+
+    def test_clusters_scored_independently(self, spark):
+        """Two well-separated clusters: every member is prototypical
+        within its own cluster, so nothing is flagged."""
+        from igloo_spark.operators.similarity import centroid_outliers
+
+        rows = [(i, [1.0, 0.001 * i], 0) for i in range(10)]
+        rows += [(100 + i, [0.001 * i, 1.0], 1) for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        res = centroid_outliers(df, "vec_id", "embedding", "label").collect()
+        assert len(res) == 20
+        assert not any(r["is_outlier"] for r in res)
+
+
+class TestScd2GapsIslands:
+    def test_scd2_intervals(self, spark):
+        """Known change stream -> exact validity intervals."""
+        from igloo_spark.queries import all_queries  # noqa: F401 (registry import)
+
+        ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+        df = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01T00:00:00"), 7, "a", 0.0, "{}"),
+                (2, ts("2024-01-02T00:00:00"), 7, "a", 0.0, "{}"),  # repeat: collapsed
+                (3, ts("2024-01-03T00:00:00"), 7, "b", 0.0, "{}"),
+                (4, ts("2024-01-04T00:00:00"), 7, "a", 0.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        df.createOrReplaceTempView("_scd_src")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ordered = df.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        changes = ordered.filter(
+            F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+        )
+        rows = sorted(
+            changes.select(
+                "event_type",
+                F.col("ts").alias("valid_from"),
+                F.lead("ts").over(w).alias("valid_to"),
+            ).collect(),
+            key=lambda r: r["valid_from"],
+        )
+        assert [(r["event_type"], r["valid_to"] is None) for r in rows] == [
+            ("a", False), ("b", False), ("a", True)
+        ]
+        assert rows[0]["valid_to"] == ts("2024-01-03T00:00:00")
+
+    def test_islands_split_on_gap(self, spark):
+        """Days {1,2,3, 7,8} -> two islands of length 3 and 2."""
+        from pyspark.sql.window import Window
+
+        days = spark.createDataFrame(
+            [(5, f"2024-01-0{d}") for d in (1, 2, 3, 7, 8)],
+            "user_id long, ds string",
+        ).select("user_id", F.to_date("ds").alias("d"))
+        w = Window.partitionBy("user_id").orderBy("d")
+        grp = F.datediff("d", F.lit("2024-01-01").cast("date")) - F.row_number().over(w)
+        islands = (
+            days.withColumn("grp", grp)
+            .groupBy("user_id", "grp")
+            .agg(F.count("*").alias("n_days"), F.min("d").alias("s"))
+            .orderBy("s")
+            .collect()
+        )
+        assert [r["n_days"] for r in islands] == [3, 2]
