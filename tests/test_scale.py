@@ -151,3 +151,70 @@ def test_round4_operators_scale_flat(spark):
         print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
               f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
         assert ratio < 8, (name, ratio)
+
+
+def test_sf1_headline_totals(spark, tmp_path):
+    """sf1-equivalent headline bench (the r04 verdict's stretch item):
+    amplify the sf0.1 fixtures 10x with per-copy key shifts (join keys
+    shift together, so FK joins stay consistent within a copy; dims
+    are shared) and run the full bench.py headline set. Records the
+    sf0.1 -> sf1 warm-total ratio and fails on super-linear growth —
+    the early-warning a real cluster run would otherwise be the first
+    to deliver."""
+    from igloo_spark.queries import all_queries
+    from igloo_spark.sources import load_testdata_table
+
+    SHIFT = 10_000_000
+    FACTOR = 10
+    plans = {
+        # table -> (shifted key columns, text column to perturb)
+        "lineitem": (["l_orderkey"], None),
+        "orders": (["o_orderkey", "o_custkey"], None),
+        "customer": (["c_custkey"], None),
+        "events": (["event_id", "user_id"], None),
+        "documents": (["doc_id"], "text"),
+        "embeddings": (["vec_id"], None),
+    }
+    sf1 = tmp_path / "sf1"
+    sf1.mkdir()
+    for t in ("region", "nation", "supplier", "part"):
+        load_testdata_table(spark, SF, t).write.parquet(str(sf1 / f"{t}.parquet"))
+    for t, (keys, text_col) in plans.items():
+        base = load_testdata_table(spark, SF, t)
+        copies = []
+        for i in range(FACTOR):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if text_col and i % 4 != 0:
+                c = c.withColumn(
+                    text_col, F.concat(F.col(text_col), F.lit(f" tail{i}"))
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.parquet(str(sf1 / f"{t}.parquet"))
+
+    specs = sorted(
+        (s for s in all_queries().values() if s.bench), key=lambda s: s.name
+    )
+    totals = {}
+    for sf_name, sf_dir in (("sf0.1", SF), ("sf1", str(sf1))):
+        per_q = {}
+        for spec in specs:
+            spec.spark(spark, sf_dir).count()  # codegen warmup
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            per_q[spec.name] = time.perf_counter() - t0
+        totals[sf_name] = per_q
+        print(f"{sf_name} headline warm total: {sum(per_q.values()):.2f}s")
+    t01, t1 = sum(totals["sf0.1"].values()), sum(totals["sf1"].values())
+    print(f"sf0.1 -> sf1 warm-total ratio: {t1 / t01:.2f}x for 10x data")
+    for name in totals["sf1"]:
+        r = totals["sf1"][name] / max(totals["sf0.1"][name], 1e-9)
+        print(f"  {name}: {totals['sf0.1'][name]:.3f}s -> {totals['sf1'][name]:.3f}s ({r:.1f}x)")
+        # 10x data must stay comfortably sub-linear-per-query on 32
+        # cores (fixed per-query cost amortizes; shuffles parallelize)
+        assert r < 15, (name, r)
+    assert t1 < t01 * 12, f"headline total went super-linear: {t1 / t01:.1f}x"
