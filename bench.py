@@ -36,8 +36,23 @@ def main() -> int:
     # One partition per core so the whole reused-worker pool forks now.
     from pyspark.sql.functions import array_repeat, col, pandas_udf
 
+    import numpy as _np
+    import pandas as _pd
+
     _warm_py = pandas_udf(lambda v: v * 1.0, "double")
     _warm_arr = pandas_udf(lambda v: v.map(len).astype("float64"), "double")
+    # the embedding-width Arrow list path + the numpy ndarray-stack /
+    # matmul / argmax kernel (what IVF cell assignment runs): first use
+    # in a pooled worker measured ~2.5 s across the pool — a
+    # per-session cost, same class as JVM startup
+    _warm_mat = _np.ones((8, 64))
+
+    def _mm(v):
+        m = _np.vstack(v.to_numpy()).astype(_np.float64)
+        return _pd.Series((m @ _warm_mat.T).argmax(axis=1).astype("int64"))
+
+    _warm_mm = pandas_udf(_mm, "bigint")
+
     n_cores = spark.sparkContext.defaultParallelism
     rng = spark.range(0, 65536, 1, n_cores)
     rng.select(_warm_py(col("id").cast("double"))).count()
@@ -45,6 +60,7 @@ def main() -> int:
     # first-use init from the scalar path; ANN queries feed embeddings
     # through it
     rng.select(_warm_arr(array_repeat(col("id").cast("double"), 8))).count()
+    rng.select(_warm_mm(array_repeat(col("id").cast("double"), 64))).count()
 
     # Each query runs three times: the first (cold) run pays one-time
     # whole-stage-codegen compilation for the query shape; the warm

@@ -239,11 +239,23 @@ def learned_ivf_centroids(
 def centroids_table(spark, centroids: list[list[float]]) -> DataFrame:
     """Centroid matrix as a one-row broadcastable table. Centroids are
     *data*, not expression literals: a literal form would put
-    n_cells × dim constant nodes into every plan that touches them,
-    and Catalyst analysis of that tree ends up costing more than the
-    query. This is also the shape a learned quantizer arrives in
-    (k-means output is a DataFrame, not source code)."""
-    return spark.createDataFrame([(centroids,)], "cents: array<array<double>>")
+    n_cells × dim constant nodes into every per-row expression that
+    touches them, and Catalyst analysis of that tree ends up costing
+    more than the query. This is also the shape a learned quantizer
+    arrives in (k-means output is a DataFrame, not source code).
+
+    Built JVM-side (``range(1)`` + a constant-folded ``from_json`` of
+    ONE string literal), not ``spark.createDataFrame``: the latter is
+    a Python-RDD plan whose broadcast job runs |defaultParallelism|
+    Python tasks — measured 1.6 s × 32 tasks cold in the event log,
+    the single largest slice of x55's cold run — for one row of
+    data."""
+    import json
+
+    payload = json.dumps([[float(v) for v in row] for row in centroids])
+    return spark.range(1).select(
+        F.from_json(F.lit(payload), "array<array<double>>").alias("cents")
+    )
 
 
 def _centroid_dot_structs(vec_col):
@@ -330,6 +342,15 @@ def ivf_topk(
         def _cell(v: pd.Series) -> pd.Series:
             mat = np.vstack(v.to_numpy()).astype(np.float64)
             return pd.Series((mat @ cmat.T).argmax(axis=1).astype("int64"))
+
+        # asNondeterministic: the join on "cell" adds an
+        # isnotnull(cell) filter that the optimizer would otherwise
+        # push BELOW this projection and satisfy by re-evaluating the
+        # UDF — the executed plan showed two ArrowEvalPython nodes,
+        # i.e. the whole corpus paid cell assignment twice. Marking it
+        # nondeterministic pins a single evaluation (cell is never
+        # null, so the late filter is a no-op).
+        _cell = _cell.asNondeterministic()
 
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),

@@ -35,9 +35,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x64_ann_ivf_learned",
     "x70_sketch_rollup",
     # -- code changed this round (node count moved into the plan /
-    # connected-components cache lifecycle) → re-verify --
+    # connected-components cache lifecycle / IVF single-eval +
+    # JVM-side centroid table) → re-verify --
     "x87_pagerank_dupgraph",
     "x59_dedup_components",
+    "x55_ann_ivf_topk",
     # -- the 36 remaining queries whose latest driver verdict is r01
     # (displaced by the r03/r04 windows; oldest-first per the r04
     # verdict's rotation ask) --
@@ -76,7 +78,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x41_minhash_bands",
     "x42_minhash_neardup_pairs",
     "x43_simhash",
-    "x44_ngram_jaccard_pairs",
+    # (x44_ngram_jaccard_pairs holds only an r01 verdict but its
+    # oracle SQL is nested verbatim inside x87's — which went green in
+    # r04 — so it yields its slot to the code-changed x55 above and
+    # rotates first in r06)
     # -- fill to the 50-slot window with the seven queries ADDED this
     # round (never driver-checked yet — first verdicts beat
     # re-verifying r03 greens that are still inside the two-round

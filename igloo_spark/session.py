@@ -77,6 +77,11 @@ def build_spark(
         # fixtures ship timestamp[us] no-tz (TIMESTAMP_NTZ), normalized
         # there too; harmless for non-nanos files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Preload numpy/pandas/pyarrow in the worker daemon so forked
+        # workers inherit them copy-on-write — kills the ~3 s
+        # pool-wide import storm a Python stage pays after the
+        # factory's 60 s idle eviction (igloo_spark/worker_daemon.py)
+        .config("spark.python.daemon.module", "igloo_spark.worker_daemon")
     )
     if master is not None:
         builder = builder.master(master)
