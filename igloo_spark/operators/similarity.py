@@ -293,38 +293,22 @@ def ivf_probe_cells(vec_col, nprobe: int):
     )
 
 
-def ivf_topk(
+def ivf_assign(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
-    n_cells: int = 8,
-    nprobe: int = 2,
-    dim: int = 64,
     centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    dim: int = 64,
     vectorized: bool = True,
 ) -> DataFrame:
-    """IVF approximate top-k: corpus rows are assigned to their nearest
-    coarse-centroid cell; each query probes its ``nprobe`` nearest
-    cells; candidates re-ranked by exact cosine.
-
-    ``centroids`` overrides the deterministic quantizer — pass
-    :func:`learned_ivf_centroids` output for data-adapted cells; the
-    plan shape (broadcast probe join, no corpus shuffle) is identical.
-    ``vectorized=False`` falls back to the pure-Catalyst HOF cell
-    assignment (the SQL-reproducible reference path; ~5× slower).
-
-    Scale shape: cell assignment is a narrow per-row expression (no
-    shuffle), the probe side is tiny and broadcast, so the candidate
-    join is a broadcast hash join against the full corpus scan — at
-    1000 executors the corpus is touched exactly once with no shuffle,
-    and with a cell-partitioned corpus layout (``.write.partitionBy
-    ('cell')``) partition pruning drops ~(1 - nprobe/n_cells) of IO.
-    """
+    """Cell-assigned corpus ``(neighbor_id, vec, cell)`` — the IVF
+    index-build step, split out so several retrievals (or an index
+    write) share ONE assignment pass over the corpus. At 100 TB this
+    is the DataFrame you ``.write.partitionBy("cell")`` once and probe
+    many times."""
     if centroids is None:
         centroids = ivf_centroids(n_cells, dim)
-    cents_df = centroids_table(corpus.sparkSession, centroids)
     if vectorized:
         # Corpus-side cell assignment is the hot loop (every corpus row
         # × n_cells × dim multiply-adds). Catalyst higher-order
@@ -352,17 +336,63 @@ def ivf_topk(
         # null, so the late filter is a no-op).
         _cell = _cell.asNondeterministic()
 
-        c = corpus.select(
+        return corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("vec"),
             _cell(F.col(vec_col)).alias("cell"),
         )
-    else:
-        c = corpus.crossJoin(F.broadcast(cents_df)).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("vec"),
-            ivf_cell(F.col(vec_col)).alias("cell"),
+    cents_df = centroids_table(corpus.sparkSession, centroids)
+    return corpus.crossJoin(F.broadcast(cents_df)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        ivf_cell(F.col(vec_col)).alias("cell"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+    vectorized: bool = True,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    coarse-centroid cell; each query probes its ``nprobe`` nearest
+    cells; candidates re-ranked by exact cosine.
+
+    ``centroids`` overrides the deterministic quantizer — pass
+    :func:`learned_ivf_centroids` output for data-adapted cells; the
+    plan shape (broadcast probe join, no corpus shuffle) is identical.
+    ``vectorized=False`` falls back to the pure-Catalyst HOF cell
+    assignment (the SQL-reproducible reference path; ~5× slower).
+    ``assigned`` short-circuits the index-build step with a prior
+    :func:`ivf_assign` result so multiple retrievals share one
+    assignment pass.
+
+    Scale shape: cell assignment is a narrow per-row expression (no
+    shuffle), the probe side is tiny and broadcast, so the candidate
+    join is a broadcast hash join against the full corpus scan — at
+    1000 executors the corpus is touched exactly once with no shuffle,
+    and with a cell-partitioned corpus layout (``.write.partitionBy
+    ('cell')``) partition pruning drops ~(1 - nprobe/n_cells) of IO.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(n_cells, dim)
+    cents_df = centroids_table(corpus.sparkSession, centroids)
+    c = (
+        assigned
+        if assigned is not None
+        else ivf_assign(
+            corpus, id_col, vec_col,
+            centroids=centroids, n_cells=n_cells, dim=dim, vectorized=vectorized,
         )
+    )
     q = queries.crossJoin(F.broadcast(cents_df)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),

@@ -1203,6 +1203,7 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank flips a boolean → hash mismatch → red."""
     from igloo_spark.operators.similarity import (
         brute_force_topk,
+        ivf_assign,
         ivf_topk,
         learned_ivf_centroids,
     )
@@ -1214,17 +1215,26 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pairs(df: DataFrame) -> DataFrame:
         return df.select("query_id", "neighbor_id")
 
+    # ONE cell-assignment pass shared by both retrievals (the probed
+    # arm and the exhaustive invariant arm) — without the shared
+    # localCheckpoint each DAG branch would re-run the corpus's
+    # Arrow-batched assignment stage; at 100 TB this is the
+    # write-the-index-once/probe-many pattern (ivf_assign docstring)
+    assigned = ivf_assign(
+        emb, "vec_id", "embedding", centroids=cents, n_cells=IVF_CELLS, dim=EMB_DIM
+    ).localCheckpoint()
+
     exact = pairs(brute_force_topk(emb, queries, "vec_id", "embedding", ANN_K))
     probed = pairs(
         ivf_topk(
             emb, queries, "vec_id", "embedding", ANN_K, IVF_CELLS, 6, EMB_DIM,
-            centroids=cents,
+            centroids=cents, assigned=assigned,
         )
     )
     exhaustive = pairs(
         ivf_topk(
             emb, queries, "vec_id", "embedding", ANN_K, IVF_CELLS, IVF_CELLS, EMB_DIM,
-            centroids=cents,
+            centroids=cents, assigned=assigned,
         )
     )
     n_hits = (
