@@ -546,6 +546,15 @@ def centroid_outliers(
         .groupBy(label_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(label_col, F.col("pm.m").alias("centroid"))
+        # materialize: the scored subtree is referenced twice below
+        # (stats input + final output), and without this the |labels|-
+        # row centroid — and the full corpus scan feeding it — would
+        # be recomputed in each branch (executed plan showed 4 corpus
+        # scans; now 3: centroid build + the two unavoidable scoring
+        # passes, since per-label stats need every cosine before the
+        # flag can be applied). Materialize-the-tiny-side,
+        # recompute-the-corpus-side is the 100 TB rule.
+        .localCheckpoint()
     )
     scored = (
         df.join(F.broadcast(cent), label_col)
