@@ -99,9 +99,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
 # whose code changed this round, then every query still holding only
 # an r01 verdict, then the seven new round-5 queries — exactly 50
 # entries, the driver's per-round gate window. After this window the
-# r01 backlog clears entirely and no query is never-checked; the
-# r03-verdict queries (two rounds old, the oldest remaining) rotate
-# first in r06.
+# r01 backlog clears (except x44, which yielded its slot to the
+# code-changed x55 — its oracle SQL is nested verbatim in x87's
+# r04-green check). r06 rotation order: the three round-5 additions
+# that missed this window (x92–x94, never driver-checked), then x44,
+# then the r03-verdict queries (oldest remaining).
 
 
 def all_queries():

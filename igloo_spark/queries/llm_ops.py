@@ -2205,3 +2205,264 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return centroid_outliers(e, "vec_id", "embedding", "label", z=2.0)
+
+
+def _x92_oracle() -> str:
+    pair_sql = REGISTRY["x89_winnowing_pairs"].oracle
+    return f"""
+    WITH e AS (SELECT doc_a, doc_b FROM ({pair_sql})),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM e e1
+        JOIN e e2 ON e1.doc_b = e2.doc_a
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    tn AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ),
+    und AS (
+        SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY node)
+    SELECT d.node, d.degree,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           round(CASE WHEN d.degree < 2 THEN 0.0
+                      ELSE 2.0 * coalesce(t.n_triangles, 0)
+                           / (d.degree * (d.degree - 1)) END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tn t USING (node)
+    """
+
+
+@register(
+    "x92_triangle_count",
+    "per-node triangle count + local clustering coefficient on the winnowed dup graph",
+    _x92_oracle(),
+    tags=("dedup", "graph", "llm"),
+)
+def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-structure profiling of the duplicate graph (x87's
+    PageRank sibling): triangles reveal whether near-dup clusters are
+    cliques (true duplicate families) or chains (transitive false
+    positives) — a standard QC signal before trusting connected
+    components to merge groups. Canonical a<b edges mean each
+    triangle is counted exactly once by the two-hop join; the join is
+    equi on node keys, and degree — hence wedge count — is bounded
+    upstream by the winnowing hot-fingerprint cap, the same guard
+    that keeps the pair join itself from going quadratic at 100 TB."""
+    from igloo_spark.operators.dedup import winnow_pairs
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    e = winnow_pairs(
+        d, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W,
+        max_fp_docs=_WINNOW_CAP, min_shared=_WINNOW_MIN_SHARED,
+    ).select("doc_a", "doc_b").localCheckpoint()  # reused 4x below
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("doc_a").alias("node"))
+        .unionAll(e.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    cc = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .withColumn("n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint"))
+        .select("node", "degree", "n_triangles", F.round(cc, 6).alias("clustering_coeff"))
+    )
+
+
+_PMI_MIN_PAIR = 25
+_PMI_VOCAB = 500
+
+
+@register(
+    "x93_pmi_cooccurrence",
+    "document-level PMI of token pairs (capped vocab, min pair support)",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ')) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    dfreq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok, c FROM dfreq ORDER BY c DESC, tok ASC LIMIT {_PMI_VOCAB}),
+    tv AS (SELECT t.doc_id, t.tok, v.c FROM toks t JOIN vocab v USING (tok)),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               max(a.c) AS c_a, max(b.c) AS c_b,
+               count(*) AS n_ab
+        FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM n) / (c_a * c_b)), 6) AS pmi
+    FROM pairs WHERE n_ab >= {_PMI_MIN_PAIR}
+    """,
+    tags=("text", "statistics", "llm"),
+)
+def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level co-occurrence
+    — the collocation/phrase-mining primitive (and the base signal
+    for word-association features). Scale posture mirrors x88: the
+    per-doc distinct-token explode is bounded by document length, the
+    vocabulary is capped at top-500 before pairing so the
+    frequency side broadcasts, and the pair space is generated by a
+    doc-keyed self-join (quadratic only in per-doc distinct CAPPED
+    tokens, never in corpus size). One shuffle for doc frequencies,
+    one for the pair rollup."""
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.trim("text"), "[ ]+", " "), " ")
+        ).alias("tok"),
+    ).distinct()
+    n = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = dfreq.orderBy(F.desc("c"), F.asc("tok")).limit(_PMI_VOCAB)
+    tv = toks.join(F.broadcast(vocab), "tok")
+    a = tv.select("doc_id", F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    b = tv.select("doc_id", F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.max("c_a").alias("c_a"),
+            F.max("c_b").alias("c_b"),
+            F.count("*").alias("n_ab"),
+        )
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIR)
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double") * F.col("n_docs") / (F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "tok_a", "tok_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
+_BIGRAM_VOCAB = 2000
+_LM_LAMBDA = 0.7
+
+
+@register(
+    "x94_bigram_logprob",
+    "interpolated bigram LM quality score: mean log p(w_i | w_{i-1}) with unigram backoff",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS tok FROM norm),
+    uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+    total AS (SELECT sum(c1) AS n FROM uni),
+    uvocab AS (SELECT tok, c1 FROM uni ORDER BY c1 DESC, tok ASC LIMIT 1000),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS ctx,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS nxt
+        FROM norm WHERE len(ws) >= 2
+    ),
+    bfreq AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    bvocab AS (SELECT bigram, c2 FROM bfreq ORDER BY c2 DESC, bigram ASC LIMIT {_BIGRAM_VOCAB}),
+    cfreq AS (SELECT ctx, count(*) AS cc FROM bg GROUP BY ctx),
+    scored AS (
+        SELECT g.doc_id,
+               ln({_LM_LAMBDA} * coalesce(CAST(v.c2 AS DOUBLE) / f.cc, 0.0)
+                  + {1 - _LM_LAMBDA} * coalesce(u.c1, 0.5) / (SELECT n FROM total)) AS lp
+        FROM bg g
+        LEFT JOIN bvocab v USING (bigram)
+        JOIN cfreq f ON g.ctx = f.ctx
+        LEFT JOIN uvocab u ON g.nxt = u.tok
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS mean_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The next LM order up from x88's unigram scorer: each document
+    scored by its bigrams' interpolated probability
+    lambda * c(ab)/c(a-) + (1-lambda) * p_uni(b), with the bigram table
+    capped at the top 2000 (OOV bigrams back off to the unigram term
+    alone — coalesce to 0 — and OOV unigrams get x88's 0.5-count
+    floor). Same scale posture as x88: frequency shuffles produce
+    capped, broadcastable vocab tables; the context-count join rides
+    the bigram stream. The context frequency c(a-) is NOT capped —
+    it is the per-context normalizer, a groupBy the size of the
+    unigram vocab whose join key is skew-bounded by the bigram
+    explode itself."""
+    from igloo_spark.functions.text import bigram_array
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ws = F.split(F.regexp_replace(F.trim("text"), "[ ]+", " "), " ")
+    norm = d.select("doc_id", ws.alias("ws"))
+    toks = norm.select("doc_id", F.explode("ws").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1")).cache()
+    total = uni.agg(F.sum("c1").alias("n"))
+    uvocab = uni.orderBy(F.desc("c1"), F.asc("tok")).limit(1000)
+    bg = (
+        norm.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("ws", i.cast("int")),
+                            F.element_at("ws", (i + 1).cast("int")),
+                        ).alias("bigram"),
+                        F.element_at("ws", i.cast("int")).alias("ctx"),
+                        F.element_at("ws", (i + 1).cast("int")).alias("nxt"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.bigram", "g.ctx", "g.nxt")
+    )
+    bfreq = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    bvocab = bfreq.orderBy(F.desc("c2"), F.asc("bigram")).limit(_BIGRAM_VOCAB)
+    cfreq = bg.groupBy("ctx").agg(F.count("*").alias("cc"))
+    lp = F.log(
+        _LM_LAMBDA * F.coalesce(F.col("c2").cast("double") / F.col("cc"), F.lit(0.0))
+        + (1 - _LM_LAMBDA) * F.coalesce(F.col("c1"), F.lit(0.5)) / F.col("n")
+    )
+    scored = (
+        bg.join(F.broadcast(bvocab), "bigram", "left")
+        .join(cfreq, "ctx")
+        .join(F.broadcast(uvocab), bg["nxt"] == F.col("tok"), "left")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
