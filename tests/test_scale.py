@@ -218,3 +218,36 @@ def test_sf1_headline_totals(spark, tmp_path):
         # cores (fixed per-query cost amortizes; shuffles parallelize)
         assert r < 15, (name, r)
     assert t1 < t01 * 12, f"headline total went super-linear: {t1 / t01:.1f}x"
+
+
+def test_round5_operators_scale_flat(spark):
+    """Round-5 operators at sf0.01 → sf0.1 (10× docs/embeddings/
+    events): winnowing selection is map-side, centroid/PMI/bigram-LM
+    shuffles carry capped-vocab or tiny-key aggregates, islands/SCD2
+    ride one user-keyed exchange — warm cost must grow well under the
+    data growth."""
+    from igloo_spark.queries import all_queries
+
+    qs = all_queries()
+    names = [
+        "x89_winnowing_pairs",
+        "x90_semantic_outliers",
+        "x92_triangle_count",
+        "x93_pmi_cooccurrence",
+        "x94_bigram_logprob",
+        "q98_fuzzy_name_match",
+        "q99_gaps_islands",
+        "x91_scd2_history",
+    ]
+    for name in names:
+        warm = {}
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            spec = qs[name]
+            spec.spark(spark, sf).count()  # codegen warmup
+            t0 = time.perf_counter()
+            spec.spark(spark, sf).count()
+            warm[sf] = time.perf_counter() - t0
+        ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
+        print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
+              f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
+        assert ratio < 8, (name, ratio)
