@@ -30,11 +30,16 @@ def main() -> int:
 
     # warmup 2: the Python worker pool + Arrow serialization path.
     # The first pandas_udf batch in a session pays worker fork + Arrow
-    # init (~3 s measured) — a per-SESSION cost that lands on whichever
-    # Arrow-batched query runs first (x55 in r04: cold 4.12 s vs 1.04 s
-    # warm) and amortizes to zero at scale, exactly like JVM startup.
+    # init (~3.5 s measured across the 32-slot pool) — a per-SESSION
+    # cost that otherwise lands on whichever Arrow-batched query runs
+    # first and amortizes to zero at scale, exactly like JVM startup.
     # One partition per core so the whole reused-worker pool forks now.
-    from pyspark.sql.functions import array_repeat, col, pandas_udf
+    # NOTE the aggregate over the UDF output: a bare
+    # select(udf).count() is a NO-OP — Catalyst prunes deterministic
+    # UDF projections under count(), so no Python task ever launches
+    # (verified via the executed plan; r04's warmups had exactly that
+    # bug and warmed nothing).
+    from pyspark.sql.functions import array_repeat, col, pandas_udf, sum as _fsum
 
     import numpy as _np
     import pandas as _pd
@@ -55,12 +60,16 @@ def main() -> int:
 
     n_cores = spark.sparkContext.defaultParallelism
     rng = spark.range(0, 65536, 1, n_cores)
-    rng.select(_warm_py(col("id").cast("double"))).count()
+    rng.select(_warm_py(col("id").cast("double")).alias("v")).agg(_fsum("v")).collect()
     # the Arrow list path (array<double> → pandas) is a separate
     # first-use init from the scalar path; ANN queries feed embeddings
     # through it
-    rng.select(_warm_arr(array_repeat(col("id").cast("double"), 8))).count()
-    rng.select(_warm_mm(array_repeat(col("id").cast("double"), 64))).count()
+    rng.select(
+        _warm_arr(array_repeat(col("id").cast("double"), 8)).alias("v")
+    ).agg(_fsum("v")).collect()
+    rng.select(
+        _warm_mm(array_repeat(col("id").cast("double"), 64)).alias("v")
+    ).agg(_fsum("v")).collect()
 
     # Each query runs three times: the first (cold) run pays one-time
     # whole-stage-codegen compilation for the query shape; the warm
@@ -74,19 +83,31 @@ def main() -> int:
     # gate's rotation and reshuffles between rounds, which would move
     # JIT-warmup cost onto whichever query happens to run first and
     # make per-query numbers incomparable across rounds.
+    # Measured action: a noop-sink write, NOT count(). count() lets
+    # Catalyst prune every column — aggregate values, window outputs,
+    # UDF projections — so it times a skeleton of the query (r01–r04
+    # did this; their totals under-measure per-row compute). The noop
+    # datasource fully materializes every output row and column with
+    # zero driver transfer and zero disk — the standard Spark
+    # benchmarking sink.
+    def run(df) -> int:
+        df.write.mode("overwrite").format("noop").save()
+        return -1
+
     specs = sorted((s for s in all_queries().values() if s.bench), key=lambda s: s.name)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for spec in specs:
         t0 = time.perf_counter()
-        n = spec.spark(spark, sf_dir).count()
+        run(spec.spark(spark, sf_dir))
         cold[spec.name] = round(time.perf_counter() - t0, 4)
         warm_runs = []
         for _ in range(2):
             t1 = time.perf_counter()
-            n = spec.spark(spark, sf_dir).count()
+            run(spec.spark(spark, sf_dir))
             warm_runs.append(time.perf_counter() - t1)
         timings[spec.name] = round(min(warm_runs), 4)
+        n = spec.spark(spark, sf_dir).count()
         print(
             f"# {spec.name}: cold {cold[spec.name]:.3f}s warm {timings[spec.name]:.3f}s ({n} rows)",
             file=sys.stderr,
@@ -112,6 +133,13 @@ def main() -> int:
                 # pass; from r04 warm is min-of-2 (see comment above),
                 # which biases at most slightly low vs earlier rounds
                 "warm_policy": "min_of_2",
+                # methodology marker: r01-r04 timed .count() (Catalyst
+                # prunes unused columns under count, under-measuring
+                # per-row compute); from r05 the timed action is a
+                # noop-sink write that materializes every output
+                # column. Totals are comparable to BASELINE.md's full
+                # materialization, NOT to r01-r04 totals.
+                "action_policy": "noop_write",
             }
         )
     )

@@ -553,8 +553,9 @@ def centroid_outliers(
         # scans; now 3: centroid build + the two unavoidable scoring
         # passes, since per-label stats need every cosine before the
         # flag can be applied). Materialize-the-tiny-side,
-        # recompute-the-corpus-side is the 100 TB rule.
-        .localCheckpoint()
+        # recompute-the-corpus-side is the 100 TB rule. Lazy so merely
+        # BUILDING the query (schema checks, explain) runs no job.
+        .localCheckpoint(eager=False)
     )
     scored = (
         df.join(F.broadcast(cent), label_col)

@@ -1222,7 +1222,7 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write-the-index-once/probe-many pattern (ivf_assign docstring)
     assigned = ivf_assign(
         emb, "vec_id", "embedding", centroids=cents, n_cells=IVF_CELLS, dim=EMB_DIM
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: no job at query-build time
 
     exact = pairs(brute_force_topk(emb, queries, "vec_id", "embedding", ANN_K))
     probed = pairs(
@@ -2081,10 +2081,13 @@ def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.regexp_replace(F.trim("text"), "[ ]+", " "), " ")
         ).alias("tok"),
     )
-    # cache: freq (vocabulary-sized, tiny vs the corpus) feeds two
-    # downstream jobs (total + vocab top-k) — without it the full
-    # token-explode shuffle would run twice
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c")).cache()
+    # materialize: freq (vocabulary-sized, tiny vs the corpus) feeds
+    # two downstream branches (total + vocab top-k) — without it the
+    # full token-explode shuffle would run twice. localCheckpoint, not
+    # cache(): a cache entry is a permanent CacheManager resident the
+    # caller would have to release; checkpoint blocks free with the
+    # DataFrame (the connected_components lifecycle rule).
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
     total = freq.agg(F.sum("c").alias("n"))
     vocab = freq.orderBy(F.desc("c"), F.asc("tok")).limit(1000)
     scored = (
@@ -2260,7 +2263,7 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         k=_WINNOW_K, w=_WINNOW_W,
         max_fp_docs=_WINNOW_CAP, min_shared=_WINNOW_MIN_SHARED,
-    ).select("doc_a", "doc_b").localCheckpoint()  # reused 4x below
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)  # reused 4x; lazy = no build-time job
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -2415,16 +2418,16 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor). Same scale posture as x88: frequency shuffles produce
     capped, broadcastable vocab tables; the context-count join rides
     the bigram stream. The context frequency c(a-) is NOT capped —
-    it is the per-context normalizer, a groupBy the size of the
-    unigram vocab whose join key is skew-bounded by the bigram
-    explode itself."""
-    from igloo_spark.functions.text import bigram_array
-
+    it is the per-context normalizer — but it only matters for
+    in-vocab bigrams, so it joins into the capped vocab BEFORE the
+    broadcast and the corpus-side scoring never shuffles on the
+    (skewed) context token."""
     d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     ws = F.split(F.regexp_replace(F.trim("text"), "[ ]+", " "), " ")
     norm = d.select("doc_id", ws.alias("ws"))
     toks = norm.select("doc_id", F.explode("ws").alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c1")).cache()
+    # lazy localCheckpoint, not cache(): see x88
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1")).localCheckpoint(eager=False)
     total = uni.agg(F.sum("c1").alias("n"))
     uvocab = uni.orderBy(F.desc("c1"), F.asc("tok")).limit(1000)
     bg = (

@@ -100,9 +100,11 @@ def test_order_limit_parity(igloo, pred, col, desc, limit):
 
 
 def test_approx_sketches_within_error_bounds(spark):
-    """q29 is rows-only in the oracle gate (sketch internals are
-    engine-specific by design); this pins the part that IS checkable:
-    the estimates land within documented error bounds of exact values."""
+    """q29's sketch internals are engine-specific by design; since
+    round 5 the query itself emits bound-check booleans with an exact
+    DuckDB oracle (hash-gated in the driver), and this test pins the
+    same bounds independently so the gate's boolean arithmetic can't
+    mask a drifting sketch."""
     from igloo_spark.sources import load_testdata_table
     from pyspark.sql import functions as F
 

@@ -23,6 +23,15 @@ pytestmark = pytest.mark.skipif(
 
 SF = "/root/testdata/sf0.1"
 
+def _run(df):
+    """Timing action: noop-sink write. count() is NOT a valid timing
+    action — Catalyst prunes every unused column under it (aggregate
+    values, window outputs, UDF projections), so it times a skeleton
+    of the query. The noop sink materializes every output row and
+    column with no driver transfer."""
+    df.write.mode("overwrite").format("noop").save()
+
+
 
 def _amplify(df, key_col: str, factor: int, text_col: str | None = None):
     copies = []
@@ -112,9 +121,9 @@ def test_second_batch_operators_scale_flat(spark):
         warm = {}
         for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
             spec = qs[name]
-            spec.spark(spark, sf).count()  # codegen warmup
+            _run(spec.spark(spark, sf))  # codegen warmup
             t0 = time.perf_counter()
-            spec.spark(spark, sf).count()
+            _run(spec.spark(spark, sf))
             warm[sf] = time.perf_counter() - t0
         ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
         print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
@@ -143,9 +152,9 @@ def test_round4_operators_scale_flat(spark):
         warm = {}
         for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
             spec = qs[name]
-            spec.spark(spark, sf).count()  # codegen warmup
+            _run(spec.spark(spark, sf))  # codegen warmup
             t0 = time.perf_counter()
-            spec.spark(spark, sf).count()
+            _run(spec.spark(spark, sf))
             warm[sf] = time.perf_counter() - t0
         ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
         print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
@@ -203,9 +212,9 @@ def test_sf1_headline_totals(spark, tmp_path):
     for sf_name, sf_dir in (("sf0.1", SF), ("sf1", str(sf1))):
         per_q = {}
         for spec in specs:
-            spec.spark(spark, sf_dir).count()  # codegen warmup
+            _run(spec.spark(spark, sf_dir))  # codegen warmup
             t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).count()
+            _run(spec.spark(spark, sf_dir))
             per_q[spec.name] = time.perf_counter() - t0
         totals[sf_name] = per_q
         print(f"{sf_name} headline warm total: {sum(per_q.values()):.2f}s")
@@ -243,9 +252,9 @@ def test_round5_operators_scale_flat(spark):
         warm = {}
         for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
             spec = qs[name]
-            spec.spark(spark, sf).count()  # codegen warmup
+            _run(spec.spark(spark, sf))  # codegen warmup
             t0 = time.perf_counter()
-            spec.spark(spark, sf).count()
+            _run(spec.spark(spark, sf))
             warm[sf] = time.perf_counter() - t0
         ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
         print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
