@@ -164,3 +164,59 @@ def split_assign_sql_duckdb(
         parts.append(f"WHEN ({bucket}) < {int(round(cum * 10000))} THEN '{name}'")
     parts.append(f"ELSE '{names[-1]}' END")
     return " ".join(parts)
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    data: every row gets a shard and a position inside it, drawn from
+    a salted hash permutation.
+
+    A naive global shuffle (ORDER BY rand() + one row_number) funnels
+    the corpus through a single-partition window — dead at 100 TB.
+    Instead: shard = hash(salt, id) mod n_shards (map-side), position
+    = row_number within the shard ordered by the full hash key — one
+    shard-keyed exchange and shard-local sorts that parallelize
+    across shards, which is exactly how training shards are written.
+    Re-rolling the salt produces an independent permutation;
+    the output is partitioning-independent and reproducible, so a
+    resumed job regenerates identical shards.
+    """
+    from igloo_spark.functions.hashing import hex_prefix_hash
+
+    keyed = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    h = hex_prefix_hash(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("k", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            keyed.alias("k"),
+            (h % n_shards).cast("bigint").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("k")
+    )
+
+
+def shuffle_shard_sql_duckdb(
+    table: str, id_expr: str, n_shards: int = 8, salt: str = "shuffle-v1"
+) -> str:
+    """DuckDB query matching :func:`shuffle_shard` bit-for-bit."""
+    from igloo_spark.functions.hashing import hex_prefix_hash_sql_duckdb
+
+    s = f"'{salt}:' || CAST({id_expr} AS VARCHAR)"
+    h = hex_prefix_hash_sql_duckdb(s)
+    return f"""
+    SELECT {id_expr},
+           CAST(({h}) % {n_shards} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ({h}) % {n_shards}
+               ORDER BY md5({s}), {id_expr}) AS BIGINT) AS pos
+    FROM {table}
+    """

@@ -2478,3 +2478,34 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+@register(
+    "x95_corpus_shuffle_shards",
+    "deterministic salted-hash global shuffle into training shards with in-shard positions",
+    None,  # replaced below with the generated SQL
+    tags=("packing", "llm"),
+)
+def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side twin of x86's split assignment: a reproducible
+    global permutation of the corpus into n training shards. Shard =
+    salted hash mod n (map-side); in-shard position = row_number over
+    the hash key inside the shard — ONE shard-keyed exchange with
+    shard-local sorts, never a single-partition global window
+    (operators/packing.shuffle_shard). Salt re-roll = fresh epoch
+    permutation; same salt = byte-identical shards on resume."""
+    from igloo_spark.operators.packing import shuffle_shard
+
+    d = table(spark, sf_dir, "documents")
+    return shuffle_shard(d, "doc_id", n_shards=8, salt="shuffle-v1")
+
+
+def _x95_oracle() -> str:
+    from igloo_spark.operators.packing import shuffle_shard_sql_duckdb
+
+    return shuffle_shard_sql_duckdb("documents", "doc_id", n_shards=8, salt="shuffle-v1")
+
+
+REGISTRY["x95_corpus_shuffle_shards"] = _dc.replace(
+    REGISTRY["x95_corpus_shuffle_shards"], oracle=_x95_oracle()
+)

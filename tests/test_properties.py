@@ -529,3 +529,41 @@ def test_pii_and_url_functions_cross_engine_parity(igloo, tmp_path):
         + f", {canonicalize_url_sql('url')} AS canon FROM documents"
     )
     assert_matches_oracle(df, oracle, str(tmp_path))
+
+
+@settings(deadline=None, max_examples=8, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 10_000),
+    run_len=st.integers(8, 14),      # >= k + w - 1 = 8
+    prefix_a=st.integers(0, 6),
+    prefix_b=st.integers(0, 6),
+)
+def test_winnowing_shared_run_guarantee(igloo, seed, run_len, prefix_a, prefix_b):
+    """The winnowing paper's detection guarantee, fuzzed: whatever
+    surrounds it, a shared token run of length >= k + w - 1 between
+    two documents must produce at least one shared fingerprint (k=5,
+    w=4). Unrelated filler docs must not pair with anything."""
+    import random
+
+    from igloo_spark.operators.dedup import winnow_pairs
+
+    rng = random.Random(seed)
+
+    def words(n, tag):
+        return [f"{tag}{rng.randrange(10_000)}x{i}" for i in range(n)]
+
+    shared = [f"s{seed}n{i}" for i in range(run_len)]
+    doc0 = words(prefix_a, "a") + shared + words(3, "c")
+    doc1 = words(prefix_b, "b") + shared + words(2, "d")
+    doc2 = words(20, "z")  # filler: unique tokens, no overlap
+    df = igloo.spark.createDataFrame(
+        [(0, " ".join(doc0)), (1, " ".join(doc1)), (2, " ".join(doc2))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_pairs(df, "doc_id", "text", k=5, w=4, min_shared=1).collect()
+    }
+    assert (0, 1) in got, "guarantee violated: shared run produced no shared fingerprint"
+    assert all(p == (0, 1) for p in got), f"false pair(s): {got - {(0, 1)}}"
