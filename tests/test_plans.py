@@ -375,14 +375,26 @@ _INTENTIONAL_CROSS = {"q12_cross_join", "x46_ann_bruteforce_topk", "q11_theta_jo
 @pytest.mark.parametrize("qspec", _all_specs(), ids=lambda s: s.name)
 def test_corpus_plan_hygiene(spark, qspec):
     """Blanket net over the ENTIRE corpus: no row-at-a-time Python
-    anywhere, and no accidental cartesian products (the two failure
-    modes that silently sink a 100 TB run)."""
+    anywhere, no accidental cartesian products (the two failure modes
+    that silently sink a 100 TB run), and at most ONE Arrow-batched
+    Python stage per plan — round 5 found x55/x64 paying their
+    pandas-UDF cell assignment twice because a join-key null filter
+    was pushed below the (deterministic) UDF projection and
+    re-evaluated it; this pins the single-evaluation fix corpus-wide."""
     from igloo_spark.plans import audit_plan
 
-    a = audit_plan(qspec.spark(spark, SF))
+    df = qspec.spark(spark, SF)
+    a = audit_plan(df)
     assert a.python_row_udfs == 0, f"{qspec.name} uses a row-Python UDF"
     if qspec.name not in _INTENTIONAL_CROSS:
         assert a.cartesian_products == 0, f"{qspec.name} has a cartesian product"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_py = sum(
+        plan.count(node)
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas", "PythonMapInArrow")
+    )
+    assert n_py <= 1, f"{qspec.name} has {n_py} Python eval stages (duplicated UDF?)"
 
 
 def test_funnel_single_exchange(spark):
