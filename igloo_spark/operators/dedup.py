@@ -171,7 +171,12 @@ def minhash_candidate_pairs(
     (oracle-parity mode); production at scale should set ~1000.
     """
     sig = minhash_signatures_mapside(df, id_col, text_col, shingle_n, n_hashes)
-    sig.persist()
+    # materialized because it feeds BOTH the band explode and the
+    # est_sim re-join; lazy localCheckpoint (not persist()) so the
+    # blocks free with the DataFrame instead of living in the
+    # CacheManager until someone remembers to unpersist — the same
+    # lifecycle rule as connected_components / x88 / x94
+    sig = sig.localCheckpoint(eager=False)
     bands_df = lsh_band_keys(sig, id_col, n_hashes, bands)
     if max_band_members is not None:
         from pyspark.sql.window import Window
@@ -544,6 +549,37 @@ def dedup_manifest(
     )
 
 
+def winnow_fp_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Per-row winnowed fingerprint ARRAY: (id, fps array<string>).
+
+    Pure map-side expression chain (split -> k-gram md5 -> window-min
+    -> array_distinct) with no explode, no distinct, no window — which
+    also makes it legal on a STREAMING DataFrame (the batch
+    ``winnow_fingerprints`` adds the corpus-level hot-fingerprint cap
+    on top, which needs a batch window)."""
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+    base = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+    )
+    g = base.select(id_col, grams.alias("grams"))
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("grams") - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("grams"), j, w)),
+    )
+    return g.select(id_col, F.array_distinct(windows).alias("fps"))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -572,22 +608,9 @@ def winnow_fingerprints(
     keeps the LSH band join (``minhash_candidate_pairs``) from going
     quadratic on popular keys.
     """
-    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
-    base = (
-        df.select(F.col(id_col), toks.alias("toks"))
-        .filter(F.size("toks") >= k)
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
-    )
-    g = base.select(id_col, grams.alias("grams"))
-    windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("grams") - (w - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(F.col("grams"), j, w)),
-    )
     fp = (
-        g.select(id_col, F.explode(F.array_distinct(windows)).alias("fp"))
+        winnow_fp_rows(df, id_col, text_col, k=k, w=w)
+        .select(id_col, F.explode("fps").alias("fp"))
         .distinct()
     )
     from pyspark.sql.window import Window

@@ -26,4 +26,8 @@ from igloo_spark.streaming.cdc import (  # noqa: F401
     enrich_stream,
     windowed_counts,
 )
+from igloo_spark.streaming.neardup import (  # noqa: F401
+    neardup_gate_stream,
+    score_batch_against_history,
+)
 from igloo_spark.streaming.stateful import sessionize_stream  # noqa: F401

@@ -1,0 +1,108 @@
+"""Streaming near-duplicate gate: flag incoming documents that
+overlap a historical corpus, at ingest time.
+
+The batch dedup tiers (operators/dedup.py) assume the whole corpus is
+addressable; an ingest pipeline instead sees an unbounded stream of
+new documents and must answer "have we substantially seen this
+before?" per micro-batch. Winnowed fingerprints make that a
+set-membership problem:
+
+- fingerprinting the STREAM side is the pure map-side expression
+  (``winnow_fp_rows`` — no distinct/window, so it is legal on a
+  streaming DataFrame);
+- the HISTORY side is a static (id, fp) store built once by the batch
+  ``winnow_fingerprints`` — at scale a parquet table keyed by
+  fingerprint that the nightly dedup job maintains;
+- each micro-batch runs inside ``foreachBatch`` with the x69
+  incremental-dedup join posture: the (tiny) batch fingerprint set is
+  broadcast AGAINST history, so the 100 TB history side is scanned
+  with a semi-join probe and never shuffled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def score_batch_against_history(
+    batch_docs: DataFrame,
+    history_fp: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(id, n_shared, is_neardup) for one batch of documents vs a
+    static (id-agnostic) history fingerprint store with an ``fp``
+    column. Join posture: batch fingerprints broadcast, history
+    semi-probed — history never shuffles."""
+    from igloo_spark.operators.dedup import winnow_fp_rows
+
+    bf = winnow_fp_rows(batch_docs, id_col, text_col, k=k, w=w).select(
+        id_col, F.explode("fps").alias("fp")
+    )
+    # distinct matched fingerprints: history scanned once with the
+    # batch's fingerprint set broadcast into a semi-join probe
+    hits = (
+        history_fp.select("fp")
+        .join(F.broadcast(bf.select("fp").distinct()), "fp", "leftsemi")
+        .distinct()
+    )
+    shared = (
+        bf.join(F.broadcast(hits), "fp", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        batch_docs.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared).alias("is_neardup"),
+        )
+    )
+
+
+def neardup_gate_stream(
+    stream_docs: DataFrame,
+    history_fp: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+):
+    """Attach the near-dup gate to a streaming document feed.
+
+    Per-document counting is a non-windowed aggregation, which
+    structured streaming's append mode cannot express incrementally —
+    and SHOULD not: each document's verdict depends only on its own
+    micro-batch plus static history, so ``foreachBatch`` (the same
+    harness as the CDC cache invalidator and the versioned sink) runs
+    the exact batch scorer per micro-batch and hands the flagged
+    frame to ``sink(batch_df, batch_id)``.
+
+    Returns the started StreamingQuery.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            score_batch_against_history(
+                batch_df, history_fp, id_col, text_col, k=k, w=w, min_shared=min_shared
+            ),
+            batch_id,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -559,3 +559,49 @@ def test_streaming_ingest_pipeline_end_to_end(igloo, tmp_path):
 
     # time travel: the first snapshot holds only micro-batch 1's docs
     assert {r["doc_id"] for r in read_versioned(igloo.spark, root, version=1).collect()} == {1, 3}
+
+
+def test_streaming_neardup_gate(igloo, tmp_path):
+    """Ingest-time near-dup gate: a streamed document sharing a long
+    token run with history is flagged; a novel document is not; the
+    verdicts accumulate across micro-batches via foreachBatch."""
+    from igloo_spark.operators.dedup import winnow_fingerprints
+    from igloo_spark.streaming.neardup import neardup_gate_stream
+
+    spark = igloo.spark
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    history_docs = spark.createDataFrame(
+        [(100, f"historic document body {shared} with trailing words here"),
+         (101, "completely different historical content nothing shared at all ok")],
+        "doc_id long, text string",
+    )
+    history_fp = winnow_fingerprints(history_docs, "doc_id", "text")
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": f"incoming copy with {shared} inside it"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "fresh novel words never seen before in any document stream"})
+    )
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 3, "text": f"later batch also contains {shared} run"})
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    results: dict[int, tuple[int, bool]] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[r["doc_id"]] = (r["n_shared"], r["is_neardup"])
+
+    q = neardup_gate_stream(
+        stream, history_fp, sink, str(tmp_path / "nd_ckpt"), min_shared=1
+    )
+    q.awaitTermination(120)
+    assert results[1][1] is True and results[1][0] >= 1
+    assert results[2] == (0, False)
+    assert results[3][1] is True
