@@ -175,3 +175,72 @@ class TestScd2GapsIslands:
             .collect()
         )
         assert [r["n_days"] for r in islands] == [3, 2]
+
+
+class TestRealPixelDecode:
+    """decode_pixels is a REAL decoder (pure numpy, no codec lib) for
+    PPM P6 and 24-bit BMP, driven through spark.read binaryFile ->
+    from_binary_files -> mapInPandas — the full multimodal plumbing
+    with verifiable pixel math."""
+
+    @staticmethod
+    def _write_ppm(path, img):
+        h, w, _ = img.shape
+        header = f"P6\n# test comment\n{w} {h}\n255\n".encode()
+        path.write_bytes(header + img.tobytes())
+
+    @staticmethod
+    def _write_bmp(path, img):
+        import struct
+
+        h, w, _ = img.shape
+        row_bytes = (w * 3 + 3) & ~3
+        pad = b"\x00" * (row_bytes - w * 3)
+        # bottom-up BGR rows
+        body = b"".join(
+            img[r, :, ::-1].tobytes() + pad for r in range(h - 1, -1, -1)
+        )
+        data_off = 54
+        filesz = data_off + len(body)
+        hdr = b"BM" + struct.pack("<IHHI", filesz, 0, 0, data_off)
+        hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        path.write_bytes(hdr + body)
+
+    def test_decode_matches_numpy(self, spark, tmp_path):
+        import numpy as np
+
+        from igloo_spark.operators.multimodal import decode_pixels, from_binary_files
+
+        rng = np.random.default_rng(7)
+        img_a = rng.integers(0, 256, size=(5, 8, 3), dtype=np.uint8)
+        img_b = rng.integers(0, 256, size=(9, 3, 3), dtype=np.uint8)
+        media = tmp_path / "media"
+        media.mkdir()
+        self._write_ppm(media / "a.ppm", img_a)
+        self._write_bmp(media / "b.bmp", img_b)
+
+        files = spark.read.format("binaryFile").load(str(media))
+        decoded = {
+            (r["width"], r["height"]): r
+            for r in decode_pixels(from_binary_files(files)).collect()
+        }
+        got_a = decoded[(8, 5)]
+        got_b = decoded[(3, 9)]
+        for got, img in ((got_a, img_a), (got_b, img_b)):
+            want = img.reshape(-1, 3).mean(axis=0)
+            assert got["n_pixels"] == img.shape[0] * img.shape[1]
+            assert abs(got["mean_r"] - want[0]) < 1e-3
+            assert abs(got["mean_g"] - want[1]) < 1e-3
+            assert abs(got["mean_b"] - want[2]) < 1e-3
+
+    def test_bad_payload_raises(self, spark):
+        import pytest as _pytest
+
+        from igloo_spark.operators.multimodal import decode_pixels
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"GIF89a..."), {"mime": "image/gif", "byte_size": 9, "checksum": "x"})],
+            "doc_id long, payload binary, media_meta struct<mime string, byte_size bigint, checksum string>",
+        )
+        with _pytest.raises(Exception, match="unsupported format"):
+            decode_pixels(df).collect()
