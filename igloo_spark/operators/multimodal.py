@@ -9,7 +9,9 @@ The *plumbing* here is real and tested — schema, Arrow batching,
   (PPM P6, 24-bit BMP) — pure numpy over the raw bytes, no codec
   library — emitting geometry + per-channel means through the same
   Arrow path (pixel math verified against numpy in tests).
-- compressed formats (JPEG/PNG/audio/video) need codec libraries not
+- ``decode_wav`` is a REAL decoder for 16-bit PCM WAV (RIFF chunk
+  walk + numpy sample math): rate/channels/duration + RMS amplitude.
+- compressed formats (JPEG/PNG/mp3/video) need codec libraries not
   present in this container, so ``decode_media`` raises
   ``NotImplementedError`` unless ``fake=True``, which applies a
   deterministic fake decode (size/leading-byte arithmetic) that the
@@ -284,3 +286,69 @@ def decode_pixels(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=DECODED_PIXELS_SCHEMA)
+
+
+DECODED_AUDIO_SCHEMA = (
+    "doc_id bigint, mime string, sample_rate bigint, channels bigint, "
+    "n_samples bigint, duration_s double, rms double"
+)
+
+
+def _parse_wav(buf: bytes):
+    """RIFF/WAVE with 16-bit PCM: walk the chunk list to the fmt and
+    data chunks (ignoring LIST/fact/etc.), decode samples with numpy.
+    Pure stdlib struct + numpy — no audio library."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, sample_rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM WAV supported")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    n_frames = len(samples) // channels
+    return sample_rate, channels, n_frames, samples
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode for 16-bit PCM WAV — RIFF chunk walk + numpy
+    sample math, no codec library — emitting rate/geometry/duration
+    and RMS amplitude (the cheap audio-quality gate: silence and
+    clipped files fall out of the RMS distribution). Same Arrow-
+    batched ``mapInPandas`` tier as :func:`decode_pixels`; compressed
+    audio (mp3/ogg/...) stays behind the documented codec gate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                batch["doc_id"], batch["payload"], batch["media_meta"]
+            ):
+                rate, ch, n, samples = _parse_wav(bytes(payload))
+                rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
+                out.append(
+                    (doc_id, meta["mime"], rate, ch, n,
+                     round(n / rate, 6) if rate else 0.0, round(rms, 4))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "mime", "sample_rate", "channels",
+                         "n_samples", "duration_s", "rms"],
+            )
+
+    return df.mapInPandas(run, schema=DECODED_AUDIO_SCHEMA)

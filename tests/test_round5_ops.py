@@ -244,3 +244,36 @@ class TestRealPixelDecode:
         )
         with _pytest.raises(Exception, match="unsupported format"):
             decode_pixels(df).collect()
+
+
+class TestRealWavDecode:
+    def test_wav_matches_numpy(self, spark, tmp_path):
+        import struct
+
+        import numpy as np
+
+        from igloo_spark.operators.multimodal import decode_wav, from_binary_files
+
+        rng = np.random.default_rng(11)
+        rate, ch = 16000, 2
+        samples = (rng.standard_normal(rate * ch) * 3000).astype("<i2")
+        data = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        wav = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            # a LIST chunk the parser must skip
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        media = tmp_path / "audio"
+        media.mkdir()
+        (media / "t.wav").write_bytes(wav)
+
+        files = spark.read.format("binaryFile").load(str(media))
+        r = decode_wav(from_binary_files(files, mime="audio/wav")).collect()[0]
+        assert (r["sample_rate"], r["channels"]) == (rate, ch)
+        assert r["n_samples"] == rate  # frames = samples / channels
+        assert abs(r["duration_s"] - 1.0) < 1e-9
+        want_rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+        assert abs(r["rms"] - want_rms) < 0.01
