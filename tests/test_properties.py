@@ -49,6 +49,13 @@ agg_exprs = st.lists(
             "avg(CAST(p_size AS DOUBLE)) AS a_size",
             "CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands",
             "CAST(sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big",
+            # round-5 aggregate families (q96/q97), fuzzed with the
+            # same predicates: NULL on degenerate groups must agree
+            "round(regr_slope(CAST(p_retailprice AS DOUBLE), CAST(p_size AS DOUBLE)), 6) AS slope",
+            "round(corr(CAST(p_size AS DOUBLE), CAST(p_retailprice AS DOUBLE)), 6) AS corr_sp",
+            "CAST(count_if(p_size > 25) AS BIGINT) AS n_big_if",
+            "bool_or(p_size > 45) AS any_huge",
+            "max_by(p_brand, p_partkey) AS last_brand",
         ],
         ),
     min_size=1,
