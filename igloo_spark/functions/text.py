@@ -270,3 +270,24 @@ def url_domain(url: Column) -> Column:
 def url_domain_sql(expr: str) -> str:
     host = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)"
     return f"lower(regexp_extract({host}, '([^.]+\\.[^.]+)$', 1))"
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to syntax Java regex
+# and RE2 share (no lookahead — the original's \s+(?!\S) tail is
+# dropped; both engines use leftmost-first alternation, so counts
+# agree): contractions, space-prefixed letter runs, space-prefixed
+# digit runs, space-prefixed punctuation runs, residual whitespace.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-aware token count: the number of BPE PRE-tokenizer
+    segments (the GPT-2 regex family), a materially better proxy for
+    model token cost than whitespace counting on punctuation-heavy or
+    contraction-heavy text. Codegen'd regexp_count — no Python."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("bigint")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"

@@ -2509,3 +2509,46 @@ def _x95_oracle() -> str:
 REGISTRY["x95_corpus_shuffle_shards"] = _dc.replace(
     REGISTRY["x95_corpus_shuffle_shards"], oracle=_x95_oracle()
 )
+
+
+def _x96_oracle() -> str:
+    from igloo_spark.functions.text import bpe_token_count_sql, token_count_sql
+
+    ws = token_count_sql("text")
+    bpe = bpe_token_count_sql("text")
+    return f"""
+    SELECT doc_id,
+           CAST({ws} AS BIGINT) AS ws_tokens,
+           {bpe} AS bpe_tokens,
+           round(CAST({bpe} AS DOUBLE) / greatest({ws}, 1), 4) AS fertility
+    FROM documents
+    """
+
+
+@register(
+    "x96_bpe_token_stats",
+    "model-token cost proxy: BPE pre-tokenizer segment count vs whitespace tokens per doc",
+    _x96_oracle(),
+    tags=("text", "tokenize", "llm"),
+)
+def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the brief's token-counting pair (x49 counts
+    whitespace tokens): segments of the GPT-2 pre-tokenizer regex
+    family — contractions, space-prefixed letter/digit/punctuation
+    runs — restricted to syntax Java regex and RE2 evaluate
+    identically (no lookahead; leftmost-first alternation in both).
+    'Fertility' (BPE per whitespace token) is the standard flag for
+    punctuation-/code-heavy documents whose model-token cost
+    whitespace counting badly underestimates. Pure codegen'd
+    regexp_count in the scan stage — zero shuffles, zero Python."""
+    from igloo_spark.functions.text import bpe_token_count, token_count
+
+    d = table(spark, sf_dir, "documents")
+    ws = token_count(F.col("text")).cast("bigint")
+    bpe = bpe_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)), 4).alias("fertility"),
+    )

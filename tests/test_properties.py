@@ -200,6 +200,8 @@ def test_text_functions_edge_case_parity(igloo, tmp_path):
     import pyarrow.parquet as pq
 
     from igloo_spark.functions.text import (
+        bpe_token_count,
+        bpe_token_count_sql,
         doc_fingerprint,
         doc_fingerprint_sql,
         language_id,
@@ -226,6 +228,8 @@ def test_text_functions_edge_case_parity(igloo, tmp_path):
         "...!!!???",
         "the quick brown fox and the lazy dog of the farm",
         ("dup " * 30).strip(),
+        "it's Bob's idea, isn't it? we'll see",  # BPE contractions
+        "price: $12.50 (20% off!) e.g. U.S.A.",  # digit/punct runs
     ]
     rows = list(enumerate(texts))
     pq.write_table(
@@ -248,6 +252,7 @@ def test_text_functions_edge_case_parity(igloo, tmp_path):
         quality_score(F.col("text")).alias("q"),
         language_id(F.col("text")).alias("lang_id"),
         doc_fingerprint(F.col("text")).alias("fp"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
     )
     oracle = f"""
     SELECT doc_id,
@@ -255,7 +260,8 @@ def test_text_functions_edge_case_parity(igloo, tmp_path):
            {repetition_ratio_sql('text')} AS rep,
            {quality_score_sql('text')} AS q,
            {language_id_sql('text')} AS lang_id,
-           {doc_fingerprint_sql('text')} AS fp
+           {doc_fingerprint_sql('text')} AS fp,
+           {bpe_token_count_sql('text')} AS n_bpe
     FROM documents
     """
     assert_matches_oracle(df, oracle, str(tmp_path))
