@@ -651,3 +651,114 @@ def winnow_pairs(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def shared_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_fp_docs: int = 50,
+    min_shared: int = 2,
+    min_len: int = 8,
+) -> DataFrame:
+    """Maximal shared token runs between near-duplicate documents —
+    the ExactSubstr dedup primitive (find the actual repeated
+    passages, not just "these docs are similar") that span-removal
+    pipelines consume.
+
+    Three stages, each bounded by the one before:
+
+    1. candidate pairs from winnowed fingerprints (``winnow_pairs`` —
+       the hot-fingerprint cap and min_shared gate bound pair volume);
+    2. k-gram anchor positions for PAIRED docs only (the corpus is
+       semi-joined down to candidate members before any explode);
+    3. per anchor, extend left/right while tokens match via bounded
+       array expressions (zip-compare + first-mismatch position — no
+       loops, pure codegen). Every anchor inside one maximal run
+       extends to the SAME boundaries, so ``distinct`` yields exactly
+       the maximal runs; ``min_len`` (>= k + w - 1 for guaranteed
+       detection) drops incidental k-gram collisions.
+
+    At 100 TB: stage 3's work is anchors x run length — proportional
+    to actually-duplicated text, not the corpus. The heavy side never
+    shuffles; token arrays travel only for the (tiny) paired set.
+    """
+    pairs = winnow_pairs(
+        df, id_col, text_col, k=k, w=w,
+        max_fp_docs=max_fp_docs, min_shared=min_shared,
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    member_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionAll(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+    docs = (
+        df.join(F.broadcast(member_ids), id_col, "leftsemi")
+        .select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= k)
+        .localCheckpoint(eager=False)  # reused: grams + both ext sides
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+    )
+    g = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("p0", "h")
+    ).select(id_col, (F.col("p0") + 1).alias("p"), "h")
+    ga = g.select(F.col(id_col).alias("doc_a"), F.col("p").alias("pa"), "h")
+    gb = g.select(F.col(id_col).alias("doc_b"), F.col("p").alias("pb"), "h")
+    anchors = pairs.join(ga, "doc_a").join(gb, ["doc_b", "h"]).select(
+        "doc_a", "doc_b", "pa", "pb"
+    )
+    da = docs.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("sa"))
+    db = docs.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("sb"))
+    ext = (
+        anchors.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .withColumn(
+            "maxr",
+            F.least(
+                F.size("sa") - (F.col("pa") + k) + 1,
+                F.size("sb") - (F.col("pb") + k) + 1,
+            ),
+        )
+        .withColumn("maxl", F.least(F.col("pa") - 1, F.col("pb") - 1))
+    )
+
+    def _ext_len(max_col: str, idx_a, idx_b):
+        eq = F.transform(
+            F.sequence(F.lit(1), F.col(max_col)),
+            lambda i: idx_a(i) == idx_b(i),
+        )
+        pos = F.array_position(eq, F.lit(False))
+        return F.when(F.col(max_col) <= 0, F.lit(0)).otherwise(
+            F.when(pos == 0, F.col(max_col)).otherwise(pos - 1)
+        )
+
+    r = _ext_len(
+        "maxr",
+        lambda i: F.element_at("sa", (F.col("pa") + k - 1 + i).cast("int")),
+        lambda i: F.element_at("sb", (F.col("pb") + k - 1 + i).cast("int")),
+    )
+    l = _ext_len(
+        "maxl",
+        lambda i: F.element_at("sa", (F.col("pa") - i).cast("int")),
+        lambda i: F.element_at("sb", (F.col("pb") - i).cast("int")),
+    )
+    lens = ext.select(
+        "doc_a", "doc_b", "pa", "pb", r.alias("r"), l.alias("l")
+    )
+    return (
+        lens.select(
+            "doc_a",
+            "doc_b",
+            (F.col("pa") - F.col("l")).cast("bigint").alias("a_start"),
+            (F.col("pb") - F.col("l")).cast("bigint").alias("b_start"),
+            (F.col("l") + k + F.col("r")).cast("bigint").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .distinct()
+    )

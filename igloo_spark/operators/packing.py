@@ -185,6 +185,13 @@ def shuffle_shard(
     Re-rolling the salt produces an independent permutation;
     the output is partitioning-independent and reproducible, so a
     resumed job regenerates identical shards.
+
+    Size ``n_shards`` for the data, not the default: in-shard
+    positions sort each shard's contents, so parallelism — and
+    per-task memory — is shard-count-bound. Production sizing is
+    shard ≈ output-file-sized (e.g. 100 TB / 1 GB → ~100k shards),
+    which simultaneously parallelizes the sort and yields the file
+    layout a training loader wants. The default 8 is test-scale.
     """
     from igloo_spark.functions.hashing import hex_prefix_hash
 

@@ -2552,3 +2552,106 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("bpe_tokens"),
         F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)), 4).alias("fertility"),
     )
+
+
+_SPAN_MIN_LEN = 8  # k + w - 1: the winnowing detection guarantee
+
+
+def _x97_oracle() -> str:
+    k, w, cap, ms = _WINNOW_K, _WINNOW_W, _WINNOW_CAP, _WINNOW_MIN_SHARED
+
+    def ext_case(max_col: str, a_idx: str, b_idx: str) -> str:
+        pos = (
+            f"list_position(list_transform(range(1, {max_col} + 1), "
+            f"i -> {a_idx} = {b_idx}), false)"
+        )
+        return (
+            f"CASE WHEN {max_col} <= 0 THEN 0 ELSE "
+            f"CASE {pos} WHEN 0 THEN {max_col} ELSE {pos} - 1 END END"
+        )
+
+    r_case = ext_case("maxr", f"sa[pa + {k} - 1 + i]", f"sb[pb + {k} - 1 + i]")
+    l_case = ext_case("maxl", "sa[pa - i]", "sb[pb - i]")
+    return f"""
+    WITH docs0 AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    g0 AS (
+        SELECT doc_id, list_transform(range(1, len(toks) - {k} + 2),
+               i -> md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS grams
+        FROM docs0 WHERE len(toks) >= {k}
+    ),
+    wn AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(grams) - {w} + 1, 1) + 1),
+               j -> list_aggregate(list_slice(grams, j, j + {w - 1}), 'min'))) AS fps
+        FROM g0
+    ),
+    fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wn),
+    ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {cap}),
+    fpo AS (SELECT f.doc_id, f.fp FROM fp f JOIN ok USING (fp)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fpo a JOIN fpo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {ms}
+    ),
+    docs AS (
+        SELECT doc_id, toks FROM docs0
+        WHERE doc_id IN (SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs)
+    ),
+    g AS (
+        SELECT d.doc_id, u.i AS p,
+               md5(array_to_string(list_slice(d.toks, u.i, u.i + {k - 1}), ' ')) AS h
+        FROM docs d, UNNEST(range(1, len(d.toks) - {k} + 2)) AS u(i)
+    ),
+    anchors AS (
+        SELECT p.doc_a, p.doc_b, ga.p AS pa, gb.p AS pb
+        FROM pairs p
+        JOIN g ga ON ga.doc_id = p.doc_a
+        JOIN g gb ON gb.doc_id = p.doc_b AND gb.h = ga.h
+    ),
+    ext AS (
+        SELECT a.doc_a, a.doc_b, a.pa, a.pb, da.toks AS sa, db.toks AS sb,
+               least(len(da.toks) - (a.pa + {k}) + 1, len(db.toks) - (a.pb + {k}) + 1) AS maxr,
+               least(a.pa - 1, a.pb - 1) AS maxl
+        FROM anchors a
+        JOIN docs da ON da.doc_id = a.doc_a
+        JOIN docs db ON db.doc_id = a.doc_b
+    ),
+    lens AS (
+        SELECT doc_a, doc_b, pa, pb, {r_case} AS r, {l_case} AS l FROM ext
+    )
+    SELECT DISTINCT doc_a, doc_b,
+           CAST(pa - l AS BIGINT) AS a_start,
+           CAST(pb - l AS BIGINT) AS b_start,
+           CAST(l + {k} + r AS BIGINT) AS run_len
+    FROM lens
+    WHERE l + {k} + r >= {_SPAN_MIN_LEN}
+    """
+
+
+@register(
+    "x97_shared_spans",
+    "ExactSubstr dedup: maximal shared token runs (start positions + length) between near-dup pairs",
+    _x97_oracle(),
+    tags=("dedup", "fingerprint", "llm"),
+)
+def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr primitive (find the actual repeated PASSAGES,
+    with positions, so a span-removal pass can cut them): winnow-gated
+    candidate pairs -> k-gram anchors for paired docs only -> bounded
+    left/right extension via zip-compare + first-mismatch position —
+    no loops, pure array expressions both engines evaluate
+    identically. Every anchor inside one maximal run extends to the
+    same boundaries, so DISTINCT yields exactly the maximal runs.
+    Work is proportional to actually-duplicated text, never corpus
+    size (operators/dedup.shared_spans)."""
+    from igloo_spark.operators.dedup import shared_spans
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return shared_spans(
+        d, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W,
+        max_fp_docs=_WINNOW_CAP, min_shared=_WINNOW_MIN_SHARED,
+        min_len=_SPAN_MIN_LEN,
+    )

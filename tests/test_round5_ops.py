@@ -277,3 +277,50 @@ class TestRealWavDecode:
         assert abs(r["duration_s"] - 1.0) < 1e-9
         want_rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
         assert abs(r["rms"] - want_rms) < 0.01
+
+
+class TestSharedSpans:
+    def test_exact_span_positions(self, spark):
+        """A planted shared passage must come back with exact start
+        positions and maximal length — extended beyond the anchor in
+        both directions, not clipped at k-gram boundaries."""
+        from igloo_spark.operators.dedup import shared_spans
+
+        passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+        df = _docs(
+            spark,
+            [
+                f"pre1 pre2 {passage} post1 post2 post3",          # span at tokens 3..12
+                f"x1 x2 x3 x4 {passage} y1",                        # span at tokens 5..14
+                "unrelated filler words that never overlap anything else here at all",
+            ],
+        )
+        rows = shared_spans(df, "doc_id", "text", min_len=8).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["doc_a"], r["doc_b"]) == (0, 1)
+        assert r["run_len"] == 10
+        assert r["a_start"] == 3 and r["b_start"] == 5
+
+    def test_two_distinct_spans_both_found(self, spark):
+        """Two separate shared passages in the same pair yield two
+        distinct maximal spans, not one merged or one lost."""
+        from igloo_spark.operators.dedup import shared_spans
+
+        p1 = "one two three four five six seven eight"          # 8 tokens
+        p2 = "red orange yellow green blue indigo violet ultra"  # 8 tokens
+        df = _docs(
+            spark,
+            [
+                f"{p1} filler1 filler2 {p2}",
+                f"start0 {p2} mid1 mid2 mid3 {p1} end0",
+            ],
+        )
+        rows = sorted(
+            shared_spans(df, "doc_id", "text", min_len=8).collect(),
+            key=lambda r: r["a_start"],
+        )
+        assert [(r["a_start"], r["b_start"], r["run_len"]) for r in rows] == [
+            (1, 1 + 8 + 3 + 1, 8),  # p1: doc0 tokens 1..8; doc1 after start0 + p2(8) + 3 fillers
+            (8 + 2 + 1, 2, 8),      # p2: doc0 after p1(8) + 2 fillers; doc1 tokens 2..9
+        ]
