@@ -762,3 +762,77 @@ def shared_spans(
         .filter(F.col("run_len") >= min_len)
         .distinct()
     )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply :func:`shared_spans` output as a span-removal pass — the
+    terminal step of ExactSubstr dedup: for each pair the b-side
+    (higher id) loses its copy of every shared run, keeping exactly
+    one occurrence corpus-wide for pairwise duplicates.
+
+    Per affected doc: merge its (possibly overlapping) spans into
+    disjoint intervals with the islands idiom (flag spans starting
+    past the running max end, running-sum the flags — one tiny
+    span-keyed window), then drop tokens whose position falls inside
+    any interval via nested array lambdas — no token explode. Output
+    is (id, n_tokens, n_removed, clean_fp): the md5 of the cleaned
+    text, so the result is hashable and the cleaned payload itself
+    can be rebuilt by any consumer with the same expression.
+
+    100 TB shape: everything is sized by the SPAN set (actually-
+    duplicated text), and the only corpus touch is the semi-join that
+    fetches affected docs' token arrays.
+    """
+    from pyspark.sql.window import Window
+
+    bspans = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("run_len") - 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = bspans.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1))).cast("int"),
+    ).withColumn("isl", F.sum("new_island").over(w_run))
+    merged = islands.groupBy(id_col, "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    ivs = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")
+    )
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+    docs = df.select(F.col(id_col), toks.alias("toks"))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: ~F.exists("ivs", lambda v: (i >= v["s"]) & (i <= v["e"])),
+    )
+    return (
+        docs.join(F.broadcast(ivs), id_col)
+        .withColumn("kept", kept)
+        .select(
+            F.col(id_col),
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform("kept", lambda i: F.element_at("toks", i.cast("int"))),
+                )
+            ).alias("clean_fp"),
+        )
+    )

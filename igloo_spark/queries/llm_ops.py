@@ -2655,3 +2655,74 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_fp_docs=_WINNOW_CAP, min_shared=_WINNOW_MIN_SHARED,
         min_len=_SPAN_MIN_LEN,
     )
+
+
+def _x98_oracle() -> str:
+    span_sql = _x97_oracle()
+    return f"""
+    WITH spans AS ({span_sql}),
+    bspans AS (
+        SELECT doc_b AS doc_id, b_start AS s, b_start + run_len - 1 AS e FROM spans
+    ),
+    flagged AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS new_island
+        FROM bspans
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM flagged
+    ),
+    merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM islands GROUP BY doc_id, isl),
+    ivs AS (
+        SELECT doc_id, list(s ORDER BY s, e) AS ss, list(e ORDER BY s, e) AS es
+        FROM merged GROUP BY doc_id
+    ),
+    docs AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) - len(list_filter(range(1, len(d.toks) + 1),
+                i -> len(list_filter(range(1, len(v.ss) + 1),
+                     j -> i >= v.ss[j] AND i <= v.es[j])) = 0)) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(list_transform(
+                list_filter(range(1, len(d.toks) + 1),
+                    i -> len(list_filter(range(1, len(v.ss) + 1),
+                         j -> i >= v.ss[j] AND i <= v.es[j])) = 0),
+                i -> d.toks[i]), ' '), '')) AS clean_fp
+    FROM docs d JOIN ivs v USING (doc_id)
+    """
+
+
+@register(
+    "x98_span_removal",
+    "ExactSubstr removal pass: merged duplicate intervals cut from each pair's b-side; cleaned-text fingerprint",
+    _x98_oracle(),
+    tags=("dedup", "fingerprint", "llm"),
+)
+def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal ExactSubstr step: x97's shared runs applied as a
+    removal pass (keep-first policy — the b-side of each pair loses
+    its copy). Overlapping spans merge via the islands idiom on a
+    span-keyed window; token dropping is a nested array lambda — no
+    token explode; the corpus's only involvement is the semi-join
+    fetching affected docs. Output hashes the cleaned text so the
+    driver can verify the exact post-removal payload
+    (operators/dedup.remove_spans)."""
+    from igloo_spark.operators.dedup import remove_spans, shared_spans
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    spans = shared_spans(
+        d, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W,
+        max_fp_docs=_WINNOW_CAP, min_shared=_WINNOW_MIN_SHARED,
+        min_len=_SPAN_MIN_LEN,
+    )
+    return remove_spans(d, spans, "doc_id", "text")

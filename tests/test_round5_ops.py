@@ -324,3 +324,40 @@ class TestSharedSpans:
             (1, 1 + 8 + 3 + 1, 8),  # p1: doc0 tokens 1..8; doc1 after start0 + p2(8) + 3 fillers
             (8 + 2 + 1, 2, 8),      # p2: doc0 after p1(8) + 2 fillers; doc1 tokens 2..9
         ]
+
+
+class TestSpanRemoval:
+    def test_overlapping_spans_merge_and_clean_text_exact(self, spark):
+        """Hand-built overlapping spans must merge before removal, and
+        the cleaned text fingerprint must equal the md5 of exactly the
+        surviving tokens."""
+        import hashlib
+
+        from igloo_spark.operators.dedup import remove_spans
+
+        df = _docs(spark, ["t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"])
+        spans = spark.createDataFrame(
+            # doc 0 as b-side: [2,5] and [4,7] overlap -> [2,7]; [9,9] separate
+            [(99, 0, 1, 2, 4), (99, 0, 1, 4, 4), (99, 0, 1, 9, 1)],
+            "doc_a long, doc_b long, a_start long, b_start long, run_len long",
+        )
+        r = remove_spans(df, spans, "doc_id", "text").collect()[0]
+        kept = "t1 t8 t10"  # removed 2..7 and 9
+        assert r["n_tokens"] == 10
+        assert r["n_removed"] == 7
+        assert r["clean_fp"] == hashlib.md5(kept.encode()).hexdigest()
+
+    def test_exact_duplicate_fully_removed(self, spark):
+        """An exact duplicate (doc_b == doc_a verbatim) is removed
+        entirely: zero kept tokens, md5('') fingerprint."""
+        import hashlib
+
+        from igloo_spark.operators.dedup import remove_spans, shared_spans
+
+        text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+        df = _docs(spark, [text, text])
+        spans = shared_spans(df, "doc_id", "text", min_len=8)
+        out = {r["doc_id"]: r for r in remove_spans(df, spans, "doc_id", "text").collect()}
+        assert list(out) == [1]  # only the b-side is touched
+        assert out[1]["n_removed"] == 12
+        assert out[1]["clean_fp"] == hashlib.md5(b"").hexdigest()
