@@ -549,20 +549,8 @@ def dedup_manifest(
     )
 
 
-def winnow_fp_rows(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 5,
-    w: int = 4,
-) -> DataFrame:
-    """Per-row winnowed fingerprint ARRAY: (id, fps array<string>).
-
-    Pure map-side expression chain (split -> k-gram md5 -> window-min
-    -> array_distinct) with no explode, no distinct, no window — which
-    also makes it legal on a STREAMING DataFrame (the batch
-    ``winnow_fingerprints`` adds the corpus-level hot-fingerprint cap
-    on top, which needs a batch window)."""
+def _winnow_gram_frame(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, grams): per-row k-gram md5 array, tokens length-filtered."""
     toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
     base = (
         df.select(F.col(id_col), toks.alias("toks"))
@@ -572,12 +560,44 @@ def winnow_fp_rows(
         F.sequence(F.lit(1), F.size("toks") - (k - 1)),
         lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
     )
-    g = base.select(id_col, grams.alias("grams"))
-    windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("grams") - (w - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(F.col("grams"), j, w)),
+    return base.select(id_col, grams.alias("grams"))
+
+
+def _winnow_fps_col(w: int):
+    """Winnowed fingerprint array over the ``grams`` column.
+
+    PERF: consumers must explode THIS EXPRESSION inline
+    (``F.explode(_winnow_fps_col(w))``), never alias it to a column
+    and explode the attribute: Spark's InferFiltersFromGenerate adds
+    ``size(attr) > 0`` for attribute generators and pushes it through
+    the projections by full substitution — the entire gram/window
+    chain then re-evaluates inside the Filter with per-element
+    nesting (measured 40x on x89). Inline generator expressions are
+    exempt from the inference, so the chain runs once per row."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("grams") - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(F.col("grams"), j, w)),
+        )
     )
-    return g.select(id_col, F.array_distinct(windows).alias("fps"))
+
+
+def winnow_fp_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Per-row winnowed fingerprints, EXPLODED: (id, fp) with
+    duplicates within a doc already collapsed by array_distinct.
+
+    Pure map-side (no corpus window/distinct), so legal on a
+    STREAMING DataFrame; the batch ``winnow_fingerprints`` adds the
+    cross-doc distinct + hot-fingerprint cap on top. The generator is
+    the inline expression (see ``_winnow_fps_col``)."""
+    g = _winnow_gram_frame(df, id_col, text_col, k)
+    return g.select(id_col, F.explode(_winnow_fps_col(w)).alias("fp"))
 
 
 def winnow_fingerprints(
@@ -608,11 +628,7 @@ def winnow_fingerprints(
     keeps the LSH band join (``minhash_candidate_pairs``) from going
     quadratic on popular keys.
     """
-    fp = (
-        winnow_fp_rows(df, id_col, text_col, k=k, w=w)
-        .select(id_col, F.explode("fps").alias("fp"))
-        .distinct()
-    )
+    fp = winnow_fp_rows(df, id_col, text_col, k=k, w=w).distinct()
     from pyspark.sql.window import Window
 
     wfp = Window.partitionBy("fp")

@@ -42,9 +42,7 @@ def score_batch_against_history(
     semi-probed — history never shuffles."""
     from igloo_spark.operators.dedup import winnow_fp_rows
 
-    bf = winnow_fp_rows(batch_docs, id_col, text_col, k=k, w=w).select(
-        id_col, F.explode("fps").alias("fp")
-    )
+    bf = winnow_fp_rows(batch_docs, id_col, text_col, k=k, w=w)
     # distinct matched fingerprints: history scanned once with the
     # batch's fingerprint set broadcast into a semi-join probe
     hits = (

@@ -241,6 +241,8 @@ def test_round5_operators_scale_flat(spark):
     names = [
         "x89_winnowing_pairs",
         "x90_semantic_outliers",
+        "x97_shared_spans",
+        "x98_span_removal",
         "x92_triangle_count",
         "x93_pmi_cooccurrence",
         "x94_bigram_logprob",
