@@ -361,3 +361,27 @@ class TestSpanRemoval:
         assert list(out) == [1]  # only the b-side is touched
         assert out[1]["n_removed"] == 12
         assert out[1]["clean_fp"] == hashlib.md5(b"").hexdigest()
+
+
+class TestShuffleShard:
+    def test_deterministic_contiguous_and_salt_sensitive(self, spark):
+        """Same salt twice -> identical shards and positions; positions
+        are contiguous 1..n within each shard; a salt re-roll yields a
+        different permutation over the same rows."""
+        from igloo_spark.operators.packing import shuffle_shard
+
+        df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+        a = sorted(map(tuple, shuffle_shard(df, "doc_id", n_shards=4).collect()))
+        b = sorted(map(tuple, shuffle_shard(df, "doc_id", n_shards=4).collect()))
+        c = sorted(map(tuple, shuffle_shard(df, "doc_id", n_shards=4, salt="epoch2").collect()))
+        assert a == b, "same salt must reproduce identical shards"
+        assert a != c, "salt re-roll must produce a different permutation"
+        assert len(a) == 300 and len({r[0] for r in a}) == 300  # every row, once
+        by_shard = {}
+        for _doc, shard, pos in a:
+            by_shard.setdefault(shard, []).append(pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+        # shards are reasonably balanced (hash-partitioned)
+        sizes = [len(v) for v in by_shard.values()]
+        assert len(sizes) == 4 and min(sizes) > 30
