@@ -277,7 +277,14 @@ def url_domain_sql(expr: str) -> str:
 # dropped; both engines use leftmost-first alternation, so counts
 # agree): contractions, space-prefixed letter runs, space-prefixed
 # digit runs, space-prefixed punctuation runs, residual whitespace.
-BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# Whitespace is spelled as an EXPLICIT class: Java's \s includes
+# vertical tab (\x0B) while RE2's does not, so a bare \s silently
+# breaks cross-engine parity on any text containing \x0B.
+_WS = r"[ \t\n\x0B\f\r]"
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+" + rf"|{_WS}+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:

@@ -549,11 +549,18 @@ def dedup_manifest(
     )
 
 
+def _tokens(text_col: str):
+    """THE whitespace-normalized tokenizer for position-bearing dedup
+    ops (winnowing, shared spans, span removal). Span indices are only
+    meaningful because every consumer splits identically — change it
+    here or nowhere."""
+    return F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+
+
 def _winnow_gram_frame(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, grams): per-row k-gram md5 array, tokens length-filtered."""
-    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
     base = (
-        df.select(F.col(id_col), toks.alias("toks"))
+        df.select(F.col(id_col), _tokens(text_col).alias("toks"))
         .filter(F.size("toks") >= k)
     )
     grams = F.transform(
@@ -710,10 +717,9 @@ def shared_spans(
         .unionAll(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
     docs = (
         df.join(F.broadcast(member_ids), id_col, "leftsemi")
-        .select(F.col(id_col), toks.alias("toks"))
+        .select(F.col(id_col), _tokens(text_col).alias("toks"))
         .filter(F.size("toks") >= k)
         .localCheckpoint(eager=False)  # reused: grams + both ext sides
     )
@@ -831,8 +837,7 @@ def remove_spans(
     ivs = merged.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs")
     )
-    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
-    docs = df.select(F.col(id_col), toks.alias("toks"))
+    docs = df.select(F.col(id_col), _tokens(text_col).alias("toks"))
     kept = F.filter(
         F.sequence(F.lit(1), F.size("toks")),
         lambda i: ~F.exists("ivs", lambda v: (i >= v["s"]) & (i <= v["e"])),

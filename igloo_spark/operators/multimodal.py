@@ -213,7 +213,11 @@ def _parse_ppm(buf: bytes):
         vals.append(int(buf[i:j]))
         i = j
     i += 1  # single whitespace after maxval
-    w, h, _maxval = vals
+    w, h, maxval = vals
+    if maxval != 255:
+        # maxval > 255 means 2-byte samples; reading them as uint8
+        # would silently produce corrupt pixels
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
     px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i)
     return w, h, px.reshape(h, w, 3)
 

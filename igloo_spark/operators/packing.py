@@ -193,10 +193,11 @@ def shuffle_shard(
     which simultaneously parallelizes the sort and yields the file
     layout a training loader wants. The default 8 is test-scale.
     """
-    from igloo_spark.functions.hashing import hex_prefix_hash
-
+    # ONE salted md5 expression; the shard hash derives from its
+    # prefix so the sort key and the shard key cannot drift apart
+    # (hex_prefix_hash == conv(substring(md5(s),1,8),16,10))
     keyed = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
-    h = hex_prefix_hash(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    h = F.conv(F.substring(keyed, 1, 8), 16, 10).cast("bigint")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("shard").orderBy("k", id_col)

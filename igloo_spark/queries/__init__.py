@@ -101,7 +101,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
 # entries, the driver's per-round gate window. After this window the
 # r01 backlog clears (except x44, which yielded its slot to the
 # code-changed x55 — its oracle SQL is nested verbatim in x87's
-# r04-green check). r06 rotation order: the four round-5 additions
+# r04-green check). r06 rotation order: the seven round-5 additions
 # that missed this window (x92–x98, never driver-checked), then x44,
 # then the r03-verdict queries (oldest remaining).
 

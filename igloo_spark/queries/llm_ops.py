@@ -2561,9 +2561,13 @@ def _x97_oracle() -> str:
     k, w, cap, ms = _WINNOW_K, _WINNOW_W, _WINNOW_CAP, _WINNOW_MIN_SHARED
 
     def ext_case(max_col: str, a_idx: str, b_idx: str) -> str:
+        # coalesce: DuckDB 1.0 returns 0 for not-found, newer versions
+        # return NULL — without it a span extending cleanly to its
+        # bound (exact duplicates!) would get a NULL run_len on
+        # upgrade and silently vanish from the oracle
         pos = (
-            f"list_position(list_transform(range(1, {max_col} + 1), "
-            f"i -> {a_idx} = {b_idx}), false)"
+            f"coalesce(list_position(list_transform(range(1, {max_col} + 1), "
+            f"i -> {a_idx} = {b_idx}), false), 0)"
         )
         return (
             f"CASE WHEN {max_col} <= 0 THEN 0 ELSE "

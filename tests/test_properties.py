@@ -230,6 +230,7 @@ def test_text_functions_edge_case_parity(igloo, tmp_path):
         ("dup " * 30).strip(),
         "it's Bob's idea, isn't it? we'll see",  # BPE contractions
         "price: $12.50 (20% off!) e.g. U.S.A.",  # digit/punct runs
+        ".\x0b. vertical\x0btab",  # Java \s has \x0B, RE2's does not
     ]
     rows = list(enumerate(texts))
     pq.write_table(
