@@ -523,9 +523,10 @@ def dedup_manifest(
 
     Scale shape: inherits the equi-join/banded pair generation and
     O(diameter) component rounds of the pieces; the final manifest
-    join is a broadcast of the component labels (pairs are a tiny
-    fraction of the corpus) against the never-shuffled document side,
-    then one window on canonical_id for group sizes.
+    join against the document side carries NO broadcast hint — the
+    label table scales with dup volume (a 40%-dup web crawl makes it
+    corpus-scale), so AQE chooses broadcast only when it measures
+    small; then one window on canonical_id for group sizes.
     """
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
@@ -537,7 +538,7 @@ def dedup_manifest(
     canon = F.coalesce(F.col("component"), F.col(id_col)).cast("bigint")
     out = (
         df.select(F.col(id_col))
-        .join(F.broadcast(labels), F.col(id_col) == F.col("node"), "left")
+        .join(labels, F.col(id_col) == F.col("node"), "left")
         .select(F.col(id_col), canon.alias("canonical_id"))
     )
     w = Window.partitionBy("canonical_id")
@@ -683,7 +684,7 @@ def shared_spans(
     k: int = 5,
     w: int = 4,
     max_fp_docs: int = 50,
-    min_shared: int = 2,
+    min_shared: int = 1,
     min_len: int = 8,
 ) -> DataFrame:
     """Maximal shared token runs between near-duplicate documents —
@@ -701,12 +702,19 @@ def shared_spans(
        array expressions (zip-compare + first-mismatch position — no
        loops, pure codegen). Every anchor inside one maximal run
        extends to the SAME boundaries, so ``distinct`` yields exactly
-       the maximal runs; ``min_len`` (>= k + w - 1 for guaranteed
-       detection) drops incidental k-gram collisions.
+       the maximal runs; ``min_len`` drops incidental k-gram
+       collisions. Detection guarantee: a shared run of >= k + w - 1
+       tokens is certain to yield >= 1 shared winnowed fingerprint —
+       so the guarantee holds at the default ``min_shared=1``;
+       callers raising ``min_shared`` (to reuse winnow_pairs' noise
+       gate) trade that certainty for a smaller candidate set.
 
     At 100 TB: stage 3's work is anchors x run length — proportional
-    to actually-duplicated text, not the corpus. The heavy side never
-    shuffles; token arrays travel only for the (tiny) paired set.
+    to actually-duplicated text, not the corpus. Token arrays travel
+    only for the paired set — but on a dup-heavy corpus that set is
+    itself corpus-scale, so NO join below carries a broadcast hint:
+    every join is equi on doc id (shuffle-safe) and AQE picks
+    broadcast only when the built side measures small at runtime.
     """
     pairs = winnow_pairs(
         df, id_col, text_col, k=k, w=w,
@@ -718,7 +726,7 @@ def shared_spans(
         .distinct()
     )
     docs = (
-        df.join(F.broadcast(member_ids), id_col, "leftsemi")
+        df.join(member_ids, id_col, "leftsemi")
         .select(F.col(id_col), _tokens(text_col).alias("toks"))
         .filter(F.size("toks") >= k)
         .localCheckpoint(eager=False)  # reused: grams + both ext sides
@@ -738,8 +746,8 @@ def shared_spans(
     da = docs.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("sa"))
     db = docs.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("sb"))
     ext = (
-        anchors.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        anchors.join(da, "doc_a")
+        .join(db, "doc_b")
         .withColumn(
             "maxr",
             F.least(
@@ -807,8 +815,10 @@ def remove_spans(
     can be rebuilt by any consumer with the same expression.
 
     100 TB shape: everything is sized by the SPAN set (actually-
-    duplicated text), and the only corpus touch is the semi-join that
-    fetches affected docs' token arrays.
+    duplicated text), and the only corpus touch is the equi-join that
+    fetches affected docs' token arrays. The interval table scales
+    with dup volume, so it carries NO broadcast hint — AQE broadcasts
+    it only when it measures small at runtime.
     """
     from pyspark.sql.window import Window
 
@@ -843,7 +853,7 @@ def remove_spans(
         lambda i: ~F.exists("ivs", lambda v: (i >= v["s"]) & (i <= v["e"])),
     )
     return (
-        docs.join(F.broadcast(ivs), id_col)
+        docs.join(ivs, id_col)
         .withColumn("kept", kept)
         .select(
             F.col(id_col),

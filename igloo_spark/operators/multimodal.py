@@ -322,6 +322,8 @@ def _parse_wav(buf: bytes):
     audio_fmt, channels, sample_rate, _, _, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError("only 16-bit PCM WAV supported")
+    if channels == 0 or sample_rate == 0:
+        raise ValueError("invalid fmt chunk")
     samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
     n_frames = len(samples) // channels
     return sample_rate, channels, n_frames, samples

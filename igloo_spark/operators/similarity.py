@@ -576,5 +576,10 @@ def centroid_outliers(
         id_col,
         label_col,
         "cos_centroid",
-        (F.col("cos_centroid") < F.col("cut")).alias("is_outlier"),
+        # singleton clusters have NULL stddev → NULL cut; a member of
+        # a one-element cluster is its own centroid, not an outlier —
+        # coalesce to false so consumers get a two-valued flag
+        F.coalesce(F.col("cos_centroid") < F.col("cut"), F.lit(False)).alias(
+            "is_outlier"
+        ),
     )

@@ -25,85 +25,73 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- the two round-4 driver-RED rows, fixed this round (array
-    # outputs serialized for the driver's canonicalizer) --
-    "q78_regexp_extract_all",
-    "x80_embedding_quantize",
-    # -- formerly rows-only (err: no_oracle), reshaped this round into
-    # bound-check queries with exact oracles --
-    "q29_approx_aggregates",
-    "x64_ann_ivf_learned",
-    "x70_sketch_rollup",
-    # -- code changed this round (node count moved into the plan /
-    # connected-components cache lifecycle / IVF single-eval +
-    # JVM-side centroid table) → re-verify --
-    "x87_pagerank_dupgraph",
-    "x59_dedup_components",
-    "x55_ann_ivf_topk",
-    # -- the 36 remaining queries whose latest driver verdict is r01
-    # (displaced by the r03/r04 windows; oldest-first per the r04
-    # verdict's rotation ask) --
-    "q02_filter_expressions",
-    "q05_local_supplier_volume",
-    "q06_revenue_change",
-    "q07_outer_join_counts",
-    "q08_right_full_outer",
-    "q09_semi_join",
-    "q10_anti_join",
-    "q11_theta_join",
-    "q12_cross_join",
-    "q14_rollup_grouping",
-    "q15_cube_grouping_sets",
-    "q16_having_filter_clause",
-    "q17_sort_limit_offset",
-    "q18_set_operations",
-    "q19_intersect_except_all",
-    "q20_distinct_dedup",
-    "q22_cte_top_supplier",
-    "q23_string_functions",
-    "q24_math_functions",
-    "q26_conditional_functions",
-    "q27_capitalize_udf",
-    "q28_exact_percentiles",
-    "q72_returned_items",
-    "q73_customer_distribution",
-    "q74_large_volume_customers",
-    "q75_global_sales_opportunity",
-    "q30_window_ranking",
-    "q31_window_offsets",
-    "q32_window_range_frame",
-    "q37_array_explode",
-    "q38_array_functions",
-    "q39_struct_map",
-    "x41_minhash_bands",
-    "x42_minhash_neardup_pairs",
-    "x43_simhash",
-    # (x44_ngram_jaccard_pairs holds only an r01 verdict but its
-    # oracle SQL is nested verbatim inside x87's — which went green in
-    # r04 — so it yields its slot to the code-changed x55 above and
-    # rotates first in r06)
-    # -- fill to the 50-slot window with the seven queries ADDED this
-    # round (never driver-checked yet — first verdicts beat
-    # re-verifying r03 greens that are still inside the two-round
-    # staleness bound) --
-    "x89_winnowing_pairs",
-    "x90_semantic_outliers",
-    "q96_regression_aggregates",
-    "q97_conditional_aggregates",
-    "q98_fuzzy_name_match",
-    "q99_gaps_islands",
-    "x91_scd2_history",
+    # -- the seven round-5 additions that missed the r05 window:
+    # never driver-checked, first verdicts beat everything else --
+    "x92_triangle_count",
+    "x93_pmi_cooccurrence",
+    "x94_bigram_logprob",
+    "x95_corpus_shuffle_shards",
+    "x96_bpe_token_stats",
+    "x97_shared_spans",
+    "x98_span_removal",
+    # -- x44 still holds only an r01 verdict (yielded its r05 slot) --
+    "x44_ngram_jaccard_pairs",
+    # -- the r03-verdict backlog (two rounds stale), registry order.
+    # 43 queries hold r03 verdicts but only 42 slots remain:
+    # x47_ann_lsh_topk yields its slot because its code path is
+    # strictly nested inside x63_ann_lsh_multiprobe (single-probe is
+    # multiprobe with nprobe=1; same bucketing, same scoring) — it
+    # rotates first in r07. --
+    "x62_minhash_capped_pairs",
+    "x69_incremental_dedup",
+    "x45_embedding_neardup",
+    "x71_embedding_neardup_lsh",
+    "x46_ann_bruteforce_topk",
+    "x63_ann_lsh_multiprobe",
+    "x48_language_id",
+    "x49_quality_score",
+    "x50_token_stats",
+    "x52_stratified_sample",
+    "x65_sequence_packing",
+    "x66_data_mixture",
+    "x67_decontamination",
+    "x68_repetition_score",
+    "x53_topk_ngrams",
+    "x54_tfidf_top_terms",
+    "x51_multimodal_decode",
+    "x57_frame_sampling",
+    "x58_media_features",
+    "x60_outlier_filter",
+    "x61_salted_aggregation",
+    "x72_chunk_dedup",
+    "x73_column_profile",
+    "q51_ilike_distinct_from",
+    "q52_grouping_sets",
+    "q53_array_agg",
+    "q54_natural_using_join",
+    "q55_map_construction",
+    "q56_hash_hex_functions",
+    "q57_split_part_translate",
+    "q59_higher_order_lambdas",
+    "q60_posexplode",
+    "q61_unpivot",
+    "q62_try_arithmetic",
+    "q63_sequence_array_setops",
+    "q64_lateral_subquery",
+    "q65_str_to_map",
+    "q68_pivot",
+    "q69_recursive_cte",
+    "q70_edit_distance",
+    "q71_group_by_all",
+    "q77_union_by_name",
 )
-# Round-5 rotation (executed): the two r04 canonicalizer-RED fixes
-# lead, then the reshaped ex-rows-only trio, then the two queries
-# whose code changed this round, then every query still holding only
-# an r01 verdict, then the seven new round-5 queries — exactly 50
-# entries, the driver's per-round gate window. After this window the
-# r01 backlog clears (except x44, which yielded its slot to the
-# code-changed x55 — its oracle SQL is nested verbatim in x87's
-# r04-green check). r06 rotation order: the seven round-5 additions
-# that missed this window (x92–x98, never driver-checked), then x44,
-# then the r03-verdict queries (oldest remaining).
+# Round-6 rotation (executed, per the r05 verdict's task 1): x92–x98
+# first (first-ever driver verdicts), then x44 (r01-stale), then 42 of
+# the 43 r03-stale queries — exactly 50 entries, the driver's per-round
+# gate window. After this window every query's latest verdict is r04+
+# except x47_ann_lsh_topk (r03; path nested in the in-window x63).
+# r07 rotation order: x47 first, then the oldest remaining (r04)
+# verdicts.
 
 
 def all_queries():

@@ -2188,7 +2188,7 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored GROUP BY label
     )
     SELECT s.vec_id, s.label, s.cos_centroid,
-           (s.cos_centroid < t.cut) AS is_outlier
+           coalesce(s.cos_centroid < t.cut, false) AS is_outlier
     FROM scored s JOIN stats t USING (label)
     """,
     tags=("similarity", "quality", "llm"),

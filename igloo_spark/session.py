@@ -77,16 +77,27 @@ def build_spark(
         # fixtures ship timestamp[us] no-tz (TIMESTAMP_NTZ), normalized
         # there too; harmless for non-nanos files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Preload numpy/pandas/pyarrow in the worker daemon so forked
-        # workers inherit them copy-on-write — kills the ~3 s
-        # pool-wide import storm a Python stage pays after the
-        # factory's 60 s idle eviction (igloo_spark/worker_daemon.py)
-        .config("spark.python.daemon.module", "igloo_spark.worker_daemon")
     )
+    local_master = True
     if master is not None:
         builder = builder.master(master)
+        local_master = master.startswith("local")
     elif not os.environ.get("SPARK_CONNECT_MODE_ENABLED") and "MASTER" not in os.environ:
         builder = builder.master(f"local[{cores}]")
+    else:
+        local_master = False
+    # Preload numpy/pandas/pyarrow in the worker daemon so forked
+    # workers inherit them copy-on-write — kills the ~3 s pool-wide
+    # import storm a Python stage pays after the factory's 60 s idle
+    # eviction (igloo_spark/worker_daemon.py). Only safe where
+    # igloo_spark is importable by executor Pythons — guaranteed in
+    # local mode; on a cluster ship the package and opt in via
+    # SPARK_GRAFT_WORKER_DAEMON=1 (an unimportable daemon module
+    # hard-fails every Python worker start).
+    if local_master or os.environ.get("SPARK_GRAFT_WORKER_DAEMON") == "1":
+        builder = builder.config(
+            "spark.python.daemon.module", "igloo_spark.worker_daemon"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

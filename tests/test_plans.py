@@ -380,7 +380,14 @@ def test_corpus_plan_hygiene(spark, qspec):
     Python stage per plan — round 5 found x55/x64 paying their
     pandas-UDF cell assignment twice because a join-key null filter
     was pushed below the (deterministic) UDF projection and
-    re-evaluated it; this pins the single-evaluation fix corpus-wide."""
+    re-evaluated it; this pins the single-evaluation fix corpus-wide.
+
+    Known blind spot: subtrees behind localCheckpoint (e.g. x64's
+    shared ivf_assign) surface here as a LogicalRDD scan, so their
+    Python eval stages are invisible to this string count. The
+    checkpointed IVF subtree is audited separately in
+    test_ivf_single_python_eval below, which captures the plan BEFORE
+    the checkpoint materializes it."""
     from igloo_spark.plans import audit_plan
 
     df = qspec.spark(spark, SF)
@@ -395,6 +402,30 @@ def test_corpus_plan_hygiene(spark, qspec):
                      "FlatMapGroupsInPandas", "PythonMapInArrow")
     )
     assert n_py <= 1, f"{qspec.name} has {n_py} Python eval stages (duplicated UDF?)"
+
+
+def test_ivf_single_python_eval(spark):
+    """Audit the checkpointed IVF subtree BEFORE localCheckpoint hides
+    it behind a LogicalRDD scan (the blind spot noted in
+    test_corpus_plan_hygiene): the shared ivf_assign pass that x55/x64
+    checkpoint must itself evaluate its Arrow-batched cell-assignment
+    UDF exactly once, even when a downstream cell join pushes an
+    isnotnull(cell) filter at it."""
+    from igloo_spark.operators.similarity import ivf_assign
+    from igloo_spark.queries.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    assigned = ivf_assign(emb, "vec_id", "embedding", n_cells=8, dim=64)
+    # reproduce the downstream pressure that caused the r05 double-eval:
+    # a join on cell adds an isnotnull(cell) filter above the UDF
+    probed = assigned.filter(assigned["cell"].isNotNull())
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    n_py = sum(
+        plan.count(node)
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas", "PythonMapInArrow")
+    )
+    assert n_py == 1, f"pre-checkpoint ivf_assign has {n_py} Python eval stages:\n{plan}"
 
 
 def test_funnel_single_exchange(spark):
