@@ -331,6 +331,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected edge list — the dup-graph QC signal (cliques = true
+    duplicate families, chains = transitive false positives) behind
+    x92.
+
+    Canonical ``a < b`` orientation makes the two-hop join count each
+    triangle exactly once: wedges a<b<c found by joining (a,b)⋈(b,c)
+    close iff edge (a,c) exists. ``assume_canonical=True`` skips the
+    normalization for edge lists already oriented and deduplicated
+    (e.g. ``winnow_pairs`` output — its ``doc_a < doc_b`` filter and
+    groupBy guarantee both), saving an exchange. Degree — hence wedge
+    count — must be bounded upstream (hot-key caps) to keep the
+    two-hop join linear-ish at 100 TB.
+    """
+    e = edges.select(F.col(src).alias("doc_a"), F.col(dst).alias("doc_b"))
+    if not assume_canonical:
+        e = (
+            e.filter(F.col("doc_a") != F.col("doc_b"))
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .distinct()
+        )
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("doc_a").alias("node"))
+        .unionAll(e.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    cc = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .withColumn(
+            "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+        )
+        .select("node", "degree", "n_triangles", F.round(cc, 6).alias("clustering_coeff"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -647,6 +706,45 @@ def winnow_fingerprints(
     )
 
 
+def winnow_cap_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_fp_docs: int = 50,
+) -> DataFrame:
+    """Observability for ``winnow_fingerprints``' hot-fingerprint cap
+    — the "no silent caps" rule: the cap drops template/boilerplate
+    fingerprints without a trace, and at 100 TB a pipeline must know
+    whether it dropped 0.1% (boilerplate, fine) or 40% (the corpus IS
+    the template and pair recall just collapsed).
+
+    One row: distinct fingerprints total, how many the cap dropped,
+    the drop fraction, and how many (doc, fp) attachments were lost —
+    the same companion-rollup pattern as ``pack_stats``. Costs one
+    fp-keyed aggregation (the same exchange the capped selection
+    itself needs), nothing corpus-sized.
+    """
+    per_fp = (
+        winnow_fp_rows(df, id_col, text_col, k=k, w=w)
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    dropped = F.col("n_docs") > max_fp_docs
+    return per_fp.agg(
+        F.count("*").cast("bigint").alias("fp_total"),
+        F.sum(dropped.cast("bigint")).cast("bigint").alias("fp_dropped"),
+        F.round(
+            F.sum(dropped.cast("bigint")) / F.count("*"), 6
+        ).alias("drop_fraction"),
+        F.sum(F.when(dropped, F.col("n_docs")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("doc_fp_dropped"),
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str,
@@ -720,13 +818,46 @@ def shared_spans(
         df, id_col, text_col, k=k, w=w,
         max_fp_docs=max_fp_docs, min_shared=min_shared,
     ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    return extend_shared_spans(df, pairs, id_col, text_col, k=k, min_len=min_len)
+
+
+def extend_shared_spans(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_len: int = 8,
+) -> DataFrame:
+    """Stages 2–3 of :func:`shared_spans` with the candidate pairs
+    supplied by the CALLER: k-gram anchors for pair members only,
+    then codegen'd left/right extension to maximal runs. Split out so
+    cross-corpus pipelines (the streaming ExactSubstr gate pairs an
+    incoming micro-batch against a historical fingerprint store) can
+    reuse the exact batch extension machinery — ``pairs`` needs only
+    (doc_a, doc_b) with both ids present in ``df``; no a<b
+    orientation is assumed.
+
+    Join strategy is PINNED to sort-merge (``hint("merge")``) on
+    every join whose build side derives from the corpus (gram
+    positions, token arrays, member ids). Merely dropping broadcast
+    hints is NOT enough: the 64× amplification run showed the static
+    planner choosing BuildRight broadcasts for all four joins — the
+    lazy localCheckpoint snapshots the pre-checkpoint estimate, and
+    the semi-join selectivity guess shrinks it below the broadcast
+    threshold, while the real posexploded gram side was ~20× over it
+    (driver OOM: "Not enough memory to build and broadcast"). A
+    statically-planned broadcast has no shuffle for AQE to re-plan
+    from, so the misestimate is fatal at scale; the merge hint keeps
+    every join an equi shuffle that AQE can still size and
+    skew-split."""
     member_ids = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionAll(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
     docs = (
-        df.join(member_ids, id_col, "leftsemi")
+        df.join(member_ids.hint("merge"), id_col, "leftsemi")
         .select(F.col(id_col), _tokens(text_col).alias("toks"))
         .filter(F.size("toks") >= k)
         .localCheckpoint(eager=False)  # reused: grams + both ext sides
@@ -740,14 +871,14 @@ def shared_spans(
     ).select(id_col, (F.col("p0") + 1).alias("p"), "h")
     ga = g.select(F.col(id_col).alias("doc_a"), F.col("p").alias("pa"), "h")
     gb = g.select(F.col(id_col).alias("doc_b"), F.col("p").alias("pb"), "h")
-    anchors = pairs.join(ga, "doc_a").join(gb, ["doc_b", "h"]).select(
-        "doc_a", "doc_b", "pa", "pb"
-    )
+    anchors = pairs.join(ga.hint("merge"), "doc_a").join(
+        gb.hint("merge"), ["doc_b", "h"]
+    ).select("doc_a", "doc_b", "pa", "pb")
     da = docs.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("sa"))
     db = docs.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("sb"))
     ext = (
-        anchors.join(da, "doc_a")
-        .join(db, "doc_b")
+        anchors.join(da.hint("merge"), "doc_a")
+        .join(db.hint("merge"), "doc_b")
         .withColumn(
             "maxr",
             F.least(
@@ -817,8 +948,9 @@ def remove_spans(
     100 TB shape: everything is sized by the SPAN set (actually-
     duplicated text), and the only corpus touch is the equi-join that
     fetches affected docs' token arrays. The interval table scales
-    with dup volume, so it carries NO broadcast hint — AQE broadcasts
-    it only when it measures small at runtime.
+    with dup volume, so its join is pinned to sort-merge — the same
+    static-misestimate hazard as ``extend_shared_spans`` (see its
+    docstring); AQE sizes and skew-splits the shuffle at runtime.
     """
     from pyspark.sql.window import Window
 
@@ -853,7 +985,7 @@ def remove_spans(
         lambda i: ~F.exists("ivs", lambda v: (i >= v["s"]) & (i <= v["e"])),
     )
     return (
-        docs.join(ivs, id_col)
+        docs.join(ivs.hint("merge"), id_col)
         .withColumn("kept", kept)
         .select(
             F.col(id_col),

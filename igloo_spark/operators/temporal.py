@@ -135,3 +135,55 @@ def band_join(
         *[F.col(f"b.__p_{c}").alias(f"{c}_b") for c in payload],
     )
     return out.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+
+
+def asof_join_single_scan(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    left_pred,
+    left_cols: list[str],
+    right_cols: dict[str, str],
+) -> DataFrame:
+    """:func:`asof_join` specialized for the common case where BOTH
+    sides are row-subsets of the SAME table (e.g. clicks vs purchases
+    of one event stream). The generic operator takes two DataFrames,
+    so Spark scans the shared source once per side; here the side tag
+    is just a column expression, so the union that feeds the
+    forward-fill window comes from ONE scan — at 100 TB that halves
+    the IO of the dominant stage while keeping the identical
+    one-exchange/one-sort window plan.
+
+    ``left_pred`` is a boolean Column selecting left-side rows (right
+    side = its complement within ``df`` — pre-filter ``df`` to the
+    union of both sides); ``left_cols`` are the left payload columns
+    to carry through; ``right_cols`` maps right source column →
+    output name (e.g. ``{"ts": "p_ts", "value": "p_value"}``).
+    """
+    is_left = left_pred.cast("int")
+    lrow = F.when(left_pred, F.struct(*[F.col(c) for c in left_cols]))
+    unioned = df.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        is_left.alias("__is_left"),
+        lrow.alias("__lrow"),
+        *[
+            F.when(~left_pred, F.col(src)).alias(out)
+            for src, out in right_cols.items()
+        ],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_names = list(right_cols.values())
+    filled = unioned.select(
+        "__is_left",
+        "__lrow",
+        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left_cols],
+        *[F.col(n) for n in out_names],
+    )

@@ -2255,8 +2255,9 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle is counted exactly once by the two-hop join; the join is
     equi on node keys, and degree — hence wedge count — is bounded
     upstream by the winnowing hot-fingerprint cap, the same guard
-    that keeps the pair join itself from going quadratic at 100 TB."""
-    from igloo_spark.operators.dedup import winnow_pairs
+    that keeps the pair join itself from going quadratic at 100 TB
+    (operators/dedup.triangle_counts)."""
+    from igloo_spark.operators.dedup import triangle_counts, winnow_pairs
 
     d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     e = winnow_pairs(
@@ -2264,31 +2265,9 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_WINNOW_K, w=_WINNOW_W,
         max_fp_docs=_WINNOW_CAP, min_shared=_WINNOW_MIN_SHARED,
     ).select("doc_a", "doc_b").localCheckpoint(eager=False)  # reused 4x; lazy = no build-time job
-    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    tn = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
-    )
-    deg = (
-        e.select(F.col("doc_a").alias("node"))
-        .unionAll(e.select(F.col("doc_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("degree"))
-    )
-    cc = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
-        2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1))
-    )
-    return (
-        deg.join(tn, "node", "left")
-        .withColumn("n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint"))
-        .select("node", "degree", "n_triangles", F.round(cc, 6).alias("clustering_coeff"))
-    )
+    # winnow_pairs emits canonical a<b deduplicated edges by
+    # construction, so skip the normalization exchange
+    return triangle_counts(e, assume_canonical=True)
 
 
 _PMI_MIN_PAIR = 25
@@ -2730,3 +2709,49 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=_SPAN_MIN_LEN,
     )
     return remove_spans(d, spans, "doc_id", "text")
+
+
+@register(
+    "x99_winnow_cap_stats",
+    "hot-fingerprint cap observability: total/dropped winnowed fingerprints and lost attachments",
+    f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - {_WINNOW_K} + 2),
+                              i -> md5(array_to_string(list_slice(toks, i, i + {_WINNOW_K - 1}), ' '))) AS grams
+        FROM docs WHERE len(toks) >= {_WINNOW_K}
+    ),
+    wn AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(grams) - {_WINNOW_W} + 1, 1) + 1),
+                   j -> list_aggregate(list_slice(grams, j, j + {_WINNOW_W - 1}), 'min'))) AS fps
+        FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wn),
+    per_fp AS (SELECT fp, count(*) AS n_docs FROM fp GROUP BY fp)
+    SELECT CAST(count(*) AS BIGINT) AS fp_total,
+           CAST(sum(CASE WHEN n_docs > {_WINNOW_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS fp_dropped,
+           round(sum(CASE WHEN n_docs > {_WINNOW_CAP} THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS drop_fraction,
+           CAST(sum(CASE WHEN n_docs > {_WINNOW_CAP} THEN n_docs ELSE 0 END) AS BIGINT) AS doc_fp_dropped
+    FROM per_fp
+    """,
+    tags=("dedup", "fingerprint", "observability", "llm"),
+)
+def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability companion to x89/x97: what fraction of winnowed
+    fingerprints did the hot-fingerprint (boilerplate) cap silently
+    drop — the "no silent caps" rule made a first-class, oracle-
+    checked rollup (operators/dedup.winnow_cap_stats). One fp-keyed
+    aggregation, broadcast-sized output."""
+    from igloo_spark.operators.dedup import winnow_cap_stats
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return winnow_cap_stats(
+        d, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W, max_fp_docs=_WINNOW_CAP,
+    )

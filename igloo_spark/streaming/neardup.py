@@ -104,3 +104,125 @@ def neardup_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def exactsubstr_clean_batch(
+    batch_docs: DataFrame,
+    history_docs: DataFrame,
+    history_fp: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    min_len: int = 8,
+) -> DataFrame:
+    """ExactSubstr CLEANING (not just flagging) of one micro-batch
+    against a historical corpus: find the exact token runs each
+    incoming document shares with history and cut them, keeping
+    history's copy (keep-first corpus-wide).
+
+    Stages, all reusing the batch machinery:
+
+    1. cross-corpus candidate pairs — the batch's map-side winnowed
+       fingerprints (``winnow_fp_rows``, streaming-legal) broadcast
+       against the ``history_fp`` store; history is probed, never
+       shuffled (the x69 posture);
+    2. span extension — ``extend_shared_spans`` over history∪batch
+       token arrays, fetched by semi-join for PAIR MEMBERS only
+       (history side scans, batch side is micro-batch-sized);
+    3. removal — ``remove_spans`` with the batch as the b-side.
+
+    Output: every batch document with (n_tokens, n_removed,
+    clean_fp); documents sharing nothing pass through with
+    n_removed=0 and clean_fp = hash of their unchanged text.
+
+    ``history_docs``/``history_fp`` ids must be disjoint from batch
+    ids (enforce upstream with an id namespace or ingest epoch).
+    """
+    from igloo_spark.operators.dedup import (
+        extend_shared_spans,
+        remove_spans,
+        winnow_fp_rows,
+    )
+
+    bf = winnow_fp_rows(batch_docs, id_col, text_col, k=k, w=w).distinct()
+    pairs = (
+        history_fp.select(F.col(id_col).alias("doc_a"), "fp")
+        .join(F.broadcast(bf.select(F.col(id_col).alias("doc_b"), "fp")), "fp")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+    members = (
+        history_docs.select(id_col, text_col)
+        .unionByName(batch_docs.select(id_col, text_col))
+    )
+    spans = extend_shared_spans(
+        members, pairs, id_col, text_col, k=k, min_len=min_len
+    )
+    cleaned = remove_spans(batch_docs, spans, id_col, text_col)
+    untouched_fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.split(
+                F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " "
+            ),
+        )
+    )
+    return (
+        batch_docs.select(
+            F.col(id_col),
+            F.size(
+                F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
+            ).cast("bigint").alias("__nt"),
+            untouched_fp.alias("__fp"),
+        )
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.col("__nt")).alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("clean_fp"), F.col("__fp")).alias("clean_fp"),
+        )
+    )
+
+
+def exactsubstr_clean_stream(
+    stream_docs: DataFrame,
+    history_docs: DataFrame,
+    history_fp: DataFrame,
+    sink,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+    min_len: int = 8,
+):
+    """Ingest-time ExactSubstr: attach :func:`exactsubstr_clean_batch`
+    to a streaming document feed via ``foreachBatch`` (the span
+    extraction needs a cross-corpus join + windowed interval merge —
+    not incrementally expressible, and correctly scoped per
+    micro-batch since each doc's spans depend only on itself plus
+    static history). ``sink(cleaned_df, batch_id)`` receives every
+    batch document with its removal stats and cleaned-text hash.
+    Returns the started StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            exactsubstr_clean_batch(
+                batch_df, history_docs, history_fp, id_col, text_col,
+                k=k, w=w, min_shared=min_shared, min_len=min_len,
+            ),
+            batch_id,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

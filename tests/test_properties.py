@@ -581,3 +581,57 @@ def test_winnowing_shared_run_guarantee(igloo, seed, run_len, prefix_a, prefix_b
     }
     assert (0, 1) in got, "guarantee violated: shared run produced no shared fingerprint"
     assert all(p == (0, 1) for p in got), f"false pair(s): {got - {(0, 1)}}"
+
+
+def test_triangle_counts_planted_clique_and_chain(igloo):
+    """Pin triangle correctness independently of the x92 oracle (the
+    r05 verdict's stretch item): a planted 5-clique glued to a 6-node
+    chain. Clique nodes get C(4,2)=6 triangles each and clustering
+    coefficient 1.0; chain nodes get zero triangles; the glue node's
+    coefficient reflects its mixed neighborhood."""
+    from igloo_spark.operators.dedup import triangle_counts
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(i, i + 1) for i in range(4, 10)]  # node 4 glues them
+    edges = igloo.spark.createDataFrame(clique + chain, "doc_a long, doc_b long")
+    out = {r["node"]: r for r in triangle_counts(edges, assume_canonical=True).collect()}
+    assert set(out) == set(range(11))
+    for n in range(4):
+        assert out[n]["n_triangles"] == 6
+        assert out[n]["clustering_coeff"] == 1.0
+    # glue node: same 6 triangles but degree 5 -> 6 / C(5,2) = 0.6
+    assert out[4]["n_triangles"] == 6
+    assert out[4]["degree"] == 5
+    assert out[4]["clustering_coeff"] == 0.6
+    for n in range(5, 11):
+        assert out[n]["n_triangles"] == 0
+        assert out[n]["clustering_coeff"] == 0.0
+
+
+@settings(deadline=None, max_examples=8, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_triangle_counts_matches_bruteforce(igloo, pairs):
+    """For arbitrary edge lists (self-loops, duplicates, both
+    orientations), canonicalizing triangle_counts must equal a
+    driver-side brute force over node triples."""
+    from itertools import combinations
+
+    from igloo_spark.operators.dedup import triangle_counts
+
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({n for e in edges for n in e})
+    tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (b, c), (a, c)} <= edges:
+            for n in (a, b, c):
+                tri[n] += 1
+    df = igloo.spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == tri

@@ -1,0 +1,165 @@
+"""Round-6 operator tests: winnow-cap observability, ExactSubstr
+broadcast posture, WAV fmt-chunk guards, singleton-cluster outlier
+flags."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestWinnowCapStats:
+    def _docs(self, spark, n_boiler=6, n_unique=4):
+        # n_boiler docs share one boilerplate sentence (a hot
+        # fingerprint); n_unique docs are distinct
+        rows = [
+            (i, f"common boilerplate header tokens alpha beta gamma delta tail{i}")
+            for i in range(n_boiler)
+        ] + [
+            (100 + j, f"unique{j} words nothing shared here at all xyz{j} qrs{j}")
+            for j in range(n_unique)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cap_drop_is_observable(self, spark):
+        from igloo_spark.operators.dedup import winnow_cap_stats
+
+        df = self._docs(spark)
+        row = winnow_cap_stats(df, "doc_id", "text", k=5, w=4, max_fp_docs=3).first()
+        assert row["fp_total"] > 0
+        assert row["fp_dropped"] > 0, "6-doc boilerplate fp must exceed cap 3"
+        assert 0 < row["drop_fraction"] < 1
+        # every dropped fp lost > cap attachments
+        assert row["doc_fp_dropped"] > 3 * row["fp_dropped"]
+
+    def test_no_drop_when_cap_not_hit(self, spark):
+        from igloo_spark.operators.dedup import winnow_cap_stats
+
+        df = self._docs(spark)
+        row = winnow_cap_stats(df, "doc_id", "text", k=5, w=4, max_fp_docs=50).first()
+        assert row["fp_dropped"] == 0
+        assert row["drop_fraction"] == 0.0
+        assert row["doc_fp_dropped"] == 0
+
+    def test_consistent_with_capped_selection(self, spark):
+        """fp_total - fp_dropped == distinct fingerprints surviving
+        winnow_fingerprints' cap filter (the stats describe exactly
+        the selection the pipeline runs)."""
+        from igloo_spark.operators.dedup import winnow_cap_stats, winnow_fingerprints
+
+        df = self._docs(spark)
+        row = winnow_cap_stats(df, "doc_id", "text", k=5, w=4, max_fp_docs=3).first()
+        surviving = (
+            winnow_fingerprints(df, "doc_id", "text", k=5, w=4, max_fp_docs=3)
+            .select("fp")
+            .distinct()
+            .count()
+        )
+        assert row["fp_total"] - row["fp_dropped"] == surviving
+
+
+class TestExactSubstrBroadcastPosture:
+    def test_span_joins_pinned_to_sort_merge(self, spark):
+        """The r05 verdict's one scale defect, plus the 64×-run
+        follow-up: every shared_spans/remove_spans join whose build
+        side scales with dup volume must plan as a SHUFFLE join, not
+        a broadcast. Merely dropping the F.broadcast hints was not
+        enough — the static planner broadcast all four extension
+        joins off a localCheckpoint/semi-join misestimate and OOMed
+        the driver at 64× amplification — so the joins carry merge
+        hints and this pins the resulting SortMergeJoin shape."""
+        from igloo_spark.operators.dedup import remove_spans, shared_spans
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "totally different words in this one nothing shared at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = shared_spans(df, "doc_id", "text", min_len=8)
+        cleaned = remove_spans(df, spans, "doc_id", "text")
+        # anchors⋈grams(a)⋈grams(b) then ext⋈tokens(a)⋈tokens(b)
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") >= 4, plan
+        # the merged-interval join in remove_spans
+        plan = cleaned._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") >= 5, plan
+
+    def test_span_removal_still_correct(self, spark):
+        from igloo_spark.operators.dedup import remove_spans, shared_spans
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = shared_spans(df, "doc_id", "text", min_len=8)
+        out = {r["doc_id"]: r for r in remove_spans(df, spans, "doc_id", "text").collect()}
+        # keep-first: doc 2 (b-side) loses the whole 10-token run
+        assert out[2]["n_removed"] == 10
+        assert 1 not in out  # a-side untouched → not in affected set
+
+
+class TestSharedSpansDefaultGuarantee:
+    def test_k_plus_w_minus_1_run_detected_at_defaults(self, spark):
+        """The advisor's empirical gap: an exactly k+w-1 = 8-token
+        shared run yields only ONE shared fingerprint, so the old
+        min_shared=2 default missed it. With the fixed default
+        (min_shared=1) the winnowing guarantee holds."""
+        from igloo_spark.operators.dedup import shared_spans
+
+        shared = "one two three four five six seven eight"  # 8 tokens
+        rows = [
+            (1, shared + " tailA only here padding xx yy zz"),
+            (2, shared + " different ending entirely ww vv uu"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = shared_spans(df, "doc_id", "text", k=5, w=4, min_len=8).collect()
+        assert len(spans) == 1
+        assert spans[0]["run_len"] == 8
+        assert spans[0]["a_start"] == 1 and spans[0]["b_start"] == 1
+
+
+class TestWavFmtGuards:
+    def _wav(self, channels: int, rate: int, payload: bytes = b"\x00\x01" * 8):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                          channels * 2, 16)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_zero_channels_raises_value_error(self):
+        from igloo_spark.operators.multimodal import _parse_wav
+
+        with pytest.raises(ValueError, match="invalid fmt chunk"):
+            _parse_wav(self._wav(channels=0, rate=8000))
+
+    def test_zero_rate_raises_value_error(self):
+        from igloo_spark.operators.multimodal import _parse_wav
+
+        with pytest.raises(ValueError, match="invalid fmt chunk"):
+            _parse_wav(self._wav(channels=1, rate=0))
+
+    def test_valid_wav_still_parses(self):
+        from igloo_spark.operators.multimodal import _parse_wav
+
+        rate, ch, n_frames, samples = _parse_wav(self._wav(channels=2, rate=8000))
+        assert (rate, ch, n_frames) == (8000, 2, 4)
+
+
+class TestSingletonClusterOutlierFlag:
+    def test_singleton_cluster_flag_is_false_not_null(self, spark):
+        from igloo_spark.operators.similarity import centroid_outliers
+
+        rows = [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),
+            (3, [0.5, 0.5], "lonely"),  # singleton cluster
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+        out = {r["vec_id"]: r for r in
+               centroid_outliers(df, "vec_id", "embedding", "label").collect()}
+        assert out[3]["is_outlier"] is False  # not None
+        assert all(r["is_outlier"] is not None for r in out.values())

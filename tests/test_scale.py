@@ -229,7 +229,88 @@ def test_sf1_headline_totals(spark, tmp_path):
     assert t1 < t01 * 12, f"headline total went super-linear: {t1 / t01:.1f}x"
 
 
-def test_round5_operators_scale_flat(spark):
+def test_span_graph_shard_at_64x(spark, tmp_path):
+    """The r05 verdict's two most-likely-super-linear shapes — the
+    graph two-hop (triangles) and the ExactSubstr span extension —
+    plus the shard-keyed corpus shuffle, measured at 8× vs 64×
+    amplification (8× data growth with duplicate volume held
+    PROPORTIONAL to the corpus). The amplifier prefixes every TOKEN
+    with the copy-group index g = i//2, so copies in different
+    groups share zero k-grams: without this, base-corpus near-dups
+    cross-pair across all copies (pairs ∝ factor², 64²=4096 pairs
+    per base pair at 64×) and body fingerprints appear in `factor`
+    docs, crossing the hot-fp cap between factors — both would
+    measure the workload construction, not the engine. With it,
+    copies 2g/2g+1 are identical partners, per-fingerprint group
+    sizes stay bounded at any factor, and pair volume grows ∝ data.
+    Fails on super-linear time growth."""
+    from igloo_spark.operators.dedup import (
+        remove_spans,
+        shared_spans,
+        winnow_pairs,
+    )
+    from igloo_spark.operators.packing import shuffle_shard
+    from igloo_spark.sources import load_testdata_table
+
+    docs = load_testdata_table(spark, SF, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+
+    def paired_amplify(factor: int) -> str:
+        copies = []
+        for i in range(factor):
+            g = i // 2
+            prefixed = F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.regexp_replace(F.trim("text"), "[ ]+", " "), " "),
+                    lambda t: F.concat(F.lit(f"g{g}x"), t),
+                ),
+            )
+            copies.append(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                .withColumn("text", prefixed)
+            )
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        path = str(tmp_path / f"docs_{factor}")
+        out.repartition(32).write.parquet(path)
+        return path
+
+    shapes = {
+        "winnow_pairs": lambda d: winnow_pairs(d, "doc_id", "text"),
+        "shared_spans": lambda d: shared_spans(d, "doc_id", "text"),
+        "remove_spans": lambda d: remove_spans(
+            d, shared_spans(d, "doc_id", "text"), "doc_id", "text"
+        ),
+        "triangles": None,  # filled below (needs the pair edges)
+        "shuffle_shard": lambda d: shuffle_shard(d, "doc_id", n_shards=64),
+    }
+
+    def triangle_shape(d):
+        # x92's two-hop join shape over canonical a<b winnow edges
+        from igloo_spark.operators.dedup import triangle_counts
+
+        e = winnow_pairs(d, "doc_id", "text").select("doc_a", "doc_b")
+        return triangle_counts(e, assume_canonical=True)
+
+    shapes["triangles"] = triangle_shape
+
+    timings: dict[str, dict[int, float]] = {n: {} for n in shapes}
+    for factor in (8, 64):
+        big = spark.read.parquet(paired_amplify(factor))
+        for name, build in shapes.items():
+            _run(build(big))  # codegen + fingerprint-cache warmup
+            t0 = time.perf_counter()
+            _run(build(big))
+            timings[name][factor] = time.perf_counter() - t0
+    for name, t in timings.items():
+        ratio = t[64] / max(t[8], 1e-9)
+        print(f"{name}: 8x {t[8]:.2f}s  64x {t[64]:.2f}s  ratio {ratio:.1f}x for 8x data")
+        # 8x data must cost at most ~linear time (32-way parallelism
+        # should keep it sublinear; > 8x means a quadratic shape leaked)
+        assert ratio < 8, (name, ratio)
     """Round-5 operators at sf0.01 → sf0.1 (10× docs/embeddings/
     events): winnowing selection is map-side, centroid/PMI/bigram-LM
     shuffles carry capped-vocab or tiny-key aggregates, islands/SCD2
@@ -246,6 +327,8 @@ def test_round5_operators_scale_flat(spark):
         "x92_triangle_count",
         "x93_pmi_cooccurrence",
         "x94_bigram_logprob",
+        "x95_corpus_shuffle_shards",
+        "x96_bpe_token_stats",
         "q98_fuzzy_name_match",
         "q99_gaps_islands",
         "x91_scd2_history",

@@ -605,3 +605,61 @@ def test_streaming_neardup_gate(igloo, tmp_path):
     assert results[1][1] is True and results[1][0] >= 1
     assert results[2] == (0, False)
     assert results[3][1] is True
+
+
+def test_streaming_exactsubstr_cleaning(igloo, tmp_path):
+    """The streaming span-REMOVAL pass (r05 verdict stretch #8): the
+    near-dup gate flags; this cleans. Documents streamed across two
+    micro-batches have their history-shared token runs cut (history
+    keeps its copy); novel documents pass through untouched with
+    n_removed=0 and the hash of their unchanged text."""
+    from igloo_spark.operators.dedup import winnow_fingerprints
+    from igloo_spark.streaming.neardup import exactsubstr_clean_stream
+
+    spark = igloo.spark
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    history_docs = spark.createDataFrame(
+        [(100, f"historic document body {shared} with trailing words here"),
+         (101, "completely different historical content nothing shared at all ok")],
+        "doc_id long, text string",
+    )
+    history_fp = winnow_fingerprints(history_docs, "doc_id", "text")
+
+    src = tmp_path / "clean_src"
+    src.mkdir()
+    novel = "fresh novel words never seen before in any document stream"
+    (src / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": f"incoming copy with {shared} inside it"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": novel})
+    )
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 3, "text": f"later batch also contains {shared} run"})
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    results = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[r["doc_id"]] = r
+
+    q = exactsubstr_clean_stream(
+        stream, history_docs, history_fp, sink, str(tmp_path / "es_ckpt")
+    )
+    q.awaitTermination(120)
+
+    assert set(results) == {1, 2, 3}
+    # doc 1: the 10-token run is cut; surrounding words survive
+    assert results[1]["n_removed"] == 10
+    assert results[1]["n_tokens"] == 15
+    # doc 2: untouched; clean_fp equals the hash of its own text
+    import hashlib
+
+    assert results[2]["n_removed"] == 0
+    assert results[2]["clean_fp"] == hashlib.md5(novel.encode()).hexdigest()
+    # doc 3 (second micro-batch): cleaned against the same history
+    assert results[3]["n_removed"] == 10
