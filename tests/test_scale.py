@@ -311,6 +311,9 @@ def test_span_graph_shard_at_64x(spark, tmp_path):
         # 8x data must cost at most ~linear time (32-way parallelism
         # should keep it sublinear; > 8x means a quadratic shape leaked)
         assert ratio < 8, (name, ratio)
+
+
+def test_round5_operators_scale_flat(spark):
     """Round-5 operators at sf0.01 → sf0.1 (10× docs/embeddings/
     events): winnowing selection is map-side, centroid/PMI/bigram-LM
     shuffles carry capped-vocab or tiny-key aggregates, islands/SCD2
