@@ -694,8 +694,13 @@ def winnow_fingerprints(
     dropped (template/boilerplate text) — the same hot-key cap that
     keeps the LSH band join (``minhash_candidate_pairs``) from going
     quadratic on popular keys.
+
+    No ``.distinct()`` on the exploded rows: ``_winnow_fps_col`` is
+    already ``array_distinct`` per document and ids are unique, so a
+    distinct here would spend a full (id, fp) exchange deduplicating
+    an already-unique set (removed round 6; was ~25% of x89's time).
     """
-    fp = winnow_fp_rows(df, id_col, text_col, k=k, w=w).distinct()
+    fp = winnow_fp_rows(df, id_col, text_col, k=k, w=w)
     from pyspark.sql.window import Window
 
     wfp = Window.partitionBy("fp")
@@ -726,9 +731,10 @@ def winnow_cap_stats(
     fp-keyed aggregation (the same exchange the capped selection
     itself needs), nothing corpus-sized.
     """
+    # no .distinct(): the exploded rows are already per-doc unique
+    # (array_distinct inside _winnow_fps_col + unique ids)
     per_fp = (
         winnow_fp_rows(df, id_col, text_col, k=k, w=w)
-        .distinct()
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -762,12 +768,25 @@ def winnow_pairs(
     The same 100 TB posture as the LSH band join: pair volume is
     controlled by construction, and AQE skew-join splits anything that
     still runs hot.
+
+    The capped fingerprint table is lazily checkpointed so the
+    self-join's two sides SHARE one computation — without it each
+    side recomputes the whole scan → gram → winnow-select → cap
+    chain (the executed plan showed two Generate/Window subtrees;
+    the fingerprint selection is the expensive interpreted-HOF part).
+    Same pattern as the MinHash signature checkpoint above. The
+    self-join is pinned to sort-merge: the checkpoint snapshot makes
+    the static planner broadcast the (corpus-scale) fingerprint table
+    — the same misestimate trap documented at
+    ``extend_shared_spans``.
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w, max_fp_docs=max_fp_docs)
+    fp = winnow_fingerprints(
+        df, id_col, text_col, k=k, w=w, max_fp_docs=max_fp_docs
+    ).localCheckpoint(eager=False)
     a = fp.select(F.col(id_col).alias("doc_a"), "fp")
     b = fp.select(F.col(id_col).alias("doc_b"), "fp")
     return (
-        a.join(b, "fp")
+        a.join(b.hint("merge"), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))

@@ -146,7 +146,8 @@ def exactsubstr_clean_batch(
         winnow_fp_rows,
     )
 
-    bf = winnow_fp_rows(batch_docs, id_col, text_col, k=k, w=w).distinct()
+    # rows already per-doc unique (array_distinct inside the expression)
+    bf = winnow_fp_rows(batch_docs, id_col, text_col, k=k, w=w)
     pairs = (
         history_fp.select(F.col(id_col).alias("doc_a"), "fp")
         .join(F.broadcast(bf.select(F.col(id_col).alias("doc_b"), "fp")), "fp")
