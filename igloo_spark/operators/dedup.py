@@ -307,8 +307,12 @@ def ngram_jaccard_pairs(
     """
     base = df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in block_cols])
     sh = word_shingles(base, id_col, text_col, n)
-    sh = sh.join(base.select(id_col, *block_cols), id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # the blocked shingle table feeds FOUR consumers (both self-join
+    # sides + the two size lookups); un-checkpointed, the executed
+    # plan showed 8 corpus scans and 4 shingle explodes — lazy
+    # localCheckpoint computes the explode+distinct chain once
+    sh = sh.join(base.select(id_col, *block_cols), id_col).localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz")).localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     inter = (

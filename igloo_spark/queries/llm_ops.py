@@ -2317,6 +2317,11 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.regexp_replace(F.trim("text"), "[ ]+", " "), " ")
         ).alias("tok"),
     ).distinct()
+    # the (doc, tok) set feeds FOUR consumers (n_docs, doc freqs, and
+    # both pair-join sides) — without the checkpoint the executed plan
+    # showed 5 corpus scans + 5 token explodes + the distinct exchange
+    # each time; lazy localCheckpoint computes it once (see x88/x94)
+    toks = toks.localCheckpoint(eager=False)
     n = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("c"))
     vocab = dfreq.orderBy(F.desc("c"), F.asc("tok")).limit(_PMI_VOCAB)
