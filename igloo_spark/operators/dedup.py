@@ -369,16 +369,17 @@ def triangle_counts(
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # explode the corner array instead of unionAll-ing three selects
+    # of the same subtree — the union form recomputed the two-hop
+    # join once PER BRANCH (executed plan: 3 join subtrees, 14
+    # exchanges; now 1 and 8)
     tn = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
     deg = (
-        e.select(F.col("doc_a").alias("node"))
-        .unionAll(e.select(F.col("doc_b").alias("node")))
+        e.select(F.explode(F.array("doc_a", "doc_b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("degree"))
     )

@@ -880,7 +880,12 @@ def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     sh = word_shingles(d, "doc_id", "text", n=2)
-    train = sh.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+    # the train shingle set feeds both the size rollup and the hit
+    # probe — checkpoint so the explode+distinct exchange runs once,
+    # not once per consumer (the eval branch is left alone: its
+    # doc_id filter pushes into the scan, so it explodes 1/mod of
+    # the corpus)
+    train = sh.filter(F.col("doc_id") % EVAL_SET_MOD != 0).localCheckpoint(eager=False)
     eval_sh = sh.filter(F.col("doc_id") % EVAL_SET_MOD == 0).select("shingle").distinct()
     sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (
@@ -1970,7 +1975,9 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = edges.localCheckpoint()  # reused 3x: cut the pair-gen lineage
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # degree is joined in every unrolled iteration; checkpoint so its
+    # groupBy exchange runs once, not once per iteration
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=False)
     # node count rides the plan as a broadcast 1-row aggregate (the
     # x74 histogram-bounds pattern) — no driver-side action, and the
     # empty-graph case falls out naturally (empty distinct × 1 row =
