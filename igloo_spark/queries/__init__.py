@@ -89,9 +89,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
 # first (first-ever driver verdicts), then x44 (r01-stale), then 42 of
 # the 43 r03-stale queries — exactly 50 entries, the driver's per-round
 # gate window. After this window every query's latest verdict is r04+
-# except x47_ann_lsh_topk (r03; path nested in the in-window x63).
-# r07 rotation order: x47 first, then the oldest remaining (r04)
-# verdicts.
+# except x47_ann_lsh_topk (r03; path nested in the in-window x63) and
+# x99_winnow_cap_stats (added mid-round-6, never checked).
+# r07 rotation order: x99 and x47 first, then the oldest remaining
+# (r04) verdicts.
 
 
 def all_queries():

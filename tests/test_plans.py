@@ -486,3 +486,28 @@ def test_dataset_split_map_side(spark):
     d = load_testdata_table(spark, SF, "documents")
     assert audit_plan(split_assign(d, "doc_id")).shuffles == 0
     assert audit_plan(spec("x86_dataset_split").spark(spark, SF)).shuffles == 1
+
+
+@pytest.mark.parametrize(
+    "qname,max_exchanges",
+    [
+        ("x89_winnowing_pairs", 4),   # fp chain shared; was +1 redundant distinct
+        ("x92_triangle_count", 8),    # corner explode; was 14 (3x two-hop join)
+        ("x93_pmi_cooccurrence", 6),  # (doc,tok) set checkpointed; was 8
+        ("x44_ngram_jaccard_pairs", 9),  # shingle table checkpointed; was 11
+        ("x67_decontamination", 5),   # train shingles checkpointed
+    ],
+)
+def test_shared_subtree_exchange_budget(spark, qname, max_exchanges):
+    """Round-6 subtree-dedup sweep, pinned: these queries previously
+    recomputed an expensive shared subtree once per consumer (the
+    executed plans showed the same explode/distinct/join chain 2-4
+    times). A regression re-introducing the recompute shows up as
+    extra hashpartitioning exchanges, so budget them. Bounds are the
+    post-fix count plus slack for AQE variation — a true regression
+    doubles the count."""
+    df = spec(qname).spark(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_exchanges, f"{qname}: {n} exchanges (budget {max_exchanges})"
