@@ -635,3 +635,65 @@ def test_triangle_counts_matches_bruteforce(igloo, pairs):
     df = igloo.spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == tri
+
+
+# round-6: window-function family fuzz — the corpus pins fixed window
+# queries (q30-q33, q76, q81); this explores function x frame x key
+# combinations. Every window orders by the unique p_partkey so ties
+# cannot make rank/lag results engine-dependent.
+WIN_FUNCS = [
+    "CAST(row_number() OVER w AS BIGINT) AS rn",
+    "CAST(rank() OVER w AS BIGINT) AS rnk",
+    "CAST(dense_rank() OVER w AS BIGINT) AS drnk",
+    "CAST(ntile(4) OVER w AS BIGINT) AS nt",
+    "CAST(lag(p_size, 1) OVER w AS BIGINT) AS lag1",
+    "CAST(lead(p_size, 2) OVER w AS BIGINT) AS lead2",
+    "CAST(min(p_size) OVER w AS BIGINT) AS wmn",
+    "CAST(sum(p_size) OVER (PARTITION BY p_brand ORDER BY p_partkey ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum",
+    "round(avg(CAST(p_size AS DOUBLE)) OVER (PARTITION BY p_brand ORDER BY p_partkey ASC "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg",
+]
+
+
+@settings(**COMMON)
+@given(
+    pred=predicate,
+    funcs=st.lists(st.sampled_from(WIN_FUNCS), min_size=1, max_size=3, unique=True),
+    key=st.sampled_from(["p_brand", "p_type"]),
+)
+def test_window_function_parity(igloo, pred, funcs, key):
+    sql = (
+        f"SELECT p_partkey, {', '.join(funcs)} FROM part WHERE {pred} "
+        f"WINDOW w AS (PARTITION BY {key} ORDER BY p_partkey ASC)"
+    )
+    assert_matches_oracle(igloo.execute(sql), sql, SF_SMOKE)
+
+
+# round-6: scalar-projection family fuzz — string/math/conditional
+# expressions in the shared dialect (no integer division, no implicit
+# casts, substring with positive args only).
+SCALAR_EXPRS = [
+    "upper(p_brand) AS e_up",
+    "lower(p_type) AS e_low",
+    "CAST(length(p_type) AS BIGINT) AS e_len",
+    "substring(p_type, 1, 5) AS e_sub",
+    "replace(p_brand, '#', '-') AS e_rep",
+    "concat(p_brand, '|', p_type) AS e_cat",
+    "CAST(abs(p_size - 25) AS BIGINT) AS e_abs",
+    "CAST(p_size % 7 AS BIGINT) AS e_mod",
+    "round(sqrt(CAST(p_size AS DOUBLE)), 6) AS e_sqrt",
+    "CASE WHEN p_size > 25 THEN 'big' WHEN p_size > 10 THEN 'mid' ELSE 'small' END AS e_case",
+    "coalesce(nullif(p_brand, 'Brand#11'), 'other') AS e_coal",
+    "CAST(floor(CAST(p_size AS DOUBLE) / 3.0) AS BIGINT) AS e_floor",
+]
+
+
+@settings(**COMMON)
+@given(
+    pred=predicate,
+    exprs=st.lists(st.sampled_from(SCALAR_EXPRS), min_size=1, max_size=4, unique=True),
+)
+def test_scalar_projection_parity(igloo, pred, exprs):
+    sql = f"SELECT p_partkey, {', '.join(exprs)} FROM part WHERE {pred}"
+    assert_matches_oracle(igloo.execute(sql), sql, SF_SMOKE)
