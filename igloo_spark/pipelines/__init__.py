@@ -1,0 +1,207 @@
+"""End-to-end training-corpus preparation: the composition layer that
+chains the individual operators a 100 TB pipeline actually runs, in
+the order that minimizes work at every stage.
+
+The reference (igloo-io/igloo) has no pipeline layer at all — its
+engine stops at single-query execution (crates/engine/src/lib.rs:54-57);
+this module is part of the §2.D training-data surface built on top.
+
+Stage order is chosen so each stage shrinks the input to the next:
+
+1. **enrich** (map-side, zero shuffle): md5 fingerprint, quality
+   score, language id, token count — one codegen'd pass in the scan
+   stage.
+2. **exact dedup** (one fingerprint-keyed shuffle): keep the min-id
+   copy of each byte-identical group. Runs FIRST because it is the
+   cheapest reducer — near-dup and span work never see exact copies.
+3. **near-dup dedup** (MinHash-LSH → connected components): keep the
+   canonical representative per component (`dedup_manifest`).
+4. **ExactSubstr span removal** (winnowing → anchor extension): cut
+   the remaining cross-doc duplicated passages; survivors carry
+   (n_tokens, n_removed, clean_fp).
+5. **quality gate** (map-side filter) — applied AFTER dedup so a
+   high-quality canonical never loses to a low-quality duplicate
+   being filtered first.
+6. **shuffle + shard** (one shard-keyed exchange): deterministic
+   salted-hash permutation for training-shard layout.
+
+Observability DataFrames (cap stats, manifest, span stats) are
+returned alongside the corpus so the "no silent caps" rule holds end
+to end. See ``prepare_training_corpus`` for what executes at build
+time vs on action.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CorpusPrepResult:
+    """All pipeline outputs, lazy. ``corpus`` is the training-ready
+    frame: one row per surviving document with enrichment columns,
+    span-removal stats, and (shard, pos) placement."""
+
+    corpus: DataFrame          # survivors: id, lang, quality, tokens, shard, pos, ...
+    manifest: DataFrame        # every input doc -> canonical id + is_canonical
+    span_stats: DataFrame      # per-affected-doc (n_tokens, n_removed, clean_fp)
+    cap_stats: DataFrame       # winnowing hot-fp cap observability (1 row)
+    counts: DataFrame          # per-stage survivor counts (1 row)
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.5,
+    near_dup: bool = True,
+    shingle_n: int = 2,
+    lsh_threshold: float = 0.5,
+    span_k: int = 5,
+    span_w: int = 4,
+    span_min_len: int = 8,
+    max_fp_docs: int = 50,
+    n_shards: int = 8,
+    shard_salt: str = "corpus-v1",
+) -> CorpusPrepResult:
+    """Compose exact dedup → near-dup dedup → ExactSubstr span removal
+    → quality gate → deterministic shard assignment over a document
+    frame. See module docstring for the stage rationale; every
+    underlying operator keeps its own 100 TB plan shape (no
+    crossJoins, hot-key caps, merge-pinned span joins, shard-local
+    sorts).
+
+    Build-time execution, stated honestly: under AQE, each lazy
+    ``localCheckpoint`` executes its subtree's shuffle stages when
+    the DataFrame is BUILT (AQE must materialize stages to finalize
+    the plan), and with ``near_dup=True`` the connected-components
+    labeling additionally iterates to convergence at build time. So
+    constructing this pipeline performs the upstream dedup work;
+    the returned DataFrames defer only their post-checkpoint stages.
+    Time the pipeline by building it inside the timed window.
+    """
+    from igloo_spark.functions.text import (
+        doc_fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
+    from igloo_spark.operators.dedup import (
+        dedup_manifest,
+        remove_spans,
+        shared_spans,
+        winnow_cap_stats,
+    )
+    from igloo_spark.operators.packing import shuffle_shard
+
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+
+    # 1. enrich (map-side)
+    enriched = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        quality_score(F.col(text_col)).alias("quality"),
+        language_id(F.col(text_col)).alias("detected_lang"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+    # 2. exact dedup: min-id per byte-identical fingerprint group
+    from pyspark.sql.window import Window
+
+    w_fp = Window.partitionBy("fingerprint")
+    exact_kept = (
+        enriched.withColumn("__keep", F.min(id_col).over(w_fp))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+        # feeds near-dup, spans, and the final join — compute once
+        .localCheckpoint(eager=False)
+    )
+
+    # 3. near-dup: canonical representative per LSH component
+    if near_dup:
+        manifest = dedup_manifest(
+            exact_kept, id_col, text_col,
+            shingle_n=shingle_n, threshold=lsh_threshold,
+        ).localCheckpoint(eager=False)
+        canonical = exact_kept.join(
+            manifest.filter(F.col("is_canonical")).select(id_col),
+            id_col,
+            "leftsemi",
+        ).localCheckpoint(eager=False)
+    else:
+        # schema-compatible trivial manifest: every exact survivor is
+        # its own canonical singleton
+        manifest = exact_kept.select(
+            F.col(id_col),
+            F.col(id_col).cast("bigint").alias("canonical_id"),
+            F.lit(True).alias("is_canonical"),
+            F.lit(1).cast("bigint").alias("group_size"),
+        )
+        canonical = exact_kept
+
+    # 4. ExactSubstr: cut residual shared passages (keep-first)
+    spans = shared_spans(
+        canonical, id_col, text_col,
+        k=span_k, w=span_w, max_fp_docs=max_fp_docs,
+        min_shared=1, min_len=span_min_len,
+    )
+    span_stats = remove_spans(canonical, spans, id_col, text_col)
+    cap_stats = winnow_cap_stats(
+        canonical, id_col, text_col, k=span_k, w=span_w, max_fp_docs=max_fp_docs
+    )
+
+    # 5. quality gate (after dedup — canonicals never lose to a
+    # filtered-first duplicate)
+    gated = canonical.filter(F.col("quality") >= min_quality)
+
+    # 6. deterministic shuffle → shards
+    shards = shuffle_shard(gated, id_col, n_shards=n_shards, salt=shard_salt)
+    corpus = (
+        gated.join(shards, id_col)
+        .join(
+            span_stats.select(
+                F.col(id_col), F.col("n_removed"), F.col("clean_fp")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "detected_lang",
+            "quality",
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            "clean_fp",
+            "shard",
+            "pos",
+        )
+    )
+
+    counts = (
+        base.agg(F.count("*").cast("bigint").alias("n_input"))
+        .crossJoin(
+            F.broadcast(
+                exact_kept.agg(F.count("*").cast("bigint").alias("n_exact_kept"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                canonical.agg(F.count("*").cast("bigint").alias("n_canonical"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(gated.agg(F.count("*").cast("bigint").alias("n_final")))
+        )
+    )
+    return CorpusPrepResult(
+        corpus=corpus,
+        manifest=manifest,
+        span_stats=span_stats,
+        cap_stats=cap_stats,
+        counts=counts,
+    )

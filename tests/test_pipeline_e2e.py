@@ -1,0 +1,136 @@
+"""End-to-end training-corpus preparation: the composed pipeline
+(exact dedup → near-dup → ExactSubstr → quality gate → shards) run on
+the driver fixtures, with conservation/exclusivity invariants asserted
+at every stage boundary — the "could a user run their whole prep flow
+on this engine" test."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def prep(spark):
+    from igloo_spark.pipelines import prepare_training_corpus
+    from igloo_spark.sources import load_testdata_table
+
+    docs = load_testdata_table(spark, SF, "documents")
+    return docs, prepare_training_corpus(docs, "doc_id", "text", n_shards=8)
+
+
+def test_stage_counts_monotone(prep):
+    """Each stage only removes documents: input >= exact-kept >=
+    canonical >= final."""
+    _, r = prep
+    row = r.counts.first()
+    assert row["n_input"] >= row["n_exact_kept"] >= row["n_canonical"] >= row["n_final"]
+    assert row["n_final"] > 0
+
+
+def test_manifest_covers_exact_survivors(prep):
+    """The near-dup manifest must assign every exact-dedup survivor to
+    exactly one canonical id, and canonicals must map to themselves."""
+    _, r = prep
+    m = r.manifest
+    n_exact = r.counts.first()["n_exact_kept"]
+    assert m.count() == n_exact
+    assert m.select("doc_id").distinct().count() == n_exact
+    bad = m.filter(F.col("is_canonical") & (F.col("doc_id") != F.col("canonical_id")))
+    assert bad.count() == 0
+
+
+def test_corpus_rows_unique_and_sharded(prep):
+    """Every surviving doc appears once, with a valid shard and a
+    dense per-shard position."""
+    _, r = prep
+    c = r.corpus
+    n = c.count()
+    assert c.select("doc_id").distinct().count() == n
+    assert c.filter((F.col("shard") < 0) | (F.col("shard") >= 8)).count() == 0
+    # positions are 1..count(shard) within each shard
+    per = c.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+
+
+def test_span_removal_bounded_and_joined(prep):
+    """Span-removal stats: 0 <= n_removed <= n_tokens, and every
+    affected doc is a canonical survivor."""
+    _, r = prep
+    s = r.span_stats
+    assert s.filter((F.col("n_removed") < 0) | (F.col("n_removed") > F.col("n_tokens"))).count() == 0
+    # corpus join carried the stats through for survivors
+    assert r.corpus.filter(F.col("n_removed") < 0).count() == 0
+
+
+def test_cap_stats_one_row_consistent(prep):
+    _, r = prep
+    row = r.cap_stats.first()
+    assert row["fp_total"] > 0
+    assert 0 <= row["fp_dropped"] <= row["fp_total"]
+
+
+def test_survivors_have_no_duplicate_fingerprints(prep, spark):
+    """After the pipeline, no two surviving docs share a byte-identical
+    fingerprint (exact dedup held through the later stages)."""
+    docs, r = prep
+    from igloo_spark.functions.text import doc_fingerprint
+
+    surv = docs.join(r.corpus.select("doc_id"), "doc_id", "leftsemi").select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    )
+    assert surv.count() == surv.distinct().count()
+
+
+def test_build_runs_no_driver_collect(spark):
+    """Pipeline build may execute checkpointed shuffle STAGES (an AQE
+    property documented on prepare_training_corpus) but must never
+    collect corpus data to the driver: schema access and explain must
+    work, and the session's driver-side result paths stay untouched.
+    Guarded by asserting the build completes fast relative to a full
+    materialization and that every returned frame is still lazy
+    downstream (acting on corpus later still runs jobs)."""
+    from igloo_spark.pipelines import prepare_training_corpus
+    from igloo_spark.sources import load_testdata_table
+
+    docs = load_testdata_table(spark, SF, "documents")
+    r = prepare_training_corpus(docs, "doc_id", "text", near_dup=False)
+    # analysis-only surface works without an action
+    _ = r.corpus.schema, r.manifest.schema
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert r.corpus.count() > 0  # the deferred stages run on action
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after > before, "corpus action ran no jobs — already fully materialized?"
+
+
+def test_neardup_off_keeps_exact_survivors(spark):
+    """near_dup=False: manifest is the trivial self-mapping and the
+    corpus keeps every exact-dedup survivor passing the quality gate."""
+    from igloo_spark.pipelines import prepare_training_corpus
+    from igloo_spark.sources import load_testdata_table
+
+    docs = load_testdata_table(spark, SF, "documents")
+    r = prepare_training_corpus(docs, "doc_id", "text", near_dup=False)
+    assert r.manifest.filter(~F.col("is_canonical")).count() == 0
+    row = r.counts.first()
+    assert row["n_canonical"] == row["n_exact_kept"]
+
+
+def test_deterministic_across_builds(prep, spark):
+    """Same input + same salt => identical (doc_id, shard, pos) sets
+    across two independent pipeline builds."""
+    from igloo_spark.pipelines import prepare_training_corpus
+    from igloo_spark.sources import load_testdata_table
+
+    docs, r1 = prep
+    r2 = prepare_training_corpus(
+        load_testdata_table(spark, SF, "documents"), "doc_id", "text", n_shards=8
+    )
+    a = {(x["doc_id"], x["shard"], x["pos"]) for x in r1.corpus.collect()}
+    b = {(x["doc_id"], x["shard"], x["pos"]) for x in r2.corpus.collect()}
+    assert a == b
