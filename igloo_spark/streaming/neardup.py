@@ -164,20 +164,16 @@ def exactsubstr_clean_batch(
         members, pairs, id_col, text_col, k=k, min_len=min_len
     )
     cleaned = remove_spans(batch_docs, spans, id_col, text_col)
-    untouched_fp = F.md5(
-        F.concat_ws(
-            " ",
-            F.split(
-                F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " "
-            ),
-        )
-    )
+    # THE shared tokenizer (dedup._tokens) — span indices and the
+    # pass-through hash are only consistent with remove_spans because
+    # both split identically
+    from igloo_spark.operators.dedup import _tokens
+
+    untouched_fp = F.md5(F.concat_ws(" ", _tokens(text_col)))
     return (
         batch_docs.select(
             F.col(id_col),
-            F.size(
-                F.split(F.regexp_replace(F.trim(F.col(text_col)), "[ ]+", " "), " ")
-            ).cast("bigint").alias("__nt"),
+            F.size(_tokens(text_col)).cast("bigint").alias("__nt"),
             untouched_fp.alias("__fp"),
         )
         .join(cleaned, id_col, "left")
