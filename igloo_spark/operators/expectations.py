@@ -101,7 +101,10 @@ def check_expectations(
         orphans = (
             df.select(*child_cols)
             .filter(all_present)  # simple-match FK: null components opt out
-            .join(F.broadcast(pk), child_cols, "left_anti")
+            # no broadcast hint: the parent key set scales with the
+            # parent table (orders at 100 TB = billions of keys) —
+            # AQE broadcasts only when it measures small
+            .join(pk, child_cols, "left_anti")
             .agg(F.count("*").cast("bigint").alias("n_violations"))
             .select(
                 F.lit(

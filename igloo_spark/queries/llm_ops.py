@@ -889,7 +889,10 @@ def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_sh = sh.filter(F.col("doc_id") % EVAL_SET_MOD == 0).select("shingle").distinct()
     sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (
-        train.join(F.broadcast(eval_sh), "shingle")
+        # no broadcast hint: a REAL benchmark set is tiny and AQE will
+        # broadcast it; the fixture's %mod simulation makes eval_sh a
+        # corpus FRACTION, and a hinted broadcast of that dies at scale
+        train.join(eval_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
@@ -1039,7 +1042,11 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = words.groupBy("word").agg(F.count_distinct("doc_id").alias("n_docs_with"))
     scored = (
         tf.filter(F.col("doc_id") < 100)
-        .join(F.broadcast(df_), "word")
+        # no broadcast hint on df_: the doc-frequency table has one
+        # row per distinct word — web-scale vocabulary is billions of
+        # rows. The tf side is tiny after its doc_id filter, so AQE
+        # broadcasts THAT side instead at runtime.
+        .join(df_, "word")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
