@@ -697,3 +697,65 @@ SCALAR_EXPRS = [
 def test_scalar_projection_parity(igloo, pred, exprs):
     sql = f"SELECT p_partkey, {', '.join(exprs)} FROM part WHERE {pred}"
     assert_matches_oracle(igloo.execute(sql), sql, SF_SMOKE)
+
+
+# round-6: date/time family fuzz over the orders table. Shared-dialect
+# rules: date_trunc is CAST to DATE on both engines (DuckDB returns
+# DATE, Spark TIMESTAMP); extract fields avoid dow/doy (origin
+# conventions differ); no engine-specific date arithmetic.
+DATE_EXPRS = [
+    "CAST(extract(year FROM o_orderdate) AS BIGINT) AS d_year",
+    "CAST(extract(month FROM o_orderdate) AS BIGINT) AS d_month",
+    "CAST(extract(day FROM o_orderdate) AS BIGINT) AS d_day",
+    "CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS d_quarter",
+    "CAST(date_trunc('year', o_orderdate) AS DATE) AS t_year",
+    "CAST(date_trunc('month', o_orderdate) AS DATE) AS t_month",
+    "CAST(date_trunc('day', o_orderdate) AS DATE) AS t_day",
+    "CAST(o_orderdate AS DATE) AS d_date",
+    "last_day(CAST(o_orderdate AS DATE)) AS d_last",
+]
+
+DATE_PRED = st.one_of(
+    st.tuples(
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.integers(1992, 1998),
+        st.integers(1, 12),
+    ).map(lambda t: f"o_orderdate {t[0]} TIMESTAMP '{t[1]}-{t[2]:02d}-01 00:00:00'"),
+    st.integers(1992, 1998).map(
+        lambda y: f"extract(year FROM o_orderdate) = {y}"
+    ),
+)
+
+
+@settings(**COMMON)
+@given(
+    pred=DATE_PRED,
+    exprs=st.lists(st.sampled_from(DATE_EXPRS), min_size=1, max_size=4, unique=True),
+)
+def test_datetime_function_parity(igloo, pred, exprs):
+    igloo.register_parquet_dir(SF_SMOKE, ["orders"])
+    sql = f"SELECT o_orderkey, {', '.join(exprs)} FROM orders WHERE {pred}"
+    assert_matches_oracle(igloo.execute(sql), sql, SF_SMOKE)
+
+
+# round-6: grouped date rollups — bucketing + aggregate interaction
+# (the q36 family, fuzzed).
+@settings(**COMMON)
+@given(
+    unit=st.sampled_from(["year", "month"]),
+    agg=st.sampled_from(
+        [
+            "CAST(count(*) AS BIGINT) AS n",
+            "round(sum(CAST(o_totalprice AS DOUBLE)), 4) AS total",
+            "round(avg(CAST(o_totalprice AS DOUBLE)), 6) AS avg_price",
+            "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust",
+        ]
+    ),
+)
+def test_time_bucket_rollup_parity(igloo, unit, agg):
+    igloo.register_parquet_dir(SF_SMOKE, ["orders"])
+    sql = (
+        f"SELECT CAST(date_trunc('{unit}', o_orderdate) AS DATE) AS bucket, {agg} "
+        f"FROM orders GROUP BY date_trunc('{unit}', o_orderdate)"
+    )
+    assert_matches_oracle(igloo.execute(sql), sql, SF_SMOKE)
