@@ -759,3 +759,40 @@ def test_time_bucket_rollup_parity(igloo, unit, agg):
         f"FROM orders GROUP BY date_trunc('{unit}', o_orderdate)"
     )
     assert_matches_oracle(igloo.execute(sql), sql, SF_SMOKE)
+
+
+# round-6: join family fuzz — inner/left equi-joins with post-join
+# predicates and aggregate rollups (orders ⋈ customer). Exercises join
+# type semantics + null handling the fixed corpus pins only at
+# representative points.
+@settings(**COMMON)
+@given(
+    how=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    pred=st.one_of(
+        st.integers(1992, 1998).map(lambda y: f"extract(year FROM o_orderdate) = {y}"),
+        st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]).map(
+            lambda s: f"c_mktsegment = '{s}'"
+        ),
+    ),
+    aggs=st.lists(
+        st.sampled_from(
+            [
+                "CAST(count(*) AS BIGINT) AS n",
+                "round(sum(CAST(o_totalprice AS DOUBLE)), 4) AS total",
+                "CAST(count(c_name) AS BIGINT) AS n_matched",
+                "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust",
+            ]
+        ),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_join_aggregate_parity(igloo, how, pred, aggs):
+    igloo.register_parquet_dir(SF_SMOKE, ["orders", "customer"])
+    sql = (
+        f"SELECT c_mktsegment, {', '.join(aggs)} FROM orders o "
+        f"{how} customer c ON o.o_custkey = c.c_custkey WHERE {pred} "
+        f"GROUP BY c_mktsegment"
+    )
+    assert_matches_oracle(igloo.execute(sql), sql, SF_SMOKE)
