@@ -614,6 +614,49 @@ def dedup_manifest(
     )
 
 
+def select_canonicals(
+    manifest: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Re-pick each duplicate component's canonical by a SCORE — the
+    production policy (keep the best copy of the family) vs
+    :func:`dedup_manifest`'s min-id default (the cheapest
+    deterministic tie-break, but it throws away quality: a training
+    pipeline wants the cleanest member to survive, not the one with
+    the smallest id).
+
+    ``manifest`` is `dedup_manifest` output; ``scored`` carries
+    (id, score). Output has the same schema as the input manifest
+    with canonical/is_canonical recomputed — ties broken toward the
+    smaller id so the result is deterministic.
+
+    Scale shape: one component-keyed aggregate (``max_by`` over a
+    (score, -id) struct — map-side partial) producing one row per
+    component, then an equi-join back; group sizes are bounded by the
+    same upstream caps that bound component sizes.
+    """
+    joined = manifest.join(scored.select(F.col(id_col), F.col(score_col)), id_col)
+    best = joined.groupBy("canonical_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("t")),
+        )
+        .cast("bigint")
+        .alias("__best")
+    )
+    return (
+        manifest.join(best, "canonical_id")
+        .select(
+            F.col(id_col),
+            F.col("__best").alias("canonical_id"),
+            (F.col(id_col) == F.col("__best")).alias("is_canonical"),
+            "group_size",
+        )
+    )
+
+
 def _tokens(text_col: str):
     """THE whitespace-normalized tokenizer for position-bearing dedup
     ops (winnowing, shared spans, span removal). Span indices are only

@@ -59,6 +59,7 @@ def prepare_training_corpus(
     *,
     min_quality: float = 0.5,
     near_dup: bool = True,
+    canonical_policy: str = "min_id",
     shingle_n: int = 2,
     lsh_threshold: float = 0.5,
     span_k: int = 5,
@@ -122,12 +123,24 @@ def prepare_training_corpus(
         .localCheckpoint(eager=False)
     )
 
-    # 3. near-dup: canonical representative per LSH component
+    # 3. near-dup: canonical representative per LSH component.
+    # canonical_policy: "min_id" (cheapest deterministic pick) or
+    # "best_quality" (production: the family's cleanest member
+    # survives — dedup.select_canonicals re-picks by quality score)
+    if canonical_policy not in ("min_id", "best_quality"):
+        raise ValueError(f"unknown canonical_policy: {canonical_policy!r}")
     if near_dup:
         manifest = dedup_manifest(
             exact_kept, id_col, text_col,
             shingle_n=shingle_n, threshold=lsh_threshold,
-        ).localCheckpoint(eager=False)
+        )
+        if canonical_policy == "best_quality":
+            from igloo_spark.operators.dedup import select_canonicals
+
+            manifest = select_canonicals(
+                manifest, enriched.select(id_col, "quality"), id_col, "quality"
+            )
+        manifest = manifest.localCheckpoint(eager=False)
         canonical = exact_kept.join(
             manifest.filter(F.col("is_canonical")).select(id_col),
             id_col,

@@ -134,3 +134,73 @@ def test_deterministic_across_builds(prep, spark):
     a = {(x["doc_id"], x["shard"], x["pos"]) for x in r1.corpus.collect()}
     b = {(x["doc_id"], x["shard"], x["pos"]) for x in r2.corpus.collect()}
     assert a == b
+
+
+class TestCanonicalPolicy:
+    def _manifest_fixture(self, spark):
+        from igloo_spark.operators.dedup import dedup_manifest
+
+        # docs 1,2,3 near-identical (one family); 10 unique
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+            (2, "the quick brown fox jumps over the lazy dog again and again okay"),
+            (3, "the quick brown fox jumps over the lazy dog again and again yes"),
+            (10, "completely different text with nothing shared at all here now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df, dedup_manifest(df, "doc_id", "text", threshold=0.3)
+
+    def test_best_quality_repicks_canonical(self, spark):
+        from igloo_spark.operators.dedup import select_canonicals
+
+        df, manifest = self._manifest_fixture(spark)
+        # min-id default: canonical of the family is doc 1
+        fam = {r["doc_id"]: r for r in manifest.collect()}
+        assert fam[1]["is_canonical"] and fam[1]["canonical_id"] == 1
+        # score doc 3 highest -> canonical moves to 3 for ALL members
+        scores = spark.createDataFrame(
+            [(1, 0.2), (2, 0.5), (3, 0.9), (10, 0.1)], "doc_id long, q double"
+        )
+        re = {r["doc_id"]: r for r in
+              select_canonicals(manifest, scores, "doc_id", "q").collect()}
+        for d in (1, 2, 3):
+            assert re[d]["canonical_id"] == 3
+        assert re[3]["is_canonical"] and not re[1]["is_canonical"]
+        assert re[10]["canonical_id"] == 10 and re[10]["is_canonical"]
+        # group sizes preserved
+        assert re[1]["group_size"] == fam[1]["group_size"]
+
+    def test_score_tie_breaks_to_smaller_id(self, spark):
+        from igloo_spark.operators.dedup import select_canonicals
+
+        df, manifest = self._manifest_fixture(spark)
+        scores = spark.createDataFrame(
+            [(1, 0.5), (2, 0.5), (3, 0.5), (10, 0.5)], "doc_id long, q double"
+        )
+        re = {r["doc_id"]: r for r in
+              select_canonicals(manifest, scores, "doc_id", "q").collect()}
+        assert re[1]["canonical_id"] == 1  # tie -> min id, deterministic
+
+    def test_pipeline_best_quality_policy(self, spark):
+        from igloo_spark.pipelines import prepare_training_corpus
+        from igloo_spark.sources import load_testdata_table
+
+        docs = load_testdata_table(spark, SF, "documents")
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", canonical_policy="best_quality"
+        )
+        row = r.counts.first()
+        assert row["n_final"] > 0
+        # every canonical is its own canonical
+        bad = r.manifest.filter(
+            F.col("is_canonical") & (F.col("doc_id") != F.col("canonical_id"))
+        )
+        assert bad.count() == 0
+
+    def test_unknown_policy_raises(self, spark):
+        from igloo_spark.pipelines import prepare_training_corpus
+        from igloo_spark.sources import load_testdata_table
+
+        docs = load_testdata_table(spark, SF, "documents")
+        with pytest.raises(ValueError, match="canonical_policy"):
+            prepare_training_corpus(docs, "doc_id", "text", canonical_policy="bogus")
