@@ -90,8 +90,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
 # the 43 r03-stale queries — exactly 50 entries, the driver's per-round
 # gate window. After this window every query's latest verdict is r04+
 # except x47_ann_lsh_topk (r03; path nested in the in-window x63) and
-# x99_winnow_cap_stats (added mid-round-6, never checked).
-# r07 rotation order: x99 and x47 first, then the oldest remaining
+# the two queries added mid-round-6 (x99_winnow_cap_stats,
+# x100_token_budget_select — never checked).
+# r07 rotation order: x99, x100, x47 first, then the oldest remaining
 # (r04) verdicts.
 
 

@@ -2774,3 +2774,47 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         k=_WINNOW_K, w=_WINNOW_W, max_fp_docs=_WINNOW_CAP,
     )
+
+
+def _x100_oracle() -> str:
+    from igloo_spark.functions.text import quality_score_sql, token_count_sql
+    from igloo_spark.operators.packing import budget_select_sql_duckdb
+
+    enriched = (
+        "SELECT doc_id, "
+        f"CAST({token_count_sql('text')} AS BIGINT) AS n_tokens, "
+        f"round({quality_score_sql('text')}, 6) AS q "
+        "FROM documents WHERE length(trim(text)) > 0"
+    )
+    inner = budget_select_sql_duckdb(
+        f"({enriched}) src", "doc_id", "n_tokens", "q", token_budget=10_000
+    )
+    return f"SELECT doc_id, n_tokens, q FROM ({inner})"
+
+
+@register(
+    "x100_token_budget_select",
+    "deterministic fixed-token-budget selection: best-quality docs until the budget fills",
+    _x100_oracle(),
+    tags=("packing", "sampling", "llm"),
+)
+def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget corpus selection (the "build a 100B-token
+    mix from a scored crawl" step): quantize quality into 1000 bins,
+    one tiny per-bin aggregate + a bins-sized running total, take
+    whole bins from the top and hash-gate the boundary bin — never a
+    global sort of the corpus (operators/packing.budget_select). The
+    budget deliberately bites at every shipped SF so the boundary
+    gate, not just the take-everything path, is driver-verified."""
+    from igloo_spark.functions.text import quality_score, token_count
+    from igloo_spark.operators.packing import budget_select
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    enriched = d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+    return budget_select(
+        enriched, "doc_id", "n_tokens", "q", token_budget=10_000
+    )

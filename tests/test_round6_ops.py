@@ -163,3 +163,54 @@ class TestSingletonClusterOutlierFlag:
                centroid_outliers(df, "vec_id", "embedding", "label").collect()}
         assert out[3]["is_outlier"] is False  # not None
         assert all(r["is_outlier"] is not None for r in out.values())
+
+
+class TestBudgetSelect:
+    def _scored(self, spark, n=400):
+        # quality spread over [0,1); tokens 20-60 per doc
+        rows = [(i, 20 + (i * 7) % 41, round((i % 97) / 97.0, 6)) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, n_tokens long, q double")
+
+    def test_budget_respected_within_tolerance(self, spark):
+        from igloo_spark.operators.packing import budget_select
+        from pyspark.sql import functions as F
+
+        df = self._scored(spark)
+        total = df.agg(F.sum("n_tokens")).first()[0]
+        budget = total // 3
+        sel = budget_select(df, "doc_id", "n_tokens", "q", budget)
+        got = sel.agg(F.sum("n_tokens")).first()[0]
+        # whole buckets exact; boundary bucket is a hash sample →
+        # allow its sampling noise (one bucket ≈ total/97 here)
+        assert abs(got - budget) < total / 97 + 200, (got, budget)
+
+    def test_selects_highest_scores_first(self, spark):
+        from igloo_spark.operators.packing import budget_select
+        from pyspark.sql import functions as F
+
+        df = self._scored(spark)
+        budget = df.agg(F.sum("n_tokens")).first()[0] // 3
+        sel = budget_select(df, "doc_id", "n_tokens", "q", budget)
+        kept_ids = {r["doc_id"] for r in sel.select("doc_id").collect()}
+        rows = df.collect()
+        min_kept = min(r["q"] for r in rows if r["doc_id"] in kept_ids)
+        max_dropped = max(r["q"] for r in rows if r["doc_id"] not in kept_ids)
+        # only the single boundary bin may interleave (bin width 1/1000)
+        assert max_dropped <= min_kept + 1.0 / 1000 + 1e-9
+
+    def test_deterministic_and_partition_independent(self, spark):
+        from igloo_spark.operators.packing import budget_select
+        from pyspark.sql import functions as F
+
+        df = self._scored(spark)
+        budget = 3000
+        a = {r["doc_id"] for r in budget_select(df, "doc_id", "n_tokens", "q", budget).collect()}
+        b = {r["doc_id"] for r in budget_select(df.repartition(17), "doc_id", "n_tokens", "q", budget).collect()}
+        assert a == b
+
+    def test_budget_larger_than_corpus_keeps_all(self, spark):
+        from igloo_spark.operators.packing import budget_select
+
+        df = self._scored(spark, n=50)
+        sel = budget_select(df, "doc_id", "n_tokens", "q", 10**9)
+        assert sel.count() == 50
