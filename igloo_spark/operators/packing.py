@@ -266,9 +266,15 @@ def budget_select(
     Tighter targets → raise ``bins``. Output: input rows that made
     the cut, plus the bucket id (``__bin`` dropped, score retained).
     """
-    b = F.least(
-        F.lit(bins - 1),
-        F.floor(F.col(score_col) * bins).cast("bigint"),
+    # clamp to [0, bins-1]: scores are nominally in [0, 1] but the
+    # operator must not mis-bin out-of-range inputs (negative floor
+    # would bucket below everything; >1 above the top bin)
+    b = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.lit(bins - 1),
+            F.floor(F.col(score_col) * bins).cast("bigint"),
+        ),
     )
     binned = df.withColumn("__bin", b)
     per_bin = binned.groupBy("__bin").agg(
@@ -314,7 +320,7 @@ def budget_select_sql_duckdb(
     h = hex_prefix_hash_sql_duckdb(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
     return f"""
     WITH binned AS (
-        SELECT *, least({bins - 1}, CAST(floor({score_col} * {bins}) AS BIGINT)) AS bin
+        SELECT *, greatest(0, least({bins - 1}, CAST(floor({score_col} * {bins}) AS BIGINT))) AS bin
         FROM {table}
     ),
     per_bin AS (

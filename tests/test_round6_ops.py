@@ -214,3 +214,16 @@ class TestBudgetSelect:
         df = self._scored(spark, n=50)
         sel = budget_select(df, "doc_id", "n_tokens", "q", 10**9)
         assert sel.count() == 50
+
+
+def test_budget_select_clamps_out_of_range_scores(spark):
+    """Scores outside [0,1] must clamp to the extreme bins, not
+    mis-bin (a negative floor would bucket below everything)."""
+    from igloo_spark.operators.packing import budget_select
+    rows = [(1, 100, -0.5), (2, 100, 0.5), (3, 100, 1.7)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, q double")
+    sel = {r["doc_id"] for r in
+           budget_select(df, "doc_id", "n_tokens", "q", 200).collect()}
+    # top-score doc 3 and mid doc 2 fill the 200-token budget; the
+    # negative-score doc is the one excluded
+    assert sel == {2, 3}
