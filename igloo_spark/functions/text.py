@@ -298,3 +298,93 @@ def bpe_token_count(text: Column) -> Column:
 def bpe_token_count_sql(expr: str) -> str:
     pat = BPE_TOKEN_PATTERN.replace("'", "''")
     return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+
+
+# --- Gopher-style structural repetition signals ---------------------------
+#
+# Rahimi et al.'s Gopher corpus filters (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A) gate documents on the
+# fraction of characters covered by the most frequent word 2-gram and
+# by duplicated word 5-grams. Both are per-document map-side
+# computations here: build the n-gram array, sort it, and fold the
+# sorted runs with a single F.aggregate lambda — O(m log m) per doc,
+# zero shuffle, no explode, no Python. The equivalent exploded
+# group-by (the obvious implementation) would shuffle one row per
+# n-gram occurrence — corpus-token-scale exchange at 100 TB for a
+# per-doc statistic that never needs to leave its row.
+
+
+def ngram_array(text: Column, n: int) -> Column:
+    """Consecutive word n-gram array (with duplicates, space-joined) —
+    empty for docs under ``n`` tokens. Pure per-row expression."""
+    ws = F.split(F.regexp_replace(F.trim(text), "[ ]+", " "), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i.cast("int"), n)))
+    )
+
+
+def ngram_run_stats(text: Column, n: int) -> Column:
+    """``struct<top_chars bigint, dup_chars bigint>`` over the doc's
+    word n-gram multiset:
+
+    - ``top_chars``: max over distinct grams of count * length(gram)
+      (character mass of the most repeated n-gram — the numeric max
+      sidesteps tie-breaking between equal-count grams);
+    - ``dup_chars``: sum over grams with count > 1 of
+      count * length(gram) (character mass inside duplicated grams).
+
+    Computed by sorting the gram array and folding runs of equal
+    neighbours in one ``F.aggregate`` pass — map-side only."""
+    grams = F.sort_array(ngram_array(text, n))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("top"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def _run_mass(acc: Column) -> Column:
+        return acc["run"] * F.length(acc["prev"]).cast("bigint")
+
+    def _fold_top(acc: Column) -> Column:
+        return F.when(acc["prev"].isNull(), acc["top"]).otherwise(
+            F.greatest(acc["top"], _run_mass(acc))
+        )
+
+    def _fold_dup(acc: Column) -> Column:
+        return acc["dup"] + F.when(
+            acc["prev"].isNotNull() & (acc["run"] > 1), _run_mass(acc)
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    def _merge(acc: Column, x: Column) -> Column:
+        fresh = F.lit(1).cast("bigint")
+        return (
+            F.when(
+                acc["prev"].isNull(),
+                F.struct(
+                    x.alias("prev"), fresh.alias("run"),
+                    acc["top"].alias("top"), acc["dup"].alias("dup"),
+                ),
+            )
+            .when(
+                x == acc["prev"],
+                F.struct(
+                    x.alias("prev"), (acc["run"] + 1).alias("run"),
+                    acc["top"].alias("top"), acc["dup"].alias("dup"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    x.alias("prev"), fresh.alias("run"),
+                    _fold_top(acc).alias("top"), _fold_dup(acc).alias("dup"),
+                )
+            )
+        )
+
+    def _finish(acc: Column) -> Column:
+        return F.struct(
+            _fold_top(acc).alias("top_chars"), _fold_dup(acc).alias("dup_chars")
+        )
+
+    return F.aggregate(grams, zero, _merge, _finish)

@@ -2818,3 +2818,241 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_select(
         enriched, "doc_id", "n_tokens", "q", token_budget=10_000
     )
+
+
+# --- x101: Gopher structural repetition gate ------------------------------
+
+_GOPHER_TOP2_MAX = 0.20   # Gopher App. A: most-common 2-gram char fraction
+_GOPHER_DUP5_MAX = 0.15   # Gopher App. A: duplicated 5-gram char fraction
+_GOPHER_MWL_MIN = 3.0     # Gopher: mean word length in [3, 10]
+_GOPHER_MWL_MAX = 10.0
+
+
+def _x101_oracle() -> str:
+    toks = "string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ')"
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(regexp_replace(trim(text), '[ ]+', ' ', 'g')) AS dc,
+               len({toks}) AS nt,
+               {toks} AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, nt),
+                      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+        FROM base WHERE nt >= 2
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    a2 AS (SELECT doc_id, max(cnt * length(gram)) AS top_chars FROM c2 GROUP BY doc_id),
+    g5 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, nt - 3),
+                      i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gram
+        FROM base WHERE nt >= 5
+    ),
+    c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+    a5 AS (
+        SELECT doc_id,
+               coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0) AS dup_chars
+        FROM c5 GROUP BY doc_id
+    ),
+    m AS (
+        SELECT b.doc_id,
+               CAST(b.nt AS INT) AS n_tokens,
+               round(CAST(b.dc - (b.nt - 1) AS DOUBLE) / b.nt, 6) AS mean_word_len,
+               round(CAST(coalesce(a2.top_chars, 0) AS DOUBLE) / b.dc, 6) AS top2_char_frac,
+               round(CAST(coalesce(a5.dup_chars, 0) AS DOUBLE) / b.dc, 6) AS dup5_char_frac
+        FROM base b LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, mean_word_len, top2_char_frac, dup5_char_frac,
+           (top2_char_frac <= {_GOPHER_TOP2_MAX} AND dup5_char_frac <= {_GOPHER_DUP5_MAX}
+            AND mean_word_len >= {_GOPHER_MWL_MIN} AND mean_word_len <= {_GOPHER_MWL_MAX})
+               AS gopher_pass
+    FROM m
+    """
+
+
+@register(
+    "x101_gopher_repetition",
+    "Gopher structural repetition gate: top-2-gram and duplicate-5-gram character fractions, map-side",
+    _x101_oracle(),
+    tags=("quality", "text", "llm"),
+)
+def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, App. A):
+    fraction of characters in the most frequent word 2-gram, fraction
+    of characters inside duplicated word 5-grams, and mean word
+    length, gated at the paper's thresholds. The n-gram frequency
+    fold runs INSIDE each row (sort_array + one F.aggregate over
+    sorted runs — functions/text.ngram_run_stats), so the whole gate
+    is a zero-shuffle scan-stage projection; the obvious
+    explode + groupBy alternative would exchange one row per n-gram
+    occurrence, a corpus-token-scale shuffle at 100 TB for a
+    statistic that never needs to leave its document."""
+    from igloo_spark.functions.text import ngram_run_stats
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    norm = F.regexp_replace(F.trim(F.col("text")), "[ ]+", " ")
+    nt = F.size(F.split(norm, " "))
+    dc = F.length(norm)
+    s2 = ngram_run_stats(F.col("text"), 2)
+    s5 = ngram_run_stats(F.col("text"), 5)
+    m = d.select(
+        "doc_id",
+        nt.cast("int").alias("n_tokens"),
+        F.round((dc - (nt - 1)).cast("double") / nt, 6).alias("mean_word_len"),
+        F.round(s2["top_chars"].cast("double") / dc, 6).alias("top2_char_frac"),
+        F.round(s5["dup_chars"].cast("double") / dc, 6).alias("dup5_char_frac"),
+    )
+    return m.withColumn(
+        "gopher_pass",
+        (F.col("top2_char_frac") <= _GOPHER_TOP2_MAX)
+        & (F.col("dup5_char_frac") <= _GOPHER_DUP5_MAX)
+        & (F.col("mean_word_len") >= _GOPHER_MWL_MIN)
+        & (F.col("mean_word_len") <= _GOPHER_MWL_MAX),
+    )
+
+
+# --- x102: DSIR hashed n-gram importance weights --------------------------
+
+_DSIR_BUCKETS = 256      # hashed-feature dimensionality (paper uses 10k;
+                         # 256 keeps every bucket populated at sf0.001)
+_DSIR_SCALE = 1_000_000  # micro-unit quantization of per-bucket weights
+
+
+def _x102_oracle() -> str:
+    toks = "string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ')"
+    b = _DSIR_BUCKETS
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, len({toks}) AS nt, {toks} AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, nt),
+                      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+        FROM base WHERE nt >= 2
+    ),
+    f AS (
+        SELECT doc_id, lang,
+               (('0x'||substring(md5(gram),1,8))::BIGINT) % {b} AS bk
+        FROM g
+    ),
+    cnt AS (
+        SELECT bk, count(*) AS r_cnt,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+        FROM f GROUP BY bk
+    ),
+    tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM cnt),
+    w AS (
+        SELECT bk,
+               CAST(round((ln((t_cnt + 1.0) / (t_tot + {b}.0))
+                           - ln((r_cnt + 1.0) / (r_tot + {b}.0))) * {_DSIR_SCALE})
+                    AS BIGINT) AS w_q
+        FROM cnt, tot
+    ),
+    ds AS (
+        SELECT doc_id, count(*) AS n_feats, sum(w_q) AS dsir_q
+        FROM f JOIN w USING (bk) GROUP BY doc_id
+    )
+    SELECT b2.doc_id,
+           CAST(coalesce(ds.n_feats, 0) AS INT) AS n_feats,
+           CAST(coalesce(ds.dsir_q, 0) AS BIGINT) AS dsir_q,
+           CASE WHEN coalesce(ds.n_feats, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000.0 * ds.dsir_q / ds.n_feats) AS BIGINT)
+           END AS lr_nanos_per_feat,
+           coalesce(ds.dsir_q, 0) > 0 AS target_like
+    FROM base b2 LEFT JOIN ds USING (doc_id)
+    """
+
+
+@register(
+    "x102_dsir_importance",
+    "DSIR importance resampling weights: hashed-bigram target/raw log-ratio per doc, integer-exact",
+    _x102_oracle(),
+    tags=("sampling", "quality", "llm"),
+)
+def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): score each document by the log-likelihood ratio of its
+    hashed bag-of-bigrams under a target distribution (here the
+    lang='en' slice standing in for the paper's in-domain corpus) vs
+    the raw distribution. Shape: one 256-key partial aggregate builds
+    the bucket counts (map-side combine, bounded by _DSIR_BUCKETS, not
+    data); per-bucket log-ratios are quantized to integer micro-units
+    (so per-doc sums are order-independent and bit-exact across
+    engines — no float-summation drift) and folded into a single
+    broadcast map; per-doc scoring is then a zero-shuffle
+    F.aggregate over the doc's own feature array. The per-feature
+    mean is reported in floor'd integer nano-units — round() on the
+    quotient would hit exact .5 ties (e.g. -189192/48) where Spark's
+    HALF_UP-on-decimal-string and DuckDB's binary rounding disagree;
+    floor has no ties. The corpus is scanned twice but never
+    exchanged on a per-document key — at 100 TB the only shuffle
+    moves 256 rows."""
+    from igloo_spark.functions.hashing import hex_prefix_hash
+    from igloo_spark.functions.text import bigram_array
+
+    b = _DSIR_BUCKETS
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    feats = F.transform(
+        bigram_array(F.col("text")), lambda g: hex_prefix_hash(g) % b
+    )
+    docs = d.select("doc_id", "lang", feats.alias("feats"))
+
+    cnt = (
+        docs.select("lang", F.explode("feats").alias("bk"))
+        .groupBy("bk")
+        .agg(
+            F.count(F.lit(1)).alias("r_cnt"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_cnt"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        F.round(
+            (
+                F.log((F.col("t_cnt") + 1.0) / (F.col("t_tot") + float(b)))
+                - F.log((F.col("r_cnt") + 1.0) / (F.col("r_tot") + float(b)))
+            )
+            * _DSIR_SCALE
+        )
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    wmap = w.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bk"), F.col("w_q")))
+        ).alias("wmap")
+    )
+
+    scored = docs.crossJoin(F.broadcast(wmap)).select(
+        "doc_id",
+        F.size("feats").alias("n_feats"),
+        F.aggregate(
+            "feats",
+            F.lit(0).cast("bigint"),
+            lambda acc, fk: acc + F.coalesce(
+                F.element_at("wmap", fk), F.lit(0).cast("bigint")
+            ),
+        ).alias("dsir_q"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_feats").cast("int").alias("n_feats"),
+        "dsir_q",
+        F.when(F.col("n_feats") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(1000.0) * F.col("dsir_q") / F.col("n_feats")
+            ).cast("bigint")
+        )
+        .alias("lr_nanos_per_feat"),
+        (F.col("dsir_q") > 0).alias("target_like"),
+    )

@@ -227,3 +227,157 @@ def test_budget_select_clamps_out_of_range_scores(spark):
     # top-score doc 3 and mid doc 2 fill the 200-token budget; the
     # negative-score doc is the one excluded
     assert sel == {2, 3}
+
+
+class TestNgramRunStats:
+    """ngram_run_stats must equal the brute-force Counter definition:
+    top_chars = max count*len over distinct grams, dup_chars = sum of
+    count*len over grams with count > 1."""
+
+    CASES = [
+        "a b a b a b c",
+        "x",
+        "",
+        "solo pair solo pair solo",
+        "a a a a a a",
+        "one two three four five six seven",
+        "t t t s s q q q q longword longword",
+        "  padded   spacing   padded   spacing  ",
+    ]
+
+    @staticmethod
+    def _brute(text, n):
+        toks = [t for t in text.strip().split() if t]
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        from collections import Counter
+
+        c = Counter(grams)
+        top = max((cnt * len(g) for g, cnt in c.items()), default=0)
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        return top, dup
+
+    @pytest.mark.parametrize("n", [2, 3, 5])
+    def test_matches_bruteforce(self, spark, n):
+        from igloo_spark.functions.text import ngram_run_stats
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.CASES)], "id int, t string"
+        )
+        out = df.select("id", ngram_run_stats(F.col("t"), n).alias("s")).collect()
+        for row in out:
+            top, dup = self._brute(self.CASES[row["id"]], n)
+            assert row["s"]["top_chars"] == top, (row["id"], n)
+            assert row["s"]["dup_chars"] == dup, (row["id"], n)
+
+    def test_zero_shuffle_plan(self, spark):
+        """The Gopher gate is a scan-stage projection: no Exchange."""
+        from igloo_spark.queries import all_queries
+
+        df = all_queries()["x101_gopher_repetition"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestDsirImportance:
+    def _corpus(self, spark):
+        # target (en) docs use 'alpha beta'-family bigrams; raw-only
+        # (de) docs use a disjoint vocabulary
+        rows = (
+            [(i, "alpha beta alpha beta gamma alpha", "en") for i in range(6)]
+            + [(10 + i, "zeta eta theta iota kappa zeta", "de") for i in range(6)]
+            + [(20, "solo", "en")]  # < 2 tokens -> no features
+        )
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_planted_target_vocab_scores_higher(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.queries import all_queries
+
+        rows = self._corpus(spark).collect()
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+                "source": pa.array(["web"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r["text"]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+        out = {
+            r["doc_id"]: r
+            for r in all_queries()["x102_dsir_importance"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        # en-vocab docs look target-like, de-vocab docs do not
+        for i in range(6):
+            assert out[i]["target_like"] is True
+            assert out[10 + i]["target_like"] is False
+            assert out[i]["dsir_q"] > out[10 + i]["dsir_q"]
+        # featureless doc: zeroes, not nulls
+        assert out[20]["n_feats"] == 0
+        assert out[20]["dsir_q"] == 0
+        assert out[20]["lr_nanos_per_feat"] == 0
+
+    def test_integer_weights_are_exact(self, spark, tmp_path):
+        """dsir_q must equal the brute-force python sum of quantized
+        bucket weights — the order-independence claim made in the
+        docstring, checked end-to-end."""
+        import math
+        from collections import Counter
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.queries import all_queries
+        from igloo_spark.queries.llm_ops import _DSIR_BUCKETS, _DSIR_SCALE
+
+        rows = self._corpus(spark).collect()
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+                "source": pa.array(["web"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r["text"]) for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+        import hashlib
+
+        def bucket(gram):
+            return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % _DSIR_BUCKETS
+
+        feats = {}
+        t_cnt, r_cnt = Counter(), Counter()
+        for r in rows:
+            toks = r["text"].split()
+            fs = [bucket(" ".join(toks[i : i + 2])) for i in range(len(toks) - 1)]
+            feats[r["doc_id"]] = fs
+            for b in fs:
+                r_cnt[b] += 1
+                if r["lang"] == "en":
+                    t_cnt[b] += 1
+        t_tot, r_tot = sum(t_cnt.values()), sum(r_cnt.values())
+        w = {
+            b: round(
+                (
+                    math.log((t_cnt[b] + 1.0) / (t_tot + _DSIR_BUCKETS))
+                    - math.log((r_cnt[b] + 1.0) / (r_tot + _DSIR_BUCKETS))
+                )
+                * _DSIR_SCALE
+            )
+            for b in r_cnt
+        }
+        expected = {d: sum(w[b] for b in fs) for d, fs in feats.items()}
+
+        out = all_queries()["x102_dsir_importance"].spark(spark, str(tmp_path)).collect()
+        for r in out:
+            assert r["dsir_q"] == expected[r["doc_id"]], r["doc_id"]
