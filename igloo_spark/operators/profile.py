@@ -148,3 +148,86 @@ def quantile_bins(df: DataFrame, col: str, probs: list[float] | None = None) -> 
             F.max("v").alias("max_v"),
         )
     )
+
+
+def k_anonymity(df: DataFrame, qi_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier (QI) combination
+    (Sweeney 2002): group size per distinct QI tuple and an
+    ``at_risk`` flag for equivalence classes smaller than ``k`` —
+    the rows a release would have to suppress or generalize.
+
+    One QI-keyed aggregation with map-side partials; output
+    cardinality is bounded by the QI domain (|QI1|x|QI2|x...), not
+    the row count, so the result is collectable at any corpus size.
+    The privacy complement to the PII scrubbers in functions/text:
+    redaction removes direct identifiers, this measures re-identification
+    risk from the quasi-identifiers that remain.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    return df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) < k).alias("at_risk"),
+    )
+
+
+def grouped_score_deciles(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    bins: int = 1000,
+    n_tiles: int = 10,
+    broadcast_tiles: bool = True,
+) -> DataFrame:
+    """Per-group score calibration WITHOUT a per-group corpus sort:
+    assign each row the ``n_tiles``-tile (default decile) of its
+    ``score_col`` within its ``group_col``.
+
+    The textbook formulation — ``ntile(10) OVER (PARTITION BY group
+    ORDER BY score)`` — sorts every group's full row set; with
+    domain-sized groups (a handful of sources holding most of a
+    100 TB corpus) that is a max-skew window. Instead, the
+    budget_select bin trick: quantize scores into ``bins`` buckets
+    map-side, aggregate (group, bin) counts (≤ groups x bins rows
+    survive the partial), compute each bin's strictly-below running
+    count over that TINY table, and broadcast-join the tile back.
+    Tiles are bin-granular: rows sharing a quantized score share a
+    tile, and a bin wider than a tile boundary assigns its whole bin
+    to the lower tile — the trade for never sorting the corpus.
+    Integer arithmetic end to end (truncating div on non-negative
+    counts), so results are partition- and engine-independent.
+
+    The tile table holds ≤ |distinct groups| x ``bins`` rows. The
+    default broadcast hint assumes a domain-bounded group key
+    (source, language, shard); for an unbounded group key pass
+    ``broadcast_tiles=False`` and let AQE pick the join strategy.
+    """
+    from pyspark.sql.window import Window
+
+    b = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.lit(bins - 1),
+            F.floor(F.col(score_col) * bins).cast("bigint"),
+        ),
+    )
+    binned = df.withColumn("__bin", b)
+    per = binned.groupBy(group_col, "__bin").agg(F.count(F.lit(1)).alias("__n"))
+    wcum = Window.partitionBy(group_col).orderBy("__bin")
+    wall = Window.partitionBy(group_col)
+    tiles = (
+        per.withColumn("__below", F.sum("__n").over(wcum) - F.col("__n"))
+        .withColumn("__ntot", F.sum("__n").over(wall))
+        .select(
+            group_col,
+            "__bin",
+            F.least(
+                F.expr(f"({n_tiles} * __below) div __ntot"), F.lit(n_tiles - 1)
+            )
+            .cast("int")
+            .alias("tile"),
+        )
+    )
+    if broadcast_tiles:
+        tiles = F.broadcast(tiles)
+    return binned.join(tiles, [group_col, "__bin"]).drop("__bin")

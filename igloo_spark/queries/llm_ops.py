@@ -3056,3 +3056,107 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lr_nanos_per_feat"),
         (F.col("dsir_q") > 0).alias("target_like"),
     )
+
+
+# --- x103: k-anonymity privacy audit --------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "x103_k_anonymity",
+    "k-anonymity audit: equivalence-class sizes over customer quasi-identifiers, at-risk flag",
+    f"""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n_members,
+           count(*) < {_KANON_K} AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+    """,
+    tags=("privacy", "profile", "llm"),
+)
+def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier
+    tuple (nation, market segment, account-balance band): the
+    re-identification-risk complement to the PII scrubbers — after
+    direct identifiers are redacted, equivalence classes smaller
+    than k are the records a release must suppress or generalize.
+    One QI-keyed partial aggregate; output bounded by the QI domain
+    (operators/profile.k_anonymity)."""
+    from igloo_spark.operators.profile import k_anonymity
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    )
+    out = k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_band"], k=_KANON_K)
+    return out.select(
+        "c_nationkey", "c_mktsegment", "bal_band",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        "at_risk",
+    )
+
+
+# --- x104: per-source quality calibration (sort-free deciles) -------------
+
+
+def _x104_oracle() -> str:
+    from igloo_spark.functions.text import quality_score_sql
+
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, round({quality_score_sql('text')}, 6) AS q
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    b AS (
+        SELECT doc_id, source, q,
+               greatest(0, least(999, CAST(floor(q * 1000) AS BIGINT))) AS bin
+        FROM d
+    ),
+    per AS (SELECT source, bin, count(*) AS n FROM b GROUP BY source, bin),
+    c AS (
+        SELECT source, bin,
+               sum(n) OVER (PARTITION BY source ORDER BY bin) - n AS below,
+               sum(n) OVER (PARTITION BY source) AS ntot
+        FROM per
+    ),
+    t AS (
+        SELECT source, bin,
+               CAST(least((10 * below) // ntot, 9) AS INT) AS q_decile
+        FROM c
+    )
+    SELECT b.doc_id, b.source, b.q, t.q_decile
+    FROM b JOIN t USING (source, bin)
+    """
+
+
+@register(
+    "x104_source_quality_deciles",
+    "per-source quality decile calibration via bin quantization — no per-source corpus sort",
+    _x104_oracle(),
+    tags=("quality", "profile", "sampling", "llm"),
+)
+def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain score calibration: a raw quality score is not
+    comparable across sources (a mid-tier web page outscores a
+    mid-tier forum post), so mixture building ranks WITHIN source.
+    ntile(10) OVER (PARTITION BY source ORDER BY q) sorts every
+    source's full row set — max skew when a few sources dominate a
+    100 TB corpus. operators/profile.grouped_score_deciles instead
+    quantizes scores into 1000 bins map-side, aggregates (source,
+    bin) counts, windows over that tiny table, and broadcast-joins
+    the decile back — integer arithmetic end to end, so both engines
+    agree bit-for-bit."""
+    from igloo_spark.functions.text import quality_score
+    from igloo_spark.operators.profile import grouped_score_deciles
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    scored = d.select(
+        "doc_id", "source", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    return grouped_score_deciles(scored, "source", "q").select(
+        "doc_id", "source", "q", F.col("tile").alias("q_decile")
+    )

@@ -381,3 +381,65 @@ class TestDsirImportance:
         out = all_queries()["x102_dsir_importance"].spark(spark, str(tmp_path)).collect()
         for r in out:
             assert r["dsir_q"] == expected[r["doc_id"]], r["doc_id"]
+
+
+class TestKAnonymity:
+    def test_small_class_flagged(self, spark):
+        from igloo_spark.operators.profile import k_anonymity
+
+        rows = [("US", "A")] * 6 + [("US", "B")] * 2 + [("DE", "A")] * 5
+        df = spark.createDataFrame(rows, "nation string, seg string")
+        out = {
+            (r["nation"], r["seg"]): r
+            for r in k_anonymity(df, ["nation", "seg"], k=5).collect()
+        }
+        assert out[("US", "A")]["n_members"] == 6
+        assert out[("US", "A")]["at_risk"] is False
+        assert out[("US", "B")]["at_risk"] is True
+        assert out[("DE", "A")]["at_risk"] is False
+
+    def test_empty_qi_rejected(self, spark):
+        from igloo_spark.operators.profile import k_anonymity
+
+        df = spark.createDataFrame([(1,)], "x int")
+        with pytest.raises(ValueError):
+            k_anonymity(df, [])
+
+
+class TestGroupedScoreDeciles:
+    def test_monotone_within_group_and_bounded(self, spark):
+        from igloo_spark.operators.profile import grouped_score_deciles
+
+        rows = [
+            ("s1", i, i / 100.0) for i in range(100)
+        ] + [("s2", i, (i % 10) / 10.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "src string, id int, q double")
+        out = grouped_score_deciles(df, "src", "q").collect()
+        assert all(0 <= r["tile"] <= 9 for r in out)
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["src"], []).append((r["q"], r["tile"]))
+        for pairs in by_src.values():
+            pairs.sort()
+            tiles = [t for _, t in pairs]
+            assert tiles == sorted(tiles), "tile must be monotone in score"
+        # 100 distinct uniform scores in s1 -> every decile hit evenly
+        s1 = dict(by_src["s1"])
+        from collections import Counter
+
+        c = Counter(s1[q] for q in s1)
+        assert c == {t: 10 for t in range(10)}
+
+    def test_equal_scores_share_tile_and_partition_independent(self, spark):
+        from igloo_spark.operators.profile import grouped_score_deciles
+
+        rows = [("s", i, 0.5) for i in range(20)] + [("s", 100 + i, 0.9) for i in range(5)]
+        df = spark.createDataFrame(rows, "src string, id int, q double")
+        out = {r["id"]: r["tile"] for r in grouped_score_deciles(df, "src", "q").collect()}
+        assert len({out[i] for i in range(20)}) == 1, "ties share a tile"
+        assert out[100] > out[0]
+        out2 = {
+            r["id"]: r["tile"]
+            for r in grouped_score_deciles(df.repartition(7), "src", "q").collect()
+        }
+        assert out == out2
