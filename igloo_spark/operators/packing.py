@@ -344,3 +344,55 @@ def budget_select_sql_duckdb(
     FROM binned b JOIN gated g USING (bin)
     WHERE ({h}) % 10000 < CAST(g.frac * 10000 AS BIGINT)
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic per-document Bernoulli sampling with a per-row
+    acceptance probability (importance/quality-weighted corpus
+    thinning — the selection step after a weighting pass like DSIR
+    x102 or quality scoring x49).
+
+    ``weight_col`` is the acceptance probability in [0, 1] (values
+    outside clamp). Acceptance is a pure hash gate — NEVER ``rand()``:
+    quantize the weight to integer micro-units, accept when the
+    document's salted hash modulo 1e6 falls below it. Same document +
+    same salt + same weight → same decision on any cluster at any
+    parallelism; re-rolling the salt draws a fresh independent sample.
+
+    100 TB shape: a single map-side filter inside the scan stage —
+    zero shuffles, zero Python, composes with any upstream weighting
+    plan.
+    """
+    gate = hex_prefix_hash(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ) % 1000000
+    p_micro = F.least(
+        F.lit(1000000),
+        F.greatest(
+            F.lit(0), F.floor(F.col(weight_col) * 1000000.0).cast("bigint")
+        ),
+    )
+    return df.withColumn("p_micro", p_micro).filter(gate < F.col("p_micro"))
+
+
+def weighted_sample_sql_duckdb(
+    table: str,
+    id_col: str,
+    weight_expr: str,
+    salt: str = "wsample-v1",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` — identical hash gate and
+    micro-unit quantization, bit-for-bit."""
+    from igloo_spark.functions.hashing import hex_prefix_hash_sql_duckdb
+
+    h = hex_prefix_hash_sql_duckdb(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT *, least(1000000, greatest(0, CAST(floor(({weight_expr}) * 1000000.0) AS BIGINT))) AS p_micro
+    FROM {table}
+    WHERE ({h}) % 1000000 < least(1000000, greatest(0, CAST(floor(({weight_expr}) * 1000000.0) AS BIGINT)))
+    """

@@ -1,0 +1,138 @@
+"""Full-text retrieval over the document corpus: BM25 scoring.
+
+The reference engine has no retrieval operator; this is part of the
+LLM-data-pipeline extension surface (SURVEY §2.D) — corpus search is
+how practitioners audit what a filter kept ("show me the top docs
+about X"), mine targeted subsets, and build retrieval training pairs.
+
+100 TB shape: the query's terms are filtered out of the exploded
+token stream BEFORE any exchange, so the shuffle carries posting
+rows for |query| terms only — never the corpus vocabulary. Document
+frequencies and corpus stats are broadcast-sized aggregates that ride
+the plan; the final top-k is a fused TakeOrderedAndProject, not a
+global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (Robertson/Spärck Jones) for a bag
+    of query terms.
+
+    idf(t)   = ln(1 + (N - n_t + 0.5) / (n_t + 0.5))
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Stages (all shuffles are query-sized, not corpus-sized):
+
+    1. tokenize map-side (lowercase, whitespace split — the corpus
+       tokenizer shared with the n-gram operators);
+    2. N and avgdl: ONE 1-row aggregate, broadcast via crossJoin;
+    3. explode → filter to the query's terms *pre-shuffle* → per
+       (doc, term) tf partial-aggregates; at most |query| rows per doc
+       survive the explode;
+    4. document frequency n_t: a |query|-row aggregate off the tf
+       table, broadcast back;
+    5. per-doc score sum → orderBy+limit fuses to
+       TakeOrderedAndProject (no global sort).
+
+    Ties at the k boundary break on the lower doc id, so the result is
+    deterministic under any partitioning.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col),
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " "), " "
+        ).alias("ws"),
+    ).select(F.col(id_col), "ws", F.size("ws").cast("double").alias("dl"))
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    posting = toks.select(F.col(id_col), "dl", F.explode("ws").alias("term")).filter(
+        F.col("term").isin(terms)
+    )
+    tf = posting.groupBy(id_col, "dl", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("n_t"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("n_t") + 0.5) / (F.col("n_t") + 0.5)
+    )
+    w = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    per_doc = (
+        scored.select(F.col(id_col), w.alias("w"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    top = per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    # rank over the k surviving rows only (single tiny partition —
+    # this window never sees corpus-scale data)
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+
+
+def bm25_topk_sql_duckdb(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenizer, same
+    float formula text, same tie-breaks."""
+    in_list = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+               string_split(regexp_replace(lower(trim({text_col})), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM {table}
+    ),
+    base AS (SELECT {id_col}, CAST(len(ws) AS DOUBLE) AS dl, ws FROM toks),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+    posting AS (SELECT {id_col}, dl, unnest(ws) AS term FROM base),
+    tf AS (
+        SELECT {id_col}, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM posting WHERE term IN ({in_list})
+        GROUP BY {id_col}, dl, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS n_t FROM tf GROUP BY term),
+    scored AS (
+        SELECT t.{id_col},
+               ln(1.0 + (s.n_docs - d.n_t + 0.5) / (d.n_t + 0.5))
+               * (t.tf * ({k1} + 1.0)
+                  / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl))) AS w
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    agg AS (SELECT {id_col}, round(sum(w), 6) AS score FROM scored GROUP BY {id_col})
+    SELECT {id_col}, score, rank FROM (
+        SELECT {id_col}, score,
+               CAST(row_number() OVER (ORDER BY score DESC, {id_col} ASC) AS BIGINT) AS rank
+        FROM agg
+    ) WHERE rank <= {k}
+    """

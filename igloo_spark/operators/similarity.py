@@ -583,3 +583,103 @@ def centroid_outliers(
             "is_outlier"
         ),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus vectors
+    whose cosine to ANY held-out eval vector reaches ``threshold`` —
+    the semantic complement of the n-gram overlap check (x67), which
+    paraphrased eval leakage slips past.
+
+    100 TB shape — the corpus NEVER shuffles: the eval set is
+    benchmark-sized, so it collapses to a single sorted
+    array-of-structs row that broadcast-joins onto the scan, and the
+    max-cosine argmax folds inside each row as a higher-order
+    ``transform`` + ``array_max``. Zero exchanges on the corpus side,
+    zero Python. (Contrast a cross join + per-id re-aggregation, which
+    shuffles |corpus| x |eval| scored rows.)
+
+    Determinism: cosines are rounded to 6 dp BEFORE the argmax (the
+    centroid_outliers precedent) and ties break toward the LOWEST eval
+    id via a negated-id struct field, so both engines pick the same
+    neighbor bit-for-bit. Eval members present in the corpus match
+    themselves at cosine 1.0 — the expected self-hit.
+    """
+    from igloo_spark.functions.vectors import cosine_similarity
+
+    evs = eval_df.select(
+        F.struct(
+            F.col(id_col).cast("bigint").alias("eid"), F.col(vec_col).alias("ev")
+        ).alias("s")
+    )
+    eval_arr = evs.agg(F.sort_array(F.collect_list("s")).alias("evs"))
+    v = F.col(vec_col)
+    best = F.array_max(
+        F.transform(
+            F.col("evs"),
+            lambda s: F.struct(
+                F.round(cosine_similarity(v, s["ev"]), 6).alias("c6"),
+                (-s["eid"]).alias("neg_eid"),
+            ),
+        )
+    )
+    return (
+        corpus.crossJoin(F.broadcast(eval_arr))  # 1-row aggregate rides the plan
+        .select(F.col(id_col), best.alias("b"))
+        .select(
+            id_col,
+            (-F.col("b.neg_eid")).cast("bigint").alias("nearest_eval_id"),
+            F.col("b.c6").alias("max_cos"),
+            (F.col("b.c6") >= F.lit(float(threshold))).alias("contaminated"),
+        )
+    )
+
+
+def diversity_cap(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    dim: int = 64,
+    per_cell: int = 20,
+) -> DataFrame:
+    """Cluster-capped diversity selection (the D4/DEDUP-then-DIVERSIFY
+    recipe): assign every vector to its nearest coarse-quantizer cell
+    and keep at most ``per_cell`` members per cell, most-central
+    first — a corpus subset that preserves cluster structure instead
+    of letting one dense region dominate the training mix.
+
+    Plan: cell assignment + centrality are per-row expressions against
+    the broadcast centroid table (zero corpus shuffle, the x55
+    machinery); the cap is ONE row_number window partitioned by cell.
+    The window exchange is keyed by cell id — at 100 TB size the
+    quantizer so |cells| >> |executors| (65 536 cells ≈ 1.5 GB/cell at
+    100 TB; here 8 cells on MB-scale fixtures), the same top-k-per-
+    bounded-group shape as the per-language heavy hitters (x53).
+    Centrality ties break toward the lower id, so the selection is
+    deterministic under any partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    cents = centroids_table(spark, ivf_centroids(n_cells, dim))
+    structs = _centroid_dot_structs(F.col(vec_col))
+    assigned = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        ivf_cell(F.col(vec_col)).alias("cell"),
+        F.round(F.array_max(structs)["d"], 6).alias("centrality"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("centrality"), F.asc(id_col)
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= per_cell)
+        .select("cell", id_col, "centrality", "rank")
+    )

@@ -3160,3 +3160,184 @@ def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_score_deciles(scored, "source", "q").select(
         "doc_id", "source", "q", F.col("tile").alias("q_decile")
     )
+
+
+# --- x105: BM25 full-text retrieval ---------------------------------------
+
+BM25_QUERY_TERMS = ("vector", "join", "stream", "hash")
+BM25_K = 15
+
+
+def _x105_oracle() -> str:
+    from igloo_spark.operators.retrieval import bm25_topk_sql_duckdb
+
+    return bm25_topk_sql_duckdb("documents", "doc_id", "text", BM25_QUERY_TERMS, BM25_K)
+
+
+@register(
+    "x105_bm25_retrieval",
+    f"BM25 top-{BM25_K} document retrieval for a {len(BM25_QUERY_TERMS)}-term query — "
+    "query-sized postings only, fused top-k",
+    _x105_oracle(),
+    tags=("text", "retrieval", "llm"),
+)
+def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus search (operators/retrieval.bm25_topk): how a pipeline
+    operator audits what a filter kept, mines topic subsets, and
+    builds retrieval training pairs. The exploded token stream is
+    filtered to the query's terms BEFORE any exchange — the shuffle
+    carries postings for |query| terms, never the corpus vocabulary;
+    N/avgdl and document frequencies ride the plan as broadcast
+    aggregates; the top-k fuses to TakeOrderedAndProject."""
+    from igloo_spark.operators.retrieval import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", BM25_QUERY_TERMS, BM25_K)
+
+
+# --- x106: embedding-level benchmark decontamination ----------------------
+
+SEMDECON_EVAL_MOD = 50
+SEMDECON_EVAL_REM = 17
+SEMDECON_THRESHOLD = 0.6
+
+
+def _x106_oracle() -> str:
+    cos = cosine_sql_duckdb("c.embedding", "e.ev")
+    return f"""
+    WITH ev AS (
+        SELECT vec_id AS eid, embedding AS ev FROM embeddings
+        WHERE vec_id % {SEMDECON_EVAL_MOD} = {SEMDECON_EVAL_REM}
+    ),
+    scored AS (
+        SELECT c.vec_id, e.eid, round({cos}, 6) AS c6
+        FROM embeddings c CROSS JOIN ev e
+    ),
+    best AS (
+        SELECT vec_id, eid, c6,
+               row_number() OVER (PARTITION BY vec_id ORDER BY c6 DESC, eid ASC) AS rn
+        FROM scored
+    )
+    SELECT vec_id, CAST(eid AS BIGINT) AS nearest_eval_id, c6 AS max_cos,
+           c6 >= {SEMDECON_THRESHOLD} AS contaminated
+    FROM best WHERE rn = 1
+    """
+
+
+@register(
+    "x106_semantic_decontamination",
+    "embedding-level eval-set decontamination: max cosine to the held-out set, "
+    "zero corpus shuffle",
+    _x106_oracle(),
+    tags=("similarity", "dedup", "llm"),
+)
+def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic complement of x67's n-gram decontamination:
+    paraphrased eval leakage shares no bigrams but sits next to the
+    eval point in embedding space. The benchmark-sized eval set folds
+    to ONE sorted array-of-structs row that broadcast-joins onto the
+    corpus scan; max-cos + argmax happen inside each row
+    (transform + array_max), so the corpus never shuffles
+    (operators/similarity.semantic_decontaminate)."""
+    from igloo_spark.operators.similarity import semantic_decontaminate
+
+    emb = table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD == SEMDECON_EVAL_REM)
+    return semantic_decontaminate(emb, ev, "vec_id", "embedding", SEMDECON_THRESHOLD)
+
+
+# --- x107: cluster-capped diversity selection -----------------------------
+
+DIVERSITY_PER_CELL = 20
+
+
+def _x107_oracle() -> str:
+    from igloo_spark.operators.similarity import ivf_centroids
+
+    arms = []
+    for i, cent in enumerate(ivf_centroids(IVF_CELLS, EMB_DIM)):
+        arr = "[" + ", ".join(repr(w) for w in cent) + "]::DOUBLE[]"
+        arms.append(
+            f"SELECT vec_id, {i} AS cell, "
+            f"list_dot_product(embedding::DOUBLE[], {arr}) AS d FROM embeddings"
+        )
+    cd = "\n        UNION ALL\n        ".join(arms)
+    return f"""
+    WITH cd AS (
+        {cd}
+    ),
+    assigned AS (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rnk
+        FROM cd
+    ),
+    members AS (
+        SELECT CAST(cell AS BIGINT) AS cell, vec_id, round(d, 6) AS centrality
+        FROM assigned WHERE rnk = 1
+    )
+    SELECT cell, vec_id, centrality, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY cell ORDER BY centrality DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM members
+    ) WHERE rank <= {DIVERSITY_PER_CELL}
+    """
+
+
+@register(
+    "x107_diversity_cap_sample",
+    f"cluster-capped diversity selection: top-{DIVERSITY_PER_CELL} most-central "
+    "vectors per quantizer cell",
+    _x107_oracle(),
+    tags=("similarity", "sampling", "llm"),
+)
+def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style diversify-after-dedup: cap each coarse-quantizer
+    cell's contribution so one dense region can't dominate the
+    training mix. Cell assignment + centrality are per-row expressions
+    against the x55 broadcast centroid table (zero corpus shuffle);
+    the cap is one row_number window keyed by cell — size the
+    quantizer so |cells| >> |executors| at scale
+    (operators/similarity.diversity_cap)."""
+    from igloo_spark.operators.similarity import diversity_cap
+
+    emb = table(spark, sf_dir, "embeddings")
+    return diversity_cap(
+        emb, "vec_id", "embedding", IVF_CELLS, EMB_DIM, DIVERSITY_PER_CELL
+    )
+
+
+# --- x108: quality-weighted deterministic Bernoulli sampling --------------
+
+
+def _x108_oracle() -> str:
+    from igloo_spark.operators.packing import weighted_sample_sql_duckdb
+
+    q6 = f"round({quality_score_sql('text')}, 6)"
+    inner = (
+        f"(SELECT doc_id, {q6} * {q6} AS wt FROM documents "
+        f"WHERE length(trim(text)) > 0) t"
+    )
+    return weighted_sample_sql_duckdb(inner, "doc_id", "wt")
+
+
+@register(
+    "x108_weighted_sample",
+    "importance-weighted Bernoulli corpus thinning: accept-probability "
+    "= quality^2, pure hash gate",
+    _x108_oracle(),
+    tags=("sampling", "quality", "llm"),
+)
+def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step after a weighting pass (DSIR x102, quality
+    x49): keep each document with probability equal to its squared
+    quality score — sharpening toward clean text while keeping a
+    long tail, the soft alternative to a hard threshold. Pure
+    map-side hash gate (operators/packing.weighted_sample): zero
+    shuffles, deterministic on any cluster, salt re-roll = fresh
+    independent draw."""
+    from igloo_spark.operators.packing import weighted_sample
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    q6 = F.round(quality_score(F.col("text")), 6)
+    wt = d.select("doc_id", (q6 * q6).alias("wt"))
+    return weighted_sample(wt, "doc_id", "wt")

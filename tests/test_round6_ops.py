@@ -443,3 +443,193 @@ class TestGroupedScoreDeciles:
             for r in grouped_score_deciles(df.repartition(7), "src", "q").collect()
         }
         assert out == out2
+
+
+class TestBm25:
+    def _docs(self, spark):
+        rows = [
+            (0, "apple banana apple apple"),
+            (1, "apple banana"),
+            (2, "banana banana banana banana banana banana"),
+            (3, "cherry cherry cherry"),
+            (4, "durian"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_scores_match_hand_computation(self, spark):
+        """BM25 on a 5-doc fixture vs the formula computed in Python."""
+        import math
+
+        from igloo_spark.operators.retrieval import bm25_topk
+
+        out = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk(
+                self._docs(spark), "doc_id", "text", ["apple", "cherry"], k=10
+            ).collect()
+        }
+        # corpus stats: N=5, dl = [4,2,6,3,1], avgdl = 3.2
+        n, avgdl, k1, b = 5, 3.2, 1.2, 0.75
+
+        def w(tf, n_t, dl):
+            idf = math.log(1 + (n - n_t + 0.5) / (n_t + 0.5))
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        exp = {
+            0: round(w(3, 2, 4), 6),  # apple x3
+            1: round(w(1, 2, 2), 6),  # apple x1
+            3: round(w(3, 1, 3), 6),  # cherry x3
+        }
+        assert set(out) == set(exp)
+        for d, s in exp.items():
+            assert abs(out[d] - s) < 1e-9, (d, out[d], s)
+
+    def test_rank_is_dense_and_tiebreaks_on_id(self, spark):
+        from igloo_spark.operators.retrieval import bm25_topk
+
+        rows = [(i, "same text here") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_topk(df, "doc_id", "text", ["same"], k=4).collect()
+        # identical docs -> identical scores; rank must follow doc_id
+        assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 1, 2, 3]
+
+    def test_query_term_miss_returns_empty(self, spark):
+        from igloo_spark.operators.retrieval import bm25_topk
+
+        out = bm25_topk(self._docs(spark), "doc_id", "text", ["zzz"], k=3)
+        assert out.count() == 0
+
+
+class TestSemanticDecontaminate:
+    def test_planted_duplicate_is_flagged(self, spark):
+        from igloo_spark.operators.similarity import semantic_decontaminate
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0, 0.0]),  # near-copy of eval vec 0
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        ev = emb.filter(F.col("vec_id") == 0)
+        got = {
+            r["vec_id"]: r
+            for r in semantic_decontaminate(
+                emb, ev, "vec_id", "embedding", threshold=0.9
+            ).collect()
+        }
+        assert got[0]["contaminated"] and got[0]["max_cos"] == 1.0  # self-hit
+        assert got[2]["contaminated"] and got[2]["nearest_eval_id"] == 0
+        assert not got[1]["contaminated"] and not got[3]["contaminated"]
+
+    def test_tie_breaks_to_lowest_eval_id(self, spark):
+        from igloo_spark.operators.similarity import semantic_decontaminate
+
+        rows = [
+            (7, [1.0, 0.0]),  # eval A
+            (9, [1.0, 0.0]),  # eval B — identical, so every cos ties
+            (1, [0.5, 0.5]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        ev = emb.filter(F.col("vec_id").isin(7, 9))
+        got = {
+            r["vec_id"]: r["nearest_eval_id"]
+            for r in semantic_decontaminate(emb, ev, "vec_id", "embedding").collect()
+        }
+        assert got[1] == 7 and got[7] == 7 and got[9] == 7
+
+    def test_corpus_side_never_shuffles(self, spark):
+        """The only exchanges in the plan belong to the eval-side
+        collect_list aggregate + its broadcast; the corpus scan feeds
+        the project directly."""
+        from igloo_spark.operators.similarity import semantic_decontaminate
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        ev = emb.filter(F.col("vec_id") % 50 == 17)
+        df = semantic_decontaminate(emb, ev, "vec_id", "embedding")
+        df.write.mode("overwrite").format("noop").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange")
+        assert shuffles <= 1, plan  # the single-partition eval aggregate
+
+
+class TestDiversityCap:
+    def test_cap_and_most_central_selection(self, spark):
+        """Per-cell output <= cap, and the kept members are exactly the
+        cap most-central vectors per cell (brute-force numpy check)."""
+        import numpy as np
+
+        from igloo_spark.operators.similarity import diversity_cap, ivf_centroids
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cap = 3
+        out = diversity_cap(emb, "vec_id", "embedding", 8, 64, per_cell=cap).collect()
+        per_cell: dict[int, list] = {}
+        for r in out:
+            per_cell.setdefault(r["cell"], []).append(r)
+        assert all(len(v) <= cap for v in per_cell.values())
+
+        cents = np.array(ivf_centroids(8, 64))
+        rows = emb.select("vec_id", "embedding").collect()
+        want: dict[int, list] = {}
+        for r in rows:
+            v = np.array(r["embedding"], dtype=np.float64)
+            d = cents @ v
+            cell = int(d.argmax())
+            want.setdefault(cell, []).append((round(float(d[cell]), 6), -r["vec_id"]))
+        for cell, members in want.items():
+            members.sort(reverse=True)
+            keep = sorted(-m[1] for m in members[:cap])
+            got = sorted(r["vec_id"] for r in per_cell.get(cell, []))
+            assert got == keep, (cell, got, keep)
+
+
+class TestWeightedSample:
+    def _df(self, spark):
+        rows = [(i, (i % 11) / 10.0) for i in range(2000)]
+        return spark.createDataFrame(rows, "doc_id long, w double")
+
+    def test_extremes(self, spark):
+        from igloo_spark.operators.packing import weighted_sample
+
+        df = self._df(spark)
+        zero = weighted_sample(df.filter(F.col("w") == 0.0), "doc_id", "w")
+        ones = df.filter(F.col("w") == 1.0)
+        kept1 = weighted_sample(ones, "doc_id", "w")
+        assert zero.count() == 0
+        assert kept1.count() == ones.count()
+
+    def test_acceptance_tracks_weight(self, spark):
+        from igloo_spark.operators.packing import weighted_sample
+
+        df = self._df(spark)
+        kept = weighted_sample(df, "doc_id", "w").groupBy("w").count().collect()
+        per_w = {round(r["w"], 1): r["count"] for r in kept}
+        # ~182 docs per weight level; acceptance ~ w within 4 sigma
+        for w10 in range(1, 11):
+            w = w10 / 10.0
+            n = per_w.get(round(w, 1), 0)
+            exp = 182 * w
+            sd = (182 * w * (1 - w)) ** 0.5 or 1.0
+            assert abs(n - exp) < 4 * sd + 2, (w, n, exp)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from igloo_spark.operators.packing import weighted_sample
+
+        df = self._df(spark)
+        a = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w").collect()}
+        b = {
+            r["doc_id"]
+            for r in weighted_sample(df.repartition(17), "doc_id", "w").collect()
+        }
+        assert a == b and a
+
+    def test_salt_reroll_changes_sample(self, spark):
+        from igloo_spark.operators.packing import weighted_sample
+
+        df = self._df(spark).filter(F.col("w") == 0.5)
+        a = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", salt="s1").collect()}
+        b = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", salt="s2").collect()}
+        assert a != b
