@@ -1066,3 +1066,81 @@ def remove_spans(
             ).alias("clean_fp"),
         )
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pos_threshold: float = 0.5,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 2,
+    max_band_members: int | None = None,
+) -> DataFrame:
+    """Training-pair mining for embedding/retrieval models: for every
+    near-duplicate pair (the positive), attach the anchor's HARDEST
+    in-batch negative — the most-similar candidate that still falls
+    below the near-dup threshold. LSH band collision is the candidate
+    generator for both roles, so positives and hard negatives come
+    from the SAME single band self-join: no second corpus pass, no
+    random negatives that a model learns nothing from.
+
+    Output: (anchor, positive, pos_sim, negative, neg_sim); anchors
+    whose every candidate is a near-dup get a NULL negative (rare —
+    means the anchor's whole bucket is boilerplate).
+
+    est_sim is matches/n_hashes — a rational with a fixed denominator,
+    so both engines compare identical doubles and the hardest-negative
+    argmax (max est_sim, tie → lowest partner id via a negated-id
+    struct) is deterministic under any partitioning.
+
+    Scale: everything downstream of the band join operates on the
+    candidate-pair stream (volume bounded by the hot-band cap), not
+    the corpus; the negative argmax is one groupBy over that stream.
+    """
+    pairs = minhash_candidate_pairs(
+        df,
+        id_col,
+        text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=0.0,
+        max_band_members=max_band_members,
+    )
+    # feeds the positive filter AND the symmetrized negative stream —
+    # materialize so the band join + signature re-join run once
+    pairs = pairs.localCheckpoint(eager=False)
+    pos = pairs.filter(F.col("est_sim") >= pos_threshold).select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        F.col("est_sim").alias("pos_sim"),
+    )
+    below = pairs.filter(F.col("est_sim") < pos_threshold)
+    sym = below.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("partner"), "est_sim"
+    ).unionAll(
+        below.select(
+            F.col("doc_b").alias("anchor"), F.col("doc_a").alias("partner"), "est_sim"
+        )
+    )
+    neg = (
+        sym.groupBy("anchor")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("est_sim").alias("neg_sim"),
+                    (-F.col("partner")).alias("np"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "anchor",
+            (-F.col("m.np")).alias("negative"),
+            F.col("m.neg_sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor", "left").select(
+        "anchor", "positive", "pos_sim", "negative", "neg_sim"
+    )

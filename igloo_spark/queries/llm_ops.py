@@ -3341,3 +3341,132 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
     q6 = F.round(quality_score(F.col("text")), 6)
     wt = d.select("doc_id", (q6 * q6).alias("wt"))
     return weighted_sample(wt, "doc_id", "wt")
+
+
+# --- x109: contrastive training-pair mining -------------------------------
+
+
+def _x109_oracle() -> str:
+    return (
+        "WITH "
+        + _sig_cte()
+        + _bands_cte()
+        + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, ({_est_matches}) / {float(N_HASHES)} AS est_sim
+        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                  JOIN sig sb ON cand.doc_b = sb.doc_id
+    ),
+    pos AS (
+        SELECT doc_a AS anchor, doc_b AS positive, est_sim AS pos_sim
+        FROM scored WHERE est_sim >= 0.5
+    ),
+    sym AS (
+        SELECT doc_a AS anchor, doc_b AS partner, est_sim FROM scored WHERE est_sim < 0.5
+        UNION ALL
+        SELECT doc_b AS anchor, doc_a AS partner, est_sim FROM scored WHERE est_sim < 0.5
+    ),
+    neg AS (
+        SELECT anchor, partner AS negative, est_sim AS neg_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor ORDER BY est_sim DESC, partner ASC) AS rn
+            FROM sym
+        ) WHERE rn = 1
+    )
+    SELECT p.anchor, p.positive, p.pos_sim, n.negative, n.neg_sim
+    FROM pos p LEFT JOIN neg n ON p.anchor = n.anchor"""
+    )
+
+
+@register(
+    "x109_contrastive_pairs",
+    "contrastive training pairs: near-dup positives + hardest sub-threshold "
+    "negative from the same LSH buckets",
+    _x109_oracle(),
+    tags=("dedup", "similarity", "llm"),
+)
+def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-model training data straight from the dedup pass:
+    each near-dup pair becomes (anchor, positive) and the anchor's
+    hardest negative is the most-similar same-bucket candidate that
+    still falls BELOW the near-dup threshold — informative negatives
+    for free, from the single LSH band self-join the dedup pipeline
+    already runs (operators/dedup.contrastive_pairs)."""
+    from igloo_spark.operators.dedup import contrastive_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return contrastive_pairs(
+        docs, "doc_id", "text", pos_threshold=0.5, n_hashes=N_HASHES,
+        bands=BANDS, shingle_n=2,
+    )
+
+
+# --- x110: near-dup source overlap matrix ---------------------------------
+
+
+def _x110_oracle() -> str:
+    return (
+        "WITH "
+        + _sig_cte()
+        + _bands_cte()
+        + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                  JOIN sig sb ON cand.doc_b = sb.doc_id
+        WHERE ({_est_matches}) / {float(N_HASHES)} >= 0.5
+    ),
+    tagged AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY source_a, source_b"""
+    )
+
+
+@register(
+    "x110_source_overlap",
+    "cross-source duplication matrix: near-dup pair counts by ordered source pair",
+    _x110_oracle(),
+    tags=("dedup", "profile", "llm"),
+)
+def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO copies from WHOM: the near-dup pair stream joined back to
+    each member's source, rolled up by unordered source pair (diagonal
+    = within-source duplication). The per-source-pair matrix is how a
+    corpus audit decides which ingest feeds are mirrors of each other
+    and which deserve their own dedup budget. Joins are id-equi
+    against the documents table; output is bounded by |sources|²."""
+    from igloo_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=2, threshold=0.5,
+    )
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.withColumnsRenamed({"doc_id": "doc_a", "source": "sa"}), "doc_a")
+        .join(src.withColumnsRenamed({"doc_id": "doc_b", "source": "sb"}), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )

@@ -633,3 +633,74 @@ class TestWeightedSample:
         a = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", salt="s1").collect()}
         b = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", salt="s2").collect()}
         assert a != b
+
+
+class TestContrastivePairs:
+    def _docs(self, spark):
+        # 0/1 near-identical (positive pair); 2 shares vocabulary with
+        # them (same buckets, below threshold); 3 unrelated
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+            (2, "alpha beta gamma OTHER words entirely different tail here now"),
+            (3, "completely unrelated text about nothing shared with others"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_positive_and_hard_negative(self, spark):
+        from igloo_spark.operators.dedup import contrastive_pairs
+
+        out = contrastive_pairs(
+            self._docs(spark), "doc_id", "text", pos_threshold=0.5
+        ).collect()
+        assert out, "planted near-dup pair must surface"
+        by_anchor = {r["anchor"]: r for r in out}
+        assert 0 in by_anchor and by_anchor[0]["positive"] == 1
+        r = by_anchor[0]
+        assert r["pos_sim"] >= 0.5
+        # negative is NULL or a genuinely sub-threshold partner
+        if r["negative"] is not None:
+            assert r["neg_sim"] < 0.5 and r["negative"] not in (0, 1)
+
+    def test_negative_is_hardest(self, spark):
+        """The chosen negative has the max est_sim among the anchor's
+        sub-threshold candidates (cross-checked against the raw
+        candidate stream)."""
+        from igloo_spark.operators.dedup import (
+            contrastive_pairs,
+            minhash_candidate_pairs,
+        )
+
+        docs = self._docs(spark)
+        raw = minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+        cands: dict[int, list] = {}
+        for r in raw:
+            if r["est_sim"] < 0.5:
+                cands.setdefault(r["doc_a"], []).append((r["est_sim"], -r["doc_b"]))
+                cands.setdefault(r["doc_b"], []).append((r["est_sim"], -r["doc_a"]))
+        for r in contrastive_pairs(docs, "doc_id", "text", pos_threshold=0.5).collect():
+            want = max(cands.get(r["anchor"], []), default=None)
+            if want is None:
+                assert r["negative"] is None
+            else:
+                assert (r["neg_sim"], -r["negative"]) == want
+
+
+class TestSourceOverlap:
+    def test_diagonal_counts_within_source_dups(self, spark):
+        from igloo_spark.queries import all_queries
+
+        out = all_queries()["x110_source_overlap"].spark(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        assert out, "sf0.01 has near-dup pairs, matrix must be non-empty"
+        total = sum(r["n_pairs"] for r in out)
+        # must equal the x42 near-dup pair count exactly
+        n_pairs = (
+            all_queries()["x42_minhash_neardup_pairs"]
+            .spark(spark, "/root/testdata/sf0.01")
+            .count()
+        )
+        assert total == n_pairs
+        for r in out:
+            assert r["source_a"] <= r["source_b"]
