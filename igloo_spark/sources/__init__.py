@@ -147,6 +147,35 @@ def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataF
     return spark.read.option("wholetext", whole_file).text(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | None = None,
+    **options,
+) -> DataFrame:
+    """XML source (Spark 4 native `xml` datasource — the former
+    spark-xml package merged upstream, so no jar gate): one row per
+    ``row_tag`` element, schema inferred or declared. Same
+    corrupt-record surface as CSV/JSON (PERMISSIVE/_corrupt_record,
+    DROPMALFORMED, FAILFAST via ``mode=...``)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", **options) -> None:
+    """XML sink (native writer) — the round-trip partner of
+    :func:`read_xml`."""
+    writer = df.write.format("xml").option("rowTag", row_tag).mode("overwrite")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Opaque media files as (path, modificationTime, length, content)
     with ``content: binary`` — the multimodal-column ingestion path

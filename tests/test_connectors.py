@@ -569,3 +569,52 @@ def test_csv_json_corrupt_record_modes(spark, tmp_path):
     assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json at all"
     good = {r["id"]: r["v"] for r in pj.filter("_corrupt_record IS NULL").collect()}
     assert good == {1: 10, 3: 30}
+
+
+def test_xml_roundtrip_and_modes(spark, tmp_path):
+    """Native XML source (Spark 4 merged spark-xml upstream): write →
+    read round-trip with declared rowTag, declared-schema read, and
+    DROPMALFORMED on a hand-corrupted document."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from igloo_spark.sources import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id long, name string"
+    )
+    out = str(tmp_path / "xml_rt")
+    write_xml(df, out, row_tag="doc")
+    back = read_xml(spark, out, row_tag="doc")
+    assert {(r["id"], r["name"]) for r in back.collect()} == {
+        (1, "alpha"), (2, "beta"), (3, "gamma")
+    }
+
+    # declared schema: no inference pass over the files
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    typed = read_xml(spark, out, row_tag="doc", schema=schema)
+    assert typed.schema == schema and typed.count() == 3
+
+    # corrupt-record surface parity with CSV/JSON
+    bad_dir = tmp_path / "xml_bad"
+    bad_dir.mkdir()
+    (bad_dir / "t.xml").write_text(
+        "<rows><doc><id>1</id><name>ok</name></doc>"
+        "<doc><id>oops</id><name>bad</name></doc></rows>"
+    )
+    dropped = read_xml(
+        spark, str(bad_dir), row_tag="doc", schema=schema, mode="DROPMALFORMED"
+    )
+    assert [r["id"] for r in dropped.collect()] == [1]
+    failfast = read_xml(
+        spark, str(bad_dir), row_tag="doc", schema=schema, mode="FAILFAST"
+    )
+    with _pytest.raises(Exception, match="FAILFAST|Malformed"):
+        failfast.collect()
