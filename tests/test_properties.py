@@ -796,3 +796,47 @@ def test_join_aggregate_parity(igloo, how, pred, aggs):
         f"GROUP BY c_mktsegment"
     )
     assert_matches_oracle(igloo.execute(sql), sql, SF_SMOKE)
+
+
+# --- BM25 differential fuzz (x105 family) ---------------------------------
+
+_BM25_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+@settings(**{**COMMON, "max_examples": 10})
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_BM25_VOCAB), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    terms=st.lists(
+        st.sampled_from(_BM25_VOCAB + ["zzz_missing"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+    k=st.integers(1, 6),
+)
+def test_bm25_differential_parity(igloo, docs, terms, k):
+    """Random tiny corpora (including empty documents and absent query
+    terms) → bm25_topk and its DuckDB twin must hash-match: same
+    tokenizer, same float formula, same tie-breaks."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from igloo_spark.operators.retrieval import bm25_topk, bm25_topk_sql_duckdb
+
+    d = tempfile.mkdtemp()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(ws) for ws in docs], pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    spark_docs = igloo.spark.read.parquet(f"{d}/documents.parquet")
+    got = bm25_topk(spark_docs, "doc_id", "text", terms, k)
+    assert_matches_oracle(got, bm25_topk_sql_duckdb("documents", "doc_id", "text", terms, k), d)
