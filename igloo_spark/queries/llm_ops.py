@@ -3470,3 +3470,100 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("source_a", "source_b").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+
+
+# --- x111: per-source token-distribution drift (KL divergence) ------------
+
+KL_VOCAB_TOP = 200
+
+
+def _x111_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split(regexp_replace(lower(trim(text)), '[ ]+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    ),
+    cw AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+    vocab AS (
+        SELECT w, n FROM cw ORDER BY n DESC, w ASC LIMIT {KL_VOCAB_TOP}
+    ),
+    qtot AS (SELECT CAST(sum(n) AS DOUBLE) AS qn FROM vocab),
+    sv AS (
+        SELECT t.source, t.w, count(*) AS sn
+        FROM toks t JOIN vocab v ON t.w = v.w
+        GROUP BY t.source, t.w
+    ),
+    stot AS (SELECT source, CAST(sum(sn) AS DOUBLE) AS pn FROM sv GROUP BY source),
+    terms AS (
+        SELECT s.source,
+               (s.sn / st.pn) * ln((s.sn / st.pn) / (v.n / q.qn)) AS term,
+               s.sn AS sn
+        FROM sv s
+        JOIN stot st ON s.source = st.source
+        JOIN vocab v ON s.w = v.w
+        CROSS JOIN qtot q
+    )
+    SELECT source, round(sum(term), 6) AS kl,
+           CAST(sum(sn) AS BIGINT) AS n_vocab_tokens
+    FROM terms GROUP BY source
+    """
+
+
+@register(
+    "x111_source_kl_drift",
+    f"per-source token-distribution drift: KL(P_source || P_corpus) over the "
+    f"top-{KL_VOCAB_TOP} corpus vocabulary",
+    _x111_oracle(),
+    tags=("profile", "text", "llm"),
+)
+def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitoring for mixture building: a source
+    whose unigram distribution has drifted far from the corpus (high
+    KL) is over-represented boilerplate or off-domain — the signal
+    ingestion dashboards alarm on. The vocabulary is CAPPED at the
+    top-K corpus words (deterministic count-desc/word-asc order), so
+    the per-(source, word) key space is |sources| x K regardless of
+    corpus size — the same capped-vocabulary posture as x88/x93/x94.
+    Words outside the cap contribute zero by construction on both
+    engines; a source's absent vocab words contribute zero to the sum
+    (0·ln0 → no row), keeping KL finite without smoothing."""
+    toks = table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "), " ")
+        ).alias("w"),
+    )
+    # feeds corpus counts AND the per-source probe — one explode pass
+    toks = toks.localCheckpoint(eager=False)
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(KL_VOCAB_TOP)
+    )
+    vocab = vocab.localCheckpoint(eager=False)  # capped: K rows, reused twice
+    qtot = vocab.agg(F.sum("n").cast("double").alias("qn"))
+    sv = (
+        toks.join(F.broadcast(vocab.select("w")), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("sn"))
+    )
+    stot = sv.groupBy("source").agg(F.sum("sn").cast("double").alias("pn"))
+    terms = (
+        sv.join(F.broadcast(stot), "source")
+        .join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(qtot))
+        .select(
+            "source",
+            "sn",
+            (
+                (F.col("sn") / F.col("pn"))
+                * F.log((F.col("sn") / F.col("pn")) / (F.col("n") / F.col("qn")))
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum("term"), 6).alias("kl"),
+        F.sum("sn").cast("bigint").alias("n_vocab_tokens"),
+    )

@@ -402,3 +402,68 @@ def vacuum_versioned(root: str, keep_last: int = 1) -> list[str]:
 
                 shutil.rmtree(full)
     return deleted
+
+
+def diff_versions(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Snapshot diff — the ``table_changes`` / CDF-read equivalent for
+    a table without per-commit row tracking: (key..., change_type) with
+    change_type ∈ {insert, delete, update} between two committed
+    versions. Rows identical in both snapshots are omitted.
+
+    MANIFEST PRUNING makes the diff cost ∝ churn, not table size:
+    files listed by BOTH manifests are immutable and contribute
+    identical rows to the two snapshots, so they cannot produce a
+    change — only the symmetric difference of the file lists is
+    scanned and joined. An append commit therefore diffs by reading
+    just the appended files; a full rewrite degrades gracefully to a
+    two-snapshot outer join.
+
+    Assumes the ``merge_upsert`` invariant: keys are unique within a
+    snapshot (a caller that appends duplicate keys gets duplicate rows
+    from ``read_versioned`` too — that corpus is malformed upstream of
+    this function). Value comparison hashes the non-key columns via
+    ``to_json(struct(...))``, so any column type participates.
+    """
+    versions = _list_versions(root)
+    if to_version is None:
+        to_version = versions[-1]
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    fa = _read_manifest(root, from_version)["files"]
+    fb = _read_manifest(root, to_version)["files"]
+    shared = set(fa) & set(fb)
+    old_files = [f for f in fa if f not in shared]
+    new_files = [f for f in fb if f not in shared]
+
+    def _side(files: list[str]) -> DataFrame:
+        if files:
+            return spark.read.parquet(*files)
+        # schema-only empty frame from any committed file of the table
+        return spark.read.parquet(*(fa or fb)).limit(0)
+
+    from pyspark.sql import functions as F
+
+    def _tag(df: DataFrame, tag: str) -> DataFrame:
+        val_cols = sorted(c for c in df.columns if c not in key_cols)
+        return df.select(
+            *key_cols,
+            F.md5(F.to_json(F.struct(*val_cols))).alias(f"{tag}_hash"),
+        )
+
+    old = _tag(_side(old_files), "old")
+    new = _tag(_side(new_files), "new")
+    joined = old.join(new, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("old_hash").isNull(), F.lit("insert"))
+        .when(F.col("new_hash").isNull(), F.lit("delete"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("update"))
+        .alias("change_type"),
+    ).filter(F.col("change_type").isNotNull())

@@ -223,3 +223,46 @@ def exactsubstr_clean_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def semantic_gate_stream(
+    stream_docs: DataFrame,
+    eval_embeddings: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.6,
+):
+    """Ingest-time SEMANTIC decontamination: flag streamed embedding
+    rows whose cosine to any held-out eval vector reaches
+    ``threshold`` — the streaming twin of x106, catching paraphrased
+    eval leakage the fingerprint gate (winnow/n-gram) cannot see.
+
+    ``semantic_decontaminate``'s corpus side is a pure map-side
+    expression (the eval set rides as ONE broadcast struct-array row),
+    so each micro-batch scores with zero batch-side shuffle inside
+    ``foreachBatch`` — the same harness as the near-dup gate above.
+    The eval side is static and benchmark-sized; its tiny collect_list
+    aggregate re-runs per micro-batch (at scale: pre-collapse it once
+    to a 1-row table if the per-batch recompute ever shows up in
+    metrics).
+
+    Returns the started StreamingQuery.
+    """
+    from igloo_spark.operators.similarity import semantic_decontaminate
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            semantic_decontaminate(
+                batch_df, eval_embeddings, id_col, vec_col, threshold
+            ),
+            batch_id,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -618,3 +618,53 @@ def test_xml_roundtrip_and_modes(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="FAILFAST|Malformed"):
         failfast.collect()
+
+
+def test_diff_versions_prunes_shared_files(spark, tmp_path):
+    """Snapshot diff: append → inserts only (and ONLY the appended
+    files are scanned — manifest pruning); merge rewrite → updates +
+    deletes + inserts; identical versions → empty diff."""
+    from igloo_spark.sources.versioned import (
+        diff_versions,
+        merge_into_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    write_versioned(base, root)  # v1
+    appended = spark.createDataFrame([(4, "d", 40)], "id long, name string, v long")
+    write_versioned(appended, root, mode="append")  # v2
+
+    d12 = diff_versions(spark, root, ["id"], 1, 2)
+    assert {(r["id"], r["change_type"]) for r in d12.collect()} == {(4, "insert")}
+    # manifest pruning: for an append the old side of the diff is the
+    # EMPTY symmetric difference, which Catalyst folds away entirely
+    # (PropagateEmptyRelation) — exactly ONE FileScan survives, over
+    # only the appended files; an unpruned diff would scan both
+    # snapshots (two FileScans incl. the base files)
+    plan = d12._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+
+    # merge: update id=2, delete nothing, insert id=5 (copy-on-write
+    # rewrite — every file new, diff degrades to the full outer join)
+    delta = spark.createDataFrame([(2, "B", 21), (5, "e", 50)], "id long, name string, v long")
+    merge_into_versioned(spark, root, delta, ["id"])  # v3
+    d23 = diff_versions(spark, root, ["id"], 2, 3)
+    assert {(r["id"], r["change_type"]) for r in d23.collect()} == {
+        (2, "update"),
+        (5, "insert"),
+    }
+
+    # identical snapshots → empty
+    assert diff_versions(spark, root, ["id"], 2, 2).count() == 0
+
+    # delete detection via a rewrite that drops id=1
+    from igloo_spark.sources.versioned import read_versioned
+
+    kept = read_versioned(spark, root).filter("id <> 1")
+    write_versioned(kept, root, mode="overwrite")  # v4
+    d34 = diff_versions(spark, root, ["id"], 3, 4)
+    assert {(r["id"], r["change_type"]) for r in d34.collect()} == {(1, "delete")}

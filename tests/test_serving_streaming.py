@@ -663,3 +663,43 @@ def test_streaming_exactsubstr_cleaning(igloo, tmp_path):
     assert results[2]["clean_fp"] == hashlib.md5(novel.encode()).hexdigest()
     # doc 3 (second micro-batch): cleaned against the same history
     assert results[3]["n_removed"] == 10
+
+
+def test_streaming_semantic_gate(igloo, tmp_path):
+    """Ingest-time semantic decontamination (x106's streaming twin): a
+    streamed embedding near an eval vector is flagged across
+    micro-batches; orthogonal vectors pass."""
+    from igloo_spark.streaming.neardup import semantic_gate_stream
+
+    spark = igloo.spark
+    eval_emb = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"vec_id": 1, "embedding": [0.999, 0.01, 0.0, 0.0]})
+        + "\n"
+        + json.dumps({"vec_id": 2, "embedding": [0.0, 0.0, 1.0, 0.0]})
+    )
+    (src / "b2.json").write_text(
+        json.dumps({"vec_id": 3, "embedding": [0.98, 0.0, 0.199, 0.0]})
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    results: dict[int, tuple[int, bool]] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[r["vec_id"]] = (r["nearest_eval_id"], r["contaminated"])
+
+    q = semantic_gate_stream(
+        stream, eval_emb, sink, str(tmp_path / "sg_ckpt"), threshold=0.9
+    )
+    q.awaitTermination(120)
+    assert results[1] == (900, True)
+    assert results[2][1] is False
+    assert results[3] == (900, True)
