@@ -683,3 +683,73 @@ def diversity_cap(
         .filter(F.col("rank") <= per_cell)
         .select("cell", id_col, "centrality", "rank")
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    dim: int = 64,
+) -> None:
+    """Persist the IVF index as a CELL-PARTITIONED parquet layout —
+    one directory per coarse cell. This is the build-once/probe-many
+    half of production ANN at 100 TB: the assignment pass runs once,
+    and every subsequent probe reads only its ``nprobe`` cell
+    directories instead of the whole corpus."""
+    assigned = ivf_assign(
+        corpus, id_col, vec_col, centroids=centroids, n_cells=n_cells, dim=dim
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+    n_cells: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k probe against a :func:`write_ivf_index` layout, reading
+    ONLY the probed cells' partitions.
+
+    The query batch's probe-cell set is nqueries × nprobe ids —
+    driver-bounded by construction — so it is collected and applied
+    as a LITERAL partition filter: static partition pruning
+    guarantees the scan touches just those directories
+    (``PartitionFilters`` in the plan; at 8 cells/nprobe 2 a
+    single-query probe reads 1/4 of the index, and the fraction
+    shrinks as the quantizer grows). The candidate join + exact
+    cosine re-rank are identical to :func:`ivf_topk`, so a persisted
+    probe returns bit-identical results to the in-memory path."""
+    if centroids is None:
+        centroids = ivf_centroids(n_cells, dim)
+    cents_df = centroids_table(spark, centroids)
+    q = queries.crossJoin(F.broadcast(cents_df)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell"),
+    )
+    q = q.localCheckpoint(eager=False)  # feeds the cell collect + the join
+    cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        idx.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            cosine_similarity(F.col("query_vec"), F.col("vec")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -704,3 +704,58 @@ class TestSourceOverlap:
         assert total == n_pairs
         for r in out:
             assert r["source_a"] <= r["source_b"]
+
+
+class TestPersistedIvfIndex:
+    def test_probe_matches_in_memory_and_prunes_partitions(self, spark, tmp_path):
+        """A probe against the cell-partitioned on-disk index returns
+        exactly ivf_topk's answer, and the scan's PartitionFilters
+        prune to the probed cells (the build-once/probe-many 100 TB
+        layout)."""
+        from igloo_spark.operators.similarity import (
+            ivf_topk,
+            probe_ivf_index,
+            write_ivf_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+        path = str(tmp_path / "ivf_idx")
+        write_ivf_index(emb, path)
+
+        got = probe_ivf_index(spark, path, queries, k=5, nprobe=2)
+        want = ivf_topk(emb, queries, k=5, nprobe=2)
+        key = lambda r: (r["query_id"], r["rank"])
+        g = sorted(((r["query_id"], r["rank"], r["neighbor_id"]) for r in got.collect()))
+        w = sorted(((r["query_id"], r["rank"], r["neighbor_id"]) for r in want.collect()))
+        assert g == w and g
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+        # the scan location lists only the probed cell directories
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and ("IN" in m.group(1) or "isin" in m.group(1) or "in(" in m.group(1).lower()), plan
+
+    def test_pruned_scan_reads_fewer_partitions(self, spark, tmp_path):
+        """Partition-count check: a 1-query nprobe=1 probe scans
+        strictly fewer index files than the unfiltered index read."""
+        from igloo_spark.operators.similarity import probe_ivf_index, write_ivf_index
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ivf_idx2")
+        write_ivf_index(emb, path)
+        q1 = emb.filter(F.col("vec_id") == 0)
+        got = probe_ivf_index(spark, path, q1, k=3, nprobe=1)
+        assert got.count() == 3
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"partition count: (\d+)|PartitionCount: (\d+)", plan)
+        total = len(spark.read.parquet(path).select("cell").distinct().collect())
+        if m:
+            read = int(m.group(1) or m.group(2))
+            assert read < total, plan
