@@ -136,3 +136,101 @@ def bm25_topk_sql_duckdb(
         FROM agg
     ) WHERE rank <= {k}
     """
+
+
+def write_postings_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist a BM25-ready inverted index: posting rows
+    (term, doc, tf, dl, n_t) PARTITIONED BY the term's hash bucket,
+    plus a 1-row ``_stats`` side table (N, avgdl).
+
+    Build-once/probe-many for text, the mirror of the IVF cell layout
+    for vectors: ``partitionBy(term)`` would create |vocabulary|
+    directories (millions), so terms are hashed into ``n_buckets``
+    partitions — a probe for Q terms reads at most Q bucket
+    directories and never rescans the corpus. Document frequency
+    ``n_t`` is denormalized onto every posting at build time so a
+    pruned probe has everything locally; global N/avgdl ride in the
+    side table."""
+    from igloo_spark.functions.hashing import hex_prefix_hash
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " "), " "
+        ).alias("ws"),
+    ).select("doc", "ws", F.size("ws").cast("double").alias("dl"))
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc", "dl", F.explode("ws").alias("term"))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("n_t"))
+    posting = tf.join(dfreq, "term").withColumn(
+        "bucket", (hex_prefix_hash(F.col("term")) % n_buckets).cast("int")
+    )
+    posting.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    stats.write.mode("overwrite").parquet(path + "/_stats")
+
+
+def probe_postings_index(
+    spark,
+    path: str,
+    query_terms: "Sequence[str]",
+    k: int = 10,
+    n_buckets: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k from a :func:`write_postings_index` layout without
+    touching the corpus: the query's terms map to at most |query|
+    hash buckets, applied as a LITERAL partition filter (static
+    pruning), and every quantity in the score (tf, dl, n_t) is local
+    to the pruned posting rows; N/avgdl broadcast from the 1-row
+    stats table. Returns the same (doc_id, score, rank) frame as
+    :func:`bm25_topk` computed live."""
+    from igloo_spark.functions.hashing import hex_prefix_hash
+
+    terms = [t.lower() for t in query_terms]
+    probe = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = sorted(
+        {
+            r["b"]
+            for r in probe.select(
+                (hex_prefix_hash(F.col("term")) % n_buckets).cast("int").alias("b")
+            ).collect()
+        }
+    )
+    stats = spark.read.parquet(path + "/_stats")
+    posting = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    scored = posting.crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("n_t") + 0.5) / (F.col("n_t") + 0.5)
+    )
+    w = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    per_doc = (
+        scored.select(F.col("doc").alias("doc_id"), w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))

@@ -759,3 +759,46 @@ class TestPersistedIvfIndex:
         if m:
             read = int(m.group(1) or m.group(2))
             assert read < total, plan
+
+
+class TestPersistedPostingsIndex:
+    def test_probe_matches_live_bm25_and_prunes(self, spark, tmp_path):
+        """The persisted-index probe returns exactly bm25_topk's
+        answer without scanning documents, and the postings scan
+        prunes to the query terms' hash buckets."""
+        from igloo_spark.operators.retrieval import (
+            bm25_topk,
+            probe_postings_index,
+            write_postings_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        docs = load_testdata_table(spark, "/root/testdata/sf0.001", "documents")
+        path = str(tmp_path / "postings")
+        write_postings_index(docs, path)
+        terms = ["vector", "join", "stream", "hash"]
+        got = probe_postings_index(spark, path, terms, k=10)
+        want = bm25_topk(docs, "doc_id", "text", terms, k=10)
+        g = [(r["doc_id"], r["score"], r["rank"]) for r in got.orderBy("rank").collect()]
+        w = [(r["doc_id"], r["score"], r["rank"]) for r in want.orderBy("rank").collect()]
+        assert g == w and g
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan, plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "IN" in m.group(1).upper(), plan
+
+    def test_missing_terms_probe_is_empty(self, spark, tmp_path):
+        from igloo_spark.operators.retrieval import (
+            probe_postings_index,
+            write_postings_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+        )
+        path = str(tmp_path / "postings2")
+        write_postings_index(docs, path)
+        assert probe_postings_index(spark, path, ["zzz"], k=5).count() == 0
