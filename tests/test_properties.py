@@ -840,3 +840,68 @@ def test_bm25_differential_parity(igloo, docs, terms, k):
     spark_docs = igloo.spark.read.parquet(f"{d}/documents.parquet")
     got = bm25_topk(spark_docs, "doc_id", "text", terms, k)
     assert_matches_oracle(got, bm25_topk_sql_duckdb("documents", "doc_id", "text", terms, k), d)
+
+
+# --- snapshot-diff differential (random edit scripts) ---------------------
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    base=st.dictionaries(st.integers(0, 12), st.integers(0, 5), min_size=1, max_size=8),
+    edits=st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.integers(0, 12),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_diff_versions_matches_dict_diff(igloo, base, edits):
+    """Random edit scripts against a versioned table: diff_versions
+    between first and last commit must equal the dict-level diff of
+    the two key→value states."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from igloo_spark.sources.versioned import (
+        diff_versions,
+        merge_into_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    spark = igloo.spark
+    root = tempfile.mkdtemp() + "/t"
+    write_versioned(
+        spark.createDataFrame(sorted(base.items()), "id long, v long"), root
+    )  # v1
+    state = dict(base)
+    for op, k, v in edits:
+        if op == "upsert":
+            state[k] = v
+            merge_into_versioned(
+                spark, root, spark.createDataFrame([(k, v)], "id long, v long"), ["id"]
+            )
+        else:
+            state.pop(k, None)
+            kept = read_versioned(spark, root).filter(F.col("id") != k)
+            write_versioned(kept, root, mode="overwrite")
+    from igloo_spark.sources.versioned import _list_versions
+
+    last = _list_versions(root)[-1]
+    got = {
+        (r["id"], r["change_type"])
+        for r in diff_versions(spark, root, ["id"], 1, last).collect()
+    }
+    want = set()
+    for k in set(base) | set(state):
+        if k in base and k not in state:
+            want.add((k, "delete"))
+        elif k not in base and k in state:
+            want.add((k, "insert"))
+        elif base.get(k) != state.get(k):
+            want.add((k, "update"))
+    assert got == want

@@ -348,3 +348,37 @@ def test_round5_operators_scale_flat(spark):
         print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
               f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
         assert ratio < 8, (name, ratio)
+
+
+def test_round6_operators_scale_bounded(spark):
+    """Round-6 operators at sf0.01 → sf0.1 (10× rows): BM25 postings
+    are query-term-sized, KL runs over a capped vocabulary, sampling
+    and diversity-cap are map-side + bounded windows, pair mining is
+    band-join bounded — warm cost must grow well under data growth.
+    (x106's eval side grows WITH the corpus under the %mod fixture —
+    a real eval set is fixed-size — so it shares the same bound but
+    sits highest; see SCALE.md round-6 table.)"""
+    from igloo_spark.queries import all_queries
+
+    qs = all_queries()
+    names = [
+        "x105_bm25_retrieval",
+        "x106_semantic_decontamination",
+        "x107_diversity_cap_sample",
+        "x108_weighted_sample",
+        "x109_contrastive_pairs",
+        "x110_source_overlap",
+        "x111_source_kl_drift",
+    ]
+    for name in names:
+        warm = {}
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            spec = qs[name]
+            _run(spec.spark(spark, sf))  # codegen warmup
+            t0 = time.perf_counter()
+            _run(spec.spark(spark, sf))
+            warm[sf] = time.perf_counter() - t0
+        ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
+        print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
+              f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
+        assert ratio < 8, (name, ratio)
