@@ -89,6 +89,47 @@ class IglooFlightServer(flight.FlightServerBase):
         df = self.session.spark.createDataFrame(tbl)
         self.session.register_table(name, df)
 
+    # reference leaves do_action/list_actions unimplemented
+    # (crates/api/src/lib.rs:158-170); we provide the operational
+    # surface a serving deployment actually needs: liveness, version,
+    # cache invalidation (the roadmap story A10 serves), and explain.
+    def do_action(self, context, action):
+        import json as _json
+
+        handlers = {
+            "health": lambda body: {
+                "status": "ok",
+                "tables": len(self.session.table_names()),
+            },
+            "version": lambda body: {
+                "engine": "igloo-spark",
+                "spark": self.session.spark.version,
+            },
+            "invalidate_cache": lambda body: {
+                "invalidated": (
+                    self.session.cache.invalidate(body)
+                    if body
+                    else (self.session.cache.clear() or True)
+                )
+            },
+            "explain": lambda body: {"plan": self.session.explain(body)},
+        }
+        if action.type not in handlers:
+            raise flight.FlightServerError(f"unknown action {action.type!r}")
+        body = action.body.to_pybytes().decode("utf-8") if action.body else ""
+        yield flight.Result(_json.dumps(handlers[action.type](body)).encode("utf-8"))
+
+    def list_actions(self, context):
+        return [
+            flight.ActionType("health", "liveness + registered table count"),
+            flight.ActionType("version", "engine + spark versions"),
+            flight.ActionType(
+                "invalidate_cache",
+                "drop one cached plan (body=key) or all (empty body)",
+            ),
+            flight.ActionType("explain", "optimized plan text for the SQL in the body"),
+        ]
+
 
 def serve_in_background(session, port: int = 0) -> tuple[IglooFlightServer, threading.Thread]:
     """Start a Flight server on a daemon thread; returns (server, thread).
@@ -117,3 +158,12 @@ def query_via_flight(port: int, sql: str) -> pa.Table:
     info = client.get_flight_info(flight.FlightDescriptor.for_command(sql.encode("utf-8")))
     reader = client.do_get(info.endpoints[0].ticket)
     return reader.read_all()
+
+
+def action_via_flight(port: int, name: str, body: str = "") -> dict:
+    """Client helper: invoke a server action, decode the JSON result."""
+    import json as _json
+
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    results = list(client.do_action(flight.Action(name, body.encode("utf-8"))))
+    return _json.loads(results[0].body.to_pybytes().decode("utf-8"))

@@ -703,3 +703,39 @@ def test_streaming_semantic_gate(igloo, tmp_path):
     assert results[1] == (900, True)
     assert results[2][1] is False
     assert results[3] == (900, True)
+
+
+def test_flight_actions(igloo):
+    """do_action/list_actions (both unimplemented in the reference):
+    health, version, explain, and cache invalidation round-trip
+    through a live server."""
+    from igloo_spark.serving.flight import action_via_flight, serve_in_background
+
+    server, _ = serve_in_background(igloo)
+    try:
+        port = server.port
+        import pyarrow.flight as flight
+
+        listed = {a.type for a in flight.connect(f"grpc://127.0.0.1:{port}").list_actions()}
+        assert {"health", "version", "invalidate_cache", "explain"} <= listed
+
+        h = action_via_flight(port, "health")
+        assert h["status"] == "ok" and h["tables"] >= 0
+        v = action_via_flight(port, "version")
+        assert v["engine"] == "igloo-spark" and v["spark"].startswith("4.")
+        ex = action_via_flight(port, "explain", "SELECT 1 AS one")
+        assert "Project" in ex["plan"] or "one" in ex["plan"]
+
+        # cache invalidation: warm an entry, drop it via the action
+        igloo.execute_cached("SELECT 42 AS answer")
+        assert len(igloo.cache._entries) >= 1
+        r = action_via_flight(port, "invalidate_cache")
+        assert r["invalidated"] is True
+        assert len(igloo.cache._entries) == 0
+
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="unknown action"):
+            action_via_flight(port, "nope")
+    finally:
+        server.shutdown()
