@@ -6,7 +6,7 @@ The *plumbing* here is real and tested — schema, Arrow batching,
 ``mapInPandas`` signature, partition sizing. Decoding is two-tier:
 
 - ``decode_pixels`` is a REAL decoder for the uncompressed formats
-  (PPM P6, 24-bit BMP) — pure numpy over the raw bytes, no codec
+  (PPM P6, PGM P5, 24-bit BMP) — pure numpy over the raw bytes, no codec
   library — emitting geometry + per-channel means through the same
   Arrow path (pixel math verified against numpy in tests).
 - ``decode_wav`` is a REAL decoder for 16-bit PCM WAV (RIFF chunk
@@ -190,13 +190,15 @@ DECODED_PIXELS_SCHEMA = (
 
 
 def _parse_ppm(buf: bytes):
-    """P6 (binary PPM): ASCII header 'P6 <w> <h> <maxval>' with
-    comment support, then raw RGB triplets. Pure numpy — no codec
-    library."""
+    """Binary PNM: 'P6' (RGB triplets) or 'P5' (grayscale, PGM) —
+    ASCII header '<magic> <w> <h> <maxval>' with comment support, then
+    raw samples. Grayscale expands to 3 identical channels so every
+    caller sees (h, w, 3). Pure numpy — no codec library."""
     import numpy as np
 
-    if not buf.startswith(b"P6"):
-        raise ValueError("not a P6 PPM")
+    if not (buf.startswith(b"P6") or buf.startswith(b"P5")):
+        raise ValueError("not a binary PNM (P5/P6)")
+    channels = 3 if buf.startswith(b"P6") else 1
     # tokenize the header: three ints after the magic, skipping
     # whitespace and '#' comments
     vals, i = [], 2
@@ -217,9 +219,12 @@ def _parse_ppm(buf: bytes):
     if maxval != 255:
         # maxval > 255 means 2-byte samples; reading them as uint8
         # would silently produce corrupt pixels
-        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
-    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i)
-    return w, h, px.reshape(h, w, 3)
+        raise ValueError(f"only 8-bit PNM supported (maxval={maxval})")
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * channels, offset=i)
+    img = px.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    return w, h, img
 
 
 def _parse_bmp(buf: bytes):
@@ -250,8 +255,8 @@ def _parse_bmp(buf: bytes):
 
 
 def decode_pixels(df: DataFrame) -> DataFrame:
-    """REAL image decode for the uncompressed formats (PPM P6, 24-bit
-    BMP) — no codec library involved, just numpy over the raw bytes —
+    """REAL image decode for the uncompressed formats (PPM P6, PGM P5,
+    24-bit BMP) — no codec library involved, just numpy over the raw bytes —
     through the identical Arrow-batched ``mapInPandas`` plumbing the
     fake codec uses. Emits geometry plus per-channel means (the
     standard cheap image-quality features). Compressed formats (JPEG/
@@ -271,7 +276,7 @@ def decode_pixels(df: DataFrame) -> DataFrame:
                 batch["doc_id"], batch["payload"], batch["media_meta"]
             ):
                 buf = bytes(payload)
-                if buf.startswith(b"P6"):
+                if buf.startswith(b"P6") or buf.startswith(b"P5"):
                     w, h, img = _parse_ppm(buf)
                 elif buf.startswith(b"BM"):
                     w, h, img = _parse_bmp(buf)

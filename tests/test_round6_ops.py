@@ -802,3 +802,37 @@ class TestPersistedPostingsIndex:
         path = str(tmp_path / "postings2")
         write_postings_index(docs, path)
         assert probe_postings_index(spark, path, ["zzz"], k=5).count() == 0
+
+
+class TestPgmDecode:
+    def test_p5_grayscale_matches_numpy(self, spark, tmp_path):
+        """PGM P5 (grayscale) through the same binaryFile ->
+        from_binary_files -> decode_pixels plumbing: gray mean lands
+        in all three channel means."""
+        import numpy as np
+
+        from igloo_spark.operators.multimodal import decode_pixels, from_binary_files
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+        media = tmp_path / "media"
+        media.mkdir()
+        header = f"P5\n# gray test\n7 6\n255\n".encode()
+        (media / "g.pgm").write_bytes(header + img.tobytes())
+
+        files = spark.read.format("binaryFile").load(str(media))
+        rows = decode_pixels(from_binary_files(files)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        want = float(img.mean())
+        assert (r["width"], r["height"], r["n_pixels"]) == (7, 6, 42)
+        for ch in ("mean_r", "mean_g", "mean_b"):
+            assert abs(r[ch] - want) < 1e-3
+
+    def test_16bit_pgm_rejected(self, spark):
+        from igloo_spark.operators.multimodal import _parse_ppm
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="8-bit"):
+            _parse_ppm(b"P5\n2 2\n65535\n" + b"\x00" * 8)
