@@ -101,7 +101,15 @@ def main() -> int:
     # shard-keyed corpus shuffle (x95). "value" stays the legacy
     # total (comparable to BASELINE.md); the extended queries are
     # reported separately under extended_queries / extended_total.
-    _EXTENDED = ("x89_winnowing_pairs", "x95_corpus_shuffle_shards")
+    # x89/x95 joined in r06 (round-5 cost profiles); x105/x111 join in
+    # r07 (round-6 additions: query-sized-postings retrieval and
+    # capped-vocab KL drift)
+    _EXTENDED = (
+        "x89_winnowing_pairs",
+        "x95_corpus_shuffle_shards",
+        "x105_bm25_retrieval",
+        "x111_source_kl_drift",
+    )
     corpus = all_queries()
     legacy = sorted((s for s in corpus.values() if s.bench), key=lambda s: s.name)
     specs = legacy + [corpus[n] for n in _EXTENDED]
