@@ -21,7 +21,10 @@ Stage order is chosen so each stage shrinks the input to the next:
    (n_tokens, n_removed, clean_fp).
 5. **quality gate** (map-side filter) — applied AFTER dedup so a
    high-quality canonical never loses to a low-quality duplicate
-   being filtered first.
+   being filtered first. Optional 5b: benchmark DECONTAMINATION
+   (bigram overlap vs an eval set, the x67 shape); optional 5c:
+   fixed TOKEN-BUDGET selection (quality-preferring sort-free
+   bins, the x100 shape).
 6. **shuffle + shard** (one shard-keyed exchange): deterministic
    salted-hash permutation for training-shard layout.
 
@@ -68,6 +71,9 @@ def prepare_training_corpus(
     max_fp_docs: int = 50,
     n_shards: int = 8,
     shard_salt: str = "corpus-v1",
+    eval_docs: DataFrame | None = None,
+    decon_threshold: float = 0.2,
+    token_budget: int | None = None,
 ) -> CorpusPrepResult:
     """Compose exact dedup → near-dup dedup → ExactSubstr span removal
     → quality gate → deterministic shard assignment over a document
@@ -172,10 +178,48 @@ def prepare_training_corpus(
     # filtered-first duplicate)
     gated = canonical.filter(F.col("quality") >= min_quality)
 
+    # 5b. optional benchmark decontamination (x67 shape): drop
+    # survivors whose bigram sets overlap the eval set too much. The
+    # eval vocabulary is benchmark-sized; NO broadcast hint (the
+    # corpus-wide hint-audit rule) — AQE broadcasts a genuinely tiny
+    # eval side on its own.
+    selected = gated
+    if eval_docs is not None:
+        from igloo_spark.operators.dedup import word_shingles
+
+        eval_sh = (
+            word_shingles(
+                eval_docs.filter(F.length(F.trim(F.col(text_col))) > 0),
+                id_col, text_col, n=2,
+            )
+            .select("shingle")
+            .distinct()
+        )
+        sh = word_shingles(selected, id_col, text_col, n=2)
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n_sh"))
+        hits = sh.join(eval_sh, "shingle").groupBy(id_col).agg(
+            F.count("*").alias("__n_hit")
+        )
+        contaminated = (
+            sizes.join(hits, id_col)
+            .filter(F.col("__n_hit") / F.col("__n_sh") >= decon_threshold)
+            .select(id_col)
+        )
+        selected = selected.join(contaminated, id_col, "left_anti")
+
+    # 5c. optional fixed-token-budget selection (x100): quality-
+    # preferring, sort-free, deterministic boundary-bin hash gate
+    if token_budget is not None:
+        from igloo_spark.operators.packing import budget_select
+
+        selected = budget_select(
+            selected, id_col, "n_tokens", "quality", token_budget
+        )
+
     # 6. deterministic shuffle → shards
-    shards = shuffle_shard(gated, id_col, n_shards=n_shards, salt=shard_salt)
+    shards = shuffle_shard(selected, id_col, n_shards=n_shards, salt=shard_salt)
     corpus = (
-        gated.join(shards, id_col)
+        selected.join(shards, id_col)
         .join(
             span_stats.select(
                 F.col(id_col), F.col("n_removed"), F.col("clean_fp")
@@ -208,7 +252,7 @@ def prepare_training_corpus(
             )
         )
         .crossJoin(
-            F.broadcast(gated.agg(F.count("*").cast("bigint").alias("n_final")))
+            F.broadcast(selected.agg(F.count("*").cast("bigint").alias("n_final")))
         )
     )
     return CorpusPrepResult(

@@ -211,3 +211,55 @@ class TestCanonicalPolicy:
         docs = load_testdata_table(spark, SF, "documents")
         with pytest.raises(ValueError, match="canonical_policy"):
             prepare_training_corpus(docs, "doc_id", "text", canonical_policy="bogus")
+
+
+def test_decontamination_stage_drops_eval_overlap(spark):
+    """eval_docs: a training doc copying eval text is dropped; the
+    rest survive and n_final reflects the drop."""
+    from igloo_spark.pipelines import prepare_training_corpus
+
+    eval_docs = spark.createDataFrame(
+        [(900, "held out benchmark question about spark joins and shuffles today")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "held out benchmark question about spark joins and shuffles today"),
+            (2, "completely unrelated training document with its own novel words"),
+            (3, "another clean training document nothing shared with the benchmark"),
+        ],
+        "doc_id long, text string",
+    )
+    r = prepare_training_corpus(
+        docs, "doc_id", "text", near_dup=False, min_quality=0.0,
+        eval_docs=eval_docs, decon_threshold=0.2,
+    )
+    kept = {row["doc_id"] for row in r.corpus.collect()}
+    assert 1 not in kept and {2, 3} <= kept
+    assert r.counts.first()["n_final"] == 2
+
+
+def test_token_budget_stage_bounds_total(spark):
+    """token_budget: the shipped corpus's token total lands within
+    one boundary-bin of the budget and prefers higher quality."""
+    from igloo_spark.pipelines import prepare_training_corpus
+    from igloo_spark.sources import load_testdata_table
+
+    docs = load_testdata_table(spark, SF, "documents")
+    full = prepare_training_corpus(docs, "doc_id", "text", near_dup=False,
+                                   min_quality=0.0)
+    total = full.corpus.agg(F.sum("n_tokens")).first()[0]
+    budget = int(total * 0.3)
+    r = prepare_training_corpus(
+        docs, "doc_id", "text", near_dup=False, min_quality=0.0,
+        token_budget=budget,
+    )
+    picked = r.corpus.agg(
+        F.sum("n_tokens").alias("toks"), F.count("*").alias("n"),
+        F.avg("quality").alias("q")
+    ).first()
+    assert picked["toks"] <= budget * 1.02  # boundary-bin slack
+    assert 0 < picked["n"] < full.corpus.count()
+    # quality-preferring: the selected mean quality beats the corpus mean
+    base_q = full.corpus.agg(F.avg("quality")).first()[0]
+    assert picked["q"] >= base_q
