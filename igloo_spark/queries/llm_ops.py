@@ -3199,6 +3199,11 @@ def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDECON_EVAL_MOD = 50
 SEMDECON_EVAL_REM = 17
+# cap keeps the simulated eval set FIXED-SIZE (10 vectors from the
+# first 500 ids) as the corpus grows — a real benchmark doesn't scale
+# with the training corpus, and without the cap the %mod simulation
+# made x106's work quadratic-in-SF (4x time at 10x data, SCALE.md)
+SEMDECON_EVAL_CAP = 500
 SEMDECON_THRESHOLD = 0.6
 
 
@@ -3207,7 +3212,7 @@ def _x106_oracle() -> str:
     return f"""
     WITH ev AS (
         SELECT vec_id AS eid, embedding AS ev FROM embeddings
-        WHERE vec_id % {SEMDECON_EVAL_MOD} = {SEMDECON_EVAL_REM}
+        WHERE vec_id % {SEMDECON_EVAL_MOD} = {SEMDECON_EVAL_REM} AND vec_id < {SEMDECON_EVAL_CAP}
     ),
     scored AS (
         SELECT c.vec_id, e.eid, round({cos}, 6) AS c6
@@ -3242,7 +3247,10 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igloo_spark.operators.similarity import semantic_decontaminate
 
     emb = table(spark, sf_dir, "embeddings")
-    ev = emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD == SEMDECON_EVAL_REM)
+    ev = emb.filter(
+        (F.col("vec_id") % SEMDECON_EVAL_MOD == SEMDECON_EVAL_REM)
+        & (F.col("vec_id") < SEMDECON_EVAL_CAP)
+    )
     return semantic_decontaminate(emb, ev, "vec_id", "embedding", SEMDECON_THRESHOLD)
 
 
