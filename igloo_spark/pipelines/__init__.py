@@ -262,3 +262,39 @@ def prepare_training_corpus(
         cap_stats=cap_stats,
         counts=counts,
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    result: CorpusPrepResult,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Materialize the prepared corpus as the on-disk training
+    artifact: one parquet directory per shard (``partitionBy(shard)``,
+    rows sorted by ``pos`` within each shard's files so a sequential
+    reader streams documents in the deterministic training order),
+    plus a ``_meta`` directory carrying the stage counts and the full
+    dedup manifest — the provenance a data audit asks for ("why is
+    doc X absent?" has an answer on disk).
+
+    Returns {"n_docs", "n_shards"} from the written data. Text rides
+    from the source frame via an id-equi join; at 100 TB the write is
+    one shard-keyed exchange (already performed by shuffle_shard) +
+    the join, and each shard directory is independently consumable.
+    """
+    out = (
+        result.corpus.join(docs.select(id_col, text_col), id_col)
+        .repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+    )
+    out.write.partitionBy("shard").mode("overwrite").parquet(path)
+    result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
+    result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
+    spark = docs.sparkSession
+    written = spark.read.parquet(path)
+    return {
+        "n_docs": written.count(),
+        "n_shards": written.select("shard").distinct().count(),
+    }

@@ -263,3 +263,32 @@ def test_token_budget_stage_bounds_total(spark):
     # quality-preferring: the selected mean quality beats the corpus mean
     base_q = full.corpus.agg(F.avg("quality")).first()[0]
     assert picked["q"] >= base_q
+
+
+def test_write_training_shards_roundtrip(prep, spark, tmp_path):
+    """The exported artifact: per-shard parquet dirs with text +
+    placement, _meta counts/manifest readable, and within-shard pos
+    order preserved file-sequentially."""
+    import os
+
+    from igloo_spark.pipelines import write_training_shards
+
+    docs, r = prep
+    path = str(tmp_path / "shards")
+    info = write_training_shards(docs, r, path)
+    assert info["n_docs"] == r.corpus.count()
+    assert info["n_shards"] == r.corpus.select("shard").distinct().count()
+    assert any(d.startswith("shard=") for d in os.listdir(path))
+
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("text").isNull()).count() == 0
+    # deterministic order: per shard, positions are exactly 1..n
+    per = back.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+
+    meta = spark.read.parquet(path + "/_meta/counts")
+    assert meta.first()["n_final"] == info["n_docs"]
+    manifest = spark.read.parquet(path + "/_meta/manifest")
+    assert manifest.count() == r.manifest.count()
