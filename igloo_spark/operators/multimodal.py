@@ -363,3 +363,50 @@ def decode_wav(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=DECODED_AUDIO_SCHEMA)
+
+
+NPY_SCHEMA = "src_file string, row_idx bigint, embedding array<float>"
+
+
+def read_npy_embeddings(spark, path: str) -> DataFrame:
+    """Ingest NumPy ``.npy`` matrix files as embedding rows —
+    (src_file, row_idx, embedding: array<float>) — the format
+    embedding dumps actually arrive in before they become a parquet
+    column. One output row per matrix row; 1-D files read as a single
+    vector.
+
+    Plumbing: the binaryFile source streams whole files (so a file's
+    matrix is parsed exactly once, on one executor), and the parse is
+    ``np.load(allow_pickle=False)`` over an in-memory buffer — numpy
+    is the codec here, no external library, and pickle execution is
+    disabled so a hostile file cannot run code. Files are independent
+    ⇒ parallelism = file count; shard big dumps into many .npy files
+    (the standard layout) and the read scales linearly.
+    """
+    import io
+
+    import numpy as np
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.npy")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"src_file": [], "row_idx": [], "embedding": []}
+            for pth, content in zip(b["path"], b["content"]):
+                arr = np.load(io.BytesIO(bytes(content)), allow_pickle=False)
+                if arr.ndim == 1:
+                    arr = arr[None, :]
+                if arr.ndim != 2:
+                    raise ValueError(f"{pth}: expected 1-D or 2-D array, got {arr.ndim}-D")
+                for i, v in enumerate(arr):
+                    out["src_file"].append(pth)
+                    out["row_idx"].append(i)
+                    out["embedding"].append(v.astype("float32"))
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(run, schema=NPY_SCHEMA)

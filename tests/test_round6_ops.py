@@ -836,3 +836,42 @@ class TestPgmDecode:
 
         with _pytest.raises(ValueError, match="8-bit"):
             _parse_ppm(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+
+class TestNpyReader:
+    def test_matrix_and_vector_files_roundtrip(self, spark, tmp_path):
+        """2-D and 1-D .npy files come back row-exact and feed the ANN
+        path unchanged."""
+        import numpy as np
+
+        from igloo_spark.operators.multimodal import read_npy_embeddings
+
+        rng = np.random.default_rng(5)
+        m = rng.normal(size=(4, 8)).astype(np.float32)
+        v = rng.normal(size=8).astype(np.float32)
+        d = tmp_path / "emb"
+        d.mkdir()
+        np.save(d / "a.npy", m)
+        np.save(d / "b.npy", v)
+        (d / "ignore.txt").write_text("not npy")
+
+        rows = read_npy_embeddings(spark, str(d)).collect()
+        assert len(rows) == 5
+        by_key = {(r["src_file"].rsplit("/", 1)[-1], r["row_idx"]): r["embedding"] for r in rows}
+        for i in range(4):
+            assert np.allclose(by_key[("a.npy", i)], m[i], atol=1e-6)
+        assert np.allclose(by_key[("b.npy", 0)], v, atol=1e-6)
+
+    def test_pickle_files_rejected(self, spark, tmp_path):
+        """allow_pickle=False: an object-array .npy (pickle payload)
+        fails the stage instead of executing anything."""
+        import numpy as np
+        import pytest as _pytest
+
+        from igloo_spark.operators.multimodal import read_npy_embeddings
+
+        d = tmp_path / "embp"
+        d.mkdir()
+        np.save(d / "evil.npy", np.array([{"a": 1}], dtype=object), allow_pickle=True)
+        with _pytest.raises(Exception, match="pickle|object array"):
+            read_npy_embeddings(spark, str(d)).collect()
