@@ -905,3 +905,50 @@ def test_diff_versions_matches_dict_diff(igloo, base, edits):
         elif base.get(k) != state.get(k):
             want.add((k, "update"))
     assert got == want
+
+
+# --- KL source-drift differential fuzz (x111 family) ----------------------
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books", "code"]),
+            st.lists(st.sampled_from(_BM25_VOCAB), min_size=0, max_size=10),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    top=st.integers(1, 6),
+)
+def test_kl_drift_differential_parity(igloo, docs, top):
+    """Random (source, words) corpora — including empty documents and
+    vocab caps that truncate mid-tie — must hash-match the KL oracle
+    with the same capped vocabulary and 6-dp rounding."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from igloo_spark.queries import llm_ops
+
+    d = tempfile.mkdtemp()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(ws) for _, ws in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([s for s, _ in docs], pa.string()),
+            "n_chars": pa.array([len(" ".join(ws)) for _, ws in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    old = llm_ops.KL_VOCAB_TOP
+    llm_ops.KL_VOCAB_TOP = top
+    try:
+        spec_fn = llm_ops.x111
+        oracle = llm_ops._x111_oracle()
+        assert_matches_oracle(spec_fn(igloo.spark, d), oracle, d)
+    finally:
+        llm_ops.KL_VOCAB_TOP = old
