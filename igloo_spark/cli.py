@@ -24,6 +24,23 @@ def main(argv: list[str] | None = None) -> int:
         "--serve", type=int, default=None, metavar="PORT",
         help="start an Arrow Flight server on PORT instead of running a query (0 = ephemeral)",
     )
+    parser.add_argument(
+        "--prep-corpus", default=None, metavar="OUT_DIR",
+        help="run the training-corpus prep pipeline over the documents table "
+        "and write per-shard training artifacts to OUT_DIR (needs --data-dir)",
+    )
+    parser.add_argument(
+        "--min-quality", type=float, default=0.5,
+        help="quality-gate threshold for --prep-corpus (default 0.5)",
+    )
+    parser.add_argument(
+        "--token-budget", type=int, default=None,
+        help="optional fixed token budget for --prep-corpus selection",
+    )
+    parser.add_argument(
+        "--n-shards", type=int, default=8,
+        help="training shard count for --prep-corpus (default 8)",
+    )
     parser.add_argument("--explain", action="store_true", help="print the optimized plan")
     parser.add_argument(
         "--audit", action="store_true",
@@ -48,15 +65,23 @@ def main(argv: list[str] | None = None) -> int:
         for spec in all_queries().values():
             print(f"{spec.name:32s} {spec.description}")
         return 0
-    if args.sql is None and args.serve is None and args.query is None:
-        parser.error("one of --sql, --query, or --serve is required")
+    modes = [
+        m for m, on in (
+            ("--sql", args.sql is not None),
+            ("--query", args.query is not None),
+            ("--serve", args.serve is not None),
+            ("--prep-corpus", args.prep_corpus is not None),
+        ) if on
+    ]
+    if not modes:
+        parser.error("one of --sql, --query, --serve, or --prep-corpus is required")
+    # fail loudly on conflicting modes rather than silently ignoring one
+    if len(modes) > 1:
+        parser.error(f"{' and '.join(modes)} are mutually exclusive")
     if args.query is not None and not args.data_dir:
         parser.error("--query needs --data-dir (tables to run against)")
-    # fail loudly on conflicting modes rather than silently ignoring one
-    if args.serve is not None and (args.sql is not None or args.query is not None):
-        parser.error("--serve starts a server; it cannot be combined with --sql/--query")
-    if args.sql is not None and args.query is not None:
-        parser.error("--sql and --query are mutually exclusive")
+    if args.prep_corpus is not None and not args.data_dir:
+        parser.error("--prep-corpus needs --data-dir (documents table source)")
 
     from igloo_spark import IglooSession
 
@@ -72,6 +97,26 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"warning: no <table>.parquet files under {args.data_dir}", file=sys.stderr)
         else:
             _register_demo_tables(session)
+        if args.prep_corpus is not None:
+            from igloo_spark.pipelines import (
+                prepare_training_corpus,
+                write_training_shards,
+            )
+
+            docs = session.spark.table("documents")
+            result = prepare_training_corpus(
+                docs, "doc_id", "text",
+                min_quality=args.min_quality,
+                token_budget=args.token_budget,
+                n_shards=args.n_shards,
+            )
+            info = write_training_shards(docs, result, args.prep_corpus)
+            counts = result.counts.first().asDict()
+            print(
+                f"prepared corpus: {counts} -> {info['n_docs']} docs in "
+                f"{info['n_shards']} shards at {args.prep_corpus}"
+            )
+            return 0
         if args.serve is not None:
             # serving path: the coordinator's Flight endpoint
             # (reference: crates/coordinator/src/main.rs:19-78)

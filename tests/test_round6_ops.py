@@ -875,3 +875,21 @@ class TestNpyReader:
         np.save(d / "evil.npy", np.array([{"a": 1}], dtype=object), allow_pickle=True)
         with _pytest.raises(Exception, match="pickle|object array"):
             read_npy_embeddings(spark, str(d)).collect()
+
+
+class TestCliModes:
+    def test_mode_exclusivity_and_requirements(self):
+        """Argument validation fires before any Spark work."""
+        import pytest as _pytest
+
+        from igloo_spark.cli import main
+
+        for argv in (
+            [],
+            ["--sql", "SELECT 1", "--serve", "0"],
+            ["--prep-corpus", "/tmp/x"],  # needs --data-dir
+            ["--sql", "SELECT 1", "--prep-corpus", "/tmp/x"],
+            ["--query", "q01_pricing_summary"],  # needs --data-dir
+        ):
+            with _pytest.raises(SystemExit):
+                main(argv)
