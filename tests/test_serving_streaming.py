@@ -739,3 +739,35 @@ def test_flight_actions(igloo):
             action_via_flight(port, "nope")
     finally:
         server.shutdown()
+
+
+def test_streaming_weighted_admission(igloo, tmp_path):
+    """weighted_sample is a stateless scan-stage filter, so it is
+    streaming-legal DIRECTLY on a readStream frame (no foreachBatch):
+    in-stream admission control with the same deterministic decisions
+    the batch path makes."""
+    from igloo_spark.operators.packing import weighted_sample
+
+    spark = igloo.spark
+    src = tmp_path / "adm_src"
+    src.mkdir()
+    rows = [{"doc_id": i, "w": (i % 11) / 10.0} for i in range(200)]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("doc_id long, w double").json(str(src))
+    gated = weighted_sample(stream, "doc_id", "w")
+    assert gated.isStreaming
+    got: set[int] = set()
+
+    def sink(batch_df, batch_id):
+        got.update(r["doc_id"] for r in batch_df.collect())
+
+    q = (
+        gated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "adm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = spark.createDataFrame([(r["doc_id"], r["w"]) for r in rows], "doc_id long, w double")
+    want = {r["doc_id"] for r in weighted_sample(batch, "doc_id", "w").collect()}
+    assert got == want and got  # stream decisions == batch decisions
