@@ -610,6 +610,12 @@ def semantic_decontaminate(
     id via a negated-id struct field, so both engines pick the same
     neighbor bit-for-bit. Eval members present in the corpus match
     themselves at cosine 1.0 — the expected self-hit.
+
+    Contract: ``eval_df`` must be non-empty. With zero eval vectors the
+    per-row argmax over an empty array yields NULL columns (a SQL
+    cross-join oracle would instead yield zero rows) — callers gating
+    on an optional benchmark should skip the call, not pass an empty
+    frame.
     """
     from igloo_spark.functions.vectors import cosine_similarity
 
