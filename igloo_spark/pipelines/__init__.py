@@ -298,3 +298,131 @@ def write_training_shards(
         "n_docs": written.count(),
         "n_shards": written.select("shard").distinct().count(),
     }
+
+
+@dataclass
+class IncrementalIngestResult:
+    """One ingest batch's outcome: per-doc verdicts plus the committed
+    store versions (corpus and fingerprint store move together)."""
+
+    accepted: DataFrame        # id, quality, n_tokens — appended to the store
+    verdicts: DataFrame        # every batch doc -> verdict (kept/exact_dup/near_dup/low_quality)
+    corpus_version: int
+    fp_version: int
+
+
+def incremental_ingest(
+    new_docs: DataFrame,
+    store_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.5,
+    span_k: int = 5,
+    span_w: int = 4,
+    min_shared: int = 2,
+) -> IncrementalIngestResult:
+    """The nightly-ingest composition: admit a new document batch into
+    a versioned corpus store without ever rebuilding or reshuffling
+    history.
+
+    Store layout (both tables are ``sources.versioned`` — snapshot
+    isolation, time travel, vacuum):
+
+    - ``<root>/corpus``: accepted documents (+ quality, token count)
+    - ``<root>/fps``:    their winnowed fingerprints (the near-dup
+      probe target for every future batch)
+
+    Verdict order mirrors the batch pipeline: exact dup vs history and
+    within-batch (``incremental_dedup`` — batch fingerprints
+    broadcast, history semi-probed), then near-dup vs the fp store
+    (``score_batch_against_history`` — same posture), then the quality
+    gate. Survivors and their fingerprints commit as two appends;
+    history cost per batch is one scan-speed probe per store, never a
+    shuffle. First call bootstraps an empty store.
+    """
+    from igloo_spark.functions.text import quality_score, token_count
+    from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
+    from igloo_spark.sources.versioned import read_versioned, write_versioned
+    from igloo_spark.streaming.neardup import score_batch_against_history
+
+    spark = new_docs.sparkSession
+    corpus_root = store_root + "/corpus"
+    fp_root = store_root + "/fps"
+    try:
+        history = read_versioned(spark, corpus_root)
+        history_fp = read_versioned(spark, fp_root)
+        bootstrapping = False
+    except FileNotFoundError:
+        history = None
+        history_fp = None
+        bootstrapping = True
+
+    batch = new_docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.col(text_col),
+        quality_score(F.col(text_col)).alias("quality"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+
+    if bootstrapping:
+        # empty-history degenerate: only within-batch dedup applies
+        dd = incremental_dedup(batch, batch.limit(0), id_col, text_col)
+    else:
+        dd = incremental_dedup(batch, history, id_col, text_col)
+    exact_ok = batch.join(
+        dd.filter(F.col("dup_of") == "unique").select(id_col), id_col, "leftsemi"
+    )
+
+    if bootstrapping:
+        near = exact_ok.select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_shared"),
+            F.lit(False).alias("is_neardup"),
+        )
+    else:
+        near = score_batch_against_history(
+            exact_ok, history_fp, id_col, text_col,
+            k=span_k, w=span_w, min_shared=min_shared,
+        )
+    near_ok = exact_ok.join(
+        near.filter(~F.col("is_neardup")).select(id_col), id_col, "leftsemi"
+    )
+    accepted = near_ok.filter(F.col("quality") >= min_quality).localCheckpoint(
+        eager=False
+    )
+
+    verdicts = (
+        batch.select(id_col)
+        .join(dd.select(id_col, "dup_of"), id_col, "left")
+        .join(near.select(id_col, "is_neardup"), id_col, "left")
+        .join(
+            accepted.select(F.col(id_col), F.lit(True).alias("__kept")),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("__kept"), F.lit("kept"))
+            .when(F.col("dup_of") != "unique", F.lit("exact_dup"))
+            .when(F.coalesce(F.col("is_neardup"), F.lit(False)), F.lit("near_dup"))
+            .otherwise(F.lit("low_quality"))
+            .alias("verdict"),
+        )
+    )
+
+    corpus_version = write_versioned(
+        accepted.select(id_col, text_col, "quality", "n_tokens"),
+        corpus_root,
+        mode="append",
+    )
+    new_fps = winnow_fp_rows(accepted, id_col, text_col, k=span_k, w=span_w).select(
+        "fp"
+    ).distinct()
+    fp_version = write_versioned(new_fps, fp_root, mode="append")
+    return IncrementalIngestResult(
+        accepted=accepted.select(id_col, "quality", "n_tokens"),
+        verdicts=verdicts,
+        corpus_version=corpus_version,
+        fp_version=fp_version,
+    )

@@ -292,3 +292,68 @@ def test_write_training_shards_roundtrip(prep, spark, tmp_path):
     assert meta.first()["n_final"] == info["n_docs"]
     manifest = spark.read.parquet(path + "/_meta/manifest")
     assert manifest.count() == r.manifest.count()
+
+
+class TestIncrementalIngest:
+    def test_two_batch_lifecycle(self, spark, tmp_path):
+        """Bootstrap batch then a second batch containing an exact
+        copy, a near copy, a low-quality doc, and a novel doc — each
+        gets the right verdict and the store advances a version per
+        batch with time travel intact."""
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "store")
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        b1 = spark.createDataFrame(
+            [
+                (1, f"historic document body {shared} with trailing words here"),
+                (2, "another original document full of its own words and text ok"),
+            ],
+            "doc_id long, text string",
+        )
+        r1 = incremental_ingest(b1, root, min_quality=0.0, min_shared=1)
+        assert r1.corpus_version == 1 and r1.fp_version == 1
+        assert {x["doc_id"] for x in r1.accepted.collect()} == {1, 2}
+
+        b2 = spark.createDataFrame(
+            [
+                (10, f"historic document body {shared} with trailing words here"),  # exact
+                (11, f"incoming near copy with {shared} inside it now"),            # near
+                (12, "!!! ??? 111 222 333 444 555 666 777 888 999 000 @@@ ###"),    # low quality
+                (13, "fresh novel words never seen before in any prior batch doc"),  # kept
+            ],
+            "doc_id long, text string",
+        )
+        r2 = incremental_ingest(b2, root, min_quality=0.3, min_shared=1)
+        v = {x["doc_id"]: x["verdict"] for x in r2.verdicts.collect()}
+        assert v[10] == "exact_dup"
+        assert v[11] == "near_dup"
+        assert v[13] == "kept"
+        assert v[12] == "low_quality"
+        assert r2.corpus_version == 2
+
+        # store state: only kept docs appended; v1 still readable
+        now = {x["doc_id"] for x in read_versioned(spark, root + "/corpus").collect()}
+        assert 13 in now and 10 not in now and 11 not in now
+        then = {x["doc_id"] for x in read_versioned(spark, root + "/corpus", version=1).collect()}
+        assert then == {1, 2}
+
+    def test_rejected_docs_leave_no_fingerprints(self, spark, tmp_path):
+        """Only ACCEPTED docs contribute to the fp store — a rejected
+        near-dup must not poison future batches' probes."""
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "store2")
+        b1 = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine ten eleven twelve")],
+            "doc_id long, text string",
+        )
+        incremental_ingest(b1, root, min_quality=0.0, min_shared=1)
+        n1 = read_versioned(spark, root + "/fps").count()
+        # reject everything in batch 2 (exact dup)
+        incremental_ingest(b1.withColumn("doc_id", b1.doc_id + 100), root,
+                           min_quality=0.0, min_shared=1)
+        n2 = read_versioned(spark, root + "/fps").count()
+        assert n2 == n1, "rejected batch must add no fingerprints"
