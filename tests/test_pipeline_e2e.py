@@ -357,3 +357,30 @@ class TestIncrementalIngest:
                            min_quality=0.0, min_shared=1)
         n2 = read_versioned(spark, root + "/fps").count()
         assert n2 == n1, "rejected batch must add no fingerprints"
+
+
+def test_ingest_store_compacts_without_content_change(spark, tmp_path):
+    """Lifecycle composition: after several ingest batches, compacting
+    the corpus store rewrites files but not content, and the corpus
+    never holds two docs with the same fingerprint."""
+    from igloo_spark.functions.text import doc_fingerprint
+    from igloo_spark.pipelines import incremental_ingest
+    from igloo_spark.sources import load_testdata_table
+    from igloo_spark.sources.versioned import compact_versioned, read_versioned
+
+    docs = load_testdata_table(spark, SF, "documents")
+    root = str(tmp_path / "store3")
+    for lo, hi in ((0, 120), (100, 260), (240, 400)):  # overlapping batches
+        incremental_ingest(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            root, min_quality=0.3,
+        )
+    corpus = read_versioned(spark, root + "/corpus")
+    fps = corpus.select(doc_fingerprint(F.col("text")).alias("fp"))
+    assert fps.count() == fps.distinct().count(), "exact dup slipped into the store"
+
+    before = {tuple(r) for r in corpus.select("doc_id", "quality").collect()}
+    compact_versioned(spark, root + "/corpus", n_files=2)
+    after_df = read_versioned(spark, root + "/corpus")
+    after = {tuple(r) for r in after_df.select("doc_id", "quality").collect()}
+    assert before == after
