@@ -30,8 +30,14 @@ def main(argv: list[str] | None = None) -> int:
         "and write per-shard training artifacts to OUT_DIR (needs --data-dir)",
     )
     parser.add_argument(
+        "--ingest", default=None, metavar="STORE_DIR",
+        help="incrementally ingest the documents table into a versioned corpus "
+        "store at STORE_DIR (exact + near-dup vs history, quality gate; "
+        "needs --data-dir)",
+    )
+    parser.add_argument(
         "--min-quality", type=float, default=0.5,
-        help="quality-gate threshold for --prep-corpus (default 0.5)",
+        help="quality-gate threshold for --prep-corpus/--ingest (default 0.5)",
     )
     parser.add_argument(
         "--token-budget", type=int, default=None,
@@ -71,10 +77,11 @@ def main(argv: list[str] | None = None) -> int:
             ("--query", args.query is not None),
             ("--serve", args.serve is not None),
             ("--prep-corpus", args.prep_corpus is not None),
+            ("--ingest", args.ingest is not None),
         ) if on
     ]
     if not modes:
-        parser.error("one of --sql, --query, --serve, or --prep-corpus is required")
+        parser.error("one of --sql, --query, --serve, --prep-corpus, or --ingest is required")
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
         parser.error(f"{' and '.join(modes)} are mutually exclusive")
@@ -82,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--query needs --data-dir (tables to run against)")
     if args.prep_corpus is not None and not args.data_dir:
         parser.error("--prep-corpus needs --data-dir (documents table source)")
+    if args.ingest is not None and not args.data_dir:
+        parser.error("--ingest needs --data-dir (documents table source)")
 
     from igloo_spark import IglooSession
 
@@ -115,6 +124,22 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"prepared corpus: {counts} -> {info['n_docs']} docs in "
                 f"{info['n_shards']} shards at {args.prep_corpus}"
+            )
+            return 0
+        if args.ingest is not None:
+            from igloo_spark.pipelines import incremental_ingest
+
+            result = incremental_ingest(
+                session.spark.table("documents"), args.ingest,
+                min_quality=args.min_quality,
+            )
+            verdicts = {
+                r["verdict"]: r["count"]
+                for r in result.verdicts.groupBy("verdict").count().collect()
+            }
+            print(
+                f"ingested batch -> corpus v{result.corpus_version} "
+                f"(fp store v{result.fp_version}); verdicts: {verdicts}"
             )
             return 0
         if args.serve is not None:

@@ -890,6 +890,8 @@ class TestCliModes:
             ["--prep-corpus", "/tmp/x"],  # needs --data-dir
             ["--sql", "SELECT 1", "--prep-corpus", "/tmp/x"],
             ["--query", "q01_pricing_summary"],  # needs --data-dir
+            ["--ingest", "/tmp/x"],  # needs --data-dir
+            ["--ingest", "/tmp/x", "--prep-corpus", "/tmp/y"],
         ):
             with _pytest.raises(SystemExit):
                 main(argv)
