@@ -90,14 +90,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
 # the 43 r03-stale queries — exactly 50 entries, the driver's per-round
 # gate window. After this window every query's latest verdict is r04+
 # except x47_ann_lsh_topk (r03; path nested in the in-window x63) and
-# the thirteen queries added mid-round-6 (x99_winnow_cap_stats,
+# the fourteen queries added mid-round-6 (x99_winnow_cap_stats,
 # x100_token_budget_select, x101_gopher_repetition,
 # x102_dsir_importance, x103_k_anonymity,
 # x104_source_quality_deciles, x105_bm25_retrieval,
 # x106_semantic_decontamination, x107_diversity_cap_sample,
 # x108_weighted_sample, x109_contrastive_pairs, x110_source_overlap,
-# x111_source_kl_drift — never checked).
-# r07 rotation order: x99–x111, x47 first, then the oldest remaining
+# x111_source_kl_drift, x112_dup_family_histogram — never checked).
+# r07 rotation order: x99–x112, x47 first, then the oldest remaining
 # (r04) verdicts.
 
 

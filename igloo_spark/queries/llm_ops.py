@@ -3575,3 +3575,62 @@ def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("term"), 6).alias("kl"),
         F.sum("sn").cast("bigint").alias("n_vocab_tokens"),
     )
+
+
+# --- x112: dedup family-size distribution ---------------------------------
+
+
+def _x112_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+    manifest AS (
+        SELECT d.doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) OVER (
+                   PARTITION BY coalesce(c.component, d.doc_id)) AS BIGINT)
+                   AS group_size
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT group_size,
+           CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_families,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM manifest GROUP BY group_size
+    """
+
+
+@register(
+    "x112_dup_family_histogram",
+    "near-dup family-size distribution: families and docs per group size",
+    _x112_oracle(),
+    tags=("dedup", "profile", "llm"),
+)
+def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup run's observability rollup: how much of the corpus
+    lives in families of size 1, 2, 3… — the number a data lead reads
+    to decide whether duplication is boilerplate (few huge families →
+    fix ingestion) or organic (many small families → LSH is doing its
+    job). One tiny aggregate over the manifest; output bounded by the
+    largest family size."""
+    from igloo_spark.operators.dedup import dedup_manifest
+
+    docs = table(spark, sf_dir, "documents")
+    m = dedup_manifest(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=2, threshold=0.5,
+    )
+    return m.groupBy("group_size").agg(
+        F.count_distinct("canonical_id").cast("bigint").alias("n_families"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
