@@ -167,7 +167,7 @@ def write_postings_index(
     ).select("doc", "ws", F.size("ws").cast("double").alias("dl"))
     stats = toks.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    ).withColumn("n_buckets", F.lit(int(n_buckets)))
     tf = (
         toks.select("doc", "dl", F.explode("ws").alias("term"))
         .groupBy("doc", "dl", "term")
@@ -186,7 +186,6 @@ def probe_postings_index(
     path: str,
     query_terms: "Sequence[str]",
     k: int = 10,
-    n_buckets: int = 64,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
@@ -195,11 +194,17 @@ def probe_postings_index(
     hash buckets, applied as a LITERAL partition filter (static
     pruning), and every quantity in the score (tf, dl, n_t) is local
     to the pruned posting rows; N/avgdl broadcast from the 1-row
-    stats table. Returns the same (doc_id, score, rank) frame as
+    stats table, which also records the build's ``n_buckets`` so the
+    probe cannot be handed a mismatched bucket count (that would
+    silently prune to the WRONG directories and return bogus
+    empties). Returns the same (doc_id, score, rank) frame as
     :func:`bm25_topk` computed live."""
     from igloo_spark.functions.hashing import hex_prefix_hash
 
     terms = [t.lower() for t in query_terms]
+    stats = spark.read.parquet(path + "/_stats")
+    n_buckets = int(stats.select("n_buckets").first()[0])
+    stats = stats.drop("n_buckets")
     probe = spark.createDataFrame([(t,) for t in terms], "term string")
     buckets = sorted(
         {
@@ -209,7 +214,6 @@ def probe_postings_index(
             ).collect()
         }
     )
-    stats = spark.read.parquet(path + "/_stats")
     posting = (
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(buckets))

@@ -895,3 +895,20 @@ class TestCliModes:
         ):
             with _pytest.raises(SystemExit):
                 main(argv)
+
+    def test_probe_honors_stored_bucket_count(self, spark, tmp_path):
+        """The index is self-describing: a build with a non-default
+        n_buckets probes correctly with no caller coordination."""
+        from igloo_spark.operators.retrieval import (
+            probe_postings_index,
+            write_postings_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta beta"), (1, "beta gamma"), (2, "alpha alpha")],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "postings3")
+        write_postings_index(docs, path, n_buckets=5)
+        got = {r["doc_id"] for r in probe_postings_index(spark, path, ["alpha"], k=5).collect()}
+        assert got == {0, 2}
