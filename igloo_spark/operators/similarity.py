@@ -704,11 +704,26 @@ def write_ivf_index(
     one directory per coarse cell. This is the build-once/probe-many
     half of production ANN at 100 TB: the assignment pass runs once,
     and every subsequent probe reads only its ``nprobe`` cell
-    directories instead of the whole corpus."""
+    directories instead of the whole corpus.
+
+    The index is SELF-DESCRIBING: the quantizer centroids are
+    serialized to a ``_centroids`` side table at build time and the
+    probe reads them from there — handing the probe different
+    centroids than the build used would assign queries to the wrong
+    cells and silently return bogus neighbors."""
+    import json as _json
+
+    if centroids is None:
+        centroids = ivf_centroids(n_cells, dim)
     assigned = ivf_assign(
         corpus, id_col, vec_col, centroids=centroids, n_cells=n_cells, dim=dim
     )
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    spark = corpus.sparkSession
+    payload = _json.dumps([[float(v) for v in row] for row in centroids])
+    spark.range(1).select(F.lit(payload).alias("centroids_json")).write.mode(
+        "overwrite"
+    ).parquet(path + "/_centroids")
 
 
 def probe_ivf_index(
@@ -719,9 +734,6 @@ def probe_ivf_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
-    centroids: list[list[float]] | None = None,
-    n_cells: int = 8,
-    dim: int = 64,
 ) -> DataFrame:
     """Top-k probe against a :func:`write_ivf_index` layout, reading
     ONLY the probed cells' partitions.
@@ -734,9 +746,13 @@ def probe_ivf_index(
     single-query probe reads 1/4 of the index, and the fraction
     shrinks as the quantizer grows). The candidate join + exact
     cosine re-rank are identical to :func:`ivf_topk`, so a persisted
-    probe returns bit-identical results to the in-memory path."""
-    if centroids is None:
-        centroids = ivf_centroids(n_cells, dim)
+    probe returns bit-identical results to the in-memory path. The
+    quantizer comes from the index's ``_centroids`` side table (see
+    :func:`write_ivf_index`) — never from a caller argument."""
+    import json as _json
+
+    payload = spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+    centroids = _json.loads(payload)
     cents_df = centroids_table(spark, centroids)
     q = queries.crossJoin(F.broadcast(cents_df)).select(
         F.col(id_col).alias("query_id"),

@@ -912,3 +912,30 @@ class TestCliModes:
         write_postings_index(docs, path, n_buckets=5)
         got = {r["doc_id"] for r in probe_postings_index(spark, path, ["alpha"], k=5).collect()}
         assert got == {0, 2}
+
+    def test_learned_centroids_ride_the_index(self, spark, tmp_path):
+        """A k-means-learned quantizer round-trips through the
+        _centroids side table: the probe needs no knowledge of how the
+        index was built."""
+        from igloo_spark.operators.similarity import (
+            ivf_topk,
+            learned_ivf_centroids,
+            probe_ivf_index,
+            write_ivf_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = learned_ivf_centroids(emb, n_cells=4, max_iter=5)
+        path = str(tmp_path / "ivf_learned")
+        write_ivf_index(emb, path, centroids=cents, n_cells=4)
+        q = emb.filter(F.col("vec_id") == 1)
+        got = sorted(
+            (r["rank"], r["neighbor_id"])
+            for r in probe_ivf_index(spark, path, q, k=4, nprobe=2).collect()
+        )
+        want = sorted(
+            (r["rank"], r["neighbor_id"])
+            for r in ivf_topk(emb, q, k=4, nprobe=2, centroids=cents).collect()
+        )
+        assert got == want and got
