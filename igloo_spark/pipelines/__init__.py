@@ -321,6 +321,7 @@ def incremental_ingest(
     span_k: int = 5,
     span_w: int = 4,
     min_shared: int = 2,
+    batch_id: int | None = None,
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -340,15 +341,86 @@ def incremental_ingest(
     gate. Survivors and their fingerprints commit as two appends;
     history cost per batch is one scan-speed probe per store, never a
     shuffle. First call bootstraps an empty store.
+
+    ``batch_id`` (streaming / retried orchestration) makes the whole
+    two-store commit idempotent. Corpus commits FIRST, fps second,
+    both stamped with the batch id; on replay:
+
+    - both stores at-or-past the id → full no-op (empty result frames,
+      current versions);
+    - corpus durable but fps not (crash between the two appends) →
+      the accepted set is recovered from the corpus commit's OWN data
+      files (the manifest diff vs the prior version — no recompute,
+      and no re-probe of a history that now contains the batch) and
+      only the missing fp append runs.
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
-    from igloo_spark.sources.versioned import read_versioned, write_versioned
+    from igloo_spark.sources.versioned import (
+        last_committed_batch,
+        read_versioned,
+        write_versioned,
+    )
     from igloo_spark.streaming.neardup import score_batch_against_history
 
     spark = new_docs.sparkSession
     corpus_root = store_root + "/corpus"
     fp_root = store_root + "/fps"
+    if batch_id is not None:
+        corpus_done = batch_id <= last_committed_batch(corpus_root)
+        fp_done = batch_id <= last_committed_batch(fp_root)
+        if corpus_done and fp_done:
+            # fully durable replay — nothing to do
+            from igloo_spark.sources.versioned import _list_versions
+
+            empty = new_docs.limit(0).select(F.col(id_col))
+            return IncrementalIngestResult(
+                accepted=empty.select(
+                    id_col,
+                    F.lit(0.0).alias("quality"),
+                    F.lit(0).cast("bigint").alias("n_tokens"),
+                ),
+                verdicts=empty.select(id_col, F.lit("replayed").alias("verdict")),
+                corpus_version=_list_versions(corpus_root)[-1],
+                fp_version=_list_versions(fp_root)[-1],
+            )
+        if corpus_done and not fp_done:
+            # finish the interrupted second commit from the durable
+            # first one: the accepted docs are exactly the data files
+            # the batch's corpus commit ADDED (manifest diff), so no
+            # recompute — and critically no re-probe of a history that
+            # now already contains this batch
+            from igloo_spark.sources.versioned import _list_versions, _read_manifest
+
+            versions = _list_versions(corpus_root)
+            v = next(
+                v for v in versions
+                if _read_manifest(corpus_root, v).get("batch_id") == batch_id
+            )
+            prev_files = (
+                set(_read_manifest(corpus_root, versions[versions.index(v) - 1])["files"])
+                if versions.index(v) > 0
+                else set()
+            )
+            added = [
+                f for f in _read_manifest(corpus_root, v)["files"]
+                if f not in prev_files
+            ]
+            accepted = spark.read.parquet(*added) if added else read_versioned(
+                spark, corpus_root
+            ).limit(0)
+            fps = winnow_fp_rows(
+                accepted, id_col, text_col, k=span_k, w=span_w
+            ).select("fp").distinct()
+            fp_version = write_versioned(fps, fp_root, mode="append", batch_id=batch_id)
+            return IncrementalIngestResult(
+                accepted=accepted.select(id_col, "quality", "n_tokens"),
+                verdicts=accepted.select(
+                    F.col(id_col), F.lit("kept").alias("verdict")
+                ),
+                corpus_version=v,
+                fp_version=fp_version,
+            )
     try:
         history = read_versioned(spark, corpus_root)
         history_fp = read_versioned(spark, fp_root)
@@ -415,14 +487,60 @@ def incremental_ingest(
         accepted.select(id_col, text_col, "quality", "n_tokens"),
         corpus_root,
         mode="append",
+        batch_id=batch_id,
     )
     new_fps = winnow_fp_rows(accepted, id_col, text_col, k=span_k, w=span_w).select(
         "fp"
     ).distinct()
-    fp_version = write_versioned(new_fps, fp_root, mode="append")
+    fp_version = write_versioned(new_fps, fp_root, mode="append", batch_id=batch_id)
     return IncrementalIngestResult(
         accepted=accepted.select(id_col, "quality", "n_tokens"),
         verdicts=verdicts,
         corpus_version=corpus_version,
         fp_version=fp_version,
+    )
+
+
+def ingest_stream(
+    stream_docs: DataFrame,
+    store_root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.5,
+    span_k: int = 5,
+    span_w: int = 4,
+    min_shared: int = 2,
+    verdict_sink=None,
+):
+    """EXACTLY-ONCE streaming corpus ingestion: every micro-batch runs
+    the full :func:`incremental_ingest` admission (exact + near-dup vs
+    history, quality gate) and commits to the versioned corpus + fp
+    stores stamped with the micro-batch id. Structured Streaming
+    delivers at-least-once to foreachBatch; idempotent batch-id
+    commits (including the partial-crash recovery documented on
+    ``incremental_ingest``) make the store contents exactly-once —
+    the same txnVersion pattern as ``versioned_stream_sink``, extended
+    to a two-table transaction.
+
+    ``verdict_sink(verdicts_df, batch_id)`` optionally receives each
+    batch's per-doc admission verdicts. Returns the started
+    StreamingQuery (availableNow trigger).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        result = incremental_ingest(
+            batch_df, store_root, id_col, text_col,
+            min_quality=min_quality, span_k=span_k, span_w=span_w,
+            min_shared=min_shared, batch_id=batch_id,
+        )
+        if verdict_sink is not None:
+            verdict_sink(result.verdicts, batch_id)
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -384,3 +384,86 @@ def test_ingest_store_compacts_without_content_change(spark, tmp_path):
     after_df = read_versioned(spark, root + "/corpus")
     after = {tuple(r) for r in after_df.select("doc_id", "quality").collect()}
     assert before == after
+
+
+class TestExactlyOnceIngest:
+    def test_replay_is_noop_and_partial_crash_recovers(self, spark, tmp_path):
+        """batch_id idempotence: a full replay changes nothing; a crash
+        between the corpus and fp commits is repaired from the durable
+        corpus commit (no recompute against self-containing history)."""
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "st")
+        b = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine ten eleven twelve"),
+             (2, "totally different words in this second document right here now")],
+            "doc_id long, text string",
+        )
+        r = incremental_ingest(b, root, min_quality=0.0, batch_id=0)
+        assert r.corpus_version == 1 and r.fp_version == 1
+
+        # full replay: no new versions, no new rows
+        r2 = incremental_ingest(b, root, min_quality=0.0, batch_id=0)
+        assert r2.corpus_version == 1 and r2.fp_version == 1
+        assert read_versioned(spark, root + "/corpus").count() == 2
+        assert {x["verdict"] for x in r2.verdicts.collect()} <= {"replayed"}
+
+        # partial crash: batch 1's corpus commit lands, fp commit "lost"
+        b1 = spark.createDataFrame(
+            [(3, "yet another brand new document with its own novel content words")],
+            "doc_id long, text string",
+        )
+        from igloo_spark.functions.text import quality_score, token_count
+        from igloo_spark.sources.versioned import write_versioned
+
+        enriched = b1.select(
+            "doc_id", "text",
+            quality_score(F.col("text")).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        write_versioned(enriched, root + "/corpus", mode="append", batch_id=1)
+        n_fp_before = read_versioned(spark, root + "/fps").count()
+
+        r3 = incremental_ingest(b1, root, min_quality=0.0, batch_id=1)
+        assert r3.corpus_version == 2  # reused, not re-committed
+        assert read_versioned(spark, root + "/corpus").count() == 3
+        assert read_versioned(spark, root + "/fps").count() > n_fp_before
+        assert {x["doc_id"] for x in r3.accepted.collect()} == {3}
+
+    def test_streaming_ingest_exactly_once(self, spark, tmp_path):
+        """Two micro-batches through ingest_stream, then a checkpoint-
+        wiped re-run of the same source: store contents unchanged
+        (batch-id watermark rejects the replays)."""
+        import json
+
+        from igloo_spark.pipelines import ingest_stream
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "st2")
+        src = tmp_path / "ing_src"
+        src.mkdir()
+        (src / "b1.json").write_text(json.dumps(
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta words here"}))
+        (src / "b2.json").write_text(json.dumps(
+            {"doc_id": 2, "text": "second document totally unrelated content streaming in now ok"}))
+
+        def run(ckpt):
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            q = ingest_stream(stream, root, ckpt, min_quality=0.0)
+            q.awaitTermination(120)
+
+        run(str(tmp_path / "ck1"))
+        docs1 = sorted(r["doc_id"] for r in read_versioned(spark, root + "/corpus").collect())
+        assert docs1 == [1, 2]
+        n_fp = read_versioned(spark, root + "/fps").count()
+
+        # fresh checkpoint => batch ids restart at 0 and replay the
+        # same files; the store watermark makes every commit a no-op
+        run(str(tmp_path / "ck2"))
+        assert sorted(r["doc_id"] for r in read_versioned(spark, root + "/corpus").collect()) == [1, 2]
+        assert read_versioned(spark, root + "/fps").count() == n_fp
