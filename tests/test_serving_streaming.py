@@ -771,3 +771,53 @@ def test_streaming_weighted_admission(igloo, tmp_path):
     batch = spark.createDataFrame([(r["doc_id"], r["w"]) for r in rows], "doc_id long, w double")
     want = {r["doc_id"] for r in weighted_sample(batch, "doc_id", "w").collect()}
     assert got == want and got  # stream decisions == batch decisions
+
+
+def test_streaming_kl_drift_monitor(igloo, tmp_path):
+    """Drift monitor: a batch matching the reference distribution
+    scores near-zero KL with low OOV; a drifted batch (different
+    vocabulary) shows a high out-of-vocab fraction."""
+    from igloo_spark.streaming.monitor import batch_kl, kl_drift_stream, reference_distribution
+
+    spark = igloo.spark
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again " * 2) for i in range(10)],
+        "doc_id long, text string",
+    )
+    reference = reference_distribution(ref, top=50)
+
+    # batch-level unit check first: matching batch ≈ 0 KL, 0 OOV
+    match = spark.createDataFrame(
+        [(0, "webA", "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, source string, text string",
+    )
+    row = batch_kl(match, reference).first()
+    assert row["kl"] is not None and abs(row["kl"]) < 0.05
+    assert row["oov_frac"] == 0.0
+
+    # streaming path: second micro-batch has drifted vocabulary
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    (src / "b1.json").write_text(json.dumps(
+        {"doc_id": 1, "source": "webA",
+         "text": "the quick brown fox jumps over the lazy dog again"}))
+    (src / "b2.json").write_text(json.dumps(
+        {"doc_id": 2, "source": "webB",
+         "text": "völlig andere wörter aus einer anderen sprache hier jetzt"}))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    got: dict[str, tuple] = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[r["source"]] = (r["kl"], r["oov_frac"])
+
+    q = kl_drift_stream(stream, ref, sink, str(tmp_path / "kd_ckpt"))
+    q.awaitTermination(120)
+    assert got["webA"][1] == 0.0 and abs(got["webA"][0]) < 0.05
+    # fully drifted feed: every token out-of-vocabulary; KL undefined
+    # (NULL) over the empty in-vocab mass — but the source MUST appear
+    assert got["webB"][1] == 1.0 and got["webB"][0] is None, got
