@@ -26,8 +26,15 @@ from igloo_spark.streaming.cdc import (  # noqa: F401
     enrich_stream,
     windowed_counts,
 )
+from igloo_spark.streaming.monitor import (  # noqa: F401
+    batch_kl,
+    kl_drift_stream,
+    reference_distribution,
+)
 from igloo_spark.streaming.neardup import (  # noqa: F401
+    exactsubstr_clean_stream,
     neardup_gate_stream,
     score_batch_against_history,
+    semantic_gate_stream,
 )
 from igloo_spark.streaming.stateful import sessionize_stream  # noqa: F401
