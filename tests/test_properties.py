@@ -952,3 +952,54 @@ def test_kl_drift_differential_parity(igloo, docs, top):
         assert_matches_oracle(spec_fn(igloo.spark, d), oracle, d)
     finally:
         llm_ops.KL_VOCAB_TOP = old
+
+
+# --- weighted-sample clamp/NULL differential fuzz (x108 family) -----------
+
+
+@settings(**{**COMMON, "max_examples": 10})
+@given(
+    weights=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(-0.5, 1.5, allow_nan=False),
+            st.sampled_from([0.0, 1.0, 0.999999, 1e-7]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    salt=st.sampled_from(["s1", "s2", "wsample-v1"]),
+)
+def test_weighted_sample_differential_parity(igloo, weights, salt):
+    """Random weights including NULL, negative, and >1 values: the
+    Spark gate and its DuckDB twin must keep the identical id set
+    (clamping and NULL-drop semantics pinned cross-engine)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from igloo_spark.operators.packing import (
+        weighted_sample,
+        weighted_sample_sql_duckdb,
+    )
+
+    d = tempfile.mkdtemp()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(weights)), pa.int64()),
+            "wt": pa.array(weights, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/t.parquet")
+    df = igloo.spark.read.parquet(f"{d}/t.parquet")
+    got = weighted_sample(df, "doc_id", "wt", salt=salt).select("doc_id", "wt", "p_micro")
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/t.parquet')")
+    want = con.sql(weighted_sample_sql_duckdb("t", "doc_id", "wt", salt=salt)).fetchall()
+    con.close()
+    g = sorted((r["doc_id"], r["p_micro"]) for r in got.collect())
+    w = sorted((r[0], r[2]) for r in want)
+    assert g == w
