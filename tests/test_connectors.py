@@ -668,3 +668,22 @@ def test_diff_versions_prunes_shared_files(spark, tmp_path):
     write_versioned(kept, root, mode="overwrite")  # v4
     d34 = diff_versions(spark, root, ["id"], 3, 4)
     assert {(r["id"], r["change_type"]) for r in d34.collect()} == {(1, "delete")}
+
+
+def test_diff_versions_append_with_evolved_schema(spark, tmp_path):
+    """Schema evolution + append: manifest pruning still reports only
+    the appended rows as inserts (the shared base files never enter
+    the diff, so the old side's narrower schema is irrelevant)."""
+    from igloo_spark.sources.versioned import diff_versions, write_versioned
+
+    root = str(tmp_path / "vse")
+    write_versioned(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )  # v1
+    write_versioned(
+        spark.createDataFrame([(2, "b", 9)], "id long, v string, extra long"),
+        root,
+        mode="append",
+    )  # v2 — evolved schema
+    d = diff_versions(spark, root, ["id"], 1, 2)
+    assert {(r["id"], r["change_type"]) for r in d.collect()} == {(2, "insert")}
