@@ -511,3 +511,17 @@ def test_shared_subtree_exchange_budget(spark, qname, max_exchanges):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("Exchange hashpartitioning")
     assert n <= max_exchanges, f"{qname}: {n} exchanges (budget {max_exchanges})"
+
+
+def test_audit_report_covers_entire_corpus(spark):
+    """The CLI --audit path (plans.audit_report) must format every
+    declared query's plan without error — exotic shapes (checkpointed
+    RDD scans, generators, pandas-UDF stages, recursive CTEs) have
+    broken naive plan walkers before; this keeps the diagnostics
+    surface total."""
+    from igloo_spark.plans import audit_report
+    from igloo_spark.queries import all_queries
+
+    for name, spec in all_queries().items():
+        report = audit_report(spec.spark(spark, "/root/testdata/sf0.001"))
+        assert isinstance(report, str) and report, name
