@@ -1003,3 +1003,97 @@ def test_weighted_sample_differential_parity(igloo, weights, salt):
     g = sorted((r["doc_id"], r["p_micro"]) for r in got.collect())
     w = sorted((r[0], r[2]) for r in want)
     assert g == w
+
+
+# --- shuffle-shard / budget-select differential fuzz (x95/x100 family) ----
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    n=st.integers(1, 60),
+    shards=st.integers(1, 9),
+    salt=st.sampled_from(["shuffle-v1", "epoch-2"]),
+)
+def test_shuffle_shard_differential_parity(igloo, n, shards, salt):
+    """Random corpus sizes / shard counts / salts: the shard and
+    intra-shard position must match the DuckDB twin bit-for-bit."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from igloo_spark.operators.packing import shuffle_shard, shuffle_shard_sql_duckdb
+
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(0, 7 * n, 7), pa.int64())}),
+        f"{d}/t.parquet",
+    )
+    df = igloo.spark.read.parquet(f"{d}/t.parquet")
+    got = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shard(df, "doc_id", n_shards=shards, salt=salt).collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/t.parquet')")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            shuffle_shard_sql_duckdb("t", "doc_id", n_shards=shards, salt=salt)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 400), st.floats(0.0, 1.0, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    ),
+    budget_frac=st.floats(0.1, 1.2),
+)
+def test_budget_select_differential_parity(igloo, rows, budget_frac):
+    """Random (token, score) corpora and budgets (including budgets
+    larger than the corpus): the selected id set must match the DuckDB
+    twin exactly — boundary-bin hash gate and all."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from igloo_spark.operators.packing import budget_select, budget_select_sql_duckdb
+
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "toks": pa.array([t for t, _ in rows], pa.int64()),
+                "score": pa.array([round(s, 6) for _, s in rows], pa.float64()),
+            }
+        ),
+        f"{d}/t.parquet",
+    )
+    budget = max(1, int(sum(t for t, _ in rows) * budget_frac))
+    df = igloo.spark.read.parquet(f"{d}/t.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in budget_select(df, "doc_id", "toks", "score", budget).collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/t.parquet')")
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            budget_select_sql_duckdb("t", "doc_id", "toks", "score", budget)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
