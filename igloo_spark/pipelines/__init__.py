@@ -270,6 +270,7 @@ def write_training_shards(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    data_format: str = "parquet",
 ) -> dict:
     """Materialize the prepared corpus as the on-disk training
     artifact: one parquet directory per shard (``partitionBy(shard)``,
@@ -289,11 +290,15 @@ def write_training_shards(
         .repartition(F.col("shard"))
         .sortWithinPartitions("shard", "pos")
     )
-    out.write.partitionBy("shard").mode("overwrite").parquet(path)
+    if data_format not in ("parquet", "json"):
+        raise ValueError(f"data_format must be parquet|json, got {data_format!r}")
+    # json = JSONL shards (one document object per line), the format
+    # most training loaders stream natively; metadata stays parquet
+    out.write.partitionBy("shard").mode("overwrite").format(data_format).save(path)
     result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
     result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
     spark = docs.sparkSession
-    written = spark.read.parquet(path)
+    written = spark.read.format(data_format).load(path)
     return {
         "n_docs": written.count(),
         "n_shards": written.select("shard").distinct().count(),
