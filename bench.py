@@ -4,8 +4,9 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count()-style action (driver-side
-materialization excluded — we measure the engine, not row transfer);
+Each query is executed with a full-pipeline noop-format sink write
+(every operator including the final projection runs; driver-side row
+transfer excluded — we measure the engine, not collect());
 a warmup run of a trivial query absorbs JVM/session startup.
 """
 

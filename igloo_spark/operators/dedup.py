@@ -1093,7 +1093,11 @@ def contrastive_pairs(
     est_sim is matches/n_hashes — a rational with a fixed denominator,
     so both engines compare identical doubles and the hardest-negative
     argmax (max est_sim, tie → lowest partner id via a negated-id
-    struct) is deterministic under any partitioning.
+    struct) is deterministic under any partitioning. ``id_col`` must
+    be numeric: the tiebreak negates the partner id arithmetically
+    (cast to bigint explicitly, as semantic_decontaminate does) —
+    string ids would otherwise yield NULL negatives (non-ANSI) or
+    fail (ANSI).
 
     Scale: everything downstream of the band join operates on the
     candidate-pair stream (volume bounded by the hot-band cap), not
@@ -1131,7 +1135,7 @@ def contrastive_pairs(
             F.max(
                 F.struct(
                     F.col("est_sim").alias("neg_sim"),
-                    (-F.col("partner")).alias("np"),
+                    (-F.col("partner").cast("bigint")).alias("np"),
                 )
             ).alias("m")
         )

@@ -177,7 +177,14 @@ def write_postings_index(
     posting = tf.join(dfreq, "term").withColumn(
         "bucket", (hex_prefix_hash(F.col("term")) % n_buckets).cast("int")
     )
-    posting.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    # Repartition on the partition column BEFORE partitionBy (the
+    # sinks.write_parquet pattern): without it every upstream task of
+    # the corpus scan emits a file per bucket — tasks × n_buckets
+    # small files, millions at a many-thousand-task production build.
+    # With it each bucket value is written by exactly one task.
+    from igloo_spark.sinks import write_parquet
+
+    write_parquet(posting, path, partition_by="bucket")
     stats.write.mode("overwrite").parquet(path + "/_stats")
 
 

@@ -718,7 +718,13 @@ def write_ivf_index(
     assigned = ivf_assign(
         corpus, id_col, vec_col, centroids=centroids, n_cells=n_cells, dim=dim
     )
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    # Repartition on the partition column BEFORE partitionBy (the
+    # sinks.write_parquet pattern) — otherwise the build emits
+    # tasks × n_cells files (small-files fan-out at any real
+    # parallelism); with it, one task and one file per cell.
+    from igloo_spark.sinks import write_parquet
+
+    write_parquet(assigned, path, partition_by="cell")
     spark = corpus.sparkSession
     payload = _json.dumps([[float(v) for v in row] for row in centroids])
     spark.range(1).select(F.lit(payload).alias("centroids_json")).write.mode(

@@ -342,10 +342,17 @@ def incremental_ingest(
     Verdict order mirrors the batch pipeline: exact dup vs history and
     within-batch (``incremental_dedup`` — batch fingerprints
     broadcast, history semi-probed), then near-dup vs the fp store
-    (``score_batch_against_history`` — same posture), then the quality
-    gate. Survivors and their fingerprints commit as two appends;
-    history cost per batch is one scan-speed probe per store, never a
-    shuffle. First call bootstraps an empty store.
+    (``score_batch_against_history`` — same posture), then near-dup
+    WITHIN the batch (two near-duplicates arriving together keep only
+    the lowest id: each batch fingerprint's min-id doc is its
+    canonical owner, so the check is one batch-sized agg, never a
+    fp self-join), then the quality gate. Blank-text documents are
+    excluded up front and carry the verdict ``empty`` — every
+    ``new_docs`` row maps to exactly one verdict row
+    (kept/exact_dup/near_dup/low_quality/empty). Survivors and their
+    fingerprints commit as two appends; history cost per batch is one
+    scan-speed probe per store, never a shuffle. First call
+    bootstraps an empty store.
 
     ``batch_id`` (streaming / retried orchestration) makes the whole
     two-store commit idempotent. Corpus commits FIRST, fps second,
@@ -465,14 +472,42 @@ def incremental_ingest(
     near_ok = exact_ok.join(
         near.filter(~F.col("is_neardup")).select(id_col), id_col, "leftsemi"
     )
-    accepted = near_ok.filter(F.col("quality") >= min_quality).localCheckpoint(
+    # within-batch near-dup pass: the history probe can't see two
+    # near-duplicates that arrive in the SAME batch (their fps commit
+    # only after admission), so pair batch docs through their own
+    # winnowed fingerprints and keep the lowest id. The check is
+    # linear, not quadratic: doc X shares fp f with a lower-id batch
+    # doc iff min_id(f) < X, so one groupBy(fp).min(id) replaces the
+    # hot-fp-explosive self-join.
+    from igloo_spark.operators.dedup import winnow_fp_rows as _wfp
+
+    bf = _wfp(near_ok, id_col, text_col, k=span_k, w=span_w).distinct()
+    fp_owner = bf.groupBy("fp").agg(F.min(id_col).alias("__min_id"))
+    intra = (
+        bf.join(fp_owner, "fp")
+        .filter(F.col(id_col) > F.col("__min_id"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("__n_intra"))
+        .filter(F.col("__n_intra") >= min_shared)
+        .select(id_col, F.lit(True).alias("__intra_neardup"))
+    )
+    intra_ok = near_ok.join(intra.select(id_col), id_col, "left_anti")
+    accepted = intra_ok.filter(F.col("quality") >= min_quality).localCheckpoint(
         eager=False
     )
 
+    # verdicts are driven from new_docs, not batch, so blank-text
+    # rows removed by the pre-filter still map to a verdict ('empty')
     verdicts = (
-        batch.select(id_col)
+        new_docs.select(id_col)
+        .join(
+            batch.select(F.col(id_col), F.lit(True).alias("__nonblank")),
+            id_col,
+            "left",
+        )
         .join(dd.select(id_col, "dup_of"), id_col, "left")
         .join(near.select(id_col, "is_neardup"), id_col, "left")
+        .join(intra, id_col, "left")
         .join(
             accepted.select(F.col(id_col), F.lit(True).alias("__kept")),
             id_col,
@@ -480,9 +515,14 @@ def incremental_ingest(
         )
         .select(
             id_col,
-            F.when(F.col("__kept"), F.lit("kept"))
+            F.when(F.col("__nonblank").isNull(), F.lit("empty"))
+            .when(F.col("__kept"), F.lit("kept"))
             .when(F.col("dup_of") != "unique", F.lit("exact_dup"))
-            .when(F.coalesce(F.col("is_neardup"), F.lit(False)), F.lit("near_dup"))
+            .when(
+                F.coalesce(F.col("is_neardup"), F.lit(False))
+                | F.coalesce(F.col("__intra_neardup"), F.lit(False)),
+                F.lit("near_dup"),
+            )
             .otherwise(F.lit("low_quality"))
             .alias("verdict"),
         )

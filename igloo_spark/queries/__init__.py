@@ -25,80 +25,76 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- the seven round-5 additions that missed the r05 window:
-    # never driver-checked, first verdicts beat everything else --
-    "x92_triangle_count",
-    "x93_pmi_cooccurrence",
-    "x94_bigram_logprob",
-    "x95_corpus_shuffle_shards",
-    "x96_bpe_token_stats",
-    "x97_shared_spans",
-    "x98_span_removal",
-    # -- x44 still holds only an r01 verdict (yielded its r05 slot) --
-    "x44_ngram_jaccard_pairs",
-    # -- the r03-verdict backlog (two rounds stale), registry order.
-    # 43 queries hold r03 verdicts but only 42 slots remain:
-    # x47_ann_lsh_topk yields its slot because its code path is
-    # strictly nested inside x63_ann_lsh_multiprobe (single-probe is
-    # multiprobe with nprobe=1; same bucketing, same scoring) — it
-    # rotates first in r07. --
-    "x62_minhash_capped_pairs",
-    "x69_incremental_dedup",
-    "x45_embedding_neardup",
-    "x71_embedding_neardup_lsh",
-    "x46_ann_bruteforce_topk",
-    "x63_ann_lsh_multiprobe",
-    "x48_language_id",
-    "x49_quality_score",
-    "x50_token_stats",
-    "x52_stratified_sample",
-    "x65_sequence_packing",
-    "x66_data_mixture",
-    "x67_decontamination",
-    "x68_repetition_score",
-    "x53_topk_ngrams",
-    "x54_tfidf_top_terms",
-    "x51_multimodal_decode",
-    "x57_frame_sampling",
-    "x58_media_features",
-    "x60_outlier_filter",
-    "x61_salted_aggregation",
-    "x72_chunk_dedup",
-    "x73_column_profile",
-    "q51_ilike_distinct_from",
-    "q52_grouping_sets",
-    "q53_array_agg",
-    "q54_natural_using_join",
-    "q55_map_construction",
-    "q56_hash_hex_functions",
-    "q57_split_part_translate",
-    "q59_higher_order_lambdas",
-    "q60_posexplode",
-    "q61_unpivot",
-    "q62_try_arithmetic",
-    "q63_sequence_array_setops",
-    "q64_lateral_subquery",
-    "q65_str_to_map",
-    "q68_pivot",
-    "q69_recursive_cte",
-    "q70_edit_distance",
-    "q71_group_by_all",
-    "q77_union_by_name",
+    # -- the fourteen round-6 additions: never driver-checked, first
+    # verdicts beat everything else (r06 verdict task 1) --
+    "x99_winnow_cap_stats",
+    "x100_token_budget_select",
+    "x101_gopher_repetition",
+    "x102_dsir_importance",
+    "x103_k_anonymity",
+    "x104_source_quality_deciles",
+    "x105_bm25_retrieval",
+    "x106_semantic_decontamination",
+    "x107_diversity_cap_sample",
+    "x108_weighted_sample",
+    "x109_contrastive_pairs",
+    "x110_source_overlap",
+    "x111_source_kl_drift",
+    "x112_dup_family_histogram",
+    # -- x47 holds an r03 verdict (yielded its slot twice: its path is
+    # nested in x63's, but the staleness rule now wins) --
+    "x47_ann_lsh_topk",
+    # -- 35 of the 46 r04-stale queries, operator-heavy surface first
+    # (the deferred 11 are single-expression scalar-function queries:
+    # q58 q79 q84 q85 q86 q87 q88 q89 q90 q91 q94 — they rotate in
+    # r08) --
+    "x40_dedup_exact",
+    "x56_training_data_prep",
+    "x74_numeric_histogram",
+    "x75_dedup_manifest",
+    "x76_hypertable_rollup",
+    "x77_funnel",
+    "x78_retention_cohorts",
+    "x79_quantile_binning",
+    "x81_data_expectations",
+    "x82_pii_scrub",
+    "x83_rag_chunking",
+    "x84_touch_attribution",
+    "x85_url_dedup",
+    "x86_dataset_split",
+    "x88_unigram_logprob",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q13_stat_aggregates",
+    "q21_subqueries",
+    "q25_datetime_functions",
+    "q33_sessionization",
+    "q34_pivot_conditional",
+    "q35_json_extraction",
+    "q36_time_bucket_agg",
+    "q66_asof_join",
+    "q67_band_join",
+    "q76_session_window",
+    "q80_merge_upsert",
+    "q81_time_range_frame",
+    "q82_string_agg_ordered",
+    "q83_correlated_scalar_select",
+    "q92_bitmap_distinct",
+    "q93_rolling_zscore",
+    "q95_forward_fill",
 )
-# Round-6 rotation (executed, per the r05 verdict's task 1): x92–x98
-# first (first-ever driver verdicts), then x44 (r01-stale), then 42 of
-# the 43 r03-stale queries — exactly 50 entries, the driver's per-round
-# gate window. After this window every query's latest verdict is r04+
-# except x47_ann_lsh_topk (r03; path nested in the in-window x63) and
-# the fourteen queries added mid-round-6 (x99_winnow_cap_stats,
-# x100_token_budget_select, x101_gopher_repetition,
-# x102_dsir_importance, x103_k_anonymity,
-# x104_source_quality_deciles, x105_bm25_retrieval,
-# x106_semantic_decontamination, x107_diversity_cap_sample,
-# x108_weighted_sample, x109_contrastive_pairs, x110_source_overlap,
-# x111_source_kl_drift, x112_dup_family_histogram — never checked).
-# r07 rotation order: x99–x112, x47 first, then the oldest remaining
-# (r04) verdicts.
+# Round-7 rotation (executes the r06 verdict's task 1): the fourteen
+# never-driver-checked round-6 queries x99–x112 first, then
+# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then 35 of the
+# 46 r04-stale queries — exactly 50 entries, the driver's per-round
+# gate window. After this window every query's latest verdict is r05+
+# except the 11 deferred scalar-expression queries listed above (r04;
+# lowest-risk staleness: each is a single codegen'd expression with no
+# operator state) — they lead the r08 rotation, followed by the oldest
+# r05 verdicts. New round-7 queries (x113+) displace the TAIL of the
+# r04 block above if added before the driver gate runs, never the
+# fixed x99–x112 + x47 head.
 
 
 def all_queries():

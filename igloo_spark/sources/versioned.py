@@ -441,6 +441,17 @@ def diff_versions(
     shared = set(fa) & set(fb)
     old_files = [f for f in fa if f not in shared]
     new_files = [f for f in fb if f not in shared]
+    if not (fa or fb):
+        # both snapshots are empty (e.g. v0 vs an empty commit):
+        # nothing to diff and no file to borrow a value schema from —
+        # return an empty (key..., change_type) frame directly rather
+        # than handing spark.read.parquet a zero-path list.
+        from pyspark.sql import functions as F
+
+        schema = ", ".join(f"`{c}` string" for c in key_cols)
+        return spark.createDataFrame(
+            [], schema + ", change_type string"
+        )
 
     def _side(files: list[str]) -> DataFrame:
         if files:

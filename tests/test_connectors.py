@@ -687,3 +687,29 @@ def test_diff_versions_append_with_evolved_schema(spark, tmp_path):
     )  # v2 — evolved schema
     d = diff_versions(spark, root, ["id"], 1, 2)
     assert {(r["id"], r["change_type"]) for r in d.collect()} == {(2, "insert")}
+
+
+def test_diff_versions_two_empty_snapshots(spark, tmp_path):
+    """Diffing two snapshots whose manifests list no files returns an
+    empty diff instead of handing spark.read.parquet a zero-path list
+    (r06 ADVICE #4). Empty manifests can't come from write_versioned
+    (Spark emits a schema-only part file even for 0 rows) but can come
+    from external manifest tooling / retention repair, so they are
+    constructed directly here."""
+    import json as _json
+
+    from igloo_spark.sources.versioned import diff_versions
+
+    root = tmp_path / "vempty"
+    mdir = root / "manifests"
+    mdir.mkdir(parents=True)
+    for v in (1, 2):
+        (mdir / f"v{v:06d}.json").write_text(
+            _json.dumps(
+                {"version": v, "op": "overwrite", "committed_at": 0.0,
+                 "files": [], "batch_id": None}
+            )
+        )
+    d = diff_versions(spark, str(root), ["id"], 1, 2)
+    assert d.count() == 0
+    assert d.columns == ["id", "change_type"]

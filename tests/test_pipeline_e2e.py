@@ -339,6 +339,52 @@ class TestIncrementalIngest:
         then = {x["doc_id"] for x in read_versioned(spark, root + "/corpus", version=1).collect()}
         assert then == {1, 2}
 
+    def test_intra_batch_neardups_keep_lowest_id(self, spark, tmp_path):
+        """Two near-duplicates arriving in the SAME batch: the lower
+        id is admitted, the higher id gets verdict near_dup — the
+        within-batch fingerprint pass closes the window the
+        history-only probe leaves open (r06 ADVICE #1)."""
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "store_intra")
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        b = spark.createDataFrame(
+            [
+                (5, f"prefix words {shared} and some trailing filler text"),
+                (9, f"other opening {shared} with different closing words"),
+                (7, "a totally distinct document about nothing shared at all"),
+            ],
+            "doc_id long, text string",
+        )
+        r = incremental_ingest(b, root, min_quality=0.0, min_shared=1)
+        v = {x["doc_id"]: x["verdict"] for x in r.verdicts.collect()}
+        assert v[5] == "kept"
+        assert v[9] == "near_dup"
+        assert v[7] == "kept"
+        stored = {x["doc_id"] for x in read_versioned(spark, root + "/corpus").collect()}
+        assert stored == {5, 7}
+
+    def test_blank_docs_get_empty_verdict(self, spark, tmp_path):
+        """Every new_docs row maps to a verdict: blank/whitespace
+        text rows removed by the pre-filter carry 'empty' instead of
+        vanishing from the verdicts frame (r06 ADVICE #2)."""
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "store_blank")
+        b = spark.createDataFrame(
+            [
+                (1, "a perfectly ordinary document with plenty of words inside"),
+                (2, ""),
+                (3, "   "),
+            ],
+            "doc_id long, text string",
+        )
+        r = incremental_ingest(b, root, min_quality=0.0, min_shared=1)
+        v = {x["doc_id"]: x["verdict"] for x in r.verdicts.collect()}
+        assert v == {1: "kept", 2: "empty", 3: "empty"}
+        assert {x["doc_id"] for x in r.accepted.collect()} == {1}
+
     def test_rejected_docs_leave_no_fingerprints(self, spark, tmp_path):
         """Only ACCEPTED docs contribute to the fp store — a rejected
         near-dup must not poison future batches' probes."""
