@@ -146,37 +146,24 @@ def write_postings_index(
     n_buckets: int = 64,
 ) -> None:
     """Persist a BM25-ready inverted index: posting rows
-    (term, doc, tf, dl, n_t) PARTITIONED BY the term's hash bucket,
-    plus a 1-row ``_stats`` side table (N, avgdl).
+    (term, doc, tf, dl) PARTITIONED BY the term's hash bucket, plus a
+    1-row ``_stats`` side table (n_docs, sum_dl, avgdl, n_buckets).
 
     Build-once/probe-many for text, the mirror of the IVF cell layout
     for vectors: ``partitionBy(term)`` would create |vocabulary|
     directories (millions), so terms are hashed into ``n_buckets``
     partitions — a probe for Q terms reads at most Q bucket
-    directories and never rescans the corpus. Document frequency
-    ``n_t`` is denormalized onto every posting at build time so a
-    pruned probe has everything locally; global N/avgdl ride in the
-    side table."""
-    from igloo_spark.functions.hashing import hex_prefix_hash
+    directories and never rescans the corpus.
 
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.split(
-            F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " "), " "
-        ).alias("ws"),
-    ).select("doc", "ws", F.size("ws").cast("double").alias("dl"))
-    stats = toks.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).withColumn("n_buckets", F.lit(int(n_buckets)))
-    tf = (
-        toks.select("doc", "dl", F.explode("ws").alias("term"))
-        .groupBy("doc", "dl", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("n_t"))
-    posting = tf.join(dfreq, "term").withColumn(
-        "bucket", (hex_prefix_hash(F.col("term")) % n_buckets).cast("int")
-    )
+    Document frequency ``n_t`` is deliberately NOT stored: a probe
+    reads every posting row of its query terms anyway (they all live
+    in the pruned buckets), so n_t is recomputed there at query-sized
+    cost — and that is what makes :func:`append_postings` possible
+    at all, because a denormalized n_t would go stale on every old
+    row the moment a new document mentioning the term arrives.
+    ``sum_dl`` rides in the stats table so appends can update avgdl
+    exactly instead of deriving it from a rounded average."""
+    posting, stats = _posting_rows(docs, id_col, text_col, n_buckets)
     # Repartition on the partition column BEFORE partitionBy (the
     # sinks.write_parquet pattern): without it every upstream task of
     # the corpus scan emits a file per bucket — tasks × n_buckets
@@ -186,6 +173,82 @@ def write_postings_index(
 
     write_parquet(posting, path, partition_by="bucket")
     stats.write.mode("overwrite").parquet(path + "/_stats")
+
+
+def _posting_rows(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """(posting, stats) frames for one batch of documents — shared by
+    the full build and the append path so both produce bit-identical
+    posting rows."""
+    from igloo_spark.functions.hashing import hex_prefix_hash
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " "), " "
+        ).alias("ws"),
+    ).select("doc", "ws", F.size("ws").cast("double").alias("dl"))
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ).select(
+        "n_docs",
+        "sum_dl",
+        (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+        F.lit(int(n_buckets)).alias("n_buckets"),
+    )
+    posting = (
+        toks.select("doc", "dl", F.explode("ws").alias("term"))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .withColumn(
+            "bucket", (hex_prefix_hash(F.col("term")) % n_buckets).cast("int")
+        )
+    )
+    return posting, stats
+
+
+def append_postings(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a document batch to a :func:`write_postings_index`
+    layout WITHOUT rebuilding it — the incremental-maintenance half of
+    build-once/probe-many.
+
+    The new batch's posting rows are bucketed with the index's own
+    recorded ``n_buckets`` (a mismatched bucket count would route
+    terms to the wrong directories) and appended one-file-per-bucket;
+    the stats table advances exactly: n_docs' = n_docs + |batch|,
+    sum_dl' = sum_dl + Σ batch dl. Nothing already on disk is read or
+    rewritten — per-batch cost is one batch-sized tokenize + append,
+    independent of index size. Probe results after an append are
+    identical to a full rebuild over the union corpus because the
+    probe derives document frequency live from the pruned posting
+    rows (see :func:`write_postings_index`).
+
+    Appends accumulate one file per bucket per batch; compact with a
+    periodic full rebuild (or any parquet compaction) when file counts
+    matter. The caller must not append the same batch twice — the
+    index is a derived, rebuildable artifact, not a versioned store.
+    """
+    spark = new_docs.sparkSession
+    old = spark.read.parquet(path + "/_stats").first()
+    n_buckets = int(old["n_buckets"])
+    posting, batch_stats = _posting_rows(new_docs, id_col, text_col, n_buckets)
+    from igloo_spark.sinks import write_parquet
+
+    write_parquet(posting, path, partition_by="bucket", mode="append")
+    b = batch_stats.first()
+    n_docs = float(old["n_docs"]) + float(b["n_docs"])
+    sum_dl = float(old["sum_dl"]) + float(b["sum_dl"] or 0.0)
+    spark.createDataFrame(
+        [(n_docs, sum_dl, sum_dl / n_docs, n_buckets)],
+        "n_docs double, sum_dl double, avgdl double, n_buckets int",
+    ).write.mode("overwrite").parquet(path + "/_stats")
 
 
 def probe_postings_index(
@@ -199,19 +262,22 @@ def probe_postings_index(
     """BM25 top-k from a :func:`write_postings_index` layout without
     touching the corpus: the query's terms map to at most |query|
     hash buckets, applied as a LITERAL partition filter (static
-    pruning), and every quantity in the score (tf, dl, n_t) is local
-    to the pruned posting rows; N/avgdl broadcast from the 1-row
-    stats table, which also records the build's ``n_buckets`` so the
-    probe cannot be handed a mismatched bucket count (that would
-    silently prune to the WRONG directories and return bogus
-    empties). Returns the same (doc_id, score, rank) frame as
-    :func:`bm25_topk` computed live."""
+    pruning); tf and dl are local to the pruned posting rows, and
+    document frequency ``n_t`` is derived FROM those same rows (one
+    |query|-term aggregate broadcast back — the rows were being read
+    regardless, and computing df live is what lets
+    :func:`append_postings` extend the index without rewriting old
+    rows). N/avgdl broadcast from the 1-row stats table, which also
+    records the build's ``n_buckets`` so the probe cannot be handed a
+    mismatched bucket count (that would silently prune to the WRONG
+    directories and return bogus empties). Returns the same
+    (doc_id, score, rank) frame as :func:`bm25_topk` computed live."""
     from igloo_spark.functions.hashing import hex_prefix_hash
 
     terms = [t.lower() for t in query_terms]
     stats = spark.read.parquet(path + "/_stats")
     n_buckets = int(stats.select("n_buckets").first()[0])
-    stats = stats.drop("n_buckets")
+    stats = stats.select("n_docs", "avgdl")
     probe = spark.createDataFrame([(t,) for t in terms], "term string")
     buckets = sorted(
         {
@@ -226,7 +292,12 @@ def probe_postings_index(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
-    scored = posting.crossJoin(F.broadcast(stats))
+    dfreq = posting.groupBy("term").agg(
+        F.count("*").cast("double").alias("n_t")
+    )
+    scored = (
+        posting.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    )
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("n_t") + 0.5) / (F.col("n_t") + 0.5)
     )

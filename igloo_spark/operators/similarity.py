@@ -732,6 +732,43 @@ def write_ivf_index(
     ).parquet(path + "/_centroids")
 
 
+def append_ivf(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a :func:`write_ivf_index` layout
+    WITHOUT rebuilding it — incremental maintenance for the
+    build-once/probe-many ANN index.
+
+    The batch is assigned with the index's OWN ``_centroids`` side
+    table (never caller-supplied centroids: a drifted quantizer would
+    scatter the same vector space across different cells than the
+    existing rows, silently corrupting every future probe) and
+    appended one-file-per-cell. The quantizer is frozen at build
+    time, so probe-after-append is identical to a full rebuild over
+    the union corpus with the same centroids; per-batch cost is one
+    batch-sized assignment pass, independent of index size.
+
+    Appends accumulate one file per cell per batch — compact with a
+    periodic rebuild when file counts matter. The index is a derived,
+    rebuildable artifact: the caller must not append a batch twice.
+    """
+    import json as _json
+
+    spark = new_vectors.sparkSession
+    payload = spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+    centroids = _json.loads(payload)
+    assigned = ivf_assign(
+        new_vectors, id_col, vec_col, centroids=centroids,
+        n_cells=len(centroids), dim=len(centroids[0]),
+    )
+    from igloo_spark.sinks import write_parquet
+
+    write_parquet(assigned, path, partition_by="cell", mode="append")
+
+
 def probe_ivf_index(
     spark,
     path: str,

@@ -316,6 +316,30 @@ class IncrementalIngestResult:
     fp_version: int
 
 
+def _sync_postings_index(
+    accepted: "DataFrame", root: str | None, id_col: str, text_col: str
+) -> None:
+    """Build-or-append the derived BM25 postings index from one
+    batch's accepted docs (see ``incremental_ingest``). Empty batches
+    are skipped — building an index from zero docs would persist a
+    degenerate 0/0 avgdl."""
+    if root is None:
+        return
+    import os as _os
+
+    from igloo_spark.operators.retrieval import (
+        append_postings,
+        write_postings_index,
+    )
+
+    if accepted.limit(1).count() == 0:
+        return
+    if _os.path.isdir(_os.path.join(root, "_stats")):
+        append_postings(accepted, root, id_col=id_col, text_col=text_col)
+    else:
+        write_postings_index(accepted, root, id_col=id_col, text_col=text_col)
+
+
 def incremental_ingest(
     new_docs: DataFrame,
     store_root: str,
@@ -327,6 +351,7 @@ def incremental_ingest(
     span_w: int = 4,
     min_shared: int = 2,
     batch_id: int | None = None,
+    postings_index_root: str | None = None,
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -365,6 +390,16 @@ def incremental_ingest(
       files (the manifest diff vs the prior version — no recompute,
       and no re-probe of a history that now contains the batch) and
       only the missing fp append runs.
+
+    ``postings_index_root`` keeps a persisted BM25 postings index
+    (``operators.retrieval``) in sync with the corpus: the batch's
+    ACCEPTED docs are appended (first non-empty batch builds it), so
+    the index never needs a corpus rescan to reflect new docs. The
+    index is a derived, rebuildable artifact OUTSIDE the two-store
+    exactly-once contract: it updates after the fp commit, so a crash
+    in that narrow window leaves it lagging one batch (a replay
+    no-ops) — detect via stats.n_docs vs the corpus count and repair
+    with a full rebuild.
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
@@ -425,6 +460,7 @@ def incremental_ingest(
                 accepted, id_col, text_col, k=span_k, w=span_w
             ).select("fp").distinct()
             fp_version = write_versioned(fps, fp_root, mode="append", batch_id=batch_id)
+            _sync_postings_index(accepted, postings_index_root, id_col, text_col)
             return IncrementalIngestResult(
                 accepted=accepted.select(id_col, "quality", "n_tokens"),
                 verdicts=accepted.select(
@@ -538,6 +574,7 @@ def incremental_ingest(
         "fp"
     ).distinct()
     fp_version = write_versioned(new_fps, fp_root, mode="append", batch_id=batch_id)
+    _sync_postings_index(accepted, postings_index_root, id_col, text_col)
     return IncrementalIngestResult(
         accepted=accepted.select(id_col, "quality", "n_tokens"),
         verdicts=verdicts,

@@ -1097,3 +1097,94 @@ def test_budget_select_differential_parity(igloo, rows, budget_frac):
     )
     con.close()
     assert got == want
+
+
+# --- x102 / x104 full query-vs-oracle differential fuzz -------------------
+# These two queries carry integer truncating-div / floor'd micro-unit
+# contracts (DSIR nano-units per feature; 1000-bin decile quantization)
+# — exactly the arithmetic that drifts cross-engine on edge inputs.
+# Rather than fuzzing an operator against a twin SQL helper, these
+# fuzz the REGISTERED (query, oracle) pair itself over randomized
+# documents fixtures — the same comparison the driver's gate runs.
+
+_FUZZ_VOCAB = [
+    "the", "and", "alpha", "beta", "gamma", "vector", "join", "stream",
+    "hash", "data", "a", "?!", "...", "x1", "zz",
+]
+_doc_text = st.lists(
+    st.sampled_from(_FUZZ_VOCAB), min_size=1, max_size=25
+).map(" ".join)
+
+
+def _write_documents_fixture(rows):
+    """Write a temp documents.parquet with the driver-fixture schema;
+    returns the sf_dir to point both engines at."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array([t for t, _, _ in rows], pa.string()),
+                "lang": pa.array([l for _, l, _ in rows], pa.string()),
+                "source": pa.array([s for _, _, s in rows], pa.string()),
+                "n_chars": pa.array([len(t) for t, _, _ in rows], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    return d
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(
+            _doc_text,
+            st.sampled_from(["en", "de", "fr"]),
+            st.sampled_from(["web", "forum", "wiki"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dsir_importance_differential_parity(igloo, rows):
+    """x102 over random corpora (single-token docs with zero bigram
+    features, repeated tokens, skewed lang mixes): the hashed-bigram
+    log-ratio micro-units, floor'd nanos-per-feature, and target_like
+    flag must match the DuckDB oracle bit-for-bit."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x102_dsir_importance"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(
+            _doc_text,
+            st.sampled_from(["en", "de"]),
+            st.sampled_from(["web", "forum", "wiki", "s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_source_deciles_differential_parity(igloo, rows):
+    """x104 over random corpora (tiny sources, tied quality scores,
+    single-doc sources): the 1000-bin quantized decile assignment —
+    truncating (10*below)//ntot capped at 9 — must match the DuckDB
+    oracle exactly for every doc."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x104_source_quality_deciles"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)

@@ -1,0 +1,203 @@
+"""Round-7 operator tests: incremental maintenance of the persisted
+BM25 postings / IVF ANN indexes (append == full rebuild), and the
+ingest-pipeline wiring that keeps the postings index in sync."""
+
+from pyspark.sql import functions as F
+
+
+def _probe_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestAppendPostings:
+    def test_append_matches_full_rebuild(self, spark, tmp_path):
+        """Two-batch parity (r06 verdict task 3): build from batch 1 +
+        append batch 2 probes hash-identically to a full rebuild over
+        the union corpus — possible because document frequency is
+        derived live from the pruned posting rows, never stored."""
+        from igloo_spark.operators.retrieval import (
+            append_postings,
+            probe_postings_index,
+            write_postings_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        docs = load_testdata_table(spark, "/root/testdata/sf0.001", "documents")
+        b1 = docs.filter(F.col("doc_id") % 2 == 0)
+        b2 = docs.filter(F.col("doc_id") % 2 == 1)
+        terms = ["vector", "join", "stream", "hash"]
+
+        inc = str(tmp_path / "inc")
+        write_postings_index(b1, inc, n_buckets=16)
+        append_postings(b2, inc)
+
+        full = str(tmp_path / "full")
+        write_postings_index(docs, full, n_buckets=16)
+
+        got = _probe_rows(probe_postings_index(spark, inc, terms, k=10))
+        want = _probe_rows(probe_postings_index(spark, full, terms, k=10))
+        assert got == want and got
+
+    def test_append_matches_live_bm25(self, spark, tmp_path):
+        """After an append the probe still equals bm25_topk computed
+        live over the whole (union) corpus — stats and df reflect the
+        appended docs."""
+        from igloo_spark.operators.retrieval import (
+            append_postings,
+            bm25_topk,
+            probe_postings_index,
+            write_postings_index,
+        )
+
+        b1 = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "beta delta")],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            [(2, "alpha alpha epsilon"), (3, "zeta beta alpha")],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "p")
+        write_postings_index(b1, path, n_buckets=4)
+        append_postings(b2, path)
+        got = _probe_rows(probe_postings_index(spark, path, ["alpha", "beta"], k=4))
+        want = _probe_rows(bm25_topk(b1.unionAll(b2), "doc_id", "text",
+                                     ["alpha", "beta"], k=4))
+        assert got == want and len(got) == 4
+
+    def test_append_uses_index_bucket_count(self, spark, tmp_path):
+        """The append buckets new postings with the index's recorded
+        n_buckets (not a caller default) — a mismatch would route
+        terms to wrong directories and silently lose them from pruned
+        probes."""
+        from igloo_spark.operators.retrieval import (
+            append_postings,
+            probe_postings_index,
+            write_postings_index,
+        )
+
+        b1 = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+        b2 = spark.createDataFrame([(1, "alpha gamma")], "doc_id long, text string")
+        path = str(tmp_path / "pb")
+        write_postings_index(b1, path, n_buckets=5)  # non-default
+        append_postings(b2, path)
+        stats = spark.read.parquet(path + "/_stats").first()
+        assert stats["n_buckets"] == 5 and stats["n_docs"] == 2.0
+        got = probe_postings_index(spark, path, ["alpha"], k=5)
+        assert {r["doc_id"] for r in got.collect()} == {0, 1}
+
+    def test_append_layout_one_file_per_bucket_per_batch(self, spark, tmp_path):
+        """Appends stay small-files-safe: each batch adds at most one
+        file per bucket directory (repartition-before-partitionBy on
+        the append path too)."""
+        from igloo_spark.operators.retrieval import (
+            append_postings,
+            write_postings_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        docs = load_testdata_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).repartition(16)
+        path = tmp_path / "pl"
+        write_postings_index(docs, str(path), n_buckets=8)
+        append_postings(docs.withColumn("doc_id", F.col("doc_id") + 10_000), str(path))
+        for bdir in sorted(path.glob("bucket=*")):
+            files = list(bdir.glob("*.parquet"))
+            assert len(files) <= 2, (bdir, files)
+
+
+class TestAppendIvf:
+    def test_append_matches_full_rebuild(self, spark, tmp_path):
+        """Build from half the vectors + append the other half probes
+        identically to a full rebuild with the same centroids — the
+        quantizer is frozen in the index's _centroids side table and
+        appends always assign with it."""
+        from igloo_spark.operators.similarity import (
+            append_ivf,
+            probe_ivf_index,
+            write_ivf_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        b1 = emb.filter(F.col("vec_id") % 2 == 0)
+        b2 = emb.filter(F.col("vec_id") % 2 == 1)
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+
+        inc = str(tmp_path / "ivf_inc")
+        write_ivf_index(b1, inc)
+        append_ivf(b2, inc)
+
+        full = str(tmp_path / "ivf_full")
+        write_ivf_index(emb, full)
+
+        got = _probe_rows(
+            probe_ivf_index(spark, inc, queries, k=5, nprobe=2)
+            .select("query_id", "rank", "neighbor_id")
+        )
+        want = _probe_rows(
+            probe_ivf_index(spark, full, queries, k=5, nprobe=2)
+            .select("query_id", "rank", "neighbor_id")
+        )
+        assert got == want and got
+
+    def test_append_preserves_centroids(self, spark, tmp_path):
+        from igloo_spark.operators.similarity import append_ivf, write_ivf_index
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ivf_c")
+        write_ivf_index(emb.limit(50), path)
+        before = spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+        append_ivf(emb.filter(F.col("vec_id") >= 50).limit(50), path)
+        after = spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+        assert before == after
+
+
+class TestIngestIndexSync:
+    def test_two_batch_ingest_keeps_index_probeable(self, spark, tmp_path):
+        """incremental_ingest(postings_index_root=...) builds the
+        index from batch 1's accepted docs and appends batch 2's —
+        after both batches a probe equals a full rebuild over the
+        corpus store (only ACCEPTED docs are indexed)."""
+        from igloo_spark.operators.retrieval import (
+            probe_postings_index,
+            write_postings_index,
+        )
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "store")
+        idx = str(tmp_path / "idx")
+        b1 = spark.createDataFrame(
+            [
+                (1, "spark engine joins vectors with hash partitions today"),
+                (2, "a second document about streams and watermarks here"),
+            ],
+            "doc_id long, text string",
+        )
+        incremental_ingest(b1, root, min_quality=0.0, min_shared=1,
+                           postings_index_root=idx)
+        b2 = spark.createDataFrame(
+            [
+                (3, "vectors and joins appear again in this new batch text"),
+                (4, "spark engine joins vectors with hash partitions today"),  # exact dup -> rejected
+            ],
+            "doc_id long, text string",
+        )
+        incremental_ingest(b2, root, min_quality=0.0, min_shared=1,
+                           postings_index_root=idx)
+
+        rebuilt = str(tmp_path / "idx_rebuilt")
+        corpus = read_versioned(spark, root + "/corpus")
+        write_postings_index(corpus, rebuilt, n_buckets=64)
+
+        terms = ["vectors", "joins", "streams"]
+        got = _probe_rows(probe_postings_index(spark, idx, terms, k=10))
+        want = _probe_rows(probe_postings_index(spark, rebuilt, terms, k=10))
+        assert got == want and got
+        # the rejected exact dup (doc 4) is absent from the index
+        assert all(r[0] != 4 for r in got)
+        stats = spark.read.parquet(idx + "/_stats").first()
+        assert stats["n_docs"] == float(corpus.count())
