@@ -113,11 +113,47 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 "in this environment — use fake=True for the deterministic stub"
             ) from e
 
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                yield _pil_decode(batch)
+
+        return df.mapInPandas(run_real, schema=DECODED_SCHEMA)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             yield _fake_decode(batch)
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def _pil_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Real codec decode (PIL) through the identical Arrow batch
+    shape as the fake path. Only runs where PIL is installed — this
+    container ships no codec, so the function is exercised by the
+    ``pytest.importorskip('PIL')``-gated tests that activate
+    automatically the moment an image refresh adds the library
+    (same pattern as the jar-gated Avro/Iceberg sources)."""
+    import io
+
+    from PIL import Image
+
+    widths, heights = [], []
+    for payload in batch["payload"]:
+        with Image.open(io.BytesIO(payload)) as im:
+            widths.append(int(im.width))
+            heights.append(int(im.height))
+    w = pd.Series(widths, index=batch.index, dtype="int64")
+    h = pd.Series(heights, index=batch.index, dtype="int64")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "mime": batch["media_meta"].map(lambda m: m["mime"]),
+            "byte_size": batch["payload"].map(len).astype("int64"),
+            "width": w,
+            "height": h,
+            "n_pixels": (w * h).astype("int64"),
+        }
+    )
 
 
 def resize_media(decoded: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:

@@ -205,9 +205,22 @@ def test_sf1_headline_totals(spark, tmp_path):
             out = out.unionByName(c)
         out.write.parquet(str(sf1 / f"{t}.parquet"))
 
+    corpus = all_queries()
     specs = sorted(
-        (s for s in all_queries().values() if s.bench), key=lambda s: s.name
+        (s for s in corpus.values() if s.bench), key=lambda s: s.name
     )
+    # + the extended bench set (bench.py _EXTENDED): retrieval, drift,
+    # winnowing and sharding shapes get the same sub-linear guard as
+    # the legacy 14 (r06 verdict stretch item)
+    specs += [
+        corpus[n]
+        for n in (
+            "x89_winnowing_pairs",
+            "x95_corpus_shuffle_shards",
+            "x105_bm25_retrieval",
+            "x111_source_kl_drift",
+        )
+    ]
     totals = {}
     for sf_name, sf_dir in (("sf0.1", SF), ("sf1", str(sf1))):
         per_q = {}

@@ -154,14 +154,48 @@ def test_multimodal_resize_plumbing(spark):
 
 
 def test_multimodal_real_decode_is_gated(spark):
+    import pytest as _pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL present — the real-decode path applies (test below)")
+    except ImportError:
+        pass
     from igloo_spark.operators.multimodal import attach_binary, decode_media
     from igloo_spark.sources import load_testdata_table
-
-    import pytest as _pytest
 
     docs = load_testdata_table(spark, SF_SMOKE, "documents").limit(1)
     with _pytest.raises(NotImplementedError):
         decode_media(attach_binary(docs, "doc_id", "text"), fake=False)
+
+
+def test_multimodal_real_decode_with_pil(spark, tmp_path):
+    """Flips on automatically the moment a container refresh ships
+    PIL (importorskip — the jar-gated-source pattern): a real PNG
+    decoded through the same binaryFile → from_binary_files →
+    decode_media(fake=False) plumbing must report its true geometry."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from igloo_spark.operators.multimodal import decode_media, from_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    img = Image.new("RGB", (17, 9), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    (media / "a.png").write_bytes(buf.getvalue())
+
+    files = spark.read.format("binaryFile").load(str(media))
+    out = decode_media(from_binary_files(files, mime="image/png"), fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height, r.n_pixels) == (17, 9, 153)
 
 
 def test_multi_source_federation(igloo, tmp_path):
