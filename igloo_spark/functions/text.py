@@ -388,3 +388,51 @@ def ngram_run_stats(text: Column, n: int) -> Column:
         )
 
     return F.aggregate(grams, zero, _merge, _finish)
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy of the document's character distribution in
+    bits/char, rounded to 6 decimals: H = log2(n) − (Σ_c c·log2 c)/n
+    over per-character counts c. Computed entirely INSIDE the row —
+    sort the character array and fold runs of equal neighbours
+    accumulating Σ c·log2 c (the ``ngram_run_stats`` pattern) — so
+    the gibberish gate is a zero-shuffle scan-stage projection; the
+    explode-per-character + groupBy alternative would shuffle on the
+    most expensive key a corpus has. Empty text → 0.0."""
+    chars = F.sort_array(F.split(text, ""))
+    n = F.size(chars).cast("double")
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("double").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def _close(acc: Column) -> Column:
+        # fold the finished run into the Σ c·log2 c accumulator
+        return acc["s"] + F.when(
+            acc["prev"].isNotNull(), acc["run"] * F.log2(acc["run"])
+        ).otherwise(F.lit(0.0))
+
+    def _merge(acc: Column, x: Column) -> Column:
+        return (
+            F.when(
+                x == acc["prev"],
+                F.struct(
+                    x.alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["s"].alias("s"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("double").alias("run"),
+                    _close(acc).alias("s"),
+                )
+            )
+        )
+
+    clogc = F.aggregate(chars, zero, _merge, _close)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.log2(n) - clogc / n, 6)
+    )

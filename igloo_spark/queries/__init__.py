@@ -44,9 +44,18 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # -- x47 holds an r03 verdict (yielded its slot twice: its path is
     # nested in x63's, but the staleness rule now wins) --
     "x47_ann_lsh_topk",
-    # -- 35 of the 46 r04-stale queries, operator-heavy surface first
-    # (the deferred 11 are single-expression scalar-function queries:
-    # q58 q79 q84 q85 q86 q87 q88 q89 q90 q91 q94 — they rotate in
+    # -- the four round-7 additions: never checked, and landing them
+    # in THIS window keeps the never-verified backlog at zero instead
+    # of repeating the r06 pattern (new queries waiting a full round
+    # for their first verdict) --
+    "x113_ann_recall",
+    "x114_temperature_mixture",
+    "x115_char_entropy",
+    "x116_blocklist_filter",
+    # -- 31 of the 46 r04-stale queries, operator-heavy surface first
+    # (the deferred 15 are the 11 single-expression scalar-function
+    # queries q58 q79 q84 q85 q86 q87 q88 q89 q90 q91 q94 plus the 4
+    # displaced by x113–x116: q83 q92 q93 q95 — they rotate in
     # r08) --
     "x40_dedup_exact",
     "x56_training_data_prep",
@@ -79,22 +88,17 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q80_merge_upsert",
     "q81_time_range_frame",
     "q82_string_agg_ordered",
-    "q83_correlated_scalar_select",
-    "q92_bitmap_distinct",
-    "q93_rolling_zscore",
-    "q95_forward_fill",
 )
 # Round-7 rotation (executes the r06 verdict's task 1): the fourteen
 # never-driver-checked round-6 queries x99–x112 first, then
-# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then 35 of the
-# 46 r04-stale queries — exactly 50 entries, the driver's per-round
-# gate window. After this window every query's latest verdict is r05+
-# except the 11 deferred scalar-expression queries listed above (r04;
-# lowest-risk staleness: each is a single codegen'd expression with no
-# operator state) — they lead the r08 rotation, followed by the oldest
-# r05 verdicts. New round-7 queries (x113+) displace the TAIL of the
-# r04 block above if added before the driver gate runs, never the
-# fixed x99–x112 + x47 head.
+# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then the four
+# round-7 additions x113–x116 (first verdicts in their OWN round —
+# no never-checked backlog carried forward), then 31 of the 46
+# r04-stale queries — exactly 50 entries, the driver's per-round gate
+# window. After this window every query's latest verdict is r05+
+# except the 15 deferred r04 queries listed above (11 single-
+# codegen'd-expression scalar queries + the 4 displaced by x113–x116)
+# — they lead the r08 rotation, followed by the oldest r05 verdicts.
 
 
 def all_queries():

@@ -3634,3 +3634,234 @@ def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("canonical_id").cast("bigint").alias("n_families"),
         F.count("*").cast("bigint").alias("n_docs"),
     )
+
+
+# --- x113: ANN recall@k evaluation (LSH multiprobe vs exact) --------------
+
+
+def _x113_oracle() -> str:
+    return f"""
+    WITH exact AS (
+        SELECT query_id, neighbor_id FROM ({_ann_bruteforce_oracle()}) e
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id
+        FROM ({_ann_lsh_multiprobe_oracle(LSH_PROBE_BUCKETS)}) a
+    ),
+    hit AS (
+        SELECT exact.query_id,
+               CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS h
+        FROM exact LEFT JOIN approx USING (query_id, neighbor_id)
+    )
+    SELECT query_id,
+           CAST(sum(h) AS BIGINT) AS n_hits,
+           round(CAST(sum(h) AS DOUBLE) / {ANN_K}, 6) AS recall_at_k
+    FROM hit GROUP BY query_id
+    """
+
+
+@register(
+    "x113_ann_recall",
+    f"ANN quality eval: recall@{ANN_K} of multi-probe LSH against the exact top-{ANN_K}",
+    _x113_oracle(),
+    tags=("similarity", "eval", "llm"),
+)
+def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval harness that justifies shipping an approximate index:
+    per-query recall@k of the multi-probe LSH retrieval (x63's path)
+    against the exact brute-force top-k (x46's path). Production
+    posture: the exact side is the EXPENSIVE baseline you only ever
+    pay on a small query sample (here |queries| = 3), never the
+    corpus — so the eval costs one sampled brute-force pass + the
+    approximate query under test, and the comparison itself is a
+    k×|sample|-row join. Run it on every index build; a recall drop
+    is how quantizer/probe-count regressions surface before a model
+    trains on the wrong neighbors."""
+    from igloo_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(
+        emb, queries, "vec_id", "embedding", ANN_K, LSH_N_PLANES, EMB_DIM,
+        n_probe_buckets=LSH_PROBE_BUCKETS,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("h"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double") / ANN_K, 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+# --- x114: temperature-scaled source mixture weights ----------------------
+
+TEMP_ALPHA = 0.3       # mT5/XLM-R style sampling temperature exponent
+TEMP_BUDGET = 10_000   # documents to allocate across sources
+
+
+@register(
+    "x114_temperature_mixture",
+    f"temperature-scaled (alpha={TEMP_ALPHA}) source sampling weights + budget allocation",
+    f"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(n) AS tot FROM c),
+    u AS (SELECT source, n, pow(n / tot, {TEMP_ALPHA}) AS u FROM c, t),
+    s AS (SELECT sum(u) AS su FROM u)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           round(u / su, 6) AS weight,
+           CAST(floor({TEMP_BUDGET} * u / su) AS BIGINT) AS alloc_docs
+    FROM u, s
+    """,
+    tags=("sampling", "mixture", "llm"),
+)
+def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture rebalancing (the multilingual-
+    pretraining standard: raise each source's mass to alpha < 1 and
+    renormalize, so head sources shrink and tail sources grow —
+    alpha=1 is proportional sampling, alpha→0 is uniform). Complements
+    x66's fixed hash-gate rates: here the weights are COMPUTED from
+    the corpus itself. Shape: one |sources|-row partial aggregate,
+    then two broadcast scalars (total, normalizer) ride the plan —
+    nothing corpus-sized ever shuffles, identical at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").cast("double").alias("n"))
+    tot = c.agg(F.sum("n").alias("tot"))
+    u = c.crossJoin(F.broadcast(tot)).select(
+        "source", "n", F.pow(F.col("n") / F.col("tot"), TEMP_ALPHA).alias("u")
+    )
+    su = u.agg(F.sum("u").alias("su"))
+    return u.crossJoin(F.broadcast(su)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("u") / F.col("su"), 6).alias("weight"),
+        F.floor(F.lit(float(TEMP_BUDGET)) * F.col("u") / F.col("su"))
+        .cast("bigint")
+        .alias("alloc_docs"),
+    )
+
+
+# --- x115: character-entropy gibberish gate -------------------------------
+
+ENTROPY_LOW_BITS = 3.0  # below ~3 bits/char natural text is suspect
+
+
+@register(
+    "x115_char_entropy",
+    "per-doc character Shannon entropy (bits/char) + low-entropy gibberish flag",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+    ),
+    chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d
+    ),
+    cc AS (
+        SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM chars GROUP BY doc_id, ch
+    ),
+    h AS (
+        SELECT doc_id,
+               sum(c) AS n,
+               round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+        FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_counted,
+           entropy_bits,
+           entropy_bits < {ENTROPY_LOW_BITS} AS low_entropy
+    FROM h
+    """,
+    tags=("quality", "text", "llm"),
+)
+def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish gate (the CCNet/RefinedWeb-family
+    cheap filter that catches base64 blobs, keyboard mash, and
+    single-char floods that the word-level heuristics miss). The
+    entropy H = log2(n) − (Σ c·log2 c)/n is folded INSIDE each row
+    over the doc's sorted character array (the x101 sorted-run
+    pattern) — a zero-shuffle scan-stage projection; the obvious
+    explode(chars) + groupBy alternative would shuffle one row per
+    CHARACTER, the most expensive possible key at 100 TB. The DuckDB
+    oracle intentionally uses that explode shape — same statistic
+    through a maximally different plan."""
+    from igloo_spark.functions.text import char_entropy
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ent = char_entropy(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_counted"),
+        ent.alias("entropy_bits"),
+        (ent < ENTROPY_LOW_BITS).alias("low_entropy"),
+    )
+
+
+# --- x116: blocklist phrase filter ----------------------------------------
+
+BLOCKLIST_TERMS = ("dup", "slow", "drop")
+BLOCK_MIN_HITS = 2
+
+
+def _x116_oracle() -> str:
+    toks = "string_split(regexp_replace(lower(trim(text)), '[ ]+', ' ', 'g'), ' ')"
+    in_list = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+    distinct_terms = " + ".join(
+        f"(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END)"
+        for t in BLOCKLIST_TERMS
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {toks} AS ws FROM documents
+        WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ws, t -> t IN ({in_list}))) AS BIGINT) AS n_hits,
+           CAST({distinct_terms} AS BIGINT) AS n_terms,
+           len(list_filter(ws, t -> t IN ({in_list}))) >= {BLOCK_MIN_HITS} AS blocked
+    FROM base
+    """
+
+
+@register(
+    "x116_blocklist_filter",
+    f"token blocklist gate: occurrence + distinct-term counts over {len(BLOCKLIST_TERMS)} banned terms",
+    _x116_oracle(),
+    tags=("quality", "text", "llm"),
+)
+def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering (the UT1/adult-domain-list stage every web
+    pipeline runs): per doc, total occurrences of banned terms, how
+    many DISTINCT banned terms appear, and the block verdict. Token-
+    exact matching on the shared whitespace tokenizer — not a regex
+    over raw text, whose word-boundary assertions double-count or
+    miss at adjacent occurrences and drift between regex engines.
+    Zero-shuffle: both counts fold inside the row (array filter +
+    per-term array_contains), so the gate rides the scan stage at any
+    corpus size; the term list broadcasts by construction (it is a
+    literal array, thousands of entries at production scale — still
+    literal-sized, never data-sized)."""
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "), " "
+    )
+    hits = F.filter(toks, lambda t: t.isin(*BLOCKLIST_TERMS))
+    n_hits = F.size(hits).cast("bigint")
+    n_terms = sum(
+        F.array_contains(toks, t).cast("int") for t in BLOCKLIST_TERMS
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_hits.alias("n_hits"),
+        n_terms.alias("n_terms"),
+        (n_hits >= BLOCK_MIN_HITS).alias("blocked"),
+    )
