@@ -251,6 +251,18 @@ def append_postings(
     ).write.mode("overwrite").parquet(path + "/_stats")
 
 
+def optimize_postings(spark, path: str) -> None:
+    """Compact a postings index back to one file per bucket directory
+    after a run of :func:`append_postings` batches (each append adds a
+    file per bucket; N appends → N+1 files per directory → footer and
+    open-file overhead on every probe). Index-sized read+write, corpus
+    never touched; ``_stats`` passes through unchanged, so probes
+    before and after are identical."""
+    from igloo_spark.sinks import compact_partition_dirs
+
+    compact_partition_dirs(spark, path, "bucket", side_dirs=("_stats",))
+
+
 def probe_postings_index(
     spark,
     path: str,

@@ -769,6 +769,16 @@ def append_ivf(
     write_parquet(assigned, path, partition_by="cell", mode="append")
 
 
+def optimize_ivf(spark, path: str) -> None:
+    """Compact an IVF index back to one file per cell directory after
+    a run of :func:`append_ivf` batches — the same maintenance pass as
+    ``retrieval.optimize_postings``, carrying the ``_centroids`` side
+    table through untouched (the quantizer stays frozen)."""
+    from igloo_spark.sinks import compact_partition_dirs
+
+    compact_partition_dirs(spark, path, "cell", side_dirs=("_centroids",))
+
+
 def probe_ivf_index(
     spark,
     path: str,

@@ -52,10 +52,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x114_temperature_mixture",
     "x115_char_entropy",
     "x116_blocklist_filter",
-    # -- 31 of the 46 r04-stale queries, operator-heavy surface first
-    # (the deferred 15 are the 11 single-expression scalar-function
-    # queries q58 q79 q84 q85 q86 q87 q88 q89 q90 q91 q94 plus the 4
-    # displaced by x113–x116: q83 q92 q93 q95 — they rotate in
+    "x117_minhash_error_audit",
+    # -- 30 of the 46 r04-stale queries, operator-heavy surface first
+    # (the deferred 16 are the 11 single-expression scalar-function
+    # queries q58 q79 q84 q85 q86 q87 q88 q89 q90 q91 q94 plus the 5
+    # displaced by x113–x117: q82 q83 q92 q93 q95 — they rotate in
     # r08) --
     "x40_dedup_exact",
     "x56_training_data_prep",
@@ -87,17 +88,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q76_session_window",
     "q80_merge_upsert",
     "q81_time_range_frame",
-    "q82_string_agg_ordered",
 )
 # Round-7 rotation (executes the r06 verdict's task 1): the fourteen
 # never-driver-checked round-6 queries x99–x112 first, then
-# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then the four
-# round-7 additions x113–x116 (first verdicts in their OWN round —
-# no never-checked backlog carried forward), then 31 of the 46
+# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then the five
+# round-7 additions x113–x117 (first verdicts in their OWN round —
+# no never-checked backlog carried forward), then 30 of the 46
 # r04-stale queries — exactly 50 entries, the driver's per-round gate
 # window. After this window every query's latest verdict is r05+
-# except the 15 deferred r04 queries listed above (11 single-
-# codegen'd-expression scalar queries + the 4 displaced by x113–x116)
+# except the 16 deferred r04 queries listed above (11 single-
+# codegen'd-expression scalar queries + the 5 displaced by x113–x117)
 # — they lead the r08 rotation, followed by the oldest r05 verdicts.
 
 

@@ -3865,3 +3865,94 @@ def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_terms.alias("n_terms"),
         (n_hits >= BLOCK_MIN_HITS).alias("blocked"),
     )
+
+
+# --- x117: MinHash estimation-error audit ---------------------------------
+
+
+def _x117_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b, est_sim FROM ({MINHASH_PAIRS_ORACLE}) p
+    ),
+    base AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        FROM base WHERE len(ws) >= 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    ic AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS i
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b, p.est_sim,
+           coalesce(ic.i, 0) / (sa.sz + sb.sz - coalesce(ic.i, 0)) AS exact_jaccard,
+           CAST(floor(abs(p.est_sim - coalesce(ic.i, 0)
+                          / (sa.sz + sb.sz - coalesce(ic.i, 0))) * 1000000.0)
+                AS BIGINT) AS abs_err_micro
+    FROM pairs p
+    LEFT JOIN ic ON p.doc_a = ic.doc_a AND p.doc_b = ic.doc_b
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    """
+
+
+@register(
+    "x117_minhash_error_audit",
+    "sketch-quality audit: MinHash est_sim vs exact bigram Jaccard per candidate pair",
+    _x117_oracle(),
+    tags=("dedup", "eval", "llm"),
+)
+def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup counterpart of x113's ANN recall eval: for every
+    LSH candidate pair, compare the 16-hash MinHash estimate against
+    the EXACT bigram-shingle Jaccard and report the error in integer
+    micro-units. This is how a pipeline owner tunes n_hashes/bands —
+    a drifting error distribution means the sketch is too small for
+    the corpus's similarity profile, caught here before a dedup run
+    deletes the wrong documents. Cost discipline: the exact Jaccard
+    (a shingle-set intersection) is computed ONLY for the candidate
+    pairs the bands already emitted — pair-volume work, bounded by
+    the hot-band cap, never corpus-quadratic. floor() on the
+    micro-unit error (not round): est_sim is k/16 and both engines
+    build the quotient from identical integer operands, so the
+    doubles agree bit-for-bit and floor has no cross-engine ties."""
+    from igloo_spark.functions.text import bigram_array
+    from igloo_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=2, threshold=0.5,
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(bigram_array(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+    j = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return j.select(
+        "doc_a", "doc_b", "est_sim",
+        jac.alias("exact_jaccard"),
+        F.floor(F.abs(F.col("est_sim") - jac) * 1000000.0)
+        .cast("bigint")
+        .alias("abs_err_micro"),
+    )

@@ -76,6 +76,42 @@ def write_parquet(
     writer.parquet(path)
 
 
+def compact_partition_dirs(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    side_dirs: tuple[str, ...] = (),
+) -> None:
+    """Rewrite a ``partitionBy`` layout so every partition directory
+    holds ONE file again — the maintenance pass that keeps an
+    append-many index (``append_postings`` / ``append_ivf``) scan-fast
+    after each batch added a file per directory.
+
+    Cost is one read+write of the INDEX (never the corpus it was
+    built from); underscore-prefixed side tables (``_stats``,
+    ``_centroids``) are copied through untouched. Publication is a
+    local-FS directory swap (write compacted tree → rename old away →
+    rename new in); on object storage the same pattern is a
+    manifest/pointer swap — single-maintainer assumed, same as the
+    builders."""
+    import shutil
+
+    base = path.rstrip("/")
+    tmp, old = base + ".compact-tmp", base + ".compact-old"
+    for p in (tmp, old):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    df = spark.read.parquet(base)
+    write_parquet(df, tmp, partition_by=part_col)
+    for side in side_dirs:
+        src = os.path.join(base, side)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, side))
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

@@ -201,3 +201,69 @@ class TestIngestIndexSync:
         assert all(r[0] != 4 for r in got)
         stats = spark.read.parquet(idx + "/_stats").first()
         assert stats["n_docs"] == float(corpus.count())
+
+
+class TestIndexCompaction:
+    def test_optimize_postings_restores_one_file_and_preserves_probe(
+        self, spark, tmp_path
+    ):
+        """Two appends leave 3 files per bucket; optimize_postings
+        compacts back to 1 with the probe result unchanged."""
+        from igloo_spark.operators.retrieval import (
+            append_postings,
+            optimize_postings,
+            probe_postings_index,
+            write_postings_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        docs = load_testdata_table(spark, "/root/testdata/sf0.001", "documents")
+        path = tmp_path / "pc"
+        write_postings_index(docs.filter(F.col("doc_id") % 3 == 0), str(path), n_buckets=8)
+        append_postings(docs.filter(F.col("doc_id") % 3 == 1), str(path))
+        append_postings(docs.filter(F.col("doc_id") % 3 == 2), str(path))
+        terms = ["vector", "join", "stream", "hash"]
+        before = _probe_rows(probe_postings_index(spark, str(path), terms, k=10))
+        assert any(len(list(b.glob("*.parquet"))) > 1 for b in path.glob("bucket=*"))
+
+        optimize_postings(spark, str(path))
+        for b in sorted(path.glob("bucket=*")):
+            assert len(list(b.glob("*.parquet"))) == 1, b
+        after = _probe_rows(probe_postings_index(spark, str(path), terms, k=10))
+        assert before == after and before
+        # stats side table survived the swap
+        assert spark.read.parquet(str(path) + "/_stats").first()["n_docs"] == float(
+            docs.count()
+        )
+
+    def test_optimize_ivf_restores_one_file_and_preserves_probe(
+        self, spark, tmp_path
+    ):
+        from igloo_spark.operators.similarity import (
+            append_ivf,
+            optimize_ivf,
+            probe_ivf_index,
+            write_ivf_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = tmp_path / "ic"
+        write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), str(path))
+        append_ivf(emb.filter(F.col("vec_id") % 2 == 1), str(path))
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+        sel = lambda df: _probe_rows(df.select("query_id", "rank", "neighbor_id"))
+        before = sel(probe_ivf_index(spark, str(path), queries, k=5, nprobe=2))
+
+        cents_before = spark.read.parquet(str(path) + "/_centroids").first()[
+            "centroids_json"
+        ]
+        optimize_ivf(spark, str(path))
+        for c in sorted(path.glob("cell=*")):
+            assert len(list(c.glob("*.parquet"))) == 1, c
+        after = sel(probe_ivf_index(spark, str(path), queries, k=5, nprobe=2))
+        assert before == after and before
+        assert (
+            spark.read.parquet(str(path) + "/_centroids").first()["centroids_json"]
+            == cents_before
+        )
