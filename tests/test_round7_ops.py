@@ -267,3 +267,67 @@ class TestIndexCompaction:
             spark.read.parquet(str(path) + "/_centroids").first()["centroids_json"]
             == cents_before
         )
+
+
+def test_streaming_quality_gates_match_batch(igloo, tmp_path):
+    """char_entropy and the blocklist counts are stateless scan-stage
+    projections, so they are streaming-legal DIRECTLY on a readStream
+    frame (the weighted_sample posture) — in-stream quality gating
+    with decisions identical to the batch path."""
+    import json
+
+    from igloo_spark.functions.text import char_entropy
+
+    spark = igloo.spark
+    src = tmp_path / "qg_src"
+    src.mkdir()
+    texts = [
+        "the quick brown fox jumps over a lazy dog",
+        "dup dup slow drop dup slow",
+        "aaaaaaaaaaaaaaaaaaaaaa",
+        "mixed slow words with one dup inside here",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    def gates(df):
+        toks = F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "), " "
+        )
+        n_hits = F.size(
+            F.filter(toks, lambda t: t.isin("dup", "slow", "drop"))
+        ).cast("bigint")
+        return df.select(
+            "doc_id",
+            char_entropy(F.col("text")).alias("entropy_bits"),
+            n_hits.alias("n_hits"),
+        )
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    gated = gates(stream)
+    assert gated.isStreaming
+    got = {}
+
+    def sink(batch_df, batch_id):
+        got.update(
+            (r["doc_id"], (r["entropy_bits"], r["n_hits"]))
+            for r in batch_df.collect()
+        )
+
+    q = (
+        gated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "qg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["entropy_bits"], r["n_hits"])
+        for r in gates(batch).collect()
+    }
+    assert got == want and len(got) == len(texts)
+    assert got[2][0] == 0.0  # single-repeated-char doc: zero entropy
+    assert got[1][1] == 6    # all six tokens of doc 1 are blocklisted
