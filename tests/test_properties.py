@@ -1188,3 +1188,80 @@ def test_source_deciles_differential_parity(igloo, rows):
     d = _write_documents_fixture(rows)
     spec = REGISTRY["x104_source_quality_deciles"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(
+            _doc_text,
+            st.sampled_from(["en", "de"]),
+            st.sampled_from(["web", "forum"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_gopher_repetition_differential_parity(igloo, rows):
+    """x101 over random corpora (heavy token repetition, single-token
+    docs, punctuation tokens): the in-row sorted-run n-gram fold must
+    match the oracle's explode+groupBy shape on every fraction."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x101_gopher_repetition"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(
+            _doc_text,
+            st.sampled_from(["en", "de"]),
+            st.sampled_from(["web", "forum"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_char_entropy_differential_parity(igloo, rows):
+    """x115 over random corpora: the in-row sorted-run entropy fold
+    must match the oracle's per-character explode+groupBy to 6
+    decimals, including single-char and highly repetitive docs."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x115_char_entropy"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["dup", "slow", "drop", "ok", "fine", "word"]),
+                min_size=1,
+                max_size=20,
+            ).map(" ".join),
+            st.sampled_from(["en"]),
+            st.sampled_from(["web"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_blocklist_differential_parity(igloo, rows):
+    """x116 over random corpora skewed toward blocklisted tokens
+    (adjacent banned terms, all-banned docs): occurrence and
+    distinct-term counts must match the oracle exactly — the case
+    regex word-boundary approaches get wrong."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x116_blocklist_filter"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)

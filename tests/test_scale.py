@@ -395,3 +395,33 @@ def test_round6_operators_scale_bounded(spark):
         print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
               f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
         assert ratio < 8, (name, ratio)
+
+
+def test_round7_operators_scale_bounded(spark):
+    """Round-7 operators at sf0.01 → sf0.1 (10× rows): the recall
+    eval pays brute force only on a 3-query sample, the mixture is a
+    |sources|-row aggregate, entropy/blocklist are in-row scan-stage
+    projections, and the sketch audit rides the capped band-join pair
+    stream — warm cost must grow well under data growth."""
+    from igloo_spark.queries import all_queries
+
+    qs = all_queries()
+    names = [
+        "x113_ann_recall",
+        "x114_temperature_mixture",
+        "x115_char_entropy",
+        "x116_blocklist_filter",
+        "x117_minhash_error_audit",
+    ]
+    for name in names:
+        warm = {}
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            spec = qs[name]
+            _run(spec.spark(spark, sf))  # codegen warmup
+            t0 = time.perf_counter()
+            _run(spec.spark(spark, sf))
+            warm[sf] = time.perf_counter() - t0
+        ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
+        print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
+              f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
+        assert ratio < 8, (name, ratio)
