@@ -28,6 +28,9 @@ SAMPLE = [
     "x107_diversity_cap_sample",# per-cell window
     "x108_weighted_sample",     # micro-unit hash gate
     "x111_source_kl_drift",     # capped-vocab double sums
+    "x113_ann_recall",          # two top-k paths joined (r07)
+    "x114_temperature_mixture", # broadcast-scalar normalizers (r07)
+    "x117_minhash_error_audit", # pair stream + exact set intersect (r07)
 ]
 
 
