@@ -3925,7 +3925,14 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot-band cap, never corpus-quadratic. floor() on the
     micro-unit error (not round): est_sim is k/16 and both engines
     build the quotient from identical integer operands, so the
-    doubles agree bit-for-bit and floor has no cross-engine ties."""
+    doubles agree bit-for-bit and floor has no cross-engine ties.
+
+    Shingle arrays are built only for PAIR-MEMBER docs (semi-join
+    gate before the array projection): the member set is pair-volume,
+    so the heavy array rows that feed the two audit joins never
+    shuffle at corpus size — without the gate every doc would pay
+    shingling and ride a corpus-sized array shuffle. ``pairs`` feeds
+    the member gate and both joins, so it is materialized once."""
     from igloo_spark.functions.text import bigram_array
     from igloo_spark.operators.dedup import minhash_candidate_pairs
 
@@ -3933,10 +3940,19 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_candidate_pairs(
         docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS,
         shingle_n=2, threshold=0.5,
+    ).localCheckpoint(eager=False)
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sh = docs.select(
-        "doc_id", F.array_distinct(bigram_array(F.col("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = (
+        docs.join(members, "doc_id", "leftsemi")
+        .select(
+            "doc_id", F.array_distinct(bigram_array(F.col("text"))).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+    )
     j = (
         pairs.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
