@@ -340,6 +340,31 @@ def _sync_postings_index(
         write_postings_index(accepted, root, id_col=id_col, text_col=text_col)
 
 
+def check_postings_index_sync(
+    spark, corpus_root: str, index_root: str
+) -> dict:
+    """Detect the one gap the derived postings index can have: a
+    crash between the fp commit and the index append leaves the index
+    lagging (a replay no-ops, so the gap persists). Compares the
+    index's stats.n_docs against the corpus store's current count —
+    both O(1)-ish reads (1-row stats table; corpus count is a
+    metadata-friendly scan). Returns {corpus_docs, index_docs,
+    in_sync}; on in_sync=False the repair is a full rebuild
+    (``operators.retrieval.write_postings_index`` over
+    ``read_versioned(corpus)``)."""
+    from igloo_spark.sources.versioned import read_versioned
+
+    corpus_docs = read_versioned(spark, corpus_root).count()
+    index_docs = int(
+        spark.read.parquet(index_root + "/_stats").first()["n_docs"]
+    )
+    return {
+        "corpus_docs": corpus_docs,
+        "index_docs": index_docs,
+        "in_sync": corpus_docs == index_docs,
+    }
+
+
 def incremental_ingest(
     new_docs: DataFrame,
     store_root: str,

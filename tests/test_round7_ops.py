@@ -331,3 +331,34 @@ def test_streaming_quality_gates_match_batch(igloo, tmp_path):
     assert got == want and len(got) == len(texts)
     assert got[2][0] == 0.0  # single-repeated-char doc: zero entropy
     assert got[1][1] == 6    # all six tokens of doc 1 are blocklisted
+
+
+def test_check_postings_index_sync_detects_lag(spark, tmp_path):
+    """The documented crash window (fp commit durable, index append
+    lost): check_postings_index_sync reports the lag; a rebuild
+    repairs it."""
+    from igloo_spark.operators.retrieval import write_postings_index
+    from igloo_spark.pipelines import check_postings_index_sync, incremental_ingest
+    from igloo_spark.sources.versioned import read_versioned
+
+    root = str(tmp_path / "store")
+    idx = str(tmp_path / "idx")
+    b1 = spark.createDataFrame(
+        [(1, "first document about joins and vectors right here")],
+        "doc_id long, text string",
+    )
+    incremental_ingest(b1, root, min_quality=0.0, postings_index_root=idx)
+    assert check_postings_index_sync(spark, root + "/corpus", idx)["in_sync"]
+
+    # simulate the crash window: corpus+fps advance, index append lost
+    b2 = spark.createDataFrame(
+        [(2, "second document with totally different words inside")],
+        "doc_id long, text string",
+    )
+    incremental_ingest(b2, root, min_quality=0.0)  # no index root passed
+    rep = check_postings_index_sync(spark, root + "/corpus", idx)
+    assert not rep["in_sync"] and rep["corpus_docs"] == 2 and rep["index_docs"] == 1
+
+    # repair: full rebuild from the corpus store
+    write_postings_index(read_versioned(spark, root + "/corpus"), idx)
+    assert check_postings_index_sync(spark, root + "/corpus", idx)["in_sync"]
