@@ -425,3 +425,33 @@ def test_round7_operators_scale_bounded(spark):
         print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
               f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
         assert ratio < 8, (name, ratio)
+
+
+def test_append_postings_cost_independent_of_index_size(spark, tmp_path):
+    """The append-path contract measured, not asserted from shape:
+    appending the SAME batch to a 1× index and to a 16× index must
+    cost about the same (batch-sized tokenize + bucketed append —
+    nothing on disk is read or rewritten). A super-constant ratio
+    means the append started touching existing postings."""
+    from igloo_spark.operators.retrieval import append_postings, write_postings_index
+    from igloo_spark.sources import load_testdata_table
+
+    docs = load_testdata_table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") < 200).withColumn(
+        "doc_id", F.col("doc_id") + 90_000_000
+    )
+    times = {}
+    for factor in (1, 16):
+        path = str(tmp_path / f"idx_{factor}")
+        write_postings_index(_amplify(docs, "doc_id", factor, "text"), path)
+        # warm the append code path once on a throwaway copy
+        warm_path = str(tmp_path / f"warm_{factor}")
+        write_postings_index(docs.limit(50), warm_path)
+        append_postings(batch, warm_path)
+        t0 = time.perf_counter()
+        append_postings(batch, path)
+        times[factor] = time.perf_counter() - t0
+    ratio = times[16] / max(times[1], 1e-9)
+    print(f"append to 1x index {times[1]:.2f}s, to 16x index {times[16]:.2f}s "
+          f"ratio {ratio:.2f}x")
+    assert ratio < 2.0, (times, "append cost grew with index size")
