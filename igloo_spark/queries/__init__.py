@@ -44,7 +44,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # -- x47 holds an r03 verdict (yielded its slot twice: its path is
     # nested in x63's, but the staleness rule now wins) --
     "x47_ann_lsh_topk",
-    # -- the four round-7 additions: never checked, and landing them
+    # -- the six round-7 additions: never checked, and landing them
     # in THIS window keeps the never-verified backlog at zero instead
     # of repeating the r06 pattern (new queries waiting a full round
     # for their first verdict) --
@@ -53,11 +53,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x115_char_entropy",
     "x116_blocklist_filter",
     "x117_minhash_error_audit",
-    # -- 30 of the 46 r04-stale queries, operator-heavy surface first
-    # (the deferred 16 are the 11 single-expression scalar-function
-    # queries q58 q79 q84 q85 q86 q87 q88 q89 q90 q91 q94 plus the 5
-    # displaced by x113–x117: q82 q83 q92 q93 q95 — they rotate in
-    # r08) --
+    "x118_leakage_safe_split",
+    # -- 29 of the 46 r04-stale queries, operator-heavy surface first
+    # (the deferred 17 are the 11 single-expression scalar-function
+    # queries q58 q79 q84 q85 q86 q87 q88 q89 q90 q91 q94 plus the 6
+    # displaced by x113–x118: q81 q82 q83 q92 q93 q95 — they rotate
+    # in r08) --
     "x40_dedup_exact",
     "x56_training_data_prep",
     "x74_numeric_histogram",
@@ -87,17 +88,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q67_band_join",
     "q76_session_window",
     "q80_merge_upsert",
-    "q81_time_range_frame",
 )
 # Round-7 rotation (executes the r06 verdict's task 1): the fourteen
 # never-driver-checked round-6 queries x99–x112 first, then
-# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then the five
-# round-7 additions x113–x117 (first verdicts in their OWN round —
-# no never-checked backlog carried forward), then 30 of the 46
+# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then the six
+# round-7 additions x113–x118 (first verdicts in their OWN round —
+# no never-checked backlog carried forward), then 29 of the 46
 # r04-stale queries — exactly 50 entries, the driver's per-round gate
 # window. After this window every query's latest verdict is r05+
-# except the 16 deferred r04 queries listed above (11 single-
-# codegen'd-expression scalar queries + the 5 displaced by x113–x117)
+# except the 17 deferred r04 queries listed above (11 single-
+# codegen'd-expression scalar queries + the 6 displaced by x113–x118)
 # — they lead the r08 rotation, followed by the oldest r05 verdicts.
 
 

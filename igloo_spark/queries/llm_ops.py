@@ -3972,3 +3972,48 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("abs_err_micro"),
     )
+
+
+# --- x118: leakage-safe dataset split (family-level assignment) -----------
+
+
+def _x118_oracle() -> str:
+    from igloo_spark.operators.packing import split_assign_sql_duckdb
+
+    manifest = REGISTRY["x75_dedup_manifest"].oracle
+    split_case = split_assign_sql_duckdb("canonical_id")
+    return f"""
+    SELECT doc_id, canonical_id, group_size,
+           {split_case} AS split
+    FROM ({manifest}) m
+    """
+
+
+@register(
+    "x118_leakage_safe_split",
+    "train/val/test split assigned per NEAR-DUP FAMILY — no duplicate straddles a split boundary",
+    _x118_oracle(),
+    tags=("sampling", "dedup", "llm"),
+)
+def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting: x86's hash gate keyed on the doc id
+    lets two NEAR-DUPLICATES land in train and test — exactly the
+    contamination an eval is supposed to measure against. Keying the
+    same deterministic gate on the dedup manifest's canonical_id
+    assigns whole families atomically, so no near-dup pair ever
+    straddles a split boundary (members share canonical_id ⇒ share
+    split, by construction). Cost over plain splitting is the x75
+    manifest itself — band-join bounded, already computed by any
+    pipeline that dedups before splitting; the split gate stays a
+    pure map-side expression."""
+    from igloo_spark.operators.dedup import dedup_manifest
+    from igloo_spark.operators.packing import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    m = dedup_manifest(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=2, threshold=0.5,
+    )
+    return split_assign(m, "canonical_id").select(
+        "doc_id", "canonical_id", "group_size", "split"
+    )
