@@ -387,3 +387,55 @@ def test_leakage_safe_split_keeps_families_together(spark):
     assert j.filter(F.col("sa") != F.col("sb")).count() == 0
     # sanity: the assignment still produces more than one split overall
     assert out.select("split").distinct().count() >= 2
+
+
+class TestTarShards:
+    def test_webdataset_export_roundtrip_and_determinism(self, spark, tmp_path):
+        """write_tar_shards: one tar per shard, member files adjacent
+        and key-ordered, string/binary columns both carried; two runs
+        produce byte-identical tars (mtime/uid zeroed + deterministic
+        order)."""
+        import hashlib
+        import tarfile
+
+        from igloo_spark.operators.packing import shuffle_shard
+        from igloo_spark.sinks import write_tar_shards
+        from igloo_spark.sources import load_testdata_table
+
+        docs = load_testdata_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+        sharded = shuffle_shard(docs, "doc_id", n_shards=3).join(docs, "doc_id").select(
+            "doc_id", "shard", "text",
+            F.encode(F.md5("text"), "UTF-8").alias("payload"),
+        )
+        out1 = tmp_path / "t1"
+        stats = write_tar_shards(
+            sharded, str(out1), members={"txt": "text", "bin": "payload"}
+        )
+        assert stats == {"n_docs": 40, "n_shards": 3}
+        tars = sorted(out1.glob("shard-*.tar"))
+        assert len(tars) == 3
+
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        seen = set()
+        for t in tars:
+            with tarfile.open(t) as tf:
+                names = tf.getnames()
+                # adjacent sample members: bin then txt per key, keys sorted
+                keys = [n.rsplit(".", 1)[0] for n in names[::2]]
+                assert keys == sorted(keys, key=lambda k: int(k))
+                for n in names:
+                    key, ext = n.rsplit(".", 1)
+                    data = tf.extractfile(n).read()
+                    if ext == "txt":
+                        assert data.decode("utf-8") == texts[int(key)]
+                        seen.add(int(key))
+                    info = tf.getmember(n)
+                    assert info.mtime == 0 and info.uid == 0
+        assert seen == set(texts)
+
+        out2 = tmp_path / "t2"
+        write_tar_shards(sharded, str(out2), members={"txt": "text", "bin": "payload"})
+        h = lambda p: hashlib.md5(p.read_bytes()).hexdigest()
+        assert [h(p) for p in sorted(out1.glob("*.tar"))] == [
+            h(p) for p in sorted(out2.glob("*.tar"))
+        ]
