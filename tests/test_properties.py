@@ -1265,3 +1265,50 @@ def test_blocklist_differential_parity(igloo, rows):
     d = _write_documents_fixture(rows)
     spec = REGISTRY["x116_blocklist_filter"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(
+            _doc_text,
+            st.sampled_from(["en"]),
+            st.sampled_from(["s0", "s1", "s2", "s3", "s4", "s5", "s6"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_temperature_mixture_differential_parity(igloo, rows):
+    """x114 over random source skews (single-source corpora, sources
+    with one doc): the α-power weights, 6-decimal rounding, and
+    floor'd budget allocation must match the oracle exactly."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x114_temperature_mixture"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 6})
+@given(
+    base=st.lists(_doc_text, min_size=2, max_size=10),
+    dup_of=st.integers(0, 100),
+)
+def test_leakage_safe_split_differential_parity(igloo, base, dup_of):
+    """x118 over corpora SEEDED with exact and near duplicates (so
+    the band join reliably emits pairs): the manifest composition +
+    family-keyed split gate must match the recursive-CTE oracle —
+    canonical ids, group sizes, and split labels alike."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    rows = [(t, "en", "web") for t in base]
+    # duplicate one doc exactly and once with a prefix token (near-dup)
+    src = base[dup_of % len(base)]
+    rows.append((src, "en", "web"))
+    rows.append(("alpha " + src, "en", "web"))
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x118_leakage_safe_split"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
