@@ -243,8 +243,11 @@ def append_postings(
 
     write_parquet(posting, path, partition_by="bucket", mode="append")
     b = batch_stats.first()
+    # `or 0.0` guards the degenerate ends: an index built from zero
+    # docs persists NULL sum_dl, and an empty append batch aggregates
+    # NULL — both mean "nothing to add", not a crash
     n_docs = float(old["n_docs"]) + float(b["n_docs"])
-    sum_dl = float(old["sum_dl"]) + float(b["sum_dl"] or 0.0)
+    sum_dl = float(old["sum_dl"] or 0.0) + float(b["sum_dl"] or 0.0)
     spark.createDataFrame(
         [(n_docs, sum_dl, sum_dl / n_docs, n_buckets)],
         "n_docs double, sum_dl double, avgdl double, n_buckets int",
@@ -286,10 +289,21 @@ def probe_postings_index(
     (doc_id, score, rank) frame as :func:`bm25_topk` computed live."""
     from igloo_spark.functions.hashing import hex_prefix_hash
 
+    import glob as _glob
+    import os as _os
+
     terms = [t.lower() for t in query_terms]
     stats = spark.read.parquet(path + "/_stats")
     n_buckets = int(stats.select("n_buckets").first()[0])
     stats = stats.select("n_docs", "avgdl")
+    if not _glob.glob(_os.path.join(path, "bucket=*")):
+        # an index built from zero docs has a stats table but no
+        # bucket directories (a partitionBy write of an empty frame
+        # emits no data files) — schema inference would throw, so
+        # return the empty result frame directly
+        return spark.createDataFrame(
+            [], "doc_id bigint, score double, rank bigint"
+        )
     probe = spark.createDataFrame([(t,) for t in terms], "term string")
     buckets = sorted(
         {

@@ -439,3 +439,24 @@ class TestTarShards:
         assert [h(p) for p in sorted(out1.glob("*.tar"))] == [
             h(p) for p in sorted(out2.glob("*.tar"))
         ]
+
+
+def test_append_to_empty_built_index(spark, tmp_path):
+    """An index built from zero docs persists NULL sum_dl; appending
+    real docs to it must work (and probe like a fresh build)."""
+    from igloo_spark.operators.retrieval import (
+        append_postings,
+        probe_postings_index,
+        write_postings_index,
+    )
+
+    path = str(tmp_path / "pe")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_postings_index(empty, path, n_buckets=4)
+    assert probe_postings_index(spark, path, ["alpha"], k=3).count() == 0
+    b = spark.createDataFrame([(0, "alpha beta"), (1, "alpha")], "doc_id long, text string")
+    append_postings(b, path)
+    got = probe_postings_index(spark, path, ["alpha"], k=3)
+    assert {r["doc_id"] for r in got.collect()} == {0, 1}
+    stats = spark.read.parquet(path + "/_stats").first()
+    assert stats["n_docs"] == 2.0 and stats["sum_dl"] == 3.0
