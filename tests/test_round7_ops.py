@@ -460,3 +460,21 @@ def test_append_to_empty_built_index(spark, tmp_path):
     assert {r["doc_id"] for r in got.collect()} == {0, 1}
     stats = spark.read.parquet(path + "/_stats").first()
     assert stats["n_docs"] == 2.0 and stats["sum_dl"] == 3.0
+
+
+def test_char_entropy_vectorized_matches_expression(spark):
+    """The Arrow entropy kernel and the pure-expression fold agree to
+    the shared 6-decimal contract over the real corpus — the
+    expression path is the streaming fallback, so the two must not
+    drift."""
+    from igloo_spark.functions.text import char_entropy, char_entropy_vectorized
+    from igloo_spark.sources import load_testdata_table
+
+    d = load_testdata_table(spark, "/root/testdata/sf0.001", "documents")
+    ent = char_entropy_vectorized()
+    j = d.select(
+        "doc_id",
+        char_entropy(F.col("text")).alias("a"),
+        ent(F.col("text")).alias("b"),
+    )
+    assert j.filter(F.col("a") != F.col("b")).count() == 0
