@@ -802,7 +802,20 @@ def probe_ivf_index(
     probe returns bit-identical results to the in-memory path. The
     quantizer comes from the index's ``_centroids`` side table (see
     :func:`write_ivf_index`) — never from a caller argument."""
+    import glob as _glob
     import json as _json
+    import os as _os
+
+    if not _glob.glob(_os.path.join(path, "cell=*")):
+        # an index built from zero vectors has centroids but no cell
+        # directories (a partitionBy write of an empty frame emits no
+        # data files) — return the empty result frame rather than
+        # failing schema inference
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cell bigint, "
+            "cosine double, rank bigint",
+        )
 
     payload = spark.read.parquet(path + "/_centroids").first()["centroids_json"]
     centroids = _json.loads(payload)

@@ -94,9 +94,12 @@ def compact_partition_dirs(
     rename new in); on object storage the same pattern is a
     manifest/pointer swap — single-maintainer assumed, same as the
     builders."""
+    import glob as _glob
     import shutil
 
     base = path.rstrip("/")
+    if not _glob.glob(os.path.join(base, f"{part_col}=*")):
+        return  # zero-doc index: no partition dirs, nothing to compact
     tmp, old = base + ".compact-tmp", base + ".compact-old"
     for p in (tmp, old):
         if os.path.exists(p):

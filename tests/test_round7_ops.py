@@ -478,3 +478,26 @@ def test_char_entropy_vectorized_matches_expression(spark):
         ent(F.col("text")).alias("b"),
     )
     assert j.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_empty_ivf_index_probe_and_compact(spark, tmp_path):
+    """Zero-vector IVF index: probe returns empty (not a schema
+    error), compaction no-ops, and appending real vectors afterwards
+    makes it probeable."""
+    from igloo_spark.operators.similarity import (
+        append_ivf,
+        optimize_ivf,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from igloo_spark.sources import load_testdata_table
+
+    path = str(tmp_path / "ivf_e")
+    emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+    empty = emb.limit(0)
+    write_ivf_index(empty, path)
+    queries = emb.filter(F.col("vec_id") == 0)
+    assert probe_ivf_index(spark, path, queries, k=3).count() == 0
+    optimize_ivf(spark, path)  # must not raise
+    append_ivf(emb.limit(100), path)
+    assert probe_ivf_index(spark, path, queries, k=3).count() == 3
