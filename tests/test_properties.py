@@ -1312,3 +1312,63 @@ def test_leakage_safe_split_differential_parity(igloo, base, dup_of):
     d = _write_documents_fixture(rows)
     spec = REGISTRY["x118_leakage_safe_split"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 6})
+@given(
+    base=st.lists(_doc_text, min_size=2, max_size=10),
+    dup_of=st.integers(0, 100),
+)
+def test_minhash_error_audit_differential_parity(igloo, base, dup_of):
+    """x117 over duplicate-seeded corpora (exact copy + one-token
+    prefix near-copy guarantee the band join emits pairs): est_sim,
+    exact Jaccard, and the floor'd micro-unit error must match the
+    oracle on every pair."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    rows = [(t, "en", "web") for t in base]
+    src = base[dup_of % len(base)]
+    rows.append((src, "en", "web"))
+    rows.append(("alpha " + src, "en", "web"))
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x117_minhash_error_audit"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 5})
+@given(
+    n=st.integers(5, 30),
+    seed=st.integers(0, 10_000),
+)
+def test_ann_recall_differential_parity(igloo, n, seed):
+    """x113 over random 64-dim embedding corpora: the exact top-k,
+    the multi-probe LSH top-k, and the per-query recall join must all
+    agree with the oracle (sign-plane bucketing and cosine tie-breaks
+    included). Query ids 0-2 always exist (n >= 5)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, 64)).astype(np.float32)
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    spec = REGISTRY["x113_ann_recall"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
