@@ -290,8 +290,24 @@ def write_training_shards(
         .repartition(F.col("shard"))
         .sortWithinPartitions("shard", "pos")
     )
-    if data_format not in ("parquet", "json"):
-        raise ValueError(f"data_format must be parquet|json, got {data_format!r}")
+    if data_format not in ("parquet", "json", "tar"):
+        raise ValueError(
+            f"data_format must be parquet|json|tar, got {data_format!r}"
+        )
+    if data_format == "tar":
+        # WebDataset-style shards in the deterministic training order
+        # (member order = pos, not key); metadata stays parquet and is
+        # written AFTER the data (the parquet branch's overwrite wipes
+        # the base dir, so meta-last is the invariant both share)
+        from igloo_spark import sinks
+
+        stats = sinks.write_tar_shards(
+            out, path, members={"txt": text_col},
+            key_col=id_col, order_col="pos",
+        )
+        result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
+        result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
+        return stats
     # json = JSONL shards (one document object per line), the format
     # most training loaders stream natively; metadata stays parquet
     out.write.partitionBy("shard").mode("overwrite").format(data_format).save(path)

@@ -121,6 +121,7 @@ def write_tar_shards(
     members: dict[str, str],
     shard_col: str = "shard",
     key_col: str = "doc_id",
+    order_col: str | None = None,
 ) -> dict:
     """WebDataset-style tar shard export — the container format
     multimodal training loaders stream (one ``shard-NNNNN.tar`` per
@@ -134,9 +135,11 @@ def write_tar_shards(
     encoded, binary columns pass through. Layout discipline matches
     the parquet sinks: the frame is repartitioned ON the shard column
     (each shard written by exactly one task — no cross-task tar
-    stitching) and sorted within partitions by (shard, key), so the
-    member order is deterministic and two runs produce byte-identical
-    tars (mtime/uid/gid zeroed). Writes land on the task-local
+    stitching) and sorted within partitions by (shard, ``order_col``
+    or key) — pass ``order_col="pos"`` to stream samples in a
+    training order instead of key order — so the member order is
+    deterministic and two runs produce byte-identical tars
+    (mtime/uid/gid zeroed). Writes land on the task-local
     filesystem — local mode / shared-mount semantics; on object
     storage, point ``path`` at the mounted store or upload the shard
     files post-hoc.
@@ -145,7 +148,9 @@ def write_tar_shards(
     write)."""
     import glob as _glob
 
-    cols = [shard_col, key_col, *dict.fromkeys(members.values())]
+    sort_col = order_col or key_col
+    cols = [shard_col, key_col, *dict.fromkeys([sort_col, *members.values()])]
+    cols = list(dict.fromkeys(cols))
     stats = df.agg(
         F.count("*").alias("n"),
         F.countDistinct(shard_col).alias("s"),
@@ -156,7 +161,7 @@ def write_tar_shards(
     out = (
         df.select(*cols)
         .repartition(F.col(shard_col))
-        .sortWithinPartitions(shard_col, key_col)
+        .sortWithinPartitions(shard_col, sort_col)
     )
     member_items = sorted(members.items())  # stable member order per sample
 

@@ -294,6 +294,37 @@ def test_write_training_shards_roundtrip(prep, spark, tmp_path):
     assert manifest.count() == r.manifest.count()
 
 
+def test_write_training_shards_tar_format(prep, spark, tmp_path):
+    """data_format='tar': WebDataset-style shard tars in the
+    deterministic TRAINING order (members follow pos, not doc id),
+    with _meta still parquet alongside."""
+    import tarfile
+
+    from igloo_spark.pipelines import write_training_shards
+
+    docs, r = prep
+    path = tmp_path / "tar_shards"
+    info = write_training_shards(docs, r, str(path), data_format="tar")
+    assert info["n_docs"] == r.corpus.count()
+    tars = sorted(path.glob("shard-*.tar"))
+    assert len(tars) == info["n_shards"]
+
+    order = {
+        (row["shard"], row["doc_id"]): row["pos"]
+        for row in r.corpus.select("shard", "doc_id", "pos").collect()
+    }
+    n_members = 0
+    for t in tars:
+        shard = int(t.stem.split("-")[1])
+        with tarfile.open(t) as tf:
+            keys = [int(n.rsplit(".", 1)[0]) for n in tf.getnames()]
+            n_members += len(keys)
+            poss = [order[(shard, k)] for k in keys]
+            assert poss == sorted(poss), "members not in training order"
+    assert n_members == info["n_docs"]
+    assert spark.read.parquet(str(path) + "/_meta/counts").count() == 1
+
+
 class TestIncrementalIngest:
     def test_two_batch_lifecycle(self, spark, tmp_path):
         """Bootstrap batch then a second batch containing an exact
