@@ -3732,9 +3732,16 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
     x66's fixed hash-gate rates: here the weights are COMPUTED from
     the corpus itself. Shape: one |sources|-row partial aggregate,
     then two broadcast scalars (total, normalizer) ride the plan —
-    nothing corpus-sized ever shuffles, identical at 100 TB."""
+    nothing corpus-sized ever shuffles, identical at 100 TB. The
+    per-source aggregate feeds the total, the powers, AND the
+    normalizer, so it is materialized once (localCheckpoint — the
+    r06 subtree-dedup rule: the repeated subtree includes an
+    exchange; without it the plan scanned + aggregated the corpus
+    four times, audit-verified)."""
     d = table(spark, sf_dir, "documents")
-    c = d.groupBy("source").agg(F.count("*").cast("double").alias("n"))
+    c = d.groupBy("source").agg(
+        F.count("*").cast("double").alias("n")
+    ).localCheckpoint(eager=False)
     tot = c.agg(F.sum("n").alias("tot"))
     u = c.crossJoin(F.broadcast(tot)).select(
         "source", "n", F.pow(F.col("n") / F.col("tot"), TEMP_ALPHA).alias("u")
