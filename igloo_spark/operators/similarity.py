@@ -841,3 +841,178 @@ def probe_ivf_index(
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- Product quantization (PQ) -------------------------------------------
+
+
+def pq_codebooks(m_sub: int, k_codes: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``m_sub`` subspaces × ``k_codes``
+    centroids × ``dim // m_sub`` entries. Raw integer pattern
+    ``((m*29 + k*37 + j*13 + 5) % 19) - 9`` — within a subspace any
+    two codes differ (37 ≢ 0 mod 19 and k < 19) — then every centroid
+    is normalized to ||c|| = 0.5, the expected subvector norm of a
+    unit embedding split ``m_sub`` ways. The normalization is what
+    makes the quantizer DIRECTIONAL: with equal ||c||² the argmin of
+    ||x−c||² reduces to argmax x·c, so distinct vectors take distinct
+    codes (raw integer centroids had norms ~20, the ||c||² term
+    swamped the dot, and every vector collapsed onto the min-norm
+    code — observed, not hypothetical). Normalization happens here in
+    Python doubles and the same floats are embedded as literals on
+    both engines, so code assignment is cross-engine reproducible
+    without k-means. A production pipeline would swap in sampled
+    k-means per subspace (exactly as :func:`learned_ivf_centroids`
+    does for IVF) — the plan shape below does not change."""
+    subdim = dim // m_sub
+    books = []
+    for m in range(m_sub):
+        book = []
+        for k in range(k_codes):
+            raw = [
+                float(((m * 29 + k * 37 + j * 13 + 5) % 19) - 9)
+                for j in range(subdim)
+            ]
+            norm = sum(v * v for v in raw) ** 0.5
+            book.append([v / norm * 0.5 for v in raw])
+        books.append(book)
+    return books
+
+
+def pq_assign_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-vector PQ codes ``(neighbor_id, codes array<int>)`` —
+    ``codes[m]`` = argmin_k ||x_m − c_{m,k}||², ties to the lowest k.
+
+    The index-build hot loop (every corpus row × m_sub × k_codes ×
+    subdim multiply-adds) runs as one Arrow-batched numpy kernel per
+    subspace — the same vectorization (and the same argmin float-gap
+    argument) as :func:`ivf_assign`: ||x−c||² gaps between distinct
+    codes are O(1); matmul-vs-sequential float noise is O(1e-13).
+    Zero shuffle: codes are a scan-stage projection. At 100 TB the
+    output is M bytes per vector instead of 4·dim — the point of PQ
+    is that THIS frame (not the raw vectors) is what a reranker
+    scans, an ~64× memory-bandwidth reduction."""
+    if books is None:
+        books = pq_codebooks(m_sub, k_codes, dim)
+    subdim = dim // m_sub
+    from pyspark.sql.functions import pandas_udf
+
+    cmats = [np.asarray(b, dtype=np.float64) for b in books]
+    cnorms = [np.sum(c * c, axis=1) for c in cmats]
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        cols = []
+        for m in range(m_sub):
+            sub = mat[:, m * subdim : (m + 1) * subdim]
+            scores = cnorms[m][None, :] - 2.0 * (sub @ cmats[m].T)
+            cols.append(scores.argmin(axis=1))
+        return pd.Series(np.stack(cols, axis=1).astype("int32").tolist())
+
+    # asNondeterministic: same single-evaluation pin as ivf_assign —
+    # a pushed isnotnull(codes) filter would otherwise re-run the UDF.
+    _codes = _codes.asNondeterministic()
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), _codes(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_books_table(spark, books: list[list[list[float]]]) -> DataFrame:
+    """Codebooks as a one-row broadcastable ``cents[m][k][j]`` table
+    (same rationale as :func:`centroids_table`: m×k×subdim literal
+    nodes in every expression would dominate Catalyst analysis)."""
+    import json
+
+    payload = json.dumps([[[float(v) for v in c] for c in b] for b in books])
+    return spark.range(1).select(
+        F.from_json(F.lit(payload), "array<array<array<double>>>").alias("books")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus rows are replaced by their
+    ``m_sub``-byte codes; each query precomputes an m_sub × k_codes
+    distance table; the approximate distance is m_sub table lookups
+    per candidate (ADC — Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011).
+
+    Scale shape: code assignment is a scan-stage Arrow kernel (no
+    shuffle); the query side (|queries| rows, each carrying a 4×8
+    distance table) broadcasts; the candidate scoring is 4 array
+    lookups + 3 adds per corpus row — no float vector math touches
+    the corpus after encoding, which is why PQ survives
+    memory-bandwidth-bound scans at 100 TB. Distances are reported in
+    floor'd integer micro-units and ranked (adist_micro ASC,
+    neighbor_id ASC), so ranking is integer-deterministic
+    cross-engine.
+
+    Query-side distance tables are pure fold expressions over slices
+    bound as columns BEFORE the lambda (the HOF rule: lambdas may
+    reference element args and bound attributes, never an inline
+    computed expression — see SCALE.md round-7)."""
+    if books is None:
+        books = pq_codebooks(m_sub, k_codes, dim)
+    subdim = dim // m_sub
+    from igloo_spark.functions.vectors import dot
+
+    codes = pq_assign_codes(
+        corpus, id_col, vec_col, books=books, m_sub=m_sub, k_codes=k_codes, dim=dim
+    )
+    q = (
+        queries.crossJoin(F.broadcast(pq_books_table(queries.sparkSession, books)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            *[
+                F.slice(F.col(vec_col), m * subdim + 1, subdim).alias(f"sub{m}")
+                for m in range(m_sub)
+            ],
+            "books",
+        )
+    )
+    def _dtable(m: int):
+        # closure, NOT a default-arg lambda: Spark calls a two-param
+        # HOF lambda as (element, index), which would rebind the
+        # default to the index column
+        sub = F.col(f"sub{m}")
+        return F.transform(
+            F.element_at("books", m + 1),
+            lambda c: dot(sub, sub) - 2 * dot(sub, c) + dot(c, c),
+        ).alias(f"dt{m}")
+
+    dts = [_dtable(m) for m in range(m_sub)]
+    q = q.select("query_id", *dts)
+    adist = F.element_at(F.col("dt0"), F.col("codes").getItem(0) + 1)
+    for m in range(1, m_sub):
+        adist = adist + F.element_at(F.col(f"dt{m}"), F.col("codes").getItem(m) + 1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_micro"), F.asc("neighbor_id")
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(adist * 1000000.0).cast("bigint").alias("adist_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -4027,3 +4027,254 @@ def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(m, "canonical_id").select(
         "doc_id", "canonical_id", "group_size", "split"
     )
+
+
+# --- x119: boilerplate n-gram coverage ------------------------------------
+
+BOILER_MIN_DOCS = 5    # trigram must appear in >= this many docs
+BOILER_TOP_N = 150     # hard cap on the broadcast blocklist (bounded by construction)
+BOILER_FLAG_MICRO = 200_000  # >= 20% boilerplate trigram positions → flag
+
+
+def _x119_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(text), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        FROM base WHERE len(ws) >= 3
+    ),
+    dc AS (
+        SELECT g, count(DISTINCT doc_id) AS nd FROM tg GROUP BY g
+        HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ),
+    bl AS (
+        SELECT g FROM (
+            SELECT g, row_number() OVER (ORDER BY nd DESC, g ASC) AS rk FROM dc
+        ) WHERE rk <= {BOILER_TOP_N}
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(sum(CASE WHEN bl.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        FROM tg t LEFT JOIN bl ON t.g = bl.g
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_trigrams, n_boiler,
+           CAST(floor(n_boiler * 1000000.0 / n_trigrams) AS BIGINT) AS boiler_frac_micro,
+           floor(n_boiler * 1000000.0 / n_trigrams) >= {BOILER_FLAG_MICRO} AS boilerplate_heavy
+    FROM per_doc
+    """
+
+
+@register(
+    "x119_boilerplate_ngrams",
+    f"per-doc boilerplate coverage: fraction of trigram positions in the corpus-wide "
+    f"top-{BOILER_TOP_N} (>= {BOILER_MIN_DOCS}-doc) trigram blocklist",
+    _x119_oracle(),
+    tags=("quality", "dedup", "text", "llm"),
+)
+def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (the CCNet/C4 strip stage for nav bars,
+    cookie banners and license headers): mine the corpus-wide most
+    document-frequent trigrams, then score every doc by the fraction
+    of its trigram positions covered by that blocklist. Complements
+    x53 (which only MINES heavy hitters) and x72 (exact chunk dedup —
+    intra-doc, not corpus-frequency-driven).
+
+    Scale shape: the mining branch is explode → two-level distinct
+    aggregation (the shuffle carries one row per distinct (trigram,
+    doc), then one per distinct trigram — never one per occurrence)
+    → a global top-N, which is TakeOrdered-bounded at {BOILER_TOP_N}
+    rows BY CONSTRUCTION (the >= {BOILER_MIN_DOCS}-docs threshold
+    alone is corpus-dependent; the cap is what makes the blocklist
+    broadcastable at any corpus size — the same no-silent-caps rule
+    as x62/x99, and the cap binds at every test SF so the tiebreak
+    (nd DESC, g ASC) is exercised). The scoring branch never
+    re-shuffles trigrams: exploded positions take a broadcast left
+    join against the blocklist and fold straight into a per-doc
+    partial aggregation — one doc-keyed exchange total."""
+    from igloo_spark.functions.text import ngram_array
+
+    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    grams = d.select("doc_id", ngram_array(F.col("text"), 3).alias("gs")).filter(
+        F.size("gs") > 0
+    )
+    tg = grams.select("doc_id", F.explode("gs").alias("g"))
+    blocklist = (
+        tg.distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .orderBy(F.col("nd").desc(), F.col("g").asc())
+        .limit(BOILER_TOP_N)
+        .select("g", F.lit(1).alias("hit"))
+    )
+    per_doc = (
+        tg.join(F.broadcast(blocklist), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+    )
+    frac = F.floor(F.col("n_boiler") * 1000000.0 / F.col("n_trigrams"))
+    return per_doc.select(
+        "doc_id",
+        "n_trigrams",
+        "n_boiler",
+        frac.cast("bigint").alias("boiler_frac_micro"),
+        (frac >= BOILER_FLAG_MICRO).alias("boilerplate_heavy"),
+    )
+
+
+# --- x120: product-quantization ANN top-k ---------------------------------
+
+PQ_M = 4       # subspaces
+PQ_K = 8       # codes per subspace
+PQ_SUBDIM = EMB_DIM // PQ_M
+
+
+def _x120_oracle() -> str:
+    from igloo_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(PQ_M, PQ_K, EMB_DIM)
+
+    def lit(arr: list[float]) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in arr) + "]::DOUBLE[]"
+
+    code_cols = []
+    for m in range(PQ_M):
+        sl = f"list_slice(embedding::DOUBLE[], {m * PQ_SUBDIM + 1}, {m * PQ_SUBDIM + PQ_SUBDIM})"
+        scores = ", ".join(
+            f"(list_dot_product({lit(books[m][k])}, {lit(books[m][k])})"
+            f" - 2 * list_dot_product({sl}, {lit(books[m][k])}))"
+            for k in range(PQ_K)
+        )
+        code_cols.append(
+            f"CAST(list_position([{scores}], list_min([{scores}])) - 1 AS INTEGER) AS c{m}"
+        )
+    dt_cols = []
+    for m in range(PQ_M):
+        sl = f"list_slice(qv::DOUBLE[], {m * PQ_SUBDIM + 1}, {m * PQ_SUBDIM + PQ_SUBDIM})"
+        entries = ", ".join(
+            f"(list_dot_product({sl}, {sl})"
+            f" - 2 * list_dot_product({sl}, {lit(books[m][k])})"
+            f" + list_dot_product({lit(books[m][k])}, {lit(books[m][k])}))"
+            for k in range(PQ_K)
+        )
+        dt_cols.append(f"[{entries}] AS dt{m}")
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    adist = " + ".join(f"dt.dt{m}[c.c{m} + 1]" for m in range(PQ_M))
+    return f"""
+    WITH codes AS (SELECT vec_id, {", ".join(code_cols)} FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})),
+    dt AS (SELECT qid, {", ".join(dt_cols)} FROM q),
+    scored AS (
+        SELECT dt.qid AS query_id, c.vec_id AS neighbor_id,
+               CAST(floor(({adist}) * 1000000.0) AS BIGINT) AS adist_micro
+        FROM codes c CROSS JOIN dt WHERE c.vec_id <> dt.qid
+    )
+    SELECT query_id, neighbor_id, adist_micro, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adist_micro ASC, neighbor_id ASC
+        ) AS BIGINT) AS rank FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+@register(
+    "x120_ann_pq_topk",
+    f"product-quantization ADC top-{ANN_K}: {PQ_M}×{PQ_K} deterministic codebooks, "
+    "integer-micro ranked",
+    _x120_oracle(),
+    tags=("similarity", "llm"),
+)
+def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ completes the ANN family (x46 exact / x47+x63 LSH / x55+x64
+    IVF): vectors compress to {PQ_M} one-byte codes and queries scan
+    CODES, not floats — the memory-bandwidth regime the others don't
+    cover. See :func:`igloo_spark.operators.similarity.pq_topk` for
+    the ADC plan shape (scan-stage Arrow encode, broadcast distance
+    tables, integer-deterministic ranking)."""
+    from igloo_spark.operators.similarity import pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    return pq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=ANN_K, m_sub=PQ_M, k_codes=PQ_K, dim=EMB_DIM,
+    )
+
+
+# --- x121: embedding-column data expectations -----------------------------
+
+
+@register(
+    "x121_embedding_audit",
+    "per-label embedding sanity: dim mismatches, non-finite entries, zero norms, "
+    "norm min/max/avg in integer micro-units",
+    f"""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN len(embedding) <> {EMB_DIM} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dim_mismatch,
+           CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           CAST(sum(CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           min(CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                          * 1000000.0) AS BIGINT)) AS min_norm_micro,
+           max(CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                          * 1000000.0) AS BIGINT)) AS max_norm_micro,
+           CAST(sum(CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                               * 1000000.0) AS BIGINT)) // count(*) AS BIGINT)
+               AS avg_norm_micro
+    FROM embeddings GROUP BY label
+    """,
+    tags=("expectations", "similarity", "llm"),
+)
+def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x81's data-expectations idea applied to the embedding column —
+    the checks an ANN/dedup stage needs BEFORE trusting vectors:
+    dimension drift (a upstream model swap), NaN/Inf poisoning (one
+    non-finite entry silently zeroes a whole cosine), zero vectors
+    (divide-by-zero guards downstream), and the norm envelope
+    (un-normalized batches show up as a max/min spread). All norm
+    stats are floor'd integer micro-units and the average is an
+    integer division — no float aggregation order can drift
+    cross-engine. Shape: pure per-row fold expressions into one
+    |labels|-sized partial aggregate; zero shuffle beyond it,
+    identical at any corpus size."""
+    from igloo_spark.functions.vectors import dot
+
+    e = table(spark, sf_dir, "embeddings")
+    sq = dot(F.col("embedding"), F.col("embedding"))
+    norm_micro = F.floor(F.sqrt(sq) * 1000000.0).cast("bigint")
+    nonfinite = F.exists(
+        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return (
+        e.select(
+            "label",
+            F.size("embedding").alias("dim"),
+            sq.alias("sq"),
+            norm_micro.alias("norm_micro"),
+            nonfinite.alias("bad"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum((F.col("dim") != EMB_DIM).cast("int")).cast("bigint").alias("n_dim_mismatch"),
+            F.sum(F.col("bad").cast("int")).cast("bigint").alias("n_nonfinite"),
+            F.sum((F.col("sq") == 0.0).cast("int")).cast("bigint").alias("n_zero_norm"),
+            F.min("norm_micro").alias("min_norm_micro"),
+            F.max("norm_micro").alias("max_norm_micro"),
+            F.expr("sum(norm_micro) div count(*)").cast("bigint").alias("avg_norm_micro"),
+        )
+    )
