@@ -402,7 +402,10 @@ def test_round7_operators_scale_bounded(spark):
     eval pays brute force only on a 3-query sample, the mixture is a
     |sources|-row aggregate, entropy/blocklist are in-row scan-stage
     projections, and the sketch audit rides the capped band-join pair
-    stream — warm cost must grow well under data growth."""
+    stream — warm cost must grow well under data growth. Late round-7
+    additions: boilerplate coverage (two-level distinct agg + capped
+    broadcast blocklist), PQ ADC (scan-stage encode + 3-query
+    broadcast), embedding audit (|labels|-row aggregate)."""
     from igloo_spark.queries import all_queries
 
     qs = all_queries()
@@ -412,6 +415,9 @@ def test_round7_operators_scale_bounded(spark):
         "x115_char_entropy",
         "x116_blocklist_filter",
         "x117_minhash_error_audit",
+        "x119_boilerplate_ngrams",
+        "x120_ann_pq_topk",
+        "x121_embedding_audit",
     ]
     for name in names:
         warm = {}
