@@ -926,7 +926,7 @@ def pq_assign_codes(
 
 
 def pq_books_table(spark, books: list[list[list[float]]]) -> DataFrame:
-    """Codebooks as a one-row broadcastable ``cents[m][k][j]`` table
+    """Codebooks as a one-row broadcastable ``books[m][k][j]`` table
     (same rationale as :func:`centroids_table`: m×k×subdim literal
     nodes in every expression would dominate Catalyst analysis)."""
     import json
@@ -970,12 +970,29 @@ def pq_topk(
     computed expression — see SCALE.md round-7)."""
     if books is None:
         books = pq_codebooks(m_sub, k_codes, dim)
-    subdim = dim // m_sub
-    from igloo_spark.functions.vectors import dot
-
     codes = pq_assign_codes(
         corpus, id_col, vec_col, books=books, m_sub=m_sub, k_codes=k_codes, dim=dim
     )
+    return _pq_adc_topk(codes, queries, books, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def _pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC scoring + ranking over an existing ``(neighbor_id, codes)``
+    frame — the shared half of :func:`pq_topk` (live) and
+    :func:`probe_pq_index` (persisted), so a persisted probe is
+    bit-identical to the in-memory path by construction. Subspace
+    count and width come from the codebooks' own shape."""
+    from igloo_spark.functions.vectors import dot
+
+    m_sub = len(books)
+    subdim = len(books[0][0])
     q = (
         queries.crossJoin(F.broadcast(pq_books_table(queries.sparkSession, books)))
         .select(
@@ -987,6 +1004,7 @@ def pq_topk(
             "books",
         )
     )
+
     def _dtable(m: int):
         # closure, NOT a default-arg lambda: Spark calls a two-param
         # HOF lambda as (element, index), which would rebind the
@@ -1016,3 +1034,132 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+    n_files: int = 8,
+) -> None:
+    """Persist the PQ index: the ``(neighbor_id, codes)`` frame plus a
+    ``_codebooks`` side table. Unlike IVF there is no partition
+    pruning — an ADC probe scans EVERY code row by design — the index
+    win is that what it scans is m_sub small ints per vector instead
+    of the raw float vectors (~64x less IO at dim 64), and the encode
+    pass runs once instead of per probe.
+
+    SELF-DESCRIBING like :func:`write_ivf_index`: the codebooks used
+    at build time are the only ones a probe may use (foreign
+    codebooks would ADC-score against centroids the codes were never
+    assigned to — silently bogus neighbors). Codes are hash-spread
+    over ``n_files`` files: there is no partition column to
+    repartition on, and unbounded task fan-out is the small-files
+    failure mode the persisted postings/IVF builders fixed in r07."""
+    import json as _json
+
+    if books is None:
+        books = pq_codebooks(m_sub, k_codes, dim)
+    from igloo_spark.sinks import write_parquet
+
+    codes = pq_assign_codes(
+        corpus, id_col, vec_col, books=books, m_sub=m_sub, k_codes=k_codes, dim=dim
+    )
+    write_parquet(codes.repartition(n_files), path)
+    spark = corpus.sparkSession
+    payload = _json.dumps([[[float(v) for v in c] for c in b] for b in books])
+    spark.range(1).select(F.lit(payload).alias("codebooks_json")).write.mode(
+        "overwrite"
+    ).parquet(path + "/_codebooks")
+
+
+def _read_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    import json as _json
+
+    payload = spark.read.parquet(path + "/_codebooks").first()["codebooks_json"]
+    return _json.loads(payload)
+
+
+def append_pq(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a :func:`write_pq_index` layout without
+    rebuilding: encode the batch with the index's OWN ``_codebooks``
+    (frozen at build time — the same quantizer-drift rule as
+    :func:`append_ivf`) and append the new code rows. Probe-after-
+    append equals a full rebuild over the union corpus by
+    construction; per-batch cost is one batch-sized encode,
+    independent of index size. Each append adds one file; compact
+    with :func:`optimize_pq` when file counts matter. The caller must
+    not append a batch twice (the index is a derived artifact)."""
+    books = _read_pq_codebooks(new_vectors.sparkSession, path)
+    codes = pq_assign_codes(
+        new_vectors, id_col, vec_col, books=books,
+        m_sub=len(books), k_codes=len(books[0]),
+        dim=len(books[0][0]) * len(books),
+    )
+    codes.repartition(1).write.mode("append").parquet(path)
+
+
+def optimize_pq(spark, path: str, n_files: int = 8) -> None:
+    """Compact a PQ index back to ``n_files`` files after a run of
+    :func:`append_pq` batches — flat-layout analog of
+    ``sinks.compact_partition_dirs`` (same read -> write-aside ->
+    directory-swap publication; ``_codebooks`` carried through
+    untouched)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from igloo_spark.sinks import write_parquet
+
+    base = path.rstrip("/")
+    if not _glob.glob(_os.path.join(base, "*.parquet")):
+        return  # zero-vector index: side table only, nothing to compact
+    tmp, old = base + ".compact-tmp", base + ".compact-old"
+    for p in (tmp, old):
+        if _os.path.exists(p):
+            _shutil.rmtree(p)
+    df = spark.read.parquet(base)
+    write_parquet(df.repartition(n_files), tmp)
+    src = _os.path.join(base, "_codebooks")
+    if _os.path.isdir(src):
+        _shutil.copytree(src, _os.path.join(tmp, "_codebooks"))
+    _os.rename(base, old)
+    _os.rename(tmp, base)
+    _shutil.rmtree(old)
+
+
+def probe_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k probe against a :func:`write_pq_index` layout: read
+    the code rows (never any raw corpus vector), score with the
+    index's ``_codebooks``, rank integer-deterministically — shares
+    :func:`_pq_adc_topk` with the live path, so results are
+    bit-identical to :func:`pq_topk` over the same corpus."""
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(path, "*.parquet")):
+        # zero-vector build leaves no data files (only the side
+        # table); return the empty result frame with the probe schema
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, adist_micro bigint, rank bigint"
+        )
+    books = _read_pq_codebooks(spark, path)
+    codes = spark.read.parquet(path)
+    return _pq_adc_topk(codes, queries, books, id_col=id_col, vec_col=vec_col, k=k)

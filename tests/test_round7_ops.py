@@ -501,3 +501,114 @@ def test_empty_ivf_index_probe_and_compact(spark, tmp_path):
     optimize_ivf(spark, path)  # must not raise
     append_ivf(emb.limit(100), path)
     assert probe_ivf_index(spark, path, queries, k=3).count() == 3
+
+
+class TestPqIndex:
+    """Persisted PQ index lifecycle: build → probe parity with the
+    live path, append == full rebuild, bounded file layout, compaction
+    and the zero-vector edge — the same contract suite as the BM25 /
+    IVF persisted indexes."""
+
+    def test_probe_matches_live_pq_topk(self, spark, tmp_path):
+        from igloo_spark.operators.similarity import (
+            pq_topk,
+            probe_pq_index,
+            write_pq_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            emb = load_testdata_table(spark, sf, "embeddings")
+            queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+            path = str(tmp_path / ("pq_" + sf.rsplit("sf", 1)[1]))
+            write_pq_index(emb, path)
+            got = _probe_rows(probe_pq_index(spark, path, queries, k=5))
+            want = _probe_rows(pq_topk(emb, queries, k=5))
+            assert got == want and got
+
+    def test_append_matches_full_rebuild(self, spark, tmp_path):
+        """Codebooks are frozen in the _codebooks side table; appends
+        encode with them, so build(half)+append(half) probes
+        identically to build(all)."""
+        from igloo_spark.operators.similarity import (
+            append_pq,
+            probe_pq_index,
+            write_pq_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        b1 = emb.filter(F.col("vec_id") % 2 == 0)
+        b2 = emb.filter(F.col("vec_id") % 2 == 1)
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+
+        inc = str(tmp_path / "pq_inc")
+        write_pq_index(b1, inc)
+        append_pq(b2, inc)
+        full = str(tmp_path / "pq_full")
+        write_pq_index(emb, full)
+
+        got = _probe_rows(probe_pq_index(spark, inc, queries, k=5))
+        want = _probe_rows(probe_pq_index(spark, full, queries, k=5))
+        assert got == want and got
+
+    def test_append_preserves_codebooks_and_file_layout(self, spark, tmp_path):
+        from igloo_spark.operators.similarity import append_pq, write_pq_index
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = tmp_path / "pq_layout"
+        # many upstream tasks must NOT fan out into many files
+        write_pq_index(emb.repartition(16), str(path), n_files=4)
+        assert len(list(path.glob("*.parquet"))) == 4
+        before = spark.read.parquet(str(path) + "/_codebooks").first()["codebooks_json"]
+        append_pq(emb.withColumn("vec_id", F.col("vec_id") + 10_000), str(path))
+        after = spark.read.parquet(str(path) + "/_codebooks").first()["codebooks_json"]
+        assert before == after
+        assert len(list(path.glob("*.parquet"))) == 5  # +1 per append batch
+
+    def test_optimize_compacts_and_preserves_probe(self, spark, tmp_path):
+        from igloo_spark.operators.similarity import (
+            append_pq,
+            optimize_pq,
+            probe_pq_index,
+            write_pq_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+        path = tmp_path / "pq_opt"
+        write_pq_index(emb.filter(F.col("vec_id") < 250), str(path), n_files=4)
+        for shift in (10_000, 20_000, 30_000):
+            append_pq(
+                emb.filter(F.col("vec_id") >= 250).withColumn(
+                    "vec_id", F.col("vec_id") + shift
+                ),
+                str(path),
+            )
+        before = _probe_rows(probe_pq_index(spark, str(path), queries, k=5))
+        assert len(list(path.glob("*.parquet"))) == 7
+        optimize_pq(spark, str(path), n_files=4)
+        assert len(list(path.glob("*.parquet"))) == 4
+        after = _probe_rows(probe_pq_index(spark, str(path), queries, k=5))
+        assert before == after and before
+
+    def test_empty_index_probe_and_compact(self, spark, tmp_path):
+        from igloo_spark.operators.similarity import (
+            optimize_pq,
+            probe_pq_index,
+            write_pq_index,
+        )
+        from igloo_spark.sources import load_testdata_table
+
+        emb = load_testdata_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+        path = str(tmp_path / "pq_empty")
+        write_pq_index(emb.filter(F.lit(False)), path)
+        optimize_pq(spark, path)  # must not raise
+        got = probe_pq_index(spark, path, queries, k=5)
+        assert got.count() == 0
+        assert [f.name for f in got.schema.fields] == [
+            "query_id", "neighbor_id", "adist_micro", "rank",
+        ]
