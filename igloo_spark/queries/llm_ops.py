@@ -4278,3 +4278,73 @@ def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(norm_micro) div count(*)").cast("bigint").alias("avg_norm_micro"),
         )
     )
+
+
+# --- x122: PQ recall@k evaluation -----------------------------------------
+
+
+def _x122_oracle() -> str:
+    return f"""
+    WITH exact AS (
+        SELECT query_id, neighbor_id FROM ({_ann_bruteforce_oracle()}) e
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM ({_x120_oracle()}) a
+    ),
+    hit AS (
+        SELECT exact.query_id,
+               CASE WHEN approx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS h
+        FROM exact LEFT JOIN approx USING (query_id, neighbor_id)
+    )
+    SELECT query_id,
+           CAST(sum(h) AS BIGINT) AS n_hits,
+           round(CAST(sum(h) AS DOUBLE) / {ANN_K}, 6) AS recall_at_k
+    FROM hit GROUP BY query_id
+    """
+
+
+@register(
+    "x122_pq_recall",
+    f"ANN quality eval: recall@{ANN_K} of PQ ADC retrieval against the exact top-{ANN_K}",
+    _x122_oracle(),
+    tags=("similarity", "eval", "llm"),
+)
+def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x113's recall harness pointed at the PQ path (x120): per-query
+    recall@k of ADC retrieval over 4-byte codes vs the exact
+    brute-force top-k. This is the dial-tuning eval for m_sub/k_codes
+    — PQ trades recall for a ~64× smaller scan, and THIS number is
+    what says whether the trade held after a codebook change (the
+    degenerate-codebook failure SCALE.md records would have shown up
+    here as recall ≈ k/|corpus| before any model felt it). Cost
+    posture identical to x113: the exact side runs only on the
+    3-query sample; the comparison is a k×|sample|-row join.
+
+    Honest fixture caveat (same spirit as the BM25 small-corpus note
+    in SCALE.md): the synthetic embeddings are near-uniform on the
+    sphere — the adversarial case for a 4×8 quantizer, so ABSOLUTE
+    recall here is low by construction. Real embedding corpora are
+    clustered, where PQ earns its keep; the eval's operational value
+    is the DELTA across codebook/m_sub/k_codes changes, which this
+    measures exactly."""
+    from igloo_spark.operators.similarity import brute_force_topk, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=ANN_K, m_sub=PQ_M, k_codes=PQ_K, dim=EMB_DIM,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("h"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double") / ANN_K, 6
+            ).alias("recall_at_k"),
+        )
+    )

@@ -418,6 +418,7 @@ def test_round7_operators_scale_bounded(spark):
         "x119_boilerplate_ngrams",
         "x120_ann_pq_topk",
         "x121_embedding_audit",
+        "x122_pq_recall",
     ]
     for name in names:
         warm = {}
