@@ -1372,3 +1372,37 @@ def test_ann_recall_differential_parity(igloo, n, seed):
     )
     spec = REGISTRY["x113_ann_recall"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(deadline=None, max_examples=8, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            # 3-word vocab + short docs: trigrams collide hard across
+            # docs, so the >= BOILER_MIN_DOCS threshold and the
+            # (nd DESC, g ASC) ordering both bind on tied counts;
+            # includes empty texts and docs under 3 tokens (empty
+            # trigram arrays) — the rows both engines must DROP.
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8).map(
+                " ".join
+            ),
+            st.sampled_from(["en", "de"]),
+            st.sampled_from(["web", "forum"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_boilerplate_ngrams_differential_parity(igloo, rows):
+    """x119 over adversarial corpora (maximal trigram collision, tied
+    document frequencies, sub-3-token docs): the two-level distinct
+    mining + capped blocklist + per-doc coverage fold must match the
+    DuckDB oracle exactly — the tie-prone parts are the threshold
+    boundary and the deterministic (count DESC, trigram ASC) order."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x119_boilerplate_ngrams"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
