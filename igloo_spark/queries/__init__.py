@@ -44,7 +44,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # -- x47 holds an r03 verdict (yielded its slot twice: its path is
     # nested in x63's, but the staleness rule now wins) --
     "x47_ann_lsh_topk",
-    # -- the ten round-7 additions: never checked, and landing them
+    # -- the eleven round-7 additions: never checked, and landing them
     # in THIS window keeps the never-verified backlog at zero instead
     # of repeating the r06 pattern (new queries waiting a full round
     # for their first verdict) --
@@ -58,11 +58,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x120_ann_pq_topk",
     "x121_embedding_audit",
     "x122_pq_recall",
-    # -- 25 of the 46 r04-stale queries, operator-heavy surface first
-    # (the deferred 21 are the 11 single-expression scalar-function
+    "x123_ann_ivfpq_topk",
+    # -- 24 of the 46 r04-stale queries, operator-heavy surface first
+    # (the deferred 22 are the 11 single-expression scalar-function
     # queries q58 q79 q84 q85 q86 q87 q88 q89 q90 q91 q94, the 6
-    # displaced by x113–x118: q81 q82 q83 q92 q93 q95, and the 4
-    # displaced by x119–x122: q66 q67 q76 q80 — they rotate in r08) --
+    # displaced by x113–x118: q81 q82 q83 q92 q93 q95, and the 5
+    # displaced by x119–x123: q36 q66 q67 q76 q80 — they rotate in
+    # r08) --
     "x40_dedup_exact",
     "x56_training_data_prep",
     "x74_numeric_histogram",
@@ -87,18 +89,17 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q33_sessionization",
     "q34_pivot_conditional",
     "q35_json_extraction",
-    "q36_time_bucket_agg",
 )
 # Round-7 rotation (executes the r06 verdict's task 1): the fourteen
 # never-driver-checked round-6 queries x99–x112 first, then
-# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then the ten
-# round-7 additions x113–x122 (first verdicts in their OWN round —
-# no never-checked backlog carried forward), then 25 of the 46
-# r04-stale queries — exactly 50 entries, the driver's per-round gate
-# window. After this window every query's latest verdict is r05+
-# except the 21 deferred r04 queries listed above (11 single-
-# codegen'd-expression scalar queries + the 10 displaced by
-# x113–x122) — they lead the r08 rotation, followed by the oldest
+# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then the
+# eleven round-7 additions x113–x123 (first verdicts in their OWN
+# round — no never-checked backlog carried forward), then 24 of the
+# 46 r04-stale queries — exactly 50 entries, the driver's per-round
+# gate window. After this window every query's latest verdict is
+# r05+ except the 22 deferred r04 queries listed above (11 single-
+# codegen'd-expression scalar queries + the 11 displaced by
+# x113–x123) — they lead the r08 rotation, followed by the oldest
 # r05 verdicts.
 
 

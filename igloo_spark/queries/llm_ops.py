@@ -4140,37 +4140,54 @@ PQ_K = 8       # codes per subspace
 PQ_SUBDIM = EMB_DIM // PQ_M
 
 
-def _x120_oracle() -> str:
-    from igloo_spark.operators.similarity import pq_codebooks
+def _pq_lit(arr: list[float]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in arr) + "]::DOUBLE[]"
 
-    books = pq_codebooks(PQ_M, PQ_K, EMB_DIM)
 
-    def lit(arr: list[float]) -> str:
-        return "[" + ", ".join(repr(float(v)) for v in arr) + "]::DOUBLE[]"
-
-    code_cols = []
+def _pq_code_cols_sql(books) -> str:
+    """``c0..c{M-1}`` argmin-code columns over ``embedding`` — shared
+    by the x120 and x123 oracles (identical literals, identical
+    tiebreak: list_position returns the FIRST minimum)."""
+    cols = []
     for m in range(PQ_M):
         sl = f"list_slice(embedding::DOUBLE[], {m * PQ_SUBDIM + 1}, {m * PQ_SUBDIM + PQ_SUBDIM})"
         scores = ", ".join(
-            f"(list_dot_product({lit(books[m][k])}, {lit(books[m][k])})"
-            f" - 2 * list_dot_product({sl}, {lit(books[m][k])}))"
+            f"(list_dot_product({_pq_lit(books[m][k])}, {_pq_lit(books[m][k])})"
+            f" - 2 * list_dot_product({sl}, {_pq_lit(books[m][k])}))"
             for k in range(PQ_K)
         )
-        code_cols.append(
+        cols.append(
             f"CAST(list_position([{scores}], list_min([{scores}])) - 1 AS INTEGER) AS c{m}"
         )
-    dt_cols = []
+    return ", ".join(cols)
+
+
+def _pq_dt_cols_sql(books) -> str:
+    """``dt0..dt{M-1}`` ADC distance-table list columns over ``qv``."""
+    cols = []
     for m in range(PQ_M):
         sl = f"list_slice(qv::DOUBLE[], {m * PQ_SUBDIM + 1}, {m * PQ_SUBDIM + PQ_SUBDIM})"
         entries = ", ".join(
             f"(list_dot_product({sl}, {sl})"
-            f" - 2 * list_dot_product({sl}, {lit(books[m][k])})"
-            f" + list_dot_product({lit(books[m][k])}, {lit(books[m][k])}))"
+            f" - 2 * list_dot_product({sl}, {_pq_lit(books[m][k])})"
+            f" + list_dot_product({_pq_lit(books[m][k])}, {_pq_lit(books[m][k])}))"
             for k in range(PQ_K)
         )
-        dt_cols.append(f"[{entries}] AS dt{m}")
+        cols.append(f"[{entries}] AS dt{m}")
+    return ", ".join(cols)
+
+
+PQ_ADIST_SQL = " + ".join(f"dt.dt{m}[c.c{m} + 1]" for m in range(PQ_M))
+
+
+def _x120_oracle() -> str:
+    from igloo_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(PQ_M, PQ_K, EMB_DIM)
+    code_cols = [_pq_code_cols_sql(books)]
+    dt_cols = [_pq_dt_cols_sql(books)]
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
-    adist = " + ".join(f"dt.dt{m}[c.c{m} + 1]" for m in range(PQ_M))
+    adist = PQ_ADIST_SQL
     return f"""
     WITH codes AS (SELECT vec_id, {", ".join(code_cols)} FROM embeddings),
     q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})),
@@ -4347,4 +4364,84 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double") / ANN_K, 6
             ).alias("recall_at_k"),
         )
+    )
+
+
+# --- x123: IVFADC (IVF + PQ) top-k ----------------------------------------
+
+
+def _x123_oracle() -> str:
+    from igloo_spark.operators.similarity import ivf_centroids, pq_codebooks
+
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    books = pq_codebooks(PQ_M, PQ_K, EMB_DIM)
+    arms = []
+    for i, cent in enumerate(ivf_centroids(IVF_CELLS, EMB_DIM)):
+        arr = "[" + ", ".join(repr(w) for w in cent) + "]::DOUBLE[]"
+        arms.append(
+            f"SELECT vec_id, {i} AS cell, "
+            f"list_dot_product(embedding::DOUBLE[], {arr}) AS d FROM embeddings"
+        )
+    cd = "\n        UNION ALL\n        ".join(arms)
+    return f"""
+    WITH cd AS (
+        {cd}
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rnk
+        FROM cd
+    ),
+    codes AS (SELECT vec_id, {_pq_code_cols_sql(books)} FROM embeddings),
+    cand AS (
+        SELECT r.vec_id AS neighbor_id, CAST(r.cell AS BIGINT) AS cell,
+               k.c0, k.c1, k.c2, k.c3
+        FROM ranked r JOIN codes k ON k.vec_id = r.vec_id WHERE r.rnk = 1
+    ),
+    probe AS (
+        SELECT vec_id AS qid, CAST(cell AS BIGINT) AS cell
+        FROM ranked WHERE rnk <= {IVF_NPROBE} AND vec_id IN ({ids})
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})),
+    dt AS (SELECT qid, {_pq_dt_cols_sql(books)} FROM q),
+    scored AS (
+        SELECT p.qid AS query_id, c.neighbor_id, c.cell,
+               CAST(floor(({PQ_ADIST_SQL}) * 1000000.0) AS BIGINT) AS adist_micro
+        FROM cand c JOIN probe p ON c.cell = p.cell AND c.neighbor_id <> p.qid
+        JOIN dt ON dt.qid = p.qid
+    )
+    SELECT query_id, neighbor_id, cell, adist_micro, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adist_micro ASC, neighbor_id ASC
+        ) AS BIGINT) AS rank FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+@register(
+    "x123_ann_ivfpq_topk",
+    f"IVFADC top-{ANN_K}: {IVF_CELLS}-cell coarse pruning × {PQ_M}×{PQ_K} PQ codes, "
+    f"nprobe={IVF_NPROBE}",
+    _x123_oracle(),
+    tags=("similarity", "llm"),
+)
+def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the production big-ANN composition: IVF prunes (probe
+    nprobe of n_cells), PQ compresses (ADC over 4-byte codes inside
+    the probed cells). The two savings MULTIPLY: with a
+    cell-partitioned persisted layout the probe reads nprobe/n_cells
+    of the directories and codes-instead-of-floats inside them. See
+    :func:`igloo_spark.operators.similarity.ivfpq_topk` for the fused
+    one-Arrow-kernel assignment (cell + codes in one pass — two
+    kernels would break the corpus-wide one-Python-eval budget) and
+    the documented direct-quantization simplification vs the paper's
+    residual codebooks."""
+    from igloo_spark.operators.similarity import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    return ivfpq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=ANN_K, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+        m_sub=PQ_M, k_codes=PQ_K, dim=EMB_DIM,
     )

@@ -419,6 +419,7 @@ def test_round7_operators_scale_bounded(spark):
         "x120_ann_pq_topk",
         "x121_embedding_audit",
         "x122_pq_recall",
+        "x123_ann_ivfpq_topk",
     ]
     for name in names:
         warm = {}
