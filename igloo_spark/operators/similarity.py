@@ -1251,13 +1251,35 @@ def ivfpq_topk(
         centroids = ivf_centroids(n_cells, dim)
     if books is None:
         books = pq_codebooks(m_sub, k_codes, dim)
-    subdim = dim // m_sub
-    from igloo_spark.functions.vectors import dot
-
     assigned = ivfpq_assign(
         corpus, id_col, vec_col, centroids=centroids, books=books,
         n_cells=n_cells, m_sub=m_sub, k_codes=k_codes, dim=dim,
     )
+    return _ivfpq_rank(
+        assigned, queries, centroids, books,
+        id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+    )
+
+
+def _ivfpq_rank(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe-side cell explosion + ADC ranking over an existing
+    ``(neighbor_id, cell, codes)`` frame — the shared half of
+    :func:`ivfpq_topk` (live) and :func:`probe_ivfpq_index`
+    (persisted), so the persisted probe is bit-identical to the
+    in-memory path by construction."""
+    from igloo_spark.functions.vectors import dot
+
+    m_sub = len(books)
+    subdim = len(books[0][0])
     spark = queries.sparkSession
     q = (
         queries.crossJoin(F.broadcast(centroids_table(spark, centroids)))
@@ -1298,4 +1320,135 @@ def ivfpq_topk(
         )
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+    n_cells: int = 8,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+) -> None:
+    """Persist the IVFADC index: cell-PARTITIONED ``(neighbor_id,
+    cell, codes)`` plus BOTH quantizers as side tables (``_centroids``
+    for the coarse cells, ``_codebooks`` for the PQ codes — frozen at
+    build, never caller-supplied at probe). This is the layout where
+    the two savings multiply on disk: a probe partition-prunes to
+    nprobe/n_cells of the directories AND the files it does read hold
+    m_sub ints per vector instead of dim floats. One fused assignment
+    kernel, one-file-per-cell build (repartition-before-partitionBy
+    via sinks.write_parquet)."""
+    import json as _json
+
+    if centroids is None:
+        centroids = ivf_centroids(n_cells, dim)
+    if books is None:
+        books = pq_codebooks(m_sub, k_codes, dim)
+    assigned = ivfpq_assign(
+        corpus, id_col, vec_col, centroids=centroids, books=books,
+        n_cells=n_cells, m_sub=m_sub, k_codes=k_codes, dim=dim,
+    )
+    from igloo_spark.sinks import write_parquet
+
+    write_parquet(assigned, path, partition_by="cell")
+    spark = corpus.sparkSession
+    cpay = _json.dumps([[float(v) for v in row] for row in centroids])
+    spark.range(1).select(F.lit(cpay).alias("centroids_json")).write.mode(
+        "overwrite"
+    ).parquet(path + "/_centroids")
+    bpay = _json.dumps([[[float(v) for v in c] for c in b] for b in books])
+    spark.range(1).select(F.lit(bpay).alias("codebooks_json")).write.mode(
+        "overwrite"
+    ).parquet(path + "/_codebooks")
+
+
+def append_ivfpq(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a :func:`write_ivfpq_index` layout:
+    both quantizers come from the index's OWN side tables (frozen —
+    the :func:`append_ivf` drift rule, doubled), so
+    probe-after-append equals a full rebuild over the union corpus.
+    One file per cell per batch; compact with :func:`optimize_ivfpq`."""
+    import json as _json
+
+    spark = new_vectors.sparkSession
+    centroids = _json.loads(
+        spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+    )
+    books = _json.loads(
+        spark.read.parquet(path + "/_codebooks").first()["codebooks_json"]
+    )
+    assigned = ivfpq_assign(
+        new_vectors, id_col, vec_col, centroids=centroids, books=books,
+        n_cells=len(centroids), m_sub=len(books), k_codes=len(books[0]),
+        dim=len(centroids[0]),
+    )
+    from igloo_spark.sinks import write_parquet
+
+    write_parquet(assigned, path, partition_by="cell", mode="append")
+
+
+def optimize_ivfpq(spark, path: str) -> None:
+    """Compact an IVFADC index back to one file per cell directory,
+    carrying both quantizer side tables through untouched."""
+    from igloo_spark.sinks import compact_partition_dirs
+
+    compact_partition_dirs(
+        spark, path, "cell", side_dirs=("_centroids", "_codebooks")
+    )
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVFADC probe against a :func:`write_ivfpq_index` layout,
+    reading ONLY the probed cells' partitions (literal partition
+    filter → static pruning, same mechanism as
+    :func:`probe_ivf_index`) and ONLY code columns inside them (the
+    raw vectors are not even in the index). Shares
+    :func:`_ivfpq_rank` with the live path — bit-identical results."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    if not _glob.glob(_os.path.join(path, "cell=*")):
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cell bigint, "
+            "adist_micro bigint, rank bigint",
+        )
+    centroids = _json.loads(
+        spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+    )
+    books = _json.loads(
+        spark.read.parquet(path + "/_codebooks").first()["codebooks_json"]
+    )
+    cents_df = centroids_table(spark, centroids)
+    qc = (
+        queries.crossJoin(F.broadcast(cents_df))
+        .select(
+            F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell")
+        )
+    )
+    cells = sorted({r["cell"] for r in qc.distinct().collect()})
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return _ivfpq_rank(
+        idx, queries, centroids, books,
+        id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
     )
