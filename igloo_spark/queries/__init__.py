@@ -25,83 +25,67 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- the fourteen round-6 additions: never driver-checked, first
-    # verdicts beat everything else (r06 verdict task 1) --
-    "x99_winnow_cap_stats",
-    "x100_token_budget_select",
-    "x101_gopher_repetition",
-    "x102_dsir_importance",
-    "x103_k_anonymity",
-    "x104_source_quality_deciles",
-    "x105_bm25_retrieval",
-    "x106_semantic_decontamination",
-    "x107_diversity_cap_sample",
-    "x108_weighted_sample",
-    "x109_contrastive_pairs",
-    "x110_source_overlap",
-    "x111_source_kl_drift",
-    "x112_dup_family_histogram",
-    # -- x47 holds an r03 verdict (yielded its slot twice: its path is
-    # nested in x63's, but the staleness rule now wins) --
-    "x47_ann_lsh_topk",
-    # -- the eleven round-7 additions: never checked, and landing them
-    # in THIS window keeps the never-verified backlog at zero instead
-    # of repeating the r06 pattern (new queries waiting a full round
-    # for their first verdict) --
-    "x113_ann_recall",
-    "x114_temperature_mixture",
-    "x115_char_entropy",
-    "x116_blocklist_filter",
-    "x117_minhash_error_audit",
-    "x118_leakage_safe_split",
-    "x119_boilerplate_ngrams",
-    "x120_ann_pq_topk",
-    "x121_embedding_audit",
-    "x122_pq_recall",
-    "x123_ann_ivfpq_topk",
-    # -- 24 of the 46 r04-stale queries, operator-heavy surface first
-    # (the deferred 22 are the 11 single-expression scalar-function
-    # queries q58 q79 q84 q85 q86 q87 q88 q89 q90 q91 q94, the 6
-    # displaced by x113–x118: q81 q82 q83 q92 q93 q95, and the 5
-    # displaced by x119–x123: q36 q66 q67 q76 q80 — they rotate in
-    # r08) --
-    "x40_dedup_exact",
-    "x56_training_data_prep",
-    "x74_numeric_histogram",
-    "x75_dedup_manifest",
-    "x76_hypertable_rollup",
-    "x77_funnel",
-    "x78_retention_cohorts",
-    "x79_quantile_binning",
-    "x81_data_expectations",
-    "x82_pii_scrub",
-    "x83_rag_chunking",
-    "x84_touch_attribution",
-    "x85_url_dedup",
-    "x86_dataset_split",
-    "x88_unigram_logprob",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q13_stat_aggregates",
-    "q21_subqueries",
-    "q25_datetime_functions",
-    "q33_sessionization",
-    "q34_pivot_conditional",
-    "q35_json_extraction",
+    # -- r08 rotation (executes the r07 verdict's task 1): the 22
+    # r04-stale queries first — the 11 single-expression scalar
+    # queries deferred since r04, the 6 displaced by x113-x118, and
+    # the 5 displaced by x119-x123 — then 28 of the 50 r05-stale
+    # queries, operator-heavy surface first. Exactly 50 entries.
+    # After this window the verdict-age histogram is 50@r08, 50@r07,
+    # 50@r06, 22@r05 (q05 q06 q37 q38 q39 q72-q75 q78 q96-q99 x59
+    # x64 x70 x80 x87 x89 x90 x91 — they lead the r09 rotation,
+    # followed by the oldest r06 verdicts).
+    "q58_epoch_roundtrip",
+    "q79_bitwise_aggregates",
+    "q84_variant_json",
+    "q85_grouping_id",
+    "q86_width_bucket",
+    "q87_interval_arithmetic",
+    "q88_map_zip_filter",
+    "q89_stack_rows",
+    "q90_regexp_count_like",
+    "q91_try_to_timestamp",
+    "q94_explode_outer",
+    "q81_time_range_frame",
+    "q82_string_agg_ordered",
+    "q83_correlated_scalar_select",
+    "q92_bitmap_distinct",
+    "q93_rolling_zscore",
+    "q95_forward_fill",
+    "q36_time_bucket_agg",
+    "q66_asof_join",
+    "q67_band_join",
+    "q76_session_window",
+    "q80_merge_upsert",
+    # -- 28 of the 50 r05-stale, operator-heavy first --
+    "q07_outer_join_counts",
+    "q08_right_full_outer",
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_theta_join",
+    "q12_cross_join",
+    "q14_rollup_grouping",
+    "q15_cube_grouping_sets",
+    "q16_having_filter_clause",
+    "q17_sort_limit_offset",
+    "q18_set_operations",
+    "q19_intersect_except_all",
+    "q20_distinct_dedup",
+    "q22_cte_top_supplier",
+    "q30_window_ranking",
+    "q31_window_offsets",
+    "q32_window_range_frame",
+    "x41_minhash_bands",
+    "x42_minhash_neardup_pairs",
+    "x43_simhash",
+    "x55_ann_ivf_topk",
+    "q28_exact_percentiles",
+    "q29_approx_aggregates",
+    "q23_string_functions",
+    "q24_math_functions",
+    "q26_conditional_functions",
+    "q27_capitalize_udf",
+    "q02_filter_expressions",
 )
-# Round-7 rotation (executes the r06 verdict's task 1): the fourteen
-# never-driver-checked round-6 queries x99–x112 first, then
-# x47_ann_lsh_topk (r03-stale, yielded its slot twice), then the
-# eleven round-7 additions x113–x123 (first verdicts in their OWN
-# round — no never-checked backlog carried forward), then 24 of the
-# 46 r04-stale queries — exactly 50 entries, the driver's per-round
-# gate window. After this window every query's latest verdict is
-# r05+ except the 22 deferred r04 queries listed above (11 single-
-# codegen'd-expression scalar queries + the 11 displaced by
-# x113–x123) — they lead the r08 rotation, followed by the oldest
-# r05 verdicts.
-
 
 def all_queries():
     ordered = {n: REGISTRY[n] for n in _GATE_PRIORITY if n in REGISTRY}
