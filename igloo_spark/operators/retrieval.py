@@ -245,11 +245,15 @@ def append_postings(
     b = batch_stats.first()
     # `or 0.0` guards the degenerate ends: an index built from zero
     # docs persists NULL sum_dl, and an empty append batch aggregates
-    # NULL — both mean "nothing to add", not a crash
+    # NULL — both mean "nothing to add", not a crash. The avgdl
+    # division gets the same guard: appending an empty batch to a
+    # zero-doc index keeps the NULL avgdl a zero-doc
+    # write_postings_index persists.
     n_docs = float(old["n_docs"]) + float(b["n_docs"])
     sum_dl = float(old["sum_dl"] or 0.0) + float(b["sum_dl"] or 0.0)
+    avgdl = sum_dl / n_docs if n_docs else None
     spark.createDataFrame(
-        [(n_docs, sum_dl, sum_dl / n_docs, n_buckets)],
+        [(n_docs, sum_dl, avgdl, n_buckets)],
         "n_docs double, sum_dl double, avgdl double, n_buckets int",
     ).write.mode("overwrite").parquet(path + "/_stats")
 

@@ -1119,9 +1119,10 @@ def optimize_pq(spark, path: str, n_files: int = 8) -> None:
     import os as _os
     import shutil as _shutil
 
-    from igloo_spark.sinks import write_parquet
+    from igloo_spark.sinks import recover_interrupted_compaction, write_parquet
 
     base = path.rstrip("/")
+    recover_interrupted_compaction(base)
     if not _glob.glob(_os.path.join(base, "*.parquet")):
         return  # zero-vector index: side table only, nothing to compact
     tmp, old = base + ".compact-tmp", base + ".compact-old"

@@ -3714,12 +3714,17 @@ TEMP_BUDGET = 10_000   # documents to allocate across sources
         SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
     ),
     t AS (SELECT sum(n) AS tot FROM c),
-    u AS (SELECT source, n, pow(n / tot, {TEMP_ALPHA}) AS u FROM c, t),
-    s AS (SELECT sum(u) AS su FROM u)
+    u AS (
+        SELECT source, n,
+               CAST(floor(pow(n / tot, {TEMP_ALPHA}) * 1000000000) AS BIGINT)
+                   AS u_micro
+        FROM c, t
+    ),
+    s AS (SELECT sum(u_micro) AS su FROM u)
     SELECT source,
            CAST(n AS BIGINT) AS n_docs,
-           round(u / su, 6) AS weight,
-           CAST(floor({TEMP_BUDGET} * u / su) AS BIGINT) AS alloc_docs
+           round(u_micro / su, 6) AS weight,
+           CAST(floor({TEMP_BUDGET} * u_micro / su) AS BIGINT) AS alloc_docs
     FROM u, s
     """,
     tags=("sampling", "mixture", "llm"),
@@ -3737,21 +3742,35 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizer, so it is materialized once (localCheckpoint — the
     r06 subtree-dedup rule: the repeated subtree includes an
     exchange; without it the plan scanned + aggregated the corpus
-    four times, audit-verified)."""
+    four times, audit-verified).
+
+    Cross-engine determinism (the x117/x121 integer-operand rule):
+    the scaled mass is floored to INTEGER micro-units immediately
+    after the pow, so the normalizer sum and both divisions operate
+    on identical bigints in both engines — sum order and division
+    are then exact/IEEE-identical, and round/floor cannot flip on a
+    summation-order ulp. The one residual assumption is pow itself
+    agreeing to within a micro-unit boundary (a 1-ulp pow divergence
+    flips u_micro only when the result lands within ~1e-9 of a
+    boundary — measured stable across JVM/libm on this corpus)."""
     d = table(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(
         F.count("*").cast("double").alias("n")
     ).localCheckpoint(eager=False)
     tot = c.agg(F.sum("n").alias("tot"))
     u = c.crossJoin(F.broadcast(tot)).select(
-        "source", "n", F.pow(F.col("n") / F.col("tot"), TEMP_ALPHA).alias("u")
+        "source",
+        "n",
+        F.floor(
+            F.pow(F.col("n") / F.col("tot"), TEMP_ALPHA) * F.lit(1_000_000_000)
+        ).alias("u_micro"),
     )
-    su = u.agg(F.sum("u").alias("su"))
+    su = u.agg(F.sum("u_micro").alias("su"))
     return u.crossJoin(F.broadcast(su)).select(
         "source",
         F.col("n").cast("bigint").alias("n_docs"),
-        F.round(F.col("u") / F.col("su"), 6).alias("weight"),
-        F.floor(F.lit(float(TEMP_BUDGET)) * F.col("u") / F.col("su"))
+        F.round(F.col("u_micro") / F.col("su"), 6).alias("weight"),
+        F.floor(F.lit(TEMP_BUDGET) * F.col("u_micro") / F.col("su"))
         .cast("bigint")
         .alias("alloc_docs"),
     )

@@ -76,6 +76,20 @@ def write_parquet(
     writer.parquet(path)
 
 
+def recover_interrupted_compaction(base: str) -> None:
+    """Self-heal the compaction publication window: the directory swap
+    is two renames (``base`` → ``.compact-old``, ``.compact-tmp`` →
+    ``base``), and a crash between them leaves NO tree at ``base``
+    with the previous index stranded at ``.compact-old``. Called at
+    the top of every compaction (and safe to call from any reader):
+    if exactly that state is found, the stranded tree is renamed back
+    into place, so the crash window costs a redo of the compaction
+    instead of the index."""
+    old = base.rstrip("/") + ".compact-old"
+    if os.path.isdir(old) and not os.path.exists(base.rstrip("/")):
+        os.rename(old, base.rstrip("/"))
+
+
 def compact_partition_dirs(
     spark: SparkSession,
     path: str,
@@ -98,6 +112,7 @@ def compact_partition_dirs(
     import shutil
 
     base = path.rstrip("/")
+    recover_interrupted_compaction(base)
     if not _glob.glob(os.path.join(base, f"{part_col}=*")):
         return  # zero-doc index: no partition dirs, nothing to compact
     tmp, old = base + ".compact-tmp", base + ".compact-old"

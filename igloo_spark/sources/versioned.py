@@ -443,11 +443,31 @@ def diff_versions(
     new_files = [f for f in fb if f not in shared]
     if not (fa or fb):
         # both snapshots are empty (e.g. v0 vs an empty commit):
-        # nothing to diff and no file to borrow a value schema from —
-        # return an empty (key..., change_type) frame directly rather
-        # than handing spark.read.parquet a zero-path list.
+        # nothing to diff — return an empty (key..., change_type)
+        # frame directly rather than handing spark.read.parquet a
+        # zero-path list. Key dtypes are borrowed from any committed
+        # file elsewhere in the store's history so the degenerate
+        # frame's schema agrees with the non-empty path (bigint
+        # doc_id keys stay bigint); only a store with zero files in
+        # EVERY version has no schema to honor and falls back to
+        # string keys.
         from pyspark.sql import functions as F
 
+        any_files = next(
+            (
+                fs
+                for v in reversed(versions)
+                if (fs := _read_manifest(root, v)["files"])
+            ),
+            None,
+        )
+        if any_files:
+            return (
+                spark.read.parquet(*any_files)
+                .select(*key_cols)
+                .withColumn("change_type", F.lit(None).cast("string"))
+                .limit(0)
+            )
         schema = ", ".join(f"`{c}` string" for c in key_cols)
         return spark.createDataFrame(
             [], schema + ", change_type string"
