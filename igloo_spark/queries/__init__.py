@@ -25,66 +25,67 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r08 rotation (executes the r07 verdict's task 1): the 22
-    # r04-stale queries first — the 11 single-expression scalar
-    # queries deferred since r04, the 6 displaced by x113-x118, and
-    # the 5 displaced by x119-x123 — then 28 of the 50 r05-stale
-    # queries, operator-heavy surface first. Exactly 50 entries.
-    # After this window the verdict-age histogram is 50@r08, 50@r07,
-    # 50@r06, 22@r05 (q05 q06 q37 q38 q39 q72-q75 q78 q96-q99 x59
-    # x64 x70 x80 x87 x89 x90 x91 — they lead the r09 rotation,
-    # followed by the oldest r06 verdicts).
-    "q58_epoch_roundtrip",
-    "q79_bitwise_aggregates",
-    "q84_variant_json",
-    "q85_grouping_id",
-    "q86_width_bucket",
-    "q87_interval_arithmetic",
-    "q88_map_zip_filter",
-    "q89_stack_rows",
-    "q90_regexp_count_like",
-    "q91_try_to_timestamp",
-    "q94_explode_outer",
-    "q81_time_range_frame",
-    "q82_string_agg_ordered",
-    "q83_correlated_scalar_select",
-    "q92_bitmap_distinct",
-    "q93_rolling_zscore",
-    "q95_forward_fill",
-    "q36_time_bucket_agg",
-    "q66_asof_join",
-    "q67_band_join",
-    "q76_session_window",
-    "q80_merge_upsert",
-    # -- 28 of the 50 r05-stale, operator-heavy first --
-    "q07_outer_join_counts",
-    "q08_right_full_outer",
-    "q09_semi_join",
-    "q10_anti_join",
-    "q11_theta_join",
-    "q12_cross_join",
-    "q14_rollup_grouping",
-    "q15_cube_grouping_sets",
-    "q16_having_filter_clause",
-    "q17_sort_limit_offset",
-    "q18_set_operations",
-    "q19_intersect_except_all",
-    "q20_distinct_dedup",
-    "q22_cte_top_supplier",
-    "q30_window_ranking",
-    "q31_window_offsets",
-    "q32_window_range_frame",
-    "x41_minhash_bands",
-    "x42_minhash_neardup_pairs",
-    "x43_simhash",
-    "x55_ann_ivf_topk",
-    "q28_exact_percentiles",
-    "q29_approx_aggregates",
-    "q23_string_functions",
-    "q24_math_functions",
-    "q26_conditional_functions",
-    "q27_capitalize_udf",
-    "q02_filter_expressions",
+    # -- r09 rotation (executes the r08 verdict's task 2): x114 FIRST
+    # (its integer-quantization rewrite in r08 postdates its r07
+    # driver verdict — the only changed-since-verdict query in the
+    # corpus), then the 22 r05-stale queries, then 27 of the 50
+    # r06-stale (operator-heavy first). Exactly 50 entries. After
+    # this window the verdict-age histogram is 50@r09, 50@r08,
+    # 49@r07, 23@r06 (x60 x61 x72 x73 q51-q57 q59-q65 q68-q71 q77 —
+    # they lead the r10 rotation, followed by the oldest r07
+    # verdicts).
+    "x114_temperature_mixture",
+    # -- the 22 r05-stale --
+    "q05_local_supplier_volume",
+    "q06_revenue_change",
+    "q37_array_explode",
+    "q38_array_functions",
+    "q39_struct_map",
+    "q72_returned_items",
+    "q73_customer_distribution",
+    "q74_large_volume_customers",
+    "q75_global_sales_opportunity",
+    "q78_regexp_extract_all",
+    "q96_regression_aggregates",
+    "q97_conditional_aggregates",
+    "q98_fuzzy_name_match",
+    "q99_gaps_islands",
+    "x59_dedup_components",
+    "x64_ann_ivf_learned",
+    "x70_sketch_rollup",
+    "x80_embedding_quantize",
+    "x87_pagerank_dupgraph",
+    "x89_winnowing_pairs",
+    "x90_semantic_outliers",
+    "x91_scd2_history",
+    # -- 27 of the 50 r06-stale, operator-heavy first --
+    "x92_triangle_count",
+    "x93_pmi_cooccurrence",
+    "x94_bigram_logprob",
+    "x95_corpus_shuffle_shards",
+    "x96_bpe_token_stats",
+    "x97_shared_spans",
+    "x98_span_removal",
+    "x44_ngram_jaccard_pairs",
+    "x62_minhash_capped_pairs",
+    "x69_incremental_dedup",
+    "x45_embedding_neardup",
+    "x71_embedding_neardup_lsh",
+    "x46_ann_bruteforce_topk",
+    "x63_ann_lsh_multiprobe",
+    "x48_language_id",
+    "x49_quality_score",
+    "x50_token_stats",
+    "x52_stratified_sample",
+    "x65_sequence_packing",
+    "x66_data_mixture",
+    "x67_decontamination",
+    "x68_repetition_score",
+    "x53_topk_ngrams",
+    "x54_tfidf_top_terms",
+    "x51_multimodal_decode",
+    "x57_frame_sampling",
+    "x58_media_features",
 )
 
 def all_queries():
