@@ -296,6 +296,11 @@ def probe_postings_index(
     import glob as _glob
     import os as _os
 
+    from igloo_spark.sinks import recover_interrupted_compaction
+
+    # self-heal a crashed compaction's rename window before reading
+    # (otherwise the base dir is missing until the next optimize_*)
+    recover_interrupted_compaction(path.rstrip("/"))
     terms = [t.lower() for t in query_terms]
     stats = spark.read.parquet(path + "/_stats")
     n_buckets = int(stats.select("n_buckets").first()[0])

@@ -806,6 +806,11 @@ def probe_ivf_index(
     import json as _json
     import os as _os
 
+    from igloo_spark.sinks import recover_interrupted_compaction
+
+    # a probe landing inside a crashed compaction's rename window
+    # would otherwise see no base dir until the next optimize_* runs
+    recover_interrupted_compaction(path.rstrip("/"))
     if not _glob.glob(_os.path.join(path, "cell=*")):
         # an index built from zero vectors has centroids but no cell
         # directories (a partitionBy write of an empty frame emits no
@@ -1155,6 +1160,9 @@ def probe_pq_index(
     import glob as _glob
     import os as _os
 
+    from igloo_spark.sinks import recover_interrupted_compaction
+
+    recover_interrupted_compaction(path.rstrip("/"))
     if not _glob.glob(_os.path.join(path, "*.parquet")):
         # zero-vector build leaves no data files (only the side
         # table); return the empty result frame with the probe schema
@@ -1428,6 +1436,9 @@ def probe_ivfpq_index(
     import json as _json
     import os as _os
 
+    from igloo_spark.sinks import recover_interrupted_compaction
+
+    recover_interrupted_compaction(path.rstrip("/"))
     if not _glob.glob(_os.path.join(path, "cell=*")):
         return spark.createDataFrame(
             [],

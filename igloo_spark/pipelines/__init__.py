@@ -356,29 +356,117 @@ def _sync_postings_index(
         write_postings_index(accepted, root, id_col=id_col, text_col=text_col)
 
 
-def check_postings_index_sync(
-    spark, corpus_root: str, index_root: str
+def _sync_vector_indexes(
+    accepted: "DataFrame",
+    docs: "DataFrame",
+    id_col: str,
+    vec_col: str,
+    *,
+    ivf_root: str | None = None,
+    pq_root: str | None = None,
+    ivfpq_root: str | None = None,
+    n_cells: int = 8,
+    m_sub: int = 4,
+    k_codes: int = 8,
+) -> None:
+    """Build-or-append the persisted ANN indexes (IVF / PQ / IVFADC,
+    ``operators.similarity``) from one batch's accepted docs — the
+    vector-side twin of :func:`_sync_postings_index`. The accepted
+    ids are joined back to the batch frame to recover ``vec_col``
+    (the corpus store persists text, not embeddings; on a replay the
+    re-presented batch supplies them the same way). First non-empty
+    batch builds each index (quantizers frozen from that batch, the
+    ``write_*``/``append_*`` contract); later batches append at
+    batch cost — r08's parity tests prove append == full rebuild, so
+    probe-after-ingest is bit-identical to a rebuild over the whole
+    corpus. Empty batches are skipped for the same degenerate-stats
+    reason as the postings sync."""
+    if ivf_root is None and pq_root is None and ivfpq_root is None:
+        return
+    import os as _os
+
+    from igloo_spark.operators import similarity as _sim
+
+    vecs = accepted.select(id_col).join(
+        docs.select(id_col, vec_col), id_col
+    ).localCheckpoint(eager=False)
+    if vecs.limit(1).count() == 0:
+        return
+    dim = len(vecs.select(vec_col).first()[0])
+    if ivf_root is not None:
+        if _os.path.isdir(_os.path.join(ivf_root, "_centroids")):
+            _sim.append_ivf(vecs, ivf_root, id_col=id_col, vec_col=vec_col)
+        else:
+            _sim.write_ivf_index(
+                vecs, ivf_root, id_col=id_col, vec_col=vec_col,
+                n_cells=n_cells, dim=dim,
+            )
+    if pq_root is not None:
+        if _os.path.isdir(_os.path.join(pq_root, "_codebooks")):
+            _sim.append_pq(vecs, pq_root, id_col=id_col, vec_col=vec_col)
+        else:
+            _sim.write_pq_index(
+                vecs, pq_root, id_col=id_col, vec_col=vec_col,
+                m_sub=m_sub, k_codes=k_codes, dim=dim,
+            )
+    if ivfpq_root is not None:
+        if _os.path.isdir(_os.path.join(ivfpq_root, "_centroids")):
+            _sim.append_ivfpq(vecs, ivfpq_root, id_col=id_col, vec_col=vec_col)
+        else:
+            _sim.write_ivfpq_index(
+                vecs, ivfpq_root, id_col=id_col, vec_col=vec_col,
+                n_cells=n_cells, m_sub=m_sub, k_codes=k_codes, dim=dim,
+            )
+
+
+def check_index_sync(
+    spark, corpus_root: str, index_root: str, kind: str = "postings"
 ) -> dict:
-    """Detect the one gap the derived postings index can have: a
-    crash between the fp commit and the index append leaves the index
-    lagging (a replay no-ops, so the gap persists). Compares the
-    index's stats.n_docs against the corpus store's current count —
-    both O(1)-ish reads (1-row stats table; corpus count is a
-    metadata-friendly scan). Returns {corpus_docs, index_docs,
-    in_sync}; on in_sync=False the repair is a full rebuild
-    (``operators.retrieval.write_postings_index`` over
-    ``read_versioned(corpus)``)."""
+    """Detect the one gap any derived index can have: a crash between
+    the fp commit and the index append leaves the index lagging (a
+    replay no-ops, so the gap persists). Compares the index's row
+    count against the corpus store's current count — both O(1)-ish
+    reads (postings keep a 1-row stats table; the vector layouts are
+    one-row-per-doc parquet whose count is footer metadata, never a
+    data scan). ``kind`` is one of ``postings | ivf | pq | ivfpq``.
+    Returns {corpus_docs, index_docs, in_sync}; on in_sync=False the
+    repair is a full rebuild of that index over
+    ``read_versioned(corpus)`` (each is a derived, rebuildable
+    artifact)."""
+    import glob as _glob
+    import os as _os
+
     from igloo_spark.sources.versioned import read_versioned
 
     corpus_docs = read_versioned(spark, corpus_root).count()
-    index_docs = int(
-        spark.read.parquet(index_root + "/_stats").first()["n_docs"]
-    )
+    if kind == "postings":
+        index_docs = int(
+            spark.read.parquet(index_root + "/_stats").first()["n_docs"]
+        )
+    elif kind in ("ivf", "pq", "ivfpq"):
+        # cell-partitioned (ivf/ivfpq) or hash-spread flat (pq)
+        # layouts hold exactly one row per indexed vector; a
+        # zero-vector index has side tables but no data files
+        pattern = "cell=*" if kind in ("ivf", "ivfpq") else "*.parquet"
+        if _glob.glob(_os.path.join(index_root, pattern)):
+            index_docs = spark.read.parquet(index_root).count()
+        else:
+            index_docs = 0
+    else:
+        raise ValueError(f"kind must be postings|ivf|pq|ivfpq, got {kind!r}")
     return {
         "corpus_docs": corpus_docs,
         "index_docs": index_docs,
         "in_sync": corpus_docs == index_docs,
     }
+
+
+def check_postings_index_sync(
+    spark, corpus_root: str, index_root: str
+) -> dict:
+    """Back-compat alias: :func:`check_index_sync` with
+    ``kind="postings"``."""
+    return check_index_sync(spark, corpus_root, index_root, kind="postings")
 
 
 def incremental_ingest(
@@ -393,6 +481,13 @@ def incremental_ingest(
     min_shared: int = 2,
     batch_id: int | None = None,
     postings_index_root: str | None = None,
+    vec_col: str = "embedding",
+    ivf_index_root: str | None = None,
+    pq_index_root: str | None = None,
+    ivfpq_index_root: str | None = None,
+    ivf_n_cells: int = 8,
+    pq_m_sub: int = 4,
+    pq_k_codes: int = 8,
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -441,6 +536,17 @@ def incremental_ingest(
     in that narrow window leaves it lagging one batch (a replay
     no-ops) — detect via stats.n_docs vs the corpus count and repair
     with a full rebuild.
+
+    ``ivf_index_root`` / ``pq_index_root`` / ``ivfpq_index_root`` do
+    the same for the persisted ANN indexes: when given, ``new_docs``
+    must carry ``vec_col`` (one embedding per doc) and each accepted
+    batch is appended to the named index (first non-empty batch
+    builds it, freezing the quantizers — see
+    :func:`_sync_vector_indexes`). A corpus that retrieves by BM25
+    AND ANN thus stays fresh on BOTH index families after every
+    ingest, at batch cost. Same derived-artifact contract as the
+    postings index: outside the exactly-once window, detectable via
+    :func:`check_index_sync` per kind, repairable by rebuild.
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
@@ -502,6 +608,12 @@ def incremental_ingest(
             ).select("fp").distinct()
             fp_version = write_versioned(fps, fp_root, mode="append", batch_id=batch_id)
             _sync_postings_index(accepted, postings_index_root, id_col, text_col)
+            _sync_vector_indexes(
+                accepted, new_docs, id_col, vec_col,
+                ivf_root=ivf_index_root, pq_root=pq_index_root,
+                ivfpq_root=ivfpq_index_root, n_cells=ivf_n_cells,
+                m_sub=pq_m_sub, k_codes=pq_k_codes,
+            )
             return IncrementalIngestResult(
                 accepted=accepted.select(id_col, "quality", "n_tokens"),
                 verdicts=accepted.select(
@@ -616,6 +728,12 @@ def incremental_ingest(
     ).distinct()
     fp_version = write_versioned(new_fps, fp_root, mode="append", batch_id=batch_id)
     _sync_postings_index(accepted, postings_index_root, id_col, text_col)
+    _sync_vector_indexes(
+        accepted, new_docs, id_col, vec_col,
+        ivf_root=ivf_index_root, pq_root=pq_index_root,
+        ivfpq_root=ivfpq_index_root, n_cells=ivf_n_cells,
+        m_sub=pq_m_sub, k_codes=pq_k_codes,
+    )
     return IncrementalIngestResult(
         accepted=accepted.select(id_col, "quality", "n_tokens"),
         verdicts=verdicts,

@@ -462,12 +462,17 @@ def diff_versions(
             None,
         )
         if any_files:
-            return (
-                spark.read.parquet(*any_files)
-                .select(*key_cols)
-                .withColumn("change_type", F.lit(None).cast("string"))
-                .limit(0)
-            )
+            borrowed = spark.read.parquet(*any_files)
+            # schema may have evolved across versions: an old file
+            # missing one of key_cols must not turn the degenerate
+            # diff into an AnalysisException — fall through to the
+            # string-keyed frame instead
+            if all(c in borrowed.columns for c in key_cols):
+                return (
+                    borrowed.select(*key_cols)
+                    .withColumn("change_type", F.lit(None).cast("string"))
+                    .limit(0)
+                )
         schema = ", ".join(f"`{c}` string" for c in key_cols)
         return spark.createDataFrame(
             [], schema + ", change_type string"

@@ -1,0 +1,287 @@
+"""Round-9 operator tests: vector-index maintenance wired into
+incremental_ingest (the r07/r08 verdicts' top structural gap — a
+corpus retrieving by BM25 AND ANN must stay fresh on BOTH index
+families after every ingest), the generalized check_index_sync
+detector, probe-side compaction crash-window self-healing (r08
+ADVICE #2), and diff_versions' schema-evolution fallback on the
+both-empty degenerate (r08 ADVICE #3)."""
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+DIM = 8
+N_CELLS = 4
+M_SUB = 2
+K_CODES = 4
+
+
+def _doc_rows(ids, clone_text_of=None):
+    """Synthetic ingest docs: unique token vocabulary per doc (no
+    accidental near-dups) and a deterministic dim-8 embedding."""
+    rows = []
+    for i in ids:
+        src = clone_text_of if clone_text_of is not None else i
+        text = f"document body {src} " + " ".join(
+            f"tok{src}word{j}" for j in range(12)
+        )
+        vec = [math.sin(0.7 * i + 1.3 * j) for j in range(DIM)]
+        rows.append((i, text, vec))
+    return rows
+
+
+def _mk_docs(spark, ids, clone_text_of=None):
+    return spark.createDataFrame(
+        _doc_rows(ids, clone_text_of),
+        "doc_id long, text string, embedding array<double>",
+    )
+
+
+def _probe_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestIngestVectorIndexSync:
+    """Two-batch ingest with all four index roots wired: every index
+    kind is probe-identical to a full rebuild over the accepted
+    corpus, and check_index_sync reports in_sync per kind."""
+
+    def _ingest(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "store")
+        roots = {
+            "postings": str(tmp_path / "idx_postings"),
+            "ivf": str(tmp_path / "idx_ivf"),
+            "pq": str(tmp_path / "idx_pq"),
+            "ivfpq": str(tmp_path / "idx_ivfpq"),
+        }
+        kw = dict(
+            min_quality=0.0,
+            min_shared=1,
+            postings_index_root=roots["postings"],
+            ivf_index_root=roots["ivf"],
+            pq_index_root=roots["pq"],
+            ivfpq_index_root=roots["ivfpq"],
+            ivf_n_cells=N_CELLS,
+            pq_m_sub=M_SUB,
+            pq_k_codes=K_CODES,
+        )
+        b1 = _mk_docs(spark, range(1, 11))
+        incremental_ingest(b1, root, **kw)
+        # batch 2: 8 novel docs plus one exact dup of doc 1 — the dup
+        # must be rejected and must NOT reach any index
+        b2 = _mk_docs(spark, range(11, 19)).unionByName(
+            _mk_docs(spark, [99], clone_text_of=1)
+        )
+        incremental_ingest(b2, root, **kw)
+        accepted_ids = list(range(1, 19))
+        return root, roots, accepted_ids
+
+    def test_probe_after_ingest_matches_full_rebuild(self, spark, tmp_path):
+        from igloo_spark.operators.similarity import (
+            probe_ivf_index,
+            probe_ivfpq_index,
+            probe_pq_index,
+            write_ivf_index,
+            write_ivfpq_index,
+            write_pq_index,
+        )
+
+        root, roots, accepted_ids = self._ingest(spark, tmp_path)
+        union_vecs = _mk_docs(spark, accepted_ids).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        queries = _mk_docs(spark, [1, 5, 14]).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        rb = {k: str(tmp_path / f"rebuild_{k}") for k in ("ivf", "pq", "ivfpq")}
+        write_ivf_index(union_vecs, rb["ivf"], n_cells=N_CELLS, dim=DIM)
+        write_pq_index(
+            union_vecs, rb["pq"], m_sub=M_SUB, k_codes=K_CODES, dim=DIM
+        )
+        write_ivfpq_index(
+            union_vecs, rb["ivfpq"],
+            n_cells=N_CELLS, m_sub=M_SUB, k_codes=K_CODES, dim=DIM,
+        )
+        for kind, probe, extra in (
+            ("ivf", probe_ivf_index, {"nprobe": 2}),
+            ("pq", probe_pq_index, {}),
+            ("ivfpq", probe_ivfpq_index, {"nprobe": 2}),
+        ):
+            got = _probe_rows(probe(spark, roots[kind], queries, k=5, **extra))
+            want = _probe_rows(probe(spark, rb[kind], queries, k=5, **extra))
+            assert got == want and got, kind
+            # the rejected exact-dup (doc 99) must not appear anywhere
+            assert all(r[1] != 99 for r in got), kind
+
+    def test_check_index_sync_all_kinds(self, spark, tmp_path):
+        from igloo_spark.pipelines import check_index_sync, incremental_ingest
+
+        root, roots, accepted_ids = self._ingest(spark, tmp_path)
+        corpus_root = root + "/corpus"
+        for kind in ("postings", "ivf", "pq", "ivfpq"):
+            s = check_index_sync(spark, corpus_root, roots[kind], kind=kind)
+            assert s == {
+                "corpus_docs": len(accepted_ids),
+                "index_docs": len(accepted_ids),
+                "in_sync": True,
+            }, kind
+        # a batch ingested WITHOUT the index roots (the crash-lag
+        # shape the detector exists for) flips every kind out of sync
+        incremental_ingest(
+            _mk_docs(spark, [50]), root, min_quality=0.0, min_shared=1
+        )
+        for kind in ("postings", "ivf", "pq", "ivfpq"):
+            s = check_index_sync(spark, corpus_root, roots[kind], kind=kind)
+            assert s["in_sync"] is False and s["corpus_docs"] == 19, kind
+        import pytest
+
+        with pytest.raises(ValueError, match="kind must be"):
+            check_index_sync(spark, corpus_root, roots["ivf"], kind="hnsw")
+
+    def test_fp_crash_replay_also_syncs_vector_indexes(self, spark, tmp_path):
+        """The corpus-durable/fp-lost recovery path appends the
+        recovered accepted set to the vector indexes too — parity
+        with the normal commit path."""
+        from igloo_spark.functions.text import quality_score, token_count
+        from igloo_spark.pipelines import check_index_sync, incremental_ingest
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / "store_cr")
+        ivf_root = str(tmp_path / "idx_ivf_cr")
+        kw = dict(
+            min_quality=0.0, min_shared=1,
+            ivf_index_root=ivf_root, ivf_n_cells=N_CELLS,
+        )
+        incremental_ingest(_mk_docs(spark, range(1, 6)), root, batch_id=0, **kw)
+        # simulate the crash: batch 1's corpus commit lands, fp commit
+        # and index append are lost
+        b1 = _mk_docs(spark, [7])
+        enriched = b1.select(
+            "doc_id", "text",
+            quality_score(F.col("text")).alias("quality"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        write_versioned(enriched, root + "/corpus", mode="append", batch_id=1)
+        s = check_index_sync(spark, root + "/corpus", ivf_root, kind="ivf")
+        assert s["in_sync"] is False
+        # replay repairs the fp store AND the vector index
+        r = incremental_ingest(b1, root, batch_id=1, **kw)
+        assert {x["doc_id"] for x in r.accepted.collect()} == {7}
+        s = check_index_sync(spark, root + "/corpus", ivf_root, kind="ivf")
+        assert s == {"corpus_docs": 6, "index_docs": 6, "in_sync": True}
+
+    def test_all_rejected_batch_leaves_indexes_untouched(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "store_rej")
+        ivf_root = str(tmp_path / "idx_rej")
+        kw = dict(min_quality=0.0, min_shared=1,
+                  ivf_index_root=ivf_root, ivf_n_cells=N_CELLS)
+        incremental_ingest(_mk_docs(spark, [1, 2]), root, **kw)
+        before = os.path.getmtime(ivf_root)
+        n_files = sum(len(fs) for _, _, fs in os.walk(ivf_root))
+        # exact dups of docs 1 and 2 — nothing accepted
+        dups = _mk_docs(spark, [101], clone_text_of=1).unionByName(
+            _mk_docs(spark, [102], clone_text_of=2)
+        )
+        r = incremental_ingest(dups, root, **kw)
+        assert r.accepted.count() == 0
+        assert sum(len(fs) for _, _, fs in os.walk(ivf_root)) == n_files
+        assert os.path.getmtime(ivf_root) == before
+
+
+class TestProbeSelfHealsCrashedCompaction:
+    """A probe landing inside a crashed compaction's rename window
+    (base dir renamed away to .compact-old, replacement never landed)
+    restores the stranded tree and answers normally — r08 ADVICE #2
+    upgraded the docstring claim into behavior."""
+
+    def _crash(self, path):
+        os.rename(path, path + ".compact-old")
+
+    def test_vector_probes(self, spark, tmp_path):
+        from igloo_spark.operators.similarity import (
+            probe_ivf_index,
+            probe_ivfpq_index,
+            probe_pq_index,
+            write_ivf_index,
+            write_ivfpq_index,
+            write_pq_index,
+        )
+
+        vecs = _mk_docs(spark, range(1, 13)).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        queries = _mk_docs(spark, [3]).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        for kind, write, probe, extra in (
+            ("ivf", write_ivf_index, probe_ivf_index, {"nprobe": 2}),
+            ("pq", write_pq_index, probe_pq_index, {}),
+            ("ivfpq", write_ivfpq_index, probe_ivfpq_index, {"nprobe": 2}),
+        ):
+            path = str(tmp_path / f"heal_{kind}")
+            if kind == "ivf":
+                write(vecs, path, n_cells=N_CELLS, dim=DIM)
+            elif kind == "pq":
+                write(vecs, path, m_sub=M_SUB, k_codes=K_CODES, dim=DIM)
+            else:
+                write(vecs, path, n_cells=N_CELLS, m_sub=M_SUB,
+                      k_codes=K_CODES, dim=DIM)
+            want = _probe_rows(probe(spark, path, queries, k=3, **extra))
+            assert want, kind
+            self._crash(path)
+            got = _probe_rows(probe(spark, path, queries, k=3, **extra))
+            assert got == want, kind
+            assert os.path.isdir(path) and not os.path.exists(
+                path + ".compact-old"
+            ), kind
+
+    def test_postings_probe(self, spark, tmp_path):
+        from igloo_spark.operators.retrieval import (
+            probe_postings_index,
+            write_postings_index,
+        )
+
+        docs = _mk_docs(spark, range(1, 13)).select("doc_id", "text")
+        path = str(tmp_path / "heal_postings")
+        write_postings_index(docs, path)
+        want = _probe_rows(
+            probe_postings_index(spark, path, ["tok3word2", "document"], k=5)
+        )
+        assert want
+        self._crash(path)
+        got = _probe_rows(
+            probe_postings_index(spark, path, ["tok3word2", "document"], k=5)
+        )
+        assert got == want
+        assert os.path.isdir(path)
+
+
+def test_diff_versions_evolved_schema_missing_key_falls_back(spark, tmp_path):
+    """Both-empty diff on a store whose ONLY committed files predate
+    the key column (schema evolution): the dtype borrow must fall back
+    to the string-keyed empty frame instead of raising
+    AnalysisException on the missing column (r08 ADVICE #3)."""
+    import json as _json
+
+    from igloo_spark.sources.versioned import diff_versions, write_versioned
+
+    root = tmp_path / "vevolved"
+    df = spark.createDataFrame([(1, "a")], "other_id long, val string")
+    write_versioned(df, str(root), mode="overwrite")  # v1: no doc_id column
+    mdir = root / "manifests"
+    for v in (2, 3):
+        (mdir / f"v{v:06d}.json").write_text(
+            _json.dumps(
+                {"version": v, "op": "overwrite", "committed_at": 0.0,
+                 "files": [], "batch_id": None}
+            )
+        )
+    d = diff_versions(spark, str(root), ["doc_id"], 2, 3)
+    assert d.count() == 0
+    assert d.columns == ["doc_id", "change_type"]
+    assert dict(d.dtypes)["doc_id"] == "string"
