@@ -104,12 +104,15 @@ def main() -> int:
     # reported separately under extended_queries / extended_total.
     # x89/x95 joined in r06 (round-5 cost profiles); x105/x111 join in
     # r07 (round-6 additions: query-sized-postings retrieval and
-    # capped-vocab KL drift)
+    # capped-vocab KL drift); x123 joins in r09 (the IVFADC probe —
+    # partition-pruned cell scan over 4-byte codes, the cost profile
+    # none of the other extended queries cover)
     _EXTENDED = (
         "x89_winnowing_pairs",
         "x95_corpus_shuffle_shards",
         "x105_bm25_retrieval",
         "x111_source_kl_drift",
+        "x123_ann_ivfpq_topk",
     )
     corpus = all_queries()
     legacy = sorted((s for s in corpus.values() if s.bench), key=lambda s: s.name)
@@ -152,7 +155,12 @@ def main() -> int:
                 # out of "value"/"queries" so the legacy total stays
                 # comparable to BASELINE.md and to BENCH_r01-r05
                 "extended_queries": ext_timings,
-                "extended_total": round(sum(timings.values()), 4),
+                # r06-r08 recorded legacy+extended COMBINED under this
+                # key (the r07/r08 verdicts' naming trap); from r09
+                # extended_total sums ONLY the extended queries and the
+                # combined figure moves to combined_total
+                "extended_total": round(sum(ext_timings.values()), 4),
+                "combined_total": round(sum(timings.values()), 4),
                 "cold_total": round(
                     sum(t for n, t in cold.items() if n in legacy_names), 4
                 ),
