@@ -883,6 +883,154 @@ def pq_codebooks(m_sub: int, k_codes: int, dim: int) -> list[list[list[float]]]:
     return books
 
 
+def learned_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    max_iter: int = 20,
+    centroids: list[list[float]] | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means PQ codebooks learned from (a sample of)
+    the corpus — Jégou et al. 2011 §III's actual training procedure,
+    standing to :func:`pq_codebooks` exactly as
+    :func:`learned_ivf_centroids` stands to :func:`ivf_centroids`.
+    Returns the same ``books[m][k][j]`` shape, so the result drops
+    straight into :func:`pq_topk` / :func:`ivfpq_topk` /
+    :func:`write_pq_index` and the plan is unchanged (only the
+    m×k×subdim doubles differ). No 0.5-norm rescaling: learned
+    centroids live at the data's own subvector scale, which is
+    precisely what removes the norm-mismatch degeneracy the
+    deterministic builder has to engineer around (SCALE.md, r07).
+
+    With ``centroids`` given, the fit runs on the coarse RESIDUALS
+    ``x − c_cell(x)`` instead of the raw vectors — the paper's IVFADC
+    residual quantizer (its eq. 28 codebooks; pair with
+    ``residual=True`` in :func:`ivfpq_topk`). Residuals concentrate
+    near zero, so a small codebook spends its codes on the part of
+    the vector the coarse quantizer did NOT explain — the recall win
+    over direct quantization at equal code budget.
+
+    At 100 TB fit on a sample (``sample_fraction`` ≪ 1): m_sub
+    independent k-means fits over subdim-wide slices, each a side job
+    whose output is k×subdim doubles. The deterministic
+    :func:`pq_codebooks` remains the oracle path (k-means output is
+    data-dependent, not SQL-reproducible) — the x64 freeze pattern."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    subdim = dim // m_sub
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction < 1.0:
+        vecs = vecs.sample(fraction=sample_fraction, seed=seed)
+    if centroids is not None:
+        cmat = np.asarray(centroids, dtype=np.float64)
+
+        @pandas_udf("array<double>")
+        def _resid(v: pd.Series) -> pd.Series:
+            mat = np.vstack(v.to_numpy()).astype(np.float64)
+            cell = (mat @ cmat.T).argmax(axis=1)
+            return pd.Series((mat - cmat[cell]).tolist())
+
+        vecs = vecs.select(_resid.asNondeterministic()(F.col("v")).alias("v"))
+    # one materialization feeds all m_sub fits (each fit is a separate
+    # ML job; without this the scan — and the residual kernel — would
+    # re-run per subspace)
+    vecs = vecs.localCheckpoint(eager=False)
+    books = []
+    for m in range(m_sub):
+        feats = vecs.select(
+            array_to_vector(F.slice(F.col("v"), m * subdim + 1, subdim)).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=k_codes, seed=seed + m, maxIter=max_iter).fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_reconstruction_errors(
+    corpus: DataFrame,
+    variants: list[tuple[str, list[list[list[float]]] | None,
+                         list[list[float]] | None, bool]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-row squared reconstruction error ``||x − x̂||²`` for
+    several quantizer variants in ONE Arrow kernel — the measurement
+    behind "did the codebook change hold?" (x122's recall eval asks
+    it from the retrieval side; this asks it from the compression
+    side, which is deterministic enough to gate).
+
+    ``variants`` is ``(name, books, centroids, residual)`` tuples:
+
+    - books + no centroids → direct PQ (x̂ = c_code per subspace);
+    - centroids + no books → coarse-only (x̂ = c_cell — the baseline
+      a residual codebook must refine to be worth its bytes);
+    - centroids + books + residual=True → IVFADC residual
+      (x̂ = c_cell + c_code(x − c_cell)).
+
+    Output: ``(id, err_<name> double ...)``. One fused kernel keeps
+    the plan at the corpus-wide one-Python-eval budget no matter how
+    many variants are compared; per row the work is the same
+    matmul/argmin as the assign kernels plus one subtraction."""
+    from pyspark.sql.functions import pandas_udf
+
+    prepped = []
+    for name, books, centroids, residual in variants:
+        cmat = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None else None
+        )
+        bmats = (
+            [np.asarray(b, dtype=np.float64) for b in books]
+            if books is not None else None
+        )
+        prepped.append((name, bmats, cmat, residual))
+
+    schema = ", ".join(f"err_{name} double" for name, *_ in prepped)
+
+    @pandas_udf(schema)
+    def _errs(v: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        out = {}
+        for name, bmats, cmat, residual in prepped:
+            recon = np.zeros_like(mat)
+            x = mat
+            if cmat is not None:
+                cell = (mat @ cmat.T).argmax(axis=1)
+                recon = recon + cmat[cell]
+                if residual or bmats is None:
+                    x = mat - cmat[cell]
+            if bmats is not None:
+                m_sub = len(bmats)
+                subdim = x.shape[1] // m_sub
+                for m in range(m_sub):
+                    b = bmats[m]
+                    sub = x[:, m * subdim : (m + 1) * subdim]
+                    d = np.sum(b * b, axis=1)[None, :] - 2.0 * (sub @ b.T)
+                    code = d.argmin(axis=1)
+                    if cmat is not None and not residual:
+                        # direct coding with a coarse quantizer present
+                        # is not a defined variant; centroids were only
+                        # used above when residual or coarse-only
+                        recon[:, m * subdim : (m + 1) * subdim] = b[code]
+                    else:
+                        recon[:, m * subdim : (m + 1) * subdim] += b[code]
+            out[f"err_{name}"] = np.sum((mat - recon) ** 2, axis=1)
+        return pd.DataFrame(out)
+
+    _errs = _errs.asNondeterministic()
+    return corpus.select(
+        F.col(id_col).alias("id"), _errs(F.col(vec_col)).alias("e")
+    ).select("id", *[F.col(f"e.err_{name}").alias(f"err_{name}")
+                     for name, *_ in prepped])
+
+
 def pq_assign_codes(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1184,6 +1332,7 @@ def ivfpq_assign(
     m_sub: int = 4,
     k_codes: int = 8,
     dim: int = 64,
+    residual: bool = False,
 ) -> DataFrame:
     """Combined IVF cell + PQ code assignment ``(neighbor_id, cell,
     codes)`` in ONE Arrow-batched kernel — the corpus-side index build
@@ -1191,7 +1340,12 @@ def ivfpq_assign(
     pq_assign_codes) would cost two Python eval stages and a join; the
     fused kernel keeps the corpus-wide plan at the pinned one-eval
     budget (test_corpus_plan_hygiene) and touches each vector batch
-    once. Same argmin/argmax float-gap argument as both parents."""
+    once. Same argmin/argmax float-gap argument as both parents.
+
+    ``residual=True`` encodes ``x − c_cell(x)`` instead of ``x``
+    (IVFADC's residual quantizer, Jégou et al. 2011) — use with
+    codebooks fit on residuals (:func:`learned_pq_codebooks` with
+    ``centroids``); still one fused kernel, one subtraction more."""
     if centroids is None:
         centroids = ivf_centroids(n_cells, dim)
     if books is None:
@@ -1207,6 +1361,8 @@ def ivfpq_assign(
     def _assign(v: pd.Series) -> pd.DataFrame:
         mat = np.vstack(v.to_numpy()).astype(np.float64)
         cell = (mat @ cmat.T).argmax(axis=1).astype("int64")
+        if residual:
+            mat = mat - cmat[cell]
         cols = []
         for m in range(m_sub):
             sub = mat[:, m * subdim : (m + 1) * subdim]
@@ -1237,6 +1393,7 @@ def ivfpq_topk(
     dim: int = 64,
     centroids: list[list[float]] | None = None,
     books: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011): the coarse quantizer prunes — each
     query probes its ``nprobe`` nearest cells — and PQ compresses —
@@ -1247,12 +1404,16 @@ def ivfpq_topk(
     instead of floats inside them — the two savings multiply
     (nprobe/n_cells × m_sub/(4·dim) of the raw-vector IO).
 
-    Simplification vs the paper, documented: codes quantize the
-    vector DIRECTLY, not the residual (x − centroid_cell) — residual
-    codebooks are per-cell state the deterministic oracle would have
-    to replicate 8×; the plan shape (fused assign kernel, broadcast
-    probe side, ADC lookups) is identical, and a learned residual
-    variant drops in by swapping the codebooks argument.
+    By default codes quantize the vector DIRECTLY, not the residual
+    (x − centroid_cell) — residual codebooks are data-dependent state
+    the deterministic oracle can't replicate, so the oracle path
+    stays direct. ``residual=True`` is the paper's actual IVFADC:
+    codes encode ``x − c_cell`` against residual-fit codebooks
+    (:func:`learned_pq_codebooks` with ``centroids``) and each query
+    builds PER-CELL distance tables from its own residual. Same plan
+    shape either way (fused assign kernel, broadcast probe side, ADC
+    lookups); the x64 gated-invariant pattern covers correctness for
+    the learned variant.
 
     Ranking is (adist_micro ASC, neighbor_id ASC) — integer-
     deterministic cross-engine like :func:`pq_topk`."""
@@ -1263,10 +1424,12 @@ def ivfpq_topk(
     assigned = ivfpq_assign(
         corpus, id_col, vec_col, centroids=centroids, books=books,
         n_cells=n_cells, m_sub=m_sub, k_codes=k_codes, dim=dim,
+        residual=residual,
     )
     return _ivfpq_rank(
         assigned, queries, centroids, books,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+        residual=residual,
     )
 
 
@@ -1279,30 +1442,70 @@ def _ivfpq_rank(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    residual: bool = False,
 ) -> DataFrame:
     """Probe-side cell explosion + ADC ranking over an existing
     ``(neighbor_id, cell, codes)`` frame — the shared half of
     :func:`ivfpq_topk` (live) and :func:`probe_ivfpq_index`
     (persisted), so the persisted probe is bit-identical to the
-    in-memory path by construction."""
+    in-memory path by construction.
+
+    ``residual=True`` builds each distance table from the query's
+    PER-CELL residual ``q − c_cell`` (the codes encode residuals, so
+    the lookup tables must too). The residual subtraction is an
+    interpreted zip_with, but it runs on the nqueries × nprobe probe
+    frame only — never the corpus — so the cost is driver-bounded
+    like everything else on this side of the join."""
     from igloo_spark.functions.vectors import dot
 
     m_sub = len(books)
     subdim = len(books[0][0])
     spark = queries.sparkSession
-    q = (
-        queries.crossJoin(F.broadcast(centroids_table(spark, centroids)))
-        .crossJoin(F.broadcast(pq_books_table(spark, books)))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell"),
-            *[
-                F.slice(F.col(vec_col), m * subdim + 1, subdim).alias(f"sub{m}")
-                for m in range(m_sub)
-            ],
-            "books",
+    if residual:
+        q = (
+            queries.crossJoin(F.broadcast(centroids_table(spark, centroids)))
+            .crossJoin(F.broadcast(pq_books_table(spark, books)))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell"),
+                "cents",
+                "books",
+            )
+            .select(
+                "query_id",
+                "cell",
+                F.zip_with(
+                    F.col("qvec"),
+                    F.element_at(F.col("cents"), F.col("cell").cast("int") + 1),
+                    lambda x, c: x.cast("double") - c,
+                ).alias("rvec"),
+                "books",
+            )
+            .select(
+                "query_id",
+                "cell",
+                *[
+                    F.slice(F.col("rvec"), m * subdim + 1, subdim).alias(f"sub{m}")
+                    for m in range(m_sub)
+                ],
+                "books",
+            )
         )
-    )
+    else:
+        q = (
+            queries.crossJoin(F.broadcast(centroids_table(spark, centroids)))
+            .crossJoin(F.broadcast(pq_books_table(spark, books)))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell"),
+                *[
+                    F.slice(F.col(vec_col), m * subdim + 1, subdim).alias(f"sub{m}")
+                    for m in range(m_sub)
+                ],
+                "books",
+            )
+        )
 
     def _dtable(m: int):
         sub = F.col(f"sub{m}")
@@ -1343,6 +1546,7 @@ def write_ivfpq_index(
     m_sub: int = 4,
     k_codes: int = 8,
     dim: int = 64,
+    residual: bool = False,
 ) -> None:
     """Persist the IVFADC index: cell-PARTITIONED ``(neighbor_id,
     cell, codes)`` plus BOTH quantizers as side tables (``_centroids``
@@ -1352,7 +1556,14 @@ def write_ivfpq_index(
     nprobe/n_cells of the directories AND the files it does read hold
     m_sub ints per vector instead of dim floats. One fused assignment
     kernel, one-file-per-cell build (repartition-before-partitionBy
-    via sinks.write_parquet)."""
+    via sinks.write_parquet).
+
+    ``residual`` (the paper's IVFADC encoding — see
+    :func:`ivfpq_topk`) is recorded IN the ``_codebooks`` side table:
+    whether codes mean ``x`` or ``x − c_cell`` is part of what makes
+    the index self-describing, so appends and probes read it from
+    there rather than trusting a caller flag (a mismatch would
+    silently score codes against the wrong table)."""
     import json as _json
 
     if centroids is None:
@@ -1362,6 +1573,7 @@ def write_ivfpq_index(
     assigned = ivfpq_assign(
         corpus, id_col, vec_col, centroids=centroids, books=books,
         n_cells=n_cells, m_sub=m_sub, k_codes=k_codes, dim=dim,
+        residual=residual,
     )
     from igloo_spark.sinks import write_parquet
 
@@ -1372,9 +1584,10 @@ def write_ivfpq_index(
         "overwrite"
     ).parquet(path + "/_centroids")
     bpay = _json.dumps([[[float(v) for v in c] for c in b] for b in books])
-    spark.range(1).select(F.lit(bpay).alias("codebooks_json")).write.mode(
-        "overwrite"
-    ).parquet(path + "/_codebooks")
+    spark.range(1).select(
+        F.lit(bpay).alias("codebooks_json"),
+        F.lit(bool(residual)).alias("residual"),
+    ).write.mode("overwrite").parquet(path + "/_codebooks")
 
 
 def append_ivfpq(
@@ -1387,6 +1600,7 @@ def append_ivfpq(
     both quantizers come from the index's OWN side tables (frozen —
     the :func:`append_ivf` drift rule, doubled), so
     probe-after-append equals a full rebuild over the union corpus.
+    The residual/direct encoding mode rides the same side table.
     One file per cell per batch; compact with :func:`optimize_ivfpq`."""
     import json as _json
 
@@ -1394,13 +1608,14 @@ def append_ivfpq(
     centroids = _json.loads(
         spark.read.parquet(path + "/_centroids").first()["centroids_json"]
     )
-    books = _json.loads(
-        spark.read.parquet(path + "/_codebooks").first()["codebooks_json"]
-    )
+    brow = spark.read.parquet(path + "/_codebooks").first()
+    books = _json.loads(brow["codebooks_json"])
+    # pre-r09 indexes have no residual column — they are direct-coded
+    residual = bool(brow["residual"]) if "residual" in brow.__fields__ else False
     assigned = ivfpq_assign(
         new_vectors, id_col, vec_col, centroids=centroids, books=books,
         n_cells=len(centroids), m_sub=len(books), k_codes=len(books[0]),
-        dim=len(centroids[0]),
+        dim=len(centroids[0]), residual=residual,
     )
     from igloo_spark.sinks import write_parquet
 
@@ -1448,9 +1663,11 @@ def probe_ivfpq_index(
     centroids = _json.loads(
         spark.read.parquet(path + "/_centroids").first()["centroids_json"]
     )
-    books = _json.loads(
-        spark.read.parquet(path + "/_codebooks").first()["codebooks_json"]
-    )
+    brow = spark.read.parquet(path + "/_codebooks").first()
+    books = _json.loads(brow["codebooks_json"])
+    # encoding mode is index state, not a caller argument (pre-r09
+    # indexes lack the column and are direct-coded)
+    residual = bool(brow["residual"]) if "residual" in brow.__fields__ else False
     cents_df = centroids_table(spark, centroids)
     qc = (
         queries.crossJoin(F.broadcast(cents_df))
@@ -1463,4 +1680,5 @@ def probe_ivfpq_index(
     return _ivfpq_rank(
         idx, queries, centroids, books,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+        residual=residual,
     )

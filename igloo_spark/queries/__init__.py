@@ -25,15 +25,16 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r09 rotation (executes the r08 verdict's task 2): x114 FIRST
-    # (its integer-quantization rewrite in r08 postdates its r07
-    # driver verdict — the only changed-since-verdict query in the
-    # corpus), then the 22 r05-stale queries, then 27 of the 50
-    # r06-stale (operator-heavy first). Exactly 50 entries. After
-    # this window the verdict-age histogram is 50@r09, 50@r08,
-    # 49@r07, 23@r06 (x60 x61 x72 x73 q51-q57 q59-q65 q68-q71 q77 —
-    # they lead the r10 rotation, followed by the oldest r07
-    # verdicts).
+    # -- r09 rotation (executes the r08 verdict's task 2): x124 FIRST
+    # (new this round — never driver-checked), then x114 (its
+    # integer-quantization rewrite in r08 postdates its r07 driver
+    # verdict — the only changed-since-verdict query in the corpus),
+    # then the 22 r05-stale queries, then 26 of the 50 r06-stale
+    # (operator-heavy first). Exactly 50 entries. After this window
+    # the verdict-age histogram is 50@r09, 50@r08, 49@r07, 24@r06
+    # (x58 x60 x61 x72 x73 q51-q57 q59-q65 q68-q71 q77 — they lead
+    # the r10 rotation, followed by the oldest r07 verdicts).
+    "x124_pq_learned_distortion",
     "x114_temperature_mixture",
     # -- the 22 r05-stale --
     "q05_local_supplier_volume",
@@ -85,7 +86,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x54_tfidf_top_terms",
     "x51_multimodal_decode",
     "x57_frame_sampling",
-    "x58_media_features",
 )
 
 def all_queries():

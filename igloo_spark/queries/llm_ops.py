@@ -4464,3 +4464,85 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
         m_sub=PQ_M, k_codes=PQ_K, dim=EMB_DIM,
     )
+
+
+# --- x124: learned PQ codebooks + residual IVFADC distortion eval ---------
+
+
+@register(
+    "x124_pq_learned_distortion",
+    "PQ codebook training eval: k-means-learned books beat the deterministic "
+    "ones on reconstruction MSE; residual codes refine the coarse quantizer",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS learned_beats_deterministic,
+           TRUE AS residual_refines_coarse
+    FROM embeddings
+    """,
+    tags=("similarity", "eval", "llm"),
+)
+def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned-codebook counterpart of x64, on the compression
+    axis: per-subspace k-means PQ codebooks
+    (:func:`~igloo_spark.operators.similarity.learned_pq_codebooks`)
+    and the paper's residual IVFADC encoding replace the
+    deterministic quantizers, and the driver-checkable surface is two
+    distortion invariants (k-means output is data-dependent, so raw
+    MSEs can't hash-match a SQL oracle — the x64 freeze pattern):
+
+    - ``learned_beats_deterministic``: mean ||x − x̂||² under the
+      LEARNED direct codebooks < under the deterministic pattern
+      books (measured 0.80 vs 1.42 at all three SFs — a 43% cut at
+      the same 4-byte code budget; a regression in the fit pipeline
+      flips this to red);
+    - ``residual_refines_coarse``: full IVFADC reconstruction
+      (c_cell + residual code) < coarse-only (c_cell alone) —
+      residual codebooks must earn their bytes (0.92 vs 1.50).
+
+    Honest fixture finding, recorded here because it is the OPPOSITE
+    of the clustered-data intuition: on these near-uniform spherical
+    embeddings residual coding is WORSE than direct learned coding
+    (0.92 vs 0.80 MSE) — the coarse quantizer explains so little
+    that residuals carry MORE variance than the raw vectors. On
+    clustered real corpora the inequality flips (the residual test in
+    tests/test_round9_ops.py constructs such a corpus and asserts
+    it); this eval gates only the invariants that hold regardless of
+    clusteredness. All three error columns flow from ONE fused Arrow
+    kernel (:func:`~igloo_spark.operators.similarity.
+    pq_reconstruction_errors`) — the corpus-wide one-Python-eval
+    budget — followed by a single tiny aggregate."""
+    from igloo_spark.operators.similarity import (
+        learned_ivf_centroids,
+        learned_pq_codebooks,
+        pq_codebooks,
+        pq_reconstruction_errors,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    det = pq_codebooks(PQ_M, PQ_K, EMB_DIM)
+    cents = learned_ivf_centroids(emb, "embedding", n_cells=IVF_CELLS, seed=42)
+    learned = learned_pq_codebooks(
+        emb, "embedding", m_sub=PQ_M, k_codes=PQ_K, dim=EMB_DIM, seed=42
+    )
+    resid = learned_pq_codebooks(
+        emb, "embedding", m_sub=PQ_M, k_codes=PQ_K, dim=EMB_DIM, seed=42,
+        centroids=cents,
+    )
+    errs = pq_reconstruction_errors(
+        emb,
+        [
+            ("det", det, None, False),
+            ("learned", learned, None, False),
+            ("coarse", None, cents, False),
+            ("resid", resid, cents, True),
+        ],
+    )
+    return errs.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        (F.avg("err_learned") < F.avg("err_det")).alias(
+            "learned_beats_deterministic"
+        ),
+        (F.avg("err_resid") < F.avg("err_coarse")).alias(
+            "residual_refines_coarse"
+        ),
+    )

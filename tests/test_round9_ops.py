@@ -285,3 +285,143 @@ def test_diff_versions_evolved_schema_missing_key_falls_back(spark, tmp_path):
     assert d.count() == 0
     assert d.columns == ["doc_id", "change_type"]
     assert dict(d.dtypes)["doc_id"] == "string"
+
+
+class TestLearnedPqResidual:
+    """Learned PQ codebooks + residual IVFADC (the r07/r08 verdicts'
+    carried task 3): fit shape, the clustered-corpus win residual
+    coding exists for, and persisted-layout parity with the residual
+    flag frozen in the _codebooks side table."""
+
+    def _clustered(self, spark, n_per=40, n_clusters=4, dim=8, noise=0.05):
+        """Deterministic clustered corpus: residual coding must beat
+        direct coding here (the coarse quantizer explains most of the
+        variance, residuals are small) — the opposite of the
+        near-uniform driver fixture, where x124 documents that
+        direct wins."""
+        import math
+
+        rows = []
+        for c in range(n_clusters):
+            center = [math.cos(2.1 * c + 0.3 * j) for j in range(dim)]
+            norm = sum(v * v for v in center) ** 0.5
+            center = [v / norm for v in center]
+            for i in range(n_per):
+                vec = [
+                    center[j] + noise * math.sin(5.7 * (c * n_per + i) + 1.9 * j)
+                    for j in range(dim)
+                ]
+                rows.append((c * n_per + i, vec))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_learned_books_shape_and_determinism(self, spark):
+        from igloo_spark.operators.similarity import learned_pq_codebooks
+
+        emb = self._clustered(spark)
+        b1 = learned_pq_codebooks(emb, m_sub=2, k_codes=4, dim=8, seed=7)
+        b2 = learned_pq_codebooks(emb, m_sub=2, k_codes=4, dim=8, seed=7)
+        assert len(b1) == 2 and len(b1[0]) == 4 and len(b1[0][0]) == 4
+        assert b1 == b2, "same seed + same data must reproduce the fit"
+
+    def test_residual_beats_direct_on_clustered_corpus(self, spark):
+        from igloo_spark.operators.similarity import (
+            learned_ivf_centroids,
+            learned_pq_codebooks,
+            pq_reconstruction_errors,
+        )
+
+        emb = self._clustered(spark)
+        cents = learned_ivf_centroids(emb, n_cells=4, seed=7)
+        direct = learned_pq_codebooks(emb, m_sub=2, k_codes=4, dim=8, seed=7)
+        resid = learned_pq_codebooks(
+            emb, m_sub=2, k_codes=4, dim=8, seed=7, centroids=cents
+        )
+        row = (
+            pq_reconstruction_errors(
+                emb,
+                [
+                    ("direct", direct, None, False),
+                    ("resid", resid, cents, True),
+                    ("coarse", None, cents, False),
+                ],
+            )
+            .agg(
+                F.avg("err_direct").alias("d"),
+                F.avg("err_resid").alias("r"),
+                F.avg("err_coarse").alias("c"),
+            )
+            .first()
+        )
+        assert row["r"] < row["d"], (
+            "residual must beat direct on clustered data "
+            f"(resid {row['r']:.4f} vs direct {row['d']:.4f})"
+        )
+        assert row["r"] < row["c"], "residual codes must refine the coarse cell"
+
+    def test_residual_persisted_probe_matches_live(self, spark, tmp_path):
+        from igloo_spark.operators.similarity import (
+            ivfpq_topk,
+            learned_ivf_centroids,
+            learned_pq_codebooks,
+            probe_ivfpq_index,
+            write_ivfpq_index,
+        )
+
+        emb = self._clustered(spark)
+        cents = learned_ivf_centroids(emb, n_cells=4, seed=7)
+        books = learned_pq_codebooks(
+            emb, m_sub=2, k_codes=4, dim=8, seed=7, centroids=cents
+        )
+        queries = emb.filter(F.col("vec_id").isin(0, 45, 130))
+        path = str(tmp_path / "residx")
+        write_ivfpq_index(
+            emb, path, centroids=cents, books=books,
+            n_cells=4, m_sub=2, k_codes=4, dim=8, residual=True,
+        )
+        # the flag is index state: probe reads it from _codebooks
+        assert (
+            spark.read.parquet(path + "/_codebooks").first()["residual"] is True
+        )
+        sel = ["query_id", "rank", "neighbor_id", "adist_micro"]
+        got = _probe_rows(
+            probe_ivfpq_index(spark, path, queries, k=4, nprobe=2).select(*sel)
+        )
+        want = _probe_rows(
+            ivfpq_topk(
+                emb, queries, k=4, n_cells=4, nprobe=2, m_sub=2, k_codes=4,
+                dim=8, centroids=cents, books=books, residual=True,
+            ).select(*sel)
+        )
+        assert got == want and got
+
+    def test_residual_append_matches_rebuild(self, spark, tmp_path):
+        from igloo_spark.operators.similarity import (
+            append_ivfpq,
+            probe_ivfpq_index,
+            write_ivfpq_index,
+            learned_ivf_centroids,
+            learned_pq_codebooks,
+        )
+
+        emb = self._clustered(spark)
+        first = emb.filter(F.col("vec_id") < 100)
+        rest = emb.filter(F.col("vec_id") >= 100)
+        cents = learned_ivf_centroids(first, n_cells=4, seed=7)
+        books = learned_pq_codebooks(
+            first, m_sub=2, k_codes=4, dim=8, seed=7, centroids=cents
+        )
+        queries = emb.filter(F.col("vec_id").isin(0, 45, 130))
+        inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+        kw = dict(centroids=cents, books=books,
+                  n_cells=4, m_sub=2, k_codes=4, dim=8, residual=True)
+        write_ivfpq_index(first, inc, **kw)
+        append_ivfpq(rest, inc)  # mode comes from the side table
+        write_ivfpq_index(emb, full, **kw)
+        sel = ["query_id", "rank", "neighbor_id", "adist_micro"]
+        got = _probe_rows(
+            probe_ivfpq_index(spark, inc, queries, k=4, nprobe=2).select(*sel)
+        )
+        want = _probe_rows(
+            probe_ivfpq_index(spark, full, queries, k=4, nprobe=2).select(*sel)
+        )
+        assert got == want and got
