@@ -368,6 +368,7 @@ def _sync_vector_indexes(
     n_cells: int = 8,
     m_sub: int = 4,
     k_codes: int = 8,
+    learn_quantizers: bool = False,
 ) -> None:
     """Build-or-append the persisted ANN indexes (IVF / PQ / IVFADC,
     ``operators.similarity``) from one batch's accepted docs — the
@@ -380,7 +381,18 @@ def _sync_vector_indexes(
     batch cost — r08's parity tests prove append == full rebuild, so
     probe-after-ingest is bit-identical to a rebuild over the whole
     corpus. Empty batches are skipped for the same degenerate-stats
-    reason as the postings sync."""
+    reason as the postings sync.
+
+    ``learn_quantizers`` fits k-means quantizers
+    (:func:`~igloo_spark.operators.similarity.learned_ivf_centroids`
+    / :func:`~igloo_spark.operators.similarity.learned_pq_codebooks`)
+    on the FIRST non-empty batch instead of using the deterministic
+    patterns — the production posture (x124 measures the distortion
+    win). The fit happens exactly once: the learned floats freeze
+    into the index side tables and every later append encodes against
+    them, so the append==rebuild contract is untouched. A first batch
+    too small to fit (fewer vectors than centroids/codes) falls back
+    to the deterministic quantizers rather than failing the ingest."""
     if ivf_root is None and pq_root is None and ivfpq_root is None:
         return
     import os as _os
@@ -393,28 +405,52 @@ def _sync_vector_indexes(
     if vecs.limit(1).count() == 0:
         return
     dim = len(vecs.select(vec_col).first()[0])
+
+    def _fit_quantizers():
+        # once per bootstrap call-site; None/None = deterministic
+        if not learn_quantizers or vecs.count() < max(n_cells, k_codes):
+            return None, None
+        cents = _sim.learned_ivf_centroids(
+            vecs, vec_col, n_cells=n_cells, seed=42
+        )
+        books = _sim.learned_pq_codebooks(
+            vecs, vec_col, m_sub=m_sub, k_codes=k_codes, dim=dim, seed=42
+        )
+        return cents, books
+
+    fitted: list = []  # lazy: fit only if some index actually bootstraps
+
+    def _quantizers():
+        if not fitted:
+            fitted.append(_fit_quantizers())
+        return fitted[0]
+
     if ivf_root is not None:
         if _os.path.isdir(_os.path.join(ivf_root, "_centroids")):
             _sim.append_ivf(vecs, ivf_root, id_col=id_col, vec_col=vec_col)
         else:
+            cents, _ = _quantizers()
             _sim.write_ivf_index(
                 vecs, ivf_root, id_col=id_col, vec_col=vec_col,
-                n_cells=n_cells, dim=dim,
+                centroids=cents, n_cells=n_cells, dim=dim,
             )
     if pq_root is not None:
         if _os.path.isdir(_os.path.join(pq_root, "_codebooks")):
             _sim.append_pq(vecs, pq_root, id_col=id_col, vec_col=vec_col)
         else:
+            _, books = _quantizers()
             _sim.write_pq_index(
                 vecs, pq_root, id_col=id_col, vec_col=vec_col,
-                m_sub=m_sub, k_codes=k_codes, dim=dim,
+                books=books, m_sub=m_sub, k_codes=k_codes, dim=dim,
             )
     if ivfpq_root is not None:
         if _os.path.isdir(_os.path.join(ivfpq_root, "_centroids")):
             _sim.append_ivfpq(vecs, ivfpq_root, id_col=id_col, vec_col=vec_col)
         else:
+            cents, books = _quantizers()
             _sim.write_ivfpq_index(
                 vecs, ivfpq_root, id_col=id_col, vec_col=vec_col,
+                centroids=cents, books=books,
                 n_cells=n_cells, m_sub=m_sub, k_codes=k_codes, dim=dim,
             )
 
@@ -488,6 +524,7 @@ def incremental_ingest(
     ivf_n_cells: int = 8,
     pq_m_sub: int = 4,
     pq_k_codes: int = 8,
+    learn_quantizers: bool = False,
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -547,6 +584,10 @@ def incremental_ingest(
     ingest, at batch cost. Same derived-artifact contract as the
     postings index: outside the exactly-once window, detectable via
     :func:`check_index_sync` per kind, repairable by rebuild.
+    ``learn_quantizers=True`` fits k-means quantizers on the first
+    non-empty batch (frozen thereafter — see
+    :func:`_sync_vector_indexes`); default stays deterministic so
+    test stores remain SQL-reproducible.
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
@@ -613,6 +654,7 @@ def incremental_ingest(
                 ivf_root=ivf_index_root, pq_root=pq_index_root,
                 ivfpq_root=ivfpq_index_root, n_cells=ivf_n_cells,
                 m_sub=pq_m_sub, k_codes=pq_k_codes,
+                learn_quantizers=learn_quantizers,
             )
             return IncrementalIngestResult(
                 accepted=accepted.select(id_col, "quality", "n_tokens"),
@@ -733,6 +775,7 @@ def incremental_ingest(
         ivf_root=ivf_index_root, pq_root=pq_index_root,
         ivfpq_root=ivfpq_index_root, n_cells=ivf_n_cells,
         m_sub=pq_m_sub, k_codes=pq_k_codes,
+        learn_quantizers=learn_quantizers,
     )
     return IncrementalIngestResult(
         accepted=accepted.select(id_col, "quality", "n_tokens"),

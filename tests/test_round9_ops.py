@@ -425,3 +425,86 @@ class TestLearnedPqResidual:
             probe_ivfpq_index(spark, full, queries, k=4, nprobe=2).select(*sel)
         )
         assert got == want and got
+
+
+class TestIngestLearnedQuantizers:
+    """learn_quantizers=True: the first non-empty batch fits k-means
+    quantizers and freezes them into the index side tables; appends
+    encode against the frozen fit, so append==rebuild still holds."""
+
+    def test_learned_bootstrap_freezes_and_appends_match_rebuild(
+        self, spark, tmp_path
+    ):
+        import json as _json
+
+        from igloo_spark.operators.similarity import (
+            ivf_centroids,
+            probe_ivfpq_index,
+            write_ivfpq_index,
+        )
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "store_lq")
+        ivfpq_root = str(tmp_path / "idx_lq")
+        kw = dict(
+            min_quality=0.0, min_shared=1,
+            ivfpq_index_root=ivfpq_root,
+            ivf_n_cells=N_CELLS, pq_m_sub=M_SUB, pq_k_codes=K_CODES,
+            learn_quantizers=True,
+        )
+        incremental_ingest(_mk_docs(spark, range(1, 11)), root, **kw)
+        cents1 = spark.read.parquet(ivfpq_root + "/_centroids").first()[
+            "centroids_json"
+        ]
+        # the frozen quantizer is the k-means fit, not the pattern
+        assert _json.loads(cents1) != ivf_centroids(N_CELLS, DIM)
+        incremental_ingest(_mk_docs(spark, range(11, 19)), root, **kw)
+        cents2 = spark.read.parquet(ivfpq_root + "/_centroids").first()[
+            "centroids_json"
+        ]
+        assert cents1 == cents2, "append must never refit the quantizer"
+        # probe parity vs a rebuild under the index's OWN frozen fit
+        books = _json.loads(
+            spark.read.parquet(ivfpq_root + "/_codebooks").first()[
+                "codebooks_json"
+            ]
+        )
+        union_vecs = _mk_docs(spark, range(1, 19)).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        rb = str(tmp_path / "rebuild_lq")
+        write_ivfpq_index(
+            union_vecs, rb, centroids=_json.loads(cents1), books=books,
+            n_cells=N_CELLS, m_sub=M_SUB, k_codes=K_CODES, dim=DIM,
+        )
+        queries = _mk_docs(spark, [2, 15]).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        got = _probe_rows(
+            probe_ivfpq_index(spark, ivfpq_root, queries, k=4, nprobe=2)
+        )
+        want = _probe_rows(probe_ivfpq_index(spark, rb, queries, k=4, nprobe=2))
+        assert got == want and got
+
+    def test_tiny_first_batch_falls_back_to_deterministic(self, spark, tmp_path):
+        import json as _json
+
+        from igloo_spark.operators.similarity import ivf_centroids
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "store_tiny")
+        ivf_root = str(tmp_path / "idx_tiny")
+        # 2 docs < N_CELLS centroids: k-means can't fit, ingest must
+        # still succeed with the deterministic quantizer
+        incremental_ingest(
+            _mk_docs(spark, [1, 2]), root,
+            min_quality=0.0, min_shared=1,
+            ivf_index_root=ivf_root, ivf_n_cells=N_CELLS,
+            learn_quantizers=True,
+        )
+        cents = _json.loads(
+            spark.read.parquet(ivf_root + "/_centroids").first()[
+                "centroids_json"
+            ]
+        )
+        assert cents == ivf_centroids(N_CELLS, DIM)
