@@ -455,6 +455,168 @@ def _sync_vector_indexes(
             )
 
 
+def compact_indexes_if_needed(
+    spark,
+    *,
+    postings_root: str | None = None,
+    ivf_root: str | None = None,
+    pq_root: str | None = None,
+    ivfpq_root: str | None = None,
+    max_files_per_dir: int = 8,
+) -> dict:
+    """Compact any of the four persisted index layouts whose
+    append-accumulated file count has crossed ``max_files_per_dir``
+    — the maintenance cadence a nightly ingest needs so probes stay
+    scan-fast without a human remembering to run ``optimize_*``.
+
+    The trigger is the max data-file count per partition directory
+    (bucket/cell; the flat PQ layout counts its base dir), read from
+    the local listing — O(#files) metadata, no Spark job. Compaction
+    itself is index-sized (never corpus-sized) and crash-safe
+    (``recover_interrupted_compaction``). Returns
+    ``{kind: True|False}`` for the roots given — observability over
+    silent maintenance ("no silent caps" applies to maintenance
+    too)."""
+    import glob as _glob
+    import os as _os
+
+    def _max_files(root: str, part_glob: str | None) -> int:
+        if part_glob is None:
+            return len(_glob.glob(_os.path.join(root, "*.parquet")))
+        dirs = _glob.glob(_os.path.join(root, part_glob))
+        return max(
+            (len(_glob.glob(_os.path.join(d, "*.parquet"))) for d in dirs),
+            default=0,
+        )
+
+    out: dict = {}
+    if postings_root is not None:
+        from igloo_spark.operators.retrieval import optimize_postings
+
+        if compacted := _max_files(postings_root, "bucket=*") > max_files_per_dir:
+            optimize_postings(spark, postings_root)
+        out["postings"] = compacted
+    if ivf_root is not None:
+        from igloo_spark.operators.similarity import optimize_ivf
+
+        if compacted := _max_files(ivf_root, "cell=*") > max_files_per_dir:
+            optimize_ivf(spark, ivf_root)
+        out["ivf"] = compacted
+    if pq_root is not None:
+        from igloo_spark.operators.similarity import optimize_pq
+
+        if compacted := _max_files(pq_root, None) > max_files_per_dir:
+            optimize_pq(spark, pq_root)
+        out["pq"] = compacted
+    if ivfpq_root is not None:
+        from igloo_spark.operators.similarity import optimize_ivfpq
+
+        if compacted := _max_files(ivfpq_root, "cell=*") > max_files_per_dir:
+            optimize_ivfpq(spark, ivfpq_root)
+        out["ivfpq"] = compacted
+    return out
+
+
+def repair_index(
+    spark,
+    corpus_root: str,
+    index_root: str,
+    kind: str,
+    vecs: "DataFrame | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> dict:
+    """The repair half of :func:`check_index_sync`'s detect→repair
+    contract: rebuild a lagging derived index from the corpus store's
+    CURRENT snapshot. No-ops (and says so) when already in sync.
+
+    ``postings`` rebuilds from the store's own text. The vector kinds
+    need the embeddings, which the corpus store does not persist —
+    the caller supplies ``vecs`` (one ``vec_col`` row per corpus
+    ``id_col``; typically the embedding table the ingest batches came
+    from). The rebuild re-reads the damaged index's OWN quantizer
+    side tables and encodes against them — a repair must restore the
+    index, not refit it (refitting would silently re-bucket history
+    and invalidate any cached probe expectations); only an index with
+    no side tables left falls back to a fresh deterministic build.
+
+    Returns the post-repair :func:`check_index_sync` dict plus
+    ``{"repaired": bool}``."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from igloo_spark.sources.versioned import read_versioned
+
+    status = check_index_sync(spark, corpus_root, index_root, kind=kind)
+    if status["in_sync"]:
+        return {**status, "repaired": False}
+    corpus = read_versioned(spark, corpus_root)
+    if kind == "postings":
+        from igloo_spark.operators.retrieval import write_postings_index
+
+        _shutil.rmtree(index_root, ignore_errors=True)
+        write_postings_index(
+            corpus.select(id_col, text_col), index_root,
+            id_col=id_col, text_col=text_col,
+        )
+    else:
+        if vecs is None:
+            raise ValueError(
+                f"repairing a {kind!r} index needs the embeddings: pass vecs"
+            )
+        from igloo_spark.operators import similarity as _sim
+
+        joined = corpus.select(id_col).join(
+            vecs.select(id_col, vec_col), id_col
+        )
+        cents = books = None
+        cpath = _os.path.join(index_root, "_centroids")
+        bpath = _os.path.join(index_root, "_codebooks")
+        residual = False
+        if _os.path.isdir(cpath):
+            cents = _json.loads(
+                spark.read.parquet(cpath).first()["centroids_json"]
+            )
+        if _os.path.isdir(bpath):
+            brow = spark.read.parquet(bpath).first()
+            books = _json.loads(brow["codebooks_json"])
+            residual = (
+                bool(brow["residual"]) if "residual" in brow.__fields__ else False
+            )
+        dim = len(joined.select(vec_col).first()[0])
+        _shutil.rmtree(index_root, ignore_errors=True)
+        if kind == "ivf":
+            _sim.write_ivf_index(
+                joined, index_root, id_col=id_col, vec_col=vec_col,
+                centroids=cents,
+                n_cells=len(cents) if cents else 8, dim=dim,
+            )
+        elif kind == "pq":
+            _sim.write_pq_index(
+                joined, index_root, id_col=id_col, vec_col=vec_col,
+                books=books,
+                m_sub=len(books) if books else 4,
+                k_codes=len(books[0]) if books else 8, dim=dim,
+            )
+        elif kind == "ivfpq":
+            _sim.write_ivfpq_index(
+                joined, index_root, id_col=id_col, vec_col=vec_col,
+                centroids=cents, books=books,
+                n_cells=len(cents) if cents else 8,
+                m_sub=len(books) if books else 4,
+                k_codes=len(books[0]) if books else 8,
+                dim=dim, residual=residual,
+            )
+        else:
+            raise ValueError(f"kind must be postings|ivf|pq|ivfpq, got {kind!r}")
+    return {
+        **check_index_sync(spark, corpus_root, index_root, kind=kind),
+        "repaired": True,
+    }
+
+
 def check_index_sync(
     spark, corpus_root: str, index_root: str, kind: str = "postings"
 ) -> dict:
@@ -525,6 +687,7 @@ def incremental_ingest(
     pq_m_sub: int = 4,
     pq_k_codes: int = 8,
     learn_quantizers: bool = False,
+    auto_compact_files: int | None = None,
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -587,7 +750,11 @@ def incremental_ingest(
     ``learn_quantizers=True`` fits k-means quantizers on the first
     non-empty batch (frozen thereafter — see
     :func:`_sync_vector_indexes`); default stays deterministic so
-    test stores remain SQL-reproducible.
+    test stores remain SQL-reproducible. ``auto_compact_files=N``
+    runs :func:`compact_indexes_if_needed` after the index syncs so
+    append-accumulated files never exceed N per bucket/cell directory
+    without a compaction — the maintenance cadence a nightly ingest
+    otherwise needs a separate scheduler for.
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
@@ -656,6 +823,15 @@ def incremental_ingest(
                 m_sub=pq_m_sub, k_codes=pq_k_codes,
                 learn_quantizers=learn_quantizers,
             )
+            if auto_compact_files is not None:
+                compact_indexes_if_needed(
+                    spark,
+                    postings_root=postings_index_root,
+                    ivf_root=ivf_index_root,
+                    pq_root=pq_index_root,
+                    ivfpq_root=ivfpq_index_root,
+                    max_files_per_dir=auto_compact_files,
+                )
             return IncrementalIngestResult(
                 accepted=accepted.select(id_col, "quality", "n_tokens"),
                 verdicts=accepted.select(
@@ -777,6 +953,15 @@ def incremental_ingest(
         m_sub=pq_m_sub, k_codes=pq_k_codes,
         learn_quantizers=learn_quantizers,
     )
+    if auto_compact_files is not None:
+        compact_indexes_if_needed(
+            spark,
+            postings_root=postings_index_root,
+            ivf_root=ivf_index_root,
+            pq_root=pq_index_root,
+            ivfpq_root=ivfpq_index_root,
+            max_files_per_dir=auto_compact_files,
+        )
     return IncrementalIngestResult(
         accepted=accepted.select(id_col, "quality", "n_tokens"),
         verdicts=verdicts,

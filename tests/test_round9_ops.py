@@ -508,3 +508,91 @@ class TestIngestLearnedQuantizers:
             ]
         )
         assert cents == ivf_centroids(N_CELLS, DIM)
+
+
+class TestIndexMaintenance:
+    """compact_indexes_if_needed (the nightly-ingest maintenance
+    cadence) and repair_index (the repair half of check_index_sync's
+    detect -> repair contract)."""
+
+    def test_auto_compact_bounds_files_per_cell(self, spark, tmp_path):
+        import glob
+
+        from igloo_spark.operators.similarity import probe_ivf_index
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "store_ac")
+        ivf_root = str(tmp_path / "idx_ac")
+        kw = dict(min_quality=0.0, min_shared=1,
+                  ivf_index_root=ivf_root, ivf_n_cells=N_CELLS,
+                  auto_compact_files=2)
+        for lo in (1, 11, 21, 31, 41):
+            incremental_ingest(_mk_docs(spark, range(lo, lo + 10)), root, **kw)
+        worst = max(
+            len(glob.glob(d + "/*.parquet"))
+            for d in glob.glob(ivf_root + "/cell=*")
+        )
+        assert worst <= 3, f"auto-compaction failed to bound files ({worst})"
+        # content survives the compactions: every accepted doc probeable
+        queries = _mk_docs(spark, [3]).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        got = probe_ivf_index(spark, ivf_root, queries, k=50, nprobe=N_CELLS)
+        assert got.count() == 49  # all 50 docs minus the self-match
+
+    def test_repair_postings_index(self, spark, tmp_path):
+        from igloo_spark.pipelines import (
+            check_index_sync,
+            incremental_ingest,
+            repair_index,
+        )
+
+        root = str(tmp_path / "store_rp")
+        post = str(tmp_path / "idx_rp")
+        incremental_ingest(_mk_docs(spark, range(1, 6)), root,
+                           min_quality=0.0, min_shared=1,
+                           postings_index_root=post)
+        # lag the index: a batch ingested without the root
+        incremental_ingest(_mk_docs(spark, [9]), root,
+                           min_quality=0.0, min_shared=1)
+        assert not check_index_sync(spark, root + "/corpus", post,
+                                    kind="postings")["in_sync"]
+        out = repair_index(spark, root + "/corpus", post, "postings")
+        assert out["repaired"] is True and out["in_sync"] is True
+        # already-in-sync repair is a no-op
+        out2 = repair_index(spark, root + "/corpus", post, "postings")
+        assert out2["repaired"] is False and out2["in_sync"] is True
+
+    def test_repair_ivfpq_preserves_frozen_quantizers(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest, repair_index
+
+        root = str(tmp_path / "store_rv")
+        idx = str(tmp_path / "idx_rv")
+        kw = dict(min_quality=0.0, min_shared=1,
+                  ivfpq_index_root=idx, ivf_n_cells=N_CELLS,
+                  pq_m_sub=M_SUB, pq_k_codes=K_CODES,
+                  learn_quantizers=True)
+        incremental_ingest(_mk_docs(spark, range(1, 11)), root, **kw)
+        cents_before = spark.read.parquet(idx + "/_centroids").first()[
+            "centroids_json"
+        ]
+        # lag it
+        incremental_ingest(_mk_docs(spark, [20, 21]), root,
+                           min_quality=0.0, min_shared=1)
+        vecs = _mk_docs(spark, list(range(1, 11)) + [20, 21]).select(
+            "doc_id", "embedding"
+        )
+        out = repair_index(spark, root + "/corpus", idx, "ivfpq", vecs=vecs)
+        assert out["repaired"] is True and out["in_sync"] is True
+        # the repair restored, not refit: the learned quantizer survives
+        assert (
+            spark.read.parquet(idx + "/_centroids").first()["centroids_json"]
+            == cents_before
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="needs the embeddings"):
+            # make it lag again, then repair without vecs
+            incremental_ingest(_mk_docs(spark, [30]), root,
+                               min_quality=0.0, min_shared=1)
+            repair_index(spark, root + "/corpus", idx, "ivfpq")
