@@ -596,3 +596,98 @@ class TestIndexMaintenance:
             incremental_ingest(_mk_docs(spark, [30]), root,
                                min_quality=0.0, min_shared=1)
             repair_index(spark, root + "/corpus", idx, "ivfpq")
+
+
+class TestQualityClassifier:
+    """operators/classifier.py: the model-based quality filter
+    (fit bounded + deterministic; scoring map-side with zero Python
+    and zero shuffle) and the x125 invariant surface."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _labeled(self, spark):
+        from igloo_spark.functions.text import quality_score
+        from igloo_spark.queries.registry import table
+
+        d = table(spark, self.SF, "documents")
+        return d.withColumn(
+            "label", (quality_score(F.col("text")) >= 0.6).cast("int")
+        )
+
+    def test_fit_is_deterministic_and_order_independent(self, spark):
+        from igloo_spark.operators.classifier import fit_quality_classifier
+
+        docs = self._labeled(spark)
+        a = fit_quality_classifier(docs)
+        b = fit_quality_classifier(docs.repartition(7))  # arrival order differs
+        assert a == b, "fit depends on partitioning/arrival order"
+
+    def test_sample_mod_bounds_the_fit(self, spark):
+        from igloo_spark.operators.classifier import fit_quality_classifier
+
+        docs = self._labeled(spark)
+        clf = fit_quality_classifier(docs, sample_mod=4)
+        # a gated fit is still a real model (some nonzero weight)
+        assert any(w != 0.0 for w in clf.weights)
+        # and deterministic under the same gate
+        assert clf == fit_quality_classifier(docs, sample_mod=4)
+
+    def test_scoring_plan_is_mapside_no_python(self, spark):
+        from igloo_spark.operators.classifier import (
+            fit_quality_classifier,
+            score_docs,
+        )
+        from igloo_spark.plans import audit_plan
+
+        docs = self._labeled(spark)
+        clf = fit_quality_classifier(docs)
+        scored = score_docs(docs, clf)
+        a = audit_plan(scored)
+        assert a.python_row_udfs == 0
+        assert a.cartesian_products == 0
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "corpus scoring pass must not shuffle"
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert node not in plan
+
+    def test_blank_and_empty_text_score_defined(self, spark):
+        from igloo_spark.operators.classifier import (
+            QualityClassifier,
+            score_docs,
+        )
+
+        clf = QualityClassifier((0.5,) * 66, bias=-0.25, n_buckets=64)
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one two")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in score_docs(df, clf).collect()}
+        # blank docs: unigram and length terms vanish; alpha(blank)=0
+        assert abs(rows[1]["clf_z"] - (-0.25)) < 1e-12
+        assert abs(rows[2]["clf_z"] - (-0.25)) < 1e-12
+        assert rows[3]["clf_z"] > rows[1]["clf_z"]
+
+    def test_x125_holdout_accuracy_beats_majority(self, spark):
+        from igloo_spark.operators.classifier import (
+            fit_quality_classifier,
+            score_docs,
+        )
+        from igloo_spark.operators.packing import split_assign
+
+        labeled = split_assign(
+            self._labeled(spark), "doc_id",
+            {"train": 0.8, "holdout": 0.2}, salt="qclf-v1",
+        )
+        clf = fit_quality_classifier(
+            labeled.filter(F.col("split") == "train")
+        )
+        hold = score_docs(labeled, clf).filter(F.col("split") == "holdout")
+        row = hold.agg(
+            F.avg((F.col("clf_pred") == (F.col("label") == 1)).cast("double")
+                  ).alias("acc"),
+            F.avg(F.col("label").cast("double")).alias("pos"),
+        ).first()
+        maj = max(row["pos"], 1 - row["pos"])
+        # the x125 gate with its margins visible in the test log
+        assert row["acc"] >= 0.70, (row["acc"], maj)
+        assert row["acc"] >= maj + 0.04, (row["acc"], maj)
