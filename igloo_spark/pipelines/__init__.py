@@ -982,6 +982,7 @@ def ingest_stream(
     span_w: int = 4,
     min_shared: int = 2,
     verdict_sink=None,
+    **index_kwargs,
 ):
     """EXACTLY-ONCE streaming corpus ingestion: every micro-batch runs
     the full :func:`incremental_ingest` admission (exact + near-dup vs
@@ -993,6 +994,22 @@ def ingest_stream(
     the same txnVersion pattern as ``versioned_stream_sink``, extended
     to a two-table transaction.
 
+    ``**index_kwargs`` forwards the derived-index arguments of
+    :func:`incremental_ingest` verbatim (``postings_index_root``,
+    ``ivf_index_root`` / ``pq_index_root`` / ``ivfpq_index_root``,
+    ``ivf_n_cells`` / ``pq_m_sub`` / ``pq_k_codes`` / ``vec_col``,
+    ``learn_quantizers``, ``auto_compact_files``), so a streaming
+    corpus keeps its BM25 AND vector indexes fresh per micro-batch —
+    without this a streamed corpus silently serves stale retrieval
+    results, the exact gap the batch path closed in r09. Replay
+    safety is the batch path's: a fully-committed replayed batch
+    short-circuits before any index append (no double-append), an
+    fp-crash replay re-runs the append it never reached, and the
+    residual crash window (after fp commit, before index append) is
+    detect-and-repairable via ``check_index_sync``/``repair_index`` —
+    the derived-artifact contract documented on
+    :func:`incremental_ingest`.
+
     ``verdict_sink(verdicts_df, batch_id)`` optionally receives each
     batch's per-doc admission verdicts. Returns the started
     StreamingQuery (availableNow trigger).
@@ -1002,7 +1019,7 @@ def ingest_stream(
         result = incremental_ingest(
             batch_df, store_root, id_col, text_col,
             min_quality=min_quality, span_k=span_k, span_w=span_w,
-            min_shared=min_shared, batch_id=batch_id,
+            min_shared=min_shared, batch_id=batch_id, **index_kwargs,
         )
         if verdict_sink is not None:
             verdict_sink(result.verdicts, batch_id)

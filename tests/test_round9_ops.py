@@ -691,3 +691,68 @@ class TestQualityClassifier:
         # the x125 gate with its margins visible in the test log
         assert row["acc"] >= 0.70, (row["acc"], maj)
         assert row["acc"] >= maj + 0.04, (row["acc"], maj)
+
+
+class TestStreamingIndexSync:
+    """ingest_stream forwards the derived-index args, so a STREAMED
+    corpus keeps its BM25 + vector indexes fresh per micro-batch —
+    the streaming twin of the r09 batch wiring."""
+
+    def test_ingest_stream_keeps_indexes_fresh(self, spark, tmp_path):
+        import json
+
+        from igloo_spark.operators.similarity import probe_ivf_index
+        from igloo_spark.pipelines import check_index_sync, ingest_stream
+
+        root = str(tmp_path / "st_idx")
+        post = str(tmp_path / "post_idx")
+        ivf = str(tmp_path / "ivf_idx")
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = _doc_rows(range(1, 9))
+        for fname, chunk in (("b1.json", rows[:4]), ("b2.json", rows[4:])):
+            (src / fname).write_text(
+                "\n".join(
+                    json.dumps(
+                        {"doc_id": i, "text": t, "embedding": v}
+                    )
+                    for i, t, v in chunk
+                )
+            )
+
+        def run(ckpt):
+            stream = (
+                spark.readStream.schema(
+                    "doc_id long, text string, embedding array<double>"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            q = ingest_stream(
+                stream, root, ckpt, min_quality=0.0, min_shared=1,
+                postings_index_root=post, ivf_index_root=ivf,
+                ivf_n_cells=N_CELLS,
+            )
+            q.awaitTermination(120)
+
+        run(str(tmp_path / "ck1"))
+        assert check_index_sync(
+            spark, root + "/corpus", post, kind="postings"
+        )["in_sync"]
+        assert check_index_sync(spark, root + "/corpus", ivf, kind="ivf")[
+            "in_sync"
+        ]
+        queries = _mk_docs(spark, [2]).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        got = probe_ivf_index(spark, ivf, queries, k=20, nprobe=N_CELLS)
+        assert got.count() == 7  # all 8 streamed docs minus the self-match
+
+        # checkpoint-wiped replay: store watermark rejects the commits,
+        # so the indexes must not double-append
+        n_ivf = spark.read.parquet(ivf).count()
+        run(str(tmp_path / "ck2"))
+        assert spark.read.parquet(ivf).count() == n_ivf
+        assert check_index_sync(spark, root + "/corpus", ivf, kind="ivf")[
+            "in_sync"
+        ]
