@@ -688,6 +688,8 @@ def incremental_ingest(
     pq_k_codes: int = 8,
     learn_quantizers: bool = False,
     auto_compact_files: int | None = None,
+    quality_model=None,
+    quality_model_threshold: float = 0.0,
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -750,7 +752,15 @@ def incremental_ingest(
     ``learn_quantizers=True`` fits k-means quantizers on the first
     non-empty batch (frozen thereafter — see
     :func:`_sync_vector_indexes`); default stays deterministic so
-    test stores remain SQL-reproducible. ``auto_compact_files=N``
+    test stores remain SQL-reproducible. ``quality_model`` swaps the
+    heuristic admission gate for a trained
+    :class:`~igloo_spark.operators.classifier.QualityClassifier`
+    (admit when the student's logit >= ``quality_model_threshold``) —
+    the production close of the x125 loop: distill the expensive
+    teacher once, then every nightly batch is admitted by the frozen
+    student as the same map-side codegen expression. The stored
+    ``quality`` column stays the heuristic either way (schema and
+    history semantics unchanged). ``auto_compact_files=N``
     runs :func:`compact_indexes_if_needed` after the index syncs so
     append-accumulated files never exceed N per bucket/cell directory
     without a compaction — the maintenance cadence a nightly ingest
@@ -899,9 +909,16 @@ def incremental_ingest(
         .select(id_col, F.lit(True).alias("__intra_neardup"))
     )
     intra_ok = near_ok.join(intra.select(id_col), id_col, "left_anti")
-    accepted = intra_ok.filter(F.col("quality") >= min_quality).localCheckpoint(
-        eager=False
-    )
+    if quality_model is not None:
+        from igloo_spark.operators.classifier import classifier_score
+
+        q_gate = (
+            classifier_score(quality_model, F.col(text_col))
+            >= quality_model_threshold
+        )
+    else:
+        q_gate = F.col("quality") >= min_quality
+    accepted = intra_ok.filter(q_gate).localCheckpoint(eager=False)
 
     # verdicts are driven from new_docs, not batch, so blank-text
     # rows removed by the pre-filter still map to a verdict ('empty')

@@ -756,3 +756,59 @@ class TestStreamingIndexSync:
         assert check_index_sync(spark, root + "/corpus", ivf, kind="ivf")[
             "in_sync"
         ]
+
+
+class TestModelGatedIngest:
+    """incremental_ingest(quality_model=...): admission by the frozen
+    classifier student instead of the raw heuristic — the production
+    close of the x125 distillation loop."""
+
+    def test_classifier_gates_admission(self, spark, tmp_path):
+        from igloo_spark.operators.classifier import QualityClassifier
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        # handcrafted student: admit iff alpha_ratio >= 0.5 (all other
+        # feature weights zero) — deterministic, no fit needed
+        clf = QualityClassifier(
+            (0.0,) * 64 + (0.0, 1.0), bias=-0.5, n_buckets=64
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "clean alphabetic words only here nothing else at all"),
+                (2, "1 2 33 444 5555 0 9 8 7 6 11 22 33 44 55 66 77 88"),
+            ],
+            "doc_id long, text string",
+        )
+        root = str(tmp_path / "mg")
+        r = incremental_ingest(
+            docs, root, min_shared=1, quality_model=clf,
+            # heuristic gate would PASS both (min_quality=0): proves
+            # the model, not the heuristic, made the call
+            min_quality=0.0,
+        )
+        verdicts = {x["doc_id"]: x["verdict"] for x in r.verdicts.collect()}
+        assert verdicts == {1: "kept", 2: "low_quality"}
+        assert [
+            x["doc_id"]
+            for x in read_versioned(spark, root + "/corpus").collect()
+        ] == [1]
+        # stored quality column stays the heuristic (schema unchanged)
+        assert "quality" in read_versioned(spark, root + "/corpus").columns
+
+    def test_threshold_shifts_the_gate(self, spark, tmp_path):
+        from igloo_spark.operators.classifier import QualityClassifier
+        from igloo_spark.pipelines import incremental_ingest
+
+        clf = QualityClassifier(
+            (0.0,) * 64 + (0.0, 1.0), bias=-0.5, n_buckets=64
+        )
+        docs = spark.createDataFrame(
+            [(1, "clean alphabetic words only here nothing else at all")],
+            "doc_id long, text string",
+        )
+        r = incremental_ingest(
+            docs, str(tmp_path / "mg2"), min_shared=1,
+            quality_model=clf, quality_model_threshold=10.0,
+        )
+        assert {x["verdict"] for x in r.verdicts.collect()} == {"low_quality"}
