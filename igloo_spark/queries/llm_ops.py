@@ -4665,3 +4665,110 @@ def _x125_oracle() -> str:
 REGISTRY["x125_quality_classifier"] = _dc.replace(
     REGISTRY["x125_quality_classifier"], oracle=_x125_oracle()
 )
+
+
+@register(
+    "x126_classifier_auc",
+    "classifier ranking eval: holdout AUC of the distilled quality student "
+    "(Mann-Whitney, tie-averaged ranks), invariant-gated",
+    None,  # oracle attached below (shares the split CASE + label SQL)
+    tags=("text", "eval", "llm"),
+)
+def x126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval companion of x125 (the x113/x122 pattern: every
+    approximate/learned operator ships with an honest measurement of
+    how good it actually is): ranking quality of the distilled
+    student's logit on the held-out split, as exact AUC via the
+    Mann-Whitney U statistic with tie-averaged ranks.
+
+    AUC needs a total order of the eval set, so the rank window is
+    unpartitioned — correct ONLY because it runs on the eval split,
+    never the corpus (the x106 eval-cap posture: at 100 TB the eval
+    set is a bounded sample by construction; the corpus-sized scoring
+    pass stays map-side in x125). Ties share their average rank
+    (min_rank + (n_at_score-1)/2), the textbook U correction, so a
+    degenerate constant-score student measures exactly 0.5, not a
+    rank-order artifact.
+
+    Driver surface (the x64 freeze pattern — the fit is
+    data-dependent): exact holdout/label counts the oracle recomputes
+    portably, plus two invariant gates, both deterministic (the fit
+    has no random state):
+
+    - ``auc_beats_random``: AUC >= 0.80 (measured 0.91/0.93/0.94 at
+      sf0.001/0.01/0.1 — a broken fit, scoring path, or rank/tie
+      handling drops this);
+    - ``auc_below_one``: AUC < 1.0 strictly — the anti-leak probe: a
+      student that perfectly separates held-out teacher labels has
+      memorized the teacher (e.g. the holdout leaked into the fit),
+      which is exactly the bug this gate exists to catch."""
+    from pyspark.sql import Window
+
+    from igloo_spark.operators.classifier import (
+        fit_quality_classifier,
+        score_docs,
+    )
+    from igloo_spark.operators.packing import split_assign
+
+    d = table(spark, sf_dir, "documents")
+    labeled = split_assign(
+        d.withColumn(
+            "label",
+            (quality_score(F.col("text")) >= QCLF_LABEL_THR).cast("int"),
+        ),
+        "doc_id",
+        dict(QCLF_SPLITS),
+        salt=QCLF_SALT,
+    )
+    clf = fit_quality_classifier(labeled.filter(F.col("split") == "train"))
+    hold = score_docs(
+        labeled.filter(F.col("split") == "holdout"), clf
+    ).select("doc_id", "label", "clf_z")
+    ranked = hold.withColumn(
+        "min_rank", F.rank().over(Window.orderBy("clf_z"))
+    ).withColumn(
+        "avg_rank",
+        F.col("min_rank")
+        + (F.count("*").over(Window.partitionBy("clf_z")) - 1) / 2.0,
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_holdout"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("n_neg"),
+        (
+            (
+                F.sum(F.when(F.col("label") == 1, F.col("avg_rank")))
+                - F.sum("label") * (F.sum("label") + 1) / 2.0
+            )
+            / (F.sum("label") * F.sum(1 - F.col("label")))
+        ).alias("_auc"),
+    ).select(
+        "n_holdout",
+        "n_pos",
+        "n_neg",
+        (F.col("_auc") >= 0.80).alias("auc_beats_random"),
+        (F.col("_auc") < 1.0).alias("auc_below_one"),
+    )
+
+
+def _x126_oracle() -> str:
+    from igloo_spark.operators.packing import split_assign_sql_duckdb
+
+    case = split_assign_sql_duckdb("doc_id", dict(QCLF_SPLITS), salt=QCLF_SALT)
+    label = (
+        f"(CASE WHEN {quality_score_sql('text')} >= {QCLF_LABEL_THR}"
+        " THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+           CAST(sum({label}) AS BIGINT) AS n_pos,
+           CAST(sum(1 - {label}) AS BIGINT) AS n_neg,
+           TRUE AS auc_beats_random,
+           TRUE AS auc_below_one
+    FROM documents WHERE ({case}) = 'holdout'
+    """
+
+
+REGISTRY["x126_classifier_auc"] = _dc.replace(
+    REGISTRY["x126_classifier_auc"], oracle=_x126_oracle()
+)

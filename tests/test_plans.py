@@ -362,14 +362,19 @@ def test_runtime_metrics_show_partial_agg_and_aqe(igloo):
 def _all_specs():
     from igloo_spark.queries import all_queries
 
-    # x64 runs a k-means fit and x125 a classifier fit at
-    # plan-construction time — exercised by their own tests (x125's
-    # scoring-plan hygiene is pinned in test_round9_ops); excluded
-    # here to keep this net fast
+    # x64 runs a k-means fit and x125/x126 a classifier fit at
+    # plan-construction time — exercised by their own tests (the
+    # classifier's scoring-plan hygiene is pinned in test_round9_ops);
+    # excluded here to keep this net fast
     return [
         s
         for s in all_queries().values()
-        if s.name not in ("x64_ann_ivf_learned", "x125_quality_classifier")
+        if s.name
+        not in (
+            "x64_ann_ivf_learned",
+            "x125_quality_classifier",
+            "x126_classifier_auc",
+        )
     ]
 
 

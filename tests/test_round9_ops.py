@@ -812,3 +812,46 @@ class TestModelGatedIngest:
             quality_model=clf, quality_model_threshold=10.0,
         )
         assert {x["verdict"] for x in r.verdicts.collect()} == {"low_quality"}
+
+
+class TestClassifierAuc:
+    """x126's Mann-Whitney machinery: tie-averaged ranks make a
+    constant-score (uninformative) student measure exactly 0.5."""
+
+    def _auc_frame(self, spark, rows):
+        from pyspark.sql import Window
+
+        hold = spark.createDataFrame(rows, "label int, clf_z double")
+        ranked = hold.withColumn(
+            "min_rank", F.rank().over(Window.orderBy("clf_z"))
+        ).withColumn(
+            "avg_rank",
+            F.col("min_rank")
+            + (F.count("*").over(Window.partitionBy("clf_z")) - 1) / 2.0,
+        )
+        return ranked.agg(
+            (
+                (
+                    F.sum(F.when(F.col("label") == 1, F.col("avg_rank")))
+                    - F.sum("label") * (F.sum("label") + 1) / 2.0
+                )
+                / (F.sum("label") * F.sum(1 - F.col("label")))
+            ).alias("auc")
+        ).first()["auc"]
+
+    def test_constant_scores_measure_half(self, spark):
+        rows = [(1, 0.0)] * 6 + [(0, 0.0)] * 4
+        assert abs(self._auc_frame(spark, rows) - 0.5) < 1e-12
+
+    def test_perfect_separation_measures_one(self, spark):
+        rows = [(1, float(10 + i)) for i in range(5)] + [
+            (0, float(i)) for i in range(5)
+        ]
+        assert abs(self._auc_frame(spark, rows) - 1.0) < 1e-12
+
+    def test_partial_ties_average(self, spark):
+        # one pos and one neg tied at 0.5; one pos above, one neg below
+        rows = [(1, 1.0), (1, 0.5), (0, 0.5), (0, 0.0)]
+        # pairs: (1.0 vs 0.5)=1, (1.0 vs 0.0)=1, (0.5 vs 0.5)=0.5,
+        # (0.5 vs 0.0)=1 → AUC = 3.5/4
+        assert abs(self._auc_frame(spark, rows) - 0.875) < 1e-12
