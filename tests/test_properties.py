@@ -1406,3 +1406,81 @@ def test_boilerplate_ngrams_differential_parity(igloo, rows):
     d = _write_documents_fixture(rows)
     spec = REGISTRY["x119_boilerplate_ngrams"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 10})
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abcXYZ019 .,!?-", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    wseed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_classifier_score_differential_parity(igloo, texts, wseed):
+    """classifier_score's HOF fold (token → md5 bucket →
+    literal-array weight → aggregate) against a pure-Python twin over
+    adversarial texts: empty, all-spaces, space runs, digit-heavy,
+    punctuation-only. The Spark expression and the twin must agree to
+    1e-9 — this is the machinery the x125 ingest gate trusts."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from igloo_spark.operators.classifier import (
+        QualityClassifier,
+        classifier_score,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(wseed)
+    clf = QualityClassifier(
+        tuple(float(v) for v in rng.normal(0, 1, 66)),
+        bias=float(rng.normal(0, 1)),
+        n_buckets=64,
+    )
+
+    def twin(text: str) -> float:
+        trimmed = text.strip(" ")
+        toks = (
+            [t for t in re.split(r" +", trimmed.lower()) if t]
+            if trimmed
+            else []
+        )
+        n = len(toks)
+        z = 0.0
+        if n:
+            z = (
+                sum(
+                    clf.weights[
+                        int(
+                            hashlib.md5(t.encode()).hexdigest()[:8], 16
+                        )
+                        % 64
+                    ]
+                    for t in toks
+                )
+                / n
+            )
+        alpha = len(re.sub(r"[^a-zA-Z]", "", text)) / max(len(text), 1)
+        return (
+            z
+            + clf.w_len * min(n / 100.0, 1.0)
+            + clf.w_alpha * alpha
+            + clf.bias
+        )
+
+    df = igloo.spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["z"]
+        for r in df.select(
+            "doc_id", classifier_score(clf, F.col("text")).alias("z")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i] - twin(t)) < 1e-9, (repr(t), got[i], twin(t))
