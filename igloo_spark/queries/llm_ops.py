@@ -4772,3 +4772,105 @@ def _x126_oracle() -> str:
 REGISTRY["x126_classifier_auc"] = _dc.replace(
     REGISTRY["x126_classifier_auc"], oracle=_x126_oracle()
 )
+
+
+@register(
+    "x127_bpe_merge_learning",
+    "BPE tokenizer training: learn 8 merges from word frequencies; first "
+    "merge SQL-anchored, compression + determinism invariant-gated",
+    None,  # oracle attached below
+    tags=("text", "llm"),
+)
+def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING (x96 only counts tokens under a fixed
+    regex): the distributed-BPE shape — ONE corpus-sized
+    groupBy(word) builds the frequency dict, the merge loop runs
+    driver-side over that bounded vocab (`operators/bpe`), and
+    segmentation under the learned table is computed once per VOCAB
+    word, never per token instance.
+
+    Driver surface (the x64 mixed pattern):
+
+    - exact, SQL-recomputed: ``n_vocab_words`` / ``total_tokens``
+      (corpus word stats) and — the strong anchor —
+      ``first_left/first_right/first_count``: the learned table's
+      FIRST merge must equal the oracle's argmax adjacent-char-pair
+      (same weighting, same count-desc-then-lexicographic
+      tie-break), computed by DuckDB from scratch. A drift in
+      tokenization, weighting, or tie-break flips a VALUE, not a
+      boolean;
+    - invariant-gated (later iterations depend on the learned
+      state): ``merges_complete`` (all 8 requested merges found),
+      ``relearn_deterministic`` (second fit reproduces the identical
+      table), ``compression_strict`` (corpus symbol count under the
+      learned segmentations is strictly below the character
+      baseline — the apply path must actually compress)."""
+    from igloo_spark.operators.bpe import (
+        _words,
+        bpe_segmentations,
+        learn_bpe_merges,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=8, top_v=None)
+    relearn_ok = learn_bpe_merges(d, n_merges=8, top_v=None) == merges
+    seg = bpe_segmentations(d, merges, top_v=None)
+    words = d.select(F.explode(_words(F.col("text"))).alias("word")).filter(
+        F.length("word") > 0
+    )
+    stats = words.agg(
+        F.countDistinct("word").cast("bigint").alias("n_vocab_words"),
+        F.count("*").cast("bigint").alias("total_tokens"),
+    )
+    segagg = seg.agg(
+        F.sum(F.col("freq") * F.col("n_symbols")).alias("_after"),
+        F.sum(F.col("freq") * F.length("word")).alias("_before"),
+    )
+    first_left, first_right, first_count = merges[0]
+    return (
+        stats.crossJoin(F.broadcast(segagg))
+        .select(
+            "n_vocab_words",
+            "total_tokens",
+            F.lit(first_left).alias("first_left"),
+            F.lit(first_right).alias("first_right"),
+            F.lit(first_count).cast("bigint").alias("first_count"),
+            F.lit(len(merges) == 8).alias("merges_complete"),
+            F.lit(bool(relearn_ok)).alias("relearn_deterministic"),
+            (F.col("_after") < F.col("_before")).alias("compression_strict"),
+        )
+    )
+
+
+def _x127_oracle() -> str:
+    return """
+    WITH words AS (
+        SELECT unnest(string_split(
+            regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    ), words1 AS (SELECT w FROM words WHERE length(w) >= 1),
+    pairs AS (
+        SELECT substring(w, CAST(i AS INT), 1) AS l,
+               substring(w, CAST(i AS INT) + 1, 1) AS r
+        FROM (SELECT w FROM words1 WHERE length(w) >= 2) t,
+             LATERAL unnest(range(1, length(w))) AS s(i)
+    ), best AS (
+        SELECT l, r, CAST(count(*) AS BIGINT) AS c
+        FROM pairs GROUP BY l, r
+        ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    )
+    SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_vocab_words,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           (SELECT l FROM best) AS first_left,
+           (SELECT r FROM best) AS first_right,
+           (SELECT c FROM best) AS first_count,
+           TRUE AS merges_complete,
+           TRUE AS relearn_deterministic,
+           TRUE AS compression_strict
+    FROM words1
+    """
+
+
+REGISTRY["x127_bpe_merge_learning"] = _dc.replace(
+    REGISTRY["x127_bpe_merge_learning"], oracle=_x127_oracle()
+)

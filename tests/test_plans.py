@@ -374,6 +374,7 @@ def _all_specs():
             "x64_ann_ivf_learned",
             "x125_quality_classifier",
             "x126_classifier_auc",
+            "x127_bpe_merge_learning",
         )
     ]
 

@@ -855,3 +855,68 @@ class TestClassifierAuc:
         # pairs: (1.0 vs 0.5)=1, (1.0 vs 0.0)=1, (0.5 vs 0.5)=0.5,
         # (0.5 vs 0.0)=1 → AUC = 3.5/4
         assert abs(self._auc_frame(spark, rows) - 0.875) < 1e-12
+
+
+class TestBpeMergeLearning:
+    """operators/bpe.py: merge learning on a controlled vocabulary —
+    argmax weighting, learned-symbol composition, deterministic
+    tie-break, greedy-apply overlap semantics, segmentation counts."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    def test_learns_weighted_argmax_then_composes(self, spark):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+
+        # "ab" appears 5x, "cd" 3x: first merge (a,b), second (c,d);
+        # third merges the LEARNED symbol pair in "abab" -> (ab, ab)
+        docs = self._docs(
+            spark, ["ab ab ab ab ab", "cd cd cd", "abab abab"]
+        )
+        m = learn_bpe_merges(docs, n_merges=3)
+        # "abab" contributes 2x2=4 (a,b) pairs on top of the 5 -> 9
+        assert m[0] == ("a", "b", 9)
+        assert m[1] == ("c", "d", 3)
+        assert m[2] == ("ab", "ab", 2)  # composed symbol pair, freq 2
+
+    def test_tie_break_is_lexicographic(self, spark):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+
+        # (x,y) and (p,q) both appear exactly twice -> (p,q) first
+        docs = self._docs(spark, ["xy xy pq pq"])
+        m = learn_bpe_merges(docs, n_merges=2)
+        assert [(a, b) for a, b, _ in m] == [("p", "q"), ("x", "y")]
+
+    def test_greedy_apply_on_overlapping_runs(self, spark):
+        from igloo_spark.operators.bpe import (
+            bpe_segmentations,
+            learn_bpe_merges,
+        )
+
+        # "aaa": zip-counting sees 2 (a,a) pairs, greedy apply merges
+        # left-to-right -> symbols (aa, a), i.e. 2 symbols not 1
+        docs = self._docs(spark, ["aaa aaa aaa"])
+        m = learn_bpe_merges(docs, n_merges=1)
+        assert m[0] == ("a", "a", 6)  # 2 pairs x 3 occurrences
+        seg = {
+            r["word"]: r["n_symbols"]
+            for r in bpe_segmentations(docs, m).collect()
+        }
+        assert seg == {"aaa": 2}
+
+    def test_early_stop_on_single_symbol_vocab(self, spark):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+
+        docs = self._docs(spark, ["a b a b"])  # no word has 2+ chars
+        assert learn_bpe_merges(docs, n_merges=4) == []
+
+    def test_top_v_cap_is_deterministic(self, spark):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+
+        # cap to the 1 most frequent word: "zz" (3x) wins over "yy" (2x)
+        docs = self._docs(spark, ["zz zz zz yy yy"])
+        m = learn_bpe_merges(docs, n_merges=1, top_v=1)
+        assert m[0] == ("z", "z", 3)
