@@ -4800,11 +4800,19 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
       tokenization, weighting, or tie-break flips a VALUE, not a
       boolean;
     - invariant-gated (later iterations depend on the learned
-      state): ``merges_complete`` (all 8 requested merges found),
-      ``relearn_deterministic`` (second fit reproduces the identical
-      table), ``compression_strict`` (corpus symbol count under the
-      learned segmentations is strictly below the character
-      baseline — the apply path must actually compress)."""
+      state), each CORPUS-INDEPENDENT so the differential fuzz can
+      run the same oracle over degenerate corpora:
+      ``merges_complete`` — all 8 requested merges found OR the
+      vocabulary merged down to single symbols (the loop may stop
+      early only by exhaustion, never with pairs remaining: a
+      single-word "aaa" corpus exhausts after 3 merges and still
+      gates green); ``relearn_deterministic`` (second fit reproduces
+      the identical table); ``compression_strict`` — with ≥1 merge
+      learned the corpus symbol count strictly compresses vs the
+      character baseline (each selected pair has count > 0), and
+      with 0 merges (all-single-char vocab) it is exactly unchanged.
+      A merge-free corpus reports NULL first-merge columns, matching
+      the oracle's empty-argmax scalar subquery."""
     from igloo_spark.operators.bpe import (
         _words,
         bpe_segmentations,
@@ -4825,19 +4833,35 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
     segagg = seg.agg(
         F.sum(F.col("freq") * F.col("n_symbols")).alias("_after"),
         F.sum(F.col("freq") * F.length("word")).alias("_before"),
+        F.max("n_symbols").alias("_max_symbols"),
     )
-    first_left, first_right, first_count = merges[0]
+    if merges:
+        first_left, first_right, first_count = merges[0]
+    else:
+        first_left = first_right = first_count = None
+    # exhaustion: stopping before 8 merges is legal ONLY with no
+    # adjacent pair left anywhere, i.e. every vocab word is 1 symbol
+    complete = (
+        F.lit(len(merges) == 8)
+        | (F.coalesce(F.col("_max_symbols"), F.lit(1)) <= 1)
+    )
+    compression = (
+        (F.col("_after") < F.col("_before"))
+        if merges
+        # all-blank corpus: both sums are NULL -> vacuously unchanged
+        else F.coalesce(F.col("_after") == F.col("_before"), F.lit(True))
+    )
     return (
         stats.crossJoin(F.broadcast(segagg))
         .select(
             "n_vocab_words",
             "total_tokens",
-            F.lit(first_left).alias("first_left"),
-            F.lit(first_right).alias("first_right"),
+            F.lit(first_left).cast("string").alias("first_left"),
+            F.lit(first_right).cast("string").alias("first_right"),
             F.lit(first_count).cast("bigint").alias("first_count"),
-            F.lit(len(merges) == 8).alias("merges_complete"),
+            complete.alias("merges_complete"),
             F.lit(bool(relearn_ok)).alias("relearn_deterministic"),
-            (F.col("_after") < F.col("_before")).alias("compression_strict"),
+            compression.alias("compression_strict"),
         )
     )
 

@@ -1484,3 +1484,36 @@ def test_classifier_score_differential_parity(igloo, texts, wseed):
     }
     for i, t in enumerate(texts):
         assert abs(got[i] - twin(t)) < 1e-9, (repr(t), got[i], twin(t))
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(
+                    ["aaa", "abab", "aab", "xy", "pq", "zz", "noon", "a"]
+                ),
+                min_size=1,
+                max_size=15,
+            ).map(" ".join),
+            st.sampled_from(["en"]),
+            st.sampled_from(["web"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_first_merge_differential_parity(igloo, rows):
+    """x127 over tie-heavy vocabularies with overlapping runs
+    ("aaa": zip-counting sees 2 pairs) and palindromic repeats: the
+    learned FIRST merge and its count must equal the oracle's argmax
+    computed from scratch — the tie-break (count desc, then
+    lexicographically smallest pair) is where two implementations
+    silently diverge."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x127_bpe_merge_learning"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
