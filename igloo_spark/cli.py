@@ -40,6 +40,31 @@ def main(argv: list[str] | None = None) -> int:
         help="quality-gate threshold for --prep-corpus/--ingest (default 0.5)",
     )
     parser.add_argument(
+        "--postings-index", default=None, metavar="PATH",
+        help="with --ingest: keep a persisted BM25 postings index at PATH "
+        "synced with the corpus store (batch-sized append per ingest)",
+    )
+    parser.add_argument(
+        "--check-index-sync", default=None, metavar="STORE_DIR",
+        help="report whether the index at --index-root is in sync with the "
+        "corpus store (exit 0 in sync, 3 lagging)",
+    )
+    parser.add_argument(
+        "--repair-index", default=None, metavar="STORE_DIR",
+        help="rebuild the lagging index at --index-root from the corpus "
+        "store's current snapshot (postings only from the CLI; vector "
+        "kinds need the embeddings frame — use pipelines.repair_index)",
+    )
+    parser.add_argument(
+        "--index-root", default=None, metavar="PATH",
+        help="index directory for --check-index-sync/--repair-index",
+    )
+    parser.add_argument(
+        "--index-kind", default="postings",
+        choices=["postings", "ivf", "pq", "ivfpq"],
+        help="index layout for --check-index-sync (default postings)",
+    )
+    parser.add_argument(
         "--token-budget", type=int, default=None,
         help="optional fixed token budget for --prep-corpus selection",
     )
@@ -78,10 +103,15 @@ def main(argv: list[str] | None = None) -> int:
             ("--serve", args.serve is not None),
             ("--prep-corpus", args.prep_corpus is not None),
             ("--ingest", args.ingest is not None),
+            ("--check-index-sync", args.check_index_sync is not None),
+            ("--repair-index", args.repair_index is not None),
         ) if on
     ]
     if not modes:
-        parser.error("one of --sql, --query, --serve, --prep-corpus, or --ingest is required")
+        parser.error(
+            "one of --sql, --query, --serve, --prep-corpus, --ingest, "
+            "--check-index-sync, or --repair-index is required"
+        )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
         parser.error(f"{' and '.join(modes)} are mutually exclusive")
@@ -91,6 +121,13 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--prep-corpus needs --data-dir (documents table source)")
     if args.ingest is not None and not args.data_dir:
         parser.error("--ingest needs --data-dir (documents table source)")
+    if (args.check_index_sync or args.repair_index) and not args.index_root:
+        parser.error("--check-index-sync/--repair-index need --index-root")
+    if args.repair_index is not None and args.index_kind != "postings":
+        parser.error(
+            "--repair-index supports postings from the CLI; vector kinds "
+            "need the embeddings frame — use pipelines.repair_index"
+        )
 
     from igloo_spark import IglooSession
 
@@ -126,12 +163,31 @@ def main(argv: list[str] | None = None) -> int:
                 f"{info['n_shards']} shards at {args.prep_corpus}"
             )
             return 0
+        if args.check_index_sync is not None:
+            from igloo_spark.pipelines import check_index_sync
+
+            status = check_index_sync(
+                session.spark, args.check_index_sync + "/corpus",
+                args.index_root, kind=args.index_kind,
+            )
+            print(f"index sync ({args.index_kind}): {status}")
+            return 0 if status["in_sync"] else 3
+        if args.repair_index is not None:
+            from igloo_spark.pipelines import repair_index
+
+            out = repair_index(
+                session.spark, args.repair_index + "/corpus",
+                args.index_root, args.index_kind,
+            )
+            print(f"repair ({args.index_kind}): {out}")
+            return 0 if out["in_sync"] else 3
         if args.ingest is not None:
             from igloo_spark.pipelines import incremental_ingest
 
             result = incremental_ingest(
                 session.spark.table("documents"), args.ingest,
                 min_quality=args.min_quality,
+                postings_index_root=args.postings_index,
             )
             verdicts = {
                 r["verdict"]: r["count"]

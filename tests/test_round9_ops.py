@@ -920,3 +920,65 @@ class TestBpeMergeLearning:
         docs = self._docs(spark, ["zz zz zz yy yy"])
         m = learn_bpe_merges(docs, n_merges=1, top_v=1)
         assert m[0] == ("z", "z", 3)
+
+
+class TestCliIndexMaintenance:
+    """CLI surface for the detect->repair contract: --check-index-sync
+    (exit 0/3), --repair-index, and --postings-index on --ingest."""
+
+    def _write_docs_dir(self, tmp_path, name, ids):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / name
+        d.mkdir()
+        rows = _doc_rows(ids)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_ingest_check_lag_repair_roundtrip(self, spark, tmp_path):
+        from igloo_spark.cli import main
+
+        store = str(tmp_path / "cli_store")
+        idx = str(tmp_path / "cli_post")
+        d1 = self._write_docs_dir(tmp_path, "cli_b1", range(1, 6))
+        d2 = self._write_docs_dir(tmp_path, "cli_b2", [9, 10])
+
+        assert main(["--data-dir", d1, "--ingest", store,
+                     "--min-quality", "0.0",
+                     "--postings-index", idx]) == 0
+        assert main(["--check-index-sync", store,
+                     "--index-root", idx]) == 0
+        # a batch ingested WITHOUT the index root lags it -> exit 3
+        assert main(["--data-dir", d2, "--ingest", store,
+                     "--min-quality", "0.0"]) == 0
+        assert main(["--check-index-sync", store,
+                     "--index-root", idx]) == 3
+        assert main(["--repair-index", store, "--index-root", idx]) == 0
+        assert main(["--check-index-sync", store,
+                     "--index-root", idx]) == 0
+
+    def test_mode_validation(self):
+        import pytest as _pytest
+
+        from igloo_spark.cli import main
+
+        for argv in (
+            ["--check-index-sync", "/tmp/x"],  # needs --index-root
+            ["--repair-index", "/tmp/x"],  # needs --index-root
+            # vector repair is API-only (needs the embeddings frame)
+            ["--repair-index", "/tmp/x", "--index-root", "/tmp/i",
+             "--index-kind", "ivf"],
+            ["--sql", "SELECT 1", "--check-index-sync", "/tmp/x",
+             "--index-root", "/tmp/i"],
+        ):
+            with _pytest.raises(SystemExit):
+                main(argv)
