@@ -25,22 +25,25 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r09 rotation (executes the r08 verdict's task 2): the four
-    # never-driver-checked queries FIRST (x125, x126, x127, x124 —
-    # all new this round), then the two changed-since-verdict (the
-    # r08 ADVICE pin rule): x114 (r08 integer-quantization rewrite
-    # postdates its r07 verdict) and x123 (its _ivfpq_rank/
-    # ivfpq_assign path gained the residual branch in r09 — default
-    # path byte-equivalent, pinned anyway), then the 22 r05-stale
-    # queries, then 22 of the 50 r06-stale (operator-heavy first).
-    # Exactly 50 entries. After this window the verdict-age histogram
-    # is 50@r09, 50@r08, 48@r07, 28@r06 (x51 x53 x54 x57 x58 x60 x61
-    # x72 x73 q51-q57 q59-q65 q68-q71 q77 — they lead the r10
-    # rotation, followed by the oldest r07 verdicts).
+    # -- r09 rotation (executes the r08 verdict's task 2): the six
+    # never-driver-checked queries FIRST (x125, x126, x127, x124,
+    # x128, x129 — all new this round), then the two
+    # changed-since-verdict (the r08 ADVICE pin rule): x114 (r08
+    # integer-quantization rewrite postdates its r07 verdict) and
+    # x123 (its _ivfpq_rank/ivfpq_assign path gained the residual
+    # branch in r09 — default path byte-equivalent, pinned anyway),
+    # then the 22 r05-stale queries, then 20 of the 50 r06-stale
+    # (operator-heavy first). Exactly 50 entries. After this window
+    # the verdict-age histogram is 50@r09, 50@r08, 48@r07, 30@r06
+    # (x51 x53 x54 x57 x58 x60 x61 x67 x68 x72 x73 q51-q57 q59-q65
+    # q68-q71 q77 — they lead the r10 rotation, followed by the
+    # oldest r07 verdicts).
     "x125_quality_classifier",
     "x126_classifier_auc",
     "x127_bpe_merge_learning",
     "x124_pq_learned_distortion",
+    "x128_bpe_encode",
+    "x129_minhash_calibration",
     "x114_temperature_mixture",
     "x123_ann_ivfpq_topk",
     # -- the 22 r05-stale --
@@ -87,8 +90,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x52_stratified_sample",
     "x65_sequence_packing",
     "x66_data_mixture",
-    "x67_decontamination",
-    "x68_repetition_score",
 )
 
 def all_queries():

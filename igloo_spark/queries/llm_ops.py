@@ -4898,3 +4898,224 @@ def _x127_oracle() -> str:
 REGISTRY["x127_bpe_merge_learning"] = _dc.replace(
     REGISTRY["x127_bpe_merge_learning"], oracle=_x127_oracle()
 )
+
+
+# --- x128: BPE ENCODE — apply the learned merge table to the corpus ------
+
+
+_BPE_N_MERGES = 8
+
+
+def _x128_oracle() -> str:
+    """Full SQL recomputation of x127's BPE TRAINING *and* the encode
+    pass: the 8 merge iterations are unrolled as chained CTE layers
+    (``n_merges`` is a fixed constant, so the loop is generated, not
+    recursive), and greedy left-to-right merge application is an exact
+    ``list_reduce`` fold over the separator-joined symbol string.
+
+    The fold is the subtle part. Representing a segmentation as
+    ``chr(31)``-prefixed symbols (``␟h␟e␟l␟l␟o``) and folding
+    ``(acc, x) -> merge-or-append`` reproduces Python's single
+    left-to-right scan exactly, including overlapping runs
+    (``aaaaaa`` + merge (a,a) → ``aa aa aa``) and compound symbols
+    (a merged symbol can never equal the LEFT of the same merge, so
+    greedy re-merge inside the fold is impossible by construction) —
+    a plain ``replace()`` chain gets both of those wrong. Verified
+    against the pure-Python twin of ``operators/bpe.py`` before
+    freezing this shape."""
+    sep = "chr(31)"
+    fold = (
+        f"list_reduce(string_split(seg, {sep}), "
+        f"(acc, x) -> CASE WHEN ends_with(acc, {sep} || b.l) AND x = b.r "
+        f"THEN substring(acc, 1, length(acc) - length(b.l) - 1) "
+        f"|| {sep} || b.l || b.r "
+        f"ELSE acc || {sep} || x END)"
+    )
+    layers = []
+    for k in range(_BPE_N_MERGES):
+        layers.append(f"""
+    pairs_{k} AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+        FROM (SELECT freq, string_split(seg, {sep}) AS syms FROM seg_{k}) t,
+             LATERAL unnest(range(2, len(syms))) AS s(i)
+        GROUP BY l, r
+    ),
+    best_{k} AS (SELECT l, r FROM pairs_{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    seg_{k + 1} AS (
+        SELECT word, freq,
+               CASE WHEN b.l IS NULL THEN seg ELSE {fold} END AS seg
+        FROM seg_{k} LEFT JOIN best_{k} b ON TRUE
+    )""")
+    return f"""
+    WITH occ AS (
+        SELECT source, doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    ),
+    occ1 AS (SELECT * FROM occ WHERE length(w) >= 1),
+    seg_0 AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+               regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS seg
+        FROM occ1 GROUP BY w
+    ),{','.join(layers)},
+    nsym AS (
+        SELECT word, length(seg) - length(replace(seg, {sep}, '')) AS n_symbols
+        FROM seg_{_BPE_N_MERGES}
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS total_words,
+           CAST(sum(length(w)) AS BIGINT) AS total_chars,
+           CAST(sum(n_symbols) AS BIGINT) AS total_tokens,
+           round(CAST(sum(length(w)) AS DOUBLE) / sum(n_symbols), 6) AS compression_ratio
+    FROM occ1 JOIN nsym ON occ1.w = nsym.word
+    GROUP BY source
+    """
+
+
+@register(
+    "x128_bpe_encode",
+    "BPE ENCODE: per-source token counts + compression under the 8 learned merges",
+    _x128_oracle(),
+    tags=("text", "tokenizer", "llm"),
+)
+def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x127's missing half: x127 LEARNS the merge table, x128 APPLIES
+    it — the tokenize-the-corpus step whose output (tokens per source,
+    chars-per-token compression) is what a data lead actually budgets
+    training on. Unlike x127's invariant-gated surface, every x128
+    column is exact-SQL-recomputed: the oracle re-runs the full
+    8-iteration training AND the encode from scratch (see
+    ``_x128_oracle``), so a drift in merge learning, tie-breaking, OR
+    application flips a value.
+
+    Scale shape (the ``bpe_segmentations`` contract): segmentation is
+    a pure function of the word, so it is computed once per VOCAB word
+    driver-side and broadcast-joined to the exploded corpus words —
+    ~1e5 segmentations instead of ~1e13 at 100 TB. The corpus sees one
+    explode + one broadcast hash join + one source-keyed partial agg;
+    zero extra shuffles beyond the final groupBy(source)."""
+    from igloo_spark.operators.bpe import (
+        _words,
+        bpe_segmentations,
+        learn_bpe_merges,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    seg = bpe_segmentations(d, merges, top_v=None)
+    occ = d.select(
+        "source", "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    enc = occ.join(F.broadcast(seg.select("word", "n_symbols")), "word")
+    return enc.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("total_words"),
+        F.sum(F.length("word")).cast("bigint").alias("total_chars"),
+        F.sum("n_symbols").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.length("word")) / F.sum("n_symbols"), 6
+        ).alias("compression_ratio"),
+    )
+
+
+# --- x129: MinHash estimator calibration (est_sim vs exact Jaccard) ------
+
+
+def _x129_oracle() -> str:
+    return (
+        "WITH "
+        + _sig_cte()
+        + _bands_cte()
+        + f""",
+    kept AS (
+        SELECT doc_id, band, band_key FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {HOT_BAND_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT doc_a, doc_b, ({_est_matches}) / {float(N_HASHES)} AS est_sim
+        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                  JOIN sig sb ON cand.doc_b = sb.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.est_sim, 6) AS est_sim,
+           round(COALESCE(i.inter, 0)
+                 / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 6) AS jaccard,
+           round(abs(e.est_sim - COALESCE(i.inter, 0)
+                 / (sa.sz + sb.sz - COALESCE(i.inter, 0))), 6) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+    JOIN sizes sa ON e.doc_a = sa.doc_id
+    JOIN sizes sb ON e.doc_b = sb.doc_id"""
+    )
+
+
+@register(
+    "x129_minhash_calibration",
+    f"MinHash calibration eval: {N_HASHES}-hash est_sim vs exact Jaccard on LSH candidates",
+    _x129_oracle(),
+    tags=("dedup", "eval", "llm"),
+)
+def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval that justifies trusting x42's 0.5 est_sim threshold:
+    for every LSH candidate pair, the {N_HASHES}-component signature
+    estimate side-by-side with the EXACT bigram-shingle Jaccard, plus
+    the absolute estimator error — the x113/x122/x126 eval-family
+    member for the dedup stack (those grade ANN recall and classifier
+    AUC; this grades the similarity ESTIMATOR itself).
+
+    Exact Jaccard is computed ONLY for candidate pairs (never all
+    pairs): the intersection join is pairs → shingles-of-a →
+    shingles-of-b on (doc, shingle) equi-keys, so its cost is bounded
+    by candidate count × shingles-per-doc, and candidates are
+    hot-band-capped ({HOT_BAND_CAP}) exactly like x62 — the shape
+    survives a boilerplate-heavy 100 TB corpus."""
+    from igloo_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=2, threshold=0.0, max_band_members=HOT_BAND_CAP,
+    )
+    sh = word_shingles(docs, "doc_id", "text", 2)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac_raw = F.coalesce(F.col("inter"), F.lit(0)) / (
+        F.col("sa.sz") + F.col("sb.sz") - F.coalesce(F.col("inter"), F.lit(0))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_sim", 6).alias("est_sim"),
+            F.round(jac_raw, 6).alias("jaccard"),
+            F.round(F.abs(F.col("est_sim") - jac_raw), 6).alias("abs_err"),
+        )
+    )

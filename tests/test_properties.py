@@ -1517,3 +1517,69 @@ def test_bpe_first_merge_differential_parity(igloo, rows):
     d = _write_documents_fixture(rows)
     spec = REGISTRY["x127_bpe_merge_learning"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 6})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(
+                    ["aaa", "aaaa", "abab", "aab", "xy", "pq", "zz", "noon", "a", ""]
+                ),
+                min_size=0,
+                max_size=12,
+            ).map(" ".join),
+            st.sampled_from(["en"]),
+            st.sampled_from(["web", "forum"]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_encode_full_chain_differential_parity(igloo, rows):
+    """x128 over the same tie-heavy/overlapping-run vocabulary as the
+    x127 fuzz, but asserting the FULL frame: the oracle recomputes all
+    8 training iterations (unrolled CTEs) plus the greedy fold apply,
+    so any divergence in later-merge argmax, composed-symbol
+    application, or symbol counting — the parts x127's first-merge
+    anchor can't see — flips a hashed value here. Includes empty/blank
+    texts (explode of an empty word array drops the doc from both
+    engines identically)."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x128_bpe_encode"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 6})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["red fox", "red dog", "blue fox", "blue dog"]),
+                min_size=1,
+                max_size=6,
+            ).map(" ".join),
+            st.sampled_from(["en"]),
+            st.sampled_from(["web"]),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_minhash_calibration_differential_parity(igloo, rows):
+    """x129 over a 4-phrase alphabet chosen so documents share MOST of
+    their bigram shingles: LSH bands collide densely (many candidate
+    pairs, est_sim ties at k/16 fractions), identical docs pin
+    est=jac=1, and hot-band capping engages once >10 docs share a band
+    key — the exact est-vs-exact-Jaccard frame must match the oracle
+    on every pair."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x129_minhash_calibration"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
