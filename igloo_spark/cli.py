@@ -40,6 +40,26 @@ def main(argv: list[str] | None = None) -> int:
         help="quality-gate threshold for --prep-corpus/--ingest (default 0.5)",
     )
     parser.add_argument(
+        "--fit-quality-model", default=None, metavar="OUT_PATH",
+        help="distill a quality-classifier student from the documents table "
+        "(heuristic teacher at --label-threshold) and save the frozen model "
+        "JSON to OUT_PATH (needs --data-dir)",
+    )
+    parser.add_argument(
+        "--label-threshold", type=float, default=0.6,
+        help="teacher label threshold for --fit-quality-model (default 0.6, "
+        "x125's QCLF_LABEL_THR)",
+    )
+    parser.add_argument(
+        "--quality-model", default=None, metavar="PATH",
+        help="with --ingest: admit by a frozen quality-classifier artifact "
+        "(from --fit-quality-model) instead of the heuristic gate alone",
+    )
+    parser.add_argument(
+        "--quality-model-threshold", type=float, default=0.0,
+        help="logit admission threshold for --quality-model (default 0.0)",
+    )
+    parser.add_argument(
         "--postings-index", default=None, metavar="PATH",
         help="with --ingest: keep a persisted BM25 postings index at PATH "
         "synced with the corpus store (batch-sized append per ingest)",
@@ -105,12 +125,14 @@ def main(argv: list[str] | None = None) -> int:
             ("--ingest", args.ingest is not None),
             ("--check-index-sync", args.check_index_sync is not None),
             ("--repair-index", args.repair_index is not None),
+            ("--fit-quality-model", args.fit_quality_model is not None),
         ) if on
     ]
     if not modes:
         parser.error(
             "one of --sql, --query, --serve, --prep-corpus, --ingest, "
-            "--check-index-sync, or --repair-index is required"
+            "--check-index-sync, --repair-index, or --fit-quality-model "
+            "is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -121,6 +143,10 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--prep-corpus needs --data-dir (documents table source)")
     if args.ingest is not None and not args.data_dir:
         parser.error("--ingest needs --data-dir (documents table source)")
+    if args.fit_quality_model is not None and not args.data_dir:
+        parser.error("--fit-quality-model needs --data-dir (documents table source)")
+    if args.quality_model is not None and args.ingest is None:
+        parser.error("--quality-model only applies to --ingest")
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
     if args.repair_index is not None and args.index_kind != "postings":
@@ -181,13 +207,38 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"repair ({args.index_kind}): {out}")
             return 0 if out["in_sync"] else 3
+        if args.fit_quality_model is not None:
+            from igloo_spark.operators.classifier import (
+                distill_quality_classifier,
+                save_quality_classifier,
+            )
+
+            clf = distill_quality_classifier(
+                session.spark.table("documents"),
+                label_threshold=args.label_threshold,
+            )
+            save_quality_classifier(clf, args.fit_quality_model)
+            print(
+                f"fit quality classifier ({clf.n_buckets} buckets, "
+                f"bias={clf.bias:.6f}) -> {args.fit_quality_model}"
+            )
+            return 0
         if args.ingest is not None:
             from igloo_spark.pipelines import incremental_ingest
 
+            quality_model = None
+            if args.quality_model is not None:
+                from igloo_spark.operators.classifier import (
+                    load_quality_classifier,
+                )
+
+                quality_model = load_quality_classifier(args.quality_model)
             result = incremental_ingest(
                 session.spark.table("documents"), args.ingest,
                 min_quality=args.min_quality,
                 postings_index_root=args.postings_index,
+                quality_model=quality_model,
+                quality_model_threshold=args.quality_model_threshold,
             )
             verdicts = {
                 r["verdict"]: r["count"]

@@ -139,3 +139,43 @@ def bpe_segmentations(
         [(r["word"], r["freq"], n_symbols(r["word"])) for r in rows],
         "word string, freq bigint, n_symbols bigint",
     )
+
+
+_BPE_FORMAT = "igloo-bpe-merges"
+
+
+def save_bpe_merges(merges: list[tuple[str, str, int]], path: str) -> None:
+    """Persist a learned merge table as a JSON artifact (strings and
+    integer counts — exact by construction), tmp-then-``os.replace``
+    atomic like the index side tables. Two training runs produce the
+    identical table (``learn_bpe_merges`` is deterministic), so the
+    artifact is the corpus's canonical tokenizer: ship it to every
+    consumer instead of re-learning per job."""
+    import json
+    import os
+
+    payload = {
+        "format": _BPE_FORMAT,
+        "version": 1,
+        "merges": [[left, right, count] for left, right, count in merges],
+    }
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, ensure_ascii=False)
+    os.replace(tmp, path)
+
+
+def load_bpe_merges(path: str) -> list[tuple[str, str, int]]:
+    """Load a :func:`save_bpe_merges` artifact (format/version
+    validated loudly; returns the exact learned-order list)."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != _BPE_FORMAT:
+        raise ValueError(
+            f"{path}: not a BPE merge artifact (format={payload.get('format')!r})"
+        )
+    if payload.get("version") != 1:
+        raise ValueError(f"{path}: unsupported version {payload.get('version')!r}")
+    return [(left, right, int(count)) for left, right, count in payload["merges"]]

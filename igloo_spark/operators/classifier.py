@@ -189,3 +189,98 @@ def score_docs(
     keeps predicate pushdown below it intact."""
     z = classifier_score(clf, F.col(text_col))
     return docs.withColumn(score_col, z).withColumn(pred_col, z >= 0)
+
+
+def distill_quality_classifier(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_threshold: float = 0.6,
+    splits: dict[str, float] | None = None,
+    split_salt: str = "qclf-v1",
+    n_buckets: int = N_BUCKETS,
+    sample_mod: int = 1,
+    **fit_kwargs,
+) -> QualityClassifier:
+    """x125's distillation flow as a reusable artifact producer: the
+    quality heuristic teacher labels the corpus, a deterministic
+    hash split carves the train set, and the student is fit on it.
+    Defaults reproduce x125's model exactly (same threshold, splits,
+    salt — pinned by a parity test). Pair with
+    :func:`save_quality_classifier` to freeze the result for CLI
+    ingest gating on later batches."""
+    from igloo_spark.functions.text import quality_score
+    from igloo_spark.operators.packing import split_assign
+
+    labeled = split_assign(
+        docs.withColumn(
+            "label",
+            (quality_score(F.col(text_col)) >= label_threshold).cast("int"),
+        ),
+        id_col,
+        dict(splits) if splits else {"train": 0.8, "holdout": 0.2},
+        salt=split_salt,
+    )
+    train = labeled.filter(F.col("split") == "train")
+    return fit_quality_classifier(
+        train,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        sample_mod=sample_mod,
+        **fit_kwargs,
+    )
+
+
+_CLF_FORMAT = "igloo-quality-classifier"
+
+
+def save_quality_classifier(clf: QualityClassifier, path: str) -> None:
+    """Persist the frozen student as a JSON artifact.
+
+    Floats are stored as ``float.hex()`` so the round-trip is
+    BIT-identical (the determinism contract: a model fit once gates
+    every future ingest identically; a decimal re-parse that flips an
+    ulp could flip a borderline admission). Human-readable decimal
+    mirrors ride along for inspection only. Write is
+    tmp-then-``os.replace`` — the same atomic-publication rule as the
+    index side tables."""
+    import json
+    import os
+
+    payload = {
+        "format": _CLF_FORMAT,
+        "version": 1,
+        "n_buckets": clf.n_buckets,
+        "bias_hex": clf.bias.hex(),
+        "weights_hex": [w.hex() for w in clf.weights],
+        # inspection mirror (NOT read back)
+        "bias": clf.bias,
+        "weights": list(clf.weights),
+    }
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, path)
+
+
+def load_quality_classifier(path: str) -> QualityClassifier:
+    """Load a :func:`save_quality_classifier` artifact (hex floats →
+    bit-identical model; format/version validated loudly)."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != _CLF_FORMAT:
+        raise ValueError(
+            f"{path}: not a quality-classifier artifact "
+            f"(format={payload.get('format')!r})"
+        )
+    if payload.get("version") != 1:
+        raise ValueError(f"{path}: unsupported version {payload.get('version')!r}")
+    return QualityClassifier(
+        weights=tuple(float.fromhex(h) for h in payload["weights_hex"]),
+        bias=float.fromhex(payload["bias_hex"]),
+        n_buckets=int(payload["n_buckets"]),
+    )

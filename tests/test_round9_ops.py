@@ -982,3 +982,138 @@ class TestCliIndexMaintenance:
         ):
             with _pytest.raises(SystemExit):
                 main(argv)
+
+
+class TestModelArtifacts:
+    """Persisted learned-model artifacts: the quality-classifier
+    student and the BPE merge table get the same
+    freeze-once/load-anywhere lifecycle the index side tables have —
+    bit-identical round-trips (hex floats), loud format validation,
+    distill parity with x125's inline flow, and the CLI
+    fit→save→ingest-gated-by-loaded-model loop."""
+
+    def test_classifier_roundtrip_bit_identical(self, spark, tmp_path):
+        from igloo_spark.operators.classifier import (
+            QualityClassifier,
+            load_quality_classifier,
+            save_quality_classifier,
+        )
+
+        # gnarly floats that decimal re-parsing could flip by an ulp
+        clf = QualityClassifier(
+            tuple(0.1 * (i + 1) / 3.0 for i in range(8)) + (1e-17, -0.3),
+            bias=-2.0 / 3.0,
+            n_buckets=8,
+        )
+        p = str(tmp_path / "clf.json")
+        save_quality_classifier(clf, p)
+        assert load_quality_classifier(p) == clf  # dataclass eq = exact
+
+    def test_classifier_load_validates_format(self, tmp_path):
+        import json
+
+        import pytest as _pytest
+
+        from igloo_spark.operators.classifier import load_quality_classifier
+
+        p = str(tmp_path / "bad.json")
+        with open(p, "w") as f:
+            json.dump({"format": "something-else"}, f)
+        with _pytest.raises(ValueError, match="not a quality-classifier"):
+            load_quality_classifier(p)
+
+    def test_distill_matches_x125_inline_flow(self, igloo):
+        """The artifact producer and x125 must fit the SAME model —
+        this pin is what makes a saved model interchangeable with the
+        query's in-session fit."""
+        from igloo_spark.functions.text import quality_score
+        from igloo_spark.operators.classifier import (
+            distill_quality_classifier,
+            fit_quality_classifier,
+        )
+        from igloo_spark.operators.packing import split_assign
+        from igloo_spark.queries.llm_ops import (
+            QCLF_LABEL_THR,
+            QCLF_SALT,
+            QCLF_SPLITS,
+        )
+        from igloo_spark.queries.registry import table
+
+        d = table(igloo.spark, "/root/testdata/sf0.001", "documents")
+        labeled = split_assign(
+            d.withColumn(
+                "label",
+                (quality_score(F.col("text")) >= QCLF_LABEL_THR).cast("int"),
+            ),
+            "doc_id",
+            dict(QCLF_SPLITS),
+            salt=QCLF_SALT,
+        )
+        inline = fit_quality_classifier(
+            labeled.filter(F.col("split") == "train")
+        )
+        assert distill_quality_classifier(d) == inline
+
+    def test_bpe_merges_roundtrip(self, tmp_path):
+        from igloo_spark.operators.bpe import load_bpe_merges, save_bpe_merges
+
+        merges = [("e", "r", 4650), ("é", "日", 3), ("ab", "ab", 2)]
+        p = str(tmp_path / "merges.json")
+        save_bpe_merges(merges, p)
+        assert load_bpe_merges(p) == merges
+
+    def test_cli_fit_then_model_gated_ingest(self, spark, tmp_path):
+        """End-to-end CLI loop: --fit-quality-model writes the
+        artifact; --ingest --quality-model loads it and the threshold
+        decides admission (set impossibly high → every doc rejected
+        as low_quality; default → kept). Proves both flags actually
+        reach incremental_ingest."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+        from igloo_spark.operators.classifier import load_quality_classifier
+        from igloo_spark.sources.versioned import read_versioned
+
+        d = tmp_path / "fitdocs"
+        d.mkdir()
+        rows = _doc_rows(range(1, 9))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        model = str(tmp_path / "model.json")
+        assert main(["--data-dir", str(d), "--fit-quality-model", model]) == 0
+        clf = load_quality_classifier(model)
+        assert clf.n_buckets == 64
+
+        rejecting = str(tmp_path / "st_reject")
+        assert main([
+            "--data-dir", str(d), "--ingest", rejecting,
+            "--min-quality", "0.0",
+            "--quality-model", model,
+            "--quality-model-threshold", "1e9",
+        ]) == 0
+        assert read_versioned(spark, rejecting + "/corpus").count() == 0
+
+        keeping = str(tmp_path / "st_keep")
+        assert main([
+            "--data-dir", str(d), "--ingest", keeping,
+            "--min-quality", "0.0",
+            "--quality-model", model,
+            "--quality-model-threshold=-1e9",
+        ]) == 0
+        assert read_versioned(spark, keeping + "/corpus").count() == 8
+
+    def test_cli_quality_model_requires_ingest(self):
+        import pytest as _pytest
+
+        from igloo_spark.cli import main
+
+        with _pytest.raises(SystemExit):
+            main(["--sql", "SELECT 1", "--quality-model", "/tmp/m.json"])
