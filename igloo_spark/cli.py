@@ -102,6 +102,16 @@ def main(argv: list[str] | None = None) -> int:
         help="execute and print per-operator runtime metrics (rows, shuffle bytes, spill)",
     )
     parser.add_argument("--data-dir", default=None, help="directory of <table>.parquet files to register")
+    parser.add_argument(
+        "--corpus-store", default=None, metavar="STORE_DIR",
+        help="register an --ingest corpus store's tables as views for "
+        "--sql/--query: 'corpus' (accepted documents) and 'corpus_fps' "
+        "(their winnowed fingerprints)",
+    )
+    parser.add_argument(
+        "--as-of", type=int, default=None, metavar="VERSION",
+        help="time-travel version for --corpus-store (default: latest snapshot)",
+    )
     parser.add_argument("--master", default=None, help="Spark master URL (default local[ncpus])")
     parser.add_argument("--limit", type=int, default=20, help="max rows to display")
     parser.add_argument("--output", default=None, help="write result to this path instead of printing")
@@ -147,6 +157,10 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--fit-quality-model needs --data-dir (documents table source)")
     if args.quality_model is not None and args.ingest is None:
         parser.error("--quality-model only applies to --ingest")
+    if args.as_of is not None and args.corpus_store is None:
+        parser.error("--as-of only applies to --corpus-store")
+    if args.corpus_store is not None and args.sql is None and args.query is None:
+        parser.error("--corpus-store only applies to --sql/--query")
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
     if args.repair_index is not None and args.index_kind != "postings":
@@ -169,6 +183,32 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"warning: no <table>.parquet files under {args.data_dir}", file=sys.stderr)
         else:
             _register_demo_tables(session)
+        if args.corpus_store is not None:
+            from igloo_spark.sources.versioned import read_versioned
+
+            try:
+                session.register_table(
+                    "corpus",
+                    read_versioned(
+                        session.spark, args.corpus_store + "/corpus",
+                        version=args.as_of,
+                    ),
+                )
+                # fingerprints ride along for dedup forensics; older
+                # as-of versions may predate the fp store — skip quietly
+                try:
+                    session.register_table(
+                        "corpus_fps",
+                        read_versioned(
+                            session.spark, args.corpus_store + "/fps",
+                            version=args.as_of,
+                        ),
+                    )
+                except (FileNotFoundError, ValueError):
+                    pass
+            except (FileNotFoundError, ValueError) as e:
+                print(f"error: --corpus-store: {e}", file=sys.stderr)
+                return 2
         if args.prep_corpus is not None:
             from igloo_spark.pipelines import (
                 prepare_training_corpus,

@@ -1117,3 +1117,71 @@ class TestModelArtifacts:
 
         with _pytest.raises(SystemExit):
             main(["--sql", "SELECT 1", "--quality-model", "/tmp/m.json"])
+
+
+class TestCliCorpusStoreQuery:
+    """--corpus-store: the read half of the CLI ingest loop — query an
+    ingested versioned store with --sql, with --as-of time travel."""
+
+    def _ingest(self, tmp_path, name, ids):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / name
+        d.mkdir()
+        rows = _doc_rows(ids)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        store = str(tmp_path / "qstore")
+        assert main(["--data-dir", str(d), "--ingest", store,
+                     "--min-quality", "0.0"]) == 0
+        return store
+
+    def _count(self, tmp_path, store, tag, extra=()):
+        import duckdb
+
+        from igloo_spark.cli import main
+
+        out = str(tmp_path / f"out_{tag}")
+        assert main(["--corpus-store", store, *extra,
+                     "--sql", "SELECT count(*) AS n FROM corpus",
+                     "--output", out]) == 0
+        return duckdb.sql(f"SELECT n FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+
+    def test_query_store_with_time_travel(self, tmp_path):
+        from igloo_spark.cli import main
+
+        store = self._ingest(tmp_path, "b1", range(1, 6))
+        self._ingest(tmp_path, "b2", [8, 9])
+        assert self._count(tmp_path, store, "latest") == 7
+        assert self._count(tmp_path, store, "v1", ("--as-of", "1")) == 5
+        # fps view registers too
+        out = str(tmp_path / "out_fps")
+        assert main(["--corpus-store", store,
+                     "--sql", "SELECT count(*) AS n FROM corpus_fps",
+                     "--output", out]) == 0
+        # bad version -> clean exit 2, not a traceback
+        assert main(["--corpus-store", store, "--as-of", "99",
+                     "--sql", "SELECT 1"]) == 2
+
+    def test_mode_validation(self, tmp_path):
+        import pytest as _pytest
+
+        from igloo_spark.cli import main
+
+        for argv in (
+            ["--as-of", "1", "--sql", "SELECT 1"],          # as-of needs store
+            ["--corpus-store", "/tmp/x", "--ingest", "/tmp/y",
+             "--data-dir", "/tmp/z"],                        # store is sql/query-only
+        ):
+            with _pytest.raises(SystemExit):
+                main(argv)
