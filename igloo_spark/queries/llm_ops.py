@@ -5019,7 +5019,7 @@ def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- x129: MinHash estimator calibration (est_sim vs exact Jaccard) ------
+# --- x129: MinHash threshold-confusion audit ------------------------------
 
 
 def _x129_oracle() -> str:
@@ -5049,40 +5049,54 @@ def _x129_oracle() -> str:
         JOIN sh a ON a.doc_id = c.doc_a
         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
         GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+        SELECT e.est_sim,
+               COALESCE(i.inter, 0)
+                 / (sa.sz + sb.sz - COALESCE(i.inter, 0)) AS jac
+        FROM est e
+        LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+        JOIN sizes sa ON e.doc_a = sa.doc_id
+        JOIN sizes sb ON e.doc_b = sb.doc_id
     )
-    SELECT e.doc_a, e.doc_b,
-           round(e.est_sim, 6) AS est_sim,
-           round(COALESCE(i.inter, 0)
-                 / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 6) AS jaccard,
-           round(abs(e.est_sim - COALESCE(i.inter, 0)
-                 / (sa.sz + sb.sz - COALESCE(i.inter, 0))), 6) AS abs_err
-    FROM est e
-    LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
-    JOIN sizes sa ON e.doc_a = sa.doc_id
-    JOIN sizes sb ON e.doc_b = sb.doc_id"""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN est_sim >= 0.5 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_est_pos,
+           CAST(coalesce(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_true_pos,
+           CAST(coalesce(sum(CASE WHEN est_sim >= 0.5 AND jac < 0.5
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS false_keeps,
+           CAST(coalesce(sum(CASE WHEN est_sim < 0.5 AND jac >= 0.5
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS false_rejects,
+           round(max(abs(est_sim - jac)), 6) AS max_abs_err
+    FROM scored"""
     )
 
 
 @register(
-    "x129_minhash_calibration",
-    f"MinHash calibration eval: {N_HASHES}-hash est_sim vs exact Jaccard on LSH candidates",
+    "x129_minhash_threshold_confusion",
+    f"MinHash 0.5-threshold confusion audit over ALL LSH candidates: false keeps/rejects",
     _x129_oracle(),
     tags=("dedup", "eval", "llm"),
 )
 def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The eval that justifies trusting x42's 0.5 est_sim threshold:
-    for every LSH candidate pair, the {N_HASHES}-component signature
-    estimate side-by-side with the EXACT bigram-shingle Jaccard, plus
-    the absolute estimator error — the x113/x122/x126 eval-family
-    member for the dedup stack (those grade ANN recall and classifier
-    AUC; this grades the similarity ESTIMATOR itself).
+    """The decision-level complement of x117 (which reports the
+    per-pair estimator ERROR distribution, but only for pairs the
+    0.5 gate already accepted): x129 scores ALL band candidates —
+    threshold 0.0 — so it sees the region x117 filters out, and
+    reports what the 0.5 est_sim gate DECIDES wrong: ``false_keeps``
+    (est >= 0.5 but true Jaccard < 0.5 → docs deleted that weren't
+    near-dups) and ``false_rejects`` (est < 0.5 but true >= 0.5 →
+    near-dups that survive dedup and leak into training). Those two
+    counts, not the error distribution, are what flips a
+    delete-threshold decision.
 
-    Exact Jaccard is computed ONLY for candidate pairs (never all
-    pairs): the intersection join is pairs → shingles-of-a →
-    shingles-of-b on (doc, shingle) equi-keys, so its cost is bounded
-    by candidate count × shingles-per-doc, and candidates are
-    hot-band-capped ({HOT_BAND_CAP}) exactly like x62 — the shape
-    survives a boilerplate-heavy 100 TB corpus."""
+    Same scale posture as x117's exact side: true Jaccard only for
+    candidate pairs ((doc, shingle) equi-joins, cost bounded by
+    candidates x shingles-per-doc), candidates hot-band-capped
+    ({HOT_BAND_CAP}) like x62. Threshold comparisons are tie-safe
+    cross-engine: est_sim is k/16 and jac a ratio of exact ints —
+    identical doubles both sides."""
     from igloo_spark.operators.dedup import (
         minhash_candidate_pairs,
         word_shingles,
@@ -5104,18 +5118,144 @@ def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    jac_raw = F.coalesce(F.col("inter"), F.lit(0)) / (
+    jac = F.coalesce(F.col("inter"), F.lit(0)) / (
         F.col("sa.sz") + F.col("sb.sz") - F.coalesce(F.col("inter"), F.lit(0))
     )
-    return (
+    scored = (
         cand.join(inter, ["doc_a", "doc_b"], "left")
         .join(sizes.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), cand.doc_b == F.col("sb.doc_id"))
+        .select(F.col("est_sim"), jac.alias("jac"))
+    )
+    est_pos = F.col("est_sim") >= 0.5
+    true_pos = F.col("jac") >= 0.5
+    zero = F.lit(0)
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum(est_pos.cast("bigint")), zero).cast("bigint").alias(
+            "n_est_pos"
+        ),
+        F.coalesce(F.sum(true_pos.cast("bigint")), zero).cast("bigint").alias(
+            "n_true_pos"
+        ),
+        F.coalesce(
+            F.sum((est_pos & ~true_pos).cast("bigint")), zero
+        ).cast("bigint").alias("false_keeps"),
+        F.coalesce(
+            F.sum((~est_pos & true_pos).cast("bigint")), zero
+        ).cast("bigint").alias("false_rejects"),
+        F.round(F.max(F.abs(F.col("est_sim") - F.col("jac"))), 6).alias(
+            "max_abs_err"
+        ),
+    )
+
+
+# --- x130: split-leakage audit (atomic vs naive assignment) ---------------
+
+
+def _x130_oracle() -> str:
+    from igloo_spark.operators.packing import split_assign_sql_duckdb
+
+    manifest = REGISTRY["x75_dedup_manifest"].oracle
+    atomic_case = split_assign_sql_duckdb("canonical_id")
+    naive_case = split_assign_sql_duckdb("doc_id")
+    return f"""
+    WITH m AS ({manifest}),
+    am AS (SELECT canonical_id, {atomic_case} AS split FROM m),
+    nm AS (SELECT canonical_id, {naive_case} AS split FROM m),
+    afam AS (
+        SELECT canonical_id, count(DISTINCT split) AS ns, count(*) AS nd
+        FROM am GROUP BY canonical_id
+    ),
+    nfam AS (
+        SELECT canonical_id, count(DISTINCT split) AS ns, count(*) AS nd
+        FROM nm GROUP BY canonical_id
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM afam) AS n_families,
+        (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         FROM afam) AS atomic_straddling,
+        (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         FROM nfam) AS naive_straddling,
+        (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END), 0) AS BIGINT)
+         FROM nfam) AS naive_leaked_docs,
+        CASE WHEN (SELECT count(*) FROM m) > 0 THEN
+            round((SELECT coalesce(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END), 0)
+                   FROM nfam) * 1.0
+                  / (SELECT count(*) FROM m), 6)
+        END AS naive_leaked_frac
+    """
+
+
+@register(
+    "x130_split_leakage_audit",
+    "leakage audit: family-atomic split straddles 0 families; id-keyed split's leak quantified",
+    _x130_oracle(),
+    tags=("sampling", "dedup", "eval", "llm"),
+)
+def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that closes x118's loop: x118 CLAIMS family-atomic
+    assignment prevents near-dup train/test contamination — this query
+    PROVES it on the corpus (``atomic_straddling`` must be 0) and
+    quantifies the counterfactual: how many families/docs the naive
+    doc_id-keyed gate (x86's, the one most pipelines actually use)
+    would have leaked across split boundaries. ``naive_leaked_frac``
+    is the number a data lead cites when arguing for manifest-keyed
+    splitting.
+
+    One manifest (band-join bounded, shared via lazy localCheckpoint
+    across all four aggregates — the x64 subtree-dedup rule), three
+    1-row aggregates broadcast-composed (the x54 scalar pattern); no
+    corpus-sized exchange beyond what the manifest itself needs."""
+    from igloo_spark.operators.dedup import dedup_manifest
+    from igloo_spark.operators.packing import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    m = dedup_manifest(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=2, threshold=0.5,
+    ).localCheckpoint(eager=False)
+
+    def fam(split_key: str) -> DataFrame:
+        return (
+            split_assign(m, split_key)
+            .groupBy("canonical_id")
+            .agg(
+                F.countDistinct("split").alias("ns"),
+                F.count("*").alias("nd"),
+            )
+        )
+
+    straddle = (F.col("ns") > 1).cast("bigint")
+    astats = fam("canonical_id").agg(
+        F.count("*").cast("bigint").alias("n_families"),
+        F.coalesce(F.sum(straddle), F.lit(0)).cast("bigint").alias(
+            "atomic_straddling"
+        ),
+    )
+    nstats = fam("doc_id").agg(
+        F.coalesce(F.sum(straddle), F.lit(0)).cast("bigint").alias(
+            "naive_straddling"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("ns") > 1, F.col("nd")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).cast("bigint").alias("naive_leaked_docs"),
+    )
+    base = m.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        base.crossJoin(F.broadcast(astats))
+        .crossJoin(F.broadcast(nstats))
         .select(
-            "doc_a",
-            "doc_b",
-            F.round("est_sim", 6).alias("est_sim"),
-            F.round(jac_raw, 6).alias("jaccard"),
-            F.round(F.abs(F.col("est_sim") - jac_raw), 6).alias("abs_err"),
+            "n_docs",
+            "n_families",
+            "atomic_straddling",
+            "naive_straddling",
+            "naive_leaked_docs",
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(F.col("naive_leaked_docs") / F.col("n_docs"), 6),
+            ).alias("naive_leaked_frac"),
         )
     )

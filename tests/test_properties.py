@@ -1570,16 +1570,46 @@ def test_bpe_encode_full_chain_differential_parity(igloo, rows):
         max_size=10,
     )
 )
-def test_minhash_calibration_differential_parity(igloo, rows):
+def test_minhash_threshold_confusion_differential_parity(igloo, rows):
     """x129 over a 4-phrase alphabet chosen so documents share MOST of
     their bigram shingles: LSH bands collide densely (many candidate
-    pairs, est_sim ties at k/16 fractions), identical docs pin
-    est=jac=1, and hot-band capping engages once >10 docs share a band
-    key — the exact est-vs-exact-Jaccard frame must match the oracle
-    on every pair."""
+    pairs, est_sim ties at exactly k/16 — including draws that land
+    ON the 0.5 threshold, the tie the confusion counts must classify
+    identically cross-engine), identical docs pin est=jac=1, and
+    hot-band capping engages once >10 docs share a band key."""
     from conftest import assert_matches_oracle
     from igloo_spark.queries.registry import REGISTRY
 
     d = _write_documents_fixture(rows)
-    spec = REGISTRY["x129_minhash_calibration"]
+    spec = REGISTRY["x129_minhash_threshold_confusion"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 6})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["red fox", "red dog", "blue fox", "blue dog"]),
+                min_size=1,
+                max_size=6,
+            ).map(" ".join),
+            st.sampled_from(["en"]),
+            st.sampled_from(["web"]),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_split_leakage_audit_differential_parity(igloo, rows):
+    """x130 over the dense near-dup corpora of the x129 fuzz: family
+    shapes vary per draw (singletons, one giant family, chains), the
+    atomic-straddle invariant must hold at 0 on every one, and the
+    naive-leak counterfactual must agree with the oracle's
+    from-scratch manifest + split recomputation."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x130_split_leakage_audit"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
