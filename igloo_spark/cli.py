@@ -149,8 +149,10 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(f"{' and '.join(modes)} are mutually exclusive")
     if args.query is not None and not args.data_dir:
         parser.error("--query needs --data-dir (tables to run against)")
-    if args.prep_corpus is not None and not args.data_dir:
-        parser.error("--prep-corpus needs --data-dir (documents table source)")
+    if args.prep_corpus is not None and not (args.data_dir or args.corpus_store):
+        parser.error(
+            "--prep-corpus needs a documents source: --data-dir or --corpus-store"
+        )
     if args.ingest is not None and not args.data_dir:
         parser.error("--ingest needs --data-dir (documents table source)")
     if args.fit_quality_model is not None and not args.data_dir:
@@ -159,8 +161,15 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--quality-model only applies to --ingest")
     if args.as_of is not None and args.corpus_store is None:
         parser.error("--as-of only applies to --corpus-store")
-    if args.corpus_store is not None and args.sql is None and args.query is None:
-        parser.error("--corpus-store only applies to --sql/--query")
+    if args.corpus_store is not None and not (
+        args.sql is not None
+        or args.query is not None
+        or args.serve is not None
+        or args.prep_corpus is not None
+    ):
+        parser.error(
+            "--corpus-store only applies to --sql/--query/--serve/--prep-corpus"
+        )
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
     if args.repair_index is not None and args.index_kind != "postings":
@@ -215,7 +224,11 @@ def main(argv: list[str] | None = None) -> int:
                 write_training_shards,
             )
 
-            docs = session.spark.table("documents")
+            # ingest → store → export is the production loop: prefer the
+            # versioned store's accepted corpus when one is given
+            docs = session.spark.table(
+                "corpus" if args.corpus_store is not None else "documents"
+            )
             result = prepare_training_corpus(
                 docs, "doc_id", "text",
                 min_quality=args.min_quality,

@@ -1185,3 +1185,45 @@ class TestCliCorpusStoreQuery:
         ):
             with _pytest.raises(SystemExit):
                 main(argv)
+
+
+class TestCliStoreProductionLoop:
+    """--corpus-store composition with --prep-corpus: the production
+    loop (nightly ingest -> versioned store -> training-shard export)
+    runs entirely from the CLI."""
+
+    def test_prep_corpus_from_store(self, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / "loopdocs"
+        d.mkdir()
+        rows = _doc_rows(range(1, 9))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        store = str(tmp_path / "loopstore")
+        assert main(["--data-dir", str(d), "--ingest", store,
+                     "--min-quality", "0.0"]) == 0
+        out = str(tmp_path / "shards")
+        assert main(["--corpus-store", store, "--prep-corpus", out,
+                     "--min-quality", "0.0", "--n-shards", "2"]) == 0
+        assert os.path.isdir(out) and os.listdir(out)
+
+    def test_prep_needs_some_source(self):
+        import pytest as _pytest
+
+        from igloo_spark.cli import main
+
+        with _pytest.raises(SystemExit):
+            main(["--prep-corpus", "/tmp/out"])
