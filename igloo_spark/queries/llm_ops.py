@@ -5259,3 +5259,249 @@ def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("naive_leaked_frac"),
         )
     )
+
+
+# --- x131: IVF cell label-purity eval -------------------------------------
+
+
+def _x131_oracle() -> str:
+    from igloo_spark.operators.similarity import ivf_centroids
+
+    arms = []
+    for i, cent in enumerate(ivf_centroids(IVF_CELLS, EMB_DIM)):
+        arr = "[" + ", ".join(repr(w) for w in cent) + "]::DOUBLE[]"
+        arms.append(
+            f"SELECT vec_id, label, {i} AS cell, "
+            f"list_dot_product(embedding::DOUBLE[], {arr}) AS d FROM embeddings"
+        )
+    cd = "\n        UNION ALL\n        ".join(arms)
+    return f"""
+    WITH cd AS (
+        {cd}
+    ),
+    assigned AS (
+        SELECT vec_id, label, CAST(cell AS BIGINT) AS cell FROM (
+            SELECT vec_id, label, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rnk
+            FROM cd
+        ) WHERE rnk = 1
+    ),
+    lc AS (
+        SELECT cell, label, CAST(count(*) AS BIGINT) AS cnt
+        FROM assigned GROUP BY cell, label
+    ),
+    maj AS (
+        SELECT cell, label AS majority_label, cnt AS majority_count FROM (
+            SELECT cell, label, cnt,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY cnt DESC, label ASC) AS rk
+            FROM lc
+        ) WHERE rk = 1
+    ),
+    tot AS (
+        SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vecs,
+               CAST(count(*) AS BIGINT) AS n_labels
+        FROM lc GROUP BY cell
+    )
+    SELECT t.cell, t.n_vecs, t.n_labels,
+           CAST(m.majority_label AS BIGINT) AS majority_label,
+           m.majority_count,
+           round(m.majority_count * 1.0 / t.n_vecs, 6) AS purity
+    FROM tot t JOIN maj m ON t.cell = m.cell
+    """
+
+
+@register(
+    "x131_ivf_cell_purity",
+    f"clustering-quality eval: per-IVF-cell label purity under the {IVF_CELLS}-cell quantizer",
+    _x131_oracle(),
+    tags=("similarity", "eval", "llm"),
+)
+def x131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering-quality member of the eval family (x113 grades
+    probe recall, x122/x124 grade code distortion — this grades the
+    COARSE QUANTIZER against external truth): per IVF cell, how pure
+    is the label distribution? A quantizer whose cells mirror semantic
+    structure probes fewer cells for the same recall; one that
+    shreds labels across cells is wasting its partition pruning. Per
+    cell: member count, distinct labels, majority label (count-desc
+    then label-asc tie-break) and purity fraction.
+
+    Plan shape: the corpus's one assignment pass (shared machinery
+    with x55/x64), then a (cell,label)-keyed partial agg — output
+    bounded by cells × labels, never corpus-sized; no window touches
+    an unpartitioned corpus."""
+    from igloo_spark.operators.similarity import ivf_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(
+        emb, "vec_id", "embedding", n_cells=IVF_CELLS, dim=EMB_DIM
+    ).select(F.col("neighbor_id").alias("vec_id"), "cell")
+    lc = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds majority AND totals
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    maj = (
+        lc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cell",
+            F.col("label").cast("bigint").alias("majority_label"),
+            F.col("cnt").alias("majority_count"),
+        )
+    )
+    tot = lc.groupBy("cell").agg(
+        F.sum("cnt").cast("bigint").alias("n_vecs"),
+        F.count("*").cast("bigint").alias("n_labels"),
+    )
+    return tot.join(maj, "cell").select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_vecs",
+        "n_labels",
+        "majority_label",
+        "majority_count",
+        F.round(F.col("majority_count") / F.col("n_vecs"), 6).alias("purity"),
+    )
+
+
+# --- x132: recall@k vs nprobe sweep ---------------------------------------
+
+NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _x132_oracle() -> str:
+    """Per-nprobe recall against exact brute force, integer-operand
+    discipline: total_hits is a bigint, recall one division of exact
+    ints — no float sums whose order could differ cross-engine."""
+    arms = []
+    for np_ in NPROBE_SWEEP:
+        probe_sql = _ivf_probe_oracle_at(np_)
+        arms.append(f"""
+    SELECT {np_} AS nprobe,
+           CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS total_hits
+    FROM ({_ann_bruteforce_oracle()}) e
+    LEFT JOIN ({probe_sql}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id""")
+    union = "\n    UNION ALL\n".join(arms)
+    return f"""
+    SELECT CAST(nprobe AS BIGINT) AS nprobe, n_queries, total_hits,
+           round(total_hits * 1.0 / ({ANN_K} * n_queries), 6) AS recall
+    FROM ({union})
+    """
+
+
+def _ivf_probe_oracle_at(nprobe: int) -> str:
+    from igloo_spark.operators.similarity import ivf_centroids
+
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cos = cosine_sql_duckdb("eq.embedding", "en.embedding")
+    arms = []
+    for i, cent in enumerate(ivf_centroids(IVF_CELLS, EMB_DIM)):
+        arr = "[" + ", ".join(repr(w) for w in cent) + "]::DOUBLE[]"
+        arms.append(
+            f"SELECT vec_id, {i} AS cell, "
+            f"list_dot_product(embedding::DOUBLE[], {arr}) AS d FROM embeddings"
+        )
+    cd = "\n        UNION ALL\n        ".join(arms)
+    return f"""
+    WITH cd AS (
+        {cd}
+    ),
+    ranked AS (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rnk
+        FROM cd
+    ),
+    corpus AS (
+        SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rnk = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, cell
+        FROM ranked WHERE rnk <= {nprobe} AND vec_id IN ({ids})
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id, {cos} AS cosine
+        FROM corpus c JOIN probe p ON c.cell = p.cell AND c.neighbor_id <> p.query_id
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings en ON en.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
+
+@register(
+    "x132_recall_nprobe_sweep",
+    f"IVF tuning curve: recall@{ANN_K} vs nprobe in {NPROBE_SWEEP} against exact top-k",
+    _x132_oracle(),
+    tags=("similarity", "eval", "llm"),
+)
+def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning curve behind every IVF deployment decision: x113
+    grades ONE operating point (nprobe=3 multiprobe-LSH); this sweeps
+    nprobe over {NPROBE_SWEEP} and reports recall@k at each, the
+    frame you read to pick the cheapest probe width that clears the
+    recall bar (and to see diminishing returns BEFORE burning 4x probe
+    cost at 100 TB for +0.01 recall).
+
+    One assignment pass + one exact brute-force pass shared across
+    all sweep points (lazy localCheckpoints — the x64 subtree rule);
+    each sweep point adds only its probe-set join. Integer-operand
+    recall: total_hits is a bigint, recall a single division of exact
+    ints (the x114/x117 cross-engine rule)."""
+    from igloo_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
+    assigned = ivf_assign(
+        emb, "vec_id", "embedding", n_cells=IVF_CELLS, dim=EMB_DIM
+    ).localCheckpoint(eager=False)
+    exact = brute_force_topk(
+        emb, queries, "vec_id", "embedding", ANN_K
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    per_probe = []
+    for np_ in NPROBE_SWEEP:
+        approx = ivf_topk(
+            emb, queries, "vec_id", "embedding", ANN_K, IVF_CELLS, np_,
+            EMB_DIM, assigned=assigned,
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        per_probe.append(
+            exact.agg(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            ).crossJoin(
+                F.broadcast(
+                    hits.agg(
+                        F.count("*").cast("bigint").alias("total_hits")
+                    )
+                )
+            )
+        )
+    out = per_probe[0]
+    for p in per_probe[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "nprobe",
+        "n_queries",
+        "total_hits",
+        F.round(
+            F.col("total_hits") / (F.lit(ANN_K) * F.col("n_queries")), 6
+        ).alias("recall"),
+    )
