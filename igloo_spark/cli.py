@@ -80,6 +80,26 @@ def main(argv: list[str] | None = None) -> int:
         help="index directory for --check-index-sync/--repair-index",
     )
     parser.add_argument(
+        "--optimize-store", default=None, metavar="STORE_DIR",
+        help="OPTIMIZE an --ingest corpus store: compact the latest corpus "
+        "and fps snapshots to --target-files files each (commits new "
+        "versions; old versions stay readable until --vacuum-store)",
+    )
+    parser.add_argument(
+        "--target-files", type=int, default=8,
+        help="file count per table for --optimize-store (default 8)",
+    )
+    parser.add_argument(
+        "--vacuum-store", default=None, metavar="STORE_DIR",
+        help="VACUUM an --ingest corpus store: drop manifests older than "
+        "the newest --keep-last versions of corpus and fps and delete "
+        "unreferenced data files",
+    )
+    parser.add_argument(
+        "--keep-last", type=int, default=2,
+        help="versions to retain per table for --vacuum-store (default 2)",
+    )
+    parser.add_argument(
         "--index-kind", default="postings",
         choices=["postings", "ivf", "pq", "ivfpq"],
         help="index layout for --check-index-sync (default postings)",
@@ -136,13 +156,15 @@ def main(argv: list[str] | None = None) -> int:
             ("--check-index-sync", args.check_index_sync is not None),
             ("--repair-index", args.repair_index is not None),
             ("--fit-quality-model", args.fit_quality_model is not None),
+            ("--optimize-store", args.optimize_store is not None),
+            ("--vacuum-store", args.vacuum_store is not None),
         ) if on
     ]
     if not modes:
         parser.error(
             "one of --sql, --query, --serve, --prep-corpus, --ingest, "
-            "--check-index-sync, --repair-index, or --fit-quality-model "
-            "is required"
+            "--check-index-sync, --repair-index, --fit-quality-model, "
+            "--optimize-store, or --vacuum-store is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -241,6 +263,38 @@ def main(argv: list[str] | None = None) -> int:
                 f"prepared corpus: {counts} -> {info['n_docs']} docs in "
                 f"{info['n_shards']} shards at {args.prep_corpus}"
             )
+            return 0
+        if args.optimize_store is not None or args.vacuum_store is not None:
+            import os as _os
+
+            from igloo_spark.sources.versioned import (
+                compact_versioned,
+                vacuum_versioned,
+            )
+
+            store = args.optimize_store or args.vacuum_store
+            tables = [
+                t for t in ("corpus", "fps")
+                if _os.path.isdir(f"{store}/{t}/manifests")
+            ]
+            if not tables:
+                print(f"error: no versioned tables under {store}", file=sys.stderr)
+                return 2
+            if args.optimize_store is not None:
+                for t in tables:
+                    v = compact_versioned(
+                        session.spark, f"{store}/{t}", n_files=args.target_files
+                    )
+                    print(f"optimized {t} -> v{v} ({args.target_files} files)")
+            else:
+                for t in tables:
+                    deleted = vacuum_versioned(
+                        f"{store}/{t}", keep_last=args.keep_last
+                    )
+                    print(
+                        f"vacuumed {t}: {len(deleted)} data files reclaimed "
+                        f"(kept last {args.keep_last} versions)"
+                    )
             return 0
         if args.check_index_sync is not None:
             from igloo_spark.pipelines import check_index_sync

@@ -1227,3 +1227,56 @@ class TestCliStoreProductionLoop:
 
         with _pytest.raises(SystemExit):
             main(["--prep-corpus", "/tmp/out"])
+
+
+class TestCliStoreMaintenance:
+    """--optimize-store / --vacuum-store: the table-lifecycle half of
+    nightly maintenance (indexes already have --check-index-sync /
+    --repair-index) runs from the CLI."""
+
+    def test_optimize_then_vacuum_roundtrip(self, spark, tmp_path):
+        import glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import read_versioned, snapshots
+
+        store = str(tmp_path / "mstore")
+        for batch, ids in enumerate((range(1, 6), [8, 9], [11])):
+            d = tmp_path / f"mb{batch}"
+            d.mkdir()
+            rows = _doc_rows(ids)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows], pa.string()),
+                    }
+                ),
+                str(d / "documents.parquet"),
+            )
+            assert main(["--data-dir", str(d), "--ingest", store,
+                         "--min-quality", "0.0"]) == 0
+
+        n_before = read_versioned(spark, store + "/corpus").count()
+        assert main(["--optimize-store", store, "--target-files", "1"]) == 0
+        # compaction committed a new version with identical content
+        assert read_versioned(spark, store + "/corpus").count() == n_before
+        files = glob.glob(store + "/corpus/data/*/*.parquet")
+        latest_commit = max(os.path.dirname(f) for f in files)
+        assert len(glob.glob(latest_commit + "/*.parquet")) == 1
+
+        n_versions = len(snapshots(store + "/corpus"))
+        assert n_versions >= 4  # 3 ingests + 1 compaction
+        assert main(["--vacuum-store", store, "--keep-last", "1"]) == 0
+        assert len(snapshots(store + "/corpus")) == 1
+        assert read_versioned(spark, store + "/corpus").count() == n_before
+
+    def test_maintenance_on_missing_store_exits_2(self, tmp_path):
+        from igloo_spark.cli import main
+
+        assert main(["--optimize-store", str(tmp_path / "nope")]) == 2
+        assert main(["--vacuum-store", str(tmp_path / "nope")]) == 2
