@@ -106,13 +106,18 @@ def main() -> int:
     # r07 (round-6 additions: query-sized-postings retrieval and
     # capped-vocab KL drift); x123 joins in r09 (the IVFADC probe —
     # partition-pruned cell scan over 4-byte codes, the cost profile
-    # none of the other extended queries cover)
+    # none of the other extended queries cover); x125 joins in r09
+    # (classifier distillation: bounded driver-side fit + corpus-wide
+    # literal-fold scan scoring — the model-gated quality-filter
+    # profile, measuring both the fit latency and the zero-shuffle
+    # scoring pass)
     _EXTENDED = (
         "x89_winnowing_pairs",
         "x95_corpus_shuffle_shards",
         "x105_bm25_retrieval",
         "x111_source_kl_drift",
         "x123_ann_ivfpq_topk",
+        "x125_quality_classifier",
     )
     corpus = all_queries()
     legacy = sorted((s for s in corpus.values() if s.bench), key=lambda s: s.name)
