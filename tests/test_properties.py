@@ -1613,3 +1613,49 @@ def test_split_leakage_audit_differential_parity(igloo, rows):
     d = _write_documents_fixture(rows)
     spec = REGISTRY["x130_split_leakage_audit"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 6})
+@given(
+    n=st.integers(5, 24),
+    seed=st.integers(0, 10_000),
+    n_dup=st.integers(0, 3),
+)
+def test_ivf_eval_queries_differential_parity(igloo, n, seed, n_dup):
+    """x131 (cell purity) and x132 (recall-vs-nprobe sweep) over
+    random 64-dim corpora with PLANTED exact-duplicate vectors
+    (``n_dup`` copies of vec 0 → cosine ties at the top-k boundary,
+    resolved neighbor_id-asc on both engines) and balanced i%2 labels
+    (majority ties inside cells, resolved count-desc/label-asc). The
+    sweep's recall must agree with the oracle at every nprobe,
+    including the nprobe=8=n_cells point where probing all cells must
+    reach recall 1.0 by the partition-exhaustiveness invariant."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, 64)).astype(np.float32)
+    for i in range(1, min(n_dup + 1, n)):
+        vecs[i] = vecs[0]
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([i % 2 for i in range(n)], pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    for name in ("x131_ivf_cell_purity", "x132_recall_nprobe_sweep"):
+        spec = REGISTRY[name]
+        assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
