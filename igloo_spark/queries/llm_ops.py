@@ -5505,3 +5505,110 @@ def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_hits") / (F.lit(ANN_K) * F.col("n_queries")), 6
         ).alias("recall"),
     )
+
+
+# --- x133: context-length tuning curve ------------------------------------
+
+CTX_SWEEP = (128, 512, 2048)
+
+
+def _x133_oracle() -> str:
+    arms = []
+    for L in CTX_SWEEP:
+        arms.append(f"""
+    SELECT {L} AS ctx_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(CASE WHEN n_tokens > {L} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS docs_truncated,
+           CAST(coalesce(sum(CASE WHEN n_tokens > {L} THEN n_tokens - {L}
+                             ELSE 0 END), 0) AS BIGINT) AS tokens_lost,
+           CAST(coalesce(sum(CAST(ceil(n_tokens * 1.0 / {L}) AS BIGINT)), 0)
+                AS BIGINT) AS seqs_doc_packed
+    FROM toks""")
+    union = "\n    UNION ALL\n".join(arms)
+    return f"""
+    WITH toks AS (
+        SELECT {token_count_sql('text')} AS n_tokens
+        FROM documents
+        WHERE length(trim(text)) > 0
+    )
+    SELECT CAST(ctx_len AS BIGINT) AS ctx_len, n_docs, total_tokens,
+           docs_truncated, tokens_lost,
+           round(tokens_lost * 1.0 / total_tokens, 6) AS trunc_frac,
+           seqs_doc_packed
+    FROM ({union})
+    """
+
+
+@register(
+    "x133_context_length_sweep",
+    f"context-length tuning curve: truncation loss + sequence counts at ctx in {CTX_SWEEP}",
+    _x133_oracle(),
+    tags=("packing", "eval", "llm"),
+)
+def x133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning curve x132 is to nprobe, this is to CONTEXT LENGTH:
+    at each candidate training context, how much of the corpus a
+    truncate-at-L policy throws away (``docs_truncated``,
+    ``tokens_lost``, ``trunc_frac``) and how many sequences a
+    document-atomic packer needs (``seqs_doc_packed`` — per-doc
+    ceil(n/L), the x65 packing regime where documents never cross
+    sequence boundaries). Reading the sweep picks the cheapest L that
+    bounds truncation loss — the decision that multiplies every
+    downstream training cost by L.
+
+    ONE corpus scan computes per-doc token counts; the sweep points
+    are three more columns folded into a single 1-row-per-L aggregate
+    — no per-L corpus re-reads (the unioned arms share the scan via
+    lazy localCheckpoint). Integer-operand throughout: counts and
+    ceil() on exact ints; trunc_frac is one division of exact ints
+    (the x114/x117 cross-engine rule)."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(token_count(F.col("text")).alias("n_tokens")).localCheckpoint(
+        eager=False
+    )
+    per_ctx = []
+    for L in CTX_SWEEP:
+        lit = F.lit(L)
+        over = F.col("n_tokens") > lit
+        per_ctx.append(
+            toks.agg(
+                F.lit(L).cast("bigint").alias("ctx_len"),
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                F.coalesce(F.sum(over.cast("bigint")), F.lit(0))
+                .cast("bigint")
+                .alias("docs_truncated"),
+                F.coalesce(
+                    F.sum(
+                        F.when(over, F.col("n_tokens") - lit).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("tokens_lost"),
+                F.coalesce(
+                    F.sum(F.ceil(F.col("n_tokens") / lit).cast("bigint")),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("seqs_doc_packed"),
+            )
+        )
+    out = per_ctx[0]
+    for p in per_ctx[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "ctx_len",
+        "n_docs",
+        "total_tokens",
+        "docs_truncated",
+        "tokens_lost",
+        F.round(F.col("tokens_lost") / F.col("total_tokens"), 6).alias(
+            "trunc_frac"
+        ),
+        "seqs_doc_packed",
+    )
