@@ -5612,3 +5612,121 @@ def x133(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "seqs_doc_packed",
     )
+
+
+# --- x134: dedup-threshold sweep ------------------------------------------
+
+DEDUP_THR_SIXTEENTHS = (8, 10, 12, 14)  # est_sim >= k/16, exact doubles
+
+
+def _x134_oracle() -> str:
+    layers = []
+    stats = []
+    for n in DEDUP_THR_SIXTEENTHS:
+        layers.append(f"""
+    edges_{n} AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs WHERE est_sim >= {n}/16.0
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs WHERE est_sim >= {n}/16.0
+    ),
+    reach_{n}(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges_{n})
+        UNION
+        SELECT r.a, e.b FROM reach_{n} r JOIN edges_{n} e ON r.b = e.a
+    ),
+    fam_{n} AS (
+        SELECT component, count(*) AS n FROM (
+            SELECT a AS node, min(b) AS component FROM reach_{n} GROUP BY a
+        ) GROUP BY component
+    ),
+    stat_{n} AS (
+        SELECT {n} AS thr_sixteenths,
+               CAST(count(*) AS BIGINT) AS n_families,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS docs_in_families
+        FROM fam_{n}
+    )""")
+        stats.append(f"SELECT * FROM stat_{n}")
+    union = "\n    UNION ALL\n    ".join(stats)
+    return f"""
+    WITH RECURSIVE pairs AS ({MINHASH_PAIRS_ORACLE}
+    ),{','.join(layers)},
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT CAST(s.thr_sixteenths AS BIGINT) AS thr_sixteenths,
+           round(s.thr_sixteenths / 16.0, 6) AS threshold,
+           s.n_families, s.docs_in_families,
+           s.docs_in_families - s.n_families AS docs_removed,
+           CASE WHEN t.n_docs > 0 THEN
+               round((s.docs_in_families - s.n_families) * 1.0 / t.n_docs, 6)
+           END AS removed_frac
+    FROM ({union}) s, total t
+    """
+
+
+@register(
+    "x134_dedup_threshold_sweep",
+    "dedup aggressiveness curve: families + docs removed at est_sim >= 8/10/12/14 sixteenths",
+    _x134_oracle(),
+    tags=("dedup", "eval", "llm"),
+)
+def x134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third tuning curve (x132: nprobe, x133: context length —
+    this: DEDUP AGGRESSIVENESS): at each est_sim threshold, how many
+    near-dup families form and how many documents a
+    keep-one-per-family policy deletes. Sweeping it is how the
+    threshold actually gets chosen — too low deletes distinct
+    documents (x129's false_keeps), too high leaks near-dups
+    (false_rejects); this shows the corpus-level consequence of each
+    choice. Thresholds are exact sixteenths (est_sim = matches/16),
+    so >= comparisons have no cross-engine float ties by construction.
+
+    ONE candidate-pair pass (threshold 0.5, the x42 base set, lazy
+    localCheckpoint) feeds all sweep points; each point filters the
+    PAIR list (never re-hashing the corpus) and runs min-label
+    components over a strictly shrinking edge set. Components over
+    near-dup graphs converge in O(log diameter) rounds
+    (operators/dedup.connected_components); the recursive oracle
+    recomputes every closure from scratch."""
+    from igloo_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=2, threshold=0.5,
+    ).localCheckpoint(eager=False)
+    total = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    per_thr = []
+    for n in DEDUP_THR_SIXTEENTHS:
+        comp = connected_components(
+            pairs.filter(F.col("est_sim") >= n / 16.0)
+        )
+        fam = comp.groupBy("component").agg(F.count("*").alias("n"))
+        per_thr.append(
+            fam.agg(
+                F.lit(n).cast("bigint").alias("thr_sixteenths"),
+                F.count("*").cast("bigint").alias("n_families"),
+                F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias(
+                    "docs_in_families"
+                ),
+            )
+        )
+    out = per_thr[0]
+    for p in per_thr[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(total)).select(
+        "thr_sixteenths",
+        F.round(F.col("thr_sixteenths") / 16.0, 6).alias("threshold"),
+        "n_families",
+        "docs_in_families",
+        (F.col("docs_in_families") - F.col("n_families")).alias("docs_removed"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(
+                (F.col("docs_in_families") - F.col("n_families"))
+                / F.col("n_docs"),
+                6,
+            ),
+        ).alias("removed_frac"),
+    )
