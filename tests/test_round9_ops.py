@@ -3,8 +3,12 @@ incremental_ingest (the r07/r08 verdicts' top structural gap — a
 corpus retrieving by BM25 AND ANN must stay fresh on BOTH index
 families after every ingest), the generalized check_index_sync
 detector, probe-side compaction crash-window self-healing (r08
-ADVICE #2), and diff_versions' schema-evolution fallback on the
-both-empty degenerate (r08 ADVICE #3)."""
+ADVICE #2), diff_versions' schema-evolution fallback on the
+both-empty degenerate (r08 ADVICE #3), persisted model artifacts
+(quality classifier + BPE merges: bit-identical round-trips, distill
+parity, CLI fit→gate loop), the CLI corpus-store surface
+(--corpus-store query/time-travel, store→shards export), and CLI
+store maintenance (--optimize-store/--vacuum-store)."""
 
 import math
 import os
