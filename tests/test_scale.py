@@ -463,3 +463,41 @@ def test_append_postings_cost_independent_of_index_size(spark, tmp_path):
     print(f"append to 1x index {times[1]:.2f}s, to 16x index {times[16]:.2f}s "
           f"ratio {ratio:.2f}x")
     assert ratio < 2.0, (times, "append cost grew with index size")
+
+
+def test_round9_operators_scale_bounded(spark):
+    """Round-9 operators at sf0.01 → sf0.1 (10× rows): the learned
+    quantizers/classifier/BPE fits are driver-side over BOUNDED
+    inputs (sampled rows, vocab, codebook cells) so their cost grows
+    sublinearly; the encode pass is a vocab-sized broadcast join; the
+    audits/sweeps share one corpus pass per family (pairs, token
+    counts, assignment) and fan out only bounded aggregates. Warm
+    cost must grow well under data growth."""
+    from igloo_spark.queries import all_queries
+
+    qs = all_queries()
+    names = [
+        "x124_pq_learned_distortion",
+        "x125_quality_classifier",
+        "x126_classifier_auc",
+        "x127_bpe_merge_learning",
+        "x128_bpe_encode",
+        "x129_minhash_threshold_confusion",
+        "x130_split_leakage_audit",
+        "x131_ivf_cell_purity",
+        "x132_recall_nprobe_sweep",
+        "x133_context_length_sweep",
+        "x134_dedup_threshold_sweep",
+    ]
+    for name in names:
+        warm = {}
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            spec = qs[name]
+            _run(spec.spark(spark, sf))  # codegen warmup
+            t0 = time.perf_counter()
+            _run(spec.spark(spark, sf))
+            warm[sf] = time.perf_counter() - t0
+        ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
+        print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
+              f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
+        assert ratio < 8, (name, ratio)
