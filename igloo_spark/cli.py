@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
         help="file count per table for --optimize-store (default 8)",
     )
     parser.add_argument(
+        "--store-history", default=None, metavar="STORE_DIR",
+        help="print the snapshot log (version, op, committed_at, n_files) "
+        "of an --ingest corpus store's tables — the --as-of values "
+        "available for time travel",
+    )
+    parser.add_argument(
         "--vacuum-store", default=None, metavar="STORE_DIR",
         help="VACUUM an --ingest corpus store: drop manifests older than "
         "the newest --keep-last versions of corpus and fps and delete "
@@ -158,13 +164,14 @@ def main(argv: list[str] | None = None) -> int:
             ("--fit-quality-model", args.fit_quality_model is not None),
             ("--optimize-store", args.optimize_store is not None),
             ("--vacuum-store", args.vacuum_store is not None),
+            ("--store-history", args.store_history is not None),
         ) if on
     ]
     if not modes:
         parser.error(
             "one of --sql, --query, --serve, --prep-corpus, --ingest, "
             "--check-index-sync, --repair-index, --fit-quality-model, "
-            "--optimize-store, or --vacuum-store is required"
+            "--optimize-store, --vacuum-store, or --store-history is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -199,6 +206,29 @@ def main(argv: list[str] | None = None) -> int:
             "--repair-index supports postings from the CLI; vector kinds "
             "need the embeddings frame — use pipelines.repair_index"
         )
+
+    if args.store_history is not None:
+        # manifest metadata only — no SparkSession (instant, scriptable)
+        import os as _os
+
+        from igloo_spark.sources.versioned import snapshots
+
+        store = args.store_history
+        tables = [
+            t for t in ("corpus", "fps")
+            if _os.path.isdir(f"{store}/{t}/manifests")
+        ]
+        if not tables:
+            print(f"error: no versioned tables under {store}", file=sys.stderr)
+            return 2
+        for t in tables:
+            print(f"{t}:")
+            for s in snapshots(f"{store}/{t}"):
+                print(
+                    f"  v{s['version']}  {s['op']:<10s} "
+                    f"files={s['n_files']}  committed_at={s['committed_at']}"
+                )
+        return 0
 
     from igloo_spark import IglooSession
 

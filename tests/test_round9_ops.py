@@ -1284,3 +1284,40 @@ class TestCliStoreMaintenance:
 
         assert main(["--optimize-store", str(tmp_path / "nope")]) == 2
         assert main(["--vacuum-store", str(tmp_path / "nope")]) == 2
+
+
+class TestCliStoreHistory:
+    """--store-history: list a store's snapshot log (the --as-of
+    discovery surface) without starting a SparkSession."""
+
+    def test_history_lists_versions(self, tmp_path, capsys):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        store = str(tmp_path / "hstore")
+        for batch, ids in enumerate((range(1, 4), [7])):
+            d = tmp_path / f"hb{batch}"
+            d.mkdir()
+            rows = _doc_rows(ids)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows], pa.string()),
+                    }
+                ),
+                str(d / "documents.parquet"),
+            )
+            assert main(["--data-dir", str(d), "--ingest", store,
+                         "--min-quality", "0.0"]) == 0
+        assert main(["--store-history", store]) == 0
+        out = capsys.readouterr().out
+        assert "corpus:" in out and "fps:" in out
+        assert "v1" in out and "v2" in out
+
+    def test_history_missing_store_exits_2(self, tmp_path):
+        from igloo_spark.cli import main
+
+        assert main(["--store-history", str(tmp_path / "absent")]) == 2
