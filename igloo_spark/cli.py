@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
         help="quality-gate threshold for --prep-corpus/--ingest (default 0.5)",
     )
     parser.add_argument(
+        "--merge-from", default=None, metavar="SRC_STORE",
+        help="with --ingest: take the batch from another corpus store's "
+        "latest snapshot instead of --data-dir — merges crawl B into "
+        "crawl A with the full exact/near-dup/quality gauntlet "
+        "(cross-store dups are rejected against the target's history)",
+    )
+    parser.add_argument(
         "--fit-quality-model", default=None, metavar="OUT_PATH",
         help="distill a quality-classifier student from the documents table "
         "(heuristic teacher at --label-threshold) and save the frozen model "
@@ -182,8 +189,12 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(
             "--prep-corpus needs a documents source: --data-dir or --corpus-store"
         )
-    if args.ingest is not None and not args.data_dir:
-        parser.error("--ingest needs --data-dir (documents table source)")
+    if args.ingest is not None and not (args.data_dir or args.merge_from):
+        parser.error(
+            "--ingest needs a documents source: --data-dir or --merge-from"
+        )
+    if args.merge_from is not None and args.ingest is None:
+        parser.error("--merge-from only applies to --ingest")
     if args.fit_quality_model is not None and not args.data_dir:
         parser.error("--fit-quality-model needs --data-dir (documents table source)")
     if args.quality_model is not None and args.ingest is None:
@@ -370,8 +381,20 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 quality_model = load_quality_classifier(args.quality_model)
+            if args.merge_from is not None:
+                from igloo_spark.sources.versioned import read_versioned
+
+                try:
+                    batch = read_versioned(
+                        session.spark, args.merge_from + "/corpus"
+                    ).select("doc_id", "text")
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"error: --merge-from: {e}", file=sys.stderr)
+                    return 2
+            else:
+                batch = session.spark.table("documents")
             result = incremental_ingest(
-                session.spark.table("documents"), args.ingest,
+                batch, args.ingest,
                 min_quality=args.min_quality,
                 postings_index_root=args.postings_index,
                 quality_model=quality_model,

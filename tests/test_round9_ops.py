@@ -1321,3 +1321,74 @@ class TestCliStoreHistory:
         from igloo_spark.cli import main
 
         assert main(["--store-history", str(tmp_path / "absent")]) == 2
+
+
+class TestCliMergeStores:
+    """--ingest --merge-from: merge crawl B's store into crawl A's,
+    with cross-store exact dups rejected against A's history."""
+
+    def _mk_store(self, tmp_path, name, ids, clone_text_of=None):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / f"docs_{name}"
+        d.mkdir()
+        rows = _doc_rows(ids, clone_text_of)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        store = str(tmp_path / name)
+        assert main(["--data-dir", str(d), "--ingest", store,
+                     "--min-quality", "0.0"]) == 0
+        return store
+
+    def test_merge_rejects_cross_store_dups(self, spark, tmp_path):
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import read_versioned
+
+        a = self._mk_store(tmp_path, "crawl_a", range(1, 6))
+        # crawl B: two novel docs plus one whose TEXT duplicates A's doc 2
+        b = self._mk_store(tmp_path, "crawl_b", [20, 21])
+        b2docs = tmp_path / "docs_bdup"
+        b2docs.mkdir()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = _doc_rows([22], clone_text_of=2)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(b2docs / "documents.parquet"),
+        )
+        assert main(["--data-dir", str(b2docs), "--ingest", b,
+                     "--min-quality", "0.0"]) == 0
+        assert read_versioned(spark, b + "/corpus").count() == 3
+
+        assert main(["--ingest", a, "--merge-from", b,
+                     "--min-quality", "0.0"]) == 0
+        merged = read_versioned(spark, a + "/corpus")
+        ids = sorted(r["doc_id"] for r in merged.collect())
+        # 20/21 admitted; 22 rejected (its text == A's doc 2's text)
+        assert ids == [1, 2, 3, 4, 5, 20, 21]
+
+    def test_merge_from_requires_ingest_and_valid_store(self, tmp_path):
+        import pytest as _pytest
+
+        from igloo_spark.cli import main
+
+        with _pytest.raises(SystemExit):
+            main(["--sql", "SELECT 1", "--merge-from", "/tmp/x"])
+        assert main(["--ingest", str(tmp_path / "dst"),
+                     "--merge-from", str(tmp_path / "absent")]) == 2
