@@ -821,3 +821,58 @@ def test_streaming_kl_drift_monitor(igloo, tmp_path):
     # fully drifted feed: every token out-of-vocabulary; KL undefined
     # (NULL) over the empty in-vocab mass — but the source MUST appear
     assert got["webB"][1] == 1.0 and got["webB"][0] is None, got
+
+
+def test_cli_serve_corpus_store(tmp_path):
+    """`--serve --corpus-store` must expose an ingested versioned
+    store's snapshot over Flight — the serve half of the CLI ingest
+    loop (ingest nightly, serve the curated corpus to consumers)."""
+    pytest.importorskip("pyarrow.flight")
+    import re
+    import subprocess
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from igloo_spark.cli import main
+    from igloo_spark.serving import query_via_flight
+
+    d = tmp_path / "svdocs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, 7), pa.int64()),
+                "text": pa.array(
+                    [f"serve me document {i} with words {i}a {i}b {i}c"
+                     for i in range(1, 7)],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    store = str(tmp_path / "svstore")
+    assert main(["--data-dir", str(d), "--ingest", store,
+                 "--min-quality", "0.0"]) == 0
+
+    proc = subprocess.Popen(
+        ["python", "-m", "igloo_spark.cli", "--serve", "0",
+         "--corpus-store", store],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        port = None
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            m = re.search(r"listening on grpc://127\.0\.0\.1:(\d+)", line or "")
+            if m:
+                port = int(m.group(1))
+                break
+        assert port, "server did not report a port"
+        tbl = query_via_flight(port, "SELECT count(*) AS n FROM corpus")
+        assert tbl.column("n").to_pylist() == [6]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
