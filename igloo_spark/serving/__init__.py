@@ -5,6 +5,7 @@ pyarrow.flight can still use the engine."""
 try:
     from igloo_spark.serving.flight import (  # noqa: F401
         IglooFlightServer,
+        exchange_via_flight,
         query_via_flight,
         serve_in_background,
         upload_via_flight,

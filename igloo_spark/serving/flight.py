@@ -46,6 +46,8 @@ class IglooFlightServer(flight.FlightServerBase):
     def __init__(self, session, location: str = "grpc://127.0.0.1:0") -> None:
         super().__init__(location)
         self.session = session
+        self._exchange_lock = threading.Lock()
+        self._exchange_seq = 0
 
     # reference: crates/api/src/lib.rs:81-99
     def get_flight_info(self, context, descriptor):
@@ -119,6 +121,32 @@ class IglooFlightServer(flight.FlightServerBase):
         body = action.body.to_pybytes().decode("utf-8") if action.body else ""
         yield flight.Result(_json.dumps(handlers[action.type](body)).encode("utf-8"))
 
+    # reference leaves do_exchange unimplemented (crates/api/src/lib.rs:
+    # 172-177); ours is the transform round trip a serving deployment
+    # wants for small client-side frames: the client streams a table
+    # UP, the SQL in the descriptor transforms it (referencing it as
+    # ``exchange_input``), and the result streams BACK on the same
+    # call — no persistent registration, no second RPC. Each exchange
+    # gets a unique temp-view name (the SQL's ``exchange_input`` token
+    # is rewritten), so concurrent exchanges never clobber each other;
+    # the view is dropped before returning.
+    def do_exchange(self, context, descriptor, reader, writer):
+        sql = descriptor.command.decode("utf-8")
+        with self._exchange_lock:
+            self._exchange_seq += 1
+            view = f"_igloo_exchange_{self._exchange_seq}"
+        tbl = reader.read_all()
+        df_in = self.session.spark.createDataFrame(tbl)
+        df_in.createOrReplaceTempView(view)
+        try:
+            out = self.session.execute(
+                sql.replace("exchange_input", view)
+            ).toArrow()
+        finally:
+            self.session.spark.catalog.dropTempView(view)
+        writer.begin(out.schema)
+        writer.write_table(out)
+
     def list_actions(self, context):
         return [
             flight.ActionType("health", "liveness + registered table count"),
@@ -158,6 +186,21 @@ def query_via_flight(port: int, sql: str) -> pa.Table:
     info = client.get_flight_info(flight.FlightDescriptor.for_command(sql.encode("utf-8")))
     reader = client.do_get(info.endpoints[0].ticket)
     return reader.read_all()
+
+
+def exchange_via_flight(port: int, sql: str, tbl: pa.Table) -> pa.Table:
+    """Client helper: one-call transform round trip — upload ``tbl``,
+    run ``sql`` over it (reference it as ``exchange_input``), read the
+    transformed stream back."""
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    descriptor = flight.FlightDescriptor.for_command(sql.encode("utf-8"))
+    writer, reader = client.do_exchange(descriptor)
+    writer.begin(tbl.schema)
+    writer.write_table(tbl)
+    writer.done_writing()
+    out = reader.read_all()
+    writer.close()
+    return out
 
 
 def action_via_flight(port: int, name: str, body: str = "") -> dict:

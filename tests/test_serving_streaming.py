@@ -876,3 +876,40 @@ def test_cli_serve_corpus_store(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_flight_do_exchange_transform_roundtrip(igloo):
+    """do_exchange: upload + transform + stream back in ONE call (the
+    reference leaves this RPC unimplemented, crates/api/src/lib.rs:
+    172-177). The SQL references the uploaded frame as
+    ``exchange_input``; the temp view must not leak into the catalog
+    afterwards, and two sequential exchanges must not clobber."""
+    pytest.importorskip("pyarrow.flight")
+    import pyarrow as pa
+
+    from igloo_spark.serving import exchange_via_flight, serve_in_background
+
+    server, _ = serve_in_background(igloo)
+    try:
+        tbl = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                        "v": pa.array([10, 20, 30], pa.int64())})
+        out = exchange_via_flight(
+            server.port,
+            "SELECT k, v * 2 AS v2 FROM exchange_input WHERE k >= 2 ORDER BY k",
+            tbl,
+        )
+        assert out.column("k").to_pylist() == [2, 3]
+        assert out.column("v2").to_pylist() == [40, 60]
+        # second exchange with a different shape — no clobber, no leak
+        tbl2 = pa.table({"s": pa.array(["b", "a"], pa.string())})
+        out2 = exchange_via_flight(
+            server.port,
+            "SELECT upper(s) AS u FROM exchange_input ORDER BY u",
+            tbl2,
+        )
+        assert out2.column("u").to_pylist() == ["A", "B"]
+        leaked = [t.name for t in igloo.spark.catalog.listTables()
+                  if t.name.startswith("_igloo_exchange_")]
+        assert leaked == []
+    finally:
+        server.shutdown()
