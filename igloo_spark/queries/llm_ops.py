@@ -4774,10 +4774,58 @@ REGISTRY["x126_classifier_auc"] = _dc.replace(
 )
 
 
+_BPE_N_MERGES = 8
+
+
+def _bpe_training_layers(n_merges: int = _BPE_N_MERGES) -> list[str]:
+    """Generated CTE layers that recompute BPE TRAINING in SQL: given
+    a ``seg_0(word, freq, seg)`` CTE (separator-joined char symbols),
+    each layer counts adjacent symbol pairs weighted by word freq,
+    takes the argmax (count desc, then lexicographic — the
+    ``learn_bpe_merges`` tie-break), and applies the merge via an
+    exact ``list_reduce`` fold.
+
+    The fold is the subtle part. Representing a segmentation as
+    ``chr(31)``-prefixed symbols (``␟h␟e␟l␟l␟o``) and folding
+    ``(acc, x) -> merge-or-append`` reproduces Python's single
+    left-to-right scan exactly, including overlapping runs
+    (``aaaaaa`` + merge (a,a) → ``aa aa aa``) and compound symbols
+    (a merged symbol can never equal the LEFT of the same merge, so
+    greedy re-merge inside the fold is impossible by construction) —
+    a plain ``replace()`` chain gets both of those wrong. Verified
+    against the pure-Python twin of ``operators/bpe.py`` before
+    freezing this shape. Shared by the x127 (training) and x128
+    (encode) oracles."""
+    sep = "chr(31)"
+    fold = (
+        f"list_reduce(string_split(seg, {sep}), "
+        f"(acc, x) -> CASE WHEN ends_with(acc, {sep} || b.l) AND x = b.r "
+        f"THEN substring(acc, 1, length(acc) - length(b.l) - 1) "
+        f"|| {sep} || b.l || b.r "
+        f"ELSE acc || {sep} || x END)"
+    )
+    layers = []
+    for k in range(n_merges):
+        layers.append(f"""
+    pairs_{k} AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+        FROM (SELECT freq, string_split(seg, {sep}) AS syms FROM seg_{k}) t,
+             LATERAL unnest(range(2, len(syms))) AS s(i)
+        GROUP BY l, r
+    ),
+    best_{k} AS (SELECT l, r, c FROM pairs_{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    seg_{k + 1} AS (
+        SELECT word, freq,
+               CASE WHEN b.l IS NULL THEN seg ELSE {fold} END AS seg
+        FROM seg_{k} LEFT JOIN best_{k} b ON TRUE
+    )""")
+    return layers
+
+
 @register(
     "x127_bpe_merge_learning",
-    "BPE tokenizer training: learn 8 merges from word frequencies; first "
-    "merge SQL-anchored, compression + determinism invariant-gated",
+    "BPE tokenizer training: all 8 learned merges as exact rows, "
+    "oracle-recomputed by unrolled training CTEs",
     None,  # oracle attached below
     tags=("text", "llm"),
 )
@@ -4789,40 +4837,25 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation under the learned table is computed once per VOCAB
     word, never per token instance.
 
-    Driver surface (the x64 mixed pattern):
-
-    - exact, SQL-recomputed: ``n_vocab_words`` / ``total_tokens``
-      (corpus word stats) and — the strong anchor —
-      ``first_left/first_right/first_count``: the learned table's
-      FIRST merge must equal the oracle's argmax adjacent-char-pair
-      (same weighting, same count-desc-then-lexicographic
-      tie-break), computed by DuckDB from scratch. A drift in
-      tokenization, weighting, or tie-break flips a VALUE, not a
-      boolean;
-    - invariant-gated (later iterations depend on the learned
-      state), each CORPUS-INDEPENDENT so the differential fuzz can
-      run the same oracle over degenerate corpora:
-      ``merges_complete`` — all 8 requested merges found OR the
-      vocabulary merged down to single symbols (the loop may stop
-      early only by exhaustion, never with pairs remaining: a
-      single-word "aaa" corpus exhausts after 3 merges and still
-      gates green); ``relearn_deterministic`` (second fit reproduces
-      the identical table); ``compression_strict`` — with ≥1 merge
-      learned the corpus symbol count strictly compresses vs the
-      character baseline (each selected pair has count > 0), and
-      with 0 merges (all-single-char vocab) it is exactly unchanged.
-      A merge-free corpus reports NULL first-merge columns, matching
-      the oracle's empty-argmax scalar subquery."""
-    from igloo_spark.operators.bpe import (
-        _words,
-        bpe_segmentations,
-        learn_bpe_merges,
-    )
+    Driver surface (upgraded in r09 from the invariant-gated mixed
+    pattern to FULLY exact): one row per learned merge — (merge_idx,
+    merge_left, merge_right, merge_count) — each recomputed from
+    scratch by the oracle's unrolled training CTEs
+    (``_bpe_training_layers``: same weighting, same
+    count-desc-then-lexicographic tie-break, same greedy fold apply),
+    plus the exact corpus word stats. A drift in tokenization,
+    weighting, tie-break, or ANY iteration's merge application flips
+    a hashed VALUE. The one residual invariant is
+    ``relearn_deterministic`` (a second fit reproduces the identical
+    table — the property that lets two 100 TB runs tokenize
+    identically); exhausted corpora (all-single-symbol vocab) emit
+    fewer than 8 rows on both engines, a merge-free corpus emits
+    zero."""
+    from igloo_spark.operators.bpe import _words, learn_bpe_merges
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=8, top_v=None)
-    relearn_ok = learn_bpe_merges(d, n_merges=8, top_v=None) == merges
-    seg = bpe_segmentations(d, merges, top_v=None)
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    relearn_ok = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None) == merges
     words = d.select(F.explode(_words(F.col("text"))).alias("word")).filter(
         F.length("word") > 0
     )
@@ -4830,68 +4863,50 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("word").cast("bigint").alias("n_vocab_words"),
         F.count("*").cast("bigint").alias("total_tokens"),
     )
-    segagg = seg.agg(
-        F.sum(F.col("freq") * F.col("n_symbols")).alias("_after"),
-        F.sum(F.col("freq") * F.length("word")).alias("_before"),
-        F.max("n_symbols").alias("_max_symbols"),
-    )
-    if merges:
-        first_left, first_right, first_count = merges[0]
-    else:
-        first_left = first_right = first_count = None
-    # exhaustion: stopping before 8 merges is legal ONLY with no
-    # adjacent pair left anywhere, i.e. every vocab word is 1 symbol
-    complete = (
-        F.lit(len(merges) == 8)
-        | (F.coalesce(F.col("_max_symbols"), F.lit(1)) <= 1)
-    )
-    compression = (
-        (F.col("_after") < F.col("_before"))
-        if merges
-        # all-blank corpus: both sums are NULL -> vacuously unchanged
-        else F.coalesce(F.col("_after") == F.col("_before"), F.lit(True))
+    rows = spark.createDataFrame(
+        [
+            (i + 1, left, right, count)
+            for i, (left, right, count) in enumerate(merges)
+        ],
+        "merge_idx bigint, merge_left string, merge_right string, merge_count bigint",
     )
     return (
-        stats.crossJoin(F.broadcast(segagg))
-        .select(
-            "n_vocab_words",
-            "total_tokens",
-            F.lit(first_left).cast("string").alias("first_left"),
-            F.lit(first_right).cast("string").alias("first_right"),
-            F.lit(first_count).cast("bigint").alias("first_count"),
-            complete.alias("merges_complete"),
-            F.lit(bool(relearn_ok)).alias("relearn_deterministic"),
-            compression.alias("compression_strict"),
-        )
+        rows.crossJoin(F.broadcast(stats))
+        .withColumn("relearn_deterministic", F.lit(bool(relearn_ok)))
     )
 
 
 def _x127_oracle() -> str:
-    return """
+    layers = _bpe_training_layers()
+    arms = "\n        UNION ALL\n        ".join(
+        f"SELECT {k + 1} AS merge_idx, l AS merge_left, r AS merge_right, "
+        f"c AS merge_count FROM best_{k}"
+        for k in range(_BPE_N_MERGES)
+    )
+    return f"""
     WITH words AS (
         SELECT unnest(string_split(
             regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g'), ' ')) AS w
         FROM documents
     ), words1 AS (SELECT w FROM words WHERE length(w) >= 1),
-    pairs AS (
-        SELECT substring(w, CAST(i AS INT), 1) AS l,
-               substring(w, CAST(i AS INT) + 1, 1) AS r
-        FROM (SELECT w FROM words1 WHERE length(w) >= 2) t,
-             LATERAL unnest(range(1, length(w))) AS s(i)
-    ), best AS (
-        SELECT l, r, CAST(count(*) AS BIGINT) AS c
-        FROM pairs GROUP BY l, r
-        ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    seg_0 AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+               regexp_replace(w, '(.)', chr(31) || '\\1', 'g') AS seg
+        FROM words1 GROUP BY w
+    ),{','.join(layers)},
+    merges AS (
+        {arms}
+    ),
+    stats AS (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_vocab_words,
+               CAST(count(*) AS BIGINT) AS total_tokens
+        FROM words1
     )
-    SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_vocab_words,
-           CAST(count(*) AS BIGINT) AS total_tokens,
-           (SELECT l FROM best) AS first_left,
-           (SELECT r FROM best) AS first_right,
-           (SELECT c FROM best) AS first_count,
-           TRUE AS merges_complete,
-           TRUE AS relearn_deterministic,
-           TRUE AS compression_strict
-    FROM words1
+    SELECT CAST(m.merge_idx AS BIGINT) AS merge_idx,
+           m.merge_left, m.merge_right, m.merge_count,
+           s.n_vocab_words, s.total_tokens,
+           TRUE AS relearn_deterministic
+    FROM merges m, stats s
     """
 
 
@@ -4903,49 +4918,13 @@ REGISTRY["x127_bpe_merge_learning"] = _dc.replace(
 # --- x128: BPE ENCODE — apply the learned merge table to the corpus ------
 
 
-_BPE_N_MERGES = 8
-
-
 def _x128_oracle() -> str:
     """Full SQL recomputation of x127's BPE TRAINING *and* the encode
-    pass: the 8 merge iterations are unrolled as chained CTE layers
-    (``n_merges`` is a fixed constant, so the loop is generated, not
-    recursive), and greedy left-to-right merge application is an exact
-    ``list_reduce`` fold over the separator-joined symbol string.
-
-    The fold is the subtle part. Representing a segmentation as
-    ``chr(31)``-prefixed symbols (``␟h␟e␟l␟l␟o``) and folding
-    ``(acc, x) -> merge-or-append`` reproduces Python's single
-    left-to-right scan exactly, including overlapping runs
-    (``aaaaaa`` + merge (a,a) → ``aa aa aa``) and compound symbols
-    (a merged symbol can never equal the LEFT of the same merge, so
-    greedy re-merge inside the fold is impossible by construction) —
-    a plain ``replace()`` chain gets both of those wrong. Verified
-    against the pure-Python twin of ``operators/bpe.py`` before
-    freezing this shape."""
+    pass — the 8 merge iterations are the shared
+    ``_bpe_training_layers`` CTEs, the per-source aggregation rides
+    the final segmentation."""
     sep = "chr(31)"
-    fold = (
-        f"list_reduce(string_split(seg, {sep}), "
-        f"(acc, x) -> CASE WHEN ends_with(acc, {sep} || b.l) AND x = b.r "
-        f"THEN substring(acc, 1, length(acc) - length(b.l) - 1) "
-        f"|| {sep} || b.l || b.r "
-        f"ELSE acc || {sep} || x END)"
-    )
-    layers = []
-    for k in range(_BPE_N_MERGES):
-        layers.append(f"""
-    pairs_{k} AS (
-        SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
-        FROM (SELECT freq, string_split(seg, {sep}) AS syms FROM seg_{k}) t,
-             LATERAL unnest(range(2, len(syms))) AS s(i)
-        GROUP BY l, r
-    ),
-    best_{k} AS (SELECT l, r FROM pairs_{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-    seg_{k + 1} AS (
-        SELECT word, freq,
-               CASE WHEN b.l IS NULL THEN seg ELSE {fold} END AS seg
-        FROM seg_{k} LEFT JOIN best_{k} b ON TRUE
-    )""")
+    layers = _bpe_training_layers()
     return f"""
     WITH occ AS (
         SELECT source, doc_id,

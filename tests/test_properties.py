@@ -1504,13 +1504,14 @@ def test_classifier_score_differential_parity(igloo, texts, wseed):
         max_size=12,
     )
 )
-def test_bpe_first_merge_differential_parity(igloo, rows):
+def test_bpe_all_merges_differential_parity(igloo, rows):
     """x127 over tie-heavy vocabularies with overlapping runs
-    ("aaa": zip-counting sees 2 pairs) and palindromic repeats: the
-    learned FIRST merge and its count must equal the oracle's argmax
-    computed from scratch — the tie-break (count desc, then
-    lexicographically smallest pair) is where two implementations
-    silently diverge."""
+    ("aaa": zip-counting sees 2 pairs) and palindromic repeats: ALL
+    learned merges and their counts must equal the oracle's unrolled
+    from-scratch recomputation (r09 upgraded x127 from a first-merge
+    anchor to the full table) — the tie-break (count desc, then
+    lexicographically smallest pair) and the compound-symbol apply
+    are where two implementations silently diverge."""
     from conftest import assert_matches_oracle
     from igloo_spark.queries.registry import REGISTRY
 
