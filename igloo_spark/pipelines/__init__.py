@@ -690,6 +690,8 @@ def incremental_ingest(
     auto_compact_files: int | None = None,
     quality_model=None,
     quality_model_threshold: float = 0.0,
+    quality_model_root: str | None = None,
+    quality_model_label_threshold: float = 0.6,
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -760,7 +762,12 @@ def incremental_ingest(
     teacher once, then every nightly batch is admitted by the frozen
     student as the same map-side codegen expression. The stored
     ``quality`` column stays the heuristic either way (schema and
-    history semantics unchanged). ``auto_compact_files=N``
+    history semantics unchanged). ``quality_model_root`` is the
+    learn_quantizers pattern for that model: the first ingest
+    distills the student from its own batch and freezes the artifact
+    AT the root (``save_quality_classifier``); later ingests load it
+    — the admission policy travels WITH the store instead of the
+    operator's shell history. ``auto_compact_files=N``
     runs :func:`compact_indexes_if_needed` after the index syncs so
     append-accumulated files never exceed N per bucket/cell directory
     without a compaction — the maintenance cadence a nightly ingest
@@ -909,6 +916,40 @@ def incremental_ingest(
         .select(id_col, F.lit(True).alias("__intra_neardup"))
     )
     intra_ok = near_ok.join(intra.select(id_col), id_col, "left_anti")
+    if quality_model_root is not None:
+        # the learn_quantizers pattern for the admission model: the
+        # FIRST ingest that names a model root distills the student
+        # from its own raw batch (teacher = the quality heuristic at
+        # ``quality_model_label_threshold``) and freezes it AT the
+        # root; every later ingest loads that artifact, so the store's
+        # admission policy never drifts with the operator's shell
+        # history. The fit is deterministic, so a crash between model
+        # save and corpus commit replays to the identical model.
+        import os as _os
+
+        from igloo_spark.operators.classifier import (
+            distill_quality_classifier,
+            load_quality_classifier,
+            save_quality_classifier,
+        )
+
+        if quality_model is not None:
+            raise ValueError(
+                "pass quality_model OR quality_model_root, not both"
+            )
+        if _os.path.exists(quality_model_root):
+            quality_model = load_quality_classifier(quality_model_root)
+        else:
+            quality_model = distill_quality_classifier(
+                new_docs,
+                id_col=id_col,
+                text_col=text_col,
+                label_threshold=quality_model_label_threshold,
+            )
+            _os.makedirs(
+                _os.path.dirname(quality_model_root) or ".", exist_ok=True
+            )
+            save_quality_classifier(quality_model, quality_model_root)
     if quality_model is not None:
         from igloo_spark.operators.classifier import classifier_score
 

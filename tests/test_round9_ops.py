@@ -1392,3 +1392,46 @@ class TestCliMergeStores:
             main(["--sql", "SELECT 1", "--merge-from", "/tmp/x"])
         assert main(["--ingest", str(tmp_path / "dst"),
                      "--merge-from", str(tmp_path / "absent")]) == 2
+
+
+class TestQualityModelRoot:
+    """incremental_ingest(quality_model_root=…): the learn_quantizers
+    pattern for the admission model — first ingest distills + freezes
+    the artifact at the root, later ingests load it."""
+
+    def test_bootstrap_freezes_then_later_batches_load(self, spark, tmp_path):
+        from igloo_spark.operators.classifier import load_quality_classifier
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "qm_store")
+        model = str(tmp_path / "qm_store" / "quality_model.json")
+        r1 = incremental_ingest(
+            _mk_docs(spark, range(1, 9)), root,
+            min_shared=1, quality_model_root=model,
+        )
+        assert os.path.exists(model)
+        clf1 = load_quality_classifier(model)
+        # second batch must LOAD (not refit): mutate nothing, ingest
+        # different docs, artifact bytes unchanged
+        before = open(model).read()
+        incremental_ingest(
+            _mk_docs(spark, [20, 21]), root,
+            min_shared=1, quality_model_root=model,
+        )
+        assert open(model).read() == before
+        assert load_quality_classifier(model) == clf1
+        assert {x["doc_id"] for x in r1.accepted.collect()} <= set(range(1, 9))
+
+    def test_model_root_and_model_are_exclusive(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from igloo_spark.operators.classifier import QualityClassifier
+        from igloo_spark.pipelines import incremental_ingest
+
+        clf = QualityClassifier((0.0,) * 66, bias=0.0, n_buckets=64)
+        with _pytest.raises(ValueError, match="not both"):
+            incremental_ingest(
+                _mk_docs(spark, [1]), str(tmp_path / "x"),
+                min_shared=1, quality_model=clf,
+                quality_model_root=str(tmp_path / "m.json"),
+            )
