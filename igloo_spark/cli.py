@@ -67,6 +67,13 @@ def main(argv: list[str] | None = None) -> int:
         help="logit admission threshold for --quality-model (default 0.0)",
     )
     parser.add_argument(
+        "--quality-model-root", default=None, metavar="PATH",
+        help="with --ingest: distill-on-bootstrap admission model — the "
+        "first ingest fits the student from its own batch and freezes "
+        "the artifact at PATH; later ingests load it (mutually "
+        "exclusive with --quality-model)",
+    )
+    parser.add_argument(
         "--postings-index", default=None, metavar="PATH",
         help="with --ingest: keep a persisted BM25 postings index at PATH "
         "synced with the corpus store (batch-sized append per ingest)",
@@ -199,6 +206,10 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--fit-quality-model needs --data-dir (documents table source)")
     if args.quality_model is not None and args.ingest is None:
         parser.error("--quality-model only applies to --ingest")
+    if args.quality_model_root is not None and args.ingest is None:
+        parser.error("--quality-model-root only applies to --ingest")
+    if args.quality_model is not None and args.quality_model_root is not None:
+        parser.error("--quality-model and --quality-model-root are mutually exclusive")
     if args.as_of is not None and args.corpus_store is None:
         parser.error("--as-of only applies to --corpus-store")
     if args.corpus_store is not None and not (
@@ -399,6 +410,7 @@ def main(argv: list[str] | None = None) -> int:
                 postings_index_root=args.postings_index,
                 quality_model=quality_model,
                 quality_model_threshold=args.quality_model_threshold,
+                quality_model_root=args.quality_model_root,
             )
             verdicts = {
                 r["verdict"]: r["count"]

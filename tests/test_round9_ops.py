@@ -1435,3 +1435,47 @@ class TestQualityModelRoot:
                 min_shared=1, quality_model=clf,
                 quality_model_root=str(tmp_path / "m.json"),
             )
+
+
+class TestCliQualityModelRoot:
+    def test_cli_bootstrap_and_reload(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / "qmrdocs"
+        d.mkdir()
+        rows = _doc_rows(range(1, 7))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        store = str(tmp_path / "qmrstore")
+        model = str(tmp_path / "qmrstore_model.json")
+        assert main(["--data-dir", str(d), "--ingest", store,
+                     "--min-quality", "0.0",
+                     "--quality-model-root", model]) == 0
+        assert os.path.exists(model)
+        before = open(model).read()
+        assert main(["--data-dir", str(d), "--ingest", store,
+                     "--min-quality", "0.0",
+                     "--quality-model-root", model]) == 0
+        assert open(model).read() == before
+
+    def test_cli_mutual_exclusion(self, tmp_path):
+        import pytest as _pytest
+
+        from igloo_spark.cli import main
+
+        with _pytest.raises(SystemExit):
+            main(["--ingest", str(tmp_path / "s"), "--data-dir", "/tmp",
+                  "--quality-model", "/tmp/a.json",
+                  "--quality-model-root", "/tmp/b.json"])
+        with _pytest.raises(SystemExit):
+            main(["--sql", "SELECT 1", "--quality-model-root", "/tmp/m.json"])
