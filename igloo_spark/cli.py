@@ -144,9 +144,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--data-dir", default=None, help="directory of <table>.parquet files to register")
     parser.add_argument(
         "--corpus-store", default=None, metavar="STORE_DIR",
-        help="register an --ingest corpus store's tables as views for "
-        "--sql/--query: 'corpus' (accepted documents) and 'corpus_fps' "
-        "(their winnowed fingerprints)",
+        help="register an --ingest corpus store's tables as views — "
+        "'corpus' (accepted documents) and 'corpus_fps' (their winnowed "
+        "fingerprints) — for --sql/--query, --serve (Flight clients query "
+        "the store), or --prep-corpus (shard-export the store)",
     )
     parser.add_argument(
         "--as-of", type=int, default=None, metavar="VERSION",
