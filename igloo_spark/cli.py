@@ -27,13 +27,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--prep-corpus", default=None, metavar="OUT_DIR",
         help="run the training-corpus prep pipeline over the documents table "
-        "and write per-shard training artifacts to OUT_DIR (needs --data-dir)",
+        "and write per-shard training artifacts to OUT_DIR (needs --data-dir "
+        "or --corpus-store)",
     )
     parser.add_argument(
         "--ingest", default=None, metavar="STORE_DIR",
         help="incrementally ingest the documents table into a versioned corpus "
         "store at STORE_DIR (exact + near-dup vs history, quality gate; "
-        "needs --data-dir)",
+        "needs --data-dir or --merge-from)",
     )
     parser.add_argument(
         "--min-quality", type=float, default=0.5,
