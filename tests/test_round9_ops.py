@@ -1479,3 +1479,37 @@ class TestCliQualityModelRoot:
                   "--quality-model-root", "/tmp/b.json"])
         with _pytest.raises(SystemExit):
             main(["--sql", "SELECT 1", "--quality-model-root", "/tmp/m.json"])
+
+
+def test_x127_merge_free_corpus_emits_zero_rows(igloo, tmp_path):
+    """x127's r09 exact surface on the exhausted degenerate: a corpus
+    whose whole vocab is single-symbol words learns ZERO merges — both
+    engines must emit an empty frame (Spark: createDataFrame([]) with
+    an explicit schema; oracle: every best_k CTE empty)."""
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tests")
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = tmp_path / "mf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a a a", "b"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["web", "web"], pa.string()),
+                "n_chars": pa.array([5, 1], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    spec = REGISTRY["x127_bpe_merge_learning"]
+    df = spec.spark(igloo.spark, str(d))
+    assert df.count() == 0
+    assert_matches_oracle(df, spec.oracle, str(d))
