@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
         "synced with the corpus store (batch-sized append per ingest)",
     )
     parser.add_argument(
+        "--persist-embeddings", action="store_true",
+        help="with --ingest: store the batch's 'embedding' column in the "
+        "corpus snapshots, so vector indexes can be repaired from the "
+        "store itself (--repair-index --index-kind ivf|pq|ivfpq)",
+    )
+    parser.add_argument(
         "--check-index-sync", default=None, metavar="STORE_DIR",
         help="report whether the index at --index-root is in sync with the "
         "corpus store (exit 0 in sync, 3 lagging)",
@@ -225,11 +231,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
-    if args.repair_index is not None and args.index_kind != "postings":
-        parser.error(
-            "--repair-index supports postings from the CLI; vector kinds "
-            "need the embeddings frame — use pipelines.repair_index"
-        )
+    # --repair-index supports all four kinds: postings rebuilds from the
+    # store's text; vector kinds rebuild from the store's own embedding
+    # column when it was ingested with --persist-embeddings (otherwise
+    # repair_index raises and we exit 2 with its message)
 
     if args.store_history is not None:
         # manifest metadata only — no SparkSession (instant, scriptable)
@@ -362,10 +367,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.repair_index is not None:
             from igloo_spark.pipelines import repair_index
 
-            out = repair_index(
-                session.spark, args.repair_index + "/corpus",
-                args.index_root, args.index_kind,
-            )
+            try:
+                out = repair_index(
+                    session.spark, args.repair_index + "/corpus",
+                    args.index_root, args.index_kind,
+                )
+            except ValueError as e:
+                print(f"error: --repair-index: {e}", file=sys.stderr)
+                return 2
             print(f"repair ({args.index_kind}): {out}")
             return 0 if out["in_sync"] else 3
         if args.fit_quality_model is not None:
@@ -398,9 +407,13 @@ def main(argv: list[str] | None = None) -> int:
                 from igloo_spark.sources.versioned import read_versioned
 
                 try:
-                    batch = read_versioned(
+                    src = read_versioned(
                         session.spark, args.merge_from + "/corpus"
-                    ).select("doc_id", "text")
+                    )
+                    cols = ["doc_id", "text"] + (
+                        ["embedding"] if "embedding" in src.columns else []
+                    )
+                    batch = src.select(*cols)
                 except (FileNotFoundError, ValueError) as e:
                     print(f"error: --merge-from: {e}", file=sys.stderr)
                     return 2
@@ -413,6 +426,7 @@ def main(argv: list[str] | None = None) -> int:
                 quality_model=quality_model,
                 quality_model_threshold=args.quality_model_threshold,
                 quality_model_root=args.quality_model_root,
+                persist_embeddings=args.persist_embeddings,
             )
             verdicts = {
                 r["verdict"]: r["count"]

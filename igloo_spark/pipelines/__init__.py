@@ -562,9 +562,14 @@ def repair_index(
             id_col=id_col, text_col=text_col,
         )
     else:
+        if vecs is None and vec_col in corpus.columns:
+            # embeddings-persisting store (persist_embeddings=True at
+            # ingest): repair entirely from the store's own snapshot
+            vecs = corpus
         if vecs is None:
             raise ValueError(
-                f"repairing a {kind!r} index needs the embeddings: pass vecs"
+                f"repairing a {kind!r} index needs the embeddings: pass "
+                f"vecs, or ingest the store with persist_embeddings=True"
             )
         from igloo_spark.operators import similarity as _sim
 
@@ -692,6 +697,7 @@ def incremental_ingest(
     quality_model_threshold: float = 0.0,
     quality_model_root: str | None = None,
     quality_model_label_threshold: float = 0.6,
+    persist_embeddings: bool = False,
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -993,8 +999,22 @@ def incremental_ingest(
         )
     )
 
+    store_frame = accepted.select(id_col, text_col, "quality", "n_tokens")
+    if persist_embeddings:
+        # opt-in: the store carries the vector column, so vector-index
+        # REPAIR can rebuild from the store's own snapshot (no external
+        # embeddings frame — the gap that made CLI vector repair
+        # API-only). Every batch of such a store must carry the column
+        # (validated below) so the store schema stays uniform.
+        if vec_col not in new_docs.columns:
+            raise ValueError(
+                f"persist_embeddings=True but batch has no {vec_col!r} column"
+            )
+        store_frame = store_frame.join(
+            new_docs.select(id_col, vec_col), id_col
+        )
     corpus_version = write_versioned(
-        accepted.select(id_col, text_col, "quality", "n_tokens"),
+        store_frame,
         corpus_root,
         mode="append",
         batch_id=batch_id,

@@ -978,9 +978,6 @@ class TestCliIndexMaintenance:
         for argv in (
             ["--check-index-sync", "/tmp/x"],  # needs --index-root
             ["--repair-index", "/tmp/x"],  # needs --index-root
-            # vector repair is API-only (needs the embeddings frame)
-            ["--repair-index", "/tmp/x", "--index-root", "/tmp/i",
-             "--index-kind", "ivf"],
             ["--sql", "SELECT 1", "--check-index-sync", "/tmp/x",
              "--index-root", "/tmp/i"],
         ):
@@ -1513,3 +1510,87 @@ def test_x127_merge_free_corpus_emits_zero_rows(igloo, tmp_path):
     df = spec.spark(igloo.spark, str(d))
     assert df.count() == 0
     assert_matches_oracle(df, spec.oracle, str(d))
+
+
+class TestPersistEmbeddings:
+    """persist_embeddings=True: the store carries the vector column,
+    so vector-index repair runs from the store's own snapshot — the
+    gap that made CLI vector repair API-only is closed."""
+
+    def test_store_repair_ivf_from_own_snapshot(self, spark, tmp_path):
+        from igloo_spark.pipelines import (
+            check_index_sync,
+            incremental_ingest,
+            repair_index,
+        )
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "pe_store")
+        ivf_root = str(tmp_path / "pe_ivf")
+        kw = dict(min_quality=0.0, min_shared=1, persist_embeddings=True,
+                  ivf_n_cells=N_CELLS)
+        incremental_ingest(
+            _mk_docs(spark, range(1, 6)), root,
+            ivf_index_root=ivf_root, **kw,
+        )
+        assert "embedding" in read_versioned(spark, root + "/corpus").columns
+        # lag the index: second batch ingested WITHOUT the index root
+        incremental_ingest(_mk_docs(spark, [9, 10]), root, **kw)
+        s = check_index_sync(spark, root + "/corpus", ivf_root, kind="ivf")
+        assert s["in_sync"] is False
+        # repair with NO vecs argument — store supplies its own
+        out = repair_index(spark, root + "/corpus", ivf_root, "ivf")
+        assert out["repaired"] is True and out["in_sync"] is True
+        assert out["index_docs"] == 7
+
+    def test_missing_embedding_column_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from igloo_spark.pipelines import incremental_ingest
+
+        docs = spark.createDataFrame(
+            [(1, "plain text only")], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="no 'embedding' column"):
+            incremental_ingest(
+                docs, str(tmp_path / "x"),
+                min_shared=1, persist_embeddings=True,
+            )
+
+    def test_cli_vector_repair(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+        from igloo_spark.pipelines import incremental_ingest
+
+        # build an embeddings-persisting store + lagging ivf index (API),
+        # then repair from the CLI
+        root = str(tmp_path / "cli_pe_store")
+        ivf_root = str(tmp_path / "cli_pe_ivf")
+        kw = dict(min_quality=0.0, min_shared=1, persist_embeddings=True,
+                  ivf_n_cells=N_CELLS)
+        incremental_ingest(
+            _mk_docs(spark, range(1, 5)), root,
+            ivf_index_root=ivf_root, **kw,
+        )
+        incremental_ingest(_mk_docs(spark, [8]), root, **kw)
+        assert main(["--check-index-sync", root, "--index-root", ivf_root,
+                     "--index-kind", "ivf"]) == 3
+        assert main(["--repair-index", root, "--index-root", ivf_root,
+                     "--index-kind", "ivf"]) == 0
+        assert main(["--check-index-sync", root, "--index-root", ivf_root,
+                     "--index-kind", "ivf"]) == 0
+
+        # a NON-persisting store cannot vector-repair from the CLI
+        plain = str(tmp_path / "cli_plain_store")
+        plain_ivf = str(tmp_path / "cli_plain_ivf")
+        incremental_ingest(
+            _mk_docs(spark, [1, 2]), plain,
+            min_quality=0.0, min_shared=1, ivf_index_root=plain_ivf,
+            ivf_n_cells=N_CELLS,
+        )
+        incremental_ingest(_mk_docs(spark, [3]), plain,
+                           min_quality=0.0, min_shared=1)
+        assert main(["--repair-index", plain, "--index-root", plain_ivf,
+                     "--index-kind", "ivf"]) == 2
