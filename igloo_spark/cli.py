@@ -80,6 +80,27 @@ def main(argv: list[str] | None = None) -> int:
         "synced with the corpus store (batch-sized append per ingest)",
     )
     parser.add_argument(
+        "--ivf-index", default=None, metavar="PATH",
+        help="with --ingest: keep a persisted IVF vector index at PATH "
+        "synced with the corpus store (batch needs an 'embedding' column)",
+    )
+    parser.add_argument(
+        "--pq-index", default=None, metavar="PATH",
+        help="with --ingest: keep a persisted PQ code index at PATH synced "
+        "with the corpus store",
+    )
+    parser.add_argument(
+        "--ivfpq-index", default=None, metavar="PATH",
+        help="with --ingest: keep a persisted IVFADC index at PATH synced "
+        "with the corpus store",
+    )
+    parser.add_argument(
+        "--learn-quantizers", action="store_true",
+        help="with --ingest vector indexes: k-means-fit the quantizers on "
+        "the first non-empty batch (frozen thereafter) instead of the "
+        "deterministic defaults",
+    )
+    parser.add_argument(
         "--persist-embeddings", action="store_true",
         help="with --ingest: store the batch's 'embedding' column in the "
         "corpus snapshots, so vector indexes can be repaired from the "
@@ -427,6 +448,10 @@ def main(argv: list[str] | None = None) -> int:
                 quality_model_threshold=args.quality_model_threshold,
                 quality_model_root=args.quality_model_root,
                 persist_embeddings=args.persist_embeddings,
+                ivf_index_root=args.ivf_index,
+                pq_index_root=args.pq_index,
+                ivfpq_index_root=args.ivfpq_index,
+                learn_quantizers=args.learn_quantizers,
             )
             verdicts = {
                 r["verdict"]: r["count"]

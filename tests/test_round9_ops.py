@@ -1594,3 +1594,47 @@ class TestPersistEmbeddings:
                            min_quality=0.0, min_shared=1)
         assert main(["--repair-index", plain, "--index-root", plain_ivf,
                      "--index-kind", "ivf"]) == 2
+
+
+class TestCliVectorIndexIngest:
+    """--ingest --ivf-index/--pq-index/--ivfpq-index: the vector half
+    of the CLI index-maintenance surface (postings had --postings-index
+    since r09's first session)."""
+
+    def _write_docs(self, tmp_path, name, ids):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / name
+        d.mkdir()
+        rows = _doc_rows(ids)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "embedding": pa.array(
+                        [r[2] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_cli_ingest_keeps_vector_indexes_synced(self, tmp_path):
+        from igloo_spark.cli import main
+
+        store = str(tmp_path / "vstore")
+        roots = {k: str(tmp_path / f"v_{k}") for k in ("ivf", "pq", "ivfpq")}
+        d1 = self._write_docs(tmp_path, "vb1", range(1, 6))
+        d2 = self._write_docs(tmp_path, "vb2", [9, 10])
+        argv_idx = ["--ivf-index", roots["ivf"], "--pq-index", roots["pq"],
+                    "--ivfpq-index", roots["ivfpq"]]
+        for d in (d1, d2):
+            assert main(["--data-dir", d, "--ingest", store,
+                         "--min-quality", "0.0", *argv_idx]) == 0
+        for kind in ("ivf", "pq", "ivfpq"):
+            assert main(["--check-index-sync", store,
+                         "--index-root", roots[kind],
+                         "--index-kind", kind]) == 0, kind
