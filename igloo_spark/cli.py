@@ -160,6 +160,16 @@ def main(argv: list[str] | None = None) -> int:
         "--n-shards", type=int, default=8,
         help="training shard count for --prep-corpus (default 8)",
     )
+    parser.add_argument(
+        "--search", default=None, metavar="TEXT",
+        help="BM25 top-k retrieval from a persisted postings index at "
+        "--index-root (whitespace-tokenized query; bucket-pruned probe, "
+        "corpus never read). Add --corpus-store to join document previews.",
+    )
+    parser.add_argument(
+        "--top-k", type=int, default=10,
+        help="result count for --search (default 10)",
+    )
     parser.add_argument("--explain", action="store_true", help="print the optimized plan")
     parser.add_argument(
         "--audit", action="store_true",
@@ -208,6 +218,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--optimize-store", args.optimize_store is not None),
             ("--vacuum-store", args.vacuum_store is not None),
             ("--store-history", args.store_history is not None),
+            ("--search", args.search is not None),
         ) if on
     ]
     if not modes:
@@ -241,14 +252,18 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--quality-model and --quality-model-root are mutually exclusive")
     if args.as_of is not None and args.corpus_store is None:
         parser.error("--as-of only applies to --corpus-store")
+    if args.search is not None and not args.index_root:
+        parser.error("--search needs --index-root (a persisted postings index)")
     if args.corpus_store is not None and not (
         args.sql is not None
         or args.query is not None
         or args.serve is not None
         or args.prep_corpus is not None
+        or args.search is not None
     ):
         parser.error(
-            "--corpus-store only applies to --sql/--query/--serve/--prep-corpus"
+            "--corpus-store only applies to --sql/--query/--serve/"
+            "--prep-corpus/--search"
         )
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
@@ -472,7 +487,29 @@ def main(argv: list[str] | None = None) -> int:
             server.serve()
             return 0
         try:
-            if args.query is not None:
+            if args.search is not None:
+                from pyspark.sql import functions as F
+
+                from igloo_spark.operators.retrieval import (
+                    probe_postings_index,
+                )
+
+                terms = args.search.split()
+                df = probe_postings_index(
+                    session.spark, args.index_root, terms, k=args.top_k
+                )
+                if args.corpus_store is not None:
+                    corpus = session.spark.table("corpus")
+                    df = df.join(
+                        corpus.select(
+                            "doc_id",
+                            F.substring("text", 1, 80).alias("preview"),
+                        ),
+                        "doc_id",
+                        "left",
+                    )
+                df = df.orderBy("rank")
+            elif args.query is not None:
                 from igloo_spark.queries import all_queries
 
                 specs = all_queries()

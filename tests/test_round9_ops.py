@@ -1638,3 +1638,54 @@ class TestCliVectorIndexIngest:
             assert main(["--check-index-sync", store,
                          "--index-root", roots[kind],
                          "--index-kind", kind]) == 0, kind
+
+
+class TestCliSearch:
+    """--search: BM25 retrieval from a persisted postings index on the
+    CLI, with --corpus-store document previews."""
+
+    def test_search_finds_the_right_doc(self, tmp_path, capsys):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / "sdocs"
+        d.mkdir()
+        texts = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spark engines shuffle partitions across executors"),
+            (3, "a postings index prunes buckets before scoring"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+                    "text": pa.array([t[1] for t in texts], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        store = str(tmp_path / "sstore")
+        idx = str(tmp_path / "spostings")
+        assert main(["--data-dir", str(d), "--ingest", store,
+                     "--min-quality", "0.0", "--postings-index", idx]) == 0
+        capsys.readouterr()
+        assert main(["--search", "postings buckets", "--index-root", idx,
+                     "--top-k", "2", "--corpus-store", store]) == 0
+        out = capsys.readouterr().out
+        # doc 3 must rank first, with its preview joined from the store
+        first_data_line = next(
+            line for line in out.splitlines()
+            if line.startswith("|") and "doc_id" not in line
+        )
+        assert first_data_line.split("|")[1].strip() == "3"
+        assert "prunes buckets" in out
+
+    def test_search_requires_index_root(self):
+        import pytest as _pytest
+
+        from igloo_spark.cli import main
+
+        with _pytest.raises(SystemExit):
+            main(["--search", "hello"])
