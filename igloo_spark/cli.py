@@ -168,7 +168,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--top-k", type=int, default=10,
-        help="result count for --search (default 10)",
+        help="result count for --search/--vector-search (default 10)",
+    )
+    parser.add_argument(
+        "--vector-search", type=int, default=None, metavar="VEC_ID",
+        help="ANN top-k from a persisted vector index at --index-root "
+        "(--index-kind ivf|pq|ivfpq): the query is row VEC_ID of the "
+        "--data-dir embeddings table; cell/bucket-pruned probe, corpus "
+        "codes never fully scanned",
+    )
+    parser.add_argument(
+        "--nprobe", type=int, default=2,
+        help="cells probed for --vector-search with ivf/ivfpq (default 2)",
     )
     parser.add_argument("--explain", action="store_true", help="print the optimized plan")
     parser.add_argument(
@@ -219,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--vacuum-store", args.vacuum_store is not None),
             ("--store-history", args.store_history is not None),
             ("--search", args.search is not None),
+            ("--vector-search", args.vector_search is not None),
         ) if on
     ]
     if not modes:
@@ -254,6 +266,13 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--as-of only applies to --corpus-store")
     if args.search is not None and not args.index_root:
         parser.error("--search needs --index-root (a persisted postings index)")
+    if args.vector_search is not None:
+        if not args.index_root:
+            parser.error("--vector-search needs --index-root (a persisted vector index)")
+        if not args.data_dir:
+            parser.error("--vector-search needs --data-dir (embeddings table for the query vector)")
+        if args.index_kind == "postings":
+            parser.error("--vector-search needs --index-kind ivf|pq|ivfpq")
     if args.corpus_store is not None and not (
         args.sql is not None
         or args.query is not None
@@ -509,6 +528,36 @@ def main(argv: list[str] | None = None) -> int:
                         "left",
                     )
                 df = df.orderBy("rank")
+            elif args.vector_search is not None:
+                from pyspark.sql import functions as F
+
+                from igloo_spark.operators import similarity as _sim
+
+                emb = session.spark.table("embeddings")
+                queries = emb.filter(
+                    F.col("vec_id") == args.vector_search
+                ).select("vec_id", "embedding")
+                if queries.limit(1).count() == 0:
+                    print(
+                        f"error: vec_id {args.vector_search} not in the "
+                        f"embeddings table",
+                        file=sys.stderr,
+                    )
+                    return 1
+                probe = {
+                    "ivf": lambda: _sim.probe_ivf_index(
+                        session.spark, args.index_root, queries,
+                        k=args.top_k, nprobe=args.nprobe,
+                    ),
+                    "pq": lambda: _sim.probe_pq_index(
+                        session.spark, args.index_root, queries, k=args.top_k,
+                    ),
+                    "ivfpq": lambda: _sim.probe_ivfpq_index(
+                        session.spark, args.index_root, queries,
+                        k=args.top_k, nprobe=args.nprobe,
+                    ),
+                }[args.index_kind]
+                df = probe().orderBy("rank")
             elif args.query is not None:
                 from igloo_spark.queries import all_queries
 

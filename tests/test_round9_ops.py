@@ -1689,3 +1689,58 @@ class TestCliSearch:
 
         with _pytest.raises(SystemExit):
             main(["--search", "hello"])
+
+
+class TestCliVectorSearch:
+    """--vector-search: ANN retrieval from a persisted vector index on
+    the CLI, query taken from the --data-dir embeddings table."""
+
+    def test_vector_search_roundtrip(self, spark, tmp_path, capsys):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+        from igloo_spark.operators.similarity import write_ivf_index
+
+        rows = _doc_rows(range(0, 12))
+        vecs = _mk_docs(spark, range(0, 12)).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        idx = str(tmp_path / "vs_ivf")
+        write_ivf_index(vecs, idx, n_cells=N_CELLS, dim=DIM)
+        d = tmp_path / "vs_data"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[2] for r in rows], pa.list_(pa.float64())
+                    ),
+                    "label": pa.array([0] * len(rows), pa.int32()),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        assert main(["--data-dir", str(d), "--vector-search", "3",
+                     "--index-root", idx, "--index-kind", "ivf",
+                     "--top-k", "3", "--nprobe", str(N_CELLS)]) == 0
+        out = capsys.readouterr().out
+        assert "neighbor_id" in out and "rank" in out
+        # missing vec id -> clean exit 1
+        assert main(["--data-dir", str(d), "--vector-search", "999",
+                     "--index-root", idx, "--index-kind", "ivf"]) == 1
+
+    def test_vector_search_validation(self):
+        import pytest as _pytest
+
+        from igloo_spark.cli import main
+
+        for argv in (
+            ["--vector-search", "1", "--data-dir", "/tmp"],  # no index-root
+            ["--vector-search", "1", "--index-root", "/tmp/i"],  # no data-dir
+            ["--vector-search", "1", "--index-root", "/tmp/i",
+             "--data-dir", "/tmp"],  # default kind is postings
+        ):
+            with _pytest.raises(SystemExit):
+                main(argv)
