@@ -5709,3 +5709,62 @@ def x134(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("removed_frac"),
     )
+
+
+# --- x135: quality-preferring canonical selection --------------------------
+
+
+def _x135_oracle() -> str:
+    manifest = REGISTRY["x75_dedup_manifest"].oracle
+    return f"""
+    WITH m AS ({manifest}),
+    q AS (SELECT doc_id, {quality_score_sql('text')} AS q FROM documents),
+    best AS (
+        SELECT canonical_id, doc_id AS best_id FROM (
+            SELECT m.canonical_id, m.doc_id,
+                   row_number() OVER (
+                       PARTITION BY m.canonical_id
+                       ORDER BY q.q DESC, m.doc_id ASC
+                   ) AS rk
+            FROM m JOIN q ON m.doc_id = q.doc_id
+        ) WHERE rk = 1
+    )
+    SELECT m.doc_id,
+           CAST(b.best_id AS BIGINT) AS canonical_id,
+           m.doc_id = b.best_id AS is_canonical,
+           m.group_size
+    FROM m JOIN best b ON m.canonical_id = b.canonical_id
+    """
+
+
+@register(
+    "x135_best_quality_canonicals",
+    "production canonical re-pick: each dup family keeps its highest-QUALITY member",
+    _x135_oracle(),
+    tags=("dedup", "quality", "llm"),
+)
+def x135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production keep-policy the pipelines already use
+    (`prepare_training_corpus(canonical_policy="best_quality")`),
+    now first-class in the corpus: x75's manifest picks each family's
+    min-id member (the cheapest deterministic tie-break);
+    `select_canonicals` re-picks by QUALITY, so the cleanest copy of
+    a near-dup family survives into training instead of whichever
+    crawled first. Ties break toward the smaller id (max_by over a
+    (score, -id) struct) — mirrored exactly by the oracle's
+    row_number(q DESC, id ASC); the quality twins produce identical
+    doubles on both engines, so the float compare has no cross-engine
+    ties.
+
+    Scale shape: one component-keyed max_by (map-side partial, one
+    row per family) + one equi-join back — family-volume work on top
+    of the manifest any dedup run already computes."""
+    from igloo_spark.operators.dedup import dedup_manifest, select_canonicals
+
+    docs = table(spark, sf_dir, "documents")
+    m = dedup_manifest(
+        docs, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=2, threshold=0.5,
+    )
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+    return select_canonicals(m, scored, "doc_id", "q")

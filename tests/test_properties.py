@@ -1660,3 +1660,33 @@ def test_ivf_eval_queries_differential_parity(igloo, n, seed, n_dup):
     for name in ("x131_ivf_cell_purity", "x132_recall_nprobe_sweep"):
         spec = REGISTRY[name]
         assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 6})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["red fox", "red dog", "blue fox", "blue dog"]),
+                min_size=1,
+                max_size=6,
+            ).map(" ".join),
+            st.sampled_from(["en"]),
+            st.sampled_from(["web"]),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_best_quality_canonicals_differential_parity(igloo, rows):
+    """x135 over dense near-dup corpora where family members often
+    have IDENTICAL quality scores (same 4-phrase vocabulary → same
+    length/punct/stopword profile): the max_by (score, -id) re-pick
+    must break those float ties toward the smaller id exactly like
+    the oracle's row_number(q DESC, id ASC)."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x135_best_quality_canonicals"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
