@@ -330,6 +330,22 @@ class IncrementalIngestResult:
     verdicts: DataFrame        # every batch doc -> verdict (kept/exact_dup/near_dup/low_quality)
     corpus_version: int
     fp_version: int
+    # (rule, n_violations) when expectations= was passed, else None;
+    # populated in warn mode even when violations exist
+    expectation_violations: "DataFrame | None" = None
+
+
+class BatchExpectationError(ValueError):
+    """A batch-level expectation failed in ``expectation_mode="fail"``:
+    NOTHING was committed (no corpus/fp versions, no index appends).
+    ``violations`` holds the collected (rule, n_violations) rows."""
+
+    def __init__(self, violations: list):
+        self.violations = violations
+        super().__init__(
+            "batch rejected by expectations: "
+            + ", ".join(f"{r['rule']}={r['n_violations']}" for r in violations)
+        )
 
 
 def _sync_postings_index(
@@ -698,6 +714,8 @@ def incremental_ingest(
     quality_model_root: str | None = None,
     quality_model_label_threshold: float = 0.6,
     persist_embeddings: bool = False,
+    expectations: dict | None = None,
+    expectation_mode: str = "fail",
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -791,6 +809,26 @@ def incremental_ingest(
     spark = new_docs.sparkSession
     corpus_root = store_root + "/corpus"
     fp_root = store_root + "/fps"
+    expectation_violations = None
+    if expectations is not None:
+        # batch-level contract (the DLT promotion gate applied to
+        # ingest): evaluate BEFORE anything touches the store, so a
+        # malformed batch (null/duplicate ids, out-of-contract text)
+        # rejects atomically — per-doc gates decide which docs get in,
+        # this decides whether the BATCH is trustworthy at all.
+        # Deterministic, so a crash-replayed batch re-gates identically.
+        if expectation_mode not in ("fail", "warn"):
+            raise ValueError(
+                f"expectation_mode must be fail|warn, got {expectation_mode!r}"
+            )
+        from igloo_spark.operators.expectations import check_expectations
+
+        expectation_violations = check_expectations(
+            new_docs, **expectations
+        ).localCheckpoint(eager=False)
+        bad = expectation_violations.filter(F.col("n_violations") > 0).collect()
+        if bad and expectation_mode == "fail":
+            raise BatchExpectationError(bad)
     if batch_id is not None:
         corpus_done = batch_id <= last_committed_batch(corpus_root)
         fp_done = batch_id <= last_committed_batch(fp_root)
@@ -808,6 +846,7 @@ def incremental_ingest(
                 verdicts=empty.select(id_col, F.lit("replayed").alias("verdict")),
                 corpus_version=_list_versions(corpus_root)[-1],
                 fp_version=_list_versions(fp_root)[-1],
+                expectation_violations=expectation_violations,
             )
         if corpus_done and not fp_done:
             # finish the interrupted second commit from the durable
@@ -862,6 +901,7 @@ def incremental_ingest(
                 ),
                 corpus_version=v,
                 fp_version=fp_version,
+                expectation_violations=expectation_violations,
             )
     try:
         history = read_versioned(spark, corpus_root)
@@ -1045,6 +1085,7 @@ def incremental_ingest(
         verdicts=verdicts,
         corpus_version=corpus_version,
         fp_version=fp_version,
+        expectation_violations=expectation_violations,
     )
 
 

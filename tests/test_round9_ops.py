@@ -1744,3 +1744,85 @@ class TestCliVectorSearch:
         ):
             with _pytest.raises(SystemExit):
                 main(argv)
+
+
+class TestBatchExpectations:
+    """incremental_ingest(expectations=…): the batch-level contract
+    gate — per-doc gates decide WHICH docs get in, this decides
+    whether the batch is trustworthy at all."""
+
+    def _expectations(self):
+        from igloo_spark.operators.expectations import expect_not_null
+
+        return {
+            "row_rules": [expect_not_null("doc_id")],
+            "unique_keys": [["doc_id"]],
+        }
+
+    def test_bad_batch_rejects_atomically(self, spark, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from igloo_spark.pipelines import (
+            BatchExpectationError,
+            incremental_ingest,
+        )
+
+        root = str(tmp_path / "exp_store")
+        # duplicate doc_id 2 — a store-corrupting batch
+        docs = spark.createDataFrame(
+            [(1, "alpha words one"), (2, "beta words two"),
+             (2, "gamma words three")],
+            "doc_id long, text string",
+        )
+        with _pytest.raises(BatchExpectationError, match="unique"):
+            incremental_ingest(
+                docs, root, min_shared=1,
+                expectations=self._expectations(),
+            )
+        # NOTHING committed
+        assert not os.path.exists(root + "/corpus")
+
+    def test_clean_batch_passes_and_reports_zero(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "exp_store_ok")
+        r = incremental_ingest(
+            _mk_docs(spark, [1, 2, 3]), root, min_shared=1,
+            min_quality=0.0, expectations=self._expectations(),
+        )
+        v = {x["rule"]: x["n_violations"]
+             for x in r.expectation_violations.collect()}
+        assert set(v.values()) == {0}
+        assert r.corpus_version == 1
+
+    def test_warn_mode_commits_and_reports(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "exp_store_warn")
+        docs = spark.createDataFrame(
+            [(1, "alpha words one"), (2, "beta words two"),
+             (2, "gamma words three")],
+            "doc_id long, text string",
+        )
+        r = incremental_ingest(
+            docs, root, min_shared=1, min_quality=0.0,
+            expectations=self._expectations(), expectation_mode="warn",
+        )
+        v = {x["rule"]: x["n_violations"]
+             for x in r.expectation_violations.collect()}
+        assert v["unique(doc_id)"] == 2
+        assert read_versioned(spark, root + "/corpus").count() >= 1
+
+    def test_bad_mode_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from igloo_spark.pipelines import incremental_ingest
+
+        with _pytest.raises(ValueError, match="fail|warn"):
+            incremental_ingest(
+                _mk_docs(spark, [1]), str(tmp_path / "x"), min_shared=1,
+                expectations=self._expectations(), expectation_mode="abort",
+            )
