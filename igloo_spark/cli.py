@@ -101,6 +101,16 @@ def main(argv: list[str] | None = None) -> int:
         "deterministic defaults",
     )
     parser.add_argument(
+        "--expect-unique-id", action="store_true",
+        help="with --ingest: reject the whole batch atomically if doc_id "
+        "is null or duplicated (batch-level contract, nothing committed); "
+        "--expectation-mode warn commits anyway and reports counts",
+    )
+    parser.add_argument(
+        "--expectation-mode", default="fail", choices=["fail", "warn"],
+        help="behavior when --expect-unique-id finds violations (default fail)",
+    )
+    parser.add_argument(
         "--persist-embeddings", action="store_true",
         help="with --ingest: store the batch's 'embedding' column in the "
         "corpus snapshots, so vector indexes can be repaired from the "
@@ -474,19 +484,39 @@ def main(argv: list[str] | None = None) -> int:
                     return 2
             else:
                 batch = session.spark.table("documents")
-            result = incremental_ingest(
-                batch, args.ingest,
-                min_quality=args.min_quality,
-                postings_index_root=args.postings_index,
-                quality_model=quality_model,
-                quality_model_threshold=args.quality_model_threshold,
-                quality_model_root=args.quality_model_root,
-                persist_embeddings=args.persist_embeddings,
-                ivf_index_root=args.ivf_index,
-                pq_index_root=args.pq_index,
-                ivfpq_index_root=args.ivfpq_index,
-                learn_quantizers=args.learn_quantizers,
-            )
+            expectations = None
+            if args.expect_unique_id:
+                from igloo_spark.operators.expectations import (
+                    expect_not_null,
+                )
+
+                expectations = {
+                    "row_rules": [expect_not_null("doc_id")],
+                    "unique_keys": [["doc_id"]],
+                }
+            try:
+                result = incremental_ingest(
+                    batch, args.ingest,
+                    min_quality=args.min_quality,
+                    postings_index_root=args.postings_index,
+                    quality_model=quality_model,
+                    quality_model_threshold=args.quality_model_threshold,
+                    quality_model_root=args.quality_model_root,
+                    persist_embeddings=args.persist_embeddings,
+                    ivf_index_root=args.ivf_index,
+                    pq_index_root=args.pq_index,
+                    ivfpq_index_root=args.ivfpq_index,
+                    learn_quantizers=args.learn_quantizers,
+                    expectations=expectations,
+                    expectation_mode=args.expectation_mode,
+                )
+            except Exception as e:
+                from igloo_spark.pipelines import BatchExpectationError
+
+                if isinstance(e, BatchExpectationError):
+                    print(f"error: --ingest: {e}", file=sys.stderr)
+                    return 4
+                raise
             verdicts = {
                 r["verdict"]: r["count"]
                 for r in result.verdicts.groupBy("verdict").count().collect()

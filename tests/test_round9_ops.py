@@ -1826,3 +1826,37 @@ class TestBatchExpectations:
                 _mk_docs(spark, [1]), str(tmp_path / "x"), min_shared=1,
                 expectations=self._expectations(), expectation_mode="abort",
             )
+
+
+class TestCliExpectUniqueId:
+    def test_dup_batch_exits_4_clean_batch_0(self, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        bad = tmp_path / "expdocs_bad"
+        bad.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 2], pa.int64()),
+                    "text": pa.array(
+                        ["alpha words", "beta words", "gamma words"],
+                        pa.string(),
+                    ),
+                }
+            ),
+            str(bad / "documents.parquet"),
+        )
+        store = str(tmp_path / "exp_cli_store")
+        assert main(["--data-dir", str(bad), "--ingest", store,
+                     "--min-quality", "0.0", "--expect-unique-id"]) == 4
+        assert not os.path.exists(store + "/corpus")
+        # warn mode commits
+        assert main(["--data-dir", str(bad), "--ingest", store,
+                     "--min-quality", "0.0", "--expect-unique-id",
+                     "--expectation-mode", "warn"]) == 0
+        assert os.path.exists(store + "/corpus")
