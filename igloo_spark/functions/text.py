@@ -478,3 +478,37 @@ def char_entropy_vectorized():
         return pd.Series(np.round(out, 6))
 
     return _ent.asNondeterministic()
+
+
+def nfc_normalize_col() -> "Column":
+    """Unicode NFC normalization as an Arrow-batched pandas UDF —
+    Spark SQL has no JVM-side Unicode-normalization function (as of
+    4.x), so this is one of the documented Arrow exceptions (the
+    char-entropy rule: vectorized batch work, single eval pinned via
+    asNondeterministic). DuckDB twin: ``nfc_normalize(expr)``
+    (verified byte-identical md5s for NFD→NFC composition).
+
+    Returns a FUNCTION of one column (call pattern matches
+    ``pandas_udf`` usage elsewhere): ``nfc_normalize_col()(F.col(c))``.
+    Nulls pass through as nulls."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return pd.Series(
+            [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in s
+            ]
+        )
+
+    return _nfc.asNondeterministic()
+
+
+# zero-width space / non-joiner / joiner / BOM — the invisible
+# characters that defeat byte-exact dedup while rendering identically;
+# RE2 and Java regex share this class syntax
+INVISIBLE_CHARS_REGEX = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"

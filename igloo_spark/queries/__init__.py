@@ -25,18 +25,18 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r09 rotation (executes the r08 verdict's task 2): the twelve
+    # -- r09 rotation (executes the r08 verdict's task 2): the thirteen
     # never-driver-checked queries FIRST (x125, x126, x127, x124,
-    # x128-x135 — all new this round), then the
+    # x128-x136 — all new this round), then the
     # two changed-since-verdict (the r08 ADVICE pin rule): x114 (r08
     # integer-quantization rewrite postdates its r07 verdict) and
     # x123 (its _ivfpq_rank/ivfpq_assign path gained the residual
     # branch in r09 — default path byte-equivalent, pinned anyway),
-    # then the 22 r05-stale queries, then 14 of the 50 r06-stale
+    # then the 22 r05-stale queries, then 13 of the 50 r06-stale
     # (operator-heavy first). Exactly 50 entries. After this window
-    # the verdict-age histogram is 50@r09, 50@r08, 48@r07, 36@r06
-    # (x48 x49 x50 x51 x52 x53 x54 x57 x58 x60 x61 x65 x66 x67 x68
-    # x72 x73 q51-q57 q59-q65 q68-q71 q77 — they lead the r10
+    # the verdict-age histogram is 50@r09, 50@r08, 48@r07, 37@r06
+    # (x48 x49 x50 x51 x52 x53 x54 x57 x58 x60 x61 x63 x65 x66 x67
+    # x68 x72 x73 q51-q57 q59-q65 q68-q71 q77 — they lead the r10
     # rotation, followed by the oldest r07 verdicts).
     "x125_quality_classifier",
     "x126_classifier_auc",
@@ -50,6 +50,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x133_context_length_sweep",
     "x134_dedup_threshold_sweep",
     "x135_best_quality_canonicals",
+    "x136_unicode_normalization_audit",
     "x114_temperature_mixture",
     "x123_ann_ivfpq_topk",
     # -- the 22 r05-stale --
@@ -89,7 +90,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x45_embedding_neardup",
     "x71_embedding_neardup_lsh",
     "x46_ann_bruteforce_topk",
-    "x63_ann_lsh_multiprobe",
 )
 
 def all_queries():

@@ -5768,3 +5768,97 @@ def x135(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
     return select_canonicals(m, scored, "doc_id", "q")
+
+
+# --- x136: unicode-normalization dedup audit --------------------------------
+
+
+def _x136_oracle() -> str:
+    from igloo_spark.functions.text import INVISIBLE_CHARS_REGEX as _INV
+
+    return f"""
+    WITH base AS (
+        SELECT source, text,
+               nfc_normalize(text) AS nfc,
+               regexp_matches(text, '{_INV}') AS has_inv
+        FROM documents
+    ),
+    enriched AS (
+        SELECT source,
+               CASE WHEN nfc <> text THEN 1 ELSE 0 END AS denorm,
+               CASE WHEN has_inv THEN 1 ELSE 0 END AS inv,
+               md5(text) AS fp_raw,
+               md5(regexp_replace(nfc, '{_INV}', '', 'g')) AS fp_clean
+        FROM base
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(denorm), 0) AS BIGINT) AS n_denormalized,
+           CAST(coalesce(sum(inv), 0) AS BIGINT) AS n_invisible,
+           CAST(count(DISTINCT fp_raw) AS BIGINT) AS n_distinct_raw,
+           CAST(count(DISTINCT fp_clean) AS BIGINT) AS n_distinct_clean,
+           CAST(count(DISTINCT fp_raw) - count(DISTINCT fp_clean) AS BIGINT)
+               AS dups_revealed
+    FROM enriched GROUP BY source
+    """
+
+
+@register(
+    "x136_unicode_normalization_audit",
+    "NFC/zero-width dedup-evasion audit: denormalized docs + dups a normalized fingerprint reveals",
+    _x136_oracle(),
+    tags=("dedup", "text", "quality", "llm"),
+)
+def x136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-evasion class byte-exact fingerprints can't see:
+    NFD-composed accents and zero-width characters render identically
+    but hash differently, so "the same" document survives exact dedup
+    as many copies. Per source: docs not in NFC form, docs carrying
+    invisible characters (ZWSP/ZWNJ/ZWJ/BOM), and — the action
+    number — ``dups_revealed``: distinct raw fingerprints minus
+    distinct fingerprints after NFC + invisible-strip, i.e. exact-dup
+    groups the normalized fingerprint would merge.
+
+    NFC itself is the one Arrow-batched step (Spark has no JVM
+    Unicode normalization — ``functions.text.nfc_normalize_col``,
+    single eval pinned); everything around it is codegen
+    (regexp/md5/aggregate). On the all-ASCII driver fixtures every
+    audit column is legitimately zero — the adversarial coverage
+    lives in the dedicated non-ASCII fixture test, the x51/x57 byte-
+    semantics pattern."""
+    from igloo_spark.functions.text import (
+        INVISIBLE_CHARS_REGEX,
+        nfc_normalize_col,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "text",
+        nfc_normalize_col()(F.col("text")).alias("nfc"),
+        F.col("text").rlike(INVISIBLE_CHARS_REGEX).alias("has_inv"),
+    )
+    enriched = base.select(
+        "source",
+        F.when(F.col("nfc") != F.col("text"), 1).otherwise(0).alias("denorm"),
+        F.when(F.col("has_inv"), 1).otherwise(0).alias("inv"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp_raw"),
+        F.md5(
+            F.encode(
+                F.regexp_replace(F.col("nfc"), INVISIBLE_CHARS_REGEX, ""),
+                "UTF-8",
+            )
+        ).alias("fp_clean"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("denorm"), F.lit(0)).cast("bigint").alias(
+            "n_denormalized"
+        ),
+        F.coalesce(F.sum("inv"), F.lit(0)).cast("bigint").alias("n_invisible"),
+        F.countDistinct("fp_raw").cast("bigint").alias("n_distinct_raw"),
+        F.countDistinct("fp_clean").cast("bigint").alias("n_distinct_clean"),
+        (
+            F.countDistinct("fp_raw") - F.countDistinct("fp_clean")
+        ).cast("bigint").alias("dups_revealed"),
+    )

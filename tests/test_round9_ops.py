@@ -1860,3 +1860,57 @@ class TestCliExpectUniqueId:
                      "--min-quality", "0.0", "--expect-unique-id",
                      "--expectation-mode", "warn"]) == 0
         assert os.path.exists(store + "/corpus")
+
+
+def test_x136_reveals_normalization_evasion(igloo, tmp_path):
+    """x136 on a corpus where byte-exact dedup is being EVADED: an
+    NFD-composed twin and a zero-width-stuffed twin of the same text
+    hash differently raw but identically after NFC + invisible-strip
+    — dups_revealed must count both merges, and the frame must still
+    hash-match the oracle (DuckDB nfc_normalize + RE2 \\x{200B}
+    class vs pandas unicodedata + Java regex)."""
+    import sys
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tests")
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    canonical = "café résumé naïve 日本語"
+    nfd_twin = unicodedata.normalize("NFD", canonical)
+    zw_twin = canonical.replace(" ", " ​") + "﻿"
+    assert nfd_twin != canonical and zw_twin != canonical
+    rows = [
+        (0, canonical, "fr", "web"),
+        (1, nfd_twin, "fr", "web"),
+        (2, zw_twin, "fr", "web"),
+        (3, "plain ascii text", "en", "web"),
+        (4, "astral 😀 emoji doc", "en", "books"),
+    ]
+    d = tmp_path / "nfc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    spec = REGISTRY["x136_unicode_normalization_audit"]
+    df = spec.spark(igloo.spark, str(d))
+    web = {r["source"]: r for r in df.collect()}["web"]
+    # 3 raw-distinct texts collapse to 1 clean fingerprint -> 2 revealed
+    assert web["n_denormalized"] == 1     # the NFD twin
+    assert web["n_invisible"] == 1        # the zero-width twin
+    assert web["dups_revealed"] == 2
+    assert_matches_oracle(df, spec.oracle, str(d))
