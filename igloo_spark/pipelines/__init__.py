@@ -1113,12 +1113,18 @@ def ingest_stream(
     the same txnVersion pattern as ``versioned_stream_sink``, extended
     to a two-table transaction.
 
-    ``**index_kwargs`` forwards the derived-index arguments of
-    :func:`incremental_ingest` verbatim (``postings_index_root``,
-    ``ivf_index_root`` / ``pq_index_root`` / ``ivfpq_index_root``,
-    ``ivf_n_cells`` / ``pq_m_sub`` / ``pq_k_codes`` / ``vec_col``,
-    ``learn_quantizers``, ``auto_compact_files``), so a streaming
-    corpus keeps its BM25 AND vector indexes fresh per micro-batch —
+    ``**index_kwargs`` forwards any keyword of
+    :func:`incremental_ingest` verbatim — the derived-index roots
+    (``postings_index_root``, ``ivf_index_root`` / ``pq_index_root``
+    / ``ivfpq_index_root``, ``ivf_n_cells`` / ``pq_m_sub`` /
+    ``pq_k_codes`` / ``vec_col``, ``learn_quantizers``,
+    ``auto_compact_files``) and equally the admission/contract
+    arguments (``quality_model`` / ``quality_model_root``,
+    ``persist_embeddings``, ``expectations`` — a failing batch
+    contract raises inside foreachBatch and stops the stream, the
+    correct fail-stop for corrupt input). The index forwarding is
+    what keeps a streaming corpus's BM25 AND vector indexes fresh
+    per micro-batch —
     without this a streamed corpus silently serves stale retrieval
     results, the exact gap the batch path closed in r09. Replay
     safety is the batch path's: a fully-committed replayed batch
