@@ -488,6 +488,8 @@ def test_round9_operators_scale_bounded(spark):
         "x132_recall_nprobe_sweep",
         "x133_context_length_sweep",
         "x134_dedup_threshold_sweep",
+        "x135_best_quality_canonicals",
+        "x136_unicode_normalization_audit",
     ]
     for name in names:
         warm = {}
