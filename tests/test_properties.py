@@ -1492,7 +1492,8 @@ def test_classifier_score_differential_parity(igloo, texts, wseed):
         st.tuples(
             st.lists(
                 st.sampled_from(
-                    ["aaa", "abab", "aab", "xy", "pq", "zz", "noon", "a"]
+                    ["aaa", "abab", "aab", "xy", "pq", "zz", "noon", "a",
+                     "éé", "日日本", "😀😀a"]
                 ),
                 min_size=1,
                 max_size=15,
