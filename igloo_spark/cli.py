@@ -247,7 +247,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(
             "one of --sql, --query, --serve, --prep-corpus, --ingest, "
             "--check-index-sync, --repair-index, --fit-quality-model, "
-            "--optimize-store, --vacuum-store, or --store-history is required"
+            "--optimize-store, --vacuum-store, --store-history, "
+            "--search, or --vector-search is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -525,6 +526,22 @@ def main(argv: list[str] | None = None) -> int:
                 f"ingested batch -> corpus v{result.corpus_version} "
                 f"(fp store v{result.fp_version}); verdicts: {verdicts}"
             )
+            if result.expectation_violations is not None:
+                # warn-mode contract violations committed anyway — say
+                # so loudly (fail mode never reaches here: it raised)
+                from pyspark.sql import functions as F
+
+                for r in (
+                    result.expectation_violations
+                    .filter(F.col("n_violations") > 0)
+                    .collect()
+                ):
+                    print(
+                        f"warning: expectation {r['rule']}="
+                        f"{r['n_violations']} violations (committed; "
+                        f"--expectation-mode warn)",
+                        file=sys.stderr,
+                    )
             return 0
         if args.serve is not None:
             # serving path: the coordinator's Flight endpoint
@@ -535,6 +552,16 @@ def main(argv: list[str] | None = None) -> int:
             print(f"igloo-spark Flight server listening on grpc://127.0.0.1:{server.port}", flush=True)
             server.serve()
             return 0
+        if args.search is not None or args.vector_search is not None:
+            import os as _os
+
+            if not _os.path.isdir(args.index_root):
+                print(
+                    f"error: --index-root {args.index_root}: not a "
+                    f"directory (no persisted index there)",
+                    file=sys.stderr,
+                )
+                return 2
         try:
             if args.search is not None:
                 from pyspark.sql import functions as F
@@ -544,9 +571,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 terms = args.search.split()
-                df = probe_postings_index(
-                    session.spark, args.index_root, terms, k=args.top_k
-                )
+                try:
+                    df = probe_postings_index(
+                        session.spark, args.index_root, terms, k=args.top_k
+                    )
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"error: --search: {e}", file=sys.stderr)
+                    return 2
                 if args.corpus_store is not None:
                     corpus = session.spark.table("corpus")
                     df = df.join(
@@ -563,7 +594,18 @@ def main(argv: list[str] | None = None) -> int:
 
                 from igloo_spark.operators import similarity as _sim
 
-                emb = session.spark.table("embeddings")
+                try:
+                    emb = session.spark.table("embeddings")
+                except Exception as e:
+                    # --data-dir without embeddings.parquet: clean exit
+                    # 2 (bad input), never an AnalysisException traceback
+                    msg = str(e).strip().split("\n")[0]
+                    print(
+                        f"error: --vector-search: no 'embeddings' table "
+                        f"in --data-dir ({msg})",
+                        file=sys.stderr,
+                    )
+                    return 2
                 queries = emb.filter(
                     F.col("vec_id") == args.vector_search
                 ).select("vec_id", "embedding")
@@ -587,7 +629,11 @@ def main(argv: list[str] | None = None) -> int:
                         k=args.top_k, nprobe=args.nprobe,
                     ),
                 }[args.index_kind]
-                df = probe().orderBy("rank")
+                try:
+                    df = probe().orderBy("rank")
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"error: --vector-search: {e}", file=sys.stderr)
+                    return 2
             elif args.query is not None:
                 from igloo_spark.queries import all_queries
 

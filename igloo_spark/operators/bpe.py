@@ -104,6 +104,28 @@ def learn_bpe_merges(
     return merges
 
 
+def _apply_merges(
+    word: str, merges: list[tuple[str, str, int]]
+) -> tuple[str, ...]:
+    """Segment one word under the learned table: start from characters
+    and apply each merge in learned order with a single left-to-right
+    scan (the exact loop ``learn_bpe_merges`` trains with — drifting
+    here would make encode disagree with training)."""
+    s: tuple[str, ...] = tuple(word)
+    for left, right, _ in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = tuple(out)
+    return s
+
+
 def bpe_segmentations(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
@@ -119,25 +141,162 @@ def bpe_segmentations(
     re-segmenting ~1e13 token instances."""
     spark = docs.sparkSession
     rows = word_frequencies(docs, text_col, top_v).collect()
-
-    def n_symbols(word: str) -> int:
-        s: tuple[str, ...] = tuple(word)
-        for left, right, _ in merges:
-            out: list[str] = []
-            i = 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            s = tuple(out)
-        return len(s)
-
     return spark.createDataFrame(
-        [(r["word"], r["freq"], n_symbols(r["word"])) for r in rows],
+        [
+            (r["word"], r["freq"], len(_apply_merges(r["word"], merges)))
+            for r in rows
+        ],
         "word string, freq bigint, n_symbols bigint",
+    )
+
+
+def bpe_token_id_map(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    top_v: int | None = None,
+) -> dict[str, int]:
+    """Token string → id, the standard id-assignment convention:
+    the base alphabet (every distinct character across the vocab,
+    sorted) takes ids 0..A-1, then each merge's produced token takes
+    the next id in LEARNED ORDER — merge order IS id order, so the id
+    table is as deterministic as the merge table and two independent
+    trainings produce identical ids. A merge whose concatenation
+    collides with an already-assigned token string is skipped (first
+    assignment wins — dict-insertion semantics, mirrored exactly by
+    the SQL oracle's min-ordinal dedup).
+
+    The alphabet derives from the SAME bounded vocab pass training
+    uses (one groupBy(word)); cost is vocab-sized."""
+    vocab_words = [
+        r["word"] for r in word_frequencies(docs, text_col, top_v).collect()
+    ]
+    alphabet = sorted({ch for w in vocab_words for ch in w})
+    ids: dict[str, int] = {}
+    for sym in alphabet + [left + right for left, right, _ in merges]:
+        if sym not in ids:
+            ids[sym] = len(ids)
+    return ids
+
+
+def bpe_word_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    top_v: int | None = None,
+) -> DataFrame:
+    """``(word, freq, ids array<bigint>)``: each vocab word's token-id
+    sequence under the learned merges + id map — the broadcast-join
+    target for :func:`bpe_encode_ids`. Like ``bpe_segmentations``,
+    computed once per VOCAB word driver-side (segmentation and id
+    lookup are pure functions of the word), so the corpus is never
+    re-segmented per token instance."""
+    spark = docs.sparkSession
+    id_map = bpe_token_id_map(docs, merges, text_col, top_v)
+    rows = word_frequencies(docs, text_col, top_v).collect()
+    return spark.createDataFrame(
+        [
+            (
+                r["word"],
+                r["freq"],
+                [id_map[s] for s in _apply_merges(r["word"], merges)],
+            )
+            for r in rows
+        ],
+        "word string, freq bigint, ids array<bigint>",
+    )
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int | None = None,
+) -> DataFrame:
+    """Encode every document to ``input_ids array<bigint>`` — the
+    pretraining handoff: word order is preserved (posexplode position
+    carried through the join and re-sorted inside each doc's
+    collected list), each word contributes its vocab-precomputed id
+    sequence, and the concatenation is their order-preserving
+    flatten. Adds ``n_ids`` (= size(input_ids)).
+
+    Plan shape at 100 TB: one posexplode (narrow), one BROADCAST join
+    against the vocab id table, one groupBy(doc) with
+    sort-inside-collect — no corpus self-join, no per-token Python.
+    Blank documents encode to the empty array (left join keeps
+    them)."""
+    word_ids = bpe_word_ids(docs, merges, text_col, top_v)
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(_words(F.col(text_col))).alias("__pos", "__word"),
+    )
+    enc = (
+        occ.filter(F.length(F.coalesce("__word", F.lit(""))) > 0)
+        .join(F.broadcast(word_ids.select(F.col("word").alias("__word"), "ids")),
+              "__word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("input_ids")
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(enc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "input_ids", F.array().cast("array<bigint>")
+            ).alias("input_ids"),
+        )
+        .withColumn("n_ids", F.size("input_ids").cast("bigint"))
+    )
+
+
+def pack_token_rows(
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Concatenate encoded documents into training rows under the x65
+    packing regime (``operators.packing.pack_sequences``): a
+    deterministic hash gate shards documents, each shard streams its
+    docs in id order, and a document belongs to the row (``bin``)
+    where its FIRST token lands — documents never split across rows,
+    rows never mix shards. Output: one row per (shard, bin) with
+    ``seq_ids`` (the packed id sequence, doc order preserved),
+    ``n_docs`` and ``n_ids``.
+
+    Scale: the only shuffle is the (shard)-keyed window + (shard,
+    bin) agg — parallelism is n_shards at any corpus size, and each
+    window partition is corpus/n_shards, the same bound x65 relies
+    on."""
+    from igloo_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        encoded, id_col, F.col("n_ids"), [], budget, n_shards
+    )
+    return (
+        packed.join(encoded.select(id_col, "input_ids"), id_col)
+        .groupBy("shard", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(id_col), "input_ids"))
+                    ),
+                    lambda s: s["input_ids"],
+                )
+            ).alias("seq_ids"),
+        )
+        .withColumn("n_ids", F.size("seq_ids").cast("bigint"))
     )
 
 

@@ -94,14 +94,20 @@ def fit_quality_classifier(
     iters: int = 300,
     lr: float = 1.0,
     l2: float = 1e-4,
+    max_fit_rows: int = 10_000,
 ) -> QualityClassifier:
     """Deterministic logistic fit on a bounded labeled sample.
 
     ``sample_mod=k`` keeps ~1/k of the rows via the repo's md5 hash
     gate (never ``rand()``) — at 100 TB the caller sizes k so the
-    driver collect stays a few thousand rows. The collected rows are
-    sorted by ``id_col`` before the numpy fit, so the result is
-    independent of partitioning and arrival order. Zero-init +
+    driver collect stays a few thousand rows. ``max_fit_rows`` makes
+    that contract SELF-ENFORCING: the driver fetch is capped at
+    ``max_fit_rows + 1`` rows (so an oversized fit can never OOM the
+    driver) and raises, naming ``sample_mod``, when the sample
+    exceeds the bound — the one-forgotten-kwarg 100 TB misuse trap is
+    a loud error instead of a silent corpus collect. The collected
+    rows are sorted by ``id_col`` before the numpy fit, so the result
+    is independent of partitioning and arrival order. Zero-init +
     fixed-iteration full-batch gradient descent has no random state:
     refitting the same sample reproduces bit-identical weights (an
     invariant x125 exposes to the driver as a boolean)."""
@@ -123,8 +129,15 @@ def fit_quality_classifier(
             alpha_ratio(F.col(text_col)).alias("_alpha"),
             F.col(label_col).cast("double").alias("_y"),
         )
-        .collect()
+        .take(max_fit_rows + 1)
     )
+    if len(rows) > max_fit_rows:
+        raise ValueError(
+            f"fit sample exceeds max_fit_rows={max_fit_rows} "
+            f"(sample_mod={sample_mod} kept more than {max_fit_rows} rows); "
+            f"raise sample_mod to thin the hash-gated sample, or raise "
+            f"max_fit_rows if the driver can genuinely hold it"
+        )
     rows.sort(key=lambda r: r["_id"])
     dim = n_buckets + 2
     X = np.zeros((len(rows), dim))

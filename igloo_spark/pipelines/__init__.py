@@ -912,6 +912,28 @@ def incremental_ingest(
         history_fp = None
         bootstrapping = True
 
+    if not bootstrapping:
+        # embedding-persistence is a STORE property, not a per-batch
+        # flag: read_versioned merges snapshot schemas, so one batch
+        # appended without the column would silently fill history-wide
+        # NULL embeddings that repair_index would then "rebuild" vector
+        # indexes from. Enforce uniformity loudly in both directions.
+        store_has_vec = vec_col in history.columns
+        if store_has_vec and not persist_embeddings:
+            raise ValueError(
+                f"store at {corpus_root} persists {vec_col!r}: every "
+                f"subsequent batch must be ingested with "
+                f"persist_embeddings=True (a non-persisting append would "
+                f"leave NULL embeddings in the merged snapshot)"
+            )
+        if persist_embeddings and not store_has_vec:
+            raise ValueError(
+                f"persist_embeddings=True but the store at {corpus_root} "
+                f"was created without {vec_col!r}: re-create the store "
+                f"with persist_embeddings=True from the first batch (a "
+                f"mixed store would read NULL embeddings for history)"
+            )
+
     batch = new_docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col),
         F.col(text_col),

@@ -22,10 +22,33 @@ the (already aggregated/limited) result. For full-table exports use
 
 from __future__ import annotations
 
+import re
 import threading
 
 import pyarrow as pa
 import pyarrow.flight as flight
+
+# Matches one single-quoted SQL string literal, including escaped ''
+# quotes inside it ('it''s'); used to split SQL into literal and
+# non-literal spans so identifier rewriting never touches string data.
+_SQL_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _rewrite_exchange_sql(sql: str, view: str, token: str = "exchange_input") -> str:
+    """Replace the ``exchange_input`` placeholder IDENTIFIER with the
+    per-call view name — only on word boundaries, and never inside
+    single-quoted string literals. A raw ``str.replace`` would mangle
+    a client column named ``exchange_input_ts`` and rewrite the token
+    inside data literals like ``WHERE tag = 'exchange_input'``."""
+    word = re.compile(rf"\b{re.escape(token)}\b")
+    out: list[str] = []
+    pos = 0
+    for m in _SQL_LITERAL.finditer(sql):
+        out.append(word.sub(view, sql[pos:m.start()]))
+        out.append(m.group(0))  # literal span: untouched
+        pos = m.end()
+    out.append(word.sub(view, sql[pos:]))
+    return "".join(out)
 
 
 def _spark_to_arrow_schema(df) -> pa.Schema:
@@ -57,6 +80,15 @@ class IglooFlightServer(flight.FlightServerBase):
         ticket = flight.Ticket(sql.encode("utf-8"))
         endpoint = flight.FlightEndpoint(ticket, [f"grpc://127.0.0.1:{self.port}"])
         return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+    # reference leaves get_schema unimplemented (crates/api/src/lib.rs:
+    # 101-106); ours reuses the lazy-schema path so a client learns the
+    # result schema in one RPC without the get_flight_info round trip
+    # (and without executing anything — same zero-execution posture).
+    def get_schema(self, context, descriptor):
+        sql = descriptor.command.decode("utf-8")
+        df = self.session.execute(sql)  # lazy — schema only
+        return flight.SchemaResult(_spark_to_arrow_schema(df))
 
     # reference: crates/api/src/lib.rs:108-149
     def do_get(self, context, ticket):
@@ -140,7 +172,7 @@ class IglooFlightServer(flight.FlightServerBase):
         df_in.createOrReplaceTempView(view)
         try:
             out = self.session.execute(
-                sql.replace("exchange_input", view)
+                _rewrite_exchange_sql(sql, view)
             ).toArrow()
         finally:
             self.session.spark.catalog.dropTempView(view)
@@ -168,10 +200,20 @@ def serve_in_background(session, port: int = 0) -> tuple[IglooFlightServer, thre
     return server, thread
 
 
+def _connect(port: int, timeout_s: float = 15.0) -> flight.FlightClient:
+    """Client connect that tolerates the serve_in_background startup
+    race: gRPC connects lazily, so the first RPC can hit the server
+    thread before it binds — wait for availability with a bounded
+    retry instead of surfacing FlightUnavailableError to callers."""
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    client.wait_for_available(timeout=int(timeout_s))
+    return client
+
+
 def upload_via_flight(port: int, name: str, tbl: pa.Table) -> None:
     """Client helper: do_put an Arrow table under a table name, making
     it queryable via subsequent Flight SQL calls."""
-    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    client = _connect(port)
     descriptor = flight.FlightDescriptor.for_path(name.encode("utf-8"))
     writer, _ = client.do_put(descriptor, tbl.schema)
     writer.write_table(tbl)
@@ -182,7 +224,7 @@ def query_via_flight(port: int, sql: str) -> pa.Table:
     """Client helper: the two-step get_flight_info → do_get round trip
     the reference's README demonstrates (crates/client is an empty stub
     there; this supersedes it)."""
-    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    client = _connect(port)
     info = client.get_flight_info(flight.FlightDescriptor.for_command(sql.encode("utf-8")))
     reader = client.do_get(info.endpoints[0].ticket)
     return reader.read_all()
@@ -192,7 +234,7 @@ def exchange_via_flight(port: int, sql: str, tbl: pa.Table) -> pa.Table:
     """Client helper: one-call transform round trip — upload ``tbl``,
     run ``sql`` over it (reference it as ``exchange_input``), read the
     transformed stream back."""
-    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    client = _connect(port)
     descriptor = flight.FlightDescriptor.for_command(sql.encode("utf-8"))
     writer, reader = client.do_exchange(descriptor)
     writer.begin(tbl.schema)

@@ -1,0 +1,352 @@
+"""Round-10 operator tests: do_exchange identifier-boundary SQL
+rewrite (r09 verdict finding #1 / ADVICE #2 — string literals and
+longer identifiers must survive), Flight get_schema (stretch #7),
+concurrent do_exchange isolation (stretch #8), the self-enforcing
+classifier fit bound (finding #2), persist_embeddings store-schema
+uniformity (r09 ADVICE medium), CLI retrieval-mode polish (ADVICE
+low items), and the token-id training export (r10 task #2: BPE
+vocab ids, encode-to-input_ids, packed id shards)."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+DIM = 8
+
+
+def _doc_rows(ids, clone_text_of=None):
+    rows = []
+    for i in ids:
+        src = clone_text_of if clone_text_of is not None else i
+        text = f"document body {src} " + " ".join(
+            f"tok{src}word{j}" for j in range(12)
+        )
+        vec = [math.sin(0.7 * i + 1.3 * j) for j in range(DIM)]
+        rows.append((i, text, vec))
+    return rows
+
+
+def _mk_docs(spark, ids, clone_text_of=None):
+    return spark.createDataFrame(
+        _doc_rows(ids, clone_text_of),
+        "doc_id long, text string, embedding array<double>",
+    )
+
+
+class TestExchangeSqlRewrite:
+    """_rewrite_exchange_sql: the placeholder is an IDENTIFIER — data
+    literals and longer identifiers must never be touched."""
+
+    def test_plain_identifier_rewritten(self):
+        from igloo_spark.serving.flight import _rewrite_exchange_sql
+
+        assert (
+            _rewrite_exchange_sql("SELECT * FROM exchange_input", "v1")
+            == "SELECT * FROM v1"
+        )
+
+    def test_string_literal_survives(self):
+        from igloo_spark.serving.flight import _rewrite_exchange_sql
+
+        sql = "SELECT * FROM exchange_input WHERE tag = 'exchange_input'"
+        assert (
+            _rewrite_exchange_sql(sql, "v1")
+            == "SELECT * FROM v1 WHERE tag = 'exchange_input'"
+        )
+
+    def test_longer_identifier_survives(self):
+        from igloo_spark.serving.flight import _rewrite_exchange_sql
+
+        sql = "SELECT exchange_input_ts, exchange_inputs FROM exchange_input"
+        assert (
+            _rewrite_exchange_sql(sql, "v1")
+            == "SELECT exchange_input_ts, exchange_inputs FROM v1"
+        )
+
+    def test_escaped_quote_inside_literal(self):
+        from igloo_spark.serving.flight import _rewrite_exchange_sql
+
+        sql = (
+            "SELECT * FROM exchange_input "
+            "WHERE note = 'it''s exchange_input here' AND k > 0"
+        )
+        out = _rewrite_exchange_sql(sql, "v1")
+        assert "'it''s exchange_input here'" in out
+        assert out.startswith("SELECT * FROM v1 ")
+
+    def test_backticked_identifier_rewritten(self):
+        from igloo_spark.serving.flight import _rewrite_exchange_sql
+
+        assert (
+            _rewrite_exchange_sql("SELECT * FROM `exchange_input`", "v1")
+            == "SELECT * FROM `v1`"
+        )
+
+
+class TestFlightRound10:
+    def test_do_exchange_literal_and_lookalike_column(self, igloo):
+        """End-to-end: SQL carrying 'exchange_input' as a string
+        literal AND a client column named exchange_input_x both
+        survive the per-call view rewrite (r10 verdict task #3)."""
+        pytest.importorskip("pyarrow.flight")
+        import pyarrow as pa
+
+        from igloo_spark.serving import exchange_via_flight, serve_in_background
+
+        server, _ = serve_in_background(igloo)
+        try:
+            tbl = pa.table(
+                {
+                    "exchange_input_x": pa.array([1, 2, 3], pa.int64()),
+                    "tag": pa.array(
+                        ["exchange_input", "other", "exchange_input"],
+                        pa.string(),
+                    ),
+                }
+            )
+            out = exchange_via_flight(
+                server.port,
+                "SELECT exchange_input_x, tag FROM exchange_input "
+                "WHERE tag = 'exchange_input' ORDER BY exchange_input_x",
+                tbl,
+            )
+            assert out.column("exchange_input_x").to_pylist() == [1, 3]
+            assert out.column("tag").to_pylist() == [
+                "exchange_input",
+                "exchange_input",
+            ]
+        finally:
+            server.shutdown()
+
+    def test_concurrent_exchanges_are_isolated(self, igloo):
+        """Two parallel do_exchange calls with different schemas both
+        return correct results (stretch #8: the seq lock only guards
+        name allocation; execution overlaps on one SparkSession)."""
+        pytest.importorskip("pyarrow.flight")
+        import threading
+
+        import pyarrow as pa
+
+        from igloo_spark.serving import exchange_via_flight, serve_in_background
+
+        server, _ = serve_in_background(igloo)
+        results: dict[str, object] = {}
+        errors: list[BaseException] = []
+
+        def run(name, sql, tbl):
+            try:
+                results[name] = exchange_via_flight(server.port, sql, tbl)
+            except BaseException as e:  # surfaced below
+                errors.append(e)
+
+        try:
+            t_num = pa.table({"k": pa.array(list(range(200)), pa.int64())})
+            t_str = pa.table(
+                {"s": pa.array([f"w{i}" for i in range(150)], pa.string())}
+            )
+            threads = [
+                threading.Thread(
+                    target=run,
+                    args=(
+                        "num",
+                        "SELECT sum(k) AS total FROM exchange_input",
+                        t_num,
+                    ),
+                ),
+                threading.Thread(
+                    target=run,
+                    args=(
+                        "str",
+                        "SELECT count(*) AS n, max(s) AS mx FROM exchange_input",
+                        t_str,
+                    ),
+                ),
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            assert not errors, errors
+            assert results["num"].column("total").to_pylist() == [19900]
+            assert results["str"].column("n").to_pylist() == [150]
+            assert results["str"].column("mx").to_pylist() == ["w99"]
+        finally:
+            server.shutdown()
+
+    def test_get_schema_single_rpc(self, igloo):
+        """get_schema returns the result schema in ONE RPC, without
+        execution (stretch #7 — the reference leaves it unimplemented,
+        crates/api/src/lib.rs:101-106)."""
+        pytest.importorskip("pyarrow.flight")
+        import pyarrow as pa
+        import pyarrow.flight as flight
+
+        from igloo_spark.serving import serve_in_background
+
+        server, _ = serve_in_background(igloo)
+        try:
+            client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+            res = client.get_schema(
+                flight.FlightDescriptor.for_command(
+                    b"SELECT 1 AS one, 'x' AS s"
+                )
+            )
+            schema = res.schema
+            assert schema.field("one").type == pa.int32()
+            assert schema.field("s").type == pa.string()
+        finally:
+            server.shutdown()
+
+
+class TestMaxFitRows:
+    """fit_quality_classifier's scale contract is self-enforcing: an
+    unsampled oversized fit raises (naming sample_mod), a hash-gated
+    fit under the bound passes (r10 verdict task #4)."""
+
+    def _docs(self, spark, n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"),
+            (F.col("id") % 2).cast("int").alias("label"),
+        )
+
+    def test_oversized_unsampled_fit_raises(self, spark):
+        from igloo_spark.operators.classifier import fit_quality_classifier
+
+        with pytest.raises(ValueError, match="sample_mod"):
+            fit_quality_classifier(self._docs(spark, 60), max_fit_rows=50)
+
+    def test_sampled_fit_under_bound_passes(self, spark):
+        from igloo_spark.operators.classifier import fit_quality_classifier
+
+        clf = fit_quality_classifier(
+            self._docs(spark, 60), sample_mod=4, max_fit_rows=50
+        )
+        assert len(clf.weights) == clf.n_buckets + 2
+
+    def test_distill_forwards_bound(self, spark):
+        from igloo_spark.operators.classifier import distill_quality_classifier
+
+        docs = self._docs(spark, 40).drop("label")
+        with pytest.raises(ValueError, match="max_fit_rows"):
+            distill_quality_classifier(docs, max_fit_rows=10)
+
+
+class TestPersistEmbeddingsUniformity:
+    """Embedding persistence is a STORE property (r09 ADVICE medium):
+    mixed-schema appends raise loudly in BOTH directions instead of
+    silently merging NULL embeddings into the snapshot."""
+
+    def test_non_persisting_append_into_persisting_store_raises(
+        self, spark, tmp_path
+    ):
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "pe_store")
+        kw = dict(min_quality=0.0, min_shared=1)
+        incremental_ingest(
+            _mk_docs(spark, range(1, 4)), root,
+            persist_embeddings=True, **kw,
+        )
+        with pytest.raises(ValueError, match="persist_embeddings=True"):
+            incremental_ingest(_mk_docs(spark, [9, 10]), root, **kw)
+
+    def test_persisting_append_into_plain_store_raises(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "plain_store")
+        kw = dict(min_quality=0.0, min_shared=1)
+        incremental_ingest(_mk_docs(spark, range(1, 4)), root, **kw)
+        with pytest.raises(ValueError, match="without 'embedding'"):
+            incremental_ingest(
+                _mk_docs(spark, [9, 10]), root,
+                persist_embeddings=True, **kw,
+            )
+
+    def test_uniform_persisting_appends_still_pass(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "uniform_store")
+        kw = dict(min_quality=0.0, min_shared=1, persist_embeddings=True)
+        incremental_ingest(_mk_docs(spark, range(1, 4)), root, **kw)
+        incremental_ingest(_mk_docs(spark, [9, 10]), root, **kw)
+        corpus = read_versioned(spark, root + "/corpus")
+        assert corpus.filter(F.col("embedding").isNull()).count() == 0
+        assert corpus.count() == 5
+
+
+class TestCliRetrievalPolish:
+    """ADVICE low items: missing index root / embeddings table exit 2
+    with one-line errors; warn-mode expectation counts are printed;
+    the required-mode error names the retrieval modes."""
+
+    def _write_docs_dir(self, tmp_path, name, ids, with_dup=False):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / name
+        d.mkdir()
+        rows = _doc_rows(ids)
+        ids_out = [r[0] for r in rows]
+        texts = [r[1] for r in rows]
+        if with_dup:
+            ids_out.append(ids_out[0])
+            texts.append("dup row text body")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids_out, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_search_missing_index_root_exits_2(self, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        rc = main(
+            ["--search", "hello", "--index-root", str(tmp_path / "nope")]
+        )
+        assert rc == 2
+        assert "not a directory" in capsys.readouterr().err
+
+    def test_vector_search_missing_embeddings_exits_2(self, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        d = self._write_docs_dir(tmp_path, "no_emb", range(1, 4))
+        idx = tmp_path / "some_idx"
+        idx.mkdir()
+        rc = main(
+            ["--vector-search", "1", "--index-root", str(idx),
+             "--index-kind", "ivf", "--data-dir", d]
+        )
+        assert rc == 2
+        assert "embeddings" in capsys.readouterr().err
+
+    def test_required_mode_error_names_retrieval_modes(self, capsys):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--index-root", "/tmp/idx"])
+        err = capsys.readouterr().err
+        assert "--search" in err and "--vector-search" in err
+
+    def test_warn_mode_ingest_prints_violation_counts(self, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        d = self._write_docs_dir(tmp_path, "dup_batch", range(1, 5),
+                                 with_dup=True)
+        store = str(tmp_path / "warn_store")
+        rc = main(
+            ["--data-dir", d, "--ingest", store, "--min-quality", "0.0",
+             "--expect-unique-id", "--expectation-mode", "warn"]
+        )
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "warning: expectation" in err
+        assert "committed" in err
