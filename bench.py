@@ -111,6 +111,9 @@ def main() -> int:
     # literal-fold scan scoring — the model-gated quality-filter
     # profile, measuring both the fit latency and the zero-shuffle
     # scoring pass)
+    # x128 joins in r10 (the BPE tokenizer-apply profile: driver-side
+    # merge learning + vocab broadcast join + source agg — the
+    # tokenizer family had scale-gate ratios but no wall-clock bar)
     _EXTENDED = (
         "x89_winnowing_pairs",
         "x95_corpus_shuffle_shards",
@@ -118,10 +121,35 @@ def main() -> int:
         "x111_source_kl_drift",
         "x123_ann_ivfpq_topk",
         "x125_quality_classifier",
+        "x128_bpe_encode",
     )
     corpus = all_queries()
     legacy = sorted((s for s in corpus.values() if s.bench), key=lambda s: s.name)
-    specs = legacy + [corpus[n] for n in _EXTENDED]
+
+    # x125 times the full fit+score flow each invocation (the cost
+    # profile of DISTILLATION); production is fit-once/score-many, so
+    # a separate score-only row times `score_docs` under a model
+    # pre-fit ONCE outside the timer — a scoring regression can no
+    # longer hide under fit noise (r09 verdict finding #4).
+    class _ScoreOnly:
+        name = "x125_score_only"
+
+        def __init__(self):
+            self._clf = None
+
+        def spark(self, spark, sf_dir):
+            from igloo_spark.operators.classifier import (
+                distill_quality_classifier,
+                score_docs,
+            )
+            from igloo_spark.sources import load_testdata_table
+
+            docs = load_testdata_table(spark, sf_dir, "documents")
+            if self._clf is None:
+                self._clf = distill_quality_classifier(docs)
+            return score_docs(docs, self._clf)
+
+    specs = legacy + [corpus[n] for n in _EXTENDED] + [_ScoreOnly()]
     legacy_names = {s.name for s in legacy}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -48,6 +48,22 @@ def main(argv: list[str] | None = None) -> int:
         "(cross-store dups are rejected against the target's history)",
     )
     parser.add_argument(
+        "--bpe-merges", default=None, metavar="PATH",
+        help="with --prep-corpus: encode every shard row to input_ids "
+        "under a frozen BPE merge artifact (from --fit-bpe-merges) — "
+        "the tokenized training handoff",
+    )
+    parser.add_argument(
+        "--fit-bpe-merges", default=None, metavar="OUT_PATH",
+        help="learn a BPE merge table from the documents table and save "
+        "the frozen artifact JSON to OUT_PATH (needs --data-dir or "
+        "--corpus-store)",
+    )
+    parser.add_argument(
+        "--n-merges", type=int, default=8,
+        help="merge count for --fit-bpe-merges (default 8)",
+    )
+    parser.add_argument(
         "--fit-quality-model", default=None, metavar="OUT_PATH",
         help="distill a quality-classifier student from the documents table "
         "(heuristic teacher at --label-threshold) and save the frozen model "
@@ -236,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--check-index-sync", args.check_index_sync is not None),
             ("--repair-index", args.repair_index is not None),
             ("--fit-quality-model", args.fit_quality_model is not None),
+            ("--fit-bpe-merges", args.fit_bpe_merges is not None),
             ("--optimize-store", args.optimize_store is not None),
             ("--vacuum-store", args.vacuum_store is not None),
             ("--store-history", args.store_history is not None),
@@ -247,8 +264,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(
             "one of --sql, --query, --serve, --prep-corpus, --ingest, "
             "--check-index-sync, --repair-index, --fit-quality-model, "
-            "--optimize-store, --vacuum-store, --store-history, "
-            "--search, or --vector-search is required"
+            "--fit-bpe-merges, --optimize-store, --vacuum-store, "
+            "--store-history, --search, or --vector-search is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -265,8 +282,14 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.merge_from is not None and args.ingest is None:
         parser.error("--merge-from only applies to --ingest")
+    if args.bpe_merges is not None and args.prep_corpus is None:
+        parser.error("--bpe-merges only applies to --prep-corpus")
     if args.fit_quality_model is not None and not args.data_dir:
         parser.error("--fit-quality-model needs --data-dir (documents table source)")
+    if args.fit_bpe_merges is not None and not (args.data_dir or args.corpus_store):
+        parser.error(
+            "--fit-bpe-merges needs a documents source: --data-dir or --corpus-store"
+        )
     if args.quality_model is not None and args.ingest is None:
         parser.error("--quality-model only applies to --ingest")
     if args.quality_model_root is not None and args.ingest is None:
@@ -290,10 +313,11 @@ def main(argv: list[str] | None = None) -> int:
         or args.serve is not None
         or args.prep_corpus is not None
         or args.search is not None
+        or args.fit_bpe_merges is not None
     ):
         parser.error(
             "--corpus-store only applies to --sql/--query/--serve/"
-            "--prep-corpus/--search"
+            "--prep-corpus/--search/--fit-bpe-merges"
         )
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
@@ -382,7 +406,18 @@ def main(argv: list[str] | None = None) -> int:
                 token_budget=args.token_budget,
                 n_shards=args.n_shards,
             )
-            info = write_training_shards(docs, result, args.prep_corpus)
+            bpe_merges = None
+            if args.bpe_merges is not None:
+                from igloo_spark.operators.bpe import load_bpe_merges
+
+                try:
+                    bpe_merges = load_bpe_merges(args.bpe_merges)
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"error: --bpe-merges: {e}", file=sys.stderr)
+                    return 2
+            info = write_training_shards(
+                docs, result, args.prep_corpus, bpe_merges=bpe_merges
+            )
             counts = result.counts.first().asDict()
             print(
                 f"prepared corpus: {counts} -> {info['n_docs']} docs in "
@@ -443,6 +478,21 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             print(f"repair ({args.index_kind}): {out}")
             return 0 if out["in_sync"] else 3
+        if args.fit_bpe_merges is not None:
+            from igloo_spark.operators.bpe import (
+                learn_bpe_merges,
+                save_bpe_merges,
+            )
+
+            docs = session.spark.table(
+                "corpus" if args.corpus_store is not None else "documents"
+            )
+            merges = learn_bpe_merges(docs, n_merges=args.n_merges)
+            save_bpe_merges(merges, args.fit_bpe_merges)
+            print(
+                f"learned {len(merges)} BPE merges -> {args.fit_bpe_merges}"
+            )
+            return 0
         if args.fit_quality_model is not None:
             from igloo_spark.operators.classifier import (
                 distill_quality_classifier,

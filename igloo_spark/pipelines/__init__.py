@@ -271,6 +271,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     data_format: str = "parquet",
+    bpe_merges: "list[tuple[str, str, int]] | None" = None,
 ) -> dict:
     """Materialize the prepared corpus as the on-disk training
     artifact: one parquet directory per shard (``partitionBy(shard)``,
@@ -284,9 +285,26 @@ def write_training_shards(
     from the source frame via an id-equi join; at 100 TB the write is
     one shard-keyed exchange (already performed by shuffle_shard) +
     the join, and each shard directory is independently consumable.
+
+    ``bpe_merges`` (a :func:`~igloo_spark.operators.bpe.learn_bpe_merges`
+    table, typically loaded from a frozen ``save_bpe_merges`` artifact)
+    makes the shards a TOKENIZED handoff: every written row
+    additionally carries ``input_ids`` (the document encoded under the
+    learned vocab — ``operators.bpe.bpe_encode_ids``, x137's exact
+    semantics) and ``n_ids``, so the training loader consumes id
+    sequences instead of re-tokenizing text per epoch. Tar shards
+    carry the ids as an ``ids.json`` member (a JSON id array next to
+    each sample's ``txt``). The encode is one broadcast join against
+    the vocab-sized id table — it does not add a corpus shuffle.
     """
+    shard_cols = result.corpus.join(docs.select(id_col, text_col), id_col)
+    if bpe_merges is not None:
+        from igloo_spark.operators.bpe import bpe_encode_ids
+
+        enc = bpe_encode_ids(docs, bpe_merges, id_col=id_col, text_col=text_col)
+        shard_cols = shard_cols.join(enc, id_col)
     out = (
-        result.corpus.join(docs.select(id_col, text_col), id_col)
+        shard_cols
         .repartition(F.col("shard"))
         .sortWithinPartitions("shard", "pos")
     )
@@ -301,8 +319,12 @@ def write_training_shards(
         # the base dir, so meta-last is the invariant both share)
         from igloo_spark import sinks
 
+        members = {"txt": text_col}
+        if bpe_merges is not None:
+            out = out.withColumn("__ids_json", F.to_json("input_ids"))
+            members["ids.json"] = "__ids_json"
         stats = sinks.write_tar_shards(
-            out, path, members={"txt": text_col},
+            out, path, members=members,
             key_col=id_col, order_col="pos",
         )
         result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")

@@ -25,71 +25,74 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r09 rotation (executes the r08 verdict's task 2): the thirteen
-    # never-driver-checked queries FIRST (x125, x126, x127, x124,
-    # x128-x136 — all new this round), then the
-    # two changed-since-verdict (the r08 ADVICE pin rule): x114 (r08
-    # integer-quantization rewrite postdates its r07 verdict) and
-    # x123 (its _ivfpq_rank/ivfpq_assign path gained the residual
-    # branch in r09 — default path byte-equivalent, pinned anyway),
-    # then the 22 r05-stale queries, then 13 of the 50 r06-stale
-    # (operator-heavy first). Exactly 50 entries. After this window
-    # the verdict-age histogram is 50@r09, 50@r08, 48@r07, 37@r06
-    # (x48 x49 x50 x51 x52 x53 x54 x57 x58 x60 x61 x63 x65 x66 x67
-    # x68 x72 x73 q51-q57 q59-q65 q68-q71 q77 — they lead the r10
-    # rotation, followed by the oldest r07 verdicts).
+    # -- r10 rotation (executes the r09 verdict's task 1): the two
+    # never-driver-checked queries FIRST (x137/x138, the token-id
+    # training export — new this round), then the four
+    # changed-since-verdict pins (the ADVICE rule): x127/x128 (their
+    # operators/bpe.py segmentation path was refactored into
+    # _apply_merges in r10 — behavior-identical, pinned anyway) and
+    # x125/x126 (fit_quality_classifier's driver fetch changed from
+    # collect() to a max_fit_rows-capped take() in r10), then ALL 37
+    # r06-stale queries (the pre-planned list from the r09 rotation
+    # comment), then 7 of the 48 r07-stale (operator-heavy first:
+    # the flagship q01 + the dedup/ANN family heads). Exactly 50
+    # entries. After this window the verdict-age histogram is
+    # 50@r10, 46@r09, 50@r08, 41@r07 — max verdict age 3 rounds.
+    # The remaining 41 r07-stale queries (q03 q04 q13 q21 q25 q33
+    # q34 q35 x100-x104 x106-x112 x115-x119 x121 x122 x56 x74-x79
+    # x81-x86 x88 x99) lead the r11 rotation.
+    "x137_bpe_token_ids",
+    "x138_packed_token_shards",
+    "x127_bpe_merge_learning",
+    "x128_bpe_encode",
     "x125_quality_classifier",
     "x126_classifier_auc",
-    "x127_bpe_merge_learning",
-    "x124_pq_learned_distortion",
-    "x128_bpe_encode",
-    "x129_minhash_threshold_confusion",
-    "x130_split_leakage_audit",
-    "x131_ivf_cell_purity",
-    "x132_recall_nprobe_sweep",
-    "x133_context_length_sweep",
-    "x134_dedup_threshold_sweep",
-    "x135_best_quality_canonicals",
-    "x136_unicode_normalization_audit",
-    "x114_temperature_mixture",
-    "x123_ann_ivfpq_topk",
-    # -- the 22 r05-stale --
-    "q05_local_supplier_volume",
-    "q06_revenue_change",
-    "q37_array_explode",
-    "q38_array_functions",
-    "q39_struct_map",
-    "q72_returned_items",
-    "q73_customer_distribution",
-    "q74_large_volume_customers",
-    "q75_global_sales_opportunity",
-    "q78_regexp_extract_all",
-    "q96_regression_aggregates",
-    "q97_conditional_aggregates",
-    "q98_fuzzy_name_match",
-    "q99_gaps_islands",
-    "x59_dedup_components",
-    "x64_ann_ivf_learned",
-    "x70_sketch_rollup",
-    "x80_embedding_quantize",
-    "x87_pagerank_dupgraph",
-    "x89_winnowing_pairs",
-    "x90_semantic_outliers",
-    "x91_scd2_history",
-    # -- 27 of the 50 r06-stale, operator-heavy first --
-    "x92_triangle_count",
-    "x93_pmi_cooccurrence",
-    "x94_bigram_logprob",
-    "x95_corpus_shuffle_shards",
-    "x96_bpe_token_stats",
-    "x97_shared_spans",
-    "x98_span_removal",
-    "x44_ngram_jaccard_pairs",
-    "x62_minhash_capped_pairs",
-    "x69_incremental_dedup",
-    "x45_embedding_neardup",
-    "x71_embedding_neardup_lsh",
-    "x46_ann_bruteforce_topk",
+    # -- the 37 r06-stale --
+    "x48_language_id",
+    "x49_quality_score",
+    "x50_token_stats",
+    "x51_multimodal_decode",
+    "x52_stratified_sample",
+    "x53_topk_ngrams",
+    "x54_tfidf_top_terms",
+    "x57_frame_sampling",
+    "x58_media_features",
+    "x60_outlier_filter",
+    "x61_salted_aggregation",
+    "x63_ann_lsh_multiprobe",
+    "x65_sequence_packing",
+    "x66_data_mixture",
+    "x67_decontamination",
+    "x68_repetition_score",
+    "x72_chunk_dedup",
+    "x73_column_profile",
+    "q51_ilike_distinct_from",
+    "q52_grouping_sets",
+    "q53_array_agg",
+    "q54_natural_using_join",
+    "q55_map_construction",
+    "q56_hash_hex_functions",
+    "q57_split_part_translate",
+    "q59_higher_order_lambdas",
+    "q60_posexplode",
+    "q61_unpivot",
+    "q62_try_arithmetic",
+    "q63_sequence_array_setops",
+    "q64_lateral_subquery",
+    "q65_str_to_map",
+    "q68_pivot",
+    "q69_recursive_cte",
+    "q70_edit_distance",
+    "q71_group_by_all",
+    "q77_union_by_name",
+    # -- 7 of the 48 r07-stale, operator-heavy first --
+    "q01_pricing_summary",
+    "x40_dedup_exact",
+    "x47_ann_lsh_topk",
+    "x105_bm25_retrieval",
+    "x113_ann_recall",
+    "x120_ann_pq_topk",
+    "x122_pq_recall",
 )
 
 def all_queries():

@@ -5862,3 +5862,211 @@ def x136(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp_raw") - F.countDistinct("fp_clean")
         ).cast("bigint").alias("dups_revealed"),
     )
+
+
+# --- x137/x138: BPE TOKEN-ID EXPORT — encode to input_ids + pack ----------
+
+
+def _bpe_id_ctes() -> str:
+    """Shared oracle CTE chain for the token-id queries: recompute BPE
+    TRAINING from scratch (``_bpe_training_layers``), assign token ids
+    (base alphabet sorted → ids 0..A-1, then merges in learned order,
+    first-assignment-wins dedup via min-ordinal — the exact
+    ``bpe_token_id_map`` convention), segment every vocab word under
+    the final merge table, and reassemble every document's
+    ``input_ids`` in word order. Ends with ``doc_enc(doc_id,
+    input_ids)``; callers append their own SELECT."""
+    sep = "chr(31)"
+    layers = _bpe_training_layers()
+    arms = "\n        UNION ALL\n        ".join(
+        f"SELECT {k + 1} AS midx, l, r FROM best_{k}"
+        for k in range(_BPE_N_MERGES)
+    )
+    return f"""
+    WITH words AS (
+        SELECT unnest(string_split(
+            regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    ), words1 AS (SELECT w FROM words WHERE length(w) >= 1),
+    seg_0 AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+               regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS seg
+        FROM words1 GROUP BY w
+    ),{','.join(layers)},
+    merges AS (
+        {arms}
+    ),
+    base1 AS (
+        SELECT DISTINCT unnest(string_split(seg, {sep})) AS sym FROM seg_0
+    ),
+    base2 AS (SELECT sym FROM base1 WHERE sym <> ''),
+    sym_ord AS (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS ord
+        FROM base2
+        UNION ALL
+        SELECT l || r AS sym, (SELECT count(*) FROM base2) + midx AS ord
+        FROM merges
+    ),
+    sym_ids AS (
+        SELECT sym, CAST(row_number() OVER (ORDER BY min_ord) - 1 AS BIGINT) AS id
+        FROM (SELECT sym, min(ord) AS min_ord FROM sym_ord GROUP BY sym) t
+    ),
+    wsyms AS (
+        SELECT word, list_filter(string_split(seg, {sep}), x -> x <> '') AS syms
+        FROM seg_{_BPE_N_MERGES}
+    ),
+    wsym AS (
+        SELECT word, s.i AS pos, syms[s.i] AS sym
+        FROM wsyms, LATERAL unnest(range(1, len(syms)+1)) AS s(i)
+    ),
+    word_ids AS (
+        SELECT word, list(id ORDER BY pos) AS ids
+        FROM wsym JOIN sym_ids USING (sym) GROUP BY word
+    ),
+    dw AS (
+        SELECT doc_id, string_split(
+            regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    docw AS (
+        SELECT doc_id, s.pos AS pos, ws[s.pos] AS w
+        FROM dw, LATERAL unnest(range(1, len(ws)+1)) AS s(pos)
+        WHERE length(ws[s.pos]) >= 1
+    ),
+    doc_enc AS (
+        SELECT doc_id, flatten(list(ids ORDER BY pos)) AS input_ids
+        FROM docw JOIN word_ids ON docw.w = word_ids.word
+        GROUP BY doc_id
+    )"""
+
+
+_TOKEN_ID_HEAD = 20  # per-doc rows exposed by x137 (lowest doc_ids)
+
+
+def _x137_oracle() -> str:
+    return (
+        _bpe_id_ctes()
+        + f""",
+    sel AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_TOKEN_ID_HEAD})
+    SELECT d.doc_id,
+           COALESCE(e.input_ids, CAST([] AS BIGINT[])) AS input_ids,
+           CAST(COALESCE(len(e.input_ids), 0) AS BIGINT) AS n_ids,
+           CAST(COALESCE(list_sum(e.input_ids), 0) AS BIGINT) AS id_sum,
+           (SELECT CAST(count(*) AS BIGINT) FROM sym_ids) AS vocab_size
+    FROM sel d LEFT JOIN doc_enc e USING (doc_id)"""
+    )
+
+
+@register(
+    "x137_bpe_token_ids",
+    f"BPE token-id encode: exact input_ids for the {_TOKEN_ID_HEAD} "
+    f"lowest doc_ids under the learned vocab",
+    _x137_oracle(),
+    tags=("text", "tokenizer", "llm"),
+)
+def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining HANDOFF x128 stopped short of: x128 reports
+    token COUNTS (budget numbers); x137 emits the actual id sequences
+    a training loader consumes. Ids follow the standard convention —
+    base alphabet sorted, then merges in learned order
+    (``operators.bpe.bpe_token_id_map``) — so two independent runs
+    produce identical input_ids. The oracle recomputes TRAINING, id
+    assignment, segmentation, AND per-document reassembly from
+    scratch in SQL (``_bpe_id_ctes``): a drift anywhere in the chain
+    — merge learning, tie-break, id order, word order, flatten order
+    — flips a hashed array VALUE, not just a count.
+
+    Scale shape (= ``bpe_encode_ids``): one posexplode, one broadcast
+    join against the vocab-sized id table, one per-doc
+    sort-inside-collect; the driver-side surface is capped at
+    {_TOKEN_ID_HEAD} docs but the encode underneath is the full-corpus
+    plan a 100 TB export would run."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_token_id_map,
+        learn_bpe_merges,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    vocab_size = len(bpe_token_id_map(d, merges, top_v=None))
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    return (
+        enc.orderBy("doc_id")
+        .limit(_TOKEN_ID_HEAD)
+        .select(
+            "doc_id",
+            "input_ids",
+            "n_ids",
+            F.aggregate(
+                "input_ids", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("id_sum"),
+            F.lit(vocab_size).cast("bigint").alias("vocab_size"),
+        )
+    )
+
+
+PACK_ID_BUDGET = 256  # ids per packed training row (x65's regime)
+
+
+def _x138_oracle() -> str:
+    pack_hash = hex_prefix_hash_sql_duckdb("concat('pack:', CAST(doc_id AS VARCHAR))")
+    return (
+        _bpe_id_ctes()
+        + f""",
+    enc_all AS (
+        SELECT d.doc_id,
+               COALESCE(e.input_ids, CAST([] AS BIGINT[])) AS input_ids,
+               CAST(COALESCE(len(e.input_ids), 0) AS BIGINT) AS n_ids,
+               CAST(({pack_hash}) % {PACK_SHARDS} AS BIGINT) AS shard
+        FROM documents d LEFT JOIN doc_enc e USING (doc_id)
+    ),
+    placed AS (
+        SELECT doc_id, input_ids, n_ids, shard,
+               sum(n_ids) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_ids AS start_tok
+        FROM enc_all
+    )
+    SELECT shard,
+           CAST(floor(start_tok / {PACK_ID_BUDGET}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           flatten(list(input_ids ORDER BY doc_id)) AS seq_ids,
+           CAST(sum(n_ids) AS BIGINT) AS n_ids
+    FROM placed
+    GROUP BY shard, bin"""
+    )
+
+
+@register(
+    "x138_packed_token_shards",
+    f"packed training rows: input_ids concatenated into "
+    f"{PACK_ID_BUDGET}-id sequences per shard (x65 regime, exact arrays)",
+    _x138_oracle(),
+    tags=("packing", "tokenizer", "llm"),
+)
+def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x137 composed with x65: the encoded documents packed into
+    fixed-budget training rows (``operators.bpe.pack_token_rows``) —
+    the exact artifact ``write_training_shards(bpe_merges=...)``
+    materializes. One row per (shard, bin) with the FULL packed id
+    sequence, so the oracle hash pins document order inside every
+    training row, the shard gate, and the bin boundaries — the three
+    ways a packer can silently reorder training data.
+
+    Scale: the encode is x137's broadcast shape; packing adds one
+    (shard)-keyed window and one (shard, bin) agg — parallelism is
+    n_shards at any corpus size (the x65 contract)."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        learn_bpe_merges,
+        pack_token_rows,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    return pack_token_rows(
+        enc, budget=PACK_ID_BUDGET, n_shards=PACK_SHARDS
+    ).select("shard", "bin", "n_docs", "seq_ids", "n_ids")

@@ -350,3 +350,176 @@ class TestCliRetrievalPolish:
         err = capsys.readouterr().err
         assert "warning: expectation" in err
         assert "committed" in err
+
+
+class TestTokenIdExport:
+    """r10 task #2: the tokenized training handoff — encode to
+    input_ids, pack, and ship through write_training_shards."""
+
+    def _text_docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the five boxing wizards jump quickly"),
+            (4, "how vexingly quick daft zebras jump"),
+            (5, "the dog and the fox and the wizards"),
+            (6, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_encode_matches_segmentation_counts(self, spark):
+        from igloo_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_segmentations,
+            learn_bpe_merges,
+        )
+
+        docs = self._text_docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=6, top_v=None)
+        enc = bpe_encode_ids(docs, merges, top_v=None)
+        seg = bpe_segmentations(docs, merges, top_v=None)
+        # total ids == freq-weighted symbol count (encode == segment)
+        total_ids = enc.agg(F.sum("n_ids")).first()[0]
+        total_syms = seg.agg(
+            F.sum(F.col("freq") * F.col("n_symbols"))
+        ).first()[0]
+        assert total_ids == total_syms
+        # blank doc encodes to the empty array, not a missing row
+        empty = enc.filter(F.col("doc_id") == 6).first()
+        assert empty["input_ids"] == [] and empty["n_ids"] == 0
+
+    def test_ids_decode_back_to_words(self, spark):
+        """Round-trip: mapping ids back through the inverted id table
+        and concatenating reconstructs each word exactly — no id
+        collision, no order loss."""
+        from igloo_spark.operators.bpe import (
+            bpe_token_id_map,
+            bpe_word_ids,
+            learn_bpe_merges,
+        )
+
+        docs = self._text_docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=6, top_v=None)
+        id_map = bpe_token_id_map(docs, merges, top_v=None)
+        inv = {v: k for k, v in id_map.items()}
+        assert len(inv) == len(id_map), "id collision"
+        for r in bpe_word_ids(docs, merges, top_v=None).collect():
+            assert "".join(inv[i] for i in r["ids"]) == r["word"]
+
+    def test_parquet_shards_carry_input_ids(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_training_shards,
+        )
+
+        docs = self._text_docs(spark).filter(F.col("doc_id") != 6)
+        merges = learn_bpe_merges(docs, n_merges=6, top_v=None)
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        path = str(tmp_path / "id_shards")
+        info = write_training_shards(docs, r, path, bpe_merges=merges)
+        back = spark.read.parquet(path)
+        assert "input_ids" in back.columns and "n_ids" in back.columns
+        assert back.count() == info["n_docs"]
+        # written ids equal a fresh encode, row for row
+        expect = {
+            row["doc_id"]: row["input_ids"]
+            for row in bpe_encode_ids(docs, merges).collect()
+        }
+        for row in back.select("doc_id", "input_ids").collect():
+            assert row["input_ids"] == expect[row["doc_id"]]
+        # training order preserved: per shard positions are 1..n
+        per = back.groupBy("shard").agg(
+            F.count("*").alias("n"), F.max("pos").alias("mx"),
+            F.min("pos").alias("mn"),
+        )
+        bad = per.filter(
+            (F.col("mx") != F.col("n")) | (F.col("mn") != 1)
+        ).count()
+        assert bad == 0
+
+    def test_tar_shards_carry_ids_json(self, spark, tmp_path):
+        import json
+        import tarfile
+
+        from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_training_shards,
+        )
+
+        docs = self._text_docs(spark).filter(F.col("doc_id") != 6)
+        merges = learn_bpe_merges(docs, n_merges=6, top_v=None)
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        path = tmp_path / "tar_id_shards"
+        write_training_shards(
+            docs, r, str(path), data_format="tar", bpe_merges=merges
+        )
+        expect = {
+            row["doc_id"]: row["input_ids"]
+            for row in bpe_encode_ids(docs, merges).collect()
+        }
+        seen = 0
+        for t in sorted(path.glob("shard-*.tar")):
+            with tarfile.open(t) as tf:
+                for name in tf.getnames():
+                    if not name.endswith(".ids.json"):
+                        continue
+                    doc_id = int(name.split(".")[0])
+                    ids = json.load(tf.extractfile(name))
+                    assert ids == expect[doc_id]
+                    seen += 1
+        assert seen == len(expect)
+
+    def test_pack_rows_conserve_ids(self, spark):
+        from igloo_spark.operators.bpe import (
+            bpe_encode_ids,
+            learn_bpe_merges,
+            pack_token_rows,
+        )
+
+        docs = self._text_docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=6, top_v=None)
+        enc = bpe_encode_ids(docs, merges, top_v=None)
+        packed = pack_token_rows(enc, budget=16, n_shards=2)
+        assert (
+            packed.agg(F.sum("n_ids")).first()[0]
+            == enc.agg(F.sum("n_ids")).first()[0]
+        )
+        assert (
+            packed.agg(F.sum("n_docs")).first()[0] == enc.count()
+        )
+
+    def test_cli_fit_bpe_then_prep_with_ids(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / "bpe_cli_docs"
+        d.mkdir()
+        rows = [(i, f"alpha beta gamma delta doc {i} " * 3) for i in range(1, 9)]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        art = str(tmp_path / "merges.json")
+        out = str(tmp_path / "cli_id_shards")
+        assert main(["--data-dir", str(d), "--fit-bpe-merges", art]) == 0
+        assert main(["--data-dir", str(d), "--prep-corpus", out,
+                     "--min-quality", "0.0", "--bpe-merges", art]) == 0
+        back = spark.read.parquet(out)
+        assert "input_ids" in back.columns
+        assert back.filter(F.size("input_ids") > 0).count() == back.count()
+        # bad artifact path: clean exit 2
+        assert main(["--data-dir", str(d), "--prep-corpus", out,
+                     "--bpe-merges", str(tmp_path / "nope.json")]) == 2
