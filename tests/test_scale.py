@@ -503,3 +503,59 @@ def test_round9_operators_scale_bounded(spark):
         print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
               f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
         assert ratio < 8, (name, ratio)
+
+
+def test_round10_operators_scale_bounded(spark):
+    """Round-10 operators at sf0.01 → sf0.1 (10× rows): the token-id
+    export rides the r09 BPE machinery — merge learning collects only
+    the vocab-sized frequency table, id assignment is a driver dict of
+    |vocab| entries, the encode is one posexplode + one broadcast join
+    against the vocab-sized id table, and packing adds one
+    (shard)-keyed window + one (shard, bin) agg. Nothing driver-side
+    grows with the corpus, so warm cost must grow well under data
+    growth."""
+    from igloo_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("x137_bpe_token_ids", "x138_packed_token_shards"):
+        warm = {}
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            spec = qs[name]
+            _run(spec.spark(spark, sf))  # codegen warmup
+            t0 = time.perf_counter()
+            _run(spec.spark(spark, sf))
+            warm[sf] = time.perf_counter() - t0
+        ratio = warm["/root/testdata/sf0.1"] / max(warm["/root/testdata/sf0.01"], 1e-9)
+        print(f"{name}: sf0.01 {warm['/root/testdata/sf0.01']:.3f}s "
+              f"sf0.1 {warm['/root/testdata/sf0.1']:.3f}s ratio {ratio:.1f}x")
+        assert ratio < 8, (name, ratio)
+
+
+def test_tokenized_shard_write_scale_bounded(spark, tmp_path):
+    """write_training_shards(bpe_merges=...) at sf0.01 → sf0.1: the
+    tokenized write adds the encode's broadcast join to the existing
+    shard-keyed exchange — no new corpus shuffle — so the tokenized
+    write must cost roughly the plain write's growth, not a new
+    superlinear term."""
+    from igloo_spark.operators.bpe import learn_bpe_merges
+    from igloo_spark.pipelines import (
+        prepare_training_corpus,
+        write_training_shards,
+    )
+    from igloo_spark.sources import load_testdata_table
+
+    times = {}
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        docs = load_testdata_table(spark, sf, "documents")
+        merges = learn_bpe_merges(docs, n_merges=8)
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        out = str(tmp_path / f"tok_{sf.rsplit('/', 1)[-1]}")
+        t0 = time.perf_counter()
+        write_training_shards(docs, r, out, bpe_merges=merges)
+        times[sf] = time.perf_counter() - t0
+    ratio = times["/root/testdata/sf0.1"] / max(times["/root/testdata/sf0.01"], 1e-9)
+    print(f"tokenized shard write: sf0.01 {times['/root/testdata/sf0.01']:.2f}s "
+          f"sf0.1 {times['/root/testdata/sf0.1']:.2f}s ratio {ratio:.1f}x")
+    assert ratio < 8, (times, "tokenized write grew superlinearly vs 10x data")
