@@ -133,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
         "store itself (--repair-index --index-kind ivf|pq|ivfpq)",
     )
     parser.add_argument(
+        "--tokenize", action="store_true",
+        help="with --ingest: tokenize at ingest — the first batch learns "
+        "BPE merges and freezes the id vocab at <store>/bpe.json; every "
+        "snapshot row carries input_ids under that frozen tokenizer "
+        "(training exports never re-tokenize)",
+    )
+    parser.add_argument(
         "--check-index-sync", default=None, metavar="STORE_DIR",
         help="report whether the index at --index-root is in sync with the "
         "corpus store (exit 0 in sync, 3 lagging)",
@@ -290,6 +297,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(
             "--fit-bpe-merges needs a documents source: --data-dir or --corpus-store"
         )
+    if args.tokenize and args.ingest is None:
+        parser.error("--tokenize only applies to --ingest")
     if args.quality_model is not None and args.ingest is None:
         parser.error("--quality-model only applies to --ingest")
     if args.quality_model_root is not None and args.ingest is None:
@@ -407,16 +416,22 @@ def main(argv: list[str] | None = None) -> int:
                 n_shards=args.n_shards,
             )
             bpe_merges = None
+            bpe_vocab = None
             if args.bpe_merges is not None:
-                from igloo_spark.operators.bpe import load_bpe_merges
+                from igloo_spark.operators.bpe import (
+                    load_bpe_merges,
+                    load_bpe_vocab,
+                )
 
                 try:
                     bpe_merges = load_bpe_merges(args.bpe_merges)
+                    bpe_vocab = load_bpe_vocab(args.bpe_merges)
                 except (FileNotFoundError, ValueError) as e:
                     print(f"error: --bpe-merges: {e}", file=sys.stderr)
                     return 2
             info = write_training_shards(
-                docs, result, args.prep_corpus, bpe_merges=bpe_merges
+                docs, result, args.prep_corpus,
+                bpe_merges=bpe_merges, bpe_vocab=bpe_vocab,
             )
             counts = result.counts.first().asDict()
             print(
@@ -480,6 +495,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if out["in_sync"] else 3
         if args.fit_bpe_merges is not None:
             from igloo_spark.operators.bpe import (
+                bpe_token_id_map,
                 learn_bpe_merges,
                 save_bpe_merges,
             )
@@ -488,9 +504,13 @@ def main(argv: list[str] | None = None) -> int:
                 "corpus" if args.corpus_store is not None else "documents"
             )
             merges = learn_bpe_merges(docs, n_merges=args.n_merges)
-            save_bpe_merges(merges, args.fit_bpe_merges)
+            # freeze the id vocab with the merges: ids then come from
+            # the artifact, not from whichever corpus is encoded later
+            vocab = bpe_token_id_map(docs, merges)
+            save_bpe_merges(merges, args.fit_bpe_merges, vocab=vocab)
             print(
-                f"learned {len(merges)} BPE merges -> {args.fit_bpe_merges}"
+                f"learned {len(merges)} BPE merges "
+                f"({len(vocab)} vocab ids) -> {args.fit_bpe_merges}"
             )
             return 0
         if args.fit_quality_model is not None:
@@ -554,6 +574,7 @@ def main(argv: list[str] | None = None) -> int:
                     quality_model_threshold=args.quality_model_threshold,
                     quality_model_root=args.quality_model_root,
                     persist_embeddings=args.persist_embeddings,
+                    tokenize=args.tokenize,
                     ivf_index_root=args.ivf_index,
                     pq_index_root=args.pq_index,
                     ivfpq_index_root=args.ivfpq_index,
@@ -567,6 +588,12 @@ def main(argv: list[str] | None = None) -> int:
                 if isinstance(e, BatchExpectationError):
                     print(f"error: --ingest: {e}", file=sys.stderr)
                     return 4
+                if isinstance(e, ValueError):
+                    # contract violations (mixed persist_embeddings /
+                    # tokenize stores, conflicting model args) exit
+                    # cleanly like every other CLI input error
+                    print(f"error: --ingest: {e}", file=sys.stderr)
+                    return 2
                 raise
             verdicts = {
                 r["verdict"]: r["count"]

@@ -184,25 +184,46 @@ def bpe_word_ids(
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     top_v: int | None = None,
+    token_ids: dict[str, int] | None = None,
+    unk_id: int | None = None,
 ) -> DataFrame:
     """``(word, freq, ids array<bigint>)``: each vocab word's token-id
     sequence under the learned merges + id map — the broadcast-join
     target for :func:`bpe_encode_ids`. Like ``bpe_segmentations``,
     computed once per VOCAB word driver-side (segmentation and id
     lookup are pure functions of the word), so the corpus is never
-    re-segmented per token instance."""
+    re-segmented per token instance.
+
+    ``token_ids`` overrides the data-derived id map with a FROZEN one
+    (from a vocab-carrying artifact) — the cross-batch-stable path: a
+    symbol outside the frozen vocab maps to ``unk_id`` (the reserved
+    fallback), or raises loudly if ``unk_id`` is None so a silent
+    tokenizer/corpus mismatch can't ship wrong ids."""
     spark = docs.sparkSession
-    id_map = bpe_token_id_map(docs, merges, text_col, top_v)
+    id_map = (
+        token_ids
+        if token_ids is not None
+        else bpe_token_id_map(docs, merges, text_col, top_v)
+    )
+
+    def _ids(word: str) -> list[int]:
+        out = []
+        for s in _apply_merges(word, merges):
+            if s in id_map:
+                out.append(id_map[s])
+            elif unk_id is not None:
+                out.append(unk_id)
+            else:
+                raise ValueError(
+                    f"symbol {s!r} (word {word!r}) is outside the frozen "
+                    f"vocab and no unk_id is set — re-fit the artifact on "
+                    f"a covering corpus or pass unk_id"
+                )
+        return out
+
     rows = word_frequencies(docs, text_col, top_v).collect()
     return spark.createDataFrame(
-        [
-            (
-                r["word"],
-                r["freq"],
-                [id_map[s] for s in _apply_merges(r["word"], merges)],
-            )
-            for r in rows
-        ],
+        [(r["word"], r["freq"], _ids(r["word"])) for r in rows],
         "word string, freq bigint, ids array<bigint>",
     )
 
@@ -213,6 +234,8 @@ def bpe_encode_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_v: int | None = None,
+    token_ids: dict[str, int] | None = None,
+    unk_id: int | None = None,
 ) -> DataFrame:
     """Encode every document to ``input_ids array<bigint>`` — the
     pretraining handoff: word order is preserved (posexplode position
@@ -221,12 +244,19 @@ def bpe_encode_ids(
     sequence, and the concatenation is their order-preserving
     flatten. Adds ``n_ids`` (= size(input_ids)).
 
+    ``token_ids``/``unk_id`` (see :func:`bpe_word_ids`) switch id
+    assignment from data-derived to a frozen artifact vocab — the
+    mode every multi-batch consumer (ingest-time tokenization,
+    repeated shard exports) needs for cross-batch id stability.
+
     Plan shape at 100 TB: one posexplode (narrow), one BROADCAST join
     against the vocab id table, one groupBy(doc) with
     sort-inside-collect — no corpus self-join, no per-token Python.
     Blank documents encode to the empty array (left join keeps
     them)."""
-    word_ids = bpe_word_ids(docs, merges, text_col, top_v)
+    word_ids = bpe_word_ids(
+        docs, merges, text_col, top_v, token_ids=token_ids, unk_id=unk_id
+    )
     occ = docs.select(
         F.col(id_col),
         F.posexplode_outer(_words(F.col(text_col))).alias("__pos", "__word"),
@@ -263,6 +293,7 @@ def pack_token_rows(
     id_col: str = "doc_id",
     budget: int = 512,
     n_shards: int = 4,
+    with_spans: bool = False,
 ) -> DataFrame:
     """Concatenate encoded documents into training rows under the x65
     packing regime (``operators.packing.pack_sequences``): a
@@ -273,6 +304,16 @@ def pack_token_rows(
     ``seq_ids`` (the packed id sequence, doc order preserved),
     ``n_docs`` and ``n_ids``.
 
+    ``with_spans=True`` adds ``doc_spans`` —
+    ``array<struct<doc_id, start, len>>`` in document order, where
+    ``start`` is each document's 0-based offset inside ``seq_ids`` —
+    the loss-mask / attention-boundary metadata a training loader
+    needs to keep cross-document attention from leaking inside a
+    packed row. Spans are derived inside the SAME (shard, bin) agg
+    (``start_tok`` already exists from the packing window; offset =
+    start_tok − the bin's min start_tok), so the flag adds no
+    exchange.
+
     Scale: the only shuffle is the (shard)-keyed window + (shard,
     bin) agg — parallelism is n_shards at any corpus size, and each
     window partition is corpus/n_shards, the same bound x65 relies
@@ -282,34 +323,75 @@ def pack_token_rows(
     packed = pack_sequences(
         encoded, id_col, F.col("n_ids"), [], budget, n_shards
     )
-    return (
-        packed.join(encoded.select(id_col, "input_ids"), id_col)
-        .groupBy("shard", "bin")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col(id_col), "input_ids"))
-                    ),
-                    lambda s: s["input_ids"],
-                )
-            ).alias("seq_ids"),
+    joined = packed.join(encoded.select(id_col, "input_ids"), id_col)
+    aggs = [
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col), "input_ids"))
+                ),
+                lambda s: s["input_ids"],
+            )
+        ).alias("seq_ids"),
+    ]
+    if with_spans:
+        aggs.extend(
+            [
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col), F.col("start_tok"), F.col("n_tokens")
+                        )
+                    )
+                ).alias("__span_raw"),
+                F.min("start_tok").cast("bigint").alias("__bin_start"),
+            ]
         )
+    out = (
+        joined.groupBy("shard", "bin")
+        .agg(*aggs)
         .withColumn("n_ids", F.size("seq_ids").cast("bigint"))
     )
+    if with_spans:
+        out = out.withColumn(
+            "doc_spans",
+            F.transform(
+                "__span_raw",
+                lambda s: F.struct(
+                    s[id_col].cast("bigint").alias("doc_id"),
+                    (s["start_tok"] - F.col("__bin_start"))
+                    .cast("bigint")
+                    .alias("start"),
+                    s["n_tokens"].cast("bigint").alias("len"),
+                ),
+            ),
+        ).drop("__span_raw", "__bin_start")
+    return out
 
 
 _BPE_FORMAT = "igloo-bpe-merges"
 
 
-def save_bpe_merges(merges: list[tuple[str, str, int]], path: str) -> None:
+def save_bpe_merges(
+    merges: list[tuple[str, str, int]],
+    path: str,
+    vocab: dict[str, int] | None = None,
+) -> None:
     """Persist a learned merge table as a JSON artifact (strings and
     integer counts — exact by construction), tmp-then-``os.replace``
     atomic like the index side tables. Two training runs produce the
     identical table (``learn_bpe_merges`` is deterministic), so the
     artifact is the corpus's canonical tokenizer: ship it to every
-    consumer instead of re-learning per job."""
+    consumer instead of re-learning per job.
+
+    ``vocab`` (a :func:`bpe_token_id_map` table) FREEZES the id
+    assignment too: without it, ids derive from the encode-time
+    corpus's alphabet, so two exports of different batches under the
+    same merges would disagree on ids. A vocab-carrying artifact also
+    records ``unk_id`` (= len(vocab), the reserved next id) for
+    symbols outside the training alphabet — the char-level analogue
+    of a byte-level tokenizer's fallback."""
     import json
     import os
 
@@ -318,6 +400,9 @@ def save_bpe_merges(merges: list[tuple[str, str, int]], path: str) -> None:
         "version": 1,
         "merges": [[left, right, count] for left, right, count in merges],
     }
+    if vocab is not None:
+        payload["vocab"] = vocab
+        payload["unk_id"] = len(vocab)
     tmp = f"{path}.tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1, ensure_ascii=False)
@@ -338,3 +423,54 @@ def load_bpe_merges(path: str) -> list[tuple[str, str, int]]:
     if payload.get("version") != 1:
         raise ValueError(f"{path}: unsupported version {payload.get('version')!r}")
     return [(left, right, int(count)) for left, right, count in payload["merges"]]
+
+
+def load_bpe_vocab(path: str) -> tuple[dict[str, int], int] | None:
+    """Load the frozen ``(vocab, unk_id)`` from a vocab-carrying
+    :func:`save_bpe_merges` artifact, or ``None`` for a merges-only
+    artifact (the caller then derives ids from its own corpus — the
+    x137 semantics)."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != _BPE_FORMAT:
+        raise ValueError(
+            f"{path}: not a BPE merge artifact (format={payload.get('format')!r})"
+        )
+    if "vocab" not in payload:
+        return None
+    vocab = {str(k): int(v) for k, v in payload["vocab"].items()}
+    return vocab, int(payload.get("unk_id", len(vocab)))
+
+
+def token_ngram_keys(
+    encoded: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, gram)``: each document's DISTINCT token-id n-grams as
+    comma-joined string keys — the unit of token-level eval-set
+    decontamination (the published convention flags any training
+    document sharing a 13-token n-gram with a benchmark).
+
+    The gram windows are built in-row from ``input_ids`` (sequence →
+    slice → cast-join, all codegen) and de-duplicated per document
+    BEFORE the explode, so the exploded stream carries one row per
+    distinct (doc, gram) — never one per occurrence. Documents
+    shorter than ``n`` ids contribute nothing."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("input_ids") - (n - 1)),
+        lambda i: F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("input_ids", i, F.lit(n)), lambda e: e.cast("string")
+            ),
+        ),
+    )
+    return (
+        encoded.filter(F.size("input_ids") >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+    )

@@ -272,6 +272,7 @@ def write_training_shards(
     text_col: str = "text",
     data_format: str = "parquet",
     bpe_merges: "list[tuple[str, str, int]] | None" = None,
+    bpe_vocab: "tuple[dict[str, int], int] | None" = None,
 ) -> dict:
     """Materialize the prepared corpus as the on-disk training
     artifact: one parquet directory per shard (``partitionBy(shard)``,
@@ -301,7 +302,14 @@ def write_training_shards(
     if bpe_merges is not None:
         from igloo_spark.operators.bpe import bpe_encode_ids
 
-        enc = bpe_encode_ids(docs, bpe_merges, id_col=id_col, text_col=text_col)
+        # bpe_vocab (a load_bpe_vocab (vocab, unk_id) pair) pins ids to
+        # the ARTIFACT's vocab so repeated exports of different batches
+        # agree; without it ids derive from this export's own corpus
+        tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
+        enc = bpe_encode_ids(
+            docs, bpe_merges, id_col=id_col, text_col=text_col,
+            token_ids=tok_ids, unk_id=tok_unk,
+        )
         shard_cols = shard_cols.join(enc, id_col)
     out = (
         shard_cols
@@ -736,6 +744,8 @@ def incremental_ingest(
     quality_model_root: str | None = None,
     quality_model_label_threshold: float = 0.6,
     persist_embeddings: bool = False,
+    tokenize: bool = False,
+    tokenize_n_merges: int = 8,
     expectations: dict | None = None,
     expectation_mode: str = "fail",
 ) -> IncrementalIngestResult:
@@ -955,6 +965,24 @@ def incremental_ingest(
                 f"with persist_embeddings=True from the first batch (a "
                 f"mixed store would read NULL embeddings for history)"
             )
+        # same uniformity rule for ingest-time tokenization: input_ids
+        # is a store property (a mixed store would read NULL ids for
+        # some snapshots, poisoning every training export)
+        store_has_ids = "input_ids" in history.columns
+        if store_has_ids and not tokenize:
+            raise ValueError(
+                f"store at {corpus_root} is tokenized (carries input_ids): "
+                f"every subsequent batch must be ingested with "
+                f"tokenize=True (a non-tokenized append would leave NULL "
+                f"input_ids in the merged snapshot)"
+            )
+        if tokenize and not store_has_ids:
+            raise ValueError(
+                f"tokenize=True but the store at {corpus_root} was created "
+                f"without input_ids: re-create the store with "
+                f"tokenize=True from the first batch (a mixed store would "
+                f"read NULL input_ids for history)"
+            )
 
     batch = new_docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col),
@@ -1097,6 +1125,52 @@ def incremental_ingest(
         store_frame = store_frame.join(
             new_docs.select(id_col, vec_col), id_col
         )
+    if tokenize:
+        # ingest-time tokenization: the store carries input_ids, so
+        # training exports never re-tokenize. The tokenizer is a STORE
+        # artifact (<root>/bpe.json, the quality_model_root bootstrap
+        # pattern): the first tokenized ingest learns merges + freezes
+        # the id vocab from its own batch; every later batch loads the
+        # artifact and encodes under the FROZEN vocab (new symbols →
+        # the reserved unk_id), so ids are identical across snapshots
+        # — the property a training loader depends on. The fit is
+        # deterministic, so a crash between artifact save and corpus
+        # commit replays to the identical artifact.
+        import os as _os
+
+        from igloo_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_token_id_map,
+            learn_bpe_merges,
+            load_bpe_merges,
+            load_bpe_vocab,
+            save_bpe_merges,
+        )
+
+        bpe_path = _os.path.join(store_root, "bpe.json")
+        if _os.path.exists(bpe_path):
+            tok_merges = load_bpe_merges(bpe_path)
+            frozen = load_bpe_vocab(bpe_path)
+            if frozen is None:
+                raise ValueError(
+                    f"{bpe_path}: store tokenizer artifact lacks a frozen "
+                    f"vocab — cross-batch ids would drift; re-create the "
+                    f"store (save_bpe_merges with vocab=)"
+                )
+            tok_vocab, tok_unk = frozen
+        else:
+            tok_merges = learn_bpe_merges(
+                new_docs, text_col=text_col, n_merges=tokenize_n_merges
+            )
+            tok_vocab = bpe_token_id_map(new_docs, tok_merges, text_col=text_col)
+            tok_unk = len(tok_vocab)
+            _os.makedirs(store_root, exist_ok=True)
+            save_bpe_merges(tok_merges, bpe_path, vocab=tok_vocab)
+        enc = bpe_encode_ids(
+            accepted, tok_merges, id_col=id_col, text_col=text_col,
+            token_ids=tok_vocab, unk_id=tok_unk,
+        )
+        store_frame = store_frame.join(enc, id_col)
     corpus_version = write_versioned(
         store_frame,
         corpus_root,

@@ -6070,3 +6070,157 @@ def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_rows(
         enc, budget=PACK_ID_BUDGET, n_shards=PACK_SHARDS
     ).select("shard", "bin", "n_docs", "seq_ids", "n_ids")
+
+
+def _x139_oracle() -> str:
+    pack_hash = hex_prefix_hash_sql_duckdb("concat('pack:', CAST(doc_id AS VARCHAR))")
+    return (
+        _bpe_id_ctes()
+        + f""",
+    enc_all AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(len(e.input_ids), 0) AS BIGINT) AS n_ids,
+               CAST(({pack_hash}) % {PACK_SHARDS} AS BIGINT) AS shard
+        FROM documents d LEFT JOIN doc_enc e USING (doc_id)
+    ),
+    placed AS (
+        SELECT doc_id, n_ids, shard,
+               sum(n_ids) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_ids AS start_tok
+        FROM enc_all
+    ),
+    binned AS (
+        SELECT shard,
+               CAST(floor(start_tok / {PACK_ID_BUDGET}) AS BIGINT) AS bin,
+               doc_id, n_ids, start_tok
+        FROM placed
+    )
+    SELECT shard, bin, doc_id,
+           CAST(start_tok - min(start_tok) OVER (PARTITION BY shard, bin)
+                AS BIGINT) AS start,
+           CAST(n_ids AS BIGINT) AS len
+    FROM binned"""
+    )
+
+
+@register(
+    "x139_packed_doc_spans",
+    "document boundary spans inside every packed training row — the "
+    "loss-mask / attention-boundary metadata",
+    _x139_oracle(),
+    tags=("packing", "tokenizer", "llm"),
+)
+def x139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata x138's packed rows need to TRAIN correctly:
+    cross-document attention inside a packed sequence leaks context
+    between unrelated documents, so the loader needs each document's
+    (start, len) offsets inside its row to reset the attention mask
+    at boundaries. ``pack_token_rows(with_spans=True)`` derives the
+    spans inside the SAME (shard, bin) agg the packing already runs
+    (``start_tok`` exists from the packing window; offset =
+    start_tok − the bin's min) — the flag adds no exchange. This
+    query explodes the span arrays flat so the oracle hashes every
+    (row, doc, offset, length) tuple: a packer that reorders,
+    overlaps, or gaps documents inside a training row flips a value.
+
+    Scale: x138's shape exactly — parallelism is n_shards at any
+    corpus size; the explode is narrow."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        learn_bpe_merges,
+        pack_token_rows,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    packed = pack_token_rows(
+        enc, budget=PACK_ID_BUDGET, n_shards=PACK_SHARDS, with_spans=True
+    )
+    return packed.select(
+        "shard", "bin", F.inline("doc_spans")
+    ).select("shard", "bin", "doc_id", "start", "len")
+
+
+DECON_NGRAM = 13  # token-id n-gram width (the published convention)
+
+
+def _x140_oracle() -> str:
+    n = DECON_NGRAM
+    return (
+        _bpe_id_ctes()
+        + f""",
+    gr AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(input_ids[s.i:s.i + {n - 1}], ',') AS gram
+        FROM doc_enc,
+             LATERAL unnest(range(1, len(input_ids) - {n} + 2)) AS s(i)
+        WHERE len(input_ids) >= {n}
+    ),
+    train_g AS (SELECT doc_id, gram FROM gr WHERE doc_id % {EVAL_SET_MOD} <> 0),
+    eval_g AS (SELECT DISTINCT gram FROM gr WHERE doc_id % {EVAL_SET_MOD} = 0),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM train_g GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM train_g t JOIN eval_g USING (gram) GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, n_shared, n_grams
+    FROM hits h JOIN sizes USING (doc_id)"""
+    )
+
+
+@register(
+    "x140_token_decontamination",
+    f"token-level eval-set decontamination: training docs sharing any "
+    f"{DECON_NGRAM}-token-id n-gram with the held-out set",
+    _x140_oracle(),
+    tags=("text", "tokenizer", "dedup", "llm"),
+)
+def x140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x67 decontaminates on word bigrams; the published pipelines
+    decontaminate on TOKEN n-grams (flag any training document that
+    shares a 13-token n-gram with a benchmark) — post-tokenization,
+    so paraphrase-resistant formatting drift (case, whitespace) is
+    already normalized away by the encode. Gram keys are built in-row
+    from input_ids (sequence → slice → cast-join, codegen;
+    ``operators.bpe.token_ngram_keys``) and deduplicated per doc
+    before the explode.
+
+    Scale shape (the x67 posture): the eval gram set is
+    benchmark-sized in production, so it broadcasts (no hint — the
+    fixture's %mod eval stand-in is a corpus fraction, and AQE picks
+    the right side); the train stream is probed map-side; the only
+    corpus-sized exchanges are the encode's own and the per-doc
+    rollup. Never corpus × corpus."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        learn_bpe_merges,
+        token_ngram_keys,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    # one encode feeds train + eval branches; checkpoint so the
+    # posexplode+join+agg exchange runs once, not once per consumer
+    enc = bpe_encode_ids(d, merges, top_v=None).localCheckpoint(eager=False)
+    grams = token_ngram_keys(enc, n=DECON_NGRAM).localCheckpoint(eager=False)
+    train = grams.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+    eval_g = (
+        grams.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    sizes = train.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    hits = (
+        train.join(eval_g, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return hits.join(sizes, "doc_id").select("doc_id", "n_shared", "n_grams")

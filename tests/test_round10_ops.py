@@ -523,3 +523,188 @@ class TestTokenIdExport:
         # bad artifact path: clean exit 2
         assert main(["--data-dir", str(d), "--prep-corpus", out,
                      "--bpe-merges", str(tmp_path / "nope.json")]) == 2
+
+
+class TestFrozenVocabArtifact:
+    """The vocab-carrying artifact: ids come from the ARTIFACT, not
+    from whichever corpus is encoded later — the property every
+    multi-batch consumer (ingest-time tokenization, repeated shard
+    exports) needs."""
+
+    def _fit(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import (
+            bpe_token_id_map,
+            learn_bpe_merges,
+            save_bpe_merges,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma alpha"), (2, "beta gamma delta")],
+            "doc_id long, text string",
+        )
+        merges = learn_bpe_merges(docs, n_merges=4, top_v=None)
+        vocab = bpe_token_id_map(docs, merges, top_v=None)
+        path = str(tmp_path / "frozen.json")
+        save_bpe_merges(merges, path, vocab=vocab)
+        return docs, merges, vocab, path
+
+    def test_vocab_roundtrip(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import load_bpe_merges, load_bpe_vocab
+
+        _, merges, vocab, path = self._fit(spark, tmp_path)
+        assert load_bpe_merges(path) == merges
+        got = load_bpe_vocab(path)
+        assert got == (vocab, len(vocab))
+
+    def test_merges_only_artifact_has_no_vocab(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import load_bpe_vocab, save_bpe_merges
+
+        _, merges, _, _ = self._fit(spark, tmp_path)
+        p = str(tmp_path / "plain.json")
+        save_bpe_merges(merges, p)
+        assert load_bpe_vocab(p) is None
+
+    def test_frozen_ids_stable_across_batches(self, spark, tmp_path):
+        """Two different batches encoded under the frozen vocab agree
+        on every shared word's ids; the data-derived path does NOT
+        (its alphabet shifts with the batch) — the exact drift the
+        artifact exists to prevent."""
+        from igloo_spark.operators.bpe import bpe_encode_ids
+
+        _, merges, vocab, _ = self._fit(spark, tmp_path)
+        unk = len(vocab)
+        b1 = spark.createDataFrame(
+            [(10, "alpha beta")], "doc_id long, text string"
+        )
+        # zeta introduces alphabet chars (z) absent from the fit corpus
+        b2 = spark.createDataFrame(
+            [(20, "zeta alpha beta")], "doc_id long, text string"
+        )
+        e1 = bpe_encode_ids(b1, merges, token_ids=vocab, unk_id=unk).first()
+        e2 = bpe_encode_ids(b2, merges, token_ids=vocab, unk_id=unk).first()
+        # 'alpha beta' suffix identical under the frozen vocab
+        n = len(e1["input_ids"])
+        assert e2["input_ids"][-n:] == e1["input_ids"]
+        # the unseen word's unknown symbols hit the reserved unk id
+        assert unk in e2["input_ids"]
+
+    def test_unknown_symbol_without_unk_raises(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import bpe_encode_ids
+
+        _, merges, vocab, _ = self._fit(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [(30, "zzz")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="outside the frozen vocab"):
+            bpe_encode_ids(batch, merges, token_ids=vocab).first()
+
+
+class TestTokenizedIngest:
+    """Ingest-time tokenization: input_ids is a store property with a
+    frozen per-store tokenizer artifact — ids never drift across
+    batches, mixed appends raise in both directions."""
+
+    def test_bootstrap_then_append_stable_ids(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import load_bpe_vocab
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "tok_store")
+        kw = dict(min_quality=0.0, min_shared=1, tokenize=True)
+        incremental_ingest(_mk_docs(spark, range(1, 4)), root, **kw)
+        assert os.path.exists(root + "/bpe.json")
+        vocab, unk = load_bpe_vocab(root + "/bpe.json")
+        assert unk == len(vocab)
+        incremental_ingest(_mk_docs(spark, [9, 10]), root, **kw)
+        corpus = read_versioned(spark, root + "/corpus")
+        assert "input_ids" in corpus.columns
+        assert corpus.filter(F.col("input_ids").isNull()).count() == 0
+        assert corpus.count() == 5
+        # shared words ("document body ...") must get the SAME leading
+        # ids in both snapshots — frozen-vocab stability across batches
+        lead = {
+            r["doc_id"]: r["input_ids"][:8] for r in corpus.collect()
+        }
+        assert lead[1][:8] == lead[9][:8]
+
+    def test_mixed_appends_raise_both_directions(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        kw = dict(min_quality=0.0, min_shared=1)
+        root1 = str(tmp_path / "tok_store1")
+        incremental_ingest(_mk_docs(spark, range(1, 4)), root1, tokenize=True, **kw)
+        with pytest.raises(ValueError, match="tokenize=True"):
+            incremental_ingest(_mk_docs(spark, [9, 10]), root1, **kw)
+        root2 = str(tmp_path / "plain_store2")
+        incremental_ingest(_mk_docs(spark, range(1, 4)), root2, **kw)
+        with pytest.raises(ValueError, match="without input_ids"):
+            incremental_ingest(
+                _mk_docs(spark, [9, 10]), root2, tokenize=True, **kw
+            )
+
+    def test_cli_tokenized_ingest(self, spark, tmp_path, capsys):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import read_versioned
+
+        d = tmp_path / "tok_cli_docs"
+        d.mkdir()
+        rows = [(i, f"alpha beta gamma doc {i} " * 4) for i in range(1, 7)]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        root = str(tmp_path / "cli_tok_store")
+        assert main(["--data-dir", str(d), "--ingest", root,
+                     "--min-quality", "0.0", "--tokenize"]) == 0
+        assert os.path.exists(root + "/bpe.json")
+        corpus = read_versioned(spark, root + "/corpus")
+        assert "input_ids" in corpus.columns
+        # a plain re-ingest into the tokenized store exits 2 cleanly
+        assert main(["--data-dir", str(d), "--ingest", root,
+                     "--min-quality", "0.0"]) == 2
+        assert "tokenize" in capsys.readouterr().err
+        # --tokenize without --ingest is a parser error (exit 2)
+        with pytest.raises(SystemExit):
+            main(["--data-dir", str(d), "--sql", "SELECT 1", "--tokenize"])
+
+
+class TestPackedDocSpans:
+    """x139's operator contract: with_spans tiles every packed row
+    exactly — contiguous, gap-free, slice-exact."""
+
+    def test_spans_tile_rows_exactly(self, spark):
+        from igloo_spark.operators.bpe import (
+            bpe_encode_ids,
+            learn_bpe_merges,
+            pack_token_rows,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"word{i} common text body number {i}") for i in range(1, 30)],
+            "doc_id long, text string",
+        )
+        merges = learn_bpe_merges(docs, n_merges=4, top_v=None)
+        enc = bpe_encode_ids(docs, merges, top_v=None)
+        expect = {r["doc_id"]: r["input_ids"] for r in enc.collect()}
+        packed = pack_token_rows(
+            enc, budget=24, n_shards=2, with_spans=True
+        ).collect()
+        seen = 0
+        for row in packed:
+            pos = 0
+            for s in row["doc_spans"]:
+                assert s["start"] == pos, "gap or overlap inside a packed row"
+                seg = row["seq_ids"][s["start"]:s["start"] + s["len"]]
+                assert seg == expect[s["doc_id"]], "span does not slice back"
+                pos += s["len"]
+                seen += 1
+            assert pos == row["n_ids"], "spans do not tile the row"
+        assert seen == len(expect)
