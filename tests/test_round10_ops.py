@@ -708,3 +708,45 @@ class TestPackedDocSpans:
                 seen += 1
             assert pos == row["n_ids"], "spans do not tile the row"
         assert seen == len(expect)
+
+
+class TestStreamingTokenizedIngest:
+    """ingest_stream forwards tokenize=True verbatim, so a STREAMED
+    tokenized store stays id-stable across micro-batches: the first
+    batch freezes <store>/bpe.json, every later batch encodes under
+    the frozen vocab."""
+
+    def test_stream_tokenize_stable_ids(self, spark, tmp_path):
+        import json
+
+        from igloo_spark.operators.bpe import load_bpe_vocab
+        from igloo_spark.pipelines import ingest_stream
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "tok_stream_store")
+        src = tmp_path / "tok_src"
+        src.mkdir()
+        shared = "alpha beta gamma shared prefix words here now"
+        (src / "b1.json").write_text(json.dumps(
+            {"doc_id": 1, "text": shared + " first unique tail"}))
+        (src / "b2.json").write_text(json.dumps(
+            {"doc_id": 2, "text": shared + " zzz second tail"}))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = ingest_stream(
+            stream, root, str(tmp_path / "tok_ck"),
+            min_quality=0.0, min_shared=10, tokenize=True,
+        )
+        q.awaitTermination(180)
+        vocab, unk = load_bpe_vocab(root + "/bpe.json")
+        corpus = read_versioned(spark, root + "/corpus")
+        rows = {r["doc_id"]: r["input_ids"] for r in corpus.collect()}
+        assert set(rows) == {1, 2}
+        # both docs tokenized; the shared prefix ids agree snapshot-
+        # to-snapshot even though batch 2's alphabet differs (zzz)
+        n = 12
+        assert rows[1][:n] == rows[2][:n]
+        assert all(i <= unk for i in rows[2])

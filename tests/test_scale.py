@@ -517,7 +517,12 @@ def test_round10_operators_scale_bounded(spark):
     from igloo_spark.queries import all_queries
 
     qs = all_queries()
-    for name in ("x137_bpe_token_ids", "x138_packed_token_shards"):
+    for name in (
+        "x137_bpe_token_ids",
+        "x138_packed_token_shards",
+        "x139_packed_doc_spans",
+        "x140_token_decontamination",
+    ):
         warm = {}
         for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
             spec = qs[name]
