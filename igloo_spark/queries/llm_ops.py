@@ -6224,3 +6224,171 @@ def x140(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
     return hits.join(sizes, "doc_id").select("doc_id", "n_shared", "n_grams")
+
+
+FERT_FIT_MOD = 2  # tokenizer fit corpus = doc_id % 2 == 0 (the drift stand-in)
+
+
+def _x141_oracle() -> str:
+    """Train BPE on the FIT SUBSET only, freeze its id vocab, then
+    apply the learned merges to EVERY corpus word (the
+    ``_bpe_training_layers`` fold chain, replayed as apply-only
+    layers over the all-corpus vocab) and id-map symbols with the
+    frozen table — unmapped symbols are the unk hits."""
+    sep = "chr(31)"
+    layers = _bpe_training_layers()
+    fold = (
+        f"list_reduce(string_split(seg, {sep}), "
+        f"(acc, x) -> CASE WHEN ends_with(acc, {sep} || b.l) AND x = b.r "
+        f"THEN substring(acc, 1, length(acc) - length(b.l) - 1) "
+        f"|| {sep} || b.l || b.r "
+        f"ELSE acc || {sep} || x END)"
+    )
+    apply_layers = "".join(
+        f""",
+    allw_{k + 1} AS (
+        SELECT word, CASE WHEN b.l IS NULL THEN seg ELSE {fold} END AS seg
+        FROM allw_{k} LEFT JOIN best_{k} b ON TRUE
+    )"""
+        for k in range(_BPE_N_MERGES)
+    )
+    arms = "\n        UNION ALL\n        ".join(
+        f"SELECT {k + 1} AS midx, l, r FROM best_{k}"
+        for k in range(_BPE_N_MERGES)
+    )
+    return f"""
+    WITH occ AS (
+        SELECT source, doc_id,
+               unnest(string_split(
+                   regexp_replace(trim(lower(text)), '[ ]+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    ),
+    occ1 AS (SELECT * FROM occ WHERE length(w) >= 1),
+    seg_0 AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+               regexp_replace(w, '(.)', {sep} || '\\1', 'g') AS seg
+        FROM occ1 WHERE doc_id % {FERT_FIT_MOD} = 0 GROUP BY w
+    ),{','.join(layers)},
+    merges AS (
+        {arms}
+    ),
+    base1 AS (
+        SELECT DISTINCT unnest(string_split(seg, {sep})) AS sym FROM seg_0
+    ),
+    base2 AS (SELECT sym FROM base1 WHERE sym <> ''),
+    sym_ord AS (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS ord
+        FROM base2
+        UNION ALL
+        SELECT l || r AS sym, (SELECT count(*) FROM base2) + midx AS ord
+        FROM merges
+    ),
+    sym_ids AS (
+        SELECT sym, CAST(row_number() OVER (ORDER BY min_ord) - 1 AS BIGINT) AS id
+        FROM (SELECT sym, min(ord) AS min_ord FROM sym_ord GROUP BY sym) t
+    ),
+    allw_0 AS (
+        SELECT word, regexp_replace(word, '(.)', {sep} || '\\1', 'g') AS seg
+        FROM (SELECT DISTINCT w AS word FROM occ1)
+    ){apply_layers},
+    wsyms AS (
+        SELECT word, list_filter(string_split(seg, {sep}), x -> x <> '') AS syms
+        FROM allw_{_BPE_N_MERGES}
+    ),
+    wsym AS (
+        SELECT word, syms[s.i] AS sym
+        FROM wsyms, LATERAL unnest(range(1, len(syms)+1)) AS s(i)
+    ),
+    wstat AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n_sym,
+               CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        FROM wsym LEFT JOIN sym_ids USING (sym) GROUP BY word
+    )
+    SELECT source,
+           CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_sym) AS BIGINT) AS n_ids,
+           CAST(sum(s.n_unk) AS BIGINT) AS n_unk,
+           CAST(floor(sum(s.n_sym) * 1000000.0 / count(*)) AS BIGINT)
+               AS fertility_micro,
+           CAST(floor(sum(s.n_unk) * 1000000.0 / sum(s.n_sym)) AS BIGINT)
+               AS unk_micro
+    FROM occ1 o JOIN wstat s ON o.w = s.word
+    GROUP BY source"""
+
+
+@register(
+    "x141_tokenizer_fertility",
+    "tokenizer fertility + unk coverage per source under a frozen "
+    "fit-on-subset vocab — the vocab-drift monitor",
+    _x141_oracle(),
+    tags=("text", "tokenizer", "llm"),
+)
+def x141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational question a frozen tokenizer raises: how well
+    does the artifact COVER corpora it wasn't fit on? Fertility
+    (ids per word, per source) is the standard tokenizer-quality
+    metric; the unk rate under the frozen vocab is the drift alarm —
+    a rising unk_micro on a new crawl source means the artifact's
+    alphabet no longer covers the data and ingest-time tokenization
+    (``incremental_ingest(tokenize=True)``) is quietly mapping real
+    symbols to the fallback id. The fit corpus here is the
+    doc_id-even half; the odd half plays the unseen crawl. Both
+    ratios are floor'd integer micro-units (no float agg-order
+    drift).
+
+    Honest fixture caveat (the x122 convention): the synthetic
+    corpus's alphabet is uniform across docs, so unk_micro is 0 here
+    — the oracle still recomputes the unk MAPPING (frozen-vocab LEFT
+    JOIN, miss → unk) so a drift in it flips n_ids/fertility; the
+    non-zero-unk behavior is pinned by the operator tests
+    (out-of-alphabet batches in test_round10_ops/test_properties).
+
+    Scale shape: training cost is the fit-subset vocab pass
+    (bounded); the audit itself is x128's — one posexplode, one
+    broadcast join against the vocab-sized word table, one
+    |sources|-row agg. The oracle replays training, id assignment,
+    merge APPLICATION to out-of-fit words, and the unk mapping from
+    scratch in SQL."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_token_id_map,
+        learn_bpe_merges,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    fit = d.filter(F.col("doc_id") % FERT_FIT_MOD == 0)
+    merges = learn_bpe_merges(fit, n_merges=_BPE_N_MERGES, top_v=None)
+    vocab = bpe_token_id_map(fit, merges, top_v=None)
+    unk = len(vocab)
+    enc = bpe_encode_ids(d, merges, token_ids=vocab, unk_id=unk)
+    stats = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower("text")), r"[ ]+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).cast("bigint").alias("n_words"),
+    )
+    per_doc = stats.join(enc, "doc_id").withColumn(
+        "n_unk",
+        F.size(F.filter("input_ids", lambda x: x == F.lit(unk))).cast("bigint"),
+    )
+    return (
+        per_doc.filter(F.col("n_words") >= 1)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_ids").cast("bigint").alias("n_ids"),
+            F.sum("n_unk").cast("bigint").alias("n_unk"),
+            F.floor(
+                F.sum("n_ids") * F.lit(1000000.0) / F.sum("n_words")
+            ).cast("bigint").alias("fertility_micro"),
+            F.floor(
+                F.sum("n_unk") * F.lit(1000000.0) / F.sum("n_ids")
+            ).cast("bigint").alias("unk_micro"),
+        )
+    )

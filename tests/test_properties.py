@@ -1695,3 +1695,42 @@ def test_best_quality_canonicals_differential_parity(igloo, rows):
     d = _write_documents_fixture(rows)
     spec = REGISTRY["x135_best_quality_canonicals"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(
+                    # overlap-heavy vocab plus multi-byte and astral
+                    # words that may appear ONLY in odd doc_ids (the
+                    # unseen-crawl half) — those produce real unk hits
+                    # under the even-half frozen vocab
+                    ["aa", "aaa", "ab", "ba", "abab",
+                     "éé", "日本語", "😀x", "ẞss"]
+                ),
+                min_size=0,
+                max_size=10,
+            ).map(" ".join),
+            st.sampled_from(["en"]),
+            st.sampled_from(["web", "forum"]),
+        ),
+        min_size=1,
+        max_size=9,
+    )
+)
+def test_tokenizer_fertility_unk_differential_parity(igloo, rows):
+    """x141 over fuzzed corpora where the doc_id-even fit half and the
+    odd apply half draw from the same pool but need not share an
+    alphabet — so the frozen-vocab unk mapping (the branch the driver
+    fixture's uniform alphabet never lights up) is exercised with
+    REAL non-zero unk counts, cross-checked value-for-value against
+    the SQL recomputation of training, id assignment, out-of-fit
+    merge application, and the unk LEFT JOIN."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x141_tokenizer_fertility"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)

@@ -522,6 +522,7 @@ def test_round10_operators_scale_bounded(spark):
         "x138_packed_token_shards",
         "x139_packed_doc_spans",
         "x140_token_decontamination",
+        "x141_tokenizer_fertility",
     ):
         warm = {}
         for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
