@@ -41,6 +41,17 @@ def main(argv: list[str] | None = None) -> int:
         help="quality-gate threshold for --prep-corpus/--ingest (default 0.5)",
     )
     parser.add_argument(
+        "--eval-docs", default=None, metavar="PARQUET",
+        help="with --prep-corpus/--ingest: benchmark decontamination — "
+        "documents whose bigram overlap with this eval set (parquet with "
+        "doc_id/text) crosses --decon-threshold are dropped (prep) or "
+        "rejected with a 'contaminated' verdict (ingest)",
+    )
+    parser.add_argument(
+        "--decon-threshold", type=float, default=0.2,
+        help="contamination fraction for --eval-docs (default 0.2)",
+    )
+    parser.add_argument(
         "--merge-from", default=None, metavar="SRC_STORE",
         help="with --ingest: take the batch from another corpus store's "
         "latest snapshot instead of --data-dir — merges crawl B into "
@@ -299,6 +310,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.tokenize and args.ingest is None:
         parser.error("--tokenize only applies to --ingest")
+    if args.eval_docs is not None and (
+        args.prep_corpus is None and args.ingest is None
+    ):
+        parser.error("--eval-docs only applies to --prep-corpus/--ingest")
     if args.quality_model is not None and args.ingest is None:
         parser.error("--quality-model only applies to --ingest")
     if args.quality_model_root is not None and args.ingest is None:
@@ -409,11 +424,20 @@ def main(argv: list[str] | None = None) -> int:
             docs = session.spark.table(
                 "corpus" if args.corpus_store is not None else "documents"
             )
+            eval_frame = None
+            if args.eval_docs is not None:
+                try:
+                    eval_frame = session.spark.read.parquet(args.eval_docs)
+                except Exception as e:
+                    print(f"error: --eval-docs: {e}", file=sys.stderr)
+                    return 2
             result = prepare_training_corpus(
                 docs, "doc_id", "text",
                 min_quality=args.min_quality,
                 token_budget=args.token_budget,
                 n_shards=args.n_shards,
+                eval_docs=eval_frame,
+                decon_threshold=args.decon_threshold,
             )
             bpe_merges = None
             bpe_vocab = None
@@ -555,6 +579,13 @@ def main(argv: list[str] | None = None) -> int:
                     return 2
             else:
                 batch = session.spark.table("documents")
+            eval_frame = None
+            if args.eval_docs is not None:
+                try:
+                    eval_frame = session.spark.read.parquet(args.eval_docs)
+                except Exception as e:
+                    print(f"error: --eval-docs: {e}", file=sys.stderr)
+                    return 2
             expectations = None
             if args.expect_unique_id:
                 from igloo_spark.operators.expectations import (
@@ -575,6 +606,8 @@ def main(argv: list[str] | None = None) -> int:
                     quality_model_root=args.quality_model_root,
                     persist_embeddings=args.persist_embeddings,
                     tokenize=args.tokenize,
+                    eval_docs=eval_frame,
+                    decon_threshold=args.decon_threshold,
                     ivf_index_root=args.ivf_index,
                     pq_index_root=args.pq_index,
                     ivfpq_index_root=args.ivfpq_index,

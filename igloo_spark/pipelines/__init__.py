@@ -357,7 +357,7 @@ class IncrementalIngestResult:
     store versions (corpus and fingerprint store move together)."""
 
     accepted: DataFrame        # id, quality, n_tokens — appended to the store
-    verdicts: DataFrame        # every batch doc -> verdict (kept/exact_dup/near_dup/low_quality)
+    verdicts: DataFrame        # every batch doc -> verdict (kept/exact_dup/near_dup/contaminated/low_quality)
     corpus_version: int
     fp_version: int
     # (rule, n_violations) when expectations= was passed, else None;
@@ -746,6 +746,8 @@ def incremental_ingest(
     persist_embeddings: bool = False,
     tokenize: bool = False,
     tokenize_n_merges: int = 8,
+    eval_docs: DataFrame | None = None,
+    decon_threshold: float = 0.2,
     expectations: dict | None = None,
     expectation_mode: str = "fail",
 ) -> IncrementalIngestResult:
@@ -770,7 +772,9 @@ def incremental_ingest(
     fp self-join), then the quality gate. Blank-text documents are
     excluded up front and carry the verdict ``empty`` — every
     ``new_docs`` row maps to exactly one verdict row
-    (kept/exact_dup/near_dup/low_quality/empty). Survivors and their
+    (kept/exact_dup/near_dup/contaminated/low_quality/empty; the
+    ``contaminated`` verdict appears only with ``eval_docs``).
+    Survivors and their
     fingerprints commit as two appends; history cost per batch is one
     scan-speed probe per store, never a shuffle. First call
     bootstraps an empty store.
@@ -1034,6 +1038,38 @@ def incremental_ingest(
         .select(id_col, F.lit(True).alias("__intra_neardup"))
     )
     intra_ok = near_ok.join(intra.select(id_col), id_col, "left_anti")
+    # optional benchmark decontamination at ADMISSION (the
+    # prepare_training_corpus 5b gate, x67 shape): a batch document
+    # whose bigram overlap with the eval set crosses the threshold is
+    # rejected with its own 'contaminated' verdict — "never train on
+    # benchmark data" enforced where documents enter the store, not
+    # left to a later export step. The eval vocabulary is
+    # benchmark-sized in production; NO broadcast hint (the corpus-wide
+    # hint-audit rule) — AQE broadcasts a genuinely tiny eval side.
+    decon_ok = intra_ok
+    contam = None
+    if eval_docs is not None:
+        from igloo_spark.operators.dedup import word_shingles as _wsh
+
+        eval_sh = (
+            _wsh(
+                eval_docs.filter(F.length(F.trim(F.col(text_col))) > 0),
+                id_col, text_col, n=2,
+            )
+            .select("shingle")
+            .distinct()
+        )
+        b_sh = _wsh(intra_ok, id_col, text_col, n=2)
+        b_sizes = b_sh.groupBy(id_col).agg(F.count("*").alias("__n_sh"))
+        b_hits = b_sh.join(eval_sh, "shingle").groupBy(id_col).agg(
+            F.count("*").alias("__n_hit")
+        )
+        contam = (
+            b_sizes.join(b_hits, id_col)
+            .filter(F.col("__n_hit") / F.col("__n_sh") >= decon_threshold)
+            .select(F.col(id_col), F.lit(True).alias("__contaminated"))
+        )
+        decon_ok = intra_ok.join(contam.select(id_col), id_col, "left_anti")
     if quality_model_root is not None:
         # the learn_quantizers pattern for the admission model: the
         # FIRST ingest that names a model root distills the student
@@ -1077,7 +1113,7 @@ def incremental_ingest(
         )
     else:
         q_gate = F.col("quality") >= min_quality
-    accepted = intra_ok.filter(q_gate).localCheckpoint(eager=False)
+    accepted = decon_ok.filter(q_gate).localCheckpoint(eager=False)
 
     # verdicts are driven from new_docs, not batch, so blank-text
     # rows removed by the pre-filter still map to a verdict ('empty')
@@ -1092,6 +1128,15 @@ def incremental_ingest(
         .join(near.select(id_col, "is_neardup"), id_col, "left")
         .join(intra, id_col, "left")
         .join(
+            contam
+            if contam is not None
+            else new_docs.select(
+                F.col(id_col), F.lit(False).alias("__contaminated")
+            ).limit(0),
+            id_col,
+            "left",
+        )
+        .join(
             accepted.select(F.col(id_col), F.lit(True).alias("__kept")),
             id_col,
             "left",
@@ -1105,6 +1150,10 @@ def incremental_ingest(
                 F.coalesce(F.col("is_neardup"), F.lit(False))
                 | F.coalesce(F.col("__intra_neardup"), F.lit(False)),
                 F.lit("near_dup"),
+            )
+            .when(
+                F.coalesce(F.col("__contaminated"), F.lit(False)),
+                F.lit("contaminated"),
             )
             .otherwise(F.lit("low_quality"))
             .alias("verdict"),

@@ -750,3 +750,87 @@ class TestStreamingTokenizedIngest:
         n = 12
         assert rows[1][:n] == rows[2][:n]
         assert all(i <= unk for i in rows[2])
+
+
+class TestIngestDecontamination:
+    """incremental_ingest(eval_docs=...): 'never train on benchmark
+    data' enforced at ADMISSION — contaminated batch docs get their
+    own verdict and never reach the store."""
+
+    def _eval(self, spark):
+        # eval doc shares its full text with batch doc 5's clone text
+        return spark.createDataFrame(
+            [(1000, _doc_rows([5])[0][1])], "doc_id long, text string"
+        )
+
+    def test_contaminated_doc_rejected_with_verdict(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "decon_store")
+        r = incremental_ingest(
+            _mk_docs(spark, [5, 6, 7]), root,
+            min_quality=0.0, min_shared=1,
+            eval_docs=self._eval(spark), decon_threshold=0.5,
+        )
+        v = {x["doc_id"]: x["verdict"] for x in r.verdicts.collect()}
+        assert v[5] == "contaminated"
+        assert v[6] == v[7] == "kept"
+        kept = {x["doc_id"] for x in read_versioned(spark, root + "/corpus").collect()}
+        assert kept == {6, 7}
+
+    def test_without_eval_docs_unchanged(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "nodecon_store")
+        r = incremental_ingest(
+            _mk_docs(spark, [5, 6]), root, min_quality=0.0, min_shared=1,
+        )
+        v = {x["verdict"] for x in r.verdicts.collect()}
+        assert v == {"kept"}
+
+    def test_cli_ingest_eval_docs(self, spark, tmp_path, capsys):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import read_versioned
+
+        d = tmp_path / "decon_cli_docs"
+        d.mkdir()
+        rows = _doc_rows([5, 6, 7])
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        ev = tmp_path / "evalset"
+        ev.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1000], pa.int64()),
+                    "text": pa.array([rows[0][1]], pa.string()),
+                }
+            ),
+            str(ev / "eval.parquet"),
+        )
+        root = str(tmp_path / "cli_decon_store")
+        assert main(["--data-dir", str(d), "--ingest", root,
+                     "--min-quality", "0.0", "--eval-docs", str(ev),
+                     "--decon-threshold", "0.5"]) == 0
+        out = capsys.readouterr().out
+        assert "contaminated" in out
+        kept = {x["doc_id"] for x in read_versioned(spark, root + "/corpus").collect()}
+        assert kept == {6, 7}
+        # bad eval path: clean exit 2
+        assert main(["--data-dir", str(d), "--ingest", root + "2",
+                     "--eval-docs", str(tmp_path / "nope")]) == 2
+        # --eval-docs without a consuming mode: parser error
+        with pytest.raises(SystemExit):
+            main(["--data-dir", str(d), "--sql", "SELECT 1",
+                  "--eval-docs", str(ev)])
