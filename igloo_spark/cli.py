@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
         "the tokenized training handoff",
     )
     parser.add_argument(
+        "--pack-budget", type=int, default=None, metavar="N",
+        help="with --prep-corpus --bpe-merges: write PACKED training "
+        "sequences (one row per N-id sequence with seq_ids + doc_spans "
+        "loss-mask metadata) instead of per-document rows — the final "
+        "loader-ready artifact",
+    )
+    parser.add_argument(
         "--fit-bpe-merges", default=None, metavar="OUT_PATH",
         help="learn a BPE merge table from the documents table and save "
         "the frozen artifact JSON to OUT_PATH (needs --data-dir or "
@@ -302,6 +309,10 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--merge-from only applies to --ingest")
     if args.bpe_merges is not None and args.prep_corpus is None:
         parser.error("--bpe-merges only applies to --prep-corpus")
+    if args.pack_budget is not None and (
+        args.prep_corpus is None or args.bpe_merges is None
+    ):
+        parser.error("--pack-budget needs --prep-corpus and --bpe-merges")
     if args.fit_quality_model is not None and not args.data_dir:
         parser.error("--fit-quality-model needs --data-dir (documents table source)")
     if args.fit_bpe_merges is not None and not (args.data_dir or args.corpus_store):
@@ -453,6 +464,22 @@ def main(argv: list[str] | None = None) -> int:
                 except (FileNotFoundError, ValueError) as e:
                     print(f"error: --bpe-merges: {e}", file=sys.stderr)
                     return 2
+            if args.pack_budget is not None:
+                from igloo_spark.pipelines import write_packed_token_shards
+
+                info = write_packed_token_shards(
+                    docs, result, args.prep_corpus,
+                    bpe_merges, bpe_vocab=bpe_vocab,
+                    budget=args.pack_budget, n_shards=args.n_shards,
+                )
+                counts = result.counts.first().asDict()
+                print(
+                    f"prepared corpus: {counts} -> {info['n_docs']} docs "
+                    f"packed into {info['n_rows']} sequences "
+                    f"({info['n_ids']} ids, budget {info['budget']}) in "
+                    f"{info['n_shards']} shards at {args.prep_corpus}"
+                )
+                return 0
             info = write_training_shards(
                 docs, result, args.prep_corpus,
                 bpe_merges=bpe_merges, bpe_vocab=bpe_vocab,

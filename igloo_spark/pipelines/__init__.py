@@ -351,6 +351,75 @@ def write_training_shards(
     }
 
 
+def write_packed_token_shards(
+    docs: DataFrame,
+    result: CorpusPrepResult,
+    path: str,
+    bpe_merges: "list[tuple[str, str, int]]",
+    bpe_vocab: "tuple[dict[str, int], int] | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 4,
+) -> dict:
+    """The FINAL pretraining artifact: one row per fixed-budget
+    training sequence — ``seq_ids`` (the packed id concatenation) and
+    ``doc_spans`` (each member document's offsets, the loss-mask /
+    attention-boundary metadata) — written ``partitionBy(shard)``
+    with rows bin-ordered inside each shard directory. This is what a
+    loader memory-maps and iterates; the per-document export
+    (``write_training_shards(bpe_merges=...)``) remains the
+    re-packable intermediate.
+
+    Sharding note, stated honestly: packing uses
+    ``pack_token_rows``'s own deterministic doc-hash gate, NOT the
+    prep result's shuffle-shard permutation — a packed row must be
+    contiguous in one window, and re-using the prep shard would add a
+    second corpus shuffle for no training benefit. The prep result
+    still gates WHICH documents export (its admitted corpus), and the
+    manifest/counts metadata ride along as in every other export.
+
+    Scale: the encode is one broadcast join; packing is one
+    (shard)-keyed window + (shard, bin) agg; the write is one
+    shard-keyed exchange — parallelism n_shards at any corpus size.
+    """
+    from igloo_spark.operators.bpe import bpe_encode_ids, pack_token_rows
+
+    tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
+    admitted = docs.join(result.corpus.select(id_col), id_col, "leftsemi")
+    enc = bpe_encode_ids(
+        admitted, bpe_merges, id_col=id_col, text_col=text_col,
+        token_ids=tok_ids, unk_id=tok_unk,
+    )
+    packed = pack_token_rows(
+        enc, id_col=id_col, budget=budget, n_shards=n_shards,
+        with_spans=True,
+    )
+    (
+        packed.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "bin")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
+    result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
+    spark = docs.sparkSession
+    back = spark.read.parquet(path)
+    agg = back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_ids").alias("n_ids"),
+    ).first()
+    return {
+        "n_rows": agg["n_rows"],
+        "n_docs": agg["n_docs"],
+        "n_ids": agg["n_ids"],
+        "n_shards": back.select("shard").distinct().count(),
+        "budget": budget,
+    }
+
+
 @dataclass
 class IncrementalIngestResult:
     """One ingest batch's outcome: per-doc verdicts plus the committed

@@ -834,3 +834,79 @@ class TestIngestDecontamination:
         with pytest.raises(SystemExit):
             main(["--data-dir", str(d), "--sql", "SELECT 1",
                   "--eval-docs", str(ev)])
+
+
+class TestPackedShardExport:
+    """write_packed_token_shards: the final loader-ready artifact —
+    one row per training sequence, spans tiling each row, ids
+    conserved vs the admitted corpus's fresh encode."""
+
+    def test_roundtrip_and_conservation(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha{i} beta gamma delta common words {i}") for i in range(1, 25)],
+            "doc_id long, text string",
+        )
+        merges = learn_bpe_merges(docs, n_merges=4, top_v=None)
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        path = str(tmp_path / "packed")
+        info = write_packed_token_shards(
+            docs, r, path, merges, budget=32, n_shards=2
+        )
+        admitted = docs.join(r.corpus.select("doc_id"), "doc_id", "leftsemi")
+        enc = {r2["doc_id"]: r2["input_ids"]
+               for r2 in bpe_encode_ids(admitted, merges).collect()}
+        assert info["n_docs"] == len(enc)
+        assert info["n_ids"] == sum(len(v) for v in enc.values())
+        back = spark.read.parquet(path).collect()
+        assert len(back) == info["n_rows"]
+        seen = set()
+        for row in back:
+            pos = 0
+            for s in row["doc_spans"]:
+                seg = row["seq_ids"][s["start"]:s["start"] + s["len"]]
+                assert seg == enc[s["doc_id"]]
+                assert s["start"] == pos
+                pos += s["len"]
+                seen.add(s["doc_id"])
+        assert seen == set(enc)
+
+    def test_cli_pack_budget(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / "pack_cli_docs"
+        d.mkdir()
+        rows = [(i, f"alpha beta gamma doc {i} " * 3) for i in range(1, 9)]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }),
+            str(d / "documents.parquet"),
+        )
+        art = str(tmp_path / "m.json")
+        out = str(tmp_path / "packed_cli")
+        assert main(["--data-dir", str(d), "--fit-bpe-merges", art]) == 0
+        assert main(["--data-dir", str(d), "--prep-corpus", out,
+                     "--min-quality", "0.0", "--bpe-merges", art,
+                     "--pack-budget", "64"]) == 0
+        back = spark.read.parquet(out)
+        assert {"seq_ids", "doc_spans", "n_docs", "n_ids"} <= set(back.columns)
+        # every prep-admitted doc (near-dup gate may drop some of the
+        # highly-similar fixture docs) lands in exactly one packed row
+        n_final = spark.read.parquet(out + "/_meta/counts").first()["n_final"]
+        assert back.agg(F.sum("n_docs")).first()[0] == n_final > 0
+        # --pack-budget without --bpe-merges: parser error
+        with pytest.raises(SystemExit):
+            main(["--data-dir", str(d), "--prep-corpus", out,
+                  "--pack-budget", "64"])
