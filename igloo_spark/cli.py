@@ -310,9 +310,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.bpe_merges is not None and args.prep_corpus is None:
         parser.error("--bpe-merges only applies to --prep-corpus")
     if args.pack_budget is not None and (
-        args.prep_corpus is None or args.bpe_merges is None
+        args.prep_corpus is None
+        or (args.bpe_merges is None and args.corpus_store is None)
     ):
-        parser.error("--pack-budget needs --prep-corpus and --bpe-merges")
+        parser.error(
+            "--pack-budget needs --prep-corpus and either --bpe-merges "
+            "or a tokenized --corpus-store"
+        )
     if args.fit_quality_model is not None and not args.data_dir:
         parser.error("--fit-quality-model needs --data-dir (documents table source)")
     if args.fit_bpe_merges is not None and not (args.data_dir or args.corpus_store):
@@ -467,6 +471,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.pack_budget is not None:
                 from igloo_spark.pipelines import write_packed_token_shards
 
+                if bpe_merges is None and "input_ids" not in docs.columns:
+                    print(
+                        "error: --pack-budget without --bpe-merges needs a "
+                        "TOKENIZED --corpus-store (corpus lacks input_ids; "
+                        "ingest with --tokenize or pass --bpe-merges)",
+                        file=sys.stderr,
+                    )
+                    return 2
                 info = write_packed_token_shards(
                     docs, result, args.prep_corpus,
                     bpe_merges, bpe_vocab=bpe_vocab,

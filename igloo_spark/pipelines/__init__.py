@@ -297,8 +297,17 @@ def write_training_shards(
     carry the ids as an ``ids.json`` member (a JSON id array next to
     each sample's ``txt``). The encode is one broadcast join against
     the vocab-sized id table — it does not add a corpus shuffle.
+
+    A TOKENIZED STORE exports without re-encoding: when ``docs``
+    already carries ``input_ids``/``n_ids`` (an
+    ``incremental_ingest(tokenize=True)`` corpus view) and no
+    ``bpe_merges`` is passed, the stored ids ride the same id-equi
+    join straight into the shards — ingest-time tokenization paid the
+    encode once, the export never pays it again.
     """
-    shard_cols = result.corpus.join(docs.select(id_col, text_col), id_col)
+    stored_ids = bpe_merges is None and {"input_ids", "n_ids"} <= set(docs.columns)
+    doc_cols = [id_col, text_col] + (["input_ids", "n_ids"] if stored_ids else [])
+    shard_cols = result.corpus.join(docs.select(*doc_cols), id_col)
     if bpe_merges is not None:
         from igloo_spark.operators.bpe import bpe_encode_ids
 
@@ -328,7 +337,7 @@ def write_training_shards(
         from igloo_spark import sinks
 
         members = {"txt": text_col}
-        if bpe_merges is not None:
+        if bpe_merges is not None or stored_ids:
             out = out.withColumn("__ids_json", F.to_json("input_ids"))
             members["ids.json"] = "__ids_json"
         stats = sinks.write_tar_shards(
@@ -355,7 +364,7 @@ def write_packed_token_shards(
     docs: DataFrame,
     result: CorpusPrepResult,
     path: str,
-    bpe_merges: "list[tuple[str, str, int]]",
+    bpe_merges: "list[tuple[str, str, int]] | None" = None,
     bpe_vocab: "tuple[dict[str, int], int] | None" = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -385,12 +394,23 @@ def write_packed_token_shards(
     """
     from igloo_spark.operators.bpe import bpe_encode_ids, pack_token_rows
 
-    tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
     admitted = docs.join(result.corpus.select(id_col), id_col, "leftsemi")
-    enc = bpe_encode_ids(
-        admitted, bpe_merges, id_col=id_col, text_col=text_col,
-        token_ids=tok_ids, unk_id=tok_unk,
-    )
+    if bpe_merges is None:
+        # tokenized-store path: the stored input_ids ARE the encode —
+        # ingest paid it once; the export only packs
+        if not {"input_ids", "n_ids"} <= set(docs.columns):
+            raise ValueError(
+                "write_packed_token_shards needs bpe_merges, or a docs "
+                "frame already carrying input_ids/n_ids (a tokenized "
+                "store's corpus view)"
+            )
+        enc = admitted.select(id_col, "input_ids", "n_ids")
+    else:
+        tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
+        enc = bpe_encode_ids(
+            admitted, bpe_merges, id_col=id_col, text_col=text_col,
+            token_ids=tok_ids, unk_id=tok_unk,
+        )
     packed = pack_token_rows(
         enc, id_col=id_col, budget=budget, n_shards=n_shards,
         with_spans=True,

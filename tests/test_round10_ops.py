@@ -910,3 +910,105 @@ class TestPackedShardExport:
         with pytest.raises(SystemExit):
             main(["--data-dir", str(d), "--prep-corpus", out,
                   "--pack-budget", "64"])
+
+
+class TestTokenizedStoreExport:
+    """'Training exports never re-tokenize' made literal: a tokenized
+    store's corpus view exports its STORED input_ids — per-doc shards
+    and packed sequences — without --bpe-merges or any re-encode."""
+
+    def _store(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "texp_store")
+        incremental_ingest(
+            _mk_docs(spark, range(1, 7)), root,
+            min_quality=0.0, min_shared=1, tokenize=True,
+        )
+        return read_versioned(spark, root + "/corpus")
+
+    def test_per_doc_export_carries_stored_ids(self, spark, tmp_path):
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_training_shards,
+        )
+
+        corpus = self._store(spark, tmp_path)
+        stored = {r["doc_id"]: r["input_ids"] for r in corpus.collect()}
+        r = prepare_training_corpus(
+            corpus, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        path = str(tmp_path / "texp_shards")
+        write_training_shards(corpus, r, path)
+        back = spark.read.parquet(path)
+        assert "input_ids" in back.columns
+        for row in back.select("doc_id", "input_ids").collect():
+            assert row["input_ids"] == stored[row["doc_id"]]
+
+    def test_packed_export_from_stored_ids(self, spark, tmp_path):
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+
+        corpus = self._store(spark, tmp_path)
+        stored = {r["doc_id"]: r["input_ids"] for r in corpus.collect()}
+        r = prepare_training_corpus(
+            corpus, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        path = str(tmp_path / "texp_packed")
+        info = write_packed_token_shards(corpus, r, path, budget=32, n_shards=2)
+        assert info["n_docs"] == len(stored)
+        back = spark.read.parquet(path).collect()
+        for row in back:
+            for s in row["doc_spans"]:
+                seg = row["seq_ids"][s["start"]:s["start"] + s["len"]]
+                assert seg == stored[s["doc_id"]]
+
+    def test_packed_export_without_ids_raises(self, spark, tmp_path):
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+
+        docs = _mk_docs(spark, range(1, 5))
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        with pytest.raises(ValueError, match="input_ids"):
+            write_packed_token_shards(
+                docs, r, str(tmp_path / "np"), budget=32
+            )
+
+    def test_cli_store_to_packed_without_artifact(self, spark, tmp_path, capsys):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / "texp_cli_docs"
+        d.mkdir()
+        rows = [(i, f"alpha beta gamma doc {i} " * 3) for i in range(1, 9)]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }),
+            str(d / "documents.parquet"),
+        )
+        store = str(tmp_path / "texp_cli_store")
+        out = str(tmp_path / "texp_cli_packed")
+        assert main(["--data-dir", str(d), "--ingest", store,
+                     "--min-quality", "0.0", "--tokenize"]) == 0
+        assert main(["--corpus-store", store, "--prep-corpus", out,
+                     "--min-quality", "0.0", "--pack-budget", "64"]) == 0
+        back = spark.read.parquet(out)
+        assert {"seq_ids", "doc_spans"} <= set(back.columns)
+        # a PLAIN store without input_ids exits 2 with guidance
+        plain = str(tmp_path / "texp_cli_plain")
+        assert main(["--data-dir", str(d), "--ingest", plain,
+                     "--min-quality", "0.0"]) == 0
+        assert main(["--corpus-store", plain, "--prep-corpus", out + "2",
+                     "--min-quality", "0.0", "--pack-budget", "64"]) == 2
+        assert "TOKENIZED" in capsys.readouterr().err
