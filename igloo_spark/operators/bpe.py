@@ -474,3 +474,58 @@ def token_ngram_keys(
         encoded.filter(F.size("input_ids") >= n)
         .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
     )
+
+
+def chunk_token_rows(
+    encoded: DataFrame,
+    budget: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut each encoded document's ``input_ids`` into (optionally
+    overlapping) budget-sized windows — the long-document / RAG
+    counterpart to :func:`pack_token_rows`: packing CONCATENATES
+    short documents into full rows, chunking SPLITS long documents
+    into rows that fit the context. The two compose: chunk oversized
+    docs first, pack the chunk stream after.
+
+    Window *i* covers ids ``[i*stride, i*stride + budget)`` (default
+    ``stride=budget``: disjoint splits); the last window starts at the
+    largest in-range stride multiple, so every id lands in >= 1 chunk
+    (the ``sliding_chunks`` word-level convention carried to id
+    space). Empty documents produce no rows.
+
+    Returns ``(id, chunk_idx, chunk_ids, n_chunk_ids)``. Pure
+    map-side — the windows are an in-row sequence → slice transform
+    with a narrow posexplode, zero shuffles at any corpus size."""
+    if stride is None:
+        stride = budget
+    if budget < 1 or stride < 1:
+        raise ValueError("budget and stride must be >= 1")
+    if stride > budget:
+        raise ValueError("stride > budget would drop ids between windows")
+    n = F.size("input_ids")
+    n_win = (
+        F.when(n <= budget, F.lit(1))
+        .otherwise(
+            F.ceil((n - F.lit(budget)) / F.lit(float(stride))).cast("int") + 1
+        )
+    )
+    return (
+        encoded.filter(F.size("input_ids") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_win - 1),
+                    lambda i: F.slice("input_ids", i * stride + 1, budget),
+                )
+            ).alias("chunk_idx", "chunk_ids"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            "chunk_ids",
+            F.size("chunk_ids").cast("bigint").alias("n_chunk_ids"),
+        )
+    )

@@ -6392,3 +6392,73 @@ def x141(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("unk_micro"),
         )
     )
+
+
+CHUNK_BUDGET = 32   # token-id context window for x142
+CHUNK_STRIDE = 24   # overlap 8 — the RAG sliding-window regime
+
+
+def _x142_oracle() -> str:
+    b, s = CHUNK_BUDGET, CHUNK_STRIDE
+    return (
+        _bpe_id_ctes()
+        + f""",
+    sel AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_TOKEN_ID_HEAD}),
+    encs AS (
+        SELECT d.doc_id, COALESCE(e.input_ids, CAST([] AS BIGINT[])) AS ids
+        FROM sel d LEFT JOIN doc_enc e USING (doc_id)
+    ),
+    ne AS (SELECT doc_id, ids, len(ids) AS n FROM encs WHERE len(ids) > 0),
+    win AS (
+        SELECT doc_id, ids, n,
+               CASE WHEN n <= {b} THEN 1
+                    ELSE CAST(ceil((n - {b}) / CAST({s} AS DOUBLE)) AS BIGINT) + 1
+               END AS n_win
+        FROM ne
+    )
+    SELECT doc_id,
+           CAST(w.i AS BIGINT) AS chunk_idx,
+           ids[w.i*{s}+1 : w.i*{s}+{b}] AS chunk_ids,
+           CAST(len(ids[w.i*{s}+1 : w.i*{s}+{b}]) AS BIGINT) AS n_chunk_ids
+    FROM win, LATERAL unnest(range(0, n_win)) AS w(i)"""
+    )
+
+
+@register(
+    "x142_token_chunking",
+    f"token-id sliding-window chunks (budget {CHUNK_BUDGET}, stride "
+    f"{CHUNK_STRIDE}) for the {_TOKEN_ID_HEAD} lowest doc_ids — exact arrays",
+    _x142_oracle(),
+    tags=("text", "tokenizer", "rag", "llm"),
+)
+def x142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking at TOKEN granularity
+    (``operators.bpe.chunk_token_rows``) — the long-document / RAG
+    counterpart to x138's packing: packing concatenates short docs
+    into full rows, chunking splits long docs into rows that fit. The
+    window arithmetic (last window starts at the largest in-range
+    stride multiple, every id covered, no empty windows) is the
+    ``sliding_chunks`` word-level convention carried to id space, and
+    the oracle recomputes the encode AND the slice arithmetic from
+    scratch — an off-by-one in window count, start, or clamped tail
+    flips a hashed array.
+
+    Scale: pure map-side — in-row sequence → slice transform + narrow
+    posexplode over the encode's output; the driver-side surface is
+    capped at {_TOKEN_ID_HEAD} docs, the plan underneath is the
+    full-corpus chunker."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        chunk_token_rows,
+        learn_bpe_merges,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    sel = d.select("doc_id").orderBy("doc_id").limit(_TOKEN_ID_HEAD)
+    return chunk_token_rows(
+        enc.join(sel, "doc_id", "leftsemi"),
+        budget=CHUNK_BUDGET,
+        stride=CHUNK_STRIDE,
+    ).select("doc_id", "chunk_idx", "chunk_ids", "n_chunk_ids")

@@ -1012,3 +1012,66 @@ class TestTokenizedStoreExport:
         assert main(["--corpus-store", plain, "--prep-corpus", out + "2",
                      "--min-quality", "0.0", "--pack-budget", "64"]) == 2
         assert "TOKENIZED" in capsys.readouterr().err
+
+
+class TestTokenChunking:
+    """chunk_token_rows invariants the head-capped oracle surface
+    can't see corpus-wide: full coverage (every id in >= 1 chunk),
+    exact overlap arithmetic, and the compose-with-packing path."""
+
+    def test_coverage_and_overlap(self, spark):
+        from igloo_spark.operators.bpe import chunk_token_rows
+
+        enc = spark.createDataFrame(
+            [(1, list(range(100))), (2, list(range(7))), (3, [])],
+            "doc_id long, input_ids array<bigint>",
+        )
+        rows = chunk_token_rows(enc, budget=16, stride=12).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert 3 not in by_doc  # empty doc emits nothing
+        # doc 2 fits in one window verbatim
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_ids"] == list(range(7))
+        # doc 1: windows start at 0,12,24,... every id covered, each
+        # window is the exact slice
+        chunks = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+        covered = set()
+        for r in chunks:
+            start = r["chunk_idx"] * 12
+            assert r["chunk_ids"] == list(range(100))[start:start + 16]
+            covered.update(r["chunk_ids"])
+        assert covered == set(range(100))
+
+    def test_stride_validation(self, spark):
+        from igloo_spark.operators.bpe import chunk_token_rows
+
+        enc = spark.createDataFrame(
+            [(1, [1, 2, 3])], "doc_id long, input_ids array<bigint>"
+        )
+        with pytest.raises(ValueError, match="stride > budget"):
+            chunk_token_rows(enc, budget=4, stride=5)
+
+    def test_chunks_compose_with_packing(self, spark):
+        """chunk oversized docs, then pack the chunk stream: every
+        packed row stays within budget because no chunk exceeds it —
+        the long-doc regime pack_token_rows alone can't guarantee."""
+        from igloo_spark.operators.bpe import chunk_token_rows, pack_token_rows
+
+        enc = spark.createDataFrame(
+            [(i, list(range(i * 37 % 90 + 1))) for i in range(1, 12)],
+            "doc_id long, input_ids array<bigint>",
+        )
+        chunks = chunk_token_rows(enc, budget=24, stride=24).select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+            F.col("chunk_ids").alias("input_ids"),
+            F.col("n_chunk_ids").alias("n_ids"),
+        )
+        packed = pack_token_rows(chunks, budget=24, n_shards=2).collect()
+        assert packed
+        for row in packed:
+            # doc-atomic packing of budget-bounded chunks: a row can
+            # only exceed the budget by less than one chunk
+            assert row["n_ids"] < 24 * 2
+        total = sum(r["n_ids"] for r in packed)
+        assert total == sum(len(r["input_ids"]) for r in chunks.collect())

@@ -523,6 +523,7 @@ def test_round10_operators_scale_bounded(spark):
         "x139_packed_doc_spans",
         "x140_token_decontamination",
         "x141_tokenizer_fertility",
+        "x142_token_chunking",
     ):
         warm = {}
         for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
