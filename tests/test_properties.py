@@ -1734,3 +1734,67 @@ def test_tokenizer_fertility_unk_differential_parity(igloo, rows):
     d = _write_documents_fixture(rows)
     spec = REGISTRY["x141_tokenizer_fertility"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 6})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(
+                    ["aa", "aaa", "aaaa", "ab", "ba",
+                     "éé", "日日本", "😀😀a"]
+                ),
+                min_size=0,
+                max_size=10,
+            ).map(" ".join),
+            st.sampled_from(["en"]),
+            st.sampled_from(["web", "forum"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_token_id_arrays_differential_parity(igloo, rows):
+    """x137 over tie-heavy/overlapping-run vocab with multi-byte and
+    astral words: the hashed VALUE is the exact input_ids array, so a
+    divergence anywhere — merge argmax, id order, word order, flatten
+    — that x128's count-level fuzz could mask flips here."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x137_bpe_token_ids"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(**{**COMMON, "max_examples": 6})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(
+                    # long repeated runs so documents exceed the chunk
+                    # budget and the clamped-tail/last-window branches
+                    # execute; astral chars stress slice indexing
+                    ["aaaa bbbb aaaa", "cc dd cc dd", "😀😀 éé 日本"]
+                ),
+                min_size=0,
+                max_size=14,
+            ).map(" ".join),
+            st.sampled_from(["en"]),
+            st.sampled_from(["web"]),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_token_chunking_differential_parity(igloo, rows):
+    """x142's window arithmetic (count, start, clamped tail) replayed
+    in SQL over fuzzed docs spanning 0..many windows."""
+    from conftest import assert_matches_oracle
+    from igloo_spark.queries.registry import REGISTRY
+
+    d = _write_documents_fixture(rows)
+    spec = REGISTRY["x142_token_chunking"]
+    assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
