@@ -5949,7 +5949,9 @@ def _x137_oracle() -> str:
         + f""",
     sel AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_TOKEN_ID_HEAD})
     SELECT d.doc_id,
-           COALESCE(e.input_ids, CAST([] AS BIGINT[])) AS input_ids,
+           COALESCE(
+               array_to_string(COALESCE(e.input_ids, CAST([] AS BIGINT[])), ','),
+               '') AS input_ids,
            CAST(COALESCE(len(e.input_ids), 0) AS BIGINT) AS n_ids,
            CAST(COALESCE(list_sum(e.input_ids), 0) AS BIGINT) AS id_sum,
            (SELECT CAST(count(*) AS BIGINT) FROM sym_ids) AS vocab_size
@@ -5996,7 +5998,13 @@ def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOKEN_ID_HEAD)
         .select(
             "doc_id",
-            "input_ids",
+            # serialized in BOTH engines: the driver's canonicalizer
+            # hashes with pandas sort_values — top-level arrays are
+            # unhashable there (the q78/x80 contract,
+            # test_smoke.test_driver_canonicalizer_schema_contract)
+            F.concat_ws(
+                ",", F.transform("input_ids", lambda x: x.cast("string"))
+            ).alias("input_ids"),
             "n_ids",
             F.aggregate(
                 "input_ids", F.lit(0).cast("bigint"), lambda a, x: a + x
@@ -6032,7 +6040,9 @@ def _x138_oracle() -> str:
     SELECT shard,
            CAST(floor(start_tok / {PACK_ID_BUDGET}) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n_docs,
-           flatten(list(input_ids ORDER BY doc_id)) AS seq_ids,
+           COALESCE(
+               array_to_string(flatten(list(input_ids ORDER BY doc_id)), ','),
+               '') AS seq_ids,
            CAST(sum(n_ids) AS BIGINT) AS n_ids
     FROM placed
     GROUP BY shard, bin"""
@@ -6069,7 +6079,16 @@ def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = bpe_encode_ids(d, merges, top_v=None)
     return pack_token_rows(
         enc, budget=PACK_ID_BUDGET, n_shards=PACK_SHARDS
-    ).select("shard", "bin", "n_docs", "seq_ids", "n_ids")
+    ).select(
+        "shard",
+        "bin",
+        "n_docs",
+        # serialized for the driver canonicalizer (q78/x80 contract)
+        F.concat_ws(
+            ",", F.transform("seq_ids", lambda x: x.cast("string"))
+        ).alias("seq_ids"),
+        "n_ids",
+    )
 
 
 def _x139_oracle() -> str:
@@ -6418,7 +6437,8 @@ def _x142_oracle() -> str:
     )
     SELECT doc_id,
            CAST(w.i AS BIGINT) AS chunk_idx,
-           ids[w.i*{s}+1 : w.i*{s}+{b}] AS chunk_ids,
+           COALESCE(array_to_string(ids[w.i*{s}+1 : w.i*{s}+{b}], ','), '')
+               AS chunk_ids,
            CAST(len(ids[w.i*{s}+1 : w.i*{s}+{b}]) AS BIGINT) AS n_chunk_ids
     FROM win, LATERAL unnest(range(0, n_win)) AS w(i)"""
     )
@@ -6461,4 +6481,12 @@ def x142(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.join(sel, "doc_id", "leftsemi"),
         budget=CHUNK_BUDGET,
         stride=CHUNK_STRIDE,
-    ).select("doc_id", "chunk_idx", "chunk_ids", "n_chunk_ids")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        # serialized for the driver canonicalizer (q78/x80 contract)
+        F.concat_ws(
+            ",", F.transform("chunk_ids", lambda x: x.cast("string"))
+        ).alias("chunk_ids"),
+        "n_chunk_ids",
+    )
