@@ -113,7 +113,9 @@ def main() -> int:
     # scoring pass)
     # x128 joins in r10 (the BPE tokenizer-apply profile: driver-side
     # merge learning + vocab broadcast join + source agg — the
-    # tokenizer family had scale-gate ratios but no wall-clock bar)
+    # tokenizer family had scale-gate ratios but no wall-clock bar);
+    # x138 joins late-r10 (the token-id PACKING profile: full-corpus
+    # encode + shard window + bin agg — the training-export flagship)
     _EXTENDED = (
         "x89_winnowing_pairs",
         "x95_corpus_shuffle_shards",
@@ -122,6 +124,7 @@ def main() -> int:
         "x123_ann_ivfpq_topk",
         "x125_quality_classifier",
         "x128_bpe_encode",
+        "x138_packed_token_shards",
     )
     corpus = all_queries()
     legacy = sorted((s for s in corpus.values() if s.bench), key=lambda s: s.name)
