@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
         "loader-ready artifact",
     )
     parser.add_argument(
+        "--corpus-report", default=None, metavar="OUT_JSON",
+        help="write the dataset card (doc/token/dup/quality/language/"
+        "source stats; id totals + fertility for a tokenized store) as "
+        "JSON to OUT_JSON — needs --data-dir or --corpus-store",
+    )
+    parser.add_argument(
         "--fit-bpe-merges", default=None, metavar="OUT_PATH",
         help="learn a BPE merge table from the documents table and save "
         "the frozen artifact JSON to OUT_PATH (needs --data-dir or "
@@ -278,6 +284,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--repair-index", args.repair_index is not None),
             ("--fit-quality-model", args.fit_quality_model is not None),
             ("--fit-bpe-merges", args.fit_bpe_merges is not None),
+            ("--corpus-report", args.corpus_report is not None),
             ("--optimize-store", args.optimize_store is not None),
             ("--vacuum-store", args.vacuum_store is not None),
             ("--store-history", args.store_history is not None),
@@ -289,8 +296,9 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(
             "one of --sql, --query, --serve, --prep-corpus, --ingest, "
             "--check-index-sync, --repair-index, --fit-quality-model, "
-            "--fit-bpe-merges, --optimize-store, --vacuum-store, "
-            "--store-history, --search, or --vector-search is required"
+            "--fit-bpe-merges, --corpus-report, --optimize-store, "
+            "--vacuum-store, --store-history, --search, or "
+            "--vector-search is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -323,6 +331,10 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(
             "--fit-bpe-merges needs a documents source: --data-dir or --corpus-store"
         )
+    if args.corpus_report is not None and not (args.data_dir or args.corpus_store):
+        parser.error(
+            "--corpus-report needs a documents source: --data-dir or --corpus-store"
+        )
     if args.tokenize and args.ingest is None:
         parser.error("--tokenize only applies to --ingest")
     if args.eval_docs is not None and (
@@ -353,10 +365,11 @@ def main(argv: list[str] | None = None) -> int:
         or args.prep_corpus is not None
         or args.search is not None
         or args.fit_bpe_merges is not None
+        or args.corpus_report is not None
     ):
         parser.error(
             "--corpus-store only applies to --sql/--query/--serve/"
-            "--prep-corpus/--search/--fit-bpe-merges"
+            "--prep-corpus/--search/--fit-bpe-merges/--corpus-report"
         )
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
@@ -556,6 +569,25 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             print(f"repair ({args.index_kind}): {out}")
             return 0 if out["in_sync"] else 3
+        if args.corpus_report is not None:
+            import json as _json
+
+            from igloo_spark.pipelines import corpus_report
+
+            docs = session.spark.table(
+                "corpus" if args.corpus_store is not None else "documents"
+            )
+            report = corpus_report(docs)
+            with open(args.corpus_report, "w") as fh:
+                _json.dump(report, fh, indent=1, sort_keys=True)
+            print(
+                f"dataset card: {report['n_docs']} docs, "
+                f"{report['n_tokens']} tokens, "
+                f"dup_rate {report['exact_dup_rate']}, "
+                f"{len(report.get('sources', {}))} sources -> "
+                f"{args.corpus_report}"
+            )
+            return 0
         if args.fit_bpe_merges is not None:
             from igloo_spark.operators.bpe import (
                 bpe_token_id_map,

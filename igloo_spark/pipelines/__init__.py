@@ -360,6 +360,108 @@ def write_training_shards(
     }
 
 
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+) -> dict:
+    """The DATASET CARD: one JSON-able summary of a corpus — overall
+    counts (docs, tokens, exact-dup rate, blank rate), quality
+    quantiles, detected-language distribution, per-source rollups,
+    and (for a tokenized store's corpus view) id totals + fertility.
+    The artifact a data release ships alongside the shards, and the
+    before/after evidence for every gate the pipeline applies.
+
+    Cost: ONE enrich pass over the corpus (fingerprint, quality,
+    language, token count — all codegen, scan-stage) feeding one
+    global aggregate, one language groupBy, one source groupBy, and
+    one fingerprint-distinct count. Every output is a bounded
+    driver-side dict (|languages| + |sources| rows); nothing
+    corpus-sized is collected. At 100 TB this is four aggregations
+    over one cached scan — run it per release, not per query."""
+    from igloo_spark.functions.text import (
+        doc_fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    has_source = source_col is not None and source_col in docs.columns
+    has_ids = "input_ids" in docs.columns and "n_ids" in docs.columns
+    cols = [
+        F.col(id_col),
+        F.length(F.trim(F.col(text_col))).alias("__trimlen"),
+        doc_fingerprint(F.col(text_col)).alias("__fp"),
+        quality_score(F.col(text_col)).alias("__q"),
+        language_id(F.col(text_col)).alias("__lang"),
+        token_count(F.col(text_col)).alias("__toks"),
+    ]
+    if has_source:
+        cols.append(F.col(source_col).alias("__src"))
+    if has_ids:
+        cols.append(F.col("n_ids").alias("__nids"))
+    enriched = docs.select(*cols).localCheckpoint(eager=False)
+
+    overall_aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("__trimlen") == 0, 1).otherwise(0)).alias("n_blank"),
+        F.sum("__toks").alias("n_tokens"),
+        F.countDistinct("__fp").alias("n_distinct_fp"),
+        F.min("__q").alias("q_min"),
+        F.expr("percentile_approx(__q, array(0.25, 0.5, 0.75), 10000)").alias("q_quarts"),
+        F.max("__q").alias("q_max"),
+        F.avg("__toks").alias("avg_tokens"),
+    ]
+    if has_ids:
+        overall_aggs.append(F.sum("__nids").alias("n_ids"))
+    o = enriched.agg(*overall_aggs).first()
+    report = {
+        "n_docs": o["n_docs"] or 0,
+        "n_blank": int(o["n_blank"] or 0),
+        "n_tokens": int(o["n_tokens"] or 0),
+        "exact_dup_rate": (
+            round(1.0 - o["n_distinct_fp"] / o["n_docs"], 6) if o["n_docs"] else 0.0
+        ),
+        "quality": {
+            "min": o["q_min"],
+            "p25": o["q_quarts"][0] if o["q_quarts"] else None,
+            "p50": o["q_quarts"][1] if o["q_quarts"] else None,
+            "p75": o["q_quarts"][2] if o["q_quarts"] else None,
+            "max": o["q_max"],
+        },
+        "avg_tokens_per_doc": (
+            round(float(o["avg_tokens"]), 3) if o["avg_tokens"] is not None else None
+        ),
+        "languages": {
+            r["__lang"]: r["n"]
+            for r in enriched.groupBy("__lang").agg(F.count("*").alias("n")).collect()
+        },
+    }
+    if has_ids:
+        report["n_ids"] = int(o["n_ids"] or 0)
+        report["fertility"] = (
+            round(report["n_ids"] / report["n_tokens"], 4)
+            if report["n_tokens"] else None
+        )
+    if has_source:
+        report["sources"] = {
+            r["__src"]: {
+                "n_docs": r["n_docs"],
+                "n_tokens": int(r["n_tokens"] or 0),
+                "q_p50": r["q_p50"],
+            }
+            for r in enriched.groupBy("__src")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("__toks").alias("n_tokens"),
+                F.expr("percentile_approx(__q, 0.5, 10000)").alias("q_p50"),
+            )
+            .collect()
+        }
+    return report
+
+
 def write_packed_token_shards(
     docs: DataFrame,
     result: CorpusPrepResult,

@@ -1075,3 +1075,72 @@ class TestTokenChunking:
             assert row["n_ids"] < 24 * 2
         total = sum(r["n_ids"] for r in packed)
         assert total == sum(len(r["input_ids"]) for r in chunks.collect())
+
+
+class TestCorpusReport:
+    """The dataset card: bounded driver-side JSON over one enrich
+    pass — exact counts where exactness is cheap, and the tokenized
+    id totals when the store carries them."""
+
+    def test_report_values(self, spark, tmp_path):
+        from igloo_spark.pipelines import corpus_report
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta words here now ok", "web"),
+                (2, "alpha beta gamma delta words here now ok", "web"),  # exact dup
+                (3, "totally different content in this one here", "forum"),
+                (4, "", "forum"),  # blank
+            ],
+            "doc_id long, text string, source string",
+        )
+        r = corpus_report(docs)
+        assert r["n_docs"] == 4 and r["n_blank"] == 1
+        assert r["exact_dup_rate"] == round(1 - 3 / 4, 6)
+        assert r["sources"]["web"]["n_docs"] == 2
+        assert r["sources"]["forum"]["n_docs"] == 2
+        assert r["n_tokens"] == 8 + 8 + 7
+        assert set(r["quality"]) == {"min", "p25", "p50", "p75", "max"}
+        assert "n_ids" not in r  # not a tokenized frame
+
+    def test_tokenized_store_report_carries_ids(self, spark, tmp_path):
+        from igloo_spark.pipelines import corpus_report, incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "report_store")
+        incremental_ingest(
+            _mk_docs(spark, range(1, 5)), root,
+            min_quality=0.0, min_shared=1, tokenize=True,
+        )
+        corpus = read_versioned(spark, root + "/corpus")
+        r = corpus_report(corpus)
+        assert r["n_ids"] > 0 and r["fertility"] > 1.0
+
+    def test_cli_corpus_report(self, spark, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / "report_cli_docs"
+        d.mkdir()
+        rows = [(i, f"some body text for document {i} with words", f"s{i%2}")
+                for i in range(1, 7)]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }),
+            str(d / "documents.parquet"),
+        )
+        out = str(tmp_path / "card.json")
+        assert main(["--data-dir", str(d), "--corpus-report", out]) == 0
+        card = json.load(open(out))
+        assert card["n_docs"] == 6 and len(card["sources"]) == 2
+        assert "dataset card: 6 docs" in capsys.readouterr().out
+        # no source: parser error
+        with pytest.raises(SystemExit):
+            main(["--corpus-report", out])
