@@ -25,30 +25,32 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r10 rotation (executes the r09 verdict's task 1): the six
+    # -- r10 rotation (executes the r09 verdict's task 1): the seven
     # never-driver-checked queries FIRST (x137/x138, the token-id
     # training export; x139/x140, packed doc spans + token-level
-    # decontamination; x141, tokenizer fertility/unk-coverage; x142,
-    # token-id sliding-window chunking — all new this round), then the four
+    # decontamination; x141, tokenizer fertility/unk-coverage;
+    # x142/x143, token-id sliding-window chunking + its coverage
+    # dashboard — all new this round), then the four
     # changed-since-verdict pins (the ADVICE rule): x127/x128 (their
     # operators/bpe.py segmentation path was refactored into
     # _apply_merges in r10 — behavior-identical, pinned anyway) and
     # x125/x126 (fit_quality_classifier's driver fetch changed from
     # collect() to a max_fit_rows-capped take() in r10), then ALL 37
     # r06-stale queries (the pre-planned list from the r09 rotation
-    # comment), then 3 of the 48 r07-stale (operator-heavy first:
-    # the flagship q01 + the dedup family heads). Exactly 50
+    # comment), then 2 of the 48 r07-stale (operator-heavy first:
+    # the flagship q01 + the exact-dedup family head). Exactly 50
     # entries. After this window the verdict-age histogram is
-    # 50@r10, 46@r09, 50@r08, 45@r07 — max verdict age 3 rounds.
-    # The remaining 45 r07-stale queries (q03 q04 q13 q21 q25 q33
+    # 50@r10, 46@r09, 50@r08, 46@r07 — max verdict age 3 rounds.
+    # The remaining 46 r07-stale queries (q03 q04 q13 q21 q25 q33
     # q34 q35 x100-x104 x105 x106-x112 x113 x115-x119 x120 x121
-    # x122 x56 x74-x79 x81-x86 x88 x99) lead the r11 rotation.
+    # x122 x47 x56 x74-x79 x81-x86 x88 x99) lead the r11 rotation.
     "x137_bpe_token_ids",
     "x138_packed_token_shards",
     "x139_packed_doc_spans",
     "x140_token_decontamination",
     "x141_tokenizer_fertility",
     "x142_token_chunking",
+    "x143_chunk_coverage",
     "x127_bpe_merge_learning",
     "x128_bpe_encode",
     "x125_quality_classifier",
@@ -91,10 +93,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q70_edit_distance",
     "q71_group_by_all",
     "q77_union_by_name",
-    # -- 3 of the 48 r07-stale, operator-heavy first --
+    # -- 2 of the 48 r07-stale, operator-heavy first --
     "q01_pricing_summary",
     "x40_dedup_exact",
-    "x47_ann_lsh_topk",
 )
 
 def all_queries():

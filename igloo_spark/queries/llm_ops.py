@@ -6490,3 +6490,100 @@ def x142(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_ids"),
         "n_chunk_ids",
     )
+
+
+def _x143_oracle() -> str:
+    b, s = CHUNK_BUDGET, CHUNK_STRIDE
+    return (
+        _bpe_id_ctes()
+        + f""",
+    enc_all AS (
+        SELECT d.doc_id, d.source,
+               CAST(COALESCE(len(e.input_ids), 0) AS BIGINT) AS n
+        FROM documents d LEFT JOIN doc_enc e USING (doc_id)
+    ),
+    ne AS (SELECT * FROM enc_all WHERE n > 0),
+    win AS (
+        SELECT doc_id, source, n,
+               CASE WHEN n <= {b} THEN 1
+                    ELSE CAST(ceil((n - {b}) / CAST({s} AS DOUBLE)) AS BIGINT) + 1
+               END AS n_win
+        FROM ne
+    ),
+    lens AS (
+        SELECT doc_id, source, n, n_win,
+               CAST(sum(least({b}, n - w.i * {s})) AS BIGINT) AS chunk_ids
+        FROM win, LATERAL unnest(range(0, n_win)) AS w(i)
+        GROUP BY doc_id, source, n, n_win
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > {b} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_split,
+           CAST(sum(n_win) AS BIGINT) AS n_chunks,
+           CAST(max(n_win) AS BIGINT) AS max_chunks_per_doc,
+           CAST(sum(n) AS BIGINT) AS n_ids,
+           CAST(sum(chunk_ids) AS BIGINT) AS n_chunk_ids,
+           CAST(floor((sum(chunk_ids) - sum(n)) * 1000000.0 / sum(n))
+               AS BIGINT) AS overlap_overhead_micro
+    FROM lens
+    GROUP BY source"""
+    )
+
+
+@register(
+    "x143_chunk_coverage",
+    f"chunking cost dashboard per source: docs split, chunk counts, "
+    f"overlap overhead at budget {CHUNK_BUDGET}/stride {CHUNK_STRIDE}",
+    _x143_oracle(),
+    tags=("text", "tokenizer", "rag", "llm"),
+)
+def x143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning dashboard for x142's (budget, stride): how many
+    documents actually split, into how many chunks, and what the
+    overlap costs — ``overlap_overhead_micro`` is the extra ids the
+    stride duplicates as a fraction of the corpus (the storage/compute
+    premium RAG pays for window continuity). A stride change shifts
+    every column here before it shifts retrieval quality, so this is
+    the cheap knob-sweep surface.
+
+    Scale shape: x142's chunker (map-side) followed by ONE
+    (source)-keyed partial agg — no corpus shuffle beyond the
+    encode's own. The oracle recomputes the window-length arithmetic
+    (least(budget, n - i*stride) summed per doc) independently of the
+    Spark slice path — two different formulations of the same
+    windows, so an off-by-one in either flips a count."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        chunk_token_rows,
+        learn_bpe_merges,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None).localCheckpoint(eager=False)
+    chunks = chunk_token_rows(enc, budget=CHUNK_BUDGET, stride=CHUNK_STRIDE)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_win"),
+            F.sum("n_chunk_ids").cast("bigint").alias("chunk_ids"),
+        )
+        .join(enc.select("doc_id", "n_ids"), "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_ids") > CHUNK_BUDGET, 1).otherwise(0)
+        ).cast("bigint").alias("n_docs_split"),
+        F.sum("n_win").cast("bigint").alias("n_chunks"),
+        F.max("n_win").cast("bigint").alias("max_chunks_per_doc"),
+        F.sum("n_ids").cast("bigint").alias("n_ids"),
+        F.sum("chunk_ids").cast("bigint").alias("n_chunk_ids"),
+        F.floor(
+            (F.sum("chunk_ids") - F.sum("n_ids"))
+            * F.lit(1000000.0)
+            / F.sum("n_ids")
+        ).cast("bigint").alias("overlap_overhead_micro"),
+    )

@@ -524,6 +524,7 @@ def test_round10_operators_scale_bounded(spark):
         "x140_token_decontamination",
         "x141_tokenizer_fertility",
         "x142_token_chunking",
+        "x143_chunk_coverage",
     ):
         warm = {}
         for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
