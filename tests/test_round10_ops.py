@@ -1144,3 +1144,24 @@ class TestCorpusReport:
         # no source: parser error
         with pytest.raises(SystemExit):
             main(["--corpus-report", out])
+
+
+def test_cli_corpus_report_as_of(spark, tmp_path, capsys):
+    """--corpus-report composes with --corpus-store --as-of: the card
+    describes the requested SNAPSHOT, not the latest one."""
+    import json
+
+    from igloo_spark.cli import main
+    from igloo_spark.pipelines import incremental_ingest
+
+    root = str(tmp_path / "asof_card_store")
+    kw = dict(min_quality=0.0, min_shared=1)
+    incremental_ingest(_mk_docs(spark, [1, 2]), root, **kw)
+    incremental_ingest(_mk_docs(spark, [9, 10, 11]), root, **kw)
+    out_v1 = str(tmp_path / "card_v1.json")
+    out_latest = str(tmp_path / "card_latest.json")
+    assert main(["--corpus-store", root, "--as-of", "1",
+                 "--corpus-report", out_v1]) == 0
+    assert main(["--corpus-store", root, "--corpus-report", out_latest]) == 0
+    assert json.load(open(out_v1))["n_docs"] == 2
+    assert json.load(open(out_latest))["n_docs"] == 5
