@@ -72,6 +72,36 @@ def main(argv: list[str] | None = None) -> int:
         "loader-ready artifact",
     )
     parser.add_argument(
+        "--chunk-budget", type=int, default=None, metavar="N",
+        help="with --prep-corpus --pack-budget: slice over-budget "
+        "documents into N-id context-window chunks BEFORE packing "
+        "(chunk-then-pack) — bounds every training row; spans then "
+        "describe chunks keyed doc_id*1000000+chunk_idx",
+    )
+    parser.add_argument(
+        "--chunk-stride", type=int, default=None, metavar="N",
+        help="with --chunk-budget: window stride (default = budget, "
+        "disjoint splits; smaller = overlapping RAG windows)",
+    )
+    parser.add_argument(
+        "--bpe-top-v", type=int, default=50_000, metavar="N",
+        help="vocabulary cap for --fit-bpe-merges and the --prep-corpus "
+        "text-mode encode (default 50000): bounds every driver-side "
+        "vocab fetch; out-of-cap words fall back to the artifact's "
+        "unk id (0 = uncapped, guarded at 1M distinct words)",
+    )
+    parser.add_argument(
+        "--max-unk-rate", type=float, default=None, metavar="RATE",
+        help="with --ingest --tokenize: reject the batch when its unk "
+        "fraction under the store's frozen vocab exceeds RATE "
+        "(vocab-drift admission gate; exit 4)",
+    )
+    parser.add_argument(
+        "--unk-rate-mode", choices=("fail", "warn"), default="fail",
+        help="with --max-unk-rate: fail rejects the batch (default), "
+        "warn commits and prints the rate to stderr",
+    )
+    parser.add_argument(
         "--corpus-report", default=None, metavar="OUT_JSON",
         help="write the dataset card (doc/token/dup/quality/language/"
         "source stats; id totals + fertility for a tokenized store) as "
@@ -325,6 +355,14 @@ def main(argv: list[str] | None = None) -> int:
             "--pack-budget needs --prep-corpus and either --bpe-merges "
             "or a tokenized --corpus-store"
         )
+    if args.chunk_budget is not None and args.pack_budget is None:
+        parser.error("--chunk-budget needs --pack-budget (chunk-then-pack)")
+    if args.chunk_stride is not None and args.chunk_budget is None:
+        parser.error("--chunk-stride needs --chunk-budget")
+    if args.max_unk_rate is not None and not (
+        args.ingest is not None and args.tokenize
+    ):
+        parser.error("--max-unk-rate needs --ingest --tokenize")
     if args.fit_quality_model is not None and not args.data_dir:
         parser.error("--fit-quality-model needs --data-dir (documents table source)")
     if args.fit_bpe_merges is not None and not (args.data_dir or args.corpus_store):
@@ -496,18 +534,28 @@ def main(argv: list[str] | None = None) -> int:
                     docs, result, args.prep_corpus,
                     bpe_merges, bpe_vocab=bpe_vocab,
                     budget=args.pack_budget, n_shards=args.n_shards,
+                    bpe_top_v=args.bpe_top_v or None,
+                    chunk_budget=args.chunk_budget,
+                    chunk_stride=args.chunk_stride,
                 )
                 counts = result.counts.first().asDict()
+                chunked = (
+                    f" (chunk budget {info['chunk_budget']}/"
+                    f"stride {info['chunk_stride']})"
+                    if "chunk_budget" in info else ""
+                )
                 print(
                     f"prepared corpus: {counts} -> {info['n_docs']} docs "
                     f"packed into {info['n_rows']} sequences "
-                    f"({info['n_ids']} ids, budget {info['budget']}) in "
+                    f"({info['n_ids']} ids, budget {info['budget']})"
+                    f"{chunked} in "
                     f"{info['n_shards']} shards at {args.prep_corpus}"
                 )
                 return 0
             info = write_training_shards(
                 docs, result, args.prep_corpus,
                 bpe_merges=bpe_merges, bpe_vocab=bpe_vocab,
+                bpe_top_v=args.bpe_top_v or None,
             )
             counts = result.counts.first().asDict()
             print(
@@ -598,14 +646,24 @@ def main(argv: list[str] | None = None) -> int:
             docs = session.spark.table(
                 "corpus" if args.corpus_store is not None else "documents"
             )
-            merges = learn_bpe_merges(docs, n_merges=args.n_merges)
+            # the id map freezes under the SAME cap the merges were
+            # learned with: both driver-side fetches are then bounded
+            # at --bpe-top-v, and out-of-cap symbols hit the frozen
+            # artifact's reserved unk_id at encode time (0 = uncapped,
+            # still guarded by the structural MAX_VOCAB_ROWS take())
+            top_v = args.bpe_top_v or None
+            merges = learn_bpe_merges(
+                docs, n_merges=args.n_merges, top_v=top_v
+            )
             # freeze the id vocab with the merges: ids then come from
             # the artifact, not from whichever corpus is encoded later
-            vocab = bpe_token_id_map(docs, merges)
+            vocab = bpe_token_id_map(docs, merges, top_v=top_v)
             save_bpe_merges(merges, args.fit_bpe_merges, vocab=vocab)
             print(
                 f"learned {len(merges)} BPE merges "
-                f"({len(vocab)} vocab ids) -> {args.fit_bpe_merges}"
+                f"({len(vocab)} vocab ids, top_v "
+                f"{top_v if top_v is not None else 'uncapped'}) "
+                f"-> {args.fit_bpe_merges}"
             )
             return 0
         if args.fit_quality_model is not None:
@@ -677,6 +735,8 @@ def main(argv: list[str] | None = None) -> int:
                     quality_model_root=args.quality_model_root,
                     persist_embeddings=args.persist_embeddings,
                     tokenize=args.tokenize,
+                    max_unk_rate=args.max_unk_rate,
+                    unk_rate_mode=args.unk_rate_mode,
                     eval_docs=eval_frame,
                     decon_threshold=args.decon_threshold,
                     ivf_index_root=args.ivf_index,
@@ -687,9 +747,13 @@ def main(argv: list[str] | None = None) -> int:
                     expectation_mode=args.expectation_mode,
                 )
             except Exception as e:
-                from igloo_spark.pipelines import BatchExpectationError
+                from igloo_spark.pipelines import (
+                    BatchExpectationError,
+                    UnkRateError,
+                )
 
-                if isinstance(e, BatchExpectationError):
+                if isinstance(e, (BatchExpectationError, UnkRateError)):
+                    # batch-level gate rejection: nothing committed
                     print(f"error: --ingest: {e}", file=sys.stderr)
                     return 4
                 if isinstance(e, ValueError):
@@ -703,9 +767,14 @@ def main(argv: list[str] | None = None) -> int:
                 r["verdict"]: r["count"]
                 for r in result.verdicts.groupBy("verdict").count().collect()
             }
+            unk_note = (
+                f"; unk rate {result.unk_rate:.4%}"
+                if result.unk_rate is not None else ""
+            )
             print(
                 f"ingested batch -> corpus v{result.corpus_version} "
                 f"(fp store v{result.fp_version}); verdicts: {verdicts}"
+                f"{unk_note}"
             )
             if result.expectation_violations is not None:
                 # warn-mode contract violations committed anyway — say

@@ -57,11 +57,50 @@ def word_frequencies(
     return wf
 
 
+# Self-enforcing ceiling on every UNCAPPED driver-side vocabulary
+# fetch in this module. A 100 TB web corpus has ~1e8–1e9 distinct
+# "words" (URLs, typos, numerals); collecting that to the driver is
+# an OOM, so an uncapped fetch that turns out to be over this bound
+# raises loudly instead (the classifier's max_fit_rows pattern,
+# operators/classifier.py). top_v-capped fetches are bounded by
+# construction and skip the guard.
+MAX_VOCAB_ROWS = 1_000_000
+
+
+def _bounded_vocab(
+    docs: DataFrame,
+    text_col: str,
+    top_v: int | None,
+    max_vocab_rows: int | None,
+) -> list:
+    """Fetch the (word, freq) vocabulary driver-side, guarded: with
+    ``top_v`` the fetch is bounded by construction (TakeOrdered);
+    without it the fetch is a ``take(max_vocab_rows + 1)`` that raises
+    naming ``top_v`` when the corpus vocabulary is over the bound —
+    the guard is structural, not advisory. ``max_vocab_rows=None``
+    disables the guard (caller takes explicit responsibility)."""
+    wf = word_frequencies(docs, text_col, top_v)
+    if top_v is not None or max_vocab_rows is None:
+        return wf.collect()
+    rows = wf.take(max_vocab_rows + 1)
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"corpus vocabulary exceeds max_vocab_rows={max_vocab_rows:,} "
+            f"distinct words — an uncapped driver-side vocabulary "
+            f"collect at this scale would OOM the driver. Pass top_v= "
+            f"to cap the vocabulary (out-of-cap words fall back to "
+            f"unk_id at encode time), or raise max_vocab_rows "
+            f"deliberately"
+        )
+    return rows
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     top_v: int | None = 50_000,
+    max_vocab_rows: int | None = MAX_VOCAB_ROWS,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges: ``[(left, right,
     occurrence_count_at_merge_time), …]`` in learned order.
@@ -75,7 +114,7 @@ def learn_bpe_merges(
     per merge — the invariant x127 gates on."""
     vocab = {
         r["word"]: r["freq"]
-        for r in word_frequencies(docs, text_col, top_v).collect()
+        for r in _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
     }
     symbols: dict[str, tuple[str, ...]] = {w: tuple(w) for w in vocab}
     merges: list[tuple[str, str, int]] = []
@@ -140,7 +179,7 @@ def bpe_segmentations(
     the difference between segmenting ~1e5 vocab entries and
     re-segmenting ~1e13 token instances."""
     spark = docs.sparkSession
-    rows = word_frequencies(docs, text_col, top_v).collect()
+    rows = _bounded_vocab(docs, text_col, top_v, MAX_VOCAB_ROWS)
     return spark.createDataFrame(
         [
             (r["word"], r["freq"], len(_apply_merges(r["word"], merges)))
@@ -155,6 +194,7 @@ def bpe_token_id_map(
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     top_v: int | None = None,
+    max_vocab_rows: int | None = MAX_VOCAB_ROWS,
 ) -> dict[str, int]:
     """Token string → id, the standard id-assignment convention:
     the base alphabet (every distinct character across the vocab,
@@ -169,7 +209,8 @@ def bpe_token_id_map(
     The alphabet derives from the SAME bounded vocab pass training
     uses (one groupBy(word)); cost is vocab-sized."""
     vocab_words = [
-        r["word"] for r in word_frequencies(docs, text_col, top_v).collect()
+        r["word"]
+        for r in _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
     ]
     alphabet = sorted({ch for w in vocab_words for ch in w})
     ids: dict[str, int] = {}
@@ -186,6 +227,7 @@ def bpe_word_ids(
     top_v: int | None = None,
     token_ids: dict[str, int] | None = None,
     unk_id: int | None = None,
+    max_vocab_rows: int | None = MAX_VOCAB_ROWS,
 ) -> DataFrame:
     """``(word, freq, ids array<bigint>)``: each vocab word's token-id
     sequence under the learned merges + id map — the broadcast-join
@@ -203,7 +245,9 @@ def bpe_word_ids(
     id_map = (
         token_ids
         if token_ids is not None
-        else bpe_token_id_map(docs, merges, text_col, top_v)
+        else bpe_token_id_map(
+            docs, merges, text_col, top_v, max_vocab_rows=max_vocab_rows
+        )
     )
 
     def _ids(word: str) -> list[int]:
@@ -221,7 +265,7 @@ def bpe_word_ids(
                 )
         return out
 
-    rows = word_frequencies(docs, text_col, top_v).collect()
+    rows = _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
     return spark.createDataFrame(
         [(r["word"], r["freq"], _ids(r["word"])) for r in rows],
         "word string, freq bigint, ids array<bigint>",
@@ -236,6 +280,7 @@ def bpe_encode_ids(
     top_v: int | None = None,
     token_ids: dict[str, int] | None = None,
     unk_id: int | None = None,
+    max_vocab_rows: int | None = MAX_VOCAB_ROWS,
 ) -> DataFrame:
     """Encode every document to ``input_ids array<bigint>`` — the
     pretraining handoff: word order is preserved (posexplode position
@@ -249,22 +294,53 @@ def bpe_encode_ids(
     mode every multi-batch consumer (ingest-time tokenization,
     repeated shard exports) needs for cross-batch id stability.
 
+    A ``top_v`` cap bounds the broadcast word table (the 100 TB
+    posture: the encode corpus's long-tail vocab never lands on the
+    driver) and REQUIRES ``unk_id``: a word outside the capped vocab
+    contributes one ``unk_id`` (word-level UNK — the word was never
+    segmented, so symbol-level fallback doesn't apply). Setting
+    ``top_v`` without ``unk_id`` raises instead of silently dropping
+    rare words from ``input_ids``.
+
     Plan shape at 100 TB: one posexplode (narrow), one BROADCAST join
     against the vocab id table, one groupBy(doc) with
     sort-inside-collect — no corpus self-join, no per-token Python.
     Blank documents encode to the empty array (left join keeps
     them)."""
+    if top_v is not None and unk_id is None:
+        raise ValueError(
+            "bpe_encode_ids with top_v set needs unk_id: a capped "
+            "vocabulary makes out-of-cap words unmappable, and "
+            "dropping them from input_ids silently would corrupt the "
+            "training data — pass unk_id (word-level UNK fallback) "
+            "or leave top_v=None"
+        )
     word_ids = bpe_word_ids(
-        docs, merges, text_col, top_v, token_ids=token_ids, unk_id=unk_id
+        docs, merges, text_col, top_v, token_ids=token_ids, unk_id=unk_id,
+        max_vocab_rows=max_vocab_rows,
     )
     occ = docs.select(
         F.col(id_col),
         F.posexplode_outer(_words(F.col(text_col))).alias("__pos", "__word"),
     )
+    occ = occ.filter(F.length(F.coalesce("__word", F.lit(""))) > 0)
+    id_table = F.broadcast(
+        word_ids.select(F.col("word").alias("__word"), "ids")
+    )
+    if unk_id is not None:
+        # out-of-table words (possible only under a top_v cap — an
+        # uncapped table covers every corpus word) fall back to one
+        # unk_id; the coalesce is a no-op when the table is complete
+        joined = occ.join(id_table, "__word", "left").withColumn(
+            "ids",
+            F.coalesce(
+                "ids", F.array(F.lit(unk_id).cast("bigint"))
+            ),
+        )
+    else:
+        joined = occ.join(id_table, "__word")
     enc = (
-        occ.filter(F.length(F.coalesce("__word", F.lit(""))) > 0)
-        .join(F.broadcast(word_ids.select(F.col("word").alias("__word"), "ids")),
-              "__word")
+        joined
         .groupBy(id_col)
         .agg(
             F.flatten(

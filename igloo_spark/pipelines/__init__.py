@@ -264,6 +264,71 @@ def prepare_training_corpus(
     )
 
 
+def _export_encode(
+    docs: DataFrame,
+    bpe_merges: list,
+    bpe_vocab: "tuple[dict[str, int], int] | None",
+    bpe_top_v: "int | None",
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The shard exporters' text-mode encode, BOUNDED by default:
+    every driver-side vocabulary fetch is capped at ``bpe_top_v``
+    (out-of-cap words fall back to the unk id — word-level UNK, the
+    ``bpe_encode_ids`` contract), so exporting a corpus whose
+    long-tail vocabulary exceeds the cap costs a bounded collect
+    instead of a driver OOM. ``bpe_vocab`` (a ``load_bpe_vocab``
+    (vocab, unk_id) pair) pins ids to the ARTIFACT's frozen vocab so
+    repeated exports of different batches agree; without it, ids
+    derive from this export's own corpus under the same cap (unk id =
+    len(id map), the ``save_bpe_merges`` convention).
+    ``bpe_top_v=None`` removes the cap — the fixture-exact mode —
+    but the structural ``MAX_VOCAB_ROWS`` guard still raises on a
+    vocabulary too large to collect."""
+    from igloo_spark.operators.bpe import bpe_encode_ids, bpe_token_id_map
+
+    tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
+    if tok_ids is None and bpe_top_v is not None:
+        # no frozen artifact: derive a capped id map from this corpus
+        # and reserve the next id as the word-level UNK fallback
+        tok_ids = bpe_token_id_map(
+            docs, bpe_merges, text_col, top_v=bpe_top_v
+        )
+        tok_unk = len(tok_ids)
+    return bpe_encode_ids(
+        docs, bpe_merges, id_col=id_col, text_col=text_col,
+        top_v=bpe_top_v if tok_unk is not None else None,
+        token_ids=tok_ids, unk_id=tok_unk,
+    )
+
+
+def _write_export_report(
+    docs: DataFrame,
+    result: "CorpusPrepResult",
+    path: str,
+    id_col: str,
+    text_col: str,
+) -> dict:
+    """Write the dataset card (:func:`corpus_report` over the
+    ADMITTED export corpus) to ``<path>/_meta/report.json`` so every
+    release artifact self-describes — the counts/manifest metadata
+    say WHAT was admitted, the card says what the admitted corpus
+    LOOKS like (tokens, quality quantiles, languages, sources, dup
+    rate). Bounded driver-side JSON; one extra enrich pass at export
+    time, nothing corpus-sized collected."""
+    import json as _json
+    import os as _os
+
+    admitted = docs.join(result.corpus.select(id_col), id_col, "leftsemi")
+    report = corpus_report(admitted, id_col=id_col, text_col=text_col)
+    _os.makedirs(_os.path.join(path, "_meta"), exist_ok=True)
+    tmp = _os.path.join(path, "_meta", "report.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(report, fh, indent=1, sort_keys=True)
+    _os.replace(tmp, _os.path.join(path, "_meta", "report.json"))
+    return report
+
+
 def write_training_shards(
     docs: DataFrame,
     result: CorpusPrepResult,
@@ -273,6 +338,7 @@ def write_training_shards(
     data_format: str = "parquet",
     bpe_merges: "list[tuple[str, str, int]] | None" = None,
     bpe_vocab: "tuple[dict[str, int], int] | None" = None,
+    bpe_top_v: "int | None" = 50_000,
 ) -> dict:
     """Materialize the prepared corpus as the on-disk training
     artifact: one parquet directory per shard (``partitionBy(shard)``,
@@ -309,15 +375,8 @@ def write_training_shards(
     doc_cols = [id_col, text_col] + (["input_ids", "n_ids"] if stored_ids else [])
     shard_cols = result.corpus.join(docs.select(*doc_cols), id_col)
     if bpe_merges is not None:
-        from igloo_spark.operators.bpe import bpe_encode_ids
-
-        # bpe_vocab (a load_bpe_vocab (vocab, unk_id) pair) pins ids to
-        # the ARTIFACT's vocab so repeated exports of different batches
-        # agree; without it ids derive from this export's own corpus
-        tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
-        enc = bpe_encode_ids(
-            docs, bpe_merges, id_col=id_col, text_col=text_col,
-            token_ids=tok_ids, unk_id=tok_unk,
+        enc = _export_encode(
+            docs, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col
         )
         shard_cols = shard_cols.join(enc, id_col)
     out = (
@@ -346,12 +405,14 @@ def write_training_shards(
         )
         result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
         result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
+        _write_export_report(docs, result, path, id_col, text_col)
         return stats
     # json = JSONL shards (one document object per line), the format
     # most training loaders stream natively; metadata stays parquet
     out.write.partitionBy("shard").mode("overwrite").format(data_format).save(path)
     result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
     result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
+    _write_export_report(docs, result, path, id_col, text_col)
     spark = docs.sparkSession
     written = spark.read.format(data_format).load(path)
     return {
@@ -472,6 +533,10 @@ def write_packed_token_shards(
     text_col: str = "text",
     budget: int = 512,
     n_shards: int = 4,
+    bpe_top_v: "int | None" = 50_000,
+    chunk_budget: "int | None" = None,
+    chunk_stride: "int | None" = None,
+    chunk_key_base: int = 1_000_000,
 ) -> dict:
     """The FINAL pretraining artifact: one row per fixed-budget
     training sequence — ``seq_ids`` (the packed id concatenation) and
@@ -490,11 +555,29 @@ def write_packed_token_shards(
     still gates WHICH documents export (its admitted corpus), and the
     manifest/counts metadata ride along as in every other export.
 
-    Scale: the encode is one broadcast join; packing is one
-    (shard)-keyed window + (shard, bin) agg; the write is one
-    shard-keyed exchange — parallelism n_shards at any corpus size.
+    ``chunk_budget`` (optionally with ``chunk_stride``; default
+    stride = budget, i.e. disjoint splits) slices every over-budget
+    document into context-window chunks BEFORE packing
+    (``operators.bpe.chunk_token_rows``) — the long-document regime:
+    packing alone keeps documents atomic, so one 1M-id document makes
+    a 1M-id training row; chunk-then-pack bounds every row at
+    ``budget + chunk_budget`` ids. Spans then describe CHUNKS: each
+    ``doc_spans`` entry's doc_id is the composite key
+    ``original_id * chunk_key_base + chunk_idx`` (recover the source
+    document with ``key // chunk_key_base``, the chunk ordinal with
+    ``key % chunk_key_base``; numeric ids required in span metadata
+    regardless — the pack contract). The chunker is pure map-side, so
+    the flag adds zero exchanges.
+
+    Scale: the encode is one broadcast join against a vocab table
+    BOUNDED at ``bpe_top_v`` (see :func:`_export_encode` — out-of-cap
+    words fall back to the unk id, and ``bpe_top_v=None`` re-enables
+    the fixture-exact uncapped mode behind the structural
+    ``MAX_VOCAB_ROWS`` guard); packing is one (shard)-keyed window +
+    (shard, bin) agg; the write is one shard-keyed exchange —
+    parallelism n_shards at any corpus size.
     """
-    from igloo_spark.operators.bpe import bpe_encode_ids, pack_token_rows
+    from igloo_spark.operators.bpe import chunk_token_rows, pack_token_rows
 
     admitted = docs.join(result.corpus.select(id_col), id_col, "leftsemi")
     if bpe_merges is None:
@@ -508,10 +591,19 @@ def write_packed_token_shards(
             )
         enc = admitted.select(id_col, "input_ids", "n_ids")
     else:
-        tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
-        enc = bpe_encode_ids(
-            admitted, bpe_merges, id_col=id_col, text_col=text_col,
-            token_ids=tok_ids, unk_id=tok_unk,
+        enc = _export_encode(
+            admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col
+        )
+    if chunk_stride is not None and chunk_budget is None:
+        raise ValueError("chunk_stride needs chunk_budget")
+    if chunk_budget is not None:
+        enc = chunk_token_rows(
+            enc, budget=chunk_budget, stride=chunk_stride, id_col=id_col
+        ).select(
+            (F.col(id_col) * chunk_key_base + F.col("chunk_idx"))
+            .alias(id_col),
+            F.col("chunk_ids").alias("input_ids"),
+            F.col("n_chunk_ids").alias("n_ids"),
         )
     packed = pack_token_rows(
         enc, id_col=id_col, budget=budget, n_shards=n_shards,
@@ -526,6 +618,10 @@ def write_packed_token_shards(
     )
     result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
     result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
+    if text_col in docs.columns:
+        # tokenized-store corpus views always carry text; guard anyway
+        # so an ids-only frame still exports (cardless)
+        _write_export_report(docs, result, path, id_col, text_col)
     spark = docs.sparkSession
     back = spark.read.parquet(path)
     agg = back.agg(
@@ -533,13 +629,20 @@ def write_packed_token_shards(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_ids").alias("n_ids"),
     ).first()
-    return {
+    out = {
         "n_rows": agg["n_rows"],
         "n_docs": agg["n_docs"],
         "n_ids": agg["n_ids"],
         "n_shards": back.select("shard").distinct().count(),
         "budget": budget,
     }
+    if chunk_budget is not None:
+        out["chunk_budget"] = chunk_budget
+        out["chunk_stride"] = (
+            chunk_stride if chunk_stride is not None else chunk_budget
+        )
+        out["chunk_key_base"] = chunk_key_base
+    return out
 
 
 @dataclass
@@ -554,6 +657,32 @@ class IncrementalIngestResult:
     # (rule, n_violations) when expectations= was passed, else None;
     # populated in warn mode even when violations exist
     expectation_violations: "DataFrame | None" = None
+    # the batch's measured unk fraction under the store's frozen
+    # vocab when max_unk_rate= was passed with tokenize=True, else None
+    unk_rate: "float | None" = None
+
+
+class UnkRateError(ValueError):
+    """A tokenized batch's unk fraction under the store's FROZEN vocab
+    exceeded ``max_unk_rate`` in ``unk_rate_mode="fail"``: NOTHING was
+    committed. A high unk rate means the incoming data has drifted
+    away from the vocabulary the tokenizer was fit on (new language,
+    new domain, encoding corruption) — training on it would feed the
+    model unk-dense sequences, so the batch rejects at admission; the
+    fix is a deliberate tokenizer re-fit, not a silent commit."""
+
+    def __init__(self, rate: float, bound: float, n_unk: int, n_ids: int):
+        self.rate = rate
+        self.bound = bound
+        self.n_unk = n_unk
+        self.n_ids = n_ids
+        super().__init__(
+            f"batch rejected by the unk-rate gate: {n_unk}/{n_ids} ids "
+            f"({rate:.4%}) map to unk under the store's frozen vocab, "
+            f"over max_unk_rate={bound} — the batch has drifted from "
+            f"the fitted vocabulary; re-fit the tokenizer artifact "
+            f"deliberately or raise the bound"
+        )
 
 
 class BatchExpectationError(ValueError):
@@ -937,6 +1066,8 @@ def incremental_ingest(
     persist_embeddings: bool = False,
     tokenize: bool = False,
     tokenize_n_merges: int = 8,
+    max_unk_rate: float | None = None,
+    unk_rate_mode: str = "fail",
     eval_docs: DataFrame | None = None,
     decon_threshold: float = 0.2,
     expectations: dict | None = None,
@@ -1023,6 +1154,15 @@ def incremental_ingest(
     append-accumulated files never exceed N per bucket/cell directory
     without a compaction — the maintenance cadence a nightly ingest
     otherwise needs a separate scheduler for.
+
+    ``max_unk_rate`` (requires ``tokenize=True``) turns x141's
+    vocab-drift AUDIT into an admission GATE: the batch's encoded ids
+    are measured against the store's frozen vocab, and a batch whose
+    unk fraction exceeds the bound raises :class:`UnkRateError`
+    before anything commits (``unk_rate_mode="warn"`` commits and
+    prints the rate to stderr instead). The measured rate is returned
+    as ``result.unk_rate`` either way. One batch-sized aggregate;
+    deterministic, so crash-replays re-gate identically.
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
@@ -1036,6 +1176,16 @@ def incremental_ingest(
     spark = new_docs.sparkSession
     corpus_root = store_root + "/corpus"
     fp_root = store_root + "/fps"
+    if max_unk_rate is not None and not tokenize:
+        raise ValueError(
+            "max_unk_rate needs tokenize=True — the unk-rate gate "
+            "measures the batch under the store's frozen vocab"
+        )
+    if unk_rate_mode not in ("fail", "warn"):
+        raise ValueError(
+            f"unk_rate_mode must be fail|warn, got {unk_rate_mode!r}"
+        )
+    measured_unk_rate = None
     expectation_violations = None
     if expectations is not None:
         # batch-level contract (the DLT promotion gate applied to
@@ -1410,6 +1560,45 @@ def incremental_ingest(
             accepted, tok_merges, id_col=id_col, text_col=text_col,
             token_ids=tok_vocab, unk_id=tok_unk,
         )
+        if max_unk_rate is not None:
+            # vocab-drift admission gate (x141's audit as a gate): a
+            # batch whose unk fraction under the FROZEN vocab crosses
+            # the bound rejects BEFORE anything commits — same posture
+            # as the expectation/decon gates. One batch-sized agg;
+            # deterministic, so crash-replays re-gate identically.
+            enc = enc.localCheckpoint(eager=False)
+            tot = enc.agg(
+                F.coalesce(F.sum("n_ids"), F.lit(0)).alias("__n"),
+                F.coalesce(
+                    F.sum(
+                        F.size(
+                            F.filter(
+                                "input_ids",
+                                lambda x: x == F.lit(tok_unk).cast("bigint"),
+                            )
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("__u"),
+            ).first()
+            n_ids_total, n_unk_total = int(tot["__n"]), int(tot["__u"])
+            measured_unk_rate = (
+                n_unk_total / n_ids_total if n_ids_total else 0.0
+            )
+            if measured_unk_rate > max_unk_rate:
+                if unk_rate_mode == "fail":
+                    raise UnkRateError(
+                        measured_unk_rate, max_unk_rate,
+                        n_unk_total, n_ids_total,
+                    )
+                import sys as _sys
+
+                print(
+                    f"warning: unk rate {measured_unk_rate:.4%} over "
+                    f"max_unk_rate={max_unk_rate} (committed; "
+                    f"unk_rate_mode=warn)",
+                    file=_sys.stderr,
+                )
         store_frame = store_frame.join(enc, id_col)
     corpus_version = write_versioned(
         store_frame,
@@ -1444,6 +1633,7 @@ def incremental_ingest(
         corpus_version=corpus_version,
         fp_version=fp_version,
         expectation_violations=expectation_violations,
+        unk_rate=measured_unk_rate,
     )
 
 

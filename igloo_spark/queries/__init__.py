@@ -25,77 +25,70 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r10 rotation (executes the r09 verdict's task 1): the seven
-    # never-driver-checked queries FIRST (x137/x138, the token-id
-    # training export; x139/x140, packed doc spans + token-level
-    # decontamination; x141, tokenizer fertility/unk-coverage;
-    # x142/x143, token-id sliding-window chunking + its coverage
-    # dashboard — all new this round), then the four
-    # changed-since-verdict pins (the ADVICE rule): x127/x128 (their
-    # operators/bpe.py segmentation path was refactored into
-    # _apply_merges in r10 — behavior-identical, pinned anyway) and
-    # x125/x126 (fit_quality_classifier's driver fetch changed from
-    # collect() to a max_fit_rows-capped take() in r10), then ALL 37
-    # r06-stale queries (the pre-planned list from the r09 rotation
-    # comment), then 2 of the 48 r07-stale (operator-heavy first:
-    # the flagship q01 + the exact-dedup family head). Exactly 50
+    # -- r11 rotation (executes the r10 verdict's task 2): the one
+    # never-driver-checked query FIRST (x144, chunk-then-pack — new
+    # this round), then the three changed-since-verdict pins per the
+    # ADVICE rule (operators/bpe.py gained the max_vocab_rows guard +
+    # the top_v/unk_id fallback path in r11, so the r10 verdict named
+    # x137/x138/x141 as the pins), then ALL 46 r07-stale queries (the
+    # pre-planned list from the r10 rotation comment). Exactly 50
     # entries. After this window the verdict-age histogram is
-    # 50@r10, 46@r09, 50@r08, 46@r07 — max verdict age 3 rounds.
-    # The remaining 46 r07-stale queries (q03 q04 q13 q21 q25 q33
-    # q34 q35 x100-x104 x105 x106-x112 x113 x115-x119 x120 x121
-    # x122 x47 x56 x74-x79 x81-x86 x88 x99) lead the r11 rotation.
+    # 50@r11, 47@r10, 46@r09, 50@r08 — max verdict age 3 rounds,
+    # zero never-checked. The 50 r08-stale queries (q02 q07-q12
+    # q14-q20 q22-q24 q26-q32 q36 q58 q66 q67 q76 q79-q95 x41 x42
+    # x43 x55 — the exact CORRECTNESS_r08 keys not re-checked since)
+    # lead the r12 rotation.
+    "x144_chunk_pack",
     "x137_bpe_token_ids",
     "x138_packed_token_shards",
-    "x139_packed_doc_spans",
-    "x140_token_decontamination",
     "x141_tokenizer_fertility",
-    "x142_token_chunking",
-    "x143_chunk_coverage",
-    "x127_bpe_merge_learning",
-    "x128_bpe_encode",
-    "x125_quality_classifier",
-    "x126_classifier_auc",
-    # -- the 37 r06-stale --
-    "x48_language_id",
-    "x49_quality_score",
-    "x50_token_stats",
-    "x51_multimodal_decode",
-    "x52_stratified_sample",
-    "x53_topk_ngrams",
-    "x54_tfidf_top_terms",
-    "x57_frame_sampling",
-    "x58_media_features",
-    "x60_outlier_filter",
-    "x61_salted_aggregation",
-    "x63_ann_lsh_multiprobe",
-    "x65_sequence_packing",
-    "x66_data_mixture",
-    "x67_decontamination",
-    "x68_repetition_score",
-    "x72_chunk_dedup",
-    "x73_column_profile",
-    "q51_ilike_distinct_from",
-    "q52_grouping_sets",
-    "q53_array_agg",
-    "q54_natural_using_join",
-    "q55_map_construction",
-    "q56_hash_hex_functions",
-    "q57_split_part_translate",
-    "q59_higher_order_lambdas",
-    "q60_posexplode",
-    "q61_unpivot",
-    "q62_try_arithmetic",
-    "q63_sequence_array_setops",
-    "q64_lateral_subquery",
-    "q65_str_to_map",
-    "q68_pivot",
-    "q69_recursive_cte",
-    "q70_edit_distance",
-    "q71_group_by_all",
-    "q77_union_by_name",
-    # -- 2 of the 48 r07-stale, operator-heavy first --
-    "q01_pricing_summary",
-    "x40_dedup_exact",
+    # -- the 46 r07-stale --
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q13_stat_aggregates",
+    "q21_subqueries",
+    "q25_datetime_functions",
+    "q33_sessionization",
+    "q34_pivot_conditional",
+    "q35_json_extraction",
+    "x47_ann_lsh_topk",
+    "x56_training_data_prep",
+    "x74_numeric_histogram",
+    "x75_dedup_manifest",
+    "x76_hypertable_rollup",
+    "x77_funnel",
+    "x78_retention_cohorts",
+    "x79_quantile_binning",
+    "x81_data_expectations",
+    "x82_pii_scrub",
+    "x83_rag_chunking",
+    "x84_touch_attribution",
+    "x85_url_dedup",
+    "x86_dataset_split",
+    "x88_unigram_logprob",
+    "x99_winnow_cap_stats",
+    "x100_token_budget_select",
+    "x101_gopher_repetition",
+    "x102_dsir_importance",
+    "x103_k_anonymity",
+    "x104_source_quality_deciles",
+    "x105_bm25_retrieval",
+    "x106_semantic_decontamination",
+    "x107_diversity_cap_sample",
+    "x108_weighted_sample",
+    "x109_contrastive_pairs",
+    "x110_source_overlap",
+    "x111_source_kl_drift",
+    "x112_dup_family_histogram",
+    "x113_ann_recall",
+    "x115_char_entropy",
+    "x116_blocklist_filter",
+    "x117_minhash_error_audit",
+    "x118_leakage_safe_split",
+    "x119_boilerplate_ngrams",
+    "x120_ann_pq_topk",
+    "x121_embedding_audit",
+    "x122_pq_recall",
 )
 
 def all_queries():

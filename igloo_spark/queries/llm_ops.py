@@ -6587,3 +6587,117 @@ def x143(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_ids")
         ).cast("bigint").alias("overlap_overhead_micro"),
     )
+
+
+CHUNK_KEY_BASE = 1_000_000  # composite chunk key: doc_id*BASE + chunk_idx
+
+
+def _x144_oracle() -> str:
+    b, s = CHUNK_BUDGET, CHUNK_STRIDE
+    pack_hash = hex_prefix_hash_sql_duckdb(
+        "concat('pack:', CAST(cid AS VARCHAR))"
+    )
+    return (
+        _bpe_id_ctes()
+        + f""",
+    ne AS (
+        SELECT doc_id, input_ids AS ids, len(input_ids) AS n
+        FROM doc_enc WHERE len(input_ids) > 0
+    ),
+    win AS (
+        SELECT doc_id, ids, n,
+               CASE WHEN n <= {b} THEN 1
+                    ELSE CAST(ceil((n - {b}) / CAST({s} AS DOUBLE)) AS BIGINT) + 1
+               END AS n_win
+        FROM ne
+    ),
+    ch AS (
+        SELECT doc_id * {CHUNK_KEY_BASE} + w.i AS cid,
+               ids[w.i*{s}+1 : w.i*{s}+{b}] AS input_ids
+        FROM win, LATERAL unnest(range(0, n_win)) AS w(i)
+    ),
+    sharded AS (
+        SELECT cid, input_ids, CAST(len(input_ids) AS BIGINT) AS n_ids,
+               CAST(({pack_hash}) % {PACK_SHARDS} AS BIGINT) AS shard
+        FROM ch
+    ),
+    placed AS (
+        SELECT cid, input_ids, n_ids, shard,
+               sum(n_ids) OVER (
+                   PARTITION BY shard ORDER BY cid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_ids AS start_tok
+        FROM sharded
+    )
+    SELECT shard,
+           CAST(floor(start_tok / {PACK_ID_BUDGET}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           COALESCE(
+               array_to_string(flatten(list(input_ids ORDER BY cid)), ','),
+               '') AS seq_ids,
+           CAST(sum(n_ids) AS BIGINT) AS n_ids
+    FROM placed
+    GROUP BY shard, bin"""
+    )
+
+
+@register(
+    "x144_chunk_pack",
+    f"chunk-then-pack: over-budget docs sliced into {CHUNK_BUDGET}-id "
+    f"windows (stride {CHUNK_STRIDE}), the chunk stream packed into "
+    f"{PACK_ID_BUDGET}-id training rows — exact arrays",
+    _x144_oracle(),
+    tags=("packing", "tokenizer", "rag", "llm"),
+)
+def x144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x142 composed with x138 — the long-document export regime
+    ``write_packed_token_shards(chunk_budget=...)`` materializes:
+    packing alone keeps documents atomic (one 1M-id document makes a
+    1M-id training row), so over-budget documents are first sliced
+    into budget-bounded context windows (``chunk_token_rows``) and
+    the CHUNK stream is packed (``pack_token_rows``) under the
+    composite key ``doc_id * CHUNK_KEY_BASE + chunk_idx`` — every
+    packed row is then bounded by pack budget + chunk budget. The
+    oracle recomputes the encode, the window arithmetic, the
+    composite key, the shard hash, AND the running-sum bin placement
+    from scratch and hashes the FULL packed arrays, so a drift in any
+    layer of the composition (chunk boundaries, key arithmetic, chunk
+    order inside a row, bin fill) flips a hashed value.
+
+    Scale: the chunker is pure map-side on top of the encode's
+    broadcast shape; packing stays one (shard)-keyed window + one
+    (shard, bin) agg — parallelism n_shards at any corpus size, and
+    chunk-bounded rows keep every window partition's rows
+    budget-sized regardless of document length."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        chunk_token_rows,
+        learn_bpe_merges,
+        pack_token_rows,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    chunks = chunk_token_rows(
+        enc, budget=CHUNK_BUDGET, stride=CHUNK_STRIDE
+    ).select(
+        (F.col("doc_id") * CHUNK_KEY_BASE + F.col("chunk_idx")).alias(
+            "doc_id"
+        ),
+        F.col("chunk_ids").alias("input_ids"),
+        F.col("n_chunk_ids").alias("n_ids"),
+    )
+    packed = pack_token_rows(
+        chunks, budget=PACK_ID_BUDGET, n_shards=PACK_SHARDS
+    )
+    return packed.select(
+        "shard",
+        "bin",
+        F.col("n_docs").alias("n_chunks"),
+        # serialized for the driver canonicalizer (q78/x80 contract)
+        F.concat_ws(
+            ",", F.transform("seq_ids", lambda x: x.cast("string"))
+        ).alias("seq_ids"),
+        "n_ids",
+    )

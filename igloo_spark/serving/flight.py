@@ -86,6 +86,13 @@ class IglooFlightServer(flight.FlightServerBase):
     # result schema in one RPC without the get_flight_info round trip
     # (and without executing anything — same zero-execution posture).
     def get_schema(self, context, descriptor):
+        # a PATH-type descriptor has command=None — reject it as a
+        # clean Flight error instead of an internal AttributeError
+        if not descriptor.command:
+            raise flight.FlightServerError(
+                "get_schema requires a command-type descriptor "
+                "carrying the SQL text"
+            )
         sql = descriptor.command.decode("utf-8")
         df = self.session.execute(sql)  # lazy — schema only
         return flight.SchemaResult(_spark_to_arrow_schema(df))

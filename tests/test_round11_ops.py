@@ -1,0 +1,561 @@
+"""Round-11 operator tests: the bounded BPE vocabulary collect (r10
+verdict finding #1 — the self-enforcing max_vocab_rows guard + the
+top_v/unk_id word-level fallback that closes ADVICE #1's silent-drop),
+chunk-then-pack shard export (task #4), the unk-rate admission gate
+(task #6), export-time dataset cards (stretch #8), and the Flight
+get_schema path-descriptor guard (ADVICE #2)."""
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+DIM = 8
+
+
+def _doc_rows(ids):
+    rows = []
+    for i in ids:
+        text = f"document body {i} " + " ".join(
+            f"tok{i}word{j}" for j in range(12)
+        )
+        vec = [math.sin(0.7 * i + 1.3 * j) for j in range(DIM)]
+        rows.append((i, text, vec))
+    return rows
+
+
+def _mk_docs(spark, ids):
+    return spark.createDataFrame(
+        _doc_rows(ids),
+        "doc_id long, text string, embedding array<double>",
+    )
+
+
+class TestBoundedVocabCollect:
+    """Every uncapped driver-side vocabulary fetch in operators.bpe
+    goes through a take(max_vocab_rows + 1) that raises naming top_v —
+    the classifier max_fit_rows pattern: the guard is structural, an
+    oversized fetch CANNOT reach the driver."""
+
+    def _docs(self, spark):
+        # 40 distinct words across 4 docs
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(4)],
+            "doc_id long, text string",
+        )
+
+    def test_token_id_map_guard_raises(self, spark):
+        from igloo_spark.operators.bpe import bpe_token_id_map, learn_bpe_merges
+
+        docs = self._docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=None)
+        with pytest.raises(ValueError, match="top_v"):
+            bpe_token_id_map(docs, merges, top_v=None, max_vocab_rows=5)
+
+    def test_word_ids_guard_raises(self, spark):
+        from igloo_spark.operators.bpe import bpe_word_ids, learn_bpe_merges
+
+        docs = self._docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=None)
+        with pytest.raises(ValueError, match="max_vocab_rows"):
+            # frozen ids: only the word-segmentation fetch is guarded
+            bpe_word_ids(
+                docs, merges, token_ids={"w": 0}, unk_id=1, max_vocab_rows=5
+            )
+
+    def test_learn_merges_guard_raises(self, spark):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+
+        with pytest.raises(ValueError, match="top_v"):
+            learn_bpe_merges(
+                self._docs(spark), n_merges=2, top_v=None, max_vocab_rows=5
+            )
+
+    def test_top_v_cap_skips_guard(self, spark):
+        """A top_v-capped fetch is bounded by construction: the tiny
+        max_vocab_rows must NOT fire when top_v caps below it."""
+        from igloo_spark.operators.bpe import bpe_token_id_map, learn_bpe_merges
+
+        docs = self._docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=5)
+        ids = bpe_token_id_map(docs, merges, top_v=5, max_vocab_rows=5)
+        assert len(ids) > 0
+
+    def test_guard_passes_under_bound(self, spark):
+        from igloo_spark.operators.bpe import bpe_token_id_map, learn_bpe_merges
+
+        docs = self._docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=None)
+        ids = bpe_token_id_map(
+            docs, merges, top_v=None, max_vocab_rows=10_000
+        )
+        assert len(ids) > 0
+
+
+class TestCappedEncodeUnkFallback:
+    """ADVICE #1 closed: top_v without unk_id raises loudly; with
+    unk_id, an out-of-cap word contributes exactly one unk_id
+    (word-level UNK) instead of silently vanishing from input_ids."""
+
+    def _docs(self, spark):
+        # 'common' dominates the frequency table; 'rareword' appears once
+        return spark.createDataFrame(
+            [
+                (1, "common common common alpha"),
+                (2, "common alpha rareword"),
+                (3, "common alpha"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_top_v_without_unk_raises(self, spark):
+        from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
+
+        docs = self._docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=None)
+        with pytest.raises(ValueError, match="unk_id"):
+            bpe_encode_ids(docs, merges, top_v=2)
+
+    def test_out_of_cap_word_maps_to_one_unk(self, spark):
+        from igloo_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_token_id_map,
+            learn_bpe_merges,
+        )
+
+        docs = self._docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=2)
+        id_map = bpe_token_id_map(docs, merges, top_v=2)
+        unk = len(id_map)
+        capped = {
+            r["doc_id"]: r["input_ids"]
+            for r in bpe_encode_ids(
+                docs, merges, top_v=2, token_ids=id_map, unk_id=unk
+            ).collect()
+        }
+        # doc 2 carries the out-of-cap 'rareword': exactly one unk id
+        assert capped[2].count(unk) == 1
+        # in-cap docs carry no unk at all
+        assert unk not in capped[1] and unk not in capped[3]
+        # and word counts are conserved: doc 2 has 3 words -> the
+        # capped encode still represents all 3 (2 segmented + 1 unk)
+        assert len(capped[2]) >= 3
+
+    def test_cap_above_vocab_matches_uncapped(self, spark):
+        """When the cap doesn't bind, the capped encode is
+        byte-identical to the uncapped fixture-exact path."""
+        from igloo_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_token_id_map,
+            learn_bpe_merges,
+        )
+
+        docs = self._docs(spark)
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=None)
+        id_map = bpe_token_id_map(docs, merges, top_v=1000)
+        unk = len(id_map)
+        capped = {
+            r["doc_id"]: r["input_ids"]
+            for r in bpe_encode_ids(
+                docs, merges, top_v=1000, token_ids=id_map, unk_id=unk
+            ).collect()
+        }
+        plain = {
+            r["doc_id"]: r["input_ids"]
+            for r in bpe_encode_ids(docs, merges, top_v=None).collect()
+        }
+        assert capped == plain
+
+
+class TestCappedShardExport:
+    """The exporters' text-mode encode is bounded by default
+    (bpe_top_v=50k): a binding cap still roundtrips — out-of-cap
+    words land as the reserved unk id, ids are conserved."""
+
+    def _prep(self, spark, docs):
+        from igloo_spark.pipelines import prepare_training_corpus
+
+        return prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+
+    def test_capped_packed_export_roundtrips(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import write_packed_token_shards
+
+        docs = spark.createDataFrame(
+            [
+                (i, f"alpha beta gamma rare{i}unique words common here")
+                for i in range(1, 13)
+            ],
+            "doc_id long, text string",
+        )
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=6)
+        r = self._prep(spark, docs)
+        path = str(tmp_path / "capped_packed")
+        info = write_packed_token_shards(
+            docs, r, path, merges, budget=32, n_shards=2, bpe_top_v=6
+        )
+        assert info["n_ids"] > 0
+        back = spark.read.parquet(path)
+        # spans tile every row exactly (the packing invariant holds
+        # under the capped encode too)
+        for row in back.collect():
+            pos = 0
+            for s in row["doc_spans"]:
+                assert s["start"] == pos
+                pos += s["len"]
+            assert pos == len(row["seq_ids"])
+
+    def test_default_cap_matches_uncapped_at_fixture_scale(
+        self, spark, tmp_path
+    ):
+        """Fixture vocab << 50k: the default-capped export must be
+        byte-identical to bpe_top_v=None (the pre-r11 behavior), so
+        the cap is invisible until it actually binds."""
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import write_packed_token_shards
+
+        docs = _mk_docs(spark, range(1, 10)).select("doc_id", "text")
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        r = self._prep(spark, docs)
+        p1 = str(tmp_path / "capdef")
+        p2 = str(tmp_path / "capnone")
+        write_packed_token_shards(docs, r, p1, merges, budget=32, n_shards=2)
+        write_packed_token_shards(
+            docs, r, p2, merges, budget=32, n_shards=2, bpe_top_v=None
+        )
+        rows1 = sorted(
+            (r2["shard"], r2["bin"], r2["seq_ids"])
+            for r2 in spark.read.parquet(p1).collect()
+        )
+        rows2 = sorted(
+            (r2["shard"], r2["bin"], r2["seq_ids"])
+            for r2 in spark.read.parquet(p2).collect()
+        )
+        assert rows1 == rows2
+
+
+class TestChunkThenPackExport:
+    """write_packed_token_shards(chunk_budget=): over-budget docs land
+    as multiple budget-bounded chunks, spans stay exact under the
+    composite chunk key, ids are conserved."""
+
+    def test_over_budget_doc_lands_as_chunks(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+
+        # doc 1 is far over any small chunk budget; the rest are short
+        rows = [(1, "longword " * 60)] + [
+            (i, f"short doc {i} words here") for i in range(2, 8)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        path = str(tmp_path / "chunkpack")
+        info = write_packed_token_shards(
+            docs, r, path, merges, budget=24, n_shards=2,
+            chunk_budget=16, bpe_top_v=None,
+        )
+        assert info["chunk_budget"] == 16 and info["chunk_stride"] == 16
+        base = info["chunk_key_base"]
+        admitted = docs.join(r.corpus.select("doc_id"), "doc_id", "leftsemi")
+        enc = {
+            r2["doc_id"]: r2["input_ids"]
+            for r2 in bpe_encode_ids(admitted, merges).collect()
+        }
+        assert len(enc[1]) > 16  # the long doc really is over budget
+        back = spark.read.parquet(path).collect()
+        # reassemble every doc from its chunks via the composite key
+        got = {}
+        for row in back:
+            for s in row["doc_spans"]:
+                seg = row["seq_ids"][s["start"]:s["start"] + s["len"]]
+                assert len(seg) <= 16  # every span is chunk-bounded
+                doc, idx = s["doc_id"] // base, s["doc_id"] % base
+                got.setdefault(doc, {})[idx] = seg
+        for doc, parts in got.items():
+            joined = []
+            for i in range(len(parts)):
+                joined.extend(parts[i])
+            assert joined == enc[doc], f"doc {doc} chunks don't reassemble"
+        assert set(got) == set(enc)
+        assert len(got[1]) > 1  # the long doc split into several chunks
+        # every packed row is bounded by pack budget + chunk budget
+        for row in back:
+            assert row["n_ids"] < 24 + 16
+
+    def test_chunk_stride_needs_budget(self, spark, tmp_path):
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+        from igloo_spark.operators.bpe import learn_bpe_merges
+
+        docs = _mk_docs(spark, range(1, 4)).select("doc_id", "text")
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=None)
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        with pytest.raises(ValueError, match="chunk_budget"):
+            write_packed_token_shards(
+                docs, r, str(tmp_path / "cs"), merges, chunk_stride=8
+            )
+
+    def test_cli_chunk_then_pack(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / "chunk_cli_docs"
+        d.mkdir()
+        rows = [(1, "verylong doc " * 40)] + [
+            (i, f"alpha beta gamma doc {i} " * 3) for i in range(2, 9)
+        ]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }),
+            str(d / "documents.parquet"),
+        )
+        art = str(tmp_path / "m.json")
+        out = str(tmp_path / "chunk_cli_out")
+        assert main(["--data-dir", str(d), "--fit-bpe-merges", art]) == 0
+        assert main([
+            "--data-dir", str(d), "--prep-corpus", out,
+            "--min-quality", "0.0", "--bpe-merges", art,
+            "--pack-budget", "48", "--chunk-budget", "16",
+            "--chunk-stride", "16",
+        ]) == 0
+        back = spark.read.parquet(out)
+        assert back.agg(F.max(F.size("seq_ids"))).first()[0] < 48 + 16
+        # --chunk-budget without --pack-budget: parser error
+        with pytest.raises(SystemExit):
+            main(["--data-dir", str(d), "--prep-corpus", out,
+                  "--bpe-merges", art, "--chunk-budget", "16"])
+        # --chunk-stride without --chunk-budget: parser error
+        with pytest.raises(SystemExit):
+            main(["--data-dir", str(d), "--prep-corpus", out,
+                  "--bpe-merges", art, "--pack-budget", "48",
+                  "--chunk-stride", "8"])
+
+
+class TestUnkRateGate:
+    """incremental_ingest(max_unk_rate=): x141's vocab-drift audit as
+    an admission gate — a drifted batch rejects before anything
+    commits; warn mode commits and reports the measured rate."""
+
+    def _first_batch(self, spark, root):
+        from igloo_spark.pipelines import incremental_ingest
+
+        return incremental_ingest(
+            _mk_docs(spark, range(1, 5)), root,
+            min_quality=0.0, min_shared=1, tokenize=True,
+            max_unk_rate=0.5,
+        )
+
+    def _drifted(self, spark, ids):
+        # entirely new symbols (digits-heavy words the fit batch never
+        # saw) -> high unk fraction under the frozen vocab
+        return spark.createDataFrame(
+            [
+                (i, " ".join(f"zq{i}{j}zq" for j in range(10)),
+                 [math.sin(i + j) for j in range(DIM)])
+                for i in ids
+            ],
+            "doc_id long, text string, embedding array<double>",
+        )
+
+    def test_first_batch_passes_with_zero_unk(self, spark, tmp_path):
+        root = str(tmp_path / "unk_store1")
+        res = self._first_batch(spark, root)
+        assert res.unk_rate == 0.0
+
+    def test_drifted_batch_rejects_nothing_committed(self, spark, tmp_path):
+        from igloo_spark.pipelines import (
+            UnkRateError,
+            incremental_ingest,
+        )
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "unk_store2")
+        self._first_batch(spark, root)
+        before = read_versioned(spark, root + "/corpus").count()
+        with pytest.raises(UnkRateError, match="unk-rate gate"):
+            incremental_ingest(
+                self._drifted(spark, range(10, 14)), root,
+                min_quality=0.0, min_shared=1, tokenize=True,
+                max_unk_rate=0.1,
+            )
+        # nothing committed: corpus unchanged
+        assert read_versioned(spark, root + "/corpus").count() == before
+
+    def test_warn_mode_commits_and_reports(self, spark, tmp_path, capsys):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "unk_store3")
+        self._first_batch(spark, root)
+        before = read_versioned(spark, root + "/corpus").count()
+        res = incremental_ingest(
+            self._drifted(spark, range(10, 14)), root,
+            min_quality=0.0, min_shared=1, tokenize=True,
+            max_unk_rate=0.1, unk_rate_mode="warn",
+        )
+        assert res.unk_rate is not None and res.unk_rate > 0.1
+        assert read_versioned(spark, root + "/corpus").count() > before
+        assert "unk rate" in capsys.readouterr().err
+
+    def test_gate_needs_tokenize(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        with pytest.raises(ValueError, match="tokenize"):
+            incremental_ingest(
+                _mk_docs(spark, range(1, 3)),
+                str(tmp_path / "unk_store4"),
+                max_unk_rate=0.1,
+            )
+
+    def test_bad_mode_raises(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        with pytest.raises(ValueError, match="unk_rate_mode"):
+            incremental_ingest(
+                _mk_docs(spark, range(1, 3)),
+                str(tmp_path / "unk_store5"),
+                tokenize=True, max_unk_rate=0.1, unk_rate_mode="loud",
+            )
+
+    def test_cli_unk_gate_exit_codes(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        def write_docs(dirname, rows):
+            d = tmp_path / dirname
+            d.mkdir()
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }),
+                str(d / "documents.parquet"),
+            )
+            return str(d)
+
+        fit = write_docs(
+            "unk_cli_fit",
+            [(i, f"alpha beta gamma doc {i} common words") for i in range(1, 6)],
+        )
+        drift = write_docs(
+            "unk_cli_drift",
+            [(i, " ".join(f"zq{i}{j}zq" for j in range(10)))
+             for i in range(10, 14)],
+        )
+        store = str(tmp_path / "unk_cli_store")
+        assert main(["--data-dir", fit, "--ingest", store,
+                     "--min-quality", "0.0", "--tokenize",
+                     "--max-unk-rate", "0.5"]) == 0
+        # drifted batch: gate rejection is exit 4 (the batch-gate code)
+        assert main(["--data-dir", drift, "--ingest", store,
+                     "--min-quality", "0.0", "--tokenize",
+                     "--max-unk-rate", "0.1"]) == 4
+        # warn mode commits: exit 0
+        assert main(["--data-dir", drift, "--ingest", store,
+                     "--min-quality", "0.0", "--tokenize",
+                     "--max-unk-rate", "0.1",
+                     "--unk-rate-mode", "warn"]) == 0
+        # --max-unk-rate without --tokenize: parser error
+        with pytest.raises(SystemExit):
+            main(["--data-dir", fit, "--ingest", store,
+                  "--max-unk-rate", "0.1"])
+
+
+class TestExportDatasetCard:
+    """Every shard export writes _meta/report.json (the corpus_report
+    dataset card over the ADMITTED corpus) so release artifacts
+    self-describe."""
+
+    def _prep(self, spark, docs):
+        from igloo_spark.pipelines import prepare_training_corpus
+
+        return prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+
+    def test_training_shards_card(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_training_shards
+
+        docs = _mk_docs(spark, range(1, 8)).select("doc_id", "text")
+        r = self._prep(spark, docs)
+        path = str(tmp_path / "card_shards")
+        write_training_shards(docs, r, path)
+        card = json.load(open(os.path.join(path, "_meta", "report.json")))
+        assert card["n_docs"] == r.corpus.count()
+        assert {"n_tokens", "exact_dup_rate", "quality"} <= set(card)
+
+    def test_packed_shards_card(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import write_packed_token_shards
+
+        docs = _mk_docs(spark, range(1, 8)).select("doc_id", "text")
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        r = self._prep(spark, docs)
+        path = str(tmp_path / "card_packed")
+        write_packed_token_shards(docs, r, path, merges, budget=32)
+        card = json.load(open(os.path.join(path, "_meta", "report.json")))
+        assert card["n_docs"] == r.corpus.count()
+        assert "n_tokens" in card
+
+    def test_tar_shards_card(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_training_shards
+
+        docs = _mk_docs(spark, range(1, 6)).select("doc_id", "text")
+        r = self._prep(spark, docs)
+        path = str(tmp_path / "card_tar")
+        write_training_shards(docs, r, path, data_format="tar")
+        assert os.path.exists(os.path.join(path, "_meta", "report.json"))
+
+
+class TestFlightGetSchemaPathDescriptor:
+    """ADVICE #2: a PATH-type descriptor (command=None) must surface a
+    clean Flight error, not an AttributeError from .decode."""
+
+    def test_path_descriptor_clean_error(self, igloo):
+        pytest.importorskip("pyarrow.flight")
+        import pyarrow.flight as flight
+
+        from igloo_spark.serving import serve_in_background
+
+        server, _ = serve_in_background(igloo)
+        try:
+            import pyarrow as pa
+
+            client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+            # pyarrow's get_schema client path surfaces the server's
+            # FlightServerError as a generic ArrowException — the
+            # contract under test is the CLEAN message (vs the old
+            # AttributeError: 'NoneType' has no 'decode')
+            with pytest.raises(
+                pa.lib.ArrowException, match="command-type descriptor"
+            ):
+                client.get_schema(
+                    flight.FlightDescriptor.for_path(b"some/path")
+                )
+            # command descriptors still work after the rejection
+            res = client.get_schema(
+                flight.FlightDescriptor.for_command(b"SELECT 1 AS one")
+            )
+            assert res.schema.names == ["one"]
+        finally:
+            server.shutdown()
