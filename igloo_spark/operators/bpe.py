@@ -272,6 +272,104 @@ def bpe_word_ids(
     )
 
 
+def bpe_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """The corpus vocabulary's distinct characters, computed
+    EXECUTOR-side (explode words → explode code points → distinct) —
+    the collect is alphabet-sized (bounded by the charset, ~1e2–1e5
+    even for CJK corpora), never vocab-sized. Code-point splitting
+    uses Spark's character-based substring, so the set matches the
+    driver path's Python iteration exactly (including astral-plane
+    symbols, which Java-regex splits would halve into surrogates)."""
+    chars = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(word)), "
+                    "i -> substring(word, i, 1))"
+                )
+            ).alias("ch")
+        )
+        .distinct()
+    )
+    return sorted(r["ch"] for r in chars.collect())
+
+
+def bpe_token_id_map_distributed(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> dict[str, int]:
+    """:func:`bpe_token_id_map` with NO vocab-sized driver collect:
+    the base alphabet comes from :func:`bpe_alphabet` (alphabet-sized
+    executor aggregation), merges take the next ids in learned order
+    with the same first-assignment-wins dedup — byte-identical ids to
+    the driver path by construction (both sort the same character
+    set, then fold the same merge list)."""
+    ids: dict[str, int] = {}
+    for sym in bpe_alphabet(docs, text_col) + [
+        left + right for left, right, _ in merges
+    ]:
+        if sym not in ids:
+            ids[sym] = len(ids)
+    return ids
+
+
+def bpe_word_ids_distributed(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    token_ids: dict[str, int] | None = None,
+    unk_id: int | None = None,
+) -> DataFrame:
+    """:func:`bpe_word_ids` with the segmentation moved to EXECUTORS —
+    the huge-vocab escape hatch the ``max_vocab_rows`` guard points
+    at: instead of collecting the distinct-word frame to the driver,
+    one Arrow-batched pandas UDF segments + id-maps each word where
+    it lives (segmentation is a pure per-word function, so the stage
+    is embarrassingly parallel and stays inside the corpus-wide
+    ≤1-Python-eval budget). The id map ships to executors in the UDF
+    closure — vocab-bounded when ``token_ids`` is a frozen artifact
+    vocab, alphabet+merges-bounded when derived via
+    :func:`bpe_token_id_map_distributed` (never corpus-vocab-sized).
+
+    Returns the same ``(word, freq, ids)`` frame as the driver path
+    with byte-identical ids, but as a DISTRIBUTED frame: callers must
+    join it shuffle-side (it is no longer guaranteed
+    broadcast-sized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    id_map = (
+        token_ids
+        if token_ids is not None
+        else bpe_token_id_map_distributed(docs, merges, text_col)
+    )
+    merge_list = list(merges)
+
+    def one(word):
+        out = []
+        for s in _apply_merges(word, merge_list):
+            if s in id_map:
+                out.append(id_map[s])
+            elif unk_id is not None:
+                out.append(unk_id)
+            else:
+                raise ValueError(
+                    f"symbol {s!r} (word {word!r}) is outside the "
+                    f"frozen vocab and no unk_id is set"
+                )
+        return out
+
+    # explicit (func, returnType) form: the module's __future__
+    # annotations make type-hint inference see strings, not pd.Series
+    _seg_ids = pandas_udf(lambda words: words.map(one), "array<bigint>")
+
+    return word_frequencies(docs, text_col, None).select(
+        "word", "freq", _seg_ids(F.col("word")).alias("ids")
+    )
+
+
 def bpe_encode_ids(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
@@ -281,6 +379,7 @@ def bpe_encode_ids(
     token_ids: dict[str, int] | None = None,
     unk_id: int | None = None,
     max_vocab_rows: int | None = MAX_VOCAB_ROWS,
+    distributed: bool = False,
 ) -> DataFrame:
     """Encode every document to ``input_ids array<bigint>`` — the
     pretraining handoff: word order is preserved (posexplode position
@@ -302,8 +401,15 @@ def bpe_encode_ids(
     ``top_v`` without ``unk_id`` raises instead of silently dropping
     rare words from ``input_ids``.
 
+    ``distributed=True`` removes the driver from the vocab path
+    entirely (the huge-vocab mode the ``max_vocab_rows`` guard points
+    at): word segmentation runs executor-side as ONE Arrow-batched
+    pandas stage (:func:`bpe_word_ids_distributed`) and the id table
+    joins shuffle-side instead of broadcasting — byte-identical ids,
+    one extra exchange, no driver bound at any vocabulary size.
+
     Plan shape at 100 TB: one posexplode (narrow), one BROADCAST join
-    against the vocab id table, one groupBy(doc) with
+    against the vocab id table (default mode), one groupBy(doc) with
     sort-inside-collect — no corpus self-join, no per-token Python.
     Blank documents encode to the empty array (left join keeps
     them)."""
@@ -315,18 +421,29 @@ def bpe_encode_ids(
             "training data — pass unk_id (word-level UNK fallback) "
             "or leave top_v=None"
         )
-    word_ids = bpe_word_ids(
-        docs, merges, text_col, top_v, token_ids=token_ids, unk_id=unk_id,
-        max_vocab_rows=max_vocab_rows,
-    )
+    if distributed:
+        # huge-vocab mode: segmentation runs executor-side (one
+        # Arrow-batched stage, bpe_word_ids_distributed) and the id
+        # table joins shuffle-side — it is corpus-vocab-sized, so no
+        # broadcast hint; AQE still broadcasts when it measures small
+        word_ids = bpe_word_ids_distributed(
+            docs, merges, text_col, token_ids=token_ids, unk_id=unk_id
+        )
+        id_table = word_ids.select(F.col("word").alias("__word"), "ids")
+    else:
+        word_ids = bpe_word_ids(
+            docs, merges, text_col, top_v,
+            token_ids=token_ids, unk_id=unk_id,
+            max_vocab_rows=max_vocab_rows,
+        )
+        id_table = F.broadcast(
+            word_ids.select(F.col("word").alias("__word"), "ids")
+        )
     occ = docs.select(
         F.col(id_col),
         F.posexplode_outer(_words(F.col(text_col))).alias("__pos", "__word"),
     )
     occ = occ.filter(F.length(F.coalesce("__word", F.lit(""))) > 0)
-    id_table = F.broadcast(
-        word_ids.select(F.col("word").alias("__word"), "ids")
-    )
     if unk_id is not None:
         # out-of-table words (possible only under a top_v cap — an
         # uncapped table covers every corpus word) fall back to one
