@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
         "unk id (0 = uncapped, guarded at 1M distinct words)",
     )
     parser.add_argument(
+        "--bpe-distributed", action="store_true",
+        help="with --prep-corpus --bpe-merges: segment words on "
+        "executors (one Arrow-batched stage, shuffle-side id join) "
+        "instead of the driver-side vocab fetch — the huge-vocab "
+        "mode; ignores --bpe-top-v",
+    )
+    parser.add_argument(
         "--max-unk-rate", type=float, default=None, metavar="RATE",
         help="with --ingest --tokenize: reject the batch when its unk "
         "fraction under the store's frozen vocab exceeds RATE "
@@ -355,6 +362,8 @@ def main(argv: list[str] | None = None) -> int:
             "--pack-budget needs --prep-corpus and either --bpe-merges "
             "or a tokenized --corpus-store"
         )
+    if args.bpe_distributed and args.bpe_merges is None:
+        parser.error("--bpe-distributed needs --prep-corpus --bpe-merges")
     if args.chunk_budget is not None and args.pack_budget is None:
         parser.error("--chunk-budget needs --pack-budget (chunk-then-pack)")
     if args.chunk_stride is not None and args.chunk_budget is None:
@@ -535,6 +544,7 @@ def main(argv: list[str] | None = None) -> int:
                     bpe_merges, bpe_vocab=bpe_vocab,
                     budget=args.pack_budget, n_shards=args.n_shards,
                     bpe_top_v=args.bpe_top_v or None,
+                    bpe_distributed=args.bpe_distributed,
                     chunk_budget=args.chunk_budget,
                     chunk_stride=args.chunk_stride,
                 )
@@ -556,6 +566,7 @@ def main(argv: list[str] | None = None) -> int:
                 docs, result, args.prep_corpus,
                 bpe_merges=bpe_merges, bpe_vocab=bpe_vocab,
                 bpe_top_v=args.bpe_top_v or None,
+                bpe_distributed=args.bpe_distributed,
             )
             counts = result.counts.first().asDict()
             print(

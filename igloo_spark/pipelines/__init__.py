@@ -271,6 +271,7 @@ def _export_encode(
     bpe_top_v: "int | None",
     id_col: str,
     text_col: str,
+    distributed: bool = False,
 ) -> DataFrame:
     """The shard exporters' text-mode encode, BOUNDED by default:
     every driver-side vocabulary fetch is capped at ``bpe_top_v``
@@ -288,6 +289,15 @@ def _export_encode(
     from igloo_spark.operators.bpe import bpe_encode_ids, bpe_token_id_map
 
     tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
+    if distributed:
+        # huge-vocab mode: NO driver-side vocab fetch at all — the
+        # segmentation runs executor-side and the id table joins
+        # shuffle-side (bpe_encode_ids(distributed=True)); a frozen
+        # artifact vocab still pins ids when provided
+        return bpe_encode_ids(
+            docs, bpe_merges, id_col=id_col, text_col=text_col,
+            token_ids=tok_ids, unk_id=tok_unk, distributed=True,
+        )
     if tok_ids is None and bpe_top_v is not None:
         # no frozen artifact: derive a capped id map from this corpus
         # and reserve the next id as the word-level UNK fallback
@@ -339,6 +349,7 @@ def write_training_shards(
     bpe_merges: "list[tuple[str, str, int]] | None" = None,
     bpe_vocab: "tuple[dict[str, int], int] | None" = None,
     bpe_top_v: "int | None" = 50_000,
+    bpe_distributed: bool = False,
 ) -> dict:
     """Materialize the prepared corpus as the on-disk training
     artifact: one parquet directory per shard (``partitionBy(shard)``,
@@ -376,7 +387,8 @@ def write_training_shards(
     shard_cols = result.corpus.join(docs.select(*doc_cols), id_col)
     if bpe_merges is not None:
         enc = _export_encode(
-            docs, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col
+            docs, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
+            distributed=bpe_distributed,
         )
         shard_cols = shard_cols.join(enc, id_col)
     out = (
@@ -534,6 +546,7 @@ def write_packed_token_shards(
     budget: int = 512,
     n_shards: int = 4,
     bpe_top_v: "int | None" = 50_000,
+    bpe_distributed: bool = False,
     chunk_budget: "int | None" = None,
     chunk_stride: "int | None" = None,
     chunk_key_base: int = 1_000_000,
@@ -592,7 +605,8 @@ def write_packed_token_shards(
         enc = admitted.select(id_col, "input_ids", "n_ids")
     else:
         enc = _export_encode(
-            admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col
+            admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
+            distributed=bpe_distributed,
         )
     if chunk_stride is not None and chunk_budget is None:
         raise ValueError("chunk_stride needs chunk_budget")

@@ -659,3 +659,43 @@ class TestDistributedSegmentation:
         assert bpe_token_id_map_distributed(docs, merges) == bpe_token_id_map(
             docs, merges, top_v=None
         )
+
+
+class TestDistributedExport:
+    """bpe_distributed=True in the shard exporters: the huge-vocab
+    encode path produces byte-identical shards to the default capped
+    path at fixture scale (the cap never binds there)."""
+
+    def test_packed_export_matches_default(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+
+        docs = _mk_docs(spark, range(1, 10)).select("doc_id", "text")
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        p1, p2 = str(tmp_path / "dflt"), str(tmp_path / "dist")
+        write_packed_token_shards(docs, r, p1, merges, budget=32, n_shards=2)
+        write_packed_token_shards(
+            docs, r, p2, merges, budget=32, n_shards=2, bpe_distributed=True
+        )
+        rows1 = sorted(
+            (x["shard"], x["bin"], x["seq_ids"])
+            for x in spark.read.parquet(p1).collect()
+        )
+        rows2 = sorted(
+            (x["shard"], x["bin"], x["seq_ids"])
+            for x in spark.read.parquet(p2).collect()
+        )
+        assert rows1 == rows2
+
+    def test_cli_flag_validation(self, tmp_path):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--data-dir", str(tmp_path), "--prep-corpus",
+                  str(tmp_path / "o"), "--bpe-distributed"])
