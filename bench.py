@@ -125,6 +125,7 @@ def main() -> int:
         "x125_quality_classifier",
         "x128_bpe_encode",
         "x138_packed_token_shards",
+        "x144_chunk_pack",
     )
     corpus = all_queries()
     legacy = sorted((s for s in corpus.values() if s.bench), key=lambda s: s.name)

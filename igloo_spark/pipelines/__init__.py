@@ -1682,9 +1682,10 @@ def ingest_stream(
     ``pq_k_codes`` / ``vec_col``, ``learn_quantizers``,
     ``auto_compact_files``) and equally the admission/contract
     arguments (``quality_model`` / ``quality_model_root``,
-    ``persist_embeddings``, ``expectations`` — a failing batch
-    contract raises inside foreachBatch and stops the stream, the
-    correct fail-stop for corrupt input). The index forwarding is
+    ``persist_embeddings``, ``expectations``, ``tokenize``,
+    ``max_unk_rate`` — a failing batch contract or unk-rate gate
+    raises inside foreachBatch and stops the stream, the correct
+    fail-stop for corrupt or vocab-drifted input). The index forwarding is
     what keeps a streaming corpus's BM25 AND vector indexes fresh
     per micro-batch —
     without this a streamed corpus silently serves stale retrieval

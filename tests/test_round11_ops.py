@@ -699,3 +699,38 @@ class TestDistributedExport:
         with pytest.raises(SystemExit):
             main(["--data-dir", str(tmp_path), "--prep-corpus",
                   str(tmp_path / "o"), "--bpe-distributed"])
+
+
+class TestStreamingUnkGate:
+    """ingest_stream forwards max_unk_rate verbatim: a vocab-drifted
+    micro-batch raises inside foreachBatch and stops the stream (the
+    expectations fail-stop contract, extended to the unk gate)."""
+
+    def test_drifted_stream_fails_stop(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest, ingest_stream
+
+        root = str(tmp_path / "unk_stream_store")
+        # fit batch (batch path) freezes the vocab
+        # no batch_id: the stream's own micro-batch ids start at 0 and
+        # must not collide with the fit commit's stamp
+        incremental_ingest(
+            _mk_docs(spark, range(1, 5)), root,
+            min_quality=0.0, min_shared=1, tokenize=True,
+        )
+        src = str(tmp_path / "unk_stream_src")
+        spark.createDataFrame(
+            [(i, " ".join(f"zq{i}{j}zq" for j in range(10)))
+             for i in range(10, 14)],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+        )
+        q = ingest_stream(
+            stream, root, str(tmp_path / "unk_stream_ckpt"),
+            min_quality=0.0, min_shared=1, tokenize=True,
+            max_unk_rate=0.1,
+        )
+        with pytest.raises(Exception, match="unk-rate gate"):
+            q.awaitTermination()
