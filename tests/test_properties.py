@@ -1798,3 +1798,95 @@ def test_token_chunking_differential_parity(igloo, rows):
     d = _write_documents_fixture(rows)
     spec = REGISTRY["x142_token_chunking"]
     assert_matches_oracle(spec.spark(igloo.spark, d), spec.oracle, sf_dir=d)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(0, 90), min_size=1, max_size=10),
+    budget=st.integers(1, 40),
+    stride_frac=st.integers(1, 40),
+)
+def test_chunk_window_invariants(igloo, lens, budget, stride_frac):
+    """chunk_token_rows against a pure-Python window model, fuzzed
+    over (doc lengths, budget, stride): every id covered, chunk
+    bounds respected, ids reassemble per the declared window
+    arithmetic — the r11 chunk-then-pack export rides exactly these
+    invariants."""
+    from igloo_spark.operators.bpe import chunk_token_rows
+
+    stride = min(stride_frac, budget)
+    enc = igloo.spark.createDataFrame(
+        [(i, list(range(i * 1000, i * 1000 + n))) for i, n in enumerate(lens)],
+        "doc_id long, input_ids array<bigint>",
+    )
+    got = {}
+    for r in chunk_token_rows(enc, budget=budget, stride=stride).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_ids"]
+    import math
+
+    for i, n in enumerate(lens):
+        ids = list(range(i * 1000, i * 1000 + n))
+        if n == 0:
+            assert i not in got  # empty docs produce no chunks
+            continue
+        n_win = 1 if n <= budget else math.ceil((n - budget) / stride) + 1
+        chunks = got[i]
+        assert set(chunks) == set(range(n_win))
+        covered = set()
+        for w in range(n_win):
+            expect = ids[w * stride: w * stride + budget]
+            assert chunks[w] == expect and 1 <= len(chunks[w]) <= budget
+            covered.update(chunks[w])
+        assert covered == set(ids)  # every id lands in >= 1 chunk
+        if stride == budget:  # disjoint mode: chunks tile exactly
+            assert sum(len(c) for c in chunks.values()) == n
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll",), max_codepoint=0x2FF
+            ),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=12,
+    ),
+    top_v=st.integers(1, 6),
+)
+def test_capped_encode_conserves_word_count(igloo, words, top_v):
+    """Fuzz the r11 top_v/unk_id fallback: a capped encode never
+    drops a word — every out-of-cap word contributes exactly one
+    unk_id, so per-doc symbol counts are >= word counts and the unk
+    count equals the out-of-cap occurrence count."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_token_id_map,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = igloo.spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(docs, n_merges=2, top_v=top_v)
+    id_map = bpe_token_id_map(docs, merges, top_v=top_v)
+    unk = len(id_map)
+    out = bpe_encode_ids(
+        docs, merges, top_v=top_v, token_ids=id_map, unk_id=unk
+    ).first()
+    in_cap = {
+        r["word"]
+        for r in word_frequencies(docs, top_v=top_v).collect()
+    }
+    norm = [w.lower() for w in words]
+    n_out_of_cap = sum(1 for w in norm if w not in in_cap)
+    assert out["input_ids"].count(unk) == n_out_of_cap
+    assert out["n_ids"] >= len(norm)  # nothing silently dropped
