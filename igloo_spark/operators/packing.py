@@ -396,3 +396,89 @@ def weighted_sample_sql_duckdb(
     FROM {table}
     WHERE ({h}) % 1000000 < least(1000000, greatest(0, CAST(floor(({weight_expr}) * 1000000.0) AS BIGINT)))
     """
+
+
+def length_bucketed_batches(
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_ids",
+    bucket_width: int = 16,
+    batch_size: int = 8,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Padding-aware DYNAMIC BATCHING: group similar-length sequences
+    into fixed-count batches so each batch pads only to ITS max
+    length, not the corpus max — the standard fine-tuning/inference
+    batching regime (packing concatenates for pretraining; bucketed
+    batching pads for per-sequence losses).
+
+    Each sequence lands in length bucket ``floor((len-1)/bucket_width)``
+    (a pure map-side expression), is gated to a deterministic shard
+    (the pack_sequences hash gate), and is placed within its (bucket,
+    shard) substream in id order: ``batch_idx =
+    floor((row_number-1)/batch_size)``. Output: one row per sequence
+    with ``bucket``, ``shard``, ``batch_idx`` and ``batch_pos`` —
+    deterministic under any partitioning, so re-runs batch
+    identically (the split_assign property, carried to batching).
+
+    Scale: the only shuffle is the (bucket, shard)-keyed row_number
+    window — parallelism is n_buckets × n_shards at any corpus size,
+    the pack_sequences contract with the bucket key multiplying the
+    parallelism. Zero-length sequences are excluded (they pad nothing
+    and train nothing)."""
+    if bucket_width < 1 or batch_size < 1 or n_shards < 1:
+        raise ValueError(
+            f"bucket_width, batch_size and n_shards must be >= 1, got "
+            f"{bucket_width}, {batch_size}, {n_shards}"
+        )
+    shard = hex_prefix_hash(
+        F.concat(F.lit("batch:"), F.col(id_col).cast("string"))
+    ) % n_shards
+    w = Window.partitionBy("bucket", "shard").orderBy(id_col)
+    return (
+        encoded.filter(F.col(len_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(len_col).cast("bigint").alias("seq_len"),
+            F.floor((F.col(len_col) - 1) / bucket_width)
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .withColumn("shard", shard.cast("bigint"))
+        .withColumn(
+            "batch_idx",
+            F.floor((F.row_number().over(w) - 1) / batch_size).cast("bigint"),
+        )
+        .withColumn(
+            "batch_pos",
+            ((F.row_number().over(w) - 1) % batch_size).cast("bigint"),
+        )
+    )
+
+
+def batch_padding_stats(batched: DataFrame, batch_size: int) -> DataFrame:
+    """Per-batch padding economics for :func:`length_bucketed_batches`
+    output: ``padded_ids`` (= n_seqs × the batch's max length — what
+    the accelerator actually processes) vs ``n_ids`` (useful tokens),
+    and the waste fraction in integer micro-units. The knob-sweep
+    surface for (bucket_width, batch_size): wider buckets → fewer,
+    fuller batches but more padding; this table prices the trade."""
+    return (
+        batched.groupBy("bucket", "shard", "batch_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seqs"),
+            F.max("seq_len").cast("bigint").alias("max_len"),
+            F.sum("seq_len").cast("bigint").alias("n_ids"),
+        )
+        .withColumn(
+            "padded_ids", (F.col("n_seqs") * F.col("max_len")).cast("bigint")
+        )
+        .withColumn(
+            "pad_waste_micro",
+            F.floor(
+                (F.col("padded_ids") - F.col("n_ids"))
+                * F.lit(1000000.0)
+                / F.col("padded_ids")
+            ).cast("bigint"),
+        )
+    )

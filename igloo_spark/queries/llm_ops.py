@@ -6701,3 +6701,180 @@ def x144(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq_ids"),
         "n_ids",
     )
+
+
+def _x145_oracle() -> str:
+    return (
+        _bpe_id_ctes()
+        + f""",
+    sel AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {_TOKEN_ID_HEAD}),
+    flat AS (
+        SELECT doc_id, s.i AS pos, input_ids[s.i] AS id
+        FROM doc_enc, LATERAL unnest(range(1, len(input_ids)+1)) AS s(i)
+    ),
+    rej AS (
+        SELECT doc_id, string_agg(sym, '' ORDER BY pos) AS reassembled
+        FROM flat JOIN sym_ids USING (id) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.reassembled, '') AS reassembled,
+           CAST(
+               COALESCE(r.reassembled, '') =
+               regexp_replace(trim(lower(d.text)), '[ ]+', '', 'g')
+               AS BIGINT
+           ) AS matches
+    FROM sel d LEFT JOIN rej r USING (doc_id)"""
+    )
+
+
+@register(
+    "x145_detokenize_roundtrip",
+    "decode input_ids back to text via the id map: reassembly must "
+    "equal the space-stripped normalized document — the tokenizer "
+    "round-trip invariant, hash-pinned",
+    _x145_oracle(),
+    tags=("tokenizer", "llm"),
+)
+def x145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end tokenizer integrity check as a QUERY: decode
+    every document's input_ids back through the inverted id map and
+    compare with the normalization-stripped source text (word
+    boundaries are not recoverable from flat ids, so the invariant is
+    concatenation equality after space removal). Any corruption in
+    training, id assignment, segmentation, encode ordering, OR the
+    decode join flips a reassembled string — and the oracle recomputes
+    the entire chain from scratch, so Spark and DuckDB must corrupt
+    identically to pass falsely. ``matches`` is 1 for every row by
+    construction of a correct tokenizer; the hash pins the actual
+    reassembled strings, not just the flag.
+
+    Scale shape: decode is the encode's mirror — one posexplode, one
+    broadcast join against the |vocab|-sized id→token table, one
+    per-doc sort-inside-collect; the driver-facing surface is capped
+    at the lowest doc_ids, the plan underneath is full-corpus."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_token_id_map,
+        learn_bpe_merges,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    id_map = bpe_token_id_map(d, merges, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    sel = d.select("doc_id", "text").orderBy("doc_id").limit(_TOKEN_ID_HEAD)
+    tok_df = spark.createDataFrame(
+        [(v, k) for k, v in id_map.items()], "id bigint, tok string"
+    )
+    flat = (
+        enc.join(sel.select("doc_id"), "doc_id", "leftsemi")
+        .select("doc_id", F.posexplode("input_ids").alias("pos", "id"))
+    )
+    rej = (
+        flat.join(F.broadcast(tok_df), "id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("reassembled")
+        )
+    )
+    return (
+        sel.join(rej, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("reassembled", F.lit("")).alias("reassembled"),
+            (
+                F.coalesce("reassembled", F.lit(""))
+                == F.regexp_replace(F.trim(F.lower("text")), "[ ]+", "")
+            ).cast("bigint").alias("matches"),
+        )
+    )
+
+
+LEN_BUCKET_WIDTH = 16  # token-length bucket width for x146
+LEN_BATCH_SIZE = 8     # sequences per padded batch
+LEN_BATCH_SHARDS = 4
+
+
+def _x146_oracle() -> str:
+    w, b = LEN_BUCKET_WIDTH, LEN_BATCH_SIZE
+    shard_hash = hex_prefix_hash_sql_duckdb(
+        "concat('batch:', CAST(doc_id AS VARCHAR))"
+    )
+    return (
+        _bpe_id_ctes()
+        + f""",
+    lens AS (
+        SELECT doc_id, CAST(len(input_ids) AS BIGINT) AS seq_len
+        FROM doc_enc WHERE len(input_ids) > 0
+    ),
+    placed AS (
+        SELECT doc_id, seq_len,
+               CAST(floor((seq_len - 1) / {w}) AS BIGINT) AS bucket,
+               CAST(({shard_hash}) % {LEN_BATCH_SHARDS} AS BIGINT) AS shard
+        FROM lens
+    ),
+    batched AS (
+        SELECT bucket, shard, seq_len,
+               CAST(floor((row_number() OVER (
+                   PARTITION BY bucket, shard ORDER BY doc_id
+               ) - 1) / {b}) AS BIGINT) AS batch_idx
+        FROM placed
+    )
+    SELECT bucket, shard, batch_idx,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(max(seq_len) AS BIGINT) AS max_len,
+           CAST(sum(seq_len) AS BIGINT) AS n_ids,
+           CAST(count(*) * max(seq_len) AS BIGINT) AS padded_ids,
+           CAST(floor((count(*) * max(seq_len) - sum(seq_len)) * 1000000.0
+                / (count(*) * max(seq_len))) AS BIGINT) AS pad_waste_micro
+    FROM batched
+    GROUP BY bucket, shard, batch_idx"""
+    )
+
+
+@register(
+    "x146_length_bucketed_batches",
+    f"padding-aware dynamic batching: length buckets (width "
+    f"{LEN_BUCKET_WIDTH}) -> {LEN_BATCH_SIZE}-sequence batches, with "
+    f"per-batch padding economics",
+    _x146_oracle(),
+    tags=("packing", "tokenizer", "llm"),
+)
+def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fine-tuning/inference counterpart to x138's packing:
+    per-sequence losses can't concatenate documents, so similar-length
+    sequences are grouped into fixed-count batches that pad only to
+    their OWN max length (``operators.packing.length_bucketed_batches``
+    + ``batch_padding_stats``). The oracle recomputes the encode, the
+    bucket arithmetic, the deterministic shard gate, the in-bucket
+    row_number placement AND the padding economics from scratch — a
+    drift in any layer (bucket boundary, batch split point, max-len
+    padding) flips a hashed count. ``pad_waste_micro`` is the
+    knob-sweep surface: wider buckets → fewer batches, more padding.
+
+    Scale: bucket+shard assignment is map-side codegen; the only
+    shuffle is the (bucket, shard)-keyed row_number window —
+    parallelism n_buckets × n_shards at any corpus size (the
+    pack_sequences contract with the bucket key multiplying it)."""
+    from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
+    from igloo_spark.operators.packing import (
+        batch_padding_stats,
+        length_bucketed_batches,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    batched = length_bucketed_batches(
+        enc,
+        bucket_width=LEN_BUCKET_WIDTH,
+        batch_size=LEN_BATCH_SIZE,
+        n_shards=LEN_BATCH_SHARDS,
+    )
+    return batch_padding_stats(batched, LEN_BATCH_SIZE)

@@ -734,3 +734,79 @@ class TestStreamingUnkGate:
         )
         with pytest.raises(Exception, match="unk-rate gate"):
             q.awaitTermination()
+
+
+class TestLengthBucketedBatches:
+    """operators.packing.length_bucketed_batches: deterministic
+    padding-aware batching — bucket arithmetic, fixed batch counts,
+    and run-to-run stability."""
+
+    def _enc(self, spark):
+        return spark.createDataFrame(
+            [(i, (i * 7) % 50) for i in range(1, 40)],
+            "doc_id long, n_ids long",
+        )
+
+    def test_batch_invariants(self, spark):
+        from igloo_spark.operators.packing import length_bucketed_batches
+
+        rows = length_bucketed_batches(
+            self._enc(spark), bucket_width=16, batch_size=4
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["bucket"] == (r["seq_len"] - 1) // 16
+            assert 0 <= r["batch_pos"] < 4
+        # every (bucket, shard, batch) holds <= batch_size sequences,
+        # and only the LAST batch of a substream may be short
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for r in rows:
+            groups[(r["bucket"], r["shard"], r["batch_idx"])].append(r)
+        by_sub = defaultdict(list)
+        for (b, s, i), g in groups.items():
+            assert len(g) <= 4
+            by_sub[(b, s)].append((i, len(g)))
+        for sub, batches in by_sub.items():
+            batches.sort()
+            for i, n in batches[:-1]:
+                assert n == 4, f"non-terminal short batch in {sub}"
+
+    def test_deterministic_across_repartition(self, spark):
+        from igloo_spark.operators.packing import length_bucketed_batches
+
+        enc = self._enc(spark)
+        a = sorted(
+            tuple(r) for r in length_bucketed_batches(enc).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in length_bucketed_batches(enc.repartition(13)).collect()
+        )
+        assert a == b
+
+    def test_zero_length_excluded_and_validation(self, spark):
+        from igloo_spark.operators.packing import length_bucketed_batches
+
+        enc = spark.createDataFrame(
+            [(1, 0), (2, 5)], "doc_id long, n_ids long"
+        )
+        out = length_bucketed_batches(enc).collect()
+        assert [r["doc_id"] for r in out] == [2]
+        with pytest.raises(ValueError, match=">= 1"):
+            length_bucketed_batches(enc, batch_size=0)
+
+    def test_padding_stats(self, spark):
+        from igloo_spark.operators.packing import (
+            batch_padding_stats,
+            length_bucketed_batches,
+        )
+
+        batched = length_bucketed_batches(
+            self._enc(spark), bucket_width=16, batch_size=4
+        )
+        for r in batch_padding_stats(batched, 4).collect():
+            assert r["padded_ids"] == r["n_seqs"] * r["max_len"]
+            assert r["padded_ids"] >= r["n_ids"]
+            assert 0 <= r["pad_waste_micro"] < 1_000_000
