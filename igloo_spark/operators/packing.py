@@ -482,3 +482,51 @@ def batch_padding_stats(batched: DataFrame, batch_size: int) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    mix_col: str,
+    alpha: float = 0.5,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source re-balancing (the multilingual-LM
+    sampling rule): downsample each mixture class toward
+    ``rate_c = (n_min / n_c) ** alpha`` — ``alpha=1`` equalizes all
+    classes to the smallest, ``alpha=0`` keeps everything,
+    ``alpha=0.5`` is the published square-root temperature that
+    up-weights tails without flattening heads. Unlike
+    :func:`mixture_sample` (explicit hand-set rates), the rates here
+    derive from the DATA's own class counts.
+
+    Deterministic end to end: the per-class rate is floored to
+    ``precision`` integer units and the keep decision is the same
+    hash gate every sampler in this repo uses — re-runs, any
+    partitioning, and (for ``alpha=0.5``, computed via the correctly
+    rounded ``sqrt`` rather than libm ``pow``) any engine reproduce
+    the identical kept set. Adds ``mix_rate`` (the class's rate in
+    ``precision`` units) to the output.
+
+    Scale: one |classes|-sized aggregate joined back (AQE broadcasts
+    it — no hint, the corpus-wide rule), then a scan-speed hash-gate
+    filter; no corpus shuffle."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(mix_col).agg(F.count("*").alias("__n"))
+    n_min = counts.agg(
+        F.min("__n").cast("double").alias("__n_min")
+    )
+    ratio = F.col("__n_min") / F.col("__n")
+    scaled = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(alpha))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        mix_col,
+        F.floor(scaled * precision).cast("bigint").alias("mix_rate"),
+    )
+    h = hex_prefix_hash(
+        F.concat(F.lit("tmix:"), F.col(id_col).cast("string"))
+    )
+    return (
+        df.join(rates, mix_col)
+        .filter((h % precision) < F.col("mix_rate"))
+    )

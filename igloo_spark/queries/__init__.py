@@ -25,29 +25,33 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r11 rotation (executes the r10 verdict's task 2): the three
+    # -- r11 rotation (executes the r10 verdict's task 2): the five
     # never-driver-checked queries FIRST (x144, chunk-then-pack;
-    # x145, detokenize round-trip; x146, length-bucketed batching —
-    # all new this round), then the three changed-since-verdict pins
-    # per the ADVICE rule (operators/bpe.py gained the max_vocab_rows
+    # x145, detokenize round-trip; x146, length-bucketed batching;
+    # x147, temperature mixture; x148, token-frequency audit — all
+    # new this round), then the three changed-since-verdict pins per
+    # the ADVICE rule (operators/bpe.py gained the max_vocab_rows
     # guard + the top_v/unk_id fallback path in r11, so the r10
-    # verdict named x137/x138/x141 as the pins), then 44 of the 46
+    # verdict named x137/x138/x141 as the pins), then 42 of the 46
     # r07-stale queries (the pre-planned list from the r10 rotation
-    # comment, minus x121/x122 — deferred to r12, their PQ family is
-    # represented by x120 this window). Exactly 50 entries. After
-    # this window the verdict-age histogram is 50@r11, 47@r10,
-    # 46@r09, 50@r08, 2@r07 — zero never-checked. The r12 rotation:
-    # x121 x122 first, then the 50 r08-stale (q02 q07-q12 q14-q20
-    # q22-q24 q26-q32 q36 q58 q66 q67 q76 q79-q95 x41 x42 x43 x55 —
-    # the exact CORRECTNESS_r08 keys not re-checked since), minus
-    # two to defer by the same family-representation rule.
+    # comment, minus four deferred to r12 with their families
+    # represented this window: x121/x122 by x120, x107/x108 by x147
+    # + x86). Exactly 50 entries. After this window the verdict-age
+    # histogram is 50@r11, 47@r10, 46@r09, 50@r08, 4@r07 — zero
+    # never-checked. The r12 rotation: x107 x108 x121 x122 first,
+    # then 46 of the 50 r08-stale (q02 q07-q12 q14-q20 q22-q24
+    # q26-q32 q36 q58 q66 q67 q76 q79-q95 x41 x42 x43 x55 — the
+    # exact CORRECTNESS_r08 keys not re-checked since), deferring
+    # four by the same family-representation rule.
     "x144_chunk_pack",
     "x145_detokenize_roundtrip",
     "x146_length_bucketed_batches",
+    "x147_temperature_mixture",
+    "x148_token_freq_audit",
     "x137_bpe_token_ids",
     "x138_packed_token_shards",
     "x141_tokenizer_fertility",
-    # -- 44 of the 46 r07-stale (x121/x122 deferred to r12) --
+    # -- 42 of the 46 r07-stale (x107/x108/x121/x122 deferred) --
     "q03_shipping_priority",
     "q04_order_priority",
     "q13_stat_aggregates",
@@ -79,8 +83,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x104_source_quality_deciles",
     "x105_bm25_retrieval",
     "x106_semantic_decontamination",
-    "x107_diversity_cap_sample",
-    "x108_weighted_sample",
     "x109_contrastive_pairs",
     "x110_source_overlap",
     "x111_source_kl_drift",

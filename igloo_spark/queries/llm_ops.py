@@ -6878,3 +6878,190 @@ def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=LEN_BATCH_SHARDS,
     )
     return batch_padding_stats(batched, LEN_BATCH_SIZE)
+
+
+TMIX_PRECISION = 1_000_000
+
+
+def _x147_oracle() -> str:
+    gate_hash = hex_prefix_hash_sql_duckdb(
+        "concat('tmix:', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(
+                   CAST((SELECT min(n_docs) FROM counts) AS DOUBLE) / n_docs
+               ) * {TMIX_PRECISION}) AS BIGINT) AS mix_rate
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.source, d.doc_id
+        FROM documents d JOIN rates r USING (source)
+        WHERE ({gate_hash}) % {TMIX_PRECISION} < r.mix_rate
+    )
+    SELECT r.source, r.n_docs, r.mix_rate,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(min(k.doc_id) AS BIGINT) AS min_kept,
+           CAST(max(k.doc_id) AS BIGINT) AS max_kept
+    FROM rates r LEFT JOIN kept k USING (source)
+    GROUP BY r.source, r.n_docs, r.mix_rate"""
+
+
+@register(
+    "x147_temperature_mixture",
+    "sqrt-temperature source re-balancing: data-derived keep rates "
+    "(n_min/n_c)^0.5, hash-gated — per-source rates and kept counts",
+    _x147_oracle(),
+    tags=("sampling", "llm"),
+)
+def x147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual-LM sampling rule as an operator
+    (``operators.packing.temperature_sample``): x66 re-weights with
+    HAND-SET rates; temperature sampling derives them from the data —
+    ``rate_c = sqrt(n_min / n_c)``, the published alpha=0.5
+    temperature that up-weights tail sources without flattening the
+    head. The rate arithmetic is deliberately restricted to
+    correctly-rounded operations (integer-count division, sqrt,
+    floor to integer micro units) so Spark and DuckDB derive the
+    BIT-IDENTICAL rate, and the keep decision is the repo's standard
+    deterministic hash gate — the oracle reproduces the exact kept
+    set, not a statistical approximation of it.
+
+    Scale: one |sources|-sized aggregate joined back (AQE broadcasts
+    it), then a scan-speed gate — no corpus shuffle; the rollup here
+    is one (source)-keyed agg."""
+    from igloo_spark.operators.packing import temperature_sample
+
+    d = table(spark, sf_dir, "documents")
+    kept = temperature_sample(
+        d, "doc_id", "source", alpha=0.5, precision=TMIX_PRECISION
+    )
+    counts = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    per_kept = kept.groupBy("source").agg(
+        F.max("mix_rate").alias("mix_rate"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.min("doc_id").cast("bigint").alias("min_kept"),
+        F.max("doc_id").cast("bigint").alias("max_kept"),
+    )
+    # a source can in principle lose every doc to the gate: left join
+    # keeps its row with n_kept 0 and its rate recomputed inline
+    n_min = counts.agg(F.min("n_docs").cast("double").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("__n_min") / F.col("n_docs")) * TMIX_PRECISION
+        ).cast("bigint").alias("__rate"),
+    )
+    return (
+        rates.join(per_kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("__rate").alias("mix_rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.col("min_kept").cast("bigint").alias("min_kept"),
+            F.col("max_kept").cast("bigint").alias("max_kept"),
+        )
+    )
+
+
+ZIPF_TOP_K = 10  # head size for the coverage fraction
+
+
+def _x148_oracle() -> str:
+    return (
+        _bpe_id_ctes()
+        + f""",
+    occ AS (
+        SELECT d.doc_id, d.source, u.id
+        FROM (SELECT doc_id, source FROM documents) d
+        JOIN doc_enc e USING (doc_id),
+        LATERAL unnest(e.input_ids) AS u(id)
+    ),
+    freq AS (
+        SELECT source, id, CAST(count(*) AS BIGINT) AS f
+        FROM occ GROUP BY source, id
+    ),
+    ranked AS (
+        SELECT source, id, f,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY f DESC, id ASC
+               ) AS rnk
+        FROM freq
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_ids,
+           CAST(sum(f) AS BIGINT) AS n_ids,
+           CAST(max(f) AS BIGINT) AS max_freq,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS singleton_ids,
+           CAST(floor(sum(CASE WHEN rnk <= {ZIPF_TOP_K} THEN f ELSE 0 END)
+                * 1000000.0 / sum(f)) AS BIGINT) AS top{ZIPF_TOP_K}_micro
+    FROM ranked
+    GROUP BY source"""
+    )
+
+
+@register(
+    "x148_token_freq_audit",
+    f"token-id frequency audit per source: vocab size, singleton "
+    f"fraction, top-{ZIPF_TOP_K} coverage — the tokenizer-health "
+    f"dashboard over the encode",
+    _x148_oracle(),
+    tags=("tokenizer", "llm"),
+)
+def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer health over the ACTUAL id stream (the Zipf-shape
+    audit every tokenizer release ships): per source, how many
+    distinct ids the corpus exercises, how heavy the head is
+    (top-{ZIPF_TOP_K} coverage in integer micro units — exact integer
+    sums, no float accumulation), and how long the singleton tail is.
+    A merge-table regression (over-merging, under-merging, id-map
+    drift) moves these before it moves loss curves. Oracle recomputes
+    training + encode + the ranked rollup from scratch.
+
+    Scale: one narrow posexplode over the encode, one (source,
+    id)-keyed agg, one (source)-keyed window over the ID-frequency
+    table (vocab-sized, NOT corpus-sized), one final rollup — the
+    only corpus-sized exchange is the frequency agg's."""
+    from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    occ = (
+        enc.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("input_ids").alias("id"))
+    )
+    freq = occ.groupBy("source", "id").agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = freq.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.desc("f"), F.asc("id"))
+        ),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab_ids"),
+        F.sum("f").cast("bigint").alias("n_ids"),
+        F.max("f").cast("bigint").alias("max_freq"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("singleton_ids"),
+        F.floor(
+            F.sum(F.when(F.col("rnk") <= ZIPF_TOP_K, F.col("f")).otherwise(0))
+            * F.lit(1000000.0)
+            / F.sum("f")
+        ).cast("bigint").alias(f"top{ZIPF_TOP_K}_micro"),
+    )

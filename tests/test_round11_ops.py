@@ -810,3 +810,53 @@ class TestLengthBucketedBatches:
             assert r["padded_ids"] == r["n_seqs"] * r["max_len"]
             assert r["padded_ids"] >= r["n_ids"]
             assert 0 <= r["pad_waste_micro"] < 1_000_000
+
+
+class TestTemperatureSample:
+    """operators.packing.temperature_sample: data-derived sqrt
+    temperature rates, deterministic hash gate."""
+
+    def _docs(self, spark):
+        rows = []
+        for i in range(1, 401):
+            src = "web" if i <= 320 else ("books" if i <= 380 else "law")
+            rows.append((i, f"doc {i}", src))
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_rates_and_determinism(self, spark):
+        import math
+
+        from igloo_spark.operators.packing import temperature_sample
+
+        d = self._docs(spark)
+        kept = temperature_sample(d, "doc_id", "source", alpha=0.5)
+        rates = {
+            r["source"]: r["mix_rate"]
+            for r in kept.select("source", "mix_rate").distinct().collect()
+        }
+        # smallest class keeps everything; larger classes downsample
+        # at floor(1e6 * sqrt(n_min/n_c))
+        assert rates["law"] == 1_000_000
+        assert rates["web"] == math.floor(math.sqrt(20 / 320) * 1_000_000)
+        counts = {r["source"]: r["count"]
+                  for r in kept.groupBy("source").count().collect()}
+        assert counts["law"] == 20  # rate 1.0 keeps all
+        assert 0 < counts["web"] < 320  # strictly downsampled
+        # re-run on a repartitioned frame: identical kept set
+        again = temperature_sample(
+            d.repartition(7), "doc_id", "source", alpha=0.5
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+            r["doc_id"] for r in again.collect()
+        )
+
+    def test_alpha_bounds(self, spark):
+        from igloo_spark.operators.packing import temperature_sample
+
+        d = self._docs(spark)
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_sample(d, "doc_id", "source", alpha=1.5)
+        # alpha=0: every rate is 1.0 -> everything kept
+        assert temperature_sample(
+            d, "doc_id", "source", alpha=0.0
+        ).count() == 400
