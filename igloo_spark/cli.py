@@ -296,6 +296,13 @@ def main(argv: list[str] | None = None) -> int:
         "--as-of", type=int, default=None, metavar="VERSION",
         help="time-travel version for --corpus-store (default: latest snapshot)",
     )
+    parser.add_argument(
+        "--since-version", type=int, default=None, metavar="V",
+        help="with --prep-corpus --corpus-store: export only the DELTA "
+        "— documents appended after store version V (manifest file "
+        "diff, scans only the new files; requires an append-only "
+        "range). 0 = everything (bootstrap export)",
+    )
     parser.add_argument("--master", default=None, help="Spark master URL (default local[ncpus])")
     parser.add_argument("--limit", type=int, default=20, help="max rows to display")
     parser.add_argument("--output", default=None, help="write result to this path instead of printing")
@@ -382,6 +389,10 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(
             "--corpus-report needs a documents source: --data-dir or --corpus-store"
         )
+    if args.since_version is not None and not (
+        args.prep_corpus is not None and args.corpus_store is not None
+    ):
+        parser.error("--since-version needs --prep-corpus --corpus-store")
     if args.tokenize and args.ingest is None:
         parser.error("--tokenize only applies to --ingest")
     if args.eval_docs is not None and (
@@ -499,6 +510,21 @@ def main(argv: list[str] | None = None) -> int:
             docs = session.spark.table(
                 "corpus" if args.corpus_store is not None else "documents"
             )
+            if args.since_version is not None:
+                # incremental export: only the rows appended after the
+                # named version — a manifest file-set diff, so the
+                # scan cost is the delta's, not the history's
+                from igloo_spark.sources.versioned import read_version_delta
+
+                try:
+                    docs = read_version_delta(
+                        session.spark, args.corpus_store + "/corpus",
+                        from_version=args.since_version,
+                        to_version=args.as_of,
+                    )
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"error: --since-version: {e}", file=sys.stderr)
+                    return 2
             eval_frame = None
             if args.eval_docs is not None:
                 try:

@@ -860,3 +860,108 @@ class TestTemperatureSample:
         assert temperature_sample(
             d, "doc_id", "source", alpha=0.0
         ).count() == 400
+
+
+class TestVersionDeltaExport:
+    """read_version_delta + CLI --since-version: incremental shard
+    export reads only the files intervening appends wrote — the
+    manifest diff, never a history scan or anti-join."""
+
+    def test_delta_reads_only_new_rows(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import (
+            read_version_delta,
+            read_versioned,
+        )
+
+        root = str(tmp_path / "delta_store")
+        incremental_ingest(_mk_docs(spark, range(1, 5)), root,
+                           min_quality=0.0, min_shared=1)
+        incremental_ingest(_mk_docs(spark, range(10, 14)), root,
+                           min_quality=0.0, min_shared=1)
+        incremental_ingest(_mk_docs(spark, range(20, 23)), root,
+                           min_quality=0.0, min_shared=1)
+        croot = root + "/corpus"
+        full = read_versioned(spark, croot)
+        delta = read_version_delta(spark, croot, from_version=1)
+        got = sorted(r["doc_id"] for r in delta.collect())
+        assert got == sorted(list(range(10, 14)) + list(range(20, 23)))
+        # bootstrap (from 0) equals the full snapshot
+        boot = read_version_delta(spark, croot, from_version=0)
+        assert boot.count() == full.count()
+        # the delta plan scans FEWER files than the snapshot
+        assert len(delta.inputFiles()) < len(full.inputFiles())
+        # bounded range
+        mid = read_version_delta(spark, croot, 1, 2)
+        assert sorted(r["doc_id"] for r in mid.collect()) == list(range(10, 14))
+
+    def test_delta_validation(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import (
+            compact_versioned,
+            read_version_delta,
+        )
+
+        root = str(tmp_path / "delta_store2")
+        incremental_ingest(_mk_docs(spark, range(1, 5)), root,
+                           min_quality=0.0, min_shared=1)
+        incremental_ingest(_mk_docs(spark, range(10, 14)), root,
+                           min_quality=0.0, min_shared=1)
+        croot = root + "/corpus"
+        with pytest.raises(ValueError, match="must be <"):
+            read_version_delta(spark, croot, 2, 2)
+        with pytest.raises(ValueError, match="not in"):
+            read_version_delta(spark, croot, 99)
+        # a compaction in the range breaks append-only: loud error
+        compact_versioned(spark, croot, n_files=1)
+        with pytest.raises(ValueError, match="not an append"):
+            read_version_delta(spark, croot, 1)
+        # a range strictly after the rewrite is fine again
+        from igloo_spark.pipelines import incremental_ingest as ii
+
+        ii(_mk_docs(spark, range(30, 33)), root,
+           min_quality=0.0, min_shared=1)
+        got = sorted(
+            r["doc_id"]
+            for r in read_version_delta(spark, croot, 3).collect()
+        )
+        assert got == list(range(30, 33))
+
+    def test_cli_since_version_export(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        def write_docs(dirname, rows):
+            d = tmp_path / dirname
+            d.mkdir()
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }),
+                str(d / "documents.parquet"),
+            )
+            return str(d)
+
+        b1 = write_docs("sv_b1", [(i, f"alpha beta doc {i} words") for i in range(1, 6)])
+        b2 = write_docs("sv_b2", [(i, f"gamma delta doc {i} words") for i in range(10, 14)])
+        store = str(tmp_path / "sv_store")
+        assert main(["--data-dir", b1, "--ingest", store,
+                     "--min-quality", "0.0"]) == 0
+        assert main(["--data-dir", b2, "--ingest", store,
+                     "--min-quality", "0.0"]) == 0
+        out = str(tmp_path / "sv_out")
+        assert main(["--corpus-store", store, "--prep-corpus", out,
+                     "--min-quality", "0.0", "--since-version", "1"]) == 0
+        back = spark.read.parquet(out)
+        ids = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+        assert ids == list(range(10, 14))  # batch-2 docs only
+        # bad version: clean exit 2
+        assert main(["--corpus-store", store, "--prep-corpus", out,
+                     "--since-version", "99"]) == 2
+        # --since-version without --corpus-store: parser error
+        with pytest.raises(SystemExit):
+            main(["--data-dir", b1, "--prep-corpus", out,
+                  "--since-version", "1"])
