@@ -722,3 +722,97 @@ def chunk_token_rows(
             F.size("chunk_ids").cast("bigint").alias("n_chunk_ids"),
         )
     )
+
+
+def span_corrupt(
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask_mod: int = 5,
+    sentinel_base: int = 1_000_000,
+) -> DataFrame:
+    """T5/UL2-style SPAN CORRUPTION over token ids — the denoising
+    training objective's data prep: cut each document's ``input_ids``
+    into ``window``-id spans, mask a deterministic ~1/``mask_mod`` of
+    them, and emit the (corrupted inputs, targets) pair a
+    seq-to-seq denoiser trains on:
+
+    - ``corrupt_ids``: the sequence with each masked span replaced by
+      ONE sentinel id (``sentinel_base + span_ordinal``, ordinals
+      counted over masked spans in order — the T5 convention);
+    - ``target_ids``: each masked span's sentinel followed by the
+      span's original ids, concatenated in order.
+
+    Masking is a pure hash gate (``hash('span:'||doc||':'||i) %
+    mask_mod == 0``) — zero random state, so re-runs, any
+    partitioning, and any engine produce the identical corruption
+    (the oracle reproduces the exact arrays). The whole transform is
+    IN-ROW codegen (sequence → slice → filter/transform → flatten):
+    no shuffle, no Python, corpus cost is one map-side pass. The
+    sentinel-ordinal prefix count is O(n_spans²) per document inside
+    codegen — bounded by (len/window)², fine for context-scale
+    documents; chunk first (``chunk_token_rows``) for pathological
+    lengths. Documents with no ids produce no row."""
+    if window < 1 or mask_mod < 1:
+        raise ValueError(
+            f"window and mask_mod must be >= 1, got {window}, {mask_mod}"
+        )
+    from igloo_spark.functions.hashing import hex_prefix_hash
+
+    n = F.size("input_ids")
+    n_win = F.ceil(n / F.lit(float(window))).cast("int")
+
+    def gate(i):
+        return (
+            hex_prefix_hash(
+                F.concat(
+                    F.lit("span:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            )
+            % mask_mod
+            == 0
+        )
+
+    def span(i):
+        return F.slice("input_ids", i * window + 1, window)
+
+    def ordinal(i):
+        # masked spans among 0..i-1 (the T5 sentinel numbering)
+        return F.size(F.filter(F.slice("flags", 1, i), lambda f: f))
+
+    def sentinel(i):
+        return F.array(
+            (F.lit(sentinel_base) + ordinal(i)).cast("bigint")
+        )
+
+    idxs = F.sequence(F.lit(0), n_win - 1)
+    return (
+        encoded.filter(F.size("input_ids") > 0)
+        .withColumn("flags", F.transform(idxs, gate))
+        .select(
+            F.col(id_col),
+            F.flatten(
+                F.transform(
+                    idxs,
+                    lambda i: F.when(
+                        F.element_at("flags", i + 1), sentinel(i)
+                    ).otherwise(span(i)),
+                )
+            ).alias("corrupt_ids"),
+            F.flatten(
+                F.transform(
+                    idxs,
+                    lambda i: F.when(
+                        F.element_at("flags", i + 1),
+                        F.concat(sentinel(i), span(i)),
+                    ).otherwise(F.array().cast("array<bigint>")),
+                )
+            ).alias("target_ids"),
+            F.size(F.filter("flags", lambda f: f))
+            .cast("bigint")
+            .alias("n_masked"),
+        )
+    )

@@ -7065,3 +7065,106 @@ def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("f")
         ).cast("bigint").alias(f"top{ZIPF_TOP_K}_micro"),
     )
+
+
+SPAN_WINDOW = 8        # ids per corruption span (x149)
+SPAN_MASK_MOD = 5      # ~20% of spans masked
+SPAN_SENTINEL_BASE = 1_000_000
+
+
+def _x149_oracle() -> str:
+    w, m, s = SPAN_WINDOW, SPAN_MASK_MOD, SPAN_SENTINEL_BASE
+    gate = hex_prefix_hash_sql_duckdb(
+        "concat('span:', CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR))"
+    )
+    return (
+        _bpe_id_ctes()
+        + f""",
+    sel AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_TOKEN_ID_HEAD}),
+    ne AS (
+        SELECT e.doc_id, e.input_ids AS ids, len(e.input_ids) AS n
+        FROM doc_enc e JOIN sel USING (doc_id)
+        WHERE len(e.input_ids) > 0
+    ),
+    win AS (
+        SELECT doc_id, ids,
+               CAST(ceil(n / CAST({w} AS DOUBLE)) AS BIGINT) AS n_win
+        FROM ne
+    ),
+    flagged AS (
+        SELECT doc_id, ids, n_win,
+               list_transform(range(0, n_win),
+                              i -> ({gate}) % {m} = 0) AS flags
+        FROM win
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(flatten(list_transform(range(0, n_win), i ->
+               CASE WHEN flags[CAST(i AS INT)+1]
+                    THEN [{s} + len(list_filter(flags[1:CAST(i AS INT)],
+                                                f -> f))]
+                    ELSE ids[CAST(i AS INT)*{w}+1 : CAST(i AS INT)*{w}+{w}]
+               END)), ','), '') AS corrupt_ids,
+           COALESCE(array_to_string(flatten(list_transform(range(0, n_win), i ->
+               CASE WHEN flags[CAST(i AS INT)+1]
+                    THEN list_prepend(
+                        {s} + len(list_filter(flags[1:CAST(i AS INT)],
+                                              f -> f)),
+                        ids[CAST(i AS INT)*{w}+1 : CAST(i AS INT)*{w}+{w}])
+                    ELSE CAST([] AS BIGINT[])
+               END)), ','), '') AS target_ids,
+           CAST(len(list_filter(flags, f -> f)) AS BIGINT) AS n_masked
+    FROM flagged"""
+    )
+
+
+@register(
+    "x149_span_corruption",
+    f"T5-style span corruption: {SPAN_WINDOW}-id spans, ~1/"
+    f"{SPAN_MASK_MOD} masked by hash gate, sentinel-substituted inputs "
+    f"+ sentinel-prefixed targets — exact arrays",
+    _x149_oracle(),
+    tags=("tokenizer", "llm"),
+)
+def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denoising-objective data prep (``operators.bpe.
+    span_corrupt``): cut each document's ids into fixed spans, mask a
+    deterministic hash-gated fraction, and emit (corrupt_ids with one
+    sentinel per masked span, target_ids as sentinel-prefixed
+    originals) — the T5/UL2 seq-to-seq training pair. Zero random
+    state: the mask is ``hash('span:'||doc||':'||i) % mod == 0``, so
+    the oracle reproduces the EXACT corrupted arrays including the
+    in-order sentinel numbering (a prefix count over the flag array —
+    the part an off-by-one corrupts first).
+
+    Scale: entirely in-row codegen (sequence → slice →
+    filter/transform → flatten) on top of the encode — no added
+    shuffle, no Python; the sentinel prefix count is O(n_spans²)
+    inside codegen, bounded by (len/window)² per document (chunk
+    first for pathological lengths)."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        learn_bpe_merges,
+        span_corrupt,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    sel = d.select("doc_id").orderBy("doc_id").limit(_TOKEN_ID_HEAD)
+    out = span_corrupt(
+        enc.join(sel, "doc_id", "leftsemi"),
+        window=SPAN_WINDOW,
+        mask_mod=SPAN_MASK_MOD,
+        sentinel_base=SPAN_SENTINEL_BASE,
+    )
+    return out.select(
+        "doc_id",
+        # serialized for the driver canonicalizer (q78/x80 contract)
+        F.concat_ws(
+            ",", F.transform("corrupt_ids", lambda x: x.cast("string"))
+        ).alias("corrupt_ids"),
+        F.concat_ws(
+            ",", F.transform("target_ids", lambda x: x.cast("string"))
+        ).alias("target_ids"),
+        "n_masked",
+    )

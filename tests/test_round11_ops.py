@@ -965,3 +965,56 @@ class TestVersionDeltaExport:
         with pytest.raises(SystemExit):
             main(["--data-dir", b1, "--prep-corpus", out,
                   "--since-version", "1"])
+
+
+class TestSpanCorrupt:
+    """operators.bpe.span_corrupt: the T5 denoising pair — sentinel
+    numbering, reconstruction invariant, determinism."""
+
+    def _enc(self, spark):
+        return spark.createDataFrame(
+            [(i, list(range(i * 100, i * 100 + (i * 13) % 40))) for i in range(1, 12)],
+            "doc_id long, input_ids array<bigint>",
+        )
+
+    def test_reconstruction_invariant(self, spark):
+        """Substituting each sentinel in corrupt_ids with its target
+        span reproduces the original input_ids exactly — the property
+        a denoiser's label construction depends on."""
+        from igloo_spark.operators.bpe import span_corrupt
+
+        enc = self._enc(spark)
+        orig = {r["doc_id"]: r["input_ids"] for r in enc.collect()}
+        out = span_corrupt(enc, window=4, mask_mod=3, sentinel_base=10_000)
+        for r in out.collect():
+            # parse targets: sentinel -> its span ids
+            spans, cur = {}, None
+            for t in r["target_ids"]:
+                if t >= 10_000:
+                    cur = t
+                    spans[cur] = []
+                else:
+                    spans[cur].append(t)
+            assert r["n_masked"] == len(spans)
+            # sentinels appear in corrupt_ids in increasing order
+            sents = [t for t in r["corrupt_ids"] if t >= 10_000]
+            assert sents == sorted(sents) == list(spans)
+            rebuilt = []
+            for t in r["corrupt_ids"]:
+                rebuilt.extend(spans[t] if t >= 10_000 else [t])
+            assert rebuilt == orig[r["doc_id"]], f"doc {r['doc_id']}"
+
+    def test_deterministic_and_empty_excluded(self, spark):
+        from igloo_spark.operators.bpe import span_corrupt
+
+        enc = self._enc(spark)
+        a = sorted(map(tuple, span_corrupt(enc, window=4).collect()))
+        b = sorted(map(tuple, span_corrupt(enc.repartition(5), window=4).collect()))
+        assert a == b
+        # doc with 0 ids ((i*13)%40 == 0 for i=... none here; add one)
+        enc0 = spark.createDataFrame(
+            [(99, [])], "doc_id long, input_ids array<bigint>"
+        )
+        assert span_corrupt(enc0).count() == 0
+        with pytest.raises(ValueError, match=">= 1"):
+            span_corrupt(enc, window=0)
