@@ -1018,3 +1018,68 @@ class TestSpanCorrupt:
         assert span_corrupt(enc0).count() == 0
         with pytest.raises(ValueError, match=">= 1"):
             span_corrupt(enc, window=0)
+
+
+class TestDeltaTokenizedPackedExport:
+    """The full incremental production loop in one composition:
+    tokenized store → --since-version delta → packed export from
+    STORED ids (no re-encode) — each batch's nightly export touches
+    only that batch's files and ids."""
+
+    def test_cli_incremental_tokenized_pack(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        def write_docs(dirname, rows):
+            d = tmp_path / dirname
+            d.mkdir()
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }),
+                str(d / "documents.parquet"),
+            )
+            return str(d)
+
+        b1 = write_docs(
+            "dtp_b1",
+            [(i, f"alpha beta gamma doc {i} words " * 2) for i in range(1, 7)],
+        )
+        b2 = write_docs(
+            "dtp_b2",
+            [(i, f"alpha beta delta doc {i} words " * 2) for i in range(10, 15)],
+        )
+        store = str(tmp_path / "dtp_store")
+        assert main(["--data-dir", b1, "--ingest", store,
+                     "--min-quality", "0.0", "--tokenize"]) == 0
+        assert main(["--data-dir", b2, "--ingest", store,
+                     "--min-quality", "0.0", "--tokenize"]) == 0
+        out = str(tmp_path / "dtp_out")
+        # delta export of batch 2 only, packed from STORED ids (no
+        # --bpe-merges): the tokenized-store passthrough + since-version
+        assert main(["--corpus-store", store, "--prep-corpus", out,
+                     "--min-quality", "0.0", "--since-version", "1",
+                     "--pack-budget", "64"]) == 0
+        back = spark.read.parquet(out)
+        docs_in_rows = sorted(
+            s["doc_id"]
+            for r in back.select("doc_spans").collect()
+            for s in r["doc_spans"]
+        )
+        # batch-2 docs only (near-dup gate may drop some highly
+        # similar fixture docs, but nothing from batch 1 may appear)
+        assert docs_in_rows and all(d >= 10 for d in docs_in_rows)
+        # ids in the export equal the STORE's ids for those docs
+        from igloo_spark.sources.versioned import read_versioned
+
+        stored = {
+            r["doc_id"]: r["input_ids"]
+            for r in read_versioned(spark, store + "/corpus").collect()
+        }
+        for r in back.collect():
+            for s in r["doc_spans"]:
+                seg = r["seq_ids"][s["start"]:s["start"] + s["len"]]
+                assert seg == stored[s["doc_id"]]
