@@ -421,6 +421,14 @@ def bpe_encode_ids(
             "training data — pass unk_id (word-level UNK fallback) "
             "or leave top_v=None"
         )
+    if distributed and top_v is not None:
+        raise ValueError(
+            "top_v is incompatible with distributed=True: the "
+            "distributed path needs no vocabulary cap, and honoring "
+            "one would make its ids silently diverge from the capped "
+            "driver path's word-level unk substitution — drop top_v "
+            "(full-fidelity ids) or drop distributed (capped ids)"
+        )
     if distributed:
         # huge-vocab mode: segmentation runs executor-side (one
         # Arrow-batched stage, bpe_word_ids_distributed) and the id

@@ -456,7 +456,7 @@ def length_bucketed_batches(
     )
 
 
-def batch_padding_stats(batched: DataFrame, batch_size: int) -> DataFrame:
+def batch_padding_stats(batched: DataFrame) -> DataFrame:
     """Per-batch padding economics for :func:`length_bucketed_batches`
     output: ``padded_ids`` (= n_seqs × the batch's max length — what
     the accelerator actually processes) vs ``n_ids`` (useful tokens),
@@ -526,7 +526,10 @@ def temperature_sample(
     h = hex_prefix_hash(
         F.concat(F.lit("tmix:"), F.col(id_col).cast("string"))
     )
+    # re-sampling an already-sampled frame is a natural knob sweep:
+    # refresh (drop) any mix_rate a prior pass attached, else the
+    # join would produce an ambiguous column
     return (
-        df.join(rates, mix_col)
+        df.drop("mix_rate").join(rates, mix_col)
         .filter((h % precision) < F.col("mix_rate"))
     )

@@ -297,7 +297,7 @@ def _export_encode(
         return bpe_encode_ids(
             docs, bpe_merges, id_col=id_col, text_col=text_col,
             token_ids=tok_ids, unk_id=tok_unk, distributed=True,
-        )
+        ), tok_unk
     if tok_ids is None and bpe_top_v is not None:
         # no frozen artifact: derive a capped id map from this corpus
         # and reserve the next id as the word-level UNK fallback
@@ -309,7 +309,7 @@ def _export_encode(
         docs, bpe_merges, id_col=id_col, text_col=text_col,
         top_v=bpe_top_v if tok_unk is not None else None,
         token_ids=tok_ids, unk_id=tok_unk,
-    )
+    ), tok_unk
 
 
 def _write_export_report(
@@ -325,17 +325,32 @@ def _write_export_report(
     say WHAT was admitted, the card says what the admitted corpus
     LOOKS like (tokens, quality quantiles, languages, sources, dup
     rate). Bounded driver-side JSON; one extra enrich pass at export
-    time, nothing corpus-sized collected."""
+    time, nothing corpus-sized collected.
+
+    The write goes through the Hadoop FileSystem API (tmp-then-rename)
+    so the card lands NEXT TO the shards on whatever filesystem the
+    export path names — a local-`open()` write would silently drop an
+    hdfs://-exported release's card onto the driver's local disk."""
     import json as _json
-    import os as _os
 
     admitted = docs.join(result.corpus.select(id_col), id_col, "leftsemi")
     report = corpus_report(admitted, id_col=id_col, text_col=text_col)
-    _os.makedirs(_os.path.join(path, "_meta"), exist_ok=True)
-    tmp = _os.path.join(path, "_meta", "report.json.tmp")
-    with open(tmp, "w") as fh:
-        _json.dump(report, fh, indent=1, sort_keys=True)
-    _os.replace(tmp, _os.path.join(path, "_meta", "report.json"))
+    spark = docs.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/_meta/report.json")
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "/_meta/report.json.tmp")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
+    try:
+        out.write(
+            bytearray(
+                _json.dumps(report, indent=1, sort_keys=True).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+    fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
     return report
 
 
@@ -385,8 +400,9 @@ def write_training_shards(
     stored_ids = bpe_merges is None and {"input_ids", "n_ids"} <= set(docs.columns)
     doc_cols = [id_col, text_col] + (["input_ids", "n_ids"] if stored_ids else [])
     shard_cols = result.corpus.join(docs.select(*doc_cols), id_col)
+    export_unk = None
     if bpe_merges is not None:
-        enc = _export_encode(
+        enc, export_unk = _export_encode(
             docs, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
             distributed=bpe_distributed,
         )
@@ -427,10 +443,30 @@ def write_training_shards(
     _write_export_report(docs, result, path, id_col, text_col)
     spark = docs.sparkSession
     written = spark.read.format(data_format).load(path)
-    return {
+    out = {
         "n_docs": written.count(),
         "n_shards": written.select("shard").distinct().count(),
     }
+    if export_unk is not None and "input_ids" in written.columns:
+        # the capped encode's lossiness, made visible (see the packed
+        # exporter's identical field)
+        out["unk_id"] = export_unk
+        out["n_unk"] = int(
+            written.agg(
+                F.coalesce(
+                    F.sum(
+                        F.size(
+                            F.filter(
+                                "input_ids",
+                                lambda x: x == F.lit(export_unk).cast("bigint"),
+                            )
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).first()[0]
+        )
+    return out
 
 
 def corpus_report(
@@ -593,6 +629,7 @@ def write_packed_token_shards(
     from igloo_spark.operators.bpe import chunk_token_rows, pack_token_rows
 
     admitted = docs.join(result.corpus.select(id_col), id_col, "leftsemi")
+    export_unk = None
     if bpe_merges is None:
         # tokenized-store path: the stored input_ids ARE the encode —
         # ingest paid it once; the export only packs
@@ -604,18 +641,34 @@ def write_packed_token_shards(
             )
         enc = admitted.select(id_col, "input_ids", "n_ids")
     else:
-        enc = _export_encode(
+        enc, export_unk = _export_encode(
             admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
             distributed=bpe_distributed,
         )
     if chunk_stride is not None and chunk_budget is None:
         raise ValueError("chunk_stride needs chunk_budget")
     if chunk_budget is not None:
+        # structural key-space guard (the MAX_VOCAB_ROWS posture): a
+        # document with >= chunk_key_base chunks would collide into
+        # the next doc_id's key space and silently corrupt the span
+        # metadata — fail the job in-row instead (zero extra pass)
+        safe_idx = F.when(
+            F.col("chunk_idx") >= chunk_key_base,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "chunk_idx overflows chunk_key_base="
+                        f"{chunk_key_base} for doc "
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(" — raise chunk_key_base or chunk_budget"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("chunk_idx"))
         enc = chunk_token_rows(
             enc, budget=chunk_budget, stride=chunk_stride, id_col=id_col
         ).select(
-            (F.col(id_col) * chunk_key_base + F.col("chunk_idx"))
-            .alias(id_col),
+            (F.col(id_col) * chunk_key_base + safe_idx).alias(id_col),
             F.col("chunk_ids").alias("input_ids"),
             F.col("n_chunk_ids").alias("n_ids"),
         )
@@ -650,6 +703,26 @@ def write_packed_token_shards(
         "n_shards": back.select("shard").distinct().count(),
         "budget": budget,
     }
+    if export_unk is not None:
+        # surface the cap's cost: how many written ids are the unk
+        # fallback — a capped export is lossy BY DESIGN beyond top_v,
+        # and this is the number to monitor (x141's audit at export)
+        out["unk_id"] = export_unk
+        out["n_unk"] = int(
+            back.agg(
+                F.coalesce(
+                    F.sum(
+                        F.size(
+                            F.filter(
+                                "seq_ids",
+                                lambda x: x == F.lit(export_unk).cast("bigint"),
+                            )
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).first()[0]
+        )
     if chunk_budget is not None:
         out["chunk_budget"] = chunk_budget
         out["chunk_stride"] = (
@@ -1200,6 +1273,7 @@ def incremental_ingest(
             f"unk_rate_mode must be fail|warn, got {unk_rate_mode!r}"
         )
     measured_unk_rate = None
+    pending_model_save = None
     expectation_violations = None
     if expectations is not None:
         # batch-level contract (the DLT promotion gate applied to
@@ -1433,13 +1507,16 @@ def incremental_ingest(
         # root; every later ingest loads that artifact, so the store's
         # admission policy never drifts with the operator's shell
         # history. The fit is deterministic, so a crash between model
-        # save and corpus commit replays to the identical model.
+        # save and corpus commit replays to the identical model. The
+        # SAVE is deferred until every batch-level gate has passed
+        # (expectations ran above; the unk-rate gate runs below): a
+        # rejected batch must not freeze the store's admission policy
+        # from data the pipeline just declared corrupt.
         import os as _os
 
         from igloo_spark.operators.classifier import (
             distill_quality_classifier,
             load_quality_classifier,
-            save_quality_classifier,
         )
 
         if quality_model is not None:
@@ -1455,10 +1532,7 @@ def incremental_ingest(
                 text_col=text_col,
                 label_threshold=quality_model_label_threshold,
             )
-            _os.makedirs(
-                _os.path.dirname(quality_model_root) or ".", exist_ok=True
-            )
-            save_quality_classifier(quality_model, quality_model_root)
+            pending_model_save = quality_model
     if quality_model is not None:
         from igloo_spark.operators.classifier import classifier_score
 
@@ -1614,6 +1688,19 @@ def incremental_ingest(
                     file=_sys.stderr,
                 )
         store_frame = store_frame.join(enc, id_col)
+    if pending_model_save is not None:
+        # every batch-level gate has passed: freeze the bootstrap
+        # admission model now, just before the first commit (a crash
+        # in between replays to the identical artifact — the fit is
+        # deterministic from the same batch)
+        import os as _os
+
+        from igloo_spark.operators.classifier import save_quality_classifier
+
+        _os.makedirs(
+            _os.path.dirname(quality_model_root) or ".", exist_ok=True
+        )
+        save_quality_classifier(pending_model_save, quality_model_root)
     corpus_version = write_versioned(
         store_frame,
         corpus_root,

@@ -6877,7 +6877,7 @@ def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_size=LEN_BATCH_SIZE,
         n_shards=LEN_BATCH_SHARDS,
     )
-    return batch_padding_stats(batched, LEN_BATCH_SIZE)
+    return batch_padding_stats(batched)
 
 
 TMIX_PRECISION = 1_000_000
@@ -6945,7 +6945,6 @@ def x147(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs")
     )
     per_kept = kept.groupBy("source").agg(
-        F.max("mix_rate").alias("mix_rate"),
         F.count("*").cast("bigint").alias("n_kept"),
         F.min("doc_id").cast("bigint").alias("min_kept"),
         F.max("doc_id").cast("bigint").alias("max_kept"),

@@ -539,7 +539,10 @@ def read_version_delta(
         raise ValueError(
             f"from_version {from_version} must be < to_version {to_version}"
         )
-    for v in versions:
+    # from_version == 0 diffs against the empty set: the result is
+    # manifest(to) in full — an exact snapshot read regardless of any
+    # intervening rewrites, so the append-only validation is skipped
+    for v in versions if from_version != 0 else ():
         if from_version < v <= to_version:
             op = _read_manifest(root, v)["op"]
             if op != "append":

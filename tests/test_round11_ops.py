@@ -806,7 +806,7 @@ class TestLengthBucketedBatches:
         batched = length_bucketed_batches(
             self._enc(spark), bucket_width=16, batch_size=4
         )
-        for r in batch_padding_stats(batched, 4).collect():
+        for r in batch_padding_stats(batched).collect():
             assert r["padded_ids"] == r["n_seqs"] * r["max_len"]
             assert r["padded_ids"] >= r["n_ids"]
             assert 0 <= r["pad_waste_micro"] < 1_000_000
@@ -1083,3 +1083,125 @@ class TestDeltaTokenizedPackedExport:
             for s in r["doc_spans"]:
                 seg = r["seq_ids"][s["start"]:s["start"] + s["len"]]
                 assert seg == stored[s["doc_id"]]
+
+
+class TestReviewFixes:
+    """Round-11 review findings, pinned: bootstrap delta across a
+    compaction, distributed/top_v incompatibility, visible unk
+    economics, chunk-key overflow guard, no model freeze from a
+    rejected batch, temperature re-sampling."""
+
+    def test_bootstrap_delta_ignores_compaction(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import (
+            compact_versioned,
+            read_version_delta,
+            read_versioned,
+        )
+
+        root = str(tmp_path / "rf_store")
+        incremental_ingest(_mk_docs(spark, range(1, 5)), root,
+                           min_quality=0.0, min_shared=1)
+        compact_versioned(spark, root + "/corpus", n_files=1)
+        incremental_ingest(_mk_docs(spark, range(10, 13)), root,
+                           min_quality=0.0, min_shared=1)
+        # from 0 = the full snapshot, valid across the rewrite
+        boot = read_version_delta(spark, root + "/corpus", 0)
+        assert boot.count() == read_versioned(spark, root + "/corpus").count()
+
+    def test_distributed_with_top_v_raises(self, spark):
+        from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
+
+        docs = _mk_docs(spark, range(1, 4)).select("doc_id", "text")
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=None)
+        with pytest.raises(ValueError, match="incompatible"):
+            bpe_encode_ids(docs, merges, top_v=5, unk_id=9, distributed=True)
+
+    def test_capped_export_reports_unk_count(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma rare{i}unique words common here")
+             for i in range(1, 13)],
+            "doc_id long, text string",
+        )
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=6)
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        info = write_packed_token_shards(
+            docs, r, str(tmp_path / "unkinfo"), merges,
+            budget=32, n_shards=2, bpe_top_v=6,
+        )
+        # one out-of-cap rare word per admitted doc -> n_unk == n docs
+        assert info["n_unk"] == r.corpus.count() > 0
+        assert info["unk_id"] >= 0
+
+    def test_chunk_key_overflow_raises(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "word " * 40)], "doc_id long, text string"
+        )
+        merges = learn_bpe_merges(docs, n_merges=2, top_v=None)
+        r = prepare_training_corpus(
+            docs, "doc_id", "text", min_quality=0.0, near_dup=False
+        )
+        with pytest.raises(Exception, match="chunk_key_base"):
+            write_packed_token_shards(
+                docs, r, str(tmp_path / "ovf"), merges,
+                budget=8, chunk_budget=2, chunk_key_base=4,
+                bpe_top_v=None,
+            )
+
+    def test_rejected_batch_does_not_freeze_model(self, spark, tmp_path):
+        from igloo_spark.pipelines import UnkRateError, incremental_ingest
+
+        root = str(tmp_path / "rf_store2")
+        model = str(tmp_path / "rf_model.json")
+        # bootstrap a tokenized store so the second batch can drift
+        incremental_ingest(_mk_docs(spark, range(1, 5)), root,
+                           min_quality=0.0, min_shared=1, tokenize=True)
+        drift = spark.createDataFrame(
+            [(i, " ".join(f"zq{i}{j}zq" for j in range(10)),
+              [0.0] * DIM) for i in range(10, 14)],
+            "doc_id long, text string, embedding array<double>",
+        )
+        with pytest.raises(UnkRateError):
+            incremental_ingest(
+                drift, root, min_quality=0.0, min_shared=1,
+                tokenize=True, max_unk_rate=0.01,
+                quality_model_root=model,
+                quality_model_threshold=-1e9,
+            )
+        assert not os.path.exists(model), (
+            "rejected batch froze the admission model"
+        )
+        # a clean batch then freezes it normally
+        incremental_ingest(
+            _mk_docs(spark, range(20, 23)), root,
+            min_quality=0.0, min_shared=1, tokenize=True,
+            max_unk_rate=1.0, quality_model_root=model,
+            quality_model_threshold=-1e9,
+        )
+        assert os.path.exists(model)
+
+    def test_temperature_resample_composes(self, spark):
+        from igloo_spark.operators.packing import temperature_sample
+
+        d = spark.createDataFrame(
+            [(i, "t", "web" if i <= 300 else "law") for i in range(1, 401)],
+            "doc_id long, text string, source string",
+        )
+        once = temperature_sample(d, "doc_id", "source", alpha=0.5)
+        twice = temperature_sample(once, "doc_id", "source", alpha=0.3)
+        assert 0 < twice.count() <= once.count()
+        assert "mix_rate" in twice.columns
