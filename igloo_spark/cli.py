@@ -298,10 +298,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--since-version", type=int, default=None, metavar="V",
-        help="with --prep-corpus --corpus-store: export only the DELTA "
-        "— documents appended after store version V (manifest file "
-        "diff, scans only the new files; requires an append-only "
-        "range). 0 = everything (bootstrap export)",
+        help="with --corpus-store and --prep-corpus/--corpus-report: "
+        "operate on the DELTA only — documents appended after store "
+        "version V (manifest file diff, scans only the new files; "
+        "requires an append-only range). 0 = everything (bootstrap)",
     )
     parser.add_argument("--master", default=None, help="Spark master URL (default local[ncpus])")
     parser.add_argument("--limit", type=int, default=20, help="max rows to display")
@@ -390,9 +390,13 @@ def main(argv: list[str] | None = None) -> int:
             "--corpus-report needs a documents source: --data-dir or --corpus-store"
         )
     if args.since_version is not None and not (
-        args.prep_corpus is not None and args.corpus_store is not None
+        args.corpus_store is not None
+        and (args.prep_corpus is not None or args.corpus_report is not None)
     ):
-        parser.error("--since-version needs --prep-corpus --corpus-store")
+        parser.error(
+            "--since-version needs --corpus-store with --prep-corpus "
+            "or --corpus-report"
+        )
     if args.tokenize and args.ingest is None:
         parser.error("--tokenize only applies to --ingest")
     if args.eval_docs is not None and (
@@ -662,6 +666,19 @@ def main(argv: list[str] | None = None) -> int:
             docs = session.spark.table(
                 "corpus" if args.corpus_store is not None else "documents"
             )
+            if args.since_version is not None:
+                # card for last night's batch alone: the delta view
+                from igloo_spark.sources.versioned import read_version_delta
+
+                try:
+                    docs = read_version_delta(
+                        session.spark, args.corpus_store + "/corpus",
+                        from_version=args.since_version,
+                        to_version=args.as_of,
+                    )
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"error: --since-version: {e}", file=sys.stderr)
+                    return 2
             report = corpus_report(docs)
             with open(args.corpus_report, "w") as fh:
                 _json.dump(report, fh, indent=1, sort_keys=True)

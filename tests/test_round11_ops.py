@@ -1205,3 +1205,45 @@ class TestReviewFixes:
         twice = temperature_sample(once, "doc_id", "source", alpha=0.3)
         assert 0 < twice.count() <= once.count()
         assert "mix_rate" in twice.columns
+
+
+class TestDeltaCorpusReport:
+    """--corpus-report --since-version: the dataset card for one
+    batch's delta — what did last night's ingest look like?"""
+
+    def test_cli_delta_report(self, spark, tmp_path):
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        def write_docs(dirname, rows):
+            d = tmp_path / dirname
+            d.mkdir()
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }),
+                str(d / "documents.parquet"),
+            )
+            return str(d)
+
+        b1 = write_docs("dcr_b1", [(i, f"alpha beta doc {i} words here") for i in range(1, 6)])
+        b2 = write_docs("dcr_b2", [(i, f"gamma delta doc {i} words here") for i in range(10, 13)])
+        store = str(tmp_path / "dcr_store")
+        assert main(["--data-dir", b1, "--ingest", store, "--min-quality", "0.0"]) == 0
+        assert main(["--data-dir", b2, "--ingest", store, "--min-quality", "0.0"]) == 0
+        out = str(tmp_path / "delta_card.json")
+        assert main(["--corpus-store", store, "--corpus-report", out,
+                     "--since-version", "1"]) == 0
+        card = _json.load(open(out))
+        assert card["n_docs"] == 3  # batch-2 docs only
+        # bad version exits 2; missing consumer mode is a parser error
+        assert main(["--corpus-store", store, "--corpus-report", out,
+                     "--since-version", "99"]) == 2
+        with pytest.raises(SystemExit):
+            main(["--corpus-store", store, "--sql", "SELECT 1",
+                  "--since-version", "1"])
