@@ -533,3 +533,37 @@ def temperature_sample(
         df.drop("mix_rate").join(rates, mix_col)
         .filter((h % precision) < F.col("mix_rate"))
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    mix_col: str,
+    epochs: dict[str, int],
+    default_epochs: int = 1,
+) -> DataFrame:
+    """Integer UPSAMPLING by mixture class — the other half of data
+    mixing: :func:`mixture_sample`/:func:`temperature_sample`
+    downsample overweight classes; published pretraining mixes also
+    REPEAT underweight high-value classes ("books see 3 epochs, web
+    sees 1"). Each row is replicated ``epochs[class]`` times (default
+    ``default_epochs``) with an ``epoch`` column 0..k-1, so downstream
+    keying can derive a unique per-copy id (``doc_id * K + epoch``)
+    and packing interleaves copies deterministically.
+
+    Pure map-side: the replication is an in-row
+    ``explode(sequence(0, k-1))`` — no shuffle, no rand(), and the
+    output is identical under any partitioning. ``epochs`` values of
+    0 drop the class entirely (a mix can zero a source out)."""
+    for cls, k in {**epochs, "<default>": default_epochs}.items():
+        if k < 0:
+            raise ValueError(f"epochs for {cls!r} must be >= 0, got {k}")
+    k_col = F.lit(default_epochs)
+    for cls, k in epochs.items():
+        k_col = F.when(F.col(mix_col) == cls, F.lit(k)).otherwise(k_col)
+    return (
+        df.withColumn("__k", k_col)
+        .filter(F.col("__k") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__k") - 1)))
+        .withColumn("epoch", F.col("epoch").cast("bigint"))
+        .drop("__k")
+    )

@@ -25,35 +25,36 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r11 rotation (executes the r10 verdict's task 2): the six
+    # -- r11 rotation (executes the r10 verdict's task 2): the seven
     # never-driver-checked queries FIRST (x144, chunk-then-pack;
     # x145, detokenize round-trip; x146, length-bucketed batching;
     # x147, temperature mixture; x148, token-frequency audit; x149,
-    # span corruption — all new this round), then the three
-    # changed-since-verdict pins per the ADVICE rule
+    # span corruption; x150, epoch upsampling — all new this round),
+    # then the three changed-since-verdict pins per the ADVICE rule
     # (operators/bpe.py gained the max_vocab_rows guard + the
     # top_v/unk_id fallback path in r11, so the r10 verdict named
-    # x137/x138/x141 as the pins), then 41 of the 46 r07-stale
+    # x137/x138/x141 as the pins), then 40 of the 46 r07-stale
     # queries (the pre-planned list from the r10 rotation comment,
-    # minus five deferred to r12 with their families represented
+    # minus six deferred to r12 with their families represented
     # this window: x121/x122/x113 by x120+x105, x107/x108 by x147 +
-    # x86). Exactly 50 entries. After this window the verdict-age
-    # histogram is 50@r11, 47@r10, 46@r09, 50@r08, 5@r07 — zero
-    # never-checked. The r12 rotation: x107 x108 x113 x121 x122
-    # first, then 45 of the 50 r08-stale (q02 q07-q12 q14-q20
-    # q22-q24 q26-q32 q36 q58 q66 q67 q76 q79-q95 x41 x42 x43 x55 —
-    # the exact CORRECTNESS_r08 keys not re-checked since),
-    # deferring five by the same family-representation rule.
+    # x86, x110 by x85+x112). Exactly 50 entries. After this window
+    # the verdict-age histogram is 50@r11, 47@r10, 46@r09, 50@r08,
+    # 6@r07 — zero never-checked. The r12 rotation: x107 x108 x110
+    # x113 x121 x122 first, then 44 of the 50 r08-stale (q02 q07-q12
+    # q14-q20 q22-q24 q26-q32 q36 q58 q66 q67 q76 q79-q95 x41 x42
+    # x43 x55 — the exact CORRECTNESS_r08 keys not re-checked
+    # since), deferring six by the same family-representation rule.
     "x144_chunk_pack",
     "x145_detokenize_roundtrip",
     "x146_length_bucketed_batches",
     "x147_temperature_mixture",
     "x148_token_freq_audit",
     "x149_span_corruption",
+    "x150_epoch_upsample",
     "x137_bpe_token_ids",
     "x138_packed_token_shards",
     "x141_tokenizer_fertility",
-    # -- 41 of the 46 r07-stale (x107/x108/x113/x121/x122 deferred) --
+    # -- 40 of the 46 r07-stale (x107/x108/x110/x113/x121/x122 deferred) --
     "q03_shipping_priority",
     "q04_order_priority",
     "q13_stat_aggregates",
@@ -86,7 +87,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x105_bm25_retrieval",
     "x106_semantic_decontamination",
     "x109_contrastive_pairs",
-    "x110_source_overlap",
     "x111_source_kl_drift",
     "x112_dup_family_histogram",
     "x115_char_entropy",

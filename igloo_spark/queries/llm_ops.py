@@ -7167,3 +7167,63 @@ def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("target_ids"),
         "n_masked",
     )
+
+
+EPOCH_RATES = {"src0": 3, "src1": 0}  # books-style upsample / zero-out
+EPOCH_KEY_BASE = 10
+
+
+def _x150_oracle() -> str:
+    k = (
+        "CASE WHEN source = 'src0' THEN 3 "
+        "WHEN source = 'src1' THEN 0 ELSE 1 END"
+    )
+    return f"""
+    WITH ups AS (
+        SELECT d.source, d.doc_id, e.i AS epoch
+        FROM documents d,
+             LATERAL unnest(range(0, {k})) AS e(i)
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(epoch) AS BIGINT) AS max_epoch,
+           CAST(sum(doc_id * {EPOCH_KEY_BASE} + epoch) AS BIGINT)
+               AS copy_key_sum
+    FROM ups
+    GROUP BY source"""
+
+
+@register(
+    "x150_epoch_upsample",
+    "integer epoch upsampling by source (src0 x3, src1 x0, rest x1): "
+    "per-source copy counts and exact copy-key sums",
+    _x150_oracle(),
+    tags=("sampling", "llm"),
+)
+def x150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of data mixing (``operators.packing.
+    epoch_upsample``): downsampling rebalances overweight sources,
+    published pretraining mixes also REPEAT high-value ones ("books
+    see 3 epochs") and zero worthless ones out. Each document is
+    replicated epochs[source] times with an epoch ordinal — pure
+    in-row explode, no shuffle, no rand(); the unique per-copy key
+    ``doc_id * base + epoch`` feeds packing so copies interleave
+    deterministically. The oracle recomputes the replication AND the
+    per-copy key sum exactly: a dropped class, a miscounted epoch, or
+    a duplicate-copy bug flips an integer.
+
+    Scale: map-side explode (output = Σ epochs rows) + one
+    (source)-keyed rollup — no corpus shuffle beyond the rollup's."""
+    from igloo_spark.operators.packing import epoch_upsample
+
+    d = table(spark, sf_dir, "documents")
+    ups = epoch_upsample(d, "source", EPOCH_RATES, default_epochs=1)
+    return ups.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.max("epoch").cast("bigint").alias("max_epoch"),
+        F.sum(F.col("doc_id") * EPOCH_KEY_BASE + F.col("epoch"))
+        .cast("bigint")
+        .alias("copy_key_sum"),
+    )

@@ -1247,3 +1247,37 @@ class TestDeltaCorpusReport:
         with pytest.raises(SystemExit):
             main(["--corpus-store", store, "--sql", "SELECT 1",
                   "--since-version", "1"])
+
+
+class TestEpochUpsample:
+    """operators.packing.epoch_upsample: deterministic per-class
+    replication with epoch ordinals."""
+
+    def test_counts_and_determinism(self, spark):
+        from igloo_spark.operators.packing import epoch_upsample
+
+        d = spark.createDataFrame(
+            [(i, "web" if i <= 6 else ("books" if i <= 9 else "junk"))
+             for i in range(1, 12)],
+            "doc_id long, source string",
+        )
+        up = epoch_upsample(d, "source", {"books": 3, "junk": 0})
+        rows = up.collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append((r["doc_id"], r["epoch"]))
+        assert len(by_src["web"]) == 6          # default 1 epoch
+        assert len(by_src["books"]) == 9        # 3 docs x 3 epochs
+        assert "junk" not in by_src             # zeroed out
+        assert sorted(e for _, e in by_src["books"]) == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+        again = sorted(map(tuple, epoch_upsample(
+            d.repartition(5), "source", {"books": 3, "junk": 0}
+        ).collect()))
+        assert again == sorted(map(tuple, rows))
+
+    def test_negative_epochs_raise(self, spark):
+        from igloo_spark.operators.packing import epoch_upsample
+
+        d = spark.createDataFrame([(1, "w")], "doc_id long, source string")
+        with pytest.raises(ValueError, match=">= 0"):
+            epoch_upsample(d, "source", {"w": -1})
