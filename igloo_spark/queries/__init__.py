@@ -25,76 +25,76 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r11 rotation (executes the r10 verdict's task 2): the seven
-    # never-driver-checked queries FIRST (x144, chunk-then-pack;
-    # x145, detokenize round-trip; x146, length-bucketed batching;
-    # x147, temperature mixture; x148, token-frequency audit; x149,
-    # span corruption; x150, epoch upsampling — all new this round),
-    # then the three changed-since-verdict pins per the ADVICE rule
-    # (operators/bpe.py gained the max_vocab_rows guard + the
-    # top_v/unk_id fallback path in r11, so the r10 verdict named
-    # x137/x138/x141 as the pins), then 40 of the 46 r07-stale
-    # queries (the pre-planned list from the r10 rotation comment,
-    # minus six deferred to r12 with their families represented
-    # this window: x121/x122/x113 by x120+x105, x107/x108 by x147 +
-    # x86, x110 by x85+x112). Exactly 50 entries. After this window
-    # the verdict-age histogram is 50@r11, 47@r10, 46@r09, 50@r08,
-    # 6@r07 — zero never-checked. The r12 rotation: x107 x108 x110
-    # x113 x121 x122 first, then 44 of the 50 r08-stale (q02 q07-q12
-    # q14-q20 q22-q24 q26-q32 q36 q58 q66 q67 q76 q79-q95 x41 x42
-    # x43 x55 — the exact CORRECTNESS_r08 keys not re-checked
-    # since), deferring six by the same family-representation rule.
-    "x144_chunk_pack",
-    "x145_detokenize_roundtrip",
-    "x146_length_bucketed_batches",
-    "x147_temperature_mixture",
-    "x148_token_freq_audit",
-    "x149_span_corruption",
-    "x150_epoch_upsample",
-    "x137_bpe_token_ids",
-    "x138_packed_token_shards",
-    "x141_tokenizer_fertility",
-    # -- 40 of the 46 r07-stale (x107/x108/x110/x113/x121/x122 deferred) --
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q13_stat_aggregates",
-    "q21_subqueries",
-    "q25_datetime_functions",
-    "q33_sessionization",
-    "q34_pivot_conditional",
-    "q35_json_extraction",
-    "x47_ann_lsh_topk",
-    "x56_training_data_prep",
-    "x74_numeric_histogram",
-    "x75_dedup_manifest",
-    "x76_hypertable_rollup",
-    "x77_funnel",
-    "x78_retention_cohorts",
-    "x79_quantile_binning",
-    "x81_data_expectations",
-    "x82_pii_scrub",
-    "x83_rag_chunking",
-    "x84_touch_attribution",
-    "x85_url_dedup",
-    "x86_dataset_split",
-    "x88_unigram_logprob",
-    "x99_winnow_cap_stats",
-    "x100_token_budget_select",
-    "x101_gopher_repetition",
-    "x102_dsir_importance",
-    "x103_k_anonymity",
-    "x104_source_quality_deciles",
-    "x105_bm25_retrieval",
-    "x106_semantic_decontamination",
-    "x109_contrastive_pairs",
-    "x111_source_kl_drift",
-    "x112_dup_family_histogram",
-    "x115_char_entropy",
-    "x116_blocklist_filter",
-    "x117_minhash_error_audit",
-    "x118_leakage_safe_split",
-    "x119_boilerplate_ngrams",
-    "x120_ann_pq_topk",
+    # -- r12 rotation (executes the r11 verdict's task 2): the one
+    # never-driver-checked query FIRST (x151, the temperature-mix ->
+    # epoch-upsample -> per-copy-key -> pack composition, new this
+    # round — it pins the r12 exporter mixing semantics), then the
+    # six r07-deferred queries the r11 verdict named (x107 x108 x110
+    # x113 x121 x122), then 43 of the 50 r08-stale (the exact
+    # CORRECTNESS_r08 keys not re-checked since: q02 q07-q12 q14-q20
+    # q22-q24 q26-q32 q36 q58 q66 q67 q76 q79-q95 x41 x42 x43 x55),
+    # deferring seven by the family-representation rule: q08 (outer
+    # joins, rep by q07+q09-q12), q15 (grouping sets, rep by
+    # q14+q85), q19 (set-op ALL variants, rep by q18), q29 (approx
+    # aggs, rep by q28+q92), q31 (window offsets, rep by q30+q32+q95),
+    # q90 (regex string fns, rep by q23), q91 (datetime parsing, rep
+    # by q58+q87). Zero changed-since-verdict pins: the r12 diff
+    # touches pipelines/cli/serving/tests only — no operator or query
+    # module a registered query routes through changed. Exactly 50
+    # entries. After this window the verdict-age histogram is
+    # 50@r12, 50@r11, 47@r10, 45@r09, 7@r08 — zero never-checked.
+    # The r13 rotation: the seven r08-deferred above first, then the
+    # 43 oldest remaining (the r09 window).
+    "x151_mix_epoch_pack",
+    "x107_diversity_cap_sample",
+    "x108_weighted_sample",
+    "x110_source_overlap",
+    "x113_ann_recall",
+    "x121_embedding_audit",
+    "x122_pq_recall",
+    "q02_filter_expressions",
+    "q07_outer_join_counts",
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_theta_join",
+    "q12_cross_join",
+    "q14_rollup_grouping",
+    "q16_having_filter_clause",
+    "q17_sort_limit_offset",
+    "q18_set_operations",
+    "q20_distinct_dedup",
+    "q22_cte_top_supplier",
+    "q23_string_functions",
+    "q24_math_functions",
+    "q26_conditional_functions",
+    "q27_capitalize_udf",
+    "q28_exact_percentiles",
+    "q30_window_ranking",
+    "q32_window_range_frame",
+    "q36_time_bucket_agg",
+    "q58_epoch_roundtrip",
+    "q66_asof_join",
+    "q67_band_join",
+    "q76_session_window",
+    "q79_bitwise_aggregates",
+    "q80_merge_upsert",
+    "q81_time_range_frame",
+    "q82_string_agg_ordered",
+    "q83_correlated_scalar_select",
+    "q84_variant_json",
+    "q85_grouping_id",
+    "q86_width_bucket",
+    "q87_interval_arithmetic",
+    "q88_map_zip_filter",
+    "q89_stack_rows",
+    "q92_bitmap_distinct",
+    "q93_rolling_zscore",
+    "q94_explode_outer",
+    "q95_forward_fill",
+    "x41_minhash_bands",
+    "x42_minhash_neardup_pairs",
+    "x43_simhash",
+    "x55_ann_ivf_topk",
 )
 
 def all_queries():
