@@ -84,11 +84,63 @@ def main(argv: list[str] | None = None) -> int:
         "disjoint splits; smaller = overlapping RAG windows)",
     )
     parser.add_argument(
-        "--bpe-top-v", type=int, default=50_000, metavar="N",
+        "--mix-alpha", type=float, default=None, metavar="A",
+        help="with --prep-corpus: temperature-rebalance the cleaned "
+        "corpus by source with per-class keep rate (n_min/n_c)^A "
+        "(0 keeps everything, 1 equalizes to the smallest class, "
+        "0.5 = the published sqrt temperature) — applied after "
+        "dedup/quality/decon, before token-budget selection; the "
+        "dataset card records the recipe",
+    )
+    parser.add_argument(
+        "--epochs", default=None, metavar="CLS=K[,CLS=K...]",
+        help="with --prep-corpus --pack-budget: replicate each source "
+        "class K times before packing (the 'books see 3 epochs, web "
+        "sees 1' pretraining mix); each copy packs under the unique "
+        "key doc_id*K_max+epoch and the dataset card records the mix",
+    )
+    parser.add_argument(
+        "--default-epochs", type=int, default=1, metavar="K",
+        help="with --epochs: epoch count for classes not named "
+        "(default 1; 0 drops them)",
+    )
+    parser.add_argument(
+        "--batch-size", type=int, default=None, metavar="N",
+        help="with --prep-corpus and ids (--bpe-merges or a tokenized "
+        "store): write length-BUCKETED dynamic batches (N sequences "
+        "per batch, each padded only to its batch max) instead of "
+        "per-document rows — the fine-tuning/inference artifact; "
+        "padding economics land in _meta/padding. Mutually exclusive "
+        "with --pack-budget",
+    )
+    parser.add_argument(
+        "--bucket-width", type=int, default=16, metavar="W",
+        help="with --batch-size: length-bucket width in ids "
+        "(default 16): sequences batch only with others whose length "
+        "falls in the same W-id bucket",
+    )
+    parser.add_argument(
+        "--denoise-window", type=int, default=None, metavar="W",
+        help="with --prep-corpus and ids: additionally export "
+        "T5-style span-corruption pairs (corrupt_ids/target_ids, "
+        "deterministic hash-gated masking over W-id spans) on every "
+        "per-document shard row — the seq2seq denoising artifact. "
+        "Not with --pack-budget/--batch-size (pairs are per-document)",
+    )
+    parser.add_argument(
+        "--denoise-mask-mod", type=int, default=5, metavar="M",
+        help="with --denoise-window: mask ~1/M of spans (default 5)",
+    )
+    parser.add_argument(
+        "--bpe-top-v", type=int, default=-1, metavar="N",
         help="vocabulary cap for --fit-bpe-merges and the --prep-corpus "
-        "text-mode encode (default 50000): bounds every driver-side "
-        "vocab fetch; out-of-cap words fall back to the artifact's "
-        "unk id (0 = uncapped, guarded at 1M distinct words)",
+        "text-mode encode: bounds every driver-side vocab fetch; "
+        "out-of-cap words fall back to the artifact's unk id. "
+        "Default: cap SELF-DERIVED vocabs at 50000 but never cap a "
+        "frozen --bpe-merges artifact vocab (capping one would make "
+        "input_ids depend on the export batch's word frequencies, "
+        "diverging from the ingest path). N caps either mode "
+        "explicitly; 0 = uncapped (guarded at 1M distinct words)",
     )
     parser.add_argument(
         "--bpe-distributed", action="store_true",
@@ -113,6 +165,14 @@ def main(argv: list[str] | None = None) -> int:
         help="write the dataset card (doc/token/dup/quality/language/"
         "source stats; id totals + fertility for a tokenized store) as "
         "JSON to OUT_JSON — needs --data-dir or --corpus-store",
+    )
+    parser.add_argument(
+        "--compare-report", default=None, metavar="PREV_JSON",
+        help="with --corpus-report: attach a vs_previous drift section "
+        "(token/doc deltas, dup-rate/fertility drift, per-source and "
+        "per-language mix drift in token-share micro-units) computed "
+        "against a PREVIOUS card JSON — the nightly-export "
+        "self-reporting loop (pairs naturally with --since-version)",
     )
     parser.add_argument(
         "--fit-bpe-merges", default=None, metavar="OUT_PATH",
@@ -375,6 +435,40 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--chunk-budget needs --pack-budget (chunk-then-pack)")
     if args.chunk_stride is not None and args.chunk_budget is None:
         parser.error("--chunk-stride needs --chunk-budget")
+    if args.mix_alpha is not None and args.prep_corpus is None:
+        parser.error("--mix-alpha only applies to --prep-corpus")
+    if args.compare_report is not None and args.corpus_report is None:
+        parser.error("--compare-report needs --corpus-report")
+    if args.epochs is not None and args.pack_budget is None:
+        parser.error("--epochs needs --pack-budget (epoch copies feed packing)")
+    if args.batch_size is not None and args.pack_budget is not None:
+        parser.error(
+            "--batch-size and --pack-budget are mutually exclusive "
+            "(padded batches vs packed sequences)"
+        )
+    if args.batch_size is not None and (
+        args.prep_corpus is None
+        or (args.bpe_merges is None and args.corpus_store is None)
+    ):
+        parser.error(
+            "--batch-size needs --prep-corpus and either --bpe-merges "
+            "or a tokenized --corpus-store"
+        )
+    if args.denoise_window is not None and (
+        args.pack_budget is not None or args.batch_size is not None
+    ):
+        parser.error(
+            "--denoise-window exports per-document pairs — not with "
+            "--pack-budget/--batch-size"
+        )
+    if args.denoise_window is not None and (
+        args.prep_corpus is None
+        or (args.bpe_merges is None and args.corpus_store is None)
+    ):
+        parser.error(
+            "--denoise-window needs --prep-corpus and either "
+            "--bpe-merges or a tokenized --corpus-store"
+        )
     if args.max_unk_rate is not None and not (
         args.ingest is not None and args.tokenize
     ):
@@ -536,6 +630,13 @@ def main(argv: list[str] | None = None) -> int:
                 except Exception as e:
                     print(f"error: --eval-docs: {e}", file=sys.stderr)
                     return 2
+            if args.mix_alpha is not None and "source" not in docs.columns:
+                print(
+                    "error: --mix-alpha needs a 'source' column on the "
+                    "documents source",
+                    file=sys.stderr,
+                )
+                return 2
             result = prepare_training_corpus(
                 docs, "doc_id", "text",
                 min_quality=args.min_quality,
@@ -543,7 +644,12 @@ def main(argv: list[str] | None = None) -> int:
                 n_shards=args.n_shards,
                 eval_docs=eval_frame,
                 decon_threshold=args.decon_threshold,
+                mix_alpha=args.mix_alpha,
             )
+            # --bpe-top-v: -1 (the default) = the pipeline sentinel
+            # (cap self-derived vocabs at 50k, never cap a frozen
+            # artifact vocab); 0 = uncapped; N = explicit cap
+            cli_top_v = None if args.bpe_top_v == 0 else args.bpe_top_v
             bpe_merges = None
             bpe_vocab = None
             if args.bpe_merges is not None:
@@ -569,14 +675,30 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 2
+                epochs = None
+                if args.epochs is not None:
+                    try:
+                        epochs = _parse_epochs(args.epochs)
+                    except ValueError as e:
+                        print(f"error: --epochs: {e}", file=sys.stderr)
+                        return 2
+                    if "source" not in docs.columns:
+                        print(
+                            "error: --epochs needs a 'source' column on "
+                            "the documents source",
+                            file=sys.stderr,
+                        )
+                        return 2
                 info = write_packed_token_shards(
                     docs, result, args.prep_corpus,
                     bpe_merges, bpe_vocab=bpe_vocab,
                     budget=args.pack_budget, n_shards=args.n_shards,
-                    bpe_top_v=args.bpe_top_v or None,
+                    bpe_top_v=cli_top_v,
                     bpe_distributed=args.bpe_distributed,
                     chunk_budget=args.chunk_budget,
                     chunk_stride=args.chunk_stride,
+                    epochs=epochs,
+                    default_epochs=args.default_epochs,
                 )
                 counts = result.counts.first().asDict()
                 chunked = (
@@ -584,24 +706,76 @@ def main(argv: list[str] | None = None) -> int:
                     f"stride {info['chunk_stride']})"
                     if "chunk_budget" in info else ""
                 )
+                mixed = (
+                    f" (epochs {info['epochs']}, default "
+                    f"{info['default_epochs']})"
+                    if "epochs" in info else ""
+                )
                 print(
                     f"prepared corpus: {counts} -> {info['n_docs']} docs "
                     f"packed into {info['n_rows']} sequences "
                     f"({info['n_ids']} ids, budget {info['budget']})"
-                    f"{chunked} in "
+                    f"{chunked}{mixed} in "
                     f"{info['n_shards']} shards at {args.prep_corpus}"
                 )
                 return 0
+            if args.batch_size is not None:
+                from igloo_spark.pipelines import write_batched_token_shards
+
+                if bpe_merges is None and "input_ids" not in docs.columns:
+                    print(
+                        "error: --batch-size without --bpe-merges needs a "
+                        "TOKENIZED --corpus-store (corpus lacks input_ids; "
+                        "ingest with --tokenize or pass --bpe-merges)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                info = write_batched_token_shards(
+                    docs, result, args.prep_corpus,
+                    bpe_merges, bpe_vocab=bpe_vocab,
+                    bucket_width=args.bucket_width,
+                    batch_size=args.batch_size,
+                    n_shards=args.n_shards,
+                    bpe_top_v=cli_top_v,
+                    bpe_distributed=args.bpe_distributed,
+                )
+                counts = result.counts.first().asDict()
+                print(
+                    f"prepared corpus: {counts} -> {info['n_seqs']} "
+                    f"sequences in {info['n_batches']} batches "
+                    f"(batch {info['batch_size']}, bucket width "
+                    f"{info['bucket_width']}, pad waste "
+                    f"{info['pad_waste_micro']}ppm) in "
+                    f"{info['n_shards']} shards at {args.prep_corpus}"
+                )
+                return 0
+            if args.denoise_window is not None and (
+                bpe_merges is None and "input_ids" not in docs.columns
+            ):
+                print(
+                    "error: --denoise-window without --bpe-merges needs a "
+                    "TOKENIZED --corpus-store (corpus lacks input_ids; "
+                    "ingest with --tokenize or pass --bpe-merges)",
+                    file=sys.stderr,
+                )
+                return 2
             info = write_training_shards(
                 docs, result, args.prep_corpus,
                 bpe_merges=bpe_merges, bpe_vocab=bpe_vocab,
-                bpe_top_v=args.bpe_top_v or None,
+                bpe_top_v=cli_top_v,
                 bpe_distributed=args.bpe_distributed,
+                denoise_window=args.denoise_window,
+                denoise_mask_mod=args.denoise_mask_mod,
             )
             counts = result.counts.first().asDict()
+            denoised = (
+                f" ({info['n_masked']} spans masked at window "
+                f"{info['denoise_window']})"
+                if "denoise_window" in info else ""
+            )
             print(
                 f"prepared corpus: {counts} -> {info['n_docs']} docs in "
-                f"{info['n_shards']} shards at {args.prep_corpus}"
+                f"{info['n_shards']} shards{denoised} at {args.prep_corpus}"
             )
             return 0
         if args.optimize_store is not None or args.vacuum_store is not None:
@@ -680,13 +854,30 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"error: --since-version: {e}", file=sys.stderr)
                     return 2
             report = corpus_report(docs)
+            if args.compare_report is not None:
+                from igloo_spark.pipelines import compare_dataset_cards
+
+                try:
+                    with open(args.compare_report) as fh:
+                        previous = _json.load(fh)
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"error: --compare-report: {e}", file=sys.stderr)
+                    return 2
+                report["vs_previous"] = compare_dataset_cards(
+                    report, previous
+                )
+                report["vs_previous"]["previous_card"] = args.compare_report
             with open(args.corpus_report, "w") as fh:
                 _json.dump(report, fh, indent=1, sort_keys=True)
+            drift = ""
+            if "vs_previous" in report:
+                d = report["vs_previous"].get("n_tokens", {})
+                drift = f", token delta {d.get('delta', 0):+d} vs previous"
             print(
                 f"dataset card: {report['n_docs']} docs, "
                 f"{report['n_tokens']} tokens, "
                 f"dup_rate {report['exact_dup_rate']}, "
-                f"{len(report.get('sources', {}))} sources -> "
+                f"{len(report.get('sources', {}))} sources{drift} -> "
                 f"{args.corpus_report}"
             )
             return 0
@@ -704,8 +895,16 @@ def main(argv: list[str] | None = None) -> int:
             # learned with: both driver-side fetches are then bounded
             # at --bpe-top-v, and out-of-cap symbols hit the frozen
             # artifact's reserved unk_id at encode time (0 = uncapped,
-            # still guarded by the structural MAX_VOCAB_ROWS take())
-            top_v = args.bpe_top_v or None
+            # still guarded by the structural MAX_VOCAB_ROWS take()).
+            # Fitting always SELF-derives the vocab, so the -1 default
+            # resolves to the 50k self-derived cap here.
+            from igloo_spark.pipelines import DEFAULT_SELF_TOP_V
+
+            top_v = (
+                DEFAULT_SELF_TOP_V
+                if args.bpe_top_v == -1
+                else (args.bpe_top_v or None)
+            )
             merges = learn_bpe_merges(
                 docs, n_merges=args.n_merges, top_v=top_v
             )
@@ -979,6 +1178,38 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {msg}", file=sys.stderr)
             return 1
     return 0
+
+
+def _parse_epochs(spec: str) -> dict[str, int]:
+    """Parse ``--epochs books=3,web=1`` into {"books": 3, "web": 1}.
+    Counts must be non-negative integers (0 drops the class)."""
+    out: dict[str, int] = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(
+                f"bad epoch spec {part!r} — expected CLASS=COUNT"
+            )
+        cls, _, count = part.partition("=")
+        cls = cls.strip()
+        try:
+            k = int(count)
+        except ValueError:
+            raise ValueError(
+                f"bad epoch count {count!r} for class {cls!r} — "
+                f"expected a non-negative integer"
+            ) from None
+        if k < 0 or not cls:
+            raise ValueError(
+                f"bad epoch spec {part!r} — class must be non-empty "
+                f"and count non-negative"
+            )
+        out[cls] = k
+    if not out:
+        raise ValueError("empty --epochs spec")
+    return out
 
 
 def _register_demo_tables(session) -> None:

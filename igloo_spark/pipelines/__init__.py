@@ -53,6 +53,11 @@ class CorpusPrepResult:
     span_stats: DataFrame      # per-affected-doc (n_tokens, n_removed, clean_fp)
     cap_stats: DataFrame       # winnowing hot-fp cap observability (1 row)
     counts: DataFrame          # per-stage survivor counts (1 row)
+    # mixing recipe applied at selection (mix_alpha=): {"mix_col",
+    # "alpha"} — carried so the exporters' dataset card can report
+    # HOW the corpus was balanced, not just what survived. None when
+    # no temperature mixing ran.
+    mix: "dict | None" = None
 
 
 def prepare_training_corpus(
@@ -74,6 +79,8 @@ def prepare_training_corpus(
     eval_docs: DataFrame | None = None,
     decon_threshold: float = 0.2,
     token_budget: int | None = None,
+    mix_alpha: float | None = None,
+    mix_col: str = "source",
 ) -> CorpusPrepResult:
     """Compose exact dedup → near-dup dedup → ExactSubstr span removal
     → quality gate → deterministic shard assignment over a document
@@ -207,7 +214,31 @@ def prepare_training_corpus(
         )
         selected = selected.join(contaminated, id_col, "left_anti")
 
-    # 5c. optional fixed-token-budget selection (x100): quality-
+    # 5c. optional TEMPERATURE MIXING (x147): rebalance the cleaned
+    # survivors by mixture class with (n_min/n_c)^alpha per-class
+    # keep rates — the published multilingual/multi-source sampling
+    # rule, applied AFTER dedup/quality/decon (mix the data that will
+    # actually train) and BEFORE token-budget selection (the budget
+    # applies to the final mix). The class column rides from the
+    # INPUT frame by an id-equi join (enrichment dropped it); one
+    # |classes|-agg + a scan-speed hash gate, no corpus shuffle —
+    # temperature_sample's documented shape.
+    mix = None
+    if mix_alpha is not None:
+        from igloo_spark.operators.packing import temperature_sample
+
+        if mix_col not in df.columns:
+            raise ValueError(
+                f"mix_alpha needs a {mix_col!r} column on the input "
+                f"frame (pass mix_col= to name the mixture class)"
+            )
+        selected = temperature_sample(
+            selected.join(df.select(id_col, mix_col), id_col),
+            id_col, mix_col, alpha=mix_alpha,
+        ).drop(mix_col, "mix_rate")
+        mix = {"mix_col": mix_col, "alpha": mix_alpha}
+
+    # 5d. optional fixed-token-budget selection (x100): quality-
     # preferring, sort-free, deterministic boundary-bin hash gate
     if token_budget is not None:
         from igloo_spark.operators.packing import budget_select
@@ -261,7 +292,22 @@ def prepare_training_corpus(
         span_stats=span_stats,
         cap_stats=cap_stats,
         counts=counts,
+        mix=mix,
     )
+
+
+# Sentinel default for the exporters' bpe_top_v: "cap only
+# SELF-DERIVED vocabs at 50k". A frozen bpe_vocab artifact must not be
+# silently capped by a default — with a cap, words outside the export
+# BATCH's top-50k frequency window collapse to the word-level unk even
+# though the frozen vocab could encode them symbol-level, so text-mode
+# exports would diverge from the tokenized-store ingest path (uncapped
+# under the same artifact) and two exports of different batches would
+# disagree on the same document. An EXPLICIT integer still caps either
+# mode (the caller opted in); None is always uncapped (behind the
+# structural MAX_VOCAB_ROWS guard).
+CAP_SELF_DERIVED = -1
+DEFAULT_SELF_TOP_V = 50_000
 
 
 def _export_encode(
@@ -272,23 +318,33 @@ def _export_encode(
     id_col: str,
     text_col: str,
     distributed: bool = False,
-) -> DataFrame:
+) -> "tuple[DataFrame, int | None]":
     """The shard exporters' text-mode encode, BOUNDED by default:
-    every driver-side vocabulary fetch is capped at ``bpe_top_v``
-    (out-of-cap words fall back to the unk id — word-level UNK, the
-    ``bpe_encode_ids`` contract), so exporting a corpus whose
-    long-tail vocabulary exceeds the cap costs a bounded collect
-    instead of a driver OOM. ``bpe_vocab`` (a ``load_bpe_vocab``
-    (vocab, unk_id) pair) pins ids to the ARTIFACT's frozen vocab so
-    repeated exports of different batches agree; without it, ids
-    derive from this export's own corpus under the same cap (unk id =
-    len(id map), the ``save_bpe_merges`` convention).
-    ``bpe_top_v=None`` removes the cap — the fixture-exact mode —
-    but the structural ``MAX_VOCAB_ROWS`` guard still raises on a
-    vocabulary too large to collect."""
+    every driver-side vocabulary fetch over a SELF-DERIVED vocab is
+    capped at ``bpe_top_v`` (out-of-cap words fall back to the unk
+    id — word-level UNK, the ``bpe_encode_ids`` contract), so
+    exporting a corpus whose long-tail vocabulary exceeds the cap
+    costs a bounded collect instead of a driver OOM. ``bpe_vocab``
+    (a ``load_bpe_vocab`` (vocab, unk_id) pair) pins ids to the
+    ARTIFACT's frozen vocab so repeated exports of different batches
+    agree; under the default (``CAP_SELF_DERIVED``) a frozen vocab is
+    NOT capped — capping it would make input_ids depend on the export
+    batch's word frequencies, diverging from the ingest path and from
+    other batches' exports of the same document. Pass an explicit
+    integer to cap a frozen-vocab encode anyway, or ``None`` for the
+    fixture-exact uncapped mode — either way the structural
+    ``MAX_VOCAB_ROWS`` guard still raises on a vocabulary too large
+    to collect (the escape hatch is ``distributed=True``).
+
+    Returns ``(encoded frame, unk_id)`` — the unk id is the frozen
+    artifact's, the derived map's reserved fallback, or None when the
+    encode is uncapped self-derived (complete table, no fallback
+    path)."""
     from igloo_spark.operators.bpe import bpe_encode_ids, bpe_token_id_map
 
     tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
+    if bpe_top_v == CAP_SELF_DERIVED:
+        bpe_top_v = None if bpe_vocab is not None else DEFAULT_SELF_TOP_V
     if distributed:
         # huge-vocab mode: NO driver-side vocab fetch at all — the
         # segmentation runs executor-side and the id table joins
@@ -318,6 +374,7 @@ def _write_export_report(
     path: str,
     id_col: str,
     text_col: str,
+    extra: "dict | None" = None,
 ) -> dict:
     """Write the dataset card (:func:`corpus_report` over the
     ADMITTED export corpus) to ``<path>/_meta/report.json`` so every
@@ -335,6 +392,13 @@ def _write_export_report(
 
     admitted = docs.join(result.corpus.select(id_col), id_col, "leftsemi")
     report = corpus_report(admitted, id_col=id_col, text_col=text_col)
+    if result.mix is not None:
+        # the selection-time temperature recipe (prepare_training_
+        # corpus(mix_alpha=)) — the card states HOW the per-source
+        # balance it reports came to be
+        report["mix"] = dict(result.mix)
+    if extra:
+        report.update(extra)
     spark = docs.sparkSession
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path + "/_meta/report.json")
@@ -354,6 +418,54 @@ def _write_export_report(
     return report
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
+def _guard_key_multiplicand(id_expr, base: int, what: str):
+    """In-row overflow guard for composite-key derivation
+    ``id * base + addend`` (``0 <= addend < base``): non-ANSI Spark
+    WRAPS bigint multiplication, so an id outside
+    ``[-(2^63 // base), (2^63 - base) // base]`` would silently
+    corrupt every downstream span/epoch key instead of failing.
+    Implausible at sequential id spaces, immediate at synthetic
+    64-bit-hash id spaces — same structural posture as the chunk_idx
+    guard: fail the job in-row, zero extra pass."""
+    max_id = (_LONG_MAX - (base - 1)) // base
+    min_id = -((1 << 63) // base)
+    return F.when(
+        (id_expr > max_id) | (id_expr < min_id),
+        F.raise_error(
+            F.concat(
+                F.lit(f"doc id out of composite-key range for {what}="),
+                F.lit(f"{base} (|id| must fit id*{base}+{base - 1} in "),
+                F.lit("int64) — got "),
+                id_expr.cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(id_expr)
+
+
+def _count_unk(frame: DataFrame, ids_col: str, unk_id: int) -> int:
+    """Total unk-id occurrences across an array<bigint> column — the
+    capped encode's lossiness counter every exporter reports. One
+    aggregate over the frame; in-row size(filter(...)), no explode."""
+    return int(
+        frame.agg(
+            F.coalesce(
+                F.sum(
+                    F.size(
+                        F.filter(
+                            ids_col,
+                            lambda x: x == F.lit(unk_id).cast("bigint"),
+                        )
+                    )
+                ),
+                F.lit(0),
+            )
+        ).first()[0]
+    )
+
+
 def write_training_shards(
     docs: DataFrame,
     result: CorpusPrepResult,
@@ -363,8 +475,11 @@ def write_training_shards(
     data_format: str = "parquet",
     bpe_merges: "list[tuple[str, str, int]] | None" = None,
     bpe_vocab: "tuple[dict[str, int], int] | None" = None,
-    bpe_top_v: "int | None" = 50_000,
+    bpe_top_v: "int | None" = CAP_SELF_DERIVED,
     bpe_distributed: bool = False,
+    denoise_window: "int | None" = None,
+    denoise_mask_mod: int = 5,
+    denoise_sentinel_base: int = 1_000_000,
 ) -> dict:
     """Materialize the prepared corpus as the on-disk training
     artifact: one parquet directory per shard (``partitionBy(shard)``,
@@ -396,17 +511,46 @@ def write_training_shards(
     ``bpe_merges`` is passed, the stored ids ride the same id-equi
     join straight into the shards — ingest-time tokenization paid the
     encode once, the export never pays it again.
+
+    ``denoise_window`` turns the export into a DENOISING-PAIRS
+    artifact (the T5/UL2 seq2seq objective's data prep): every row
+    additionally carries ``corrupt_ids``/``target_ids``/``n_masked``
+    from ``operators.bpe.span_corrupt`` (x149's exact semantics —
+    deterministic hash-gated masking, sentinel ids from
+    ``denoise_sentinel_base``). Requires ids (``bpe_merges`` or a
+    tokenized store); the corruption is one in-row codegen pass over
+    the already-encoded frame — zero extra shuffles. Tar shards carry
+    the pair as ``corrupt.json``/``target.json`` members.
     """
     stored_ids = bpe_merges is None and {"input_ids", "n_ids"} <= set(docs.columns)
     doc_cols = [id_col, text_col] + (["input_ids", "n_ids"] if stored_ids else [])
     shard_cols = result.corpus.join(docs.select(*doc_cols), id_col)
     export_unk = None
+    ids_frame = None
+    if stored_ids:
+        ids_frame = docs.select(id_col, "input_ids", "n_ids")
     if bpe_merges is not None:
         enc, export_unk = _export_encode(
             docs, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
             distributed=bpe_distributed,
         )
         shard_cols = shard_cols.join(enc, id_col)
+        ids_frame = enc
+    if denoise_window is not None:
+        if ids_frame is None:
+            raise ValueError(
+                "denoise_window needs token ids: pass bpe_merges or "
+                "export from a tokenized store (input_ids/n_ids)"
+            )
+        from igloo_spark.operators.bpe import span_corrupt
+
+        pairs = span_corrupt(
+            ids_frame, id_col=id_col, window=denoise_window,
+            mask_mod=denoise_mask_mod, sentinel_base=denoise_sentinel_base,
+        )
+        # left: empty-id documents have no pair row but stay exported
+        # (their corrupt/target are null — the loader's skip signal)
+        shard_cols = shard_cols.join(pairs, id_col, "left")
     out = (
         shard_cols
         .repartition(F.col("shard"))
@@ -427,10 +571,24 @@ def write_training_shards(
         if bpe_merges is not None or stored_ids:
             out = out.withColumn("__ids_json", F.to_json("input_ids"))
             members["ids.json"] = "__ids_json"
+        if denoise_window is not None:
+            out = out.withColumn(
+                "__corrupt_json", F.to_json("corrupt_ids")
+            ).withColumn("__target_json", F.to_json("target_ids"))
+            members["corrupt.json"] = "__corrupt_json"
+            members["target.json"] = "__target_json"
         stats = sinks.write_tar_shards(
             out, path, members=members,
             key_col=id_col, order_col="pos",
         )
+        if export_unk is not None and "input_ids" in out.columns:
+            # a capped encode's lossiness must be visible in EVERY
+            # format's stats — the tar branch reports the same
+            # unk_id/n_unk pair as the parquet/json/packed exporters
+            # (computed from the encoded frame; the sink wrote the
+            # same rows)
+            stats["unk_id"] = export_unk
+            stats["n_unk"] = _count_unk(out, "input_ids", export_unk)
         result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
         result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
         _write_export_report(docs, result, path, id_col, text_col)
@@ -451,19 +609,12 @@ def write_training_shards(
         # the capped encode's lossiness, made visible (see the packed
         # exporter's identical field)
         out["unk_id"] = export_unk
-        out["n_unk"] = int(
+        out["n_unk"] = _count_unk(written, "input_ids", export_unk)
+    if denoise_window is not None:
+        out["denoise_window"] = denoise_window
+        out["n_masked"] = int(
             written.agg(
-                F.coalesce(
-                    F.sum(
-                        F.size(
-                            F.filter(
-                                "input_ids",
-                                lambda x: x == F.lit(export_unk).cast("bigint"),
-                            )
-                        )
-                    ),
-                    F.lit(0),
-                )
+                F.coalesce(F.sum("n_masked"), F.lit(0))
             ).first()[0]
         )
     return out
@@ -571,6 +722,61 @@ def corpus_report(
     return report
 
 
+def compare_dataset_cards(current: dict, previous: dict) -> dict:
+    """The DRIFT section of a nightly export's dataset card: compare
+    this export's card against the previous export's (typically the
+    delta card vs last night's, or a cumulative card vs the prior
+    release) — token/doc deltas, dup-rate and fertility drift, and
+    per-source / per-language MIX drift in integer micro-units of
+    token share. Pure driver-side dict arithmetic over two bounded
+    cards (|sources| + |languages| entries) — no Spark work; attach
+    the result under ``"vs_previous"`` so every nightly export
+    self-reports how it moved, not just where it stands."""
+    out: dict = {}
+    for k in ("n_docs", "n_tokens", "n_ids"):
+        if k in current or k in previous:
+            cur = int(current.get(k) or 0)
+            prev = int(previous.get(k) or 0)
+            out[k] = {"current": cur, "previous": prev, "delta": cur - prev}
+    for k in ("exact_dup_rate", "fertility", "blank_rate"):
+        cur, prev = current.get(k), previous.get(k)
+        if cur is not None and prev is not None:
+            out[k] = {
+                "current": cur,
+                "previous": prev,
+                "delta": round(cur - prev, 6),
+            }
+
+    def _shares(card: dict, section: str) -> dict:
+        # sources rows are {"n_docs", "n_tokens", ...} dicts (share by
+        # tokens); languages rows are plain doc counts (share by docs)
+        rows = card.get(section) or {}
+
+        def _val(v) -> int:
+            return int((v.get("n_tokens") if isinstance(v, dict) else v) or 0)
+
+        total = sum(_val(v) for v in rows.values())
+        if not total:
+            return {}
+        return {
+            name: _val(v) * 1_000_000 // total for name, v in rows.items()
+        }
+
+    for section, key in (("sources", "source_mix"), ("languages", "language_mix")):
+        cs, ps = _shares(current, section), _shares(previous, section)
+        if not cs and not ps:
+            continue
+        out[key] = {
+            name: {
+                "share_micro": cs.get(name, 0),
+                "previous_share_micro": ps.get(name, 0),
+                "drift_micro": cs.get(name, 0) - ps.get(name, 0),
+            }
+            for name in sorted(set(cs) | set(ps))
+        }
+    return out
+
+
 def write_packed_token_shards(
     docs: DataFrame,
     result: CorpusPrepResult,
@@ -581,11 +787,14 @@ def write_packed_token_shards(
     text_col: str = "text",
     budget: int = 512,
     n_shards: int = 4,
-    bpe_top_v: "int | None" = 50_000,
+    bpe_top_v: "int | None" = CAP_SELF_DERIVED,
     bpe_distributed: bool = False,
     chunk_budget: "int | None" = None,
     chunk_stride: "int | None" = None,
     chunk_key_base: int = 1_000_000,
+    epochs: "dict[str, int] | None" = None,
+    default_epochs: int = 1,
+    mix_col: str = "source",
 ) -> dict:
     """The FINAL pretraining artifact: one row per fixed-budget
     training sequence — ``seq_ids`` (the packed id concatenation) and
@@ -616,7 +825,24 @@ def write_packed_token_shards(
     document with ``key // chunk_key_base``, the chunk ordinal with
     ``key % chunk_key_base``; numeric ids required in span metadata
     regardless — the pack contract). The chunker is pure map-side, so
-    the flag adds zero exchanges.
+    the flag adds zero exchanges. Both key factors carry in-row
+    overflow guards: a chunk ordinal >= ``chunk_key_base`` AND a doc
+    id too large for ``id * chunk_key_base`` to fit int64 fail the
+    job loudly instead of silently wrapping the span keys.
+
+    ``epochs`` ("books see 3 epochs, web sees 1" — the published
+    pretraining mix) replicates each mixture class's documents
+    ``epochs[class]`` times (``operators.packing.epoch_upsample``,
+    x150's exact semantics) BEFORE chunking/packing; ``mix_col``
+    names the class column on ``docs``. Each copy packs under the
+    unique per-copy key ``doc_id * K + epoch`` (K = the largest epoch
+    count, reported as ``epoch_key_base``; the same overflow guard
+    applies), so a 3-epoch document appears in three training rows
+    with distinct span keys — recover the source document with
+    ``key // K`` (before the chunk factor: with chunking the full
+    composition is ``(doc_id*K + epoch) * chunk_key_base +
+    chunk_idx``). Replication is an in-row explode — zero exchanges —
+    and the dataset card records the recipe under ``"epochs"``.
 
     Scale: the encode is one broadcast join against a vocab table
     BOUNDED at ``bpe_top_v`` (see :func:`_export_encode` — out-of-cap
@@ -647,11 +873,49 @@ def write_packed_token_shards(
         )
     if chunk_stride is not None and chunk_budget is None:
         raise ValueError("chunk_stride needs chunk_budget")
+    epoch_key_base = None
+    if epochs is not None:
+        # MULTI-EPOCH MIXING (x150): replicate each class
+        # epochs[class] times BEFORE chunking/packing — both are
+        # map-side, so every epoch copy chunks identically and the
+        # replication adds zero exchanges. Each copy gets the unique
+        # per-copy key doc_id * K + epoch (K = the largest epoch
+        # count), so packing's doc-hash gate spreads copies across
+        # bins deterministically instead of collapsing them into one
+        # span. The class column rides from the admitted docs by an
+        # id-equi join (pre-chunk, so no composite-key recovery).
+        from igloo_spark.operators.packing import epoch_upsample
+
+        if mix_col not in docs.columns:
+            raise ValueError(
+                f"epochs= needs a {mix_col!r} column on the docs frame "
+                f"(pass mix_col= to name the mixture class)"
+            )
+        epoch_key_base = max([default_epochs, *epochs.values()])
+        if epoch_key_base < 1:
+            raise ValueError(
+                "epochs with every class at 0 exports nothing — give "
+                "at least one class (or default_epochs) a count >= 1"
+            )
+        classes = admitted.select(id_col, mix_col)
+        rep = epoch_upsample(
+            enc.join(classes, id_col), mix_col, epochs, default_epochs
+        )
+        safe_doc = _guard_key_multiplicand(
+            F.col(id_col), epoch_key_base, "epoch key base"
+        )
+        enc = rep.select(
+            (safe_doc * epoch_key_base + F.col("epoch")).alias(id_col),
+            "input_ids",
+            "n_ids",
+        )
     if chunk_budget is not None:
-        # structural key-space guard (the MAX_VOCAB_ROWS posture): a
-        # document with >= chunk_key_base chunks would collide into
-        # the next doc_id's key space and silently corrupt the span
-        # metadata — fail the job in-row instead (zero extra pass)
+        # structural key-space guards (the MAX_VOCAB_ROWS posture):
+        # a document with >= chunk_key_base chunks would collide into
+        # the next doc_id's key space, and a doc id too large for
+        # id * chunk_key_base would WRAP int64 (non-ANSI Spark) —
+        # either silently corrupts the span metadata, so both fail
+        # the job in-row instead (zero extra pass)
         safe_idx = F.when(
             F.col("chunk_idx") >= chunk_key_base,
             F.raise_error(
@@ -665,10 +929,13 @@ def write_packed_token_shards(
                 )
             ).cast("bigint"),
         ).otherwise(F.col("chunk_idx"))
+        safe_doc = _guard_key_multiplicand(
+            F.col(id_col), chunk_key_base, "chunk_key_base"
+        )
         enc = chunk_token_rows(
             enc, budget=chunk_budget, stride=chunk_stride, id_col=id_col
         ).select(
-            (F.col(id_col) * chunk_key_base + safe_idx).alias(id_col),
+            (safe_doc * chunk_key_base + safe_idx).alias(id_col),
             F.col("chunk_ids").alias("input_ids"),
             F.col("n_chunk_ids").alias("n_ids"),
         )
@@ -688,7 +955,19 @@ def write_packed_token_shards(
     if text_col in docs.columns:
         # tokenized-store corpus views always carry text; guard anyway
         # so an ids-only frame still exports (cardless)
-        _write_export_report(docs, result, path, id_col, text_col)
+        card_extra = None
+        if epochs is not None:
+            card_extra = {
+                "epochs": {
+                    "per_class": dict(epochs),
+                    "default": default_epochs,
+                    "mix_col": mix_col,
+                    "epoch_key_base": epoch_key_base,
+                }
+            }
+        _write_export_report(
+            docs, result, path, id_col, text_col, extra=card_extra
+        )
     spark = docs.sparkSession
     back = spark.read.parquet(path)
     agg = back.agg(
@@ -708,27 +987,127 @@ def write_packed_token_shards(
         # fallback — a capped export is lossy BY DESIGN beyond top_v,
         # and this is the number to monitor (x141's audit at export)
         out["unk_id"] = export_unk
-        out["n_unk"] = int(
-            back.agg(
-                F.coalesce(
-                    F.sum(
-                        F.size(
-                            F.filter(
-                                "seq_ids",
-                                lambda x: x == F.lit(export_unk).cast("bigint"),
-                            )
-                        )
-                    ),
-                    F.lit(0),
-                )
-            ).first()[0]
-        )
+        out["n_unk"] = _count_unk(back, "seq_ids", export_unk)
+    if epochs is not None:
+        out["epochs"] = dict(epochs)
+        out["default_epochs"] = default_epochs
+        out["epoch_key_base"] = epoch_key_base
     if chunk_budget is not None:
         out["chunk_budget"] = chunk_budget
         out["chunk_stride"] = (
             chunk_stride if chunk_stride is not None else chunk_budget
         )
         out["chunk_key_base"] = chunk_key_base
+    return out
+
+
+def write_batched_token_shards(
+    docs: DataFrame,
+    result: CorpusPrepResult,
+    path: str,
+    bpe_merges: "list[tuple[str, str, int]] | None" = None,
+    bpe_vocab: "tuple[dict[str, int], int] | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 16,
+    batch_size: int = 8,
+    n_shards: int = 4,
+    bpe_top_v: "int | None" = CAP_SELF_DERIVED,
+    bpe_distributed: bool = False,
+) -> dict:
+    """The FINE-TUNING / INFERENCE artifact: per-sequence rows grouped
+    into padding-aware dynamic batches (``operators.packing.
+    length_bucketed_batches``, x146's exact semantics) — each row
+    carries its ``input_ids`` plus (``bucket``, ``batch_idx``,
+    ``batch_pos``), written ``partitionBy(shard)`` with rows
+    batch-ordered inside each shard directory, so a loader streams
+    whole batches sequentially and pads each one only to ITS max
+    length. Pretraining packs (``write_packed_token_shards``);
+    per-sequence-loss training pads — this export serves the second
+    regime.
+
+    The padding economics land in ``_meta/padding`` (one parquet row
+    per batch: n_seqs, max_len, useful ids vs padded ids, waste in
+    integer micro-units — ``batch_padding_stats``), alongside the
+    usual counts/manifest/dataset-card metadata. The returned stats
+    aggregate the same numbers corpus-wide, so a (bucket_width,
+    batch_size) sweep reads one dict per candidate.
+
+    Encode semantics are the per-document exporter's exactly
+    (:func:`_export_encode`: frozen-vocab artifacts uncapped by
+    default, self-derived vocabs capped, tokenized stores re-use
+    stored ids). Scale: encode (one broadcast join) + the (bucket,
+    shard)-keyed row_number window + the shard-keyed write exchange —
+    parallelism n_buckets x n_shards at any corpus size; zero-length
+    documents are excluded by the batcher (they pad nothing and
+    train nothing)."""
+    from igloo_spark.operators.packing import (
+        batch_padding_stats,
+        length_bucketed_batches,
+    )
+
+    admitted = docs.join(result.corpus.select(id_col), id_col, "leftsemi")
+    export_unk = None
+    if bpe_merges is None:
+        if not {"input_ids", "n_ids"} <= set(docs.columns):
+            raise ValueError(
+                "write_batched_token_shards needs bpe_merges, or a docs "
+                "frame already carrying input_ids/n_ids (a tokenized "
+                "store's corpus view)"
+            )
+        enc = admitted.select(id_col, "input_ids", "n_ids")
+    else:
+        enc, export_unk = _export_encode(
+            admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
+            distributed=bpe_distributed,
+        )
+    batched = length_bucketed_batches(
+        enc, id_col=id_col, len_col="n_ids",
+        bucket_width=bucket_width, batch_size=batch_size, n_shards=n_shards,
+    )
+    rows = batched.join(enc.select(id_col, "input_ids"), id_col)
+    (
+        rows.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "bucket", "batch_idx", "batch_pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    padding = batch_padding_stats(batched)
+    padding.write.mode("overwrite").parquet(path + "/_meta/padding")
+    result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
+    result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
+    if text_col in docs.columns:
+        _write_export_report(docs, result, path, id_col, text_col)
+    spark = docs.sparkSession
+    back = spark.read.parquet(path)
+    pad_back = spark.read.parquet(path + "/_meta/padding")
+    pagg = pad_back.agg(
+        F.count("*").alias("n_batches"),
+        F.coalesce(F.sum("n_ids"), F.lit(0)).alias("n_ids"),
+        F.coalesce(F.sum("padded_ids"), F.lit(0)).alias("padded_ids"),
+    ).first()
+    out = {
+        "n_seqs": back.count(),
+        "n_batches": int(pagg["n_batches"]),
+        "n_ids": int(pagg["n_ids"]),
+        "padded_ids": int(pagg["padded_ids"]),
+        "pad_waste_micro": (
+            int(
+                (pagg["padded_ids"] - pagg["n_ids"])
+                * 1_000_000
+                // pagg["padded_ids"]
+            )
+            if pagg["padded_ids"]
+            else 0
+        ),
+        "n_shards": back.select("shard").distinct().count(),
+        "bucket_width": bucket_width,
+        "batch_size": batch_size,
+    }
+    if export_unk is not None:
+        out["unk_id"] = export_unk
+        out["n_unk"] = _count_unk(back, "input_ids", export_unk)
     return out
 
 

@@ -7227,3 +7227,132 @@ def x150(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("copy_key_sum"),
     )
+
+
+# x151: the r12 exporter recipe end-to-end — temperature mix, epoch
+# replication, per-copy keys, packing. Pins exactly what
+# write_packed_token_shards(epochs=) composes on a mix_alpha-prepared
+# corpus (minus dedup, which x47/x75 pin separately).
+X151_EPOCHS = {"src0": 3, "src1": 0}  # books-style upsample / zero-out
+X151_KEY_BASE = 3                     # = max epoch count (the exporter's K)
+X151_BUDGET = 512
+X151_SHARDS = 4
+
+
+def _x151_oracle() -> str:
+    gate_hash = hex_prefix_hash_sql_duckdb(
+        "concat('tmix:', CAST(doc_id AS VARCHAR))"
+    )
+    pack_hash = hex_prefix_hash_sql_duckdb(
+        "concat('pack:', CAST(copy_id AS VARCHAR))"
+    )
+    k = (
+        "CASE WHEN source = 'src0' THEN 3 "
+        "WHEN source = 'src1' THEN 0 ELSE 1 END"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source,
+               CAST(floor(sqrt(
+                   CAST((SELECT min(n_docs) FROM counts) AS DOUBLE) / n_docs
+               ) * {TMIX_PRECISION}) AS BIGINT) AS mix_rate
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source,
+               CAST({token_count_sql('d.text')} AS BIGINT) AS n_tokens
+        FROM documents d JOIN rates r USING (source)
+        WHERE ({gate_hash}) % {TMIX_PRECISION} < r.mix_rate
+    ),
+    ups AS (
+        SELECT doc_id * {X151_KEY_BASE} + e.i AS copy_id,
+               doc_id, n_tokens
+        FROM kept, LATERAL unnest(range(0, {k})) AS e(i)
+    ),
+    placed AS (
+        SELECT copy_id, doc_id, n_tokens,
+               CAST(({pack_hash}) % {X151_SHARDS} AS BIGINT) AS shard,
+               sum(n_tokens) OVER (
+                   PARTITION BY CAST(({pack_hash}) % {X151_SHARDS} AS BIGINT)
+                   ORDER BY copy_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start_tok
+        FROM ups
+    )
+    SELECT shard,
+           CAST(floor(start_tok / {X151_BUDGET}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(copy_id) AS BIGINT) AS copy_key_sum
+    FROM placed
+    GROUP BY shard, bin"""
+
+
+@register(
+    "x151_mix_epoch_pack",
+    "the pretraining-mix export recipe composed: sqrt-temperature "
+    "source balancing -> epoch replication (src0 x3, src1 x0) -> "
+    "per-copy keys -> 512-token packing; exact per-bin key sums",
+    _x151_oracle(),
+    tags=("sampling", "packing", "llm"),
+)
+def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x147 composed with x150 and x65 — the recipe
+    ``prepare_training_corpus(mix_alpha=0.5)`` +
+    ``write_packed_token_shards(epochs=)`` runs in production
+    (round 12's exporter wiring): temperature-downsample overweight
+    sources with data-derived sqrt rates, replicate high-value
+    classes K epochs (zeroing worthless ones), give every copy the
+    unique key ``doc_id * K + epoch``, and pack the copy stream into
+    fixed-budget training rows. The oracle re-derives the rates, the
+    hash gate, the replication, the key arithmetic, the shard hash
+    AND the running-sum bin placement from scratch; ``copy_key_sum``
+    pins the exact copy membership of every bin, so a drift anywhere
+    in the four-stage composition flips an integer.
+
+    Scale: one |sources|-agg + scan-speed gate (mix), one in-row
+    explode (epochs), one (shard)-keyed window + (shard, bin) agg
+    (pack) — the corpus shuffles exactly once, in the pack window,
+    at parallelism n_shards; no operator adds a driver-sized
+    collect."""
+    from igloo_spark.functions.text import token_count
+    from igloo_spark.operators.packing import (
+        epoch_upsample,
+        pack_sequences,
+        temperature_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    kept = temperature_sample(
+        d, "doc_id", "source", alpha=0.5, precision=TMIX_PRECISION
+    )
+    ups = epoch_upsample(kept, "source", X151_EPOCHS, default_epochs=1)
+    copies = ups.select(
+        (F.col("doc_id") * X151_KEY_BASE + F.col("epoch")).alias("copy_id"),
+        F.col("doc_id"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        copies, "copy_id", F.col("n_tokens"), [], X151_BUDGET, X151_SHARDS
+    )
+    # pack_sequences keeps only the pack columns; the source document
+    # is recoverable from the copy key (integer arithmetic, not a
+    # join — exact at any id magnitude)
+    packed = packed.withColumn(
+        "doc_id",
+        (
+            (F.col("copy_id") - F.pmod("copy_id", F.lit(X151_KEY_BASE)))
+            / X151_KEY_BASE
+        ).cast("bigint"),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("copy_id").cast("bigint").alias("copy_key_sum"),
+    )

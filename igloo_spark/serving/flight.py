@@ -97,6 +97,22 @@ class IglooFlightServer(flight.FlightServerBase):
         df = self.session.execute(sql)  # lazy — schema only
         return flight.SchemaResult(_spark_to_arrow_schema(df))
 
+    # reference leaves poll_flight_info unimplemented too
+    # (crates/api/src/lib.rs:183) — the long-running-query polling
+    # protocol (Arrow Flight 13.0+). A Spark-lazy query "completes"
+    # planning instantly, so the correct PollInfo is the TERMINAL one:
+    # the full FlightInfo, no retry descriptor, progress 1.0. pyarrow
+    # 16.x ships no PollInfo/poll_flight_info surface (server or
+    # client), so the override binds only when the installed pyarrow
+    # exposes it — same environment-gate posture as the Iceberg/Avro
+    # jars; the logic is live the moment the dependency catches up.
+    if hasattr(flight.FlightServerBase, "poll_flight_info"):
+        def poll_flight_info(self, context, descriptor):
+            info = self.get_flight_info(context, descriptor)
+            return flight.PollInfo(
+                info, None, 1.0, None
+            )
+
     # reference: crates/api/src/lib.rs:108-149
     def do_get(self, context, ticket):
         sql = ticket.ticket.decode("utf-8")

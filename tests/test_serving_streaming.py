@@ -913,3 +913,31 @@ def test_flight_do_exchange_transform_roundtrip(igloo):
         assert leaked == []
     finally:
         server.shutdown()
+
+
+def test_flight_poll_flight_info_gated(igloo):
+    """poll_flight_info (the last reference RPC,
+    crates/api/src/lib.rs:183): pyarrow 16.x exposes no PollInfo
+    surface, so the override is version-gated — assert the gate
+    tracks the installed pyarrow exactly, and exercise the terminal
+    PollInfo when the surface exists."""
+    import pyarrow.flight as flight
+
+    from igloo_spark.serving.flight import IglooFlightServer
+
+    supported = hasattr(flight.FlightServerBase, "poll_flight_info")
+    overridden = "poll_flight_info" in IglooFlightServer.__dict__
+    assert overridden == supported
+    if not supported:
+        pytest.skip("pyarrow has no PollFlightInfo surface (needs >16.x)")
+    from igloo_spark.serving.flight import serve_in_background
+
+    server, _ = serve_in_background(igloo)
+    try:
+        client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+        desc = flight.FlightDescriptor.for_command(b"SELECT 1 AS one")
+        poll = client.poll_flight_info(desc)
+        assert poll.info is not None
+        assert poll.descriptor is None  # terminal: no re-poll needed
+    finally:
+        server.shutdown()
