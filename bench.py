@@ -116,6 +116,10 @@ def main() -> int:
     # tokenizer family had scale-gate ratios but no wall-clock bar);
     # x138 joins late-r10 (the token-id PACKING profile: full-corpus
     # encode + shard window + bin agg — the training-export flagship)
+    # x151 joins in r12 (the data-MIXING profile: |sources|-agg +
+    # hash-gate temperature sampling, in-row epoch replication, and
+    # the pack window — the exporter recipe's cost without the encode;
+    # no other extended row isolates the mixing stages)
     _EXTENDED = (
         "x89_winnowing_pairs",
         "x95_corpus_shuffle_shards",
@@ -126,6 +130,7 @@ def main() -> int:
         "x128_bpe_encode",
         "x138_packed_token_shards",
         "x144_chunk_pack",
+        "x151_mix_epoch_pack",
     )
     corpus = all_queries()
     legacy = sorted((s for s in corpus.values() if s.bench), key=lambda s: s.name)

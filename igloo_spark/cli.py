@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
         help="with --denoise-window: mask ~1/M of spans (default 5)",
     )
     parser.add_argument(
+        "--fim-mod", type=int, default=None, metavar="M",
+        help="with --prep-corpus and ids: additionally export "
+        "fill-in-the-middle columns (a deterministic ~1/M of docs "
+        "reordered [PRE]prefix[SUF]suffix[MID]middle with hash-derived "
+        "cut points) on every per-document shard row — the code-model "
+        "infilling artifact. Not with --pack-budget/--batch-size",
+    )
+    parser.add_argument(
         "--bpe-top-v", type=int, default=-1, metavar="N",
         help="vocabulary cap for --fit-bpe-merges and the --prep-corpus "
         "text-mode encode: bounds every driver-side vocab fetch; "
@@ -454,21 +462,24 @@ def main(argv: list[str] | None = None) -> int:
             "--batch-size needs --prep-corpus and either --bpe-merges "
             "or a tokenized --corpus-store"
         )
-    if args.denoise_window is not None and (
-        args.pack_budget is not None or args.batch_size is not None
+    for flag, val in (
+        ("--denoise-window", args.denoise_window),
+        ("--fim-mod", args.fim_mod),
     ):
-        parser.error(
-            "--denoise-window exports per-document pairs — not with "
-            "--pack-budget/--batch-size"
-        )
-    if args.denoise_window is not None and (
-        args.prep_corpus is None
-        or (args.bpe_merges is None and args.corpus_store is None)
-    ):
-        parser.error(
-            "--denoise-window needs --prep-corpus and either "
-            "--bpe-merges or a tokenized --corpus-store"
-        )
+        if val is None:
+            continue
+        if args.pack_budget is not None or args.batch_size is not None:
+            parser.error(
+                f"{flag} exports per-document rows — not with "
+                f"--pack-budget/--batch-size"
+            )
+        if args.prep_corpus is None or (
+            args.bpe_merges is None and args.corpus_store is None
+        ):
+            parser.error(
+                f"{flag} needs --prep-corpus and either --bpe-merges "
+                f"or a tokenized --corpus-store"
+            )
     if args.max_unk_rate is not None and not (
         args.ingest is not None and args.tokenize
     ):
@@ -749,13 +760,14 @@ def main(argv: list[str] | None = None) -> int:
                     f"{info['n_shards']} shards at {args.prep_corpus}"
                 )
                 return 0
-            if args.denoise_window is not None and (
-                bpe_merges is None and "input_ids" not in docs.columns
-            ):
+            if (
+                args.denoise_window is not None or args.fim_mod is not None
+            ) and (bpe_merges is None and "input_ids" not in docs.columns):
                 print(
-                    "error: --denoise-window without --bpe-merges needs a "
-                    "TOKENIZED --corpus-store (corpus lacks input_ids; "
-                    "ingest with --tokenize or pass --bpe-merges)",
+                    "error: --denoise-window/--fim-mod without "
+                    "--bpe-merges need a TOKENIZED --corpus-store "
+                    "(corpus lacks input_ids; ingest with --tokenize "
+                    "or pass --bpe-merges)",
                     file=sys.stderr,
                 )
                 return 2
@@ -766,6 +778,7 @@ def main(argv: list[str] | None = None) -> int:
                 bpe_distributed=args.bpe_distributed,
                 denoise_window=args.denoise_window,
                 denoise_mask_mod=args.denoise_mask_mod,
+                fim_rate_mod=args.fim_mod,
             )
             counts = result.counts.first().asDict()
             denoised = (
@@ -773,9 +786,15 @@ def main(argv: list[str] | None = None) -> int:
                 f"{info['denoise_window']})"
                 if "denoise_window" in info else ""
             )
+            fimmed = (
+                f" ({info['n_fim']} docs FIM-reordered at ~1/"
+                f"{info['fim_rate_mod']})"
+                if "fim_rate_mod" in info else ""
+            )
             print(
                 f"prepared corpus: {counts} -> {info['n_docs']} docs in "
-                f"{info['n_shards']} shards{denoised} at {args.prep_corpus}"
+                f"{info['n_shards']} shards{denoised}{fimmed} at "
+                f"{args.prep_corpus}"
             )
             return 0
         if args.optimize_store is not None or args.vacuum_store is not None:

@@ -824,3 +824,77 @@ def span_corrupt(
             .alias("n_masked"),
         )
     )
+
+
+def fim_transform(
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    rate_mod: int = 2,
+    sentinel_base: int = 2_000_000,
+    min_len: int = 4,
+) -> DataFrame:
+    """FILL-IN-THE-MIDDLE transformation over token ids — the
+    code-model pretraining objective's data prep (the published FIM
+    recipe): for a deterministic ~1/``rate_mod`` of documents, split
+    ``input_ids`` at two hash-derived cut points into (prefix, middle,
+    suffix) and emit the PSM reordering
+
+    ``[PRE] prefix [SUF] suffix [MID] middle``
+
+    with sentinels ``sentinel_base + 0/1/2`` — the model learns to
+    infill ``middle`` from bidirectional context while training stays
+    pure next-token prediction. Untransformed documents (the gate, or
+    length < ``min_len``) pass through verbatim with ``fim = 0``; the
+    transform preserves every original id (length grows by exactly 3
+    sentinels), so token accounting stays exact.
+
+    Determinism: the document gate and BOTH cut points are pure hash
+    functions of the doc id (``fim:``/``fim1:``/``fim2:`` salts) —
+    zero random state, so re-runs, any partitioning, and any engine
+    produce the identical transformed corpus and the oracle
+    reproduces the exact arrays. Cut points: ``c1 in [1, n-1]``,
+    ``c2 in [c1, n-1]`` — prefix ``ids[1..c1]``, middle
+    ``ids[c1+1..c2]`` (possibly empty), suffix ``ids[c2+1..n]``
+    (never empty), mirroring the convention that the model must
+    always produce the end-of-middle transition.
+
+    Scale: entirely IN-ROW codegen (three slices + concat + one hash
+    gate) — no shuffle, no Python, corpus cost is one map-side pass;
+    the plan shape composes with chunking/packing unchanged."""
+    if rate_mod < 1:
+        raise ValueError(f"rate_mod must be >= 1, got {rate_mod}")
+    if min_len < 3:
+        raise ValueError(
+            f"min_len must be >= 3 (prefix/middle/suffix need room), "
+            f"got {min_len}"
+        )
+    from igloo_spark.functions.hashing import hex_prefix_hash
+
+    def h(salt):
+        return hex_prefix_hash(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        )
+
+    n = F.size("input_ids")
+    gated = (h("fim:") % rate_mod == 0) & (n >= min_len)
+    c1 = h("fim1:") % (n - 1) + 1          # [1, n-1]
+    c2 = h("fim2:") % (n - c1) + c1        # [c1, n-1]
+    sent = lambda k: F.array(  # noqa: E731
+        F.lit(sentinel_base + k).cast("bigint")
+    )
+    psm = F.concat(
+        sent(0), F.slice("input_ids", F.lit(1), c1),
+        sent(1), F.slice("input_ids", c2 + 1, n - c2),
+        sent(2), F.slice("input_ids", c1 + 1, c2 - c1),
+    )
+    return encoded.filter(F.size("input_ids") > 0).select(
+        F.col(id_col),
+        F.when(gated, psm).otherwise(F.col("input_ids")).alias("fim_ids"),
+        F.when(gated, F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint").alias("fim"),
+        F.when(gated, c1).otherwise(F.lit(None))
+        .cast("bigint").alias("cut1"),
+        F.when(gated, c2).otherwise(F.lit(None))
+        .cast("bigint").alias("cut2"),
+        F.when(gated, n + 3).otherwise(n).cast("bigint").alias("n_fim_ids"),
+    )

@@ -480,6 +480,8 @@ def write_training_shards(
     denoise_window: "int | None" = None,
     denoise_mask_mod: int = 5,
     denoise_sentinel_base: int = 1_000_000,
+    fim_rate_mod: "int | None" = None,
+    fim_sentinel_base: int = 2_000_000,
 ) -> dict:
     """Materialize the prepared corpus as the on-disk training
     artifact: one parquet directory per shard (``partitionBy(shard)``,
@@ -521,6 +523,14 @@ def write_training_shards(
     tokenized store); the corruption is one in-row codegen pass over
     the already-encoded frame — zero extra shuffles. Tar shards carry
     the pair as ``corrupt.json``/``target.json`` members.
+
+    ``fim_rate_mod`` adds FILL-IN-THE-MIDDLE columns (the code-model
+    infilling objective — ``operators.bpe.fim_transform``, x152's
+    exact semantics): ``fim_ids`` (a deterministic ~1/mod of docs
+    reordered [PRE]prefix[SUF]suffix[MID]middle, the rest verbatim),
+    ``fim``/``cut1``/``cut2``/``n_fim_ids``. Same requirements and
+    plan shape as denoising (ids + one in-row pass); composes with it
+    (independent column sets). Tar shards carry ``fim.json``.
     """
     stored_ids = bpe_merges is None and {"input_ids", "n_ids"} <= set(docs.columns)
     doc_cols = [id_col, text_col] + (["input_ids", "n_ids"] if stored_ids else [])
@@ -551,6 +561,19 @@ def write_training_shards(
         # left: empty-id documents have no pair row but stay exported
         # (their corrupt/target are null — the loader's skip signal)
         shard_cols = shard_cols.join(pairs, id_col, "left")
+    if fim_rate_mod is not None:
+        if ids_frame is None:
+            raise ValueError(
+                "fim_rate_mod needs token ids: pass bpe_merges or "
+                "export from a tokenized store (input_ids/n_ids)"
+            )
+        from igloo_spark.operators.bpe import fim_transform
+
+        fim = fim_transform(
+            ids_frame, id_col=id_col, rate_mod=fim_rate_mod,
+            sentinel_base=fim_sentinel_base,
+        )
+        shard_cols = shard_cols.join(fim, id_col, "left")
     out = (
         shard_cols
         .repartition(F.col("shard"))
@@ -577,6 +600,9 @@ def write_training_shards(
             ).withColumn("__target_json", F.to_json("target_ids"))
             members["corrupt.json"] = "__corrupt_json"
             members["target.json"] = "__target_json"
+        if fim_rate_mod is not None:
+            out = out.withColumn("__fim_json", F.to_json("fim_ids"))
+            members["fim.json"] = "__fim_json"
         stats = sinks.write_tar_shards(
             out, path, members=members,
             key_col=id_col, order_col="pos",
@@ -616,6 +642,11 @@ def write_training_shards(
             written.agg(
                 F.coalesce(F.sum("n_masked"), F.lit(0))
             ).first()[0]
+        )
+    if fim_rate_mod is not None:
+        out["fim_rate_mod"] = fim_rate_mod
+        out["n_fim"] = int(
+            written.agg(F.coalesce(F.sum("fim"), F.lit(0))).first()[0]
         )
     return out
 

@@ -25,27 +25,30 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r12 rotation (executes the r11 verdict's task 2): the one
-    # never-driver-checked query FIRST (x151, the temperature-mix ->
-    # epoch-upsample -> per-copy-key -> pack composition, new this
-    # round — it pins the r12 exporter mixing semantics), then the
-    # six r07-deferred queries the r11 verdict named (x107 x108 x110
-    # x113 x121 x122), then 43 of the 50 r08-stale (the exact
-    # CORRECTNESS_r08 keys not re-checked since: q02 q07-q12 q14-q20
-    # q22-q24 q26-q32 q36 q58 q66 q67 q76 q79-q95 x41 x42 x43 x55),
-    # deferring seven by the family-representation rule: q08 (outer
-    # joins, rep by q07+q09-q12), q15 (grouping sets, rep by
-    # q14+q85), q19 (set-op ALL variants, rep by q18), q29 (approx
-    # aggs, rep by q28+q92), q31 (window offsets, rep by q30+q32+q95),
-    # q90 (regex string fns, rep by q23), q91 (datetime parsing, rep
-    # by q58+q87). Zero changed-since-verdict pins: the r12 diff
-    # touches pipelines/cli/serving/tests only — no operator or query
-    # module a registered query routes through changed. Exactly 50
-    # entries. After this window the verdict-age histogram is
-    # 50@r12, 50@r11, 47@r10, 45@r09, 7@r08 — zero never-checked.
-    # The r13 rotation: the seven r08-deferred above first, then the
-    # 43 oldest remaining (the r09 window).
+    # -- r12 rotation (executes the r11 verdict's task 2): the two
+    # never-driver-checked queries FIRST (x151, the temperature-mix ->
+    # epoch-upsample -> per-copy-key -> pack composition pinning the
+    # r12 exporter mixing semantics; x152, fill-in-the-middle — both
+    # new this round), then the six r07-deferred queries the r11
+    # verdict named (x107 x108 x110 x113 x121 x122), then 42 of the
+    # 50 r08-stale (the exact CORRECTNESS_r08 keys not re-checked
+    # since: q02 q07-q12 q14-q20 q22-q24 q26-q32 q36 q58 q66 q67 q76
+    # q79-q95 x41 x42 x43 x55), deferring eight by the
+    # family-representation rule: q08 (outer joins, rep by q07),
+    # q12 (cross join, rep by q07/q09-q11 + x147's scalar cross),
+    # q15 (grouping sets, rep by q14+q85), q19 (set-op ALL variants,
+    # rep by q18), q29 (approx aggs, rep by q28+q92), q31 (window
+    # offsets, rep by q30+q32+q95), q90 (regex string fns, rep by
+    # q23), q91 (datetime parsing, rep by q58+q87). Zero
+    # changed-since-verdict pins: the r12 diff touches
+    # pipelines/cli/serving/tests plus APPEND-ONLY x151/x152 +
+    # fim_transform additions — no existing query's code path
+    # changed. Exactly 50 entries. After this window the verdict-age
+    # histogram is 50@r12, 50@r11, 47@r10, 45@r09, 8@r08 — zero
+    # never-checked. The r13 rotation: the eight r08-deferred above
+    # first, then the 42 oldest remaining (the r09 window).
     "x151_mix_epoch_pack",
+    "x152_fim_transform",
     "x107_diversity_cap_sample",
     "x108_weighted_sample",
     "x110_source_overlap",
@@ -57,7 +60,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q09_semi_join",
     "q10_anti_join",
     "q11_theta_join",
-    "q12_cross_join",
     "q14_rollup_grouping",
     "q16_having_filter_clause",
     "q17_sort_limit_offset",

@@ -7356,3 +7356,108 @@ def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("copy_id").cast("bigint").alias("copy_key_sum"),
     )
+
+
+# x152: fill-in-the-middle — the code-model pretraining transform
+FIM_RATE_MOD = 2           # transform ~1/2 of documents
+FIM_SENTINEL_BASE = 2_000_000
+FIM_MIN_LEN = 4
+
+
+def _x152_oracle() -> str:
+    gate = hex_prefix_hash_sql_duckdb("concat('fim:', CAST(doc_id AS VARCHAR))")
+    h1 = hex_prefix_hash_sql_duckdb("concat('fim1:', CAST(doc_id AS VARCHAR))")
+    h2 = hex_prefix_hash_sql_duckdb("concat('fim2:', CAST(doc_id AS VARCHAR))")
+    b = FIM_SENTINEL_BASE
+    return (
+        _bpe_id_ctes()
+        + f""",
+    sel AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_TOKEN_ID_HEAD}),
+    ne AS (
+        SELECT e.doc_id, e.input_ids AS ids,
+               CAST(len(e.input_ids) AS BIGINT) AS n
+        FROM doc_enc e JOIN sel USING (doc_id)
+        WHERE len(e.input_ids) > 0
+    ),
+    cut AS (
+        SELECT doc_id, ids, n,
+               (({gate}) % {FIM_RATE_MOD} = 0 AND n >= {FIM_MIN_LEN})
+                   AS gated,
+               ({h1}) % (n - 1) + 1 AS c1
+        FROM ne
+    ),
+    cut2 AS (
+        SELECT doc_id, ids, n, gated, c1,
+               ({h2}) % (n - c1) + c1 AS c2
+        FROM cut
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(
+               CASE WHEN gated
+                    THEN [CAST({b} AS BIGINT)] || ids[1:CAST(c1 AS INT)]
+                      || [CAST({b + 1} AS BIGINT)]
+                      || ids[CAST(c2 AS INT)+1:CAST(n AS INT)]
+                      || [CAST({b + 2} AS BIGINT)]
+                      || ids[CAST(c1 AS INT)+1:CAST(c2 AS INT)]
+                    ELSE ids
+               END, ','), '') AS fim_ids,
+           CAST(CASE WHEN gated THEN 1 ELSE 0 END AS BIGINT) AS fim,
+           CAST(CASE WHEN gated THEN c1 END AS BIGINT) AS cut1,
+           CAST(CASE WHEN gated THEN c2 END AS BIGINT) AS cut2,
+           CAST(CASE WHEN gated THEN n + 3 ELSE n END AS BIGINT)
+               AS n_fim_ids
+    FROM cut2"""
+    )
+
+
+@register(
+    "x152_fim_transform",
+    f"fill-in-the-middle: ~1/{FIM_RATE_MOD} of docs hash-gated into "
+    f"PSM reorder [PRE]prefix[SUF]suffix[MID]middle with hash-derived "
+    f"cut points — exact arrays",
+    _x152_oracle(),
+    tags=("tokenizer", "llm"),
+)
+def x152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-model infilling objective's data prep
+    (``operators.bpe.fim_transform``): a deterministic ~1/2 of
+    documents are reordered prefix-suffix-middle around two
+    hash-derived cut points with three sentinel ids, so next-token
+    training teaches bidirectional infilling. Gate, cut points, and
+    the reordering are pure hash functions of the doc id — the oracle
+    re-derives all three and the exact output arrays, so a drift in
+    cut arithmetic, slice boundaries, sentinel numbering, or the
+    pass-through path flips a hashed value. The driver-facing surface
+    is capped at the lowest doc_ids (x137's convention); the plan
+    underneath is full-corpus.
+
+    Scale: the transform is in-row codegen on top of the encode's
+    broadcast shape — three slices + one concat + one hash gate,
+    zero added exchanges."""
+    from igloo_spark.operators.bpe import (
+        bpe_encode_ids,
+        fim_transform,
+        learn_bpe_merges,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    enc = bpe_encode_ids(d, merges, top_v=None)
+    sel = d.select("doc_id").orderBy("doc_id").limit(_TOKEN_ID_HEAD)
+    out = fim_transform(
+        enc.join(sel, "doc_id", "leftsemi"),
+        rate_mod=FIM_RATE_MOD,
+        sentinel_base=FIM_SENTINEL_BASE,
+        min_len=FIM_MIN_LEN,
+    )
+    return out.select(
+        "doc_id",
+        # serialized for the driver canonicalizer (q78/x80 contract)
+        F.concat_ws(
+            ",", F.transform("fim_ids", lambda x: x.cast("string"))
+        ).alias("fim_ids"),
+        "fim",
+        "cut1",
+        "cut2",
+        "n_fim_ids",
+    )

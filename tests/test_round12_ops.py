@@ -625,3 +625,88 @@ class TestCompareDatasetCards:
                 s["drift_micro"]
                 == s["share_micro"] - s["previous_share_micro"]
             )
+
+
+class TestFimTransform:
+    """fim_transform (x152): the code-model infilling prep — PSM
+    reordering with hash-derived cuts, pass-through for ungated docs,
+    and the reconstruction invariant."""
+
+    def _enc(self, spark):
+        from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
+
+        docs = _docs(spark, n=16)
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        return bpe_encode_ids(docs, merges, top_v=None)
+
+    def test_reconstruction_and_passthrough(self, spark):
+        from igloo_spark.operators.bpe import fim_transform
+
+        enc = self._enc(spark)
+        orig = {r["doc_id"]: list(r["input_ids"]) for r in enc.collect()}
+        out = fim_transform(enc, rate_mod=2, sentinel_base=9000, min_len=4)
+        rows = out.collect()
+        assert len(rows) == len(orig)
+        n_fim = 0
+        for r in rows:
+            ids = orig[r["doc_id"]]
+            got = list(r["fim_ids"])
+            if r["fim"] == 0:
+                assert got == ids
+                assert r["cut1"] is None and r["cut2"] is None
+                assert r["n_fim_ids"] == len(ids)
+                continue
+            n_fim += 1
+            c1, c2 = r["cut1"], r["cut2"]
+            assert 1 <= c1 <= c2 <= len(ids) - 1
+            # PSM layout: [PRE] prefix [SUF] suffix [MID] middle
+            want = (
+                [9000] + ids[:c1] + [9001] + ids[c2:] + [9002] + ids[c1:c2]
+            )
+            assert got == want
+            assert r["n_fim_ids"] == len(ids) + 3
+            # reconstruction: prefix + middle + suffix == original
+            i_suf = got.index(9001)
+            i_mid = got.index(9002)
+            assert got[1:i_suf] + got[i_mid + 1:] + got[i_suf + 1:i_mid] == ids
+        assert 0 < n_fim < len(rows)  # the gate actually split the corpus
+
+    def test_determinism_any_partitioning(self, spark):
+        from igloo_spark.operators.bpe import fim_transform
+
+        enc = self._enc(spark)
+        a = {
+            r["doc_id"]: list(r["fim_ids"])
+            for r in fim_transform(enc, rate_mod=2).collect()
+        }
+        b = {
+            r["doc_id"]: list(r["fim_ids"])
+            for r in fim_transform(enc.repartition(7), rate_mod=2).collect()
+        }
+        assert a == b
+
+    def test_validation(self, spark):
+        from igloo_spark.operators.bpe import fim_transform
+
+        enc = self._enc(spark)
+        with pytest.raises(ValueError, match="rate_mod"):
+            fim_transform(enc, rate_mod=0)
+        with pytest.raises(ValueError, match="min_len"):
+            fim_transform(enc, min_len=2)
+
+    def test_export_flag(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_training_shards
+
+        docs = _docs(spark, n=12)
+        res = _prep(docs)
+        info = write_training_shards(
+            docs, res, str(tmp_path / "f"),
+            bpe_merges=_merges(docs), fim_rate_mod=2,
+        )
+        assert info["fim_rate_mod"] == 2
+        assert info["n_fim"] > 0
+        back = spark.read.parquet(str(tmp_path / "f"))
+        assert {"fim_ids", "fim", "cut1", "cut2", "n_fim_ids"} <= set(
+            back.columns
+        )
+        assert back.filter(F.col("fim") == 1).count() == info["n_fim"]
