@@ -678,7 +678,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.pack_budget is not None:
                 from igloo_spark.pipelines import write_packed_token_shards
 
-                if bpe_merges is None and "input_ids" not in docs.columns:
+                if bpe_merges is None and not {"input_ids", "n_ids"} <= set(docs.columns):
                     print(
                         "error: --pack-budget without --bpe-merges needs a "
                         "TOKENIZED --corpus-store (corpus lacks input_ids; "
@@ -733,7 +733,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.batch_size is not None:
                 from igloo_spark.pipelines import write_batched_token_shards
 
-                if bpe_merges is None and "input_ids" not in docs.columns:
+                if bpe_merges is None and not {"input_ids", "n_ids"} <= set(docs.columns):
                     print(
                         "error: --batch-size without --bpe-merges needs a "
                         "TOKENIZED --corpus-store (corpus lacks input_ids; "
@@ -762,7 +762,7 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             if (
                 args.denoise_window is not None or args.fim_mod is not None
-            ) and (bpe_merges is None and "input_ids" not in docs.columns):
+            ) and (bpe_merges is None and not {"input_ids", "n_ids"} <= set(docs.columns)):
                 print(
                     "error: --denoise-window/--fim-mod without "
                     "--bpe-merges need a TOKENIZED --corpus-store "

@@ -232,10 +232,19 @@ def prepare_training_corpus(
                 f"mix_alpha needs a {mix_col!r} column on the input "
                 f"frame (pass mix_col= to name the mixture class)"
             )
+        # NULL classes form their own explicit '<null>' mixture class:
+        # temperature_sample's inner rate join would silently DROP
+        # null-keyed docs otherwise, and the null group's count must
+        # participate in the rate derivation visibly, not by accident
+        classes = df.select(
+            id_col,
+            F.coalesce(F.col(mix_col).cast("string"), F.lit("<null>"))
+            .alias("__mix_cls"),
+        )
         selected = temperature_sample(
-            selected.join(df.select(id_col, mix_col), id_col),
-            id_col, mix_col, alpha=mix_alpha,
-        ).drop(mix_col, "mix_rate")
+            selected.join(classes, id_col), id_col, "__mix_cls",
+            alpha=mix_alpha,
+        ).drop("__mix_cls", "mix_rate")
         mix = {"mix_col": mix_col, "alpha": mix_alpha}
 
     # 5d. optional fixed-token-budget selection (x100): quality-
@@ -591,30 +600,78 @@ def write_training_shards(
         from igloo_spark import sinks
 
         members = {"txt": text_col}
+        # empty-id documents carry NULL pair/fim arrays (the left
+        # joins above — the loader's skip signal); to_json(NULL) is
+        # NULL and the tar sink cannot write a NULL member, so those
+        # members serialize as the JSON literal ``null`` instead
         if bpe_merges is not None or stored_ids:
-            out = out.withColumn("__ids_json", F.to_json("input_ids"))
+            out = out.withColumn(
+                "__ids_json", F.coalesce(F.to_json("input_ids"), F.lit("null"))
+            )
             members["ids.json"] = "__ids_json"
         if denoise_window is not None:
             out = out.withColumn(
-                "__corrupt_json", F.to_json("corrupt_ids")
-            ).withColumn("__target_json", F.to_json("target_ids"))
+                "__corrupt_json",
+                F.coalesce(F.to_json("corrupt_ids"), F.lit("null")),
+            ).withColumn(
+                "__target_json",
+                F.coalesce(F.to_json("target_ids"), F.lit("null")),
+            )
             members["corrupt.json"] = "__corrupt_json"
             members["target.json"] = "__target_json"
         if fim_rate_mod is not None:
-            out = out.withColumn("__fim_json", F.to_json("fim_ids"))
+            out = out.withColumn(
+                "__fim_json", F.coalesce(F.to_json("fim_ids"), F.lit("null"))
+            )
             members["fim.json"] = "__fim_json"
+        need_stats = export_unk is not None or denoise_window is not None \
+            or fim_rate_mod is not None
+        if need_stats:
+            # the sink's write is the frame's first action; persist so
+            # the stats aggregate below reads the cache instead of
+            # re-executing the whole encode + join plan a second time
+            out = out.persist()
         stats = sinks.write_tar_shards(
             out, path, members=members,
             key_col=id_col, order_col="pos",
         )
-        if export_unk is not None and "input_ids" in out.columns:
-            # a capped encode's lossiness must be visible in EVERY
-            # format's stats — the tar branch reports the same
-            # unk_id/n_unk pair as the parquet/json/packed exporters
-            # (computed from the encoded frame; the sink wrote the
-            # same rows)
-            stats["unk_id"] = export_unk
-            stats["n_unk"] = _count_unk(out, "input_ids", export_unk)
+        if need_stats:
+            # every format reports the same lossiness/transform
+            # counters as parquet/json (the no-silent-caps rule);
+            # ONE combined aggregate over the cached frame
+            aggs = []
+            if export_unk is not None and "input_ids" in out.columns:
+                aggs.append(
+                    F.coalesce(
+                        F.sum(
+                            F.size(
+                                F.filter(
+                                    "input_ids",
+                                    lambda x: x
+                                    == F.lit(export_unk).cast("bigint"),
+                                )
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias("__n_unk")
+                )
+            if denoise_window is not None:
+                aggs.append(
+                    F.coalesce(F.sum("n_masked"), F.lit(0)).alias("__n_masked")
+                )
+            if fim_rate_mod is not None:
+                aggs.append(F.coalesce(F.sum("fim"), F.lit(0)).alias("__n_fim"))
+            row = out.agg(*aggs).first() if aggs else None
+            if export_unk is not None and "input_ids" in out.columns:
+                stats["unk_id"] = export_unk
+                stats["n_unk"] = int(row["__n_unk"])
+            if denoise_window is not None:
+                stats["denoise_window"] = denoise_window
+                stats["n_masked"] = int(row["__n_masked"])
+            if fim_rate_mod is not None:
+                stats["fim_rate_mod"] = fim_rate_mod
+                stats["n_fim"] = int(row["__n_fim"])
+            out.unpersist()
         result.counts.write.mode("overwrite").parquet(path + "/_meta/counts")
         result.manifest.write.mode("overwrite").parquet(path + "/_meta/manifest")
         _write_export_report(docs, result, path, id_col, text_col)
@@ -764,12 +821,12 @@ def compare_dataset_cards(current: dict, previous: dict) -> dict:
     the result under ``"vs_previous"`` so every nightly export
     self-reports how it moved, not just where it stands."""
     out: dict = {}
-    for k in ("n_docs", "n_tokens", "n_ids"):
+    for k in ("n_docs", "n_tokens", "n_ids", "n_blank"):
         if k in current or k in previous:
             cur = int(current.get(k) or 0)
             prev = int(previous.get(k) or 0)
             out[k] = {"current": cur, "previous": prev, "delta": cur - prev}
-    for k in ("exact_dup_rate", "fertility", "blank_rate"):
+    for k in ("exact_dup_rate", "fertility"):
         cur, prev = current.get(k), previous.get(k)
         if cur is not None and prev is not None:
             out[k] = {
@@ -1111,7 +1168,18 @@ def write_batched_token_shards(
     if text_col in docs.columns:
         _write_export_report(docs, result, path, id_col, text_col)
     spark = docs.sparkSession
-    back = spark.read.parquet(path)
+    try:
+        back = spark.read.parquet(path)
+    except Exception:
+        # every sequence was zero-length (or nothing was admitted):
+        # the batcher filtered all rows and the partitionBy write left
+        # only _SUCCESS — report honest zero stats, don't crash after
+        # a successful (empty) export
+        return {
+            "n_seqs": 0, "n_batches": 0, "n_ids": 0, "padded_ids": 0,
+            "pad_waste_micro": 0, "n_shards": 0,
+            "bucket_width": bucket_width, "batch_size": batch_size,
+        }
     pad_back = spark.read.parquet(path + "/_meta/padding")
     pagg = pad_back.agg(
         F.count("*").alias("n_batches"),

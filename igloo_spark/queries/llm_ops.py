@@ -7341,13 +7341,15 @@ def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
         copies, "copy_id", F.col("n_tokens"), [], X151_BUDGET, X151_SHARDS
     )
     # pack_sequences keeps only the pack columns; the source document
-    # is recoverable from the copy key (integer arithmetic, not a
-    # join — exact at any id magnitude)
+    # is recoverable from the copy key. Integer `div` (not `/`, which
+    # widens bigint to double and loses low bits past 2^53): the
+    # numerator is exactly divisible after the pmod subtraction, so
+    # truncation equals floor at any id magnitude or sign
     packed = packed.withColumn(
         "doc_id",
-        (
-            (F.col("copy_id") - F.pmod("copy_id", F.lit(X151_KEY_BASE)))
-            / X151_KEY_BASE
+        F.expr(
+            f"(copy_id - pmod(copy_id, {X151_KEY_BASE})) "
+            f"div {X151_KEY_BASE}"
         ).cast("bigint"),
     )
     return packed.groupBy("shard", "bin").agg(

@@ -710,3 +710,94 @@ class TestFimTransform:
             back.columns
         )
         assert back.filter(F.col("fim") == 1).count() == info["n_fim"]
+
+
+class TestPostReviewHardening:
+    """Round-12 post-review pass (same-round adversarial review of the
+    r12 diff): null-member tar exports, NULL mixture classes, empty
+    batched exports, tar transform stats, and the x151 integer-div
+    key recovery."""
+
+    def test_tar_denoise_null_members_survive(self, spark, tmp_path):
+        """A doc whose stored ids are EMPTY (tokenized-store path —
+        the text-mode encode always yields ids for admitted docs) gets
+        NULL pair arrays from the left join; the tar member must
+        serialize as the JSON literal null instead of crashing the
+        sink on len(None)."""
+        import tarfile
+
+        from igloo_spark.pipelines import write_training_shards
+
+        rows = [
+            (1, "solid doc body words here", "alpha", [3, 4, 5, 6, 7, 8], 6),
+            (2, "another doc words here", "alpha", [], 0),  # empty ids
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, source string, "
+            "input_ids array<bigint>, n_ids long",
+        )
+        res = _prep(docs, n_shards=1)
+        stats = write_training_shards(
+            docs, res, str(tmp_path / "t"), data_format="tar",
+            denoise_window=3, fim_rate_mod=1,
+        )
+        # transform stats present in the TAR format too
+        assert "n_masked" in stats and "n_fim" in stats
+        members = {}
+        for root, _, files in os.walk(tmp_path / "t"):
+            for f in files:
+                if f.endswith(".tar"):
+                    with tarfile.open(os.path.join(root, f)) as tf:
+                        for m in tf.getmembers():
+                            members[m.name] = tf.extractfile(m).read()
+        null_pairs = [
+            v for k, v in members.items()
+            if k.endswith("corrupt.json") and v == b"null"
+        ]
+        assert null_pairs  # the empty-encode doc wrote the null literal
+
+    def test_mix_alpha_null_source_kept_as_class(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"doc body {i} w{i}a w{i}b w{i}c",
+              None if i % 3 == 0 else "real")
+             for i in range(1, 31)],
+            "doc_id long, text string, source string",
+        )
+        res = _prep(docs, mix_alpha=0.5)
+        kept = {r["doc_id"] for r in res.corpus.collect()}
+        null_kept = [i for i in kept if i % 3 == 0]
+        # the NULL class participates in the mix (it is the smaller
+        # class, rate 1.0 -> every null-source survivor kept), rather
+        # than being silently dropped by the rate join
+        base = _prep(docs)
+        null_admitted = [
+            r["doc_id"] for r in base.corpus.collect() if r["doc_id"] % 3 == 0
+        ]
+        assert sorted(null_kept) == sorted(null_admitted)
+
+    def test_batched_export_empty_corpus_zero_stats(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_batched_token_shards
+
+        docs = _docs(spark, n=6)
+        res = _prep(docs, min_quality=2.0)  # nothing admitted
+        info = write_batched_token_shards(
+            docs, res, str(tmp_path / "e"), _merges(docs),
+            bucket_width=8, batch_size=2, n_shards=2,
+        )
+        assert info["n_seqs"] == 0 and info["n_batches"] == 0
+        assert info["pad_waste_micro"] == 0
+
+    def test_x151_doc_recovery_is_integer_exact(self, spark):
+        """The copy-key decomposition must survive ids past 2^53
+        (float division would corrupt them)."""
+        from pyspark.sql import functions as F
+
+        big = 2**60 + 12345
+        df = spark.createDataFrame(
+            [(big * 3 + 2,)], "copy_id long"
+        ).withColumn(
+            "doc_id",
+            F.expr("(copy_id - pmod(copy_id, 3)) div 3").cast("bigint"),
+        )
+        assert df.first()["doc_id"] == big
