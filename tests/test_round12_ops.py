@@ -801,3 +801,56 @@ class TestPostReviewHardening:
             F.expr("(copy_id - pmod(copy_id, 3)) div 3").cast("bigint"),
         )
         assert df.first()["doc_id"] == big
+
+
+class TestStoreFlowNewExports:
+    """Tokenized-store → new export modes with NO artifact flag: the
+    stored ids ride into batched and denoise/FIM exports exactly as
+    they do for packing (ingest pays the encode once)."""
+
+    def _store(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "store")
+        docs = spark.createDataFrame(
+            [
+                (i, f"alpha beta gamma doc {i} " + " ".join(
+                    f"w{i}x{j}" for j in range(i % 5 + 2)), "alpha")
+                for i in range(1, 13)
+            ],
+            "doc_id long, text string, source string",
+        )
+        incremental_ingest(
+            docs, root, min_quality=0.0, min_shared=1, tokenize=True
+        )
+        return read_versioned(spark, root + "/corpus")
+
+    def test_batched_export_from_store(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_batched_token_shards
+
+        corpus = self._store(spark, tmp_path)
+        res = _prep(corpus.select("doc_id", "text"))
+        info = write_batched_token_shards(
+            corpus, res, str(tmp_path / "b"),
+            bucket_width=8, batch_size=3, n_shards=2,
+        )
+        assert info["n_seqs"] > 0
+        back = spark.read.parquet(str(tmp_path / "b"))
+        # the exported ids ARE the stored ids (no re-encode)
+        stored = {r["doc_id"]: list(r["input_ids"]) for r in corpus.collect()}
+        for r in back.collect():
+            assert list(r["input_ids"]) == stored[r["doc_id"]]
+
+    def test_denoise_fim_export_from_store(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_training_shards
+
+        corpus = self._store(spark, tmp_path)
+        res = _prep(corpus.select("doc_id", "text"))
+        info = write_training_shards(
+            corpus, res, str(tmp_path / "d"),
+            denoise_window=3, fim_rate_mod=2,
+        )
+        assert info["n_masked"] > 0 and "n_fim" in info
+        back = spark.read.parquet(str(tmp_path / "d"))
+        assert {"corrupt_ids", "target_ids", "fim_ids"} <= set(back.columns)
