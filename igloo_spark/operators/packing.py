@@ -567,3 +567,81 @@ def epoch_upsample(
         .withColumn("epoch", F.col("epoch").cast("bigint"))
         .drop("__k")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    mix_col: str,
+    alpha: float = 0.5,
+    precision: int = 1_000_000,
+) -> dict[str, int]:
+    """FREEZE :func:`temperature_sample`'s data-derived keep rates as
+    a driver-side dict — the artifact that makes temperature mixing
+    STREAMING-legal: an unbounded stream cannot compute its own class
+    counts, so production derives the rates from the reference corpus
+    (one |classes|-bounded aggregate + collect), freezes them, and
+    applies the frozen gate in-stream (:func:`apply_mix_rates`).
+
+    The arithmetic is the operator's exactly (double division of the
+    bigint counts, correctly-rounded sqrt for ``alpha=0.5``, floor to
+    ``precision`` integer units) so a frozen-rate gate over the SAME
+    data keeps the identical set ``temperature_sample`` keeps —
+    batch/stream parity is bit-exact, not approximate."""
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    rows = df.groupBy(mix_col).agg(F.count("*").alias("__n")).collect()
+    if not rows:
+        return {}
+    n_min = float(min(r["__n"] for r in rows))
+    out: dict[str, int] = {}
+    for r in rows:
+        ratio = n_min / float(r["__n"])
+        scaled = math.sqrt(ratio) if alpha == 0.5 else ratio ** alpha
+        out[r[mix_col]] = int(math.floor(scaled * precision))
+    return out
+
+
+def apply_mix_rates(
+    df: DataFrame,
+    id_col: str,
+    mix_col: str,
+    rates: dict[str, int],
+    default_rate: int | None = None,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Apply FROZEN per-class keep rates (``precision`` integer units,
+    from :func:`temperature_rates` or any recipe artifact) as a pure
+    scan-stage hash gate — the same ``tmix:`` salt and quantization
+    as :func:`temperature_sample`, so frozen-rate decisions over the
+    reference corpus reproduce the operator's exactly.
+
+    Streaming-legal by construction: no aggregate, no state — one
+    codegen'd CASE over the class column and the standard id hash, so
+    it runs DIRECTLY on a ``readStream`` frame (in-stream admission
+    control) with decisions identical to the batch path's.
+
+    ``default_rate`` governs classes absent from the artifact — a
+    stream WILL eventually carry a source the recipe never saw. The
+    default (None) keeps them all (rate = ``precision``): an unseen
+    source is a mix-recipe staleness signal, not data to silently
+    drop; pass 0 to quarantine unknown classes instead."""
+    if default_rate is None:
+        default_rate = precision
+    for cls, rate in {**rates, "<default>": default_rate}.items():
+        if not 0 <= rate <= precision:
+            raise ValueError(
+                f"rate for {cls!r} must be in [0, {precision}], got {rate}"
+            )
+    rate_col = F.lit(default_rate)
+    for cls, rate in rates.items():
+        rate_col = F.when(F.col(mix_col) == cls, F.lit(rate)).otherwise(
+            rate_col
+        )
+    h = hex_prefix_hash(
+        F.concat(F.lit("tmix:"), F.col(id_col).cast("string"))
+    )
+    return df.withColumn("mix_rate", rate_col.cast("bigint")).filter(
+        (h % precision) < F.col("mix_rate")
+    )

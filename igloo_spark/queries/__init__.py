@@ -41,9 +41,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # offsets, rep by q30+q32+q95), q90 (regex string fns, rep by
     # q23), q91 (datetime parsing, rep by q58+q87). Zero
     # changed-since-verdict pins: the r12 diff touches
-    # pipelines/cli/serving/tests plus APPEND-ONLY x151/x152 +
-    # fim_transform additions — no existing query's code path
-    # changed. Exactly 50 entries. After this window the verdict-age
+    # pipelines/cli/serving/tests plus APPEND-ONLY additions
+    # (x151/x152, bpe.fim_transform, packing.temperature_rates/
+    # apply_mix_rates) — no existing query's code path changed. Exactly 50 entries. After this window the verdict-age
     # histogram is 50@r12, 50@r11, 47@r10, 45@r09, 8@r08 — zero
     # never-checked. The r13 rotation: the eight r08-deferred above
     # first, then the 42 oldest remaining (the r09 window).

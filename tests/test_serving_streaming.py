@@ -941,3 +941,59 @@ def test_flight_poll_flight_info_gated(igloo):
         assert poll.descriptor is None  # terminal: no re-poll needed
     finally:
         server.shutdown()
+
+
+def test_streaming_temperature_mix_frozen_rates(igloo, tmp_path):
+    """Round-12: temperature mixing in a STREAM — rates are frozen
+    from the reference corpus (temperature_rates, one bounded
+    aggregate) and applied in-stream as a stateless scan gate
+    (apply_mix_rates, no aggregate/state => streaming-legal). The
+    in-stream kept set must equal temperature_sample's batch decision
+    bit-for-bit, and an unseen source must pass at the default rate
+    (mix-recipe staleness is a signal, not silent data loss)."""
+    from igloo_spark.operators.packing import (
+        apply_mix_rates,
+        temperature_rates,
+        temperature_sample,
+    )
+
+    spark = igloo.spark
+    rows = [
+        {"doc_id": i, "source": ("head" if i % 4 else "tail")}
+        for i in range(240)
+    ]
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["source"]) for r in rows], "doc_id long, source string"
+    )
+    rates = temperature_rates(batch, "source", alpha=0.5)
+    assert rates["tail"] == 1_000_000  # the smallest class keeps all
+
+    src = tmp_path / "tmix_src"
+    src.mkdir()
+    stream_rows = rows + [{"doc_id": 9001, "source": "unseen"}]
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in stream_rows)
+    )
+    stream = spark.readStream.schema("doc_id long, source string").json(
+        str(src)
+    )
+    gated = apply_mix_rates(stream, "doc_id", "source", rates)
+    assert gated.isStreaming
+    got: set[int] = set()
+
+    def sink(batch_df, batch_id):
+        got.update(r["doc_id"] for r in batch_df.collect())
+
+    q = (
+        gated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "tmix_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        r["doc_id"]
+        for r in temperature_sample(batch, "doc_id", "source", 0.5).collect()
+    }
+    assert got - {9001} == want   # stream decisions == operator's
+    assert 9001 in got            # unseen source kept at default rate
