@@ -132,6 +132,13 @@ def main(argv: list[str] | None = None) -> int:
         help="with --denoise-window: mask ~1/M of spans (default 5)",
     )
     parser.add_argument(
+        "--eos-id", type=int, default=None, metavar="ID",
+        help="with --prep-corpus --pack-budget: append one separator "
+        "id to every document before packing (the GPT convention — "
+        "boundaries recoverable from the id stream; with "
+        "--chunk-budget only a doc's last chunk ends in eos)",
+    )
+    parser.add_argument(
         "--fim-mod", type=int, default=None, metavar="M",
         help="with --prep-corpus and ids: additionally export "
         "fill-in-the-middle columns (a deterministic ~1/M of docs "
@@ -449,6 +456,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--compare-report needs --corpus-report")
     if args.epochs is not None and args.pack_budget is None:
         parser.error("--epochs needs --pack-budget (epoch copies feed packing)")
+    if args.eos_id is not None and args.pack_budget is None:
+        parser.error("--eos-id needs --pack-budget (separators feed packing)")
     if args.batch_size is not None and args.pack_budget is not None:
         parser.error(
             "--batch-size and --pack-budget are mutually exclusive "
@@ -710,6 +719,7 @@ def main(argv: list[str] | None = None) -> int:
                     chunk_stride=args.chunk_stride,
                     epochs=epochs,
                     default_epochs=args.default_epochs,
+                    eos_id=args.eos_id,
                 )
                 counts = result.counts.first().asDict()
                 chunked = (

@@ -883,6 +883,7 @@ def write_packed_token_shards(
     epochs: "dict[str, int] | None" = None,
     default_epochs: int = 1,
     mix_col: str = "source",
+    eos_id: "int | None" = None,
 ) -> dict:
     """The FINAL pretraining artifact: one row per fixed-budget
     training sequence — ``seq_ids`` (the packed id concatenation) and
@@ -961,6 +962,21 @@ def write_packed_token_shards(
         )
     if chunk_stride is not None and chunk_budget is None:
         raise ValueError("chunk_stride needs chunk_budget")
+    if eos_id is not None:
+        # the published GPT-packing convention: every document ends in
+        # ONE separator id, so the loader recovers document boundaries
+        # from the id stream itself (doc_spans stays the precise
+        # metadata). Appended BEFORE epochs/chunking — each epoch copy
+        # carries its separator, and with chunking only a document's
+        # LAST chunk ends in eos (chunk boundaries are windows, not
+        # document boundaries). Pure in-row concat, zero exchanges.
+        enc = enc.select(
+            id_col,
+            F.concat(
+                "input_ids", F.array(F.lit(eos_id).cast("bigint"))
+            ).alias("input_ids"),
+            (F.col("n_ids") + 1).cast("bigint").alias("n_ids"),
+        )
     epoch_key_base = None
     if epochs is not None:
         # MULTI-EPOCH MIXING (x150): replicate each class
@@ -1080,6 +1096,8 @@ def write_packed_token_shards(
         out["epochs"] = dict(epochs)
         out["default_epochs"] = default_epochs
         out["epoch_key_base"] = epoch_key_base
+    if eos_id is not None:
+        out["eos_id"] = eos_id
     if chunk_budget is not None:
         out["chunk_budget"] = chunk_budget
         out["chunk_stride"] = (

@@ -854,3 +854,116 @@ class TestStoreFlowNewExports:
         assert info["n_masked"] > 0 and "n_fim" in info
         back = spark.read.parquet(str(tmp_path / "d"))
         assert {"corrupt_ids", "target_ids", "fim_ids"} <= set(back.columns)
+
+
+class TestEosSeparators:
+    """write_packed_token_shards(eos_id=): one separator id per
+    document rides into the packed stream (the GPT boundary
+    convention); exactly one eos per admitted doc, at each doc span's
+    last position."""
+
+    def test_one_eos_per_doc(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_packed_token_shards
+
+        docs = _docs(spark, n=16)
+        res = _prep(docs)
+        EOS = 777_777
+        info = write_packed_token_shards(
+            docs, res, str(tmp_path / "p"), _merges(docs),
+            budget=64, n_shards=2, eos_id=EOS,
+        )
+        assert info["eos_id"] == EOS
+        back = spark.read.parquet(str(tmp_path / "p"))
+        n_eos = back.agg(
+            F.sum(F.size(F.filter("seq_ids", lambda x: x == EOS)))
+        ).first()[0]
+        assert n_eos == info["n_docs"]
+        # each span's LAST id is the separator (eos appended per doc;
+        # spans are (doc_id, start, len) offsets into seq_ids)
+        rows = back.collect()
+        for r in rows:
+            seq = list(r["seq_ids"])
+            for s in r["doc_spans"]:
+                last = seq[s["start"] + s["len"] - 1]
+                assert last == EOS, f"span not eos-terminated: {s} -> {last}"
+
+    def test_cli_validation(self):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--data-dir", "/root/testdata/sf0.001",
+                  "--prep-corpus", "/tmp/x", "--eos-id", "7"])
+
+
+class TestStatelessTransformsAreStreamingLegal:
+    """The round's in-row transforms (epoch_upsample, span_corrupt,
+    fim_transform) contain no aggregate/window/state, so they run
+    DIRECTLY on a readStream frame with decisions identical to batch —
+    the §2.C pattern every stateless operator in this repo follows."""
+
+    def _stream_ids(self, spark, tmp_path):
+        import json as _json
+
+        src = tmp_path / "ids_src"
+        src.mkdir()
+        rows = [
+            {"doc_id": i, "source": ("a" if i % 2 else "b"),
+             "input_ids": list(range(i % 7 + 2))}
+            for i in range(1, 41)
+        ]
+        (src / "b.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        schema = "doc_id long, source string, input_ids array<bigint>"
+        stream = spark.readStream.schema(schema).json(str(src))
+        batch = spark.createDataFrame(
+            [(r["doc_id"], r["source"], r["input_ids"]) for r in rows],
+            schema,
+        )
+        return stream, batch
+
+    def _run(self, transformed, tmp_path, name, key=lambda r: r["doc_id"]):
+        got = []
+
+        def sink(batch_df, batch_id):
+            got.extend(batch_df.collect())
+
+        q = (
+            transformed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    def test_stream_batch_parity(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import fim_transform, span_corrupt
+        from igloo_spark.operators.packing import epoch_upsample
+
+        stream, batch = self._stream_ids(spark, tmp_path)
+
+        cases = [
+            (
+                "epoch",
+                lambda df: epoch_upsample(df, "source", {"a": 2}),
+                lambda r: (r["doc_id"], r["epoch"]),
+            ),
+            (
+                "span",
+                lambda df: span_corrupt(df, window=2, mask_mod=2),
+                lambda r: (r["doc_id"], tuple(r["corrupt_ids"]),
+                           tuple(r["target_ids"])),
+            ),
+            (
+                "fim",
+                lambda df: fim_transform(df, rate_mod=2),
+                lambda r: (r["doc_id"], tuple(r["fim_ids"]), r["fim"]),
+            ),
+        ]
+        for name, fn, key in cases:
+            transformed = fn(stream)
+            assert transformed.isStreaming, name
+            got = sorted(key(r) for r in self._run(transformed, tmp_path, name))
+            want = sorted(key(r) for r in fn(batch).collect())
+            assert got == want and got, name
