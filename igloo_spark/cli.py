@@ -93,6 +93,21 @@ def main(argv: list[str] | None = None) -> int:
         "dataset card records the recipe",
     )
     parser.add_argument(
+        "--fit-mix-rates", default=None, metavar="OUT_JSON",
+        help="freeze the (n_min/n_c)^alpha temperature keep rates "
+        "derived from the documents table as a mix-recipe artifact "
+        "(alpha from --mix-alpha, default 0.5) — the cross-batch-"
+        "stable counterpart to --mix-alpha, same pattern as "
+        "--fit-bpe-merges (needs --data-dir or --corpus-store)",
+    )
+    parser.add_argument(
+        "--mix-rates", default=None, metavar="ART_JSON",
+        help="with --prep-corpus: apply a FROZEN mix-recipe artifact "
+        "(from --fit-mix-rates) at selection instead of deriving "
+        "rates from this batch — repeated exports keep the identical "
+        "mix; mutually exclusive with --mix-alpha",
+    )
+    parser.add_argument(
         "--epochs", default=None, metavar="CLS=K[,CLS=K...]",
         help="with --prep-corpus --pack-budget: replicate each source "
         "class K times before packing (the 'books see 3 epochs, web "
@@ -403,6 +418,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--repair-index", args.repair_index is not None),
             ("--fit-quality-model", args.fit_quality_model is not None),
             ("--fit-bpe-merges", args.fit_bpe_merges is not None),
+            ("--fit-mix-rates", args.fit_mix_rates is not None),
             ("--corpus-report", args.corpus_report is not None),
             ("--optimize-store", args.optimize_store is not None),
             ("--vacuum-store", args.vacuum_store is not None),
@@ -415,7 +431,7 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(
             "one of --sql, --query, --serve, --prep-corpus, --ingest, "
             "--check-index-sync, --repair-index, --fit-quality-model, "
-            "--fit-bpe-merges, --corpus-report, --optimize-store, "
+            "--fit-bpe-merges, --fit-mix-rates, --corpus-report, --optimize-store, "
             "--vacuum-store, --store-history, --search, or "
             "--vector-search is required"
         )
@@ -450,8 +466,22 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--chunk-budget needs --pack-budget (chunk-then-pack)")
     if args.chunk_stride is not None and args.chunk_budget is None:
         parser.error("--chunk-stride needs --chunk-budget")
-    if args.mix_alpha is not None and args.prep_corpus is None:
-        parser.error("--mix-alpha only applies to --prep-corpus")
+    if args.mix_alpha is not None and not (
+        args.prep_corpus is not None or args.fit_mix_rates is not None
+    ):
+        parser.error("--mix-alpha only applies to --prep-corpus/--fit-mix-rates")
+    if args.mix_rates is not None and args.prep_corpus is None:
+        parser.error("--mix-rates only applies to --prep-corpus")
+    if args.mix_rates is not None and args.mix_alpha is not None:
+        parser.error(
+            "--mix-alpha (derive from this batch) and --mix-rates "
+            "(frozen artifact) are mutually exclusive"
+        )
+    if args.fit_mix_rates is not None and not (args.data_dir or args.corpus_store):
+        parser.error(
+            "--fit-mix-rates needs a documents source: --data-dir or "
+            "--corpus-store"
+        )
     if args.compare_report is not None and args.corpus_report is None:
         parser.error("--compare-report needs --corpus-report")
     if args.epochs is not None and args.pack_budget is None:
@@ -541,11 +571,13 @@ def main(argv: list[str] | None = None) -> int:
         or args.prep_corpus is not None
         or args.search is not None
         or args.fit_bpe_merges is not None
+        or args.fit_mix_rates is not None
         or args.corpus_report is not None
     ):
         parser.error(
             "--corpus-store only applies to --sql/--query/--serve/"
-            "--prep-corpus/--search/--fit-bpe-merges/--corpus-report"
+            "--prep-corpus/--search/--fit-bpe-merges/--fit-mix-rates/"
+            "--corpus-report"
         )
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
@@ -650,13 +682,27 @@ def main(argv: list[str] | None = None) -> int:
                 except Exception as e:
                     print(f"error: --eval-docs: {e}", file=sys.stderr)
                     return 2
-            if args.mix_alpha is not None and "source" not in docs.columns:
+            if (
+                args.mix_alpha is not None or args.mix_rates is not None
+            ) and "source" not in docs.columns:
                 print(
-                    "error: --mix-alpha needs a 'source' column on the "
-                    "documents source",
+                    "error: --mix-alpha/--mix-rates need a 'source' "
+                    "column on the documents source",
                     file=sys.stderr,
                 )
                 return 2
+            mix_rates = None
+            mix_precision = 1_000_000
+            if args.mix_rates is not None:
+                from igloo_spark.operators.packing import load_mix_rates
+
+                try:
+                    mix_rates, mix_precision, _ = load_mix_rates(
+                        args.mix_rates
+                    )
+                except (FileNotFoundError, ValueError, KeyError) as e:
+                    print(f"error: --mix-rates: {e}", file=sys.stderr)
+                    return 2
             result = prepare_training_corpus(
                 docs, "doc_id", "text",
                 min_quality=args.min_quality,
@@ -665,6 +711,8 @@ def main(argv: list[str] | None = None) -> int:
                 eval_docs=eval_frame,
                 decon_threshold=args.decon_threshold,
                 mix_alpha=args.mix_alpha,
+                mix_rates=mix_rates,
+                mix_precision=mix_precision,
             )
             # --bpe-top-v: -1 (the default) = the pipeline sentinel
             # (cap self-derived vocabs at 50k, never cap a frozen
@@ -908,6 +956,38 @@ def main(argv: list[str] | None = None) -> int:
                 f"dup_rate {report['exact_dup_rate']}, "
                 f"{len(report.get('sources', {}))} sources{drift} -> "
                 f"{args.corpus_report}"
+            )
+            return 0
+        if args.fit_mix_rates is not None:
+            from igloo_spark.operators.packing import (
+                save_mix_rates,
+                temperature_rates,
+            )
+
+            docs = session.spark.table(
+                "corpus" if args.corpus_store is not None else "documents"
+            )
+            if "source" not in docs.columns:
+                print(
+                    "error: --fit-mix-rates needs a 'source' column on "
+                    "the documents source",
+                    file=sys.stderr,
+                )
+                return 2
+            alpha = args.mix_alpha if args.mix_alpha is not None else 0.5
+            from pyspark.sql import functions as _F
+
+            classes = docs.select(
+                _F.coalesce(_F.col("source").cast("string"), _F.lit("<null>"))
+                .alias("__mix_cls")
+            )
+            rates = temperature_rates(classes, "__mix_cls", alpha=alpha)
+            save_mix_rates(
+                rates, args.fit_mix_rates, alpha=alpha, mix_col="source"
+            )
+            print(
+                f"froze {len(rates)} class rates (alpha {alpha}) -> "
+                f"{args.fit_mix_rates}"
             )
             return 0
         if args.fit_bpe_merges is not None:

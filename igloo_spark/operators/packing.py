@@ -645,3 +645,63 @@ def apply_mix_rates(
     return df.withColumn("mix_rate", rate_col.cast("bigint")).filter(
         (h % precision) < F.col("mix_rate")
     )
+
+
+_MIX_FORMAT = "igloo-spark/mix-rates"
+
+
+def save_mix_rates(
+    rates: dict[str, int],
+    path: str,
+    alpha: float | None = None,
+    mix_col: str | None = None,
+    precision: int = 1_000_000,
+) -> None:
+    """Persist a mix-rate recipe (:func:`temperature_rates` output, or
+    any hand-set micro-unit rate dict) as a JSON artifact —
+    tmp-then-``os.replace`` atomic, the ``save_bpe_merges`` pattern.
+    The same argument as the frozen vocab applies to the frozen MIX:
+    ``mix_alpha`` re-derives rates from each batch's own class counts,
+    so two exports of different batches would keep different fractions
+    of the same class; the artifact pins one recipe across every
+    export, ingest and stream that should share it. ``alpha``/
+    ``mix_col`` ride along as provenance (what the rates were fit
+    with), not as behavior."""
+    import json
+    import os
+
+    payload = {
+        "format": _MIX_FORMAT,
+        "version": 1,
+        "precision": precision,
+        "rates": dict(rates),
+    }
+    if alpha is not None:
+        payload["alpha"] = alpha
+    if mix_col is not None:
+        payload["mix_col"] = mix_col
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_mix_rates(path: str) -> "tuple[dict[str, int], int, dict]":
+    """Load a :func:`save_mix_rates` artifact: ``(rates, precision,
+    meta)`` — format/version validated loudly; ``meta`` carries the
+    provenance fields (alpha, mix_col) when present."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != _MIX_FORMAT:
+        raise ValueError(
+            f"{path} is not a mix-rates artifact "
+            f"(format={payload.get('format')!r}, want {_MIX_FORMAT!r})"
+        )
+    rates = {str(k): int(v) for k, v in payload["rates"].items()}
+    precision = int(payload.get("precision", 1_000_000))
+    meta = {
+        k: payload[k] for k in ("alpha", "mix_col") if k in payload
+    }
+    return rates, precision, meta

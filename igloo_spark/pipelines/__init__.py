@@ -81,6 +81,8 @@ def prepare_training_corpus(
     token_budget: int | None = None,
     mix_alpha: float | None = None,
     mix_col: str = "source",
+    mix_rates: "dict[str, int] | None" = None,
+    mix_precision: int = 1_000_000,
 ) -> CorpusPrepResult:
     """Compose exact dedup → near-dup dedup → ExactSubstr span removal
     → quality gate → deterministic shard assignment over a document
@@ -224,28 +226,50 @@ def prepare_training_corpus(
     # |classes|-agg + a scan-speed hash gate, no corpus shuffle —
     # temperature_sample's documented shape.
     mix = None
-    if mix_alpha is not None:
-        from igloo_spark.operators.packing import temperature_sample
+    if mix_alpha is not None and mix_rates is not None:
+        raise ValueError(
+            "mix_alpha (derive rates from THIS corpus) and mix_rates "
+            "(a frozen recipe artifact) are mutually exclusive — one "
+            "recipe per prep"
+        )
+    if mix_alpha is not None or mix_rates is not None:
+        from igloo_spark.operators.packing import (
+            apply_mix_rates,
+            temperature_sample,
+        )
 
         if mix_col not in df.columns:
             raise ValueError(
-                f"mix_alpha needs a {mix_col!r} column on the input "
-                f"frame (pass mix_col= to name the mixture class)"
+                f"temperature mixing needs a {mix_col!r} column on the "
+                f"input frame (pass mix_col= to name the mixture class)"
             )
         # NULL classes form their own explicit '<null>' mixture class:
-        # temperature_sample's inner rate join would silently DROP
-        # null-keyed docs otherwise, and the null group's count must
-        # participate in the rate derivation visibly, not by accident
+        # the rate join/CASE would silently DROP null-keyed docs
+        # otherwise, and the null group's count must participate in
+        # the rate derivation visibly, not by accident
         classes = df.select(
             id_col,
             F.coalesce(F.col(mix_col).cast("string"), F.lit("<null>"))
             .alias("__mix_cls"),
         )
-        selected = temperature_sample(
-            selected.join(classes, id_col), id_col, "__mix_cls",
-            alpha=mix_alpha,
-        ).drop("__mix_cls", "mix_rate")
-        mix = {"mix_col": mix_col, "alpha": mix_alpha}
+        joined = selected.join(classes, id_col)
+        if mix_alpha is not None:
+            # self-derived: rates from THIS corpus's class counts
+            selected = temperature_sample(
+                joined, id_col, "__mix_cls", alpha=mix_alpha
+            ).drop("__mix_cls", "mix_rate")
+            mix = {"mix_col": mix_col, "alpha": mix_alpha}
+        else:
+            # frozen recipe (save_mix_rates artifact): the same
+            # argument as the frozen vocab — self-derived rates change
+            # with every batch's class counts, a frozen recipe keeps
+            # the mix identical across every export/ingest sharing it
+            selected = apply_mix_rates(
+                joined, id_col, "__mix_cls", mix_rates,
+                precision=mix_precision,
+            ).drop("__mix_cls", "mix_rate")
+            mix = {"mix_col": mix_col, "rates": dict(mix_rates),
+                   "precision": mix_precision}
 
     # 5d. optional fixed-token-budget selection (x100): quality-
     # preferring, sort-free, deterministic boundary-bin hash gate

@@ -967,3 +967,69 @@ class TestStatelessTransformsAreStreamingLegal:
             got = sorted(key(r) for r in self._run(transformed, tmp_path, name))
             want = sorted(key(r) for r in fn(batch).collect())
             assert got == want and got, name
+
+
+class TestFrozenMixRecipe:
+    """save_mix_rates/load_mix_rates + prepare_training_corpus(
+    mix_rates=): the frozen-vocab argument applied to the MIX —
+    self-derived rates change with every batch's class counts, the
+    artifact pins one recipe across exports."""
+
+    def test_artifact_roundtrip(self, spark, tmp_path):
+        from igloo_spark.operators.packing import (
+            load_mix_rates,
+            save_mix_rates,
+            temperature_rates,
+        )
+
+        docs = _docs(spark, n=36)
+        rates = temperature_rates(docs, "source", alpha=0.5)
+        p = str(tmp_path / "mix.json")
+        save_mix_rates(rates, p, alpha=0.5, mix_col="source")
+        loaded, precision, meta = load_mix_rates(p)
+        assert loaded == rates
+        assert precision == 1_000_000
+        assert meta == {"alpha": 0.5, "mix_col": "source"}
+        with pytest.raises(ValueError, match="mix-rates artifact"):
+            (tmp_path / "bad.json").write_text('{"format": "nope"}')
+            load_mix_rates(str(tmp_path / "bad.json"))
+
+    def test_frozen_prep_matches_self_derived_on_same_corpus(
+        self, spark, tmp_path
+    ):
+        from igloo_spark.operators.packing import temperature_rates
+        from igloo_spark.pipelines import prepare_training_corpus
+
+        docs = _docs(spark, n=48)
+        # rates frozen from the same corpus -> identical kept set,
+        # because temperature_rates mirrors the operator's arithmetic
+        rates = temperature_rates(docs, "source", alpha=0.5)
+        frozen = _prep(docs, mix_rates=rates)
+        derived = _prep(docs, mix_alpha=0.5)
+        assert sorted(r["doc_id"] for r in frozen.corpus.collect()) == \
+            sorted(r["doc_id"] for r in derived.corpus.collect())
+        assert frozen.mix["rates"] == rates
+
+    def test_frozen_recipe_is_batch_independent(self, spark):
+        """The point of freezing: a batch whose OWN class counts would
+        derive different rates still keeps under the artifact's."""
+        from igloo_spark.operators.packing import temperature_rates
+
+        ref = _docs(spark, n=48)
+        rates = temperature_rates(ref, "source", alpha=0.5)
+        # a skewed second batch: alpha-only docs — self-derived rates
+        # would be all-1.0 (single class); the frozen recipe keeps the
+        # reference's alpha rate
+        batch = _docs(spark, n=30)
+        batch_alpha = batch.filter(F.col("source") == "alpha")
+        frozen = _prep(batch_alpha, mix_rates=rates)
+        kept = frozen.corpus.count()
+        admitted = _prep(batch_alpha).corpus.count()
+        if rates["alpha"] == 1_000_000:
+            assert kept == admitted
+        else:
+            assert kept <= admitted
+
+    def test_mutually_exclusive(self, spark):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            _prep(_docs(spark), mix_alpha=0.5, mix_rates={"alpha": 1})
