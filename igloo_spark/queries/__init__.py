@@ -43,7 +43,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # changed-since-verdict pins: the r12 diff touches
     # pipelines/cli/serving/tests plus APPEND-ONLY additions
     # (x151/x152, bpe.fim_transform, packing.temperature_rates/
-    # apply_mix_rates) — no existing query's code path changed. Exactly 50 entries. After this window the verdict-age
+    # apply_mix_rates/save_mix_rates/load_mix_rates) — no existing
+    # query's code path changed. Exactly 50 entries. After this window the verdict-age
     # histogram is 50@r12, 50@r11, 47@r10, 45@r09, 8@r08 — zero
     # never-checked. The r13 rotation: the eight r08-deferred above
     # first, then the 42 oldest remaining (the r09 window).

@@ -311,3 +311,73 @@ def read_jdbc(
     for k, v in properties.items():
         reader = reader.option(k, str(v))
     return reader.load()
+
+
+def read_tar_shards(
+    spark: SparkSession,
+    path: str,
+    members: "tuple[str, ...] | list[str]" = ("txt",),
+) -> DataFrame:
+    """Read a ``sinks.write_tar_shards`` export back into one row per
+    SAMPLE — the loader side of the WebDataset round trip (the write
+    side alone left tar shards opaque to the engine). Output schema:
+    ``shard string, key string`` plus ONE BINARY COLUMN per requested
+    member extension (column name = extension with ``.``/``-`` →
+    ``_``, e.g. ``ids.json`` → ``ids_json``); a sample missing a
+    member carries NULL there (the skip-signal convention the
+    exporters write). Callers decode (UTF-8, JSON) as they know how.
+
+    Plan shape: one ``binaryFile`` scan (one row per shard tar — no
+    splitting, tars aren't splittable) feeding ONE Arrow-batched
+    ``mapInPandas`` stage that parses each tar exactly once
+    executor-side; parallelism = n_shards, the same bound the writer
+    documents. Memory note, stated honestly: ``binaryFile``
+    materializes each WHOLE tar in its task (plus the parsed members)
+    — size shards accordingly (the WebDataset convention is
+    100 MB–1 GB shards, well inside executor memory)."""
+    import re
+
+    member_list = list(members)
+    cols = {m: re.sub(r"[.\-]", "_", m) for m in member_list}
+    if len(set(cols.values())) != len(cols):
+        raise ValueError(f"member names collide after sanitizing: {cols}")
+    schema = "shard string, key string, " + ", ".join(
+        f"{c} binary" for c in cols.values()
+    )
+
+    def parse(batches):
+        import io
+        import os as _os
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[dict] = []
+            for _, row in pdf.iterrows():
+                shard = _os.path.basename(row["path"])
+                with tarfile.open(
+                    fileobj=io.BytesIO(row["content"])
+                ) as tf:
+                    samples: dict[str, dict] = {}
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        # member names are <key>.<ext>; ext may be
+                        # dotted (ids.json), so split on the FIRST dot
+                        key, _, ext = m.name.partition(".")
+                        if ext not in cols:
+                            continue
+                        samples.setdefault(key, {})[cols[ext]] = (
+                            tf.extractfile(m).read()
+                        )
+                    for key, vals in samples.items():
+                        out.append(
+                            {"shard": shard, "key": key, **vals}
+                        )
+            yield pd.DataFrame(
+                out, columns=["shard", "key", *cols.values()]
+            )
+
+    files = spark.read.format("binaryFile").load(path + "/shard-*.tar")
+    return files.select("path", "content").mapInPandas(parse, schema)

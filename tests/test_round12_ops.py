@@ -1033,3 +1033,64 @@ class TestFrozenMixRecipe:
     def test_mutually_exclusive(self, spark):
         with pytest.raises(ValueError, match="mutually exclusive"):
             _prep(_docs(spark), mix_alpha=0.5, mix_rates={"alpha": 1})
+
+
+class TestReadTarShards:
+    """sources.read_tar_shards: the loader side of the WebDataset
+    round trip — a tar export reads back into one row per sample with
+    the exact text/ids the exporter wrote."""
+
+    def test_roundtrip(self, spark, tmp_path):
+        import json as _json
+
+        from igloo_spark.pipelines import write_training_shards
+        from igloo_spark.sources import read_tar_shards
+
+        docs = _docs(spark, n=12)
+        res = _prep(docs)
+        merges = _merges(docs)
+        write_training_shards(
+            docs, res, str(tmp_path / "t"), data_format="tar",
+            bpe_merges=merges,
+        )
+        back = read_tar_shards(
+            spark, str(tmp_path / "t"), members=("txt", "ids.json")
+        )
+        rows = {r["key"]: r for r in back.collect()}
+        src = {str(r["doc_id"]): r["text"] for r in docs.collect()}
+        admitted = {
+            str(r["doc_id"]) for r in res.corpus.select("doc_id").collect()
+        }
+        assert set(rows) == admitted
+        from igloo_spark.operators.bpe import bpe_encode_ids
+
+        enc = {
+            str(r["doc_id"]): list(r["input_ids"])
+            for r in bpe_encode_ids(docs, merges, top_v=None).collect()
+        }
+        for key, r in rows.items():
+            assert r["txt"].decode("utf-8") == src[key]
+            ids = _json.loads(r["ids_json"].decode("utf-8"))
+            # default capped self-derived encode == uncapped here
+            # (tiny vocab, cap 50k never bites)
+            assert ids == enc[key]
+
+    def test_missing_member_is_null(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_training_shards
+        from igloo_spark.sources import read_tar_shards
+
+        docs = _docs(spark, n=6)
+        res = _prep(docs)
+        # text-only export: asking for ids.json too yields NULLs
+        write_training_shards(docs, res, str(tmp_path / "t"), data_format="tar")
+        back = read_tar_shards(
+            spark, str(tmp_path / "t"), members=("txt", "ids.json")
+        )
+        assert back.filter(F.col("ids_json").isNotNull()).count() == 0
+        assert back.filter(F.col("txt").isNull()).count() == 0
+
+    def test_collision_raises(self, spark):
+        from igloo_spark.sources import read_tar_shards
+
+        with pytest.raises(ValueError, match="collide"):
+            read_tar_shards(spark, "/tmp/x", members=("a.b", "a_b"))
