@@ -155,11 +155,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--fim-mod", type=int, default=None, metavar="M",
-        help="with --prep-corpus and ids: additionally export "
-        "fill-in-the-middle columns (a deterministic ~1/M of docs "
-        "reordered [PRE]prefix[SUF]suffix[MID]middle with hash-derived "
-        "cut points) on every per-document shard row — the code-model "
-        "infilling artifact. Not with --pack-budget/--batch-size",
+        help="with --prep-corpus and ids: fill-in-the-middle — a "
+        "deterministic ~1/M of docs reordered [PRE]prefix[SUF]suffix"
+        "[MID]middle with hash-derived cut points. Per-document "
+        "export: adds fim_ids/fim/cut columns; with --pack-budget: "
+        "transforms BEFORE packing (FIM-then-pack, the code-model "
+        "pretraining recipe). Not with --batch-size",
     )
     parser.add_argument(
         "--bpe-top-v", type=int, default=-1, metavar="N",
@@ -501,17 +502,24 @@ def main(argv: list[str] | None = None) -> int:
             "--batch-size needs --prep-corpus and either --bpe-merges "
             "or a tokenized --corpus-store"
         )
+    if args.denoise_window is not None and (
+        args.pack_budget is not None or args.batch_size is not None
+    ):
+        parser.error(
+            "--denoise-window exports per-document pairs — not with "
+            "--pack-budget/--batch-size"
+        )
+    if args.fim_mod is not None and args.batch_size is not None:
+        parser.error(
+            "--fim-mod composes with per-document rows or --pack-budget "
+            "(FIM-then-pack, the code-model recipe) — not --batch-size"
+        )
     for flag, val in (
         ("--denoise-window", args.denoise_window),
         ("--fim-mod", args.fim_mod),
     ):
         if val is None:
             continue
-        if args.pack_budget is not None or args.batch_size is not None:
-            parser.error(
-                f"{flag} exports per-document rows — not with "
-                f"--pack-budget/--batch-size"
-            )
         if args.prep_corpus is None or (
             args.bpe_merges is None and args.corpus_store is None
         ):
@@ -768,6 +776,7 @@ def main(argv: list[str] | None = None) -> int:
                     epochs=epochs,
                     default_epochs=args.default_epochs,
                     eos_id=args.eos_id,
+                    fim_rate_mod=args.fim_mod,
                 )
                 counts = result.counts.first().asDict()
                 chunked = (
@@ -780,11 +789,16 @@ def main(argv: list[str] | None = None) -> int:
                     f"{info['default_epochs']})"
                     if "epochs" in info else ""
                 )
+                fimmed = (
+                    f" ({info['n_fim']} docs FIM-reordered at ~1/"
+                    f"{info['fim_rate_mod']})"
+                    if "fim_rate_mod" in info else ""
+                )
                 print(
                     f"prepared corpus: {counts} -> {info['n_docs']} docs "
                     f"packed into {info['n_rows']} sequences "
                     f"({info['n_ids']} ids, budget {info['budget']})"
-                    f"{chunked}{mixed} in "
+                    f"{chunked}{mixed}{fimmed} in "
                     f"{info['n_shards']} shards at {args.prep_corpus}"
                 )
                 return 0

@@ -908,6 +908,8 @@ def write_packed_token_shards(
     default_epochs: int = 1,
     mix_col: str = "source",
     eos_id: "int | None" = None,
+    fim_rate_mod: "int | None" = None,
+    fim_sentinel_base: int = 2_000_000,
 ) -> dict:
     """The FINAL pretraining artifact: one row per fixed-budget
     training sequence — ``seq_ids`` (the packed id concatenation) and
@@ -986,6 +988,24 @@ def write_packed_token_shards(
         )
     if chunk_stride is not None and chunk_budget is None:
         raise ValueError("chunk_stride needs chunk_budget")
+    if fim_rate_mod is not None:
+        # the published code-model recipe: FIM-transform at DOCUMENT
+        # level, then chunk/pack the transformed stream — a gated
+        # ~1/mod of documents train as infilling samples, the rest as
+        # plain next-token. Applied FIRST (before eos/epochs/chunking)
+        # so the sentinel layout is per-document and every epoch copy
+        # / chunk window sees the same transformed ids. In-row
+        # codegen, zero exchanges (operators.bpe.fim_transform).
+        from igloo_spark.operators.bpe import fim_transform
+
+        enc = fim_transform(
+            enc, id_col=id_col, rate_mod=fim_rate_mod,
+            sentinel_base=fim_sentinel_base,
+        ).select(
+            id_col,
+            F.col("fim_ids").alias("input_ids"),
+            F.col("n_fim_ids").alias("n_ids"),
+        )
     if eos_id is not None:
         # the published GPT-packing convention: every document ends in
         # ONE separator id, so the loader recovers document boundaries
@@ -1122,6 +1142,26 @@ def write_packed_token_shards(
         out["epoch_key_base"] = epoch_key_base
     if eos_id is not None:
         out["eos_id"] = eos_id
+    if fim_rate_mod is not None:
+        out["fim_rate_mod"] = fim_rate_mod
+        # transformed-doc count recovered from the stream itself: one
+        # [PRE] sentinel (= fim_sentinel_base) per transformed doc
+        out["n_fim"] = int(
+            back.agg(
+                F.coalesce(
+                    F.sum(
+                        F.size(
+                            F.filter(
+                                "seq_ids",
+                                lambda x: x
+                                == F.lit(fim_sentinel_base).cast("bigint"),
+                            )
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).first()[0]
+        )
     if chunk_budget is not None:
         out["chunk_budget"] = chunk_budget
         out["chunk_stride"] = (

@@ -1094,3 +1094,49 @@ class TestReadTarShards:
 
         with pytest.raises(ValueError, match="collide"):
             read_tar_shards(spark, "/tmp/x", members=("a.b", "a_b"))
+
+
+class TestFimThenPack:
+    """write_packed_token_shards(fim_rate_mod=): the code-model
+    recipe — FIM at document level, then pack; the packed stream
+    carries exactly one [PRE] sentinel per transformed doc and the
+    transformed docs' PSM ids verbatim."""
+
+    def test_fim_pack_roundtrip(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import fim_transform
+        from igloo_spark.pipelines import write_packed_token_shards
+
+        docs = _docs(spark, n=16)
+        res = _prep(docs)
+        merges = _merges(docs)
+        BASE = 50_000
+        info = write_packed_token_shards(
+            docs, res, str(tmp_path / "p"), merges,
+            budget=64, n_shards=2,
+            fim_rate_mod=2, fim_sentinel_base=BASE,
+        )
+        assert info["fim_rate_mod"] == 2
+        back = spark.read.parquet(str(tmp_path / "p"))
+        # reconstruct per-doc streams from spans and compare with the
+        # operator's own output over the admitted encode
+        from igloo_spark.pipelines import _export_encode
+
+        admitted = docs.join(
+            res.corpus.select("doc_id"), "doc_id", "leftsemi"
+        )
+        enc, _ = _export_encode(
+            admitted, merges, None, None, "doc_id", "text"
+        )
+        want = {
+            r["doc_id"]: (list(r["fim_ids"]), r["fim"])
+            for r in fim_transform(
+                enc, rate_mod=2, sentinel_base=BASE
+            ).collect()
+        }
+        n_fim_docs = sum(1 for v in want.values() if v[1] == 1)
+        assert info["n_fim"] == n_fim_docs > 0
+        for r in back.collect():
+            seq = list(r["seq_ids"])
+            for s in r["doc_spans"]:
+                got = seq[s["start"]:s["start"] + s["len"]]
+                assert got == want[s["doc_id"]][0]
