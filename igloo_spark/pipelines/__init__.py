@@ -1146,6 +1146,8 @@ def write_packed_token_shards(
         out["fim_rate_mod"] = fim_rate_mod
         # transformed-doc count recovered from the stream itself: one
         # [PRE] sentinel (= fim_sentinel_base) per transformed doc
+        # (per transformed COPY when epochs replicate — the stream is
+        # what trains, so copies are the honest unit)
         out["n_fim"] = int(
             back.agg(
                 F.coalesce(
