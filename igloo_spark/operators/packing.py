@@ -582,16 +582,34 @@ def temperature_rates(
     (one |classes|-bounded aggregate + collect), freezes them, and
     applies the frozen gate in-stream (:func:`apply_mix_rates`).
 
-    The arithmetic is the operator's exactly (double division of the
-    bigint counts, correctly-rounded sqrt for ``alpha=0.5``, floor to
-    ``precision`` integer units) so a frozen-rate gate over the SAME
-    data keeps the identical set ``temperature_sample`` keeps —
-    batch/stream parity is bit-exact, not approximate."""
+    The arithmetic is the operator's exactly for the default
+    ``alpha=0.5`` (double division of the bigint counts, correctly
+    rounded sqrt on both sides, floor to ``precision`` integer units),
+    so a frozen-rate gate over the SAME null-free data keeps the
+    identical set ``temperature_sample`` keeps — bit-exact, not
+    approximate. For other alphas the two sides use different ``pow``
+    implementations (C libm vs Java Math.pow, each within 1 ulp), so a
+    floored rate can differ by one ``1/precision`` unit in adversarial
+    cases — parity within one millionth, exact in practice.
+
+    NULL class values key the artifact as the explicit ``'<null>'``
+    class (JSON has no null keys and :func:`apply_mix_rates` coalesces
+    the same way); note ``temperature_sample`` itself DROPS null-class
+    rows via its rate join — the artifact pair handles them better,
+    not identically."""
     import math
 
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    rows = df.groupBy(mix_col).agg(F.count("*").alias("__n")).collect()
+    rows = (
+        df.select(
+            F.coalesce(F.col(mix_col).cast("string"), F.lit("<null>"))
+            .alias("__cls")
+        )
+        .groupBy("__cls")
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    )
     if not rows:
         return {}
     n_min = float(min(r["__n"] for r in rows))
@@ -599,7 +617,7 @@ def temperature_rates(
     for r in rows:
         ratio = n_min / float(r["__n"])
         scaled = math.sqrt(ratio) if alpha == 0.5 else ratio ** alpha
-        out[r[mix_col]] = int(math.floor(scaled * precision))
+        out[r["__cls"]] = int(math.floor(scaled * precision))
     return out
 
 
@@ -618,15 +636,22 @@ def apply_mix_rates(
     reference corpus reproduce the operator's exactly.
 
     Streaming-legal by construction: no aggregate, no state — one
-    codegen'd CASE over the class column and the standard id hash, so
-    it runs DIRECTLY on a ``readStream`` frame (in-stream admission
-    control) with decisions identical to the batch path's.
+    stream-STATIC broadcast join against the |classes|-sized rate
+    table and the standard id hash gate, so it runs DIRECTLY on a
+    ``readStream`` frame (in-stream admission control) with decisions
+    identical to the batch path's. (A join, not a CASE chain: a
+    per-domain recipe can carry thousands of classes, and a
+    thousands-deep ``when()`` expression tree breaks codegen where
+    the broadcast join scales flat — ``temperature_sample``'s own
+    shape.)
 
-    ``default_rate`` governs classes absent from the artifact — a
-    stream WILL eventually carry a source the recipe never saw. The
-    default (None) keeps them all (rate = ``precision``): an unseen
-    source is a mix-recipe staleness signal, not data to silently
-    drop; pass 0 to quarantine unknown classes instead."""
+    NULL class values gate under the ``'<null>'`` key (the
+    :func:`temperature_rates` convention). ``default_rate`` governs
+    classes absent from the artifact — a stream WILL eventually carry
+    a source the recipe never saw. The default (None) keeps them all
+    (rate = ``precision``): an unseen source is a mix-recipe
+    staleness signal, not data to silently drop; pass 0 to quarantine
+    unknown classes instead."""
     if default_rate is None:
         default_rate = precision
     for cls, rate in {**rates, "<default>": default_rate}.items():
@@ -634,16 +659,24 @@ def apply_mix_rates(
             raise ValueError(
                 f"rate for {cls!r} must be in [0, {precision}], got {rate}"
             )
-    rate_col = F.lit(default_rate)
-    for cls, rate in rates.items():
-        rate_col = F.when(F.col(mix_col) == cls, F.lit(rate)).otherwise(
-            rate_col
-        )
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(str(c), int(r)) for c, r in rates.items()],
+        "__cls string, __rate bigint",
+    )
+    cls = F.coalesce(F.col(mix_col).cast("string"), F.lit("<null>"))
     h = hex_prefix_hash(
         F.concat(F.lit("tmix:"), F.col(id_col).cast("string"))
     )
-    return df.withColumn("mix_rate", rate_col.cast("bigint")).filter(
-        (h % precision) < F.col("mix_rate")
+    return (
+        df.withColumn("__cls", cls)
+        .join(F.broadcast(rates_df), "__cls", "left")
+        .withColumn(
+            "mix_rate",
+            F.coalesce("__rate", F.lit(default_rate)).cast("bigint"),
+        )
+        .drop("__cls", "__rate")
+        .filter((h % precision) < F.col("mix_rate"))
     )
 
 

@@ -998,13 +998,32 @@ def write_packed_token_shards(
         # codegen, zero exchanges (operators.bpe.fim_transform).
         from igloo_spark.operators.bpe import fim_transform
 
-        enc = fim_transform(
+        if eos_id is not None and (
+            fim_sentinel_base <= eos_id <= fim_sentinel_base + 2
+        ):
+            # the two flags' reserved ids are OURS to keep disjoint:
+            # a colliding eos is indistinguishable from a FIM sentinel
+            # in the id stream (boundary recovery breaks, n_fim counts
+            # every doc) — fail loudly instead
+            raise ValueError(
+                f"eos_id={eos_id} collides with the FIM sentinel range "
+                f"[{fim_sentinel_base}, {fim_sentinel_base + 2}] — "
+                f"pick a disjoint eos_id or fim_sentinel_base"
+            )
+        fimmed = fim_transform(
             enc, id_col=id_col, rate_mod=fim_rate_mod,
             sentinel_base=fim_sentinel_base,
         ).select(
             id_col,
             F.col("fim_ids").alias("input_ids"),
             F.col("n_fim_ids").alias("n_ids"),
+        )
+        # fim_transform drops zero-length docs (nothing to reorder);
+        # keep them so toggling the flag never changes doc accounting
+        enc = fimmed.unionByName(
+            enc.filter(F.size("input_ids") == 0).select(
+                id_col, "input_ids", F.col("n_ids").cast("bigint").alias("n_ids")
+            )
         )
     if eos_id is not None:
         # the published GPT-packing convention: every document ends in
@@ -1103,15 +1122,36 @@ def write_packed_token_shards(
     if text_col in docs.columns:
         # tokenized-store corpus views always carry text; guard anyway
         # so an ids-only frame still exports (cardless)
-        card_extra = None
+        # the card records the FULL packing recipe — an auditor must be
+        # able to reproduce the artifact from the card alone, so every
+        # stream-shaping knob lands here, not just the epochs mix
+        card_extra = {
+            "pack": {
+                k: v
+                for k, v in (
+                    ("budget", budget),
+                    ("n_shards", n_shards),
+                    ("chunk_budget", chunk_budget),
+                    ("chunk_stride", chunk_stride),
+                    ("chunk_key_base",
+                     chunk_key_base if chunk_budget is not None else None),
+                )
+                if v is not None
+            }
+        }
         if epochs is not None:
-            card_extra = {
-                "epochs": {
-                    "per_class": dict(epochs),
-                    "default": default_epochs,
-                    "mix_col": mix_col,
-                    "epoch_key_base": epoch_key_base,
-                }
+            card_extra["epochs"] = {
+                "per_class": dict(epochs),
+                "default": default_epochs,
+                "mix_col": mix_col,
+                "epoch_key_base": epoch_key_base,
+            }
+        if eos_id is not None:
+            card_extra["eos_id"] = eos_id
+        if fim_rate_mod is not None:
+            card_extra["fim"] = {
+                "rate_mod": fim_rate_mod,
+                "sentinel_base": fim_sentinel_base,
             }
         _write_export_report(
             docs, result, path, id_col, text_col, extra=card_extra

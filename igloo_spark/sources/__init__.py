@@ -345,6 +345,14 @@ def read_tar_shards(
         f"{c} binary" for c in cols.values()
     )
 
+    # longest extension first: member names are <key>.<ext> where KEY
+    # may itself contain dots (write_tar_shards permits arbitrary
+    # string keys), so the ext is recovered by SUFFIX match against
+    # the requested set — "en.wiki_42.ids.json" under members
+    # ("txt", "ids.json") is key "en.wiki_42", ext "ids.json", never
+    # a silent drop or a cross-key merge
+    by_suffix = sorted(member_list, key=len, reverse=True)
+
     def parse(batches):
         import io
         import os as _os
@@ -353,9 +361,9 @@ def read_tar_shards(
         import pandas as pd
 
         for pdf in batches:
-            out: list[dict] = []
             for _, row in pdf.iterrows():
                 shard = _os.path.basename(row["path"])
+                out: list[dict] = []
                 with tarfile.open(
                     fileobj=io.BytesIO(row["content"])
                 ) as tf:
@@ -363,11 +371,18 @@ def read_tar_shards(
                     for m in tf.getmembers():
                         if not m.isfile():
                             continue
-                        # member names are <key>.<ext>; ext may be
-                        # dotted (ids.json), so split on the FIRST dot
-                        key, _, ext = m.name.partition(".")
-                        if ext not in cols:
+                        ext = next(
+                            (
+                                e
+                                for e in by_suffix
+                                if m.name.endswith("." + e)
+                                and len(m.name) > len(e) + 1
+                            ),
+                            None,
+                        )
+                        if ext is None:
                             continue
+                        key = m.name[: -(len(ext) + 1)]
                         samples.setdefault(key, {})[cols[ext]] = (
                             tf.extractfile(m).read()
                         )
@@ -375,9 +390,12 @@ def read_tar_shards(
                         out.append(
                             {"shard": shard, "key": key, **vals}
                         )
-            yield pd.DataFrame(
-                out, columns=["shard", "key", *cols.values()]
-            )
+                # yield PER TAR so peak memory is one parsed tar, not
+                # every tar in the Arrow batch at once (the docstring's
+                # stated bound)
+                yield pd.DataFrame(
+                    out, columns=["shard", "key", *cols.values()]
+                )
 
     files = spark.read.format("binaryFile").load(path + "/shard-*.tar")
     return files.select("path", "content").mapInPandas(parse, schema)

@@ -1140,3 +1140,100 @@ class TestFimThenPack:
             for s in r["doc_spans"]:
                 got = seq[s["start"]:s["start"] + s["len"]]
                 assert got == want[s["doc_id"]][0]
+
+
+class TestSecondReviewHardening:
+    """Second-pass adversarial review fixes: dotted tar keys, NULL
+    classes in the frozen-rate pair, eos/FIM sentinel collision, the
+    full packing recipe on the card, FIM zero-length preservation,
+    and the joined (not CASE-chained) rate gate."""
+
+    def test_tar_dotted_keys_roundtrip(self, spark, tmp_path):
+        from igloo_spark import sinks
+        from igloo_spark.sources import read_tar_shards
+
+        df = spark.createDataFrame(
+            [("en.wiki_42", "hello", 0, 1), ("a.b", "world", 0, 2)],
+            "doc_id string, text string, shard long, pos long",
+        )
+        sinks.write_tar_shards(
+            df, str(tmp_path / "t"), members={"txt": "text"},
+            key_col="doc_id", order_col="pos",
+        )
+        back = {
+            r["key"]: r["txt"].decode()
+            for r in read_tar_shards(
+                spark, str(tmp_path / "t"), members=("txt",)
+            ).collect()
+        }
+        assert back == {"en.wiki_42": "hello", "a.b": "world"}
+
+    def test_frozen_rates_null_class(self, spark, tmp_path):
+        from igloo_spark.operators.packing import (
+            apply_mix_rates,
+            save_mix_rates,
+            temperature_rates,
+        )
+
+        df = spark.createDataFrame(
+            [(i, None if i % 5 == 0 else "real") for i in range(1, 41)],
+            "doc_id long, source string",
+        )
+        rates = temperature_rates(df, "source", alpha=0.5)
+        assert "<null>" in rates and None not in rates
+        # artifact write must not crash on the null class (JSON keys)
+        save_mix_rates(rates, str(tmp_path / "m.json"))
+        kept = apply_mix_rates(df, "doc_id", "source", rates)
+        null_kept = kept.filter(F.col("source").isNull()).count()
+        # '<null>' is the smaller class -> rate 1.0 -> all kept
+        assert null_kept == df.filter(F.col("source").isNull()).count()
+
+    def test_eos_fim_sentinel_collision_raises(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_packed_token_shards
+
+        docs = _docs(spark, n=8)
+        res = _prep(docs)
+        with pytest.raises(ValueError, match="collides"):
+            write_packed_token_shards(
+                docs, res, str(tmp_path / "p"), _merges(docs),
+                budget=32, fim_rate_mod=2,
+                eos_id=2_000_000,
+            )
+
+    def test_card_records_full_packing_recipe(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_packed_token_shards
+
+        docs = _docs(spark, n=12)
+        res = _prep(docs)
+        write_packed_token_shards(
+            docs, res, str(tmp_path / "p"), _merges(docs),
+            budget=32, n_shards=2, eos_id=99_999, fim_rate_mod=2,
+            chunk_budget=8,
+        )
+        card = json.loads((tmp_path / "p/_meta/report.json").read_text())
+        assert card["pack"]["budget"] == 32
+        assert card["pack"]["chunk_budget"] == 8
+        assert card["eos_id"] == 99_999
+        assert card["fim"] == {"rate_mod": 2, "sentinel_base": 2_000_000}
+
+    def test_fim_keeps_zero_length_docs(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_packed_token_shards
+
+        rows = [
+            (1, "solid words here", "a", [3, 4, 5, 6], 4),
+            (2, "another", "a", [], 0),  # empty stored ids
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, source string, "
+            "input_ids array<bigint>, n_ids long",
+        )
+        res = _prep(docs, n_shards=1)
+        base = write_packed_token_shards(
+            docs, res, str(tmp_path / "a"), budget=16, n_shards=1
+        )
+        fimmed = write_packed_token_shards(
+            docs, res, str(tmp_path / "b"), budget=16, n_shards=1,
+            fim_rate_mod=2,
+        )
+        assert fimmed["n_docs"] == base["n_docs"]  # flag changes nothing
