@@ -98,14 +98,32 @@ def main(argv: list[str] | None = None) -> int:
         "derived from the documents table as a mix-recipe artifact "
         "(alpha from --mix-alpha, default 0.5) — the cross-batch-"
         "stable counterpart to --mix-alpha, same pattern as "
-        "--fit-bpe-merges (needs --data-dir or --corpus-store)",
+        "--fit-bpe-merges (needs --data-dir or --corpus-store). "
+        "NOTE the fit reads the RAW source table, not the prepped "
+        "survivor set — cross-batch stability is the artifact's "
+        "point; --mix-alpha derives from each prep run's own "
+        "post-dedup/quality/decon survivors, so the two reproduce "
+        "each other exactly only when prep drops nothing (fit from "
+        "a prepped store's corpus view for exact parity)",
     )
     parser.add_argument(
         "--mix-rates", default=None, metavar="ART_JSON",
-        help="with --prep-corpus: apply a FROZEN mix-recipe artifact "
-        "(from --fit-mix-rates) at selection instead of deriving "
-        "rates from this batch — repeated exports keep the identical "
-        "mix; mutually exclusive with --mix-alpha",
+        help="with --prep-corpus or --ingest: apply a FROZEN "
+        "mix-recipe artifact (from --fit-mix-rates). Prep: at "
+        "selection instead of deriving rates from this batch — "
+        "repeated exports keep the identical mix; mutually exclusive "
+        "with --mix-alpha. Ingest: as the last admission gate "
+        "(sampled-out docs get the mix_sampled_out verdict) — the "
+        "same gate ingest_stream applies in-stream",
+    )
+    parser.add_argument(
+        "--read-tar", default=None, metavar="DIR",
+        help="VERIFY a tar-shard export: parse every shard-*.tar via "
+        "sources.read_tar_shards, decode the txt/ids.json (and "
+        "denoise/FIM) members, report sample/shard/member counts, "
+        "and check the sample count against the export's dataset "
+        "card (_meta/report.json) when present — exit 4 on a card "
+        "mismatch or an undecodable member",
     )
     parser.add_argument(
         "--epochs", default=None, metavar="CLS=K[,CLS=K...]",
@@ -426,6 +444,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--store-history", args.store_history is not None),
             ("--search", args.search is not None),
             ("--vector-search", args.vector_search is not None),
+            ("--read-tar", args.read_tar is not None),
         ) if on
     ]
     if not modes:
@@ -433,8 +452,8 @@ def main(argv: list[str] | None = None) -> int:
             "one of --sql, --query, --serve, --prep-corpus, --ingest, "
             "--check-index-sync, --repair-index, --fit-quality-model, "
             "--fit-bpe-merges, --fit-mix-rates, --corpus-report, --optimize-store, "
-            "--vacuum-store, --store-history, --search, or "
-            "--vector-search is required"
+            "--vacuum-store, --store-history, --search, "
+            "--vector-search, or --read-tar is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -471,8 +490,8 @@ def main(argv: list[str] | None = None) -> int:
         args.prep_corpus is not None or args.fit_mix_rates is not None
     ):
         parser.error("--mix-alpha only applies to --prep-corpus/--fit-mix-rates")
-    if args.mix_rates is not None and args.prep_corpus is None:
-        parser.error("--mix-rates only applies to --prep-corpus")
+    if args.mix_rates is not None and args.prep_corpus is None and args.ingest is None:
+        parser.error("--mix-rates only applies to --prep-corpus/--ingest")
     if args.mix_rates is not None and args.mix_alpha is not None:
         parser.error(
             "--mix-alpha (derive from this batch) and --mix-rates "
@@ -1101,10 +1120,31 @@ def main(argv: list[str] | None = None) -> int:
                     "row_rules": [expect_not_null("doc_id")],
                     "unique_keys": [["doc_id"]],
                 }
+            mix_rates = None
+            mix_precision = 1_000_000
+            if args.mix_rates is not None:
+                from igloo_spark.operators.packing import load_mix_rates
+
+                try:
+                    mix_rates, mix_precision, _ = load_mix_rates(
+                        args.mix_rates
+                    )
+                except (FileNotFoundError, ValueError, KeyError) as e:
+                    print(f"error: --mix-rates: {e}", file=sys.stderr)
+                    return 2
+                if "source" not in batch.columns:
+                    print(
+                        "error: --mix-rates needs a 'source' column "
+                        "on the ingest batch",
+                        file=sys.stderr,
+                    )
+                    return 2
             try:
                 result = incremental_ingest(
                     batch, args.ingest,
                     min_quality=args.min_quality,
+                    mix_rates=mix_rates,
+                    mix_precision=mix_precision,
                     postings_index_root=args.postings_index,
                     quality_model=quality_model,
                     quality_model_threshold=args.quality_model_threshold,
@@ -1169,6 +1209,106 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
             return 0
+        if args.read_tar is not None:
+            # loader-side verification of the WebDataset roundtrip:
+            # every member the exporters write is requested (absent
+            # families read as all-NULL columns and are skipped in the
+            # report), id-family members must decode as a JSON bigint
+            # array or be the exporters' NULL-member skip signal (the
+            # literal ``null``), and the recovered sample count is
+            # checked against the dataset card the export shipped
+            import glob as _glob
+            import json as _json
+            import os as _os
+
+            from pyspark.sql import functions as F
+
+            from igloo_spark.sources import read_tar_shards
+
+            tar_dir = args.read_tar
+            if not _glob.glob(_os.path.join(tar_dir, "shard-*.tar")):
+                print(
+                    f"error: --read-tar: no shard-*.tar under {tar_dir}",
+                    file=sys.stderr,
+                )
+                return 2
+            id_members = {
+                "ids.json": "ids_json",
+                "corrupt.json": "corrupt_json",
+                "target.json": "target_json",
+                "fim.json": "fim_json",
+            }
+            samples = read_tar_shards(
+                session.spark, tar_dir,
+                members=("txt", *id_members),
+            )
+            aggs = [
+                F.count("*").alias("n_samples"),
+                F.countDistinct("shard").alias("n_shards"),
+                F.sum(F.col("txt").isNotNull().cast("bigint")).alias("n_txt"),
+            ]
+            for c in id_members.values():
+                decoded = F.from_json(
+                    F.decode(F.col(c), "UTF-8"), "array<bigint>"
+                )
+                is_null_literal = (
+                    F.trim(F.decode(F.col(c), "UTF-8")) == "null"
+                )
+                aggs.extend(
+                    [
+                        F.sum(F.col(c).isNotNull().cast("bigint")).alias(f"n_{c}"),
+                        F.sum(
+                            (
+                                F.col(c).isNotNull()
+                                & decoded.isNull()
+                                & ~is_null_literal
+                            ).cast("bigint")
+                        ).alias(f"n_bad_{c}"),
+                        F.coalesce(
+                            F.sum(F.size(decoded)), F.lit(0)
+                        ).alias(f"n_ids_{c}"),
+                    ]
+                )
+            o = samples.agg(*aggs).first()
+            member_notes = [f"txt {o['n_txt']}/{o['n_samples']}"]
+            n_bad_total = 0
+            for ext, c in id_members.items():
+                if o[f"n_{c}"] == 0:
+                    continue
+                n_bad_total += o[f"n_bad_{c}"]
+                member_notes.append(
+                    f"{ext} {o[f'n_{c}']}/{o['n_samples']} "
+                    f"({o[f'n_ids_{c}']} ids, {o[f'n_bad_{c}']} bad)"
+                )
+            print(
+                f"read-tar {tar_dir}: {o['n_samples']} samples in "
+                f"{o['n_shards']} shards; " + ", ".join(member_notes)
+            )
+            rc = 0
+            if n_bad_total:
+                print(
+                    f"error: --read-tar: {n_bad_total} member(s) failed "
+                    f"to decode as a JSON id array",
+                    file=sys.stderr,
+                )
+                rc = 4
+            card_path = _os.path.join(tar_dir, "_meta", "report.json")
+            if _os.path.exists(card_path):
+                with open(card_path) as f:
+                    card = _json.load(f)
+                card_n = card.get("n_docs")
+                if card_n == o["n_samples"]:
+                    print(f"card: n_docs {card_n} == samples OK")
+                else:
+                    print(
+                        f"error: --read-tar: card n_docs {card_n} != "
+                        f"{o['n_samples']} samples recovered from shards",
+                        file=sys.stderr,
+                    )
+                    rc = 4
+            else:
+                print("card: _meta/report.json absent (check skipped)")
+            return rc
         if args.serve is not None:
             # serving path: the coordinator's Flight endpoint
             # (reference: crates/coordinator/src/main.rs:19-78)

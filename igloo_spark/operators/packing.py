@@ -654,11 +654,19 @@ def apply_mix_rates(
     unknown classes instead."""
     if default_rate is None:
         default_rate = precision
-    for cls, rate in {**rates, "<default>": default_rate}.items():
+    # validate rates and default_rate SEPARATELY: a dict-merge under a
+    # '<default>' sentinel key would let a class literally named
+    # '<default>' shadow the default's slot and slip an out-of-range
+    # rate through to the join unvalidated
+    for cls, rate in rates.items():
         if not 0 <= rate <= precision:
             raise ValueError(
                 f"rate for {cls!r} must be in [0, {precision}], got {rate}"
             )
+    if not 0 <= default_rate <= precision:
+        raise ValueError(
+            f"default_rate must be in [0, {precision}], got {default_rate}"
+        )
     spark = df.sparkSession
     rates_df = spark.createDataFrame(
         [(str(c), int(r)) for c, r in rates.items()],

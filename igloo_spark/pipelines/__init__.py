@@ -1010,6 +1010,26 @@ def write_packed_token_shards(
                 f"[{fim_sentinel_base}, {fim_sentinel_base + 2}] — "
                 f"pick a disjoint eos_id or fim_sentinel_base"
             )
+        if bpe_vocab is not None:
+            # same disjointness rule for the VOCAB: an artifact id
+            # inside the sentinel range would masquerade as a FIM
+            # marker in the packed stream (boundary recovery breaks
+            # and the n_fim recovery below over-counts). The check is
+            # a driver-side scan of the already-loaded artifact dict;
+            # self-derived vocabs are capped at 50k ids (far below the
+            # 2M default base), and a tokenized STORE's ids can't be
+            # checked here — keep sentinel_base above the store's id
+            # range (the artifact records sentinel_base for audits)
+            _clash = [
+                i for i in bpe_vocab[0].values()
+                if fim_sentinel_base <= i <= fim_sentinel_base + 2
+            ]
+            if _clash:
+                raise ValueError(
+                    f"vocab ids {_clash} collide with the FIM sentinel "
+                    f"range [{fim_sentinel_base}, {fim_sentinel_base + 2}]"
+                    f" — pick a disjoint fim_sentinel_base"
+                )
         fimmed = fim_transform(
             enc, id_col=id_col, rate_mod=fim_rate_mod,
             sentinel_base=fim_sentinel_base,
@@ -1187,7 +1207,13 @@ def write_packed_token_shards(
         # transformed-doc count recovered from the stream itself: one
         # [PRE] sentinel (= fim_sentinel_base) per transformed doc
         # (per transformed COPY when epochs replicate — the stream is
-        # what trains, so copies are the honest unit)
+        # what trains, so copies are the honest unit). EXACT under
+        # chunking at any stride: [PRE] sits at document position 0,
+        # and chunk windows start at 0, stride, 2*stride, ... — only
+        # window 0 covers position 0, so stride overlap never
+        # duplicates the sentinel. Ids masquerading as the sentinel
+        # are guarded above (eos + artifact vocab); for a tokenized
+        # store keep sentinel_base above the stored id range
         out["n_fim"] = int(
             back.agg(
                 F.coalesce(
@@ -1340,7 +1366,7 @@ class IncrementalIngestResult:
     store versions (corpus and fingerprint store move together)."""
 
     accepted: DataFrame        # id, quality, n_tokens — appended to the store
-    verdicts: DataFrame        # every batch doc -> verdict (kept/exact_dup/near_dup/contaminated/low_quality)
+    verdicts: DataFrame        # every batch doc -> verdict (kept/exact_dup/near_dup/contaminated/low_quality/mix_sampled_out/empty)
     corpus_version: int
     fp_version: int
     # (rule, n_violations) when expectations= was passed, else None;
@@ -1759,6 +1785,10 @@ def incremental_ingest(
     unk_rate_mode: str = "fail",
     eval_docs: DataFrame | None = None,
     decon_threshold: float = 0.2,
+    mix_rates: dict[str, int] | None = None,
+    mix_col: str = "source",
+    mix_default_rate: int | None = None,
+    mix_precision: int = 1_000_000,
     expectations: dict | None = None,
     expectation_mode: str = "fail",
 ) -> IncrementalIngestResult:
@@ -1783,8 +1813,9 @@ def incremental_ingest(
     fp self-join), then the quality gate. Blank-text documents are
     excluded up front and carry the verdict ``empty`` — every
     ``new_docs`` row maps to exactly one verdict row
-    (kept/exact_dup/near_dup/contaminated/low_quality/empty; the
-    ``contaminated`` verdict appears only with ``eval_docs``).
+    (kept/exact_dup/near_dup/contaminated/low_quality/
+    mix_sampled_out/empty; ``contaminated`` appears only with
+    ``eval_docs``, ``mix_sampled_out`` only with ``mix_rates``).
     Survivors and their
     fingerprints commit as two appends; history cost per batch is one
     scan-speed probe per store, never a shuffle. First call
@@ -1852,6 +1883,24 @@ def incremental_ingest(
     prints the rate to stderr instead). The measured rate is returned
     as ``result.unk_rate`` either way. One batch-sized aggregate;
     deterministic, so crash-replays re-gate identically.
+
+    ``mix_rates`` (a :func:`~igloo_spark.operators.packing.
+    load_mix_rates` artifact's rate dict) applies the FROZEN
+    temperature-mix recipe as the LAST admission gate, after
+    dedup/decon/quality: each surviving doc is kept iff its
+    :func:`~igloo_spark.operators.packing.apply_mix_rates` hash gate
+    under ``rates[mix_col]`` passes — in-stream admission control for
+    :func:`ingest_stream` (which forwards these kwargs verbatim)
+    with decisions IDENTICAL to the batch export path's, because
+    both sides share the same ``tmix:`` salt and quantization. Docs
+    the gate drops carry the verdict ``mix_sampled_out`` (they
+    passed every quality gate; the recipe, not the data, excluded
+    them). The gate is a pure deterministic hash — crash-replays and
+    streaming retries re-gate identically, so the exactly-once
+    contract is untouched. ``mix_col`` must exist on ``new_docs``
+    (default ``source``); ``mix_default_rate`` governs classes the
+    recipe never saw (default: keep — an unseen source is recipe
+    staleness, not data to drop silently).
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
@@ -1873,6 +1922,11 @@ def incremental_ingest(
     if unk_rate_mode not in ("fail", "warn"):
         raise ValueError(
             f"unk_rate_mode must be fail|warn, got {unk_rate_mode!r}"
+        )
+    if mix_rates is not None and mix_col not in new_docs.columns:
+        raise ValueError(
+            f"mix_rates needs a {mix_col!r} column on the batch "
+            f"(columns: {new_docs.columns})"
         )
     measured_unk_rate = None
     pending_model_save = None
@@ -2019,11 +2073,21 @@ def incremental_ingest(
                 f"read NULL input_ids for history)"
             )
 
+    # the mix gate (below) reads mix_col off the admission frame, so
+    # carry it through the projection instead of paying an id-equi
+    # ride-along join later; it never reaches the store (store_frame
+    # re-projects explicitly)
+    _extra_cols = (
+        [F.col(mix_col)]
+        if mix_rates is not None and mix_col not in (id_col, text_col)
+        else []
+    )
     batch = new_docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col),
         F.col(text_col),
         quality_score(F.col(text_col)).alias("quality"),
         token_count(F.col(text_col)).alias("n_tokens"),
+        *_extra_cols,
     ).localCheckpoint(eager=False)
 
     if bootstrapping:
@@ -2144,7 +2208,21 @@ def incremental_ingest(
         )
     else:
         q_gate = F.col("quality") >= min_quality
-    accepted = decon_ok.filter(q_gate).localCheckpoint(eager=False)
+    q_ok = decon_ok.filter(q_gate)
+    if mix_rates is not None:
+        # frozen temperature-mix recipe as the LAST admission gate:
+        # the same apply_mix_rates hash gate the export/stream paths
+        # use (tmix: salt, micro-unit quantization), so one artifact
+        # governs every surface. Deterministic — replays and
+        # streaming retries re-gate identically.
+        from igloo_spark.operators.packing import apply_mix_rates
+
+        accepted = apply_mix_rates(
+            q_ok, id_col, mix_col, mix_rates,
+            default_rate=mix_default_rate, precision=mix_precision,
+        ).drop("mix_rate").localCheckpoint(eager=False)
+    else:
+        accepted = q_ok.localCheckpoint(eager=False)
 
     # verdicts are driven from new_docs, not batch, so blank-text
     # rows removed by the pre-filter still map to a verdict ('empty')
@@ -2172,6 +2250,20 @@ def incremental_ingest(
             id_col,
             "left",
         )
+        .join(
+            # only meaningful under the mix gate: a doc that passed
+            # every quality gate but is not in `accepted` was sampled
+            # out by the frozen recipe, not rejected by the data.
+            # Without the gate this is an empty frame (zero-cost join,
+            # the contam pattern) and the flag is never set.
+            q_ok.select(F.col(id_col), F.lit(True).alias("__q_pass"))
+            if mix_rates is not None
+            else new_docs.select(
+                F.col(id_col), F.lit(False).alias("__q_pass")
+            ).limit(0),
+            id_col,
+            "left",
+        )
         .select(
             id_col,
             F.when(F.col("__nonblank").isNull(), F.lit("empty"))
@@ -2185,6 +2277,10 @@ def incremental_ingest(
             .when(
                 F.coalesce(F.col("__contaminated"), F.lit(False)),
                 F.lit("contaminated"),
+            )
+            .when(
+                F.coalesce(F.col("__q_pass"), F.lit(False)),
+                F.lit("mix_sampled_out"),
             )
             .otherwise(F.lit("low_quality"))
             .alias("verdict"),
@@ -2374,7 +2470,17 @@ def ingest_stream(
     ``persist_embeddings``, ``expectations``, ``tokenize``,
     ``max_unk_rate`` — a failing batch contract or unk-rate gate
     raises inside foreachBatch and stops the stream, the correct
-    fail-stop for corrupt or vocab-drifted input). The index forwarding is
+    fail-stop for corrupt or vocab-drifted input). That includes the
+    FROZEN mix recipe: pass ``mix_rates=`` (the rate dict from
+    :func:`~igloo_spark.operators.packing.load_mix_rates`, plus
+    optional ``mix_col=`` / ``mix_default_rate=`` /
+    ``mix_precision=``) and every micro-batch applies the recipe's
+    :func:`~igloo_spark.operators.packing.apply_mix_rates` hash gate
+    as in-stream admission control — decisions identical to the
+    batch path's (same ``tmix:`` salt), deterministic under replay
+    (the gate is pure hash arithmetic, so at-least-once redelivery
+    re-gates identically), with sampled-out docs accounted as
+    ``mix_sampled_out`` verdicts rather than silently dropped. The index forwarding is
     what keeps a streaming corpus's BM25 AND vector indexes fresh
     per micro-batch —
     without this a streamed corpus silently serves stale retrieval

@@ -25,79 +25,77 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r12 rotation (executes the r11 verdict's task 2): the two
-    # never-driver-checked queries FIRST (x151, the temperature-mix ->
-    # epoch-upsample -> per-copy-key -> pack composition pinning the
-    # r12 exporter mixing semantics; x152, fill-in-the-middle — both
-    # new this round), then the six r07-deferred queries the r11
-    # verdict named (x107 x108 x110 x113 x121 x122), then 42 of the
-    # 50 r08-stale (the exact CORRECTNESS_r08 keys not re-checked
-    # since: q02 q07-q12 q14-q20 q22-q24 q26-q32 q36 q58 q66 q67 q76
-    # q79-q95 x41 x42 x43 x55), deferring eight by the
-    # family-representation rule: q08 (outer joins, rep by q07),
-    # q12 (cross join, rep by q07/q09-q11 + x147's scalar cross),
-    # q15 (grouping sets, rep by q14+q85), q19 (set-op ALL variants,
-    # rep by q18), q29 (approx aggs, rep by q28+q92), q31 (window
-    # offsets, rep by q30+q32+q95), q90 (regex string fns, rep by
-    # q23), q91 (datetime parsing, rep by q58+q87). Zero
-    # changed-since-verdict pins: the r12 diff touches
-    # pipelines/cli/serving/tests plus APPEND-ONLY additions
-    # (x151/x152, bpe.fim_transform, packing.temperature_rates/
-    # apply_mix_rates/save_mix_rates/load_mix_rates) — no existing
-    # query's code path changed. Exactly 50 entries. After this window the verdict-age
-    # histogram is 50@r12, 50@r11, 47@r10, 45@r09, 8@r08 — zero
-    # never-checked. The r13 rotation: the eight r08-deferred above
-    # first, then the 42 oldest remaining (the r09 window).
-    "x151_mix_epoch_pack",
-    "x152_fim_transform",
-    "x107_diversity_cap_sample",
-    "x108_weighted_sample",
-    "x110_source_overlap",
-    "x113_ann_recall",
-    "x121_embedding_audit",
-    "x122_pq_recall",
-    "q02_filter_expressions",
-    "q07_outer_join_counts",
-    "q09_semi_join",
-    "q10_anti_join",
-    "q11_theta_join",
-    "q14_rollup_grouping",
-    "q16_having_filter_clause",
-    "q17_sort_limit_offset",
-    "q18_set_operations",
-    "q20_distinct_dedup",
-    "q22_cte_top_supplier",
-    "q23_string_functions",
-    "q24_math_functions",
-    "q26_conditional_functions",
-    "q27_capitalize_udf",
-    "q28_exact_percentiles",
-    "q30_window_ranking",
-    "q32_window_range_frame",
-    "q36_time_bucket_agg",
-    "q58_epoch_roundtrip",
-    "q66_asof_join",
-    "q67_band_join",
-    "q76_session_window",
-    "q79_bitwise_aggregates",
-    "q80_merge_upsert",
-    "q81_time_range_frame",
-    "q82_string_agg_ordered",
-    "q83_correlated_scalar_select",
-    "q84_variant_json",
-    "q85_grouping_id",
-    "q86_width_bucket",
-    "q87_interval_arithmetic",
-    "q88_map_zip_filter",
-    "q89_stack_rows",
-    "q92_bitmap_distinct",
-    "q93_rolling_zscore",
-    "q94_explode_outer",
-    "q95_forward_fill",
-    "x41_minhash_bands",
-    "x42_minhash_neardup_pairs",
-    "x43_simhash",
-    "x55_ann_ivf_topk",
+    # -- r13 rotation (executes the r12 verdict's task 2): the eight
+    # r08-deferred queries FIRST (q08 q12 q15 q19 q29 q31 q90 q91 —
+    # the oldest verdicts in the corpus, deferred twice by family
+    # representation and due now), then 42 of the 46 r09-stale
+    # (aggregating CORRECTNESS_r01–r12 by latest verdict: 50@r12,
+    # 50@r11, 47@r10, 46@r09, 8@r08 — the r12 comment's "45@r09"
+    # was an off-by-one, fixed here), deferring four by the
+    # family-representation rule: q38 (array functions, rep by q37's
+    # explode + q84/q88/q89's array/map/json fresh at r12),
+    # q74 (TPC-H agg-join shape, rep by q72/q73/q75 in-window),
+    # x45 (embedding near-dup brute pairs, rep by x71's LSH variant
+    # in-window + x121 fresh at r12), x62 (capped minhash pairs, rep
+    # by x44/x129 in-window + x41/x42 fresh at r12). Zero
+    # changed-since-verdict pins: the r13 diff touches
+    # pipelines/cli/docs/tests plus the apply_mix_rates validation
+    # split (packing.py) — no registered query's code path calls it
+    # (grep-verified). Exactly 50 entries. After this window the
+    # verdict-age histogram is 50@r13, 50@r12, 50@r11, 47@r10,
+    # 4@r09 — zero never-checked, max age 4 rounds. The r14
+    # rotation: q38 q74 x45 x62 first, then the 46 oldest remaining
+    # (the r10 window).
+    "q08_right_full_outer",
+    "q12_cross_join",
+    "q15_cube_grouping_sets",
+    "q19_intersect_except_all",
+    "q29_approx_aggregates",
+    "q31_window_offsets",
+    "q90_regexp_count_like",
+    "q91_try_to_timestamp",
+    "q05_local_supplier_volume",
+    "q06_revenue_change",
+    "q37_array_explode",
+    "q39_struct_map",
+    "q72_returned_items",
+    "q73_customer_distribution",
+    "q75_global_sales_opportunity",
+    "q78_regexp_extract_all",
+    "q96_regression_aggregates",
+    "q97_conditional_aggregates",
+    "q98_fuzzy_name_match",
+    "q99_gaps_islands",
+    "x114_temperature_mixture",
+    "x123_ann_ivfpq_topk",
+    "x124_pq_learned_distortion",
+    "x129_minhash_threshold_confusion",
+    "x130_split_leakage_audit",
+    "x131_ivf_cell_purity",
+    "x132_recall_nprobe_sweep",
+    "x133_context_length_sweep",
+    "x134_dedup_threshold_sweep",
+    "x135_best_quality_canonicals",
+    "x136_unicode_normalization_audit",
+    "x44_ngram_jaccard_pairs",
+    "x46_ann_bruteforce_topk",
+    "x59_dedup_components",
+    "x64_ann_ivf_learned",
+    "x69_incremental_dedup",
+    "x70_sketch_rollup",
+    "x71_embedding_neardup_lsh",
+    "x80_embedding_quantize",
+    "x87_pagerank_dupgraph",
+    "x89_winnowing_pairs",
+    "x90_semantic_outliers",
+    "x91_scd2_history",
+    "x92_triangle_count",
+    "x93_pmi_cooccurrence",
+    "x94_bigram_logprob",
+    "x95_corpus_shuffle_shards",
+    "x96_bpe_token_stats",
+    "x97_shared_spans",
+    "x98_span_removal",
 )
 
 def all_queries():

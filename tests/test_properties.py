@@ -1890,3 +1890,72 @@ def test_capped_encode_conserves_word_count(igloo, words, top_v):
     n_out_of_cap = sum(1 for w in norm if w not in in_cap)
     assert out["input_ids"].count(unk) == n_out_of_cap
     assert out["n_ids"] >= len(norm)  # nothing silently dropped
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(0, 40), min_size=1, max_size=12),
+    id_offset=st.integers(0, 10_000_000),
+    min_len=st.integers(3, 8),
+    rate_mod=st.integers(1, 4),
+)
+def test_fim_cut_point_invariants(igloo, lens, id_offset, min_len, rate_mod):
+    """Fuzz the r12 FIM slice arithmetic (the chunk-window precedent
+    applied to fim_transform): over fuzzed (doc lengths, id space —
+    the ids ARE the hash inputs, so fuzzing ids explores the cut
+    distribution — min_len, rate_mod), every transformed doc must
+    satisfy c1 in [1, n-1], c2 in [c1, n-1], non-empty
+    prefix/suffix, empty-middle admissibility (c2 == c1), exact
+    PSM reconstruction back to the original ids, n+3 length
+    accounting, and the n == min_len boundary transforms while
+    n < min_len passes through verbatim."""
+    from igloo_spark.operators.bpe import fim_transform
+
+    # force some docs onto the n == min_len boundary
+    lens = lens + [min_len, max(0, min_len - 1)]
+    rows = [
+        (id_offset + i, list(range(i * 1000, i * 1000 + n)))
+        for i, n in enumerate(lens)
+    ]
+    enc = igloo.spark.createDataFrame(
+        [(d, ids) for d, ids in rows], "doc_id long, input_ids array<bigint>"
+    )
+    BASE = 2_000_000
+    out = {
+        r["doc_id"]: r
+        for r in fim_transform(
+            enc, rate_mod=rate_mod, sentinel_base=BASE, min_len=min_len
+        ).collect()
+    }
+    for (doc_id, ids), n in zip(rows, (len(r[1]) for r in rows)):
+        if n == 0:
+            assert doc_id not in out  # empty docs produce no rows
+            continue
+        r = out[doc_id]
+        if r["fim"] == 0:
+            # pass-through branch: ungated or too short — verbatim
+            assert list(r["fim_ids"]) == ids
+            assert r["cut1"] is None and r["cut2"] is None
+            assert r["n_fim_ids"] == n
+            continue
+        assert n >= min_len  # the gate can never transform a short doc
+        c1, c2 = r["cut1"], r["cut2"]
+        assert 1 <= c1 <= n - 1, (doc_id, n, c1)
+        assert c1 <= c2 <= n - 1, (doc_id, n, c1, c2)
+        prefix, middle, suffix = ids[:c1], ids[c1:c2], ids[c2:]
+        assert prefix and suffix  # middle may be empty (c2 == c1)
+        want = (
+            [BASE] + prefix + [BASE + 1] + suffix + [BASE + 2] + middle
+        )
+        assert list(r["fim_ids"]) == want, (doc_id, n, c1, c2)
+        assert r["n_fim_ids"] == n + 3
+        # reconstruction: the three declared slices reassemble the doc
+        assert prefix + middle + suffix == ids
+    if rate_mod == 1:
+        # every long-enough doc is gated when the rate keeps all
+        for (doc_id, ids) in rows:
+            if len(ids) >= min_len:
+                assert out[doc_id]["fim"] == 1

@@ -1,0 +1,399 @@
+"""Round-13 operators and surfaces: the frozen mix recipe as an
+ADMISSION gate (incremental_ingest / ingest_stream / CLI --ingest
+--mix-rates), the --read-tar loader-side verification mode, and the
+apply_mix_rates validation hardening.
+
+Reference parity note: the reference engine has no ingest or mixing
+surface at all (its whole query path is one ctx.sql(...).collect()
+delegation, crates/engine/src/lib.rs:54-57); these are the
+LLM-pipeline operators the build plan adds as first-class components.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+DIM = 8
+
+
+def _doc_rows(ids, source_of=None):
+    rows = []
+    for i in ids:
+        text = f"document body {i} " + " ".join(
+            f"tok{i}word{j}" for j in range(12)
+        )
+        src = source_of(i) if source_of is not None else ("head" if i % 5 else "tail")
+        rows.append((i, text, src))
+    return rows
+
+
+def _mk_docs(spark, ids, source_of=None):
+    """Skewed two-class corpus: 4/5 of docs are 'head', 1/5 'tail' —
+    a 0.5-alpha recipe keeps all of 'tail' and ~sqrt(1/4) of 'head',
+    so the mix gate genuinely drops documents in these tests."""
+    return spark.createDataFrame(
+        _doc_rows(ids, source_of),
+        "doc_id long, text string, source string",
+    )
+
+
+class TestIngestFrozenMixGate:
+    """incremental_ingest(mix_rates=): the frozen temperature recipe
+    as the LAST admission gate — decisions identical to
+    apply_mix_rates (same tmix: salt), sampled-out docs accounted as
+    mix_sampled_out verdicts, deterministic under replay."""
+
+    def _rates(self, spark, docs):
+        from igloo_spark.operators.packing import temperature_rates
+
+        return temperature_rates(docs, "source", alpha=0.5)
+
+    def test_batch_gate_matches_apply_mix_rates(self, spark, tmp_path):
+        from igloo_spark.operators.packing import apply_mix_rates
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        docs = _mk_docs(spark, range(1, 61))
+        rates = self._rates(spark, docs)
+        assert rates["tail"] == 1_000_000
+        assert 0 < rates["head"] < 1_000_000
+
+        root = str(tmp_path / "mix_store")
+        result = incremental_ingest(
+            docs, root, min_quality=0.0, mix_rates=rates,
+        )
+        kept = {r["doc_id"] for r in result.accepted.collect()}
+        # the gate's decisions ARE apply_mix_rates' over the same docs
+        # (every doc passes quality at min_quality=0 and texts are
+        # distinct, so the only dropping gate is the mix)
+        want = {
+            r["doc_id"]
+            for r in apply_mix_rates(
+                docs, "doc_id", "source", rates
+            ).collect()
+        }
+        assert kept == want
+        assert kept != {r[0] for r in _doc_rows(range(1, 61))}  # gate bit
+        # every tail doc admitted (rate = precision)
+        assert {i for i in range(1, 61) if i % 5 == 0} <= kept
+
+        # verdict accounting: sampled-out docs are mix_sampled_out,
+        # never low_quality (they passed every quality gate)
+        verdicts = {
+            r["doc_id"]: r["verdict"] for r in result.verdicts.collect()
+        }
+        assert set(verdicts) == set(range(1, 61))
+        for i in range(1, 61):
+            assert verdicts[i] == ("kept" if i in kept else "mix_sampled_out")
+
+        # the store schema is unchanged: no source/mix_rate columns
+        stored = read_versioned(spark, root + "/corpus")
+        assert set(stored.columns) == {"doc_id", "text", "quality", "n_tokens"}
+        assert {r["doc_id"] for r in stored.collect()} == kept
+
+    def test_replay_regates_identically(self, spark, tmp_path):
+        """The gate is pure hash arithmetic: a batch-id replay of the
+        same batch re-gates to the identical set (exactly-once
+        contract untouched)."""
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        docs = _mk_docs(spark, range(1, 41))
+        rates = self._rates(spark, docs)
+        root = str(tmp_path / "mix_replay")
+        r1 = incremental_ingest(
+            docs, root, min_quality=0.0, mix_rates=rates, batch_id=0,
+        )
+        v1 = r1.corpus_version
+        n1 = read_versioned(spark, root + "/corpus").count()
+        r2 = incremental_ingest(
+            docs, root, min_quality=0.0, mix_rates=rates, batch_id=0,
+        )
+        assert r2.corpus_version == v1
+        assert read_versioned(spark, root + "/corpus").count() == n1
+
+    def test_missing_mix_col_raises(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        docs = _mk_docs(spark, range(1, 5)).drop("source")
+        with pytest.raises(ValueError, match="mix_rates needs"):
+            incremental_ingest(
+                docs, str(tmp_path / "nope"), min_quality=0.0,
+                mix_rates={"head": 500_000},
+            )
+
+    def test_stream_gates_identically_to_batch(self, spark, tmp_path):
+        """The r12 verdict's Done criterion: a STREAMING ingest under
+        a frozen recipe admits exactly the docs the batch path admits
+        — ingest_stream forwards mix kwargs verbatim and the gate is
+        deterministic, so the two stores converge doc-for-doc."""
+        from igloo_spark.pipelines import incremental_ingest, ingest_stream
+        from igloo_spark.sources.versioned import read_versioned
+
+        docs = _mk_docs(spark, range(1, 61))
+        rates = self._rates(spark, docs)
+
+        batch_root = str(tmp_path / "mix_batch_store")
+        rb = incremental_ingest(
+            docs, batch_root, min_quality=0.0, mix_rates=rates,
+        )
+        batch_kept = {r["doc_id"] for r in rb.accepted.collect()}
+
+        src = str(tmp_path / "mix_stream_src")
+        docs.write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .parquet(src)
+        )
+        stream_root = str(tmp_path / "mix_stream_store")
+        sink_verdicts: list = []
+
+        def vsink(vdf, batch_id):
+            sink_verdicts.extend(vdf.collect())
+
+        q = ingest_stream(
+            stream, stream_root, str(tmp_path / "mix_ckpt"),
+            min_quality=0.0, mix_rates=rates, verdict_sink=vsink,
+        )
+        q.awaitTermination(120)
+
+        stream_kept = {
+            r["doc_id"]
+            for r in read_versioned(spark, stream_root + "/corpus").collect()
+        }
+        assert stream_kept == batch_kept
+        assert {
+            r["doc_id"] for r in sink_verdicts
+            if r["verdict"] == "mix_sampled_out"
+        } == set(range(1, 61)) - batch_kept
+
+    def test_cli_ingest_mix_rates(self, spark, tmp_path, capsys):
+        """CLI close of the loop: --fit-mix-rates freezes the recipe,
+        --ingest --mix-rates applies it as the admission gate; the
+        stored corpus matches the library decision and the verdict
+        summary names mix_sampled_out."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+        from igloo_spark.operators.packing import (
+            apply_mix_rates,
+            load_mix_rates,
+        )
+        from igloo_spark.sources.versioned import read_versioned
+
+        d = tmp_path / "mix_cli_data"
+        d.mkdir()
+        rows = _doc_rows(range(1, 61))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "source": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        art = str(tmp_path / "mix_cli_rates.json")
+        assert main(["--data-dir", str(d), "--fit-mix-rates", art]) == 0
+        store = str(tmp_path / "mix_cli_store")
+        rc = main(
+            ["--data-dir", str(d), "--ingest", store,
+             "--min-quality", "0.0", "--mix-rates", art]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "mix_sampled_out" in out
+
+        rates, precision, _ = load_mix_rates(art)
+        docs = spark.read.parquet(str(d / "documents.parquet"))
+        want = {
+            r["doc_id"]
+            for r in apply_mix_rates(
+                docs, "doc_id", "source", rates, precision=precision
+            ).collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in read_versioned(spark, store + "/corpus").collect()
+        }
+        assert got == want
+
+    def test_cli_mix_rates_needs_prep_or_ingest(self, tmp_path):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--sql", "SELECT 1", "--mix-rates", "/tmp/nope.json"])
+
+
+class TestApplyMixRatesValidationHardening:
+    """r12 ADVICE #4: rates and default_rate validate in SEPARATE
+    loops — a class literally named '<default>' can no longer shadow
+    the default's validation slot."""
+
+    def test_default_named_class_out_of_range_raises(self, spark):
+        from igloo_spark.operators.packing import apply_mix_rates
+
+        df = spark.createDataFrame(
+            [(1, "<default>")], "doc_id long, source string"
+        )
+        with pytest.raises(ValueError, match="<default>"):
+            apply_mix_rates(
+                df, "doc_id", "source", {"<default>": 2_000_000}
+            )
+
+    def test_out_of_range_default_rate_raises(self, spark):
+        from igloo_spark.operators.packing import apply_mix_rates
+
+        df = spark.createDataFrame(
+            [(1, "a")], "doc_id long, source string"
+        )
+        with pytest.raises(ValueError, match="default_rate"):
+            apply_mix_rates(
+                df, "doc_id", "source", {"a": 1}, default_rate=-5
+            )
+
+    def test_default_named_class_still_gates_by_its_rate(self, spark):
+        """An in-range rate for a class named '<default>' applies to
+        that class like any other key (it is a real key, not the
+        sentinel)."""
+        from igloo_spark.operators.packing import apply_mix_rates
+
+        df = spark.createDataFrame(
+            [(i, "<default>") for i in range(1, 101)],
+            "doc_id long, source string",
+        )
+        kept = apply_mix_rates(
+            df, "doc_id", "source", {"<default>": 0}
+        ).count()
+        assert kept == 0
+
+
+class TestReadTarCli:
+    """--read-tar: the loader side of the WebDataset roundtrip from
+    the CLI — decode members, count samples, check the dataset card."""
+
+    def _export(self, spark, tmp_path, name, tokenized=True):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_training_shards,
+        )
+
+        docs = _mk_docs(spark, range(1, 21)).select("doc_id", "text")
+        r = prepare_training_corpus(docs, min_quality=0.0, n_shards=2)
+        path = str(tmp_path / name)
+        merges = (
+            learn_bpe_merges(docs, n_merges=3, top_v=None)
+            if tokenized else None
+        )
+        info = write_training_shards(
+            docs, r, path, data_format="tar", bpe_merges=merges,
+        )
+        return path, info
+
+    def test_verify_roundtrip_ok(self, spark, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        path, info = self._export(spark, tmp_path, "tar_ok")
+        rc = main(["--read-tar", path])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert f"{info['n_docs']} samples" in out
+        assert f"{info['n_shards']} shards" in out
+        assert "ids.json" in out and "0 bad" in out
+        assert "card: n_docs" in out and "OK" in out
+
+    def test_text_only_export_skips_id_members(self, spark, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        path, info = self._export(
+            spark, tmp_path, "tar_txt", tokenized=False
+        )
+        rc = main(["--read-tar", path])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "ids.json" not in out  # absent member family skipped
+
+    def test_card_mismatch_exits_4(self, spark, tmp_path, capsys):
+        import glob
+        import os
+
+        from igloo_spark.cli import main
+
+        path, _ = self._export(spark, tmp_path, "tar_bad")
+        os.remove(sorted(glob.glob(os.path.join(path, "shard-*.tar")))[0])
+        rc = main(["--read-tar", path])
+        captured = capsys.readouterr()
+        assert rc == 4
+        assert "card n_docs" in captured.err
+
+    def test_no_shards_exits_2(self, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        empty = tmp_path / "no_tars"
+        empty.mkdir()
+        rc = main(["--read-tar", str(empty)])
+        assert rc == 2
+        assert "no shard-*.tar" in capsys.readouterr().err
+
+
+class TestPackedFimSentinelGuards:
+    """r12 ADVICE #2 hardening: the packed exporter's n_fim recovery
+    counts [PRE] sentinels — exact under chunk-stride overlap (the
+    sentinel sits at document position 0; only window 0 covers it),
+    and an artifact vocab id colliding with the sentinel range now
+    raises up front."""
+
+    def test_vocab_sentinel_collision_raises(self, spark, tmp_path):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+
+        docs = _mk_docs(spark, range(1, 11)).select("doc_id", "text")
+        r = prepare_training_corpus(docs, min_quality=0.0, n_shards=2)
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        # forge a vocab whose top id lands on the sentinel base
+        vocab = ({"a": 1, "b": 7}, 0)
+        with pytest.raises(ValueError, match="collide with the FIM sentinel"):
+            write_packed_token_shards(
+                docs, r, str(tmp_path / "clash"), merges,
+                bpe_vocab=({"a": 1, "clash": 2_000_000}, 0),
+                budget=32, n_shards=2, fim_rate_mod=2,
+            )
+        del vocab
+
+    def test_n_fim_exact_under_stride_overlap(self, spark, tmp_path):
+        """Overlapping chunk windows (stride < chunk_budget) must not
+        inflate n_fim: the recovered count equals the number of
+        fim-gated documents computed independently."""
+        from igloo_spark.operators.bpe import fim_transform, learn_bpe_merges
+        from igloo_spark.pipelines import (
+            _export_encode,
+            prepare_training_corpus,
+            write_packed_token_shards,
+        )
+
+        docs = _mk_docs(spark, range(1, 31)).select("doc_id", "text")
+        r = prepare_training_corpus(docs, min_quality=0.0, n_shards=2)
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        info = write_packed_token_shards(
+            docs, r, str(tmp_path / "fim_stride"), merges,
+            budget=32, n_shards=2, fim_rate_mod=2,
+            chunk_budget=6, chunk_stride=3,  # heavy overlap
+        )
+        enc, _ = _export_encode(
+            docs.join(r.corpus.select("doc_id"), "doc_id", "leftsemi"),
+            merges, None, None, "doc_id", "text", distributed=False,
+        )
+        n_fim_docs = (
+            fim_transform(enc, rate_mod=2).filter("fim = 1").count()
+        )
+        assert info["n_fim"] == n_fim_docs
+        assert n_fim_docs > 0
