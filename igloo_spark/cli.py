@@ -166,10 +166,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--eos-id", type=int, default=None, metavar="ID",
-        help="with --prep-corpus --pack-budget: append one separator "
-        "id to every document before packing (the GPT convention — "
-        "boundaries recoverable from the id stream; with "
-        "--chunk-budget only a doc's last chunk ends in eos)",
+        help="with --prep-corpus --pack-budget or --batch-size: "
+        "append one separator id to every document. Packing: the GPT "
+        "convention — boundaries recoverable from the id stream; with "
+        "--chunk-budget only a doc's last chunk ends in eos. "
+        "Batching: eos-terminated sequences (the SFT loader "
+        "convention), appended before bucketing so batches group by "
+        "true final lengths",
     )
     parser.add_argument(
         "--fim-mod", type=int, default=None, metavar="M",
@@ -301,6 +304,14 @@ def main(argv: list[str] | None = None) -> int:
         help="with --ingest: store the batch's 'embedding' column in the "
         "corpus snapshots, so vector indexes can be repaired from the "
         "store itself (--repair-index --index-kind ivf|pq|ivfpq)",
+    )
+    parser.add_argument(
+        "--persist-source", action="store_true",
+        help="with --ingest: store the batch's 'source' column in the "
+        "corpus snapshots, so store views report per-source rollups "
+        "and --corpus-report --since-version delta cards quantify "
+        "per-night source-mix drift (the natural companion of a "
+        "--mix-rates-gated store)",
     )
     parser.add_argument(
         "--tokenize", action="store_true",
@@ -506,8 +517,11 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--compare-report needs --corpus-report")
     if args.epochs is not None and args.pack_budget is None:
         parser.error("--epochs needs --pack-budget (epoch copies feed packing)")
-    if args.eos_id is not None and args.pack_budget is None:
-        parser.error("--eos-id needs --pack-budget (separators feed packing)")
+    if args.eos_id is not None and args.pack_budget is None and args.batch_size is None:
+        parser.error(
+            "--eos-id needs --pack-budget (separators feed packing) "
+            "or --batch-size (eos-terminated batched sequences)"
+        )
     if args.batch_size is not None and args.pack_budget is not None:
         parser.error(
             "--batch-size and --pack-budget are mutually exclusive "
@@ -840,6 +854,7 @@ def main(argv: list[str] | None = None) -> int:
                     n_shards=args.n_shards,
                     bpe_top_v=cli_top_v,
                     bpe_distributed=args.bpe_distributed,
+                    eos_id=args.eos_id,
                 )
                 counts = result.counts.first().asDict()
                 print(
@@ -1096,6 +1111,10 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     cols = ["doc_id", "text"] + (
                         ["embedding"] if "embedding" in src.columns else []
+                    ) + (
+                        # a source-persisting store merges its class
+                        # column along (the target may persist it too)
+                        ["source"] if "source" in src.columns else []
                     )
                     batch = src.select(*cols)
                 except (FileNotFoundError, ValueError) as e:
@@ -1150,6 +1169,7 @@ def main(argv: list[str] | None = None) -> int:
                     quality_model_threshold=args.quality_model_threshold,
                     quality_model_root=args.quality_model_root,
                     persist_embeddings=args.persist_embeddings,
+                    persist_source=args.persist_source,
                     tokenize=args.tokenize,
                     max_unk_rate=args.max_unk_rate,
                     unk_rate_mode=args.unk_rate_mode,

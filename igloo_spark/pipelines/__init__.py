@@ -1252,6 +1252,7 @@ def write_batched_token_shards(
     n_shards: int = 4,
     bpe_top_v: "int | None" = CAP_SELF_DERIVED,
     bpe_distributed: bool = False,
+    eos_id: "int | None" = None,
 ) -> dict:
     """The FINE-TUNING / INFERENCE artifact: per-sequence rows grouped
     into padding-aware dynamic batches (``operators.packing.
@@ -1278,7 +1279,23 @@ def write_batched_token_shards(
     shard)-keyed row_number window + the shard-keyed write exchange —
     parallelism n_buckets x n_shards at any corpus size; zero-length
     documents are excluded by the batcher (they pad nothing and
-    train nothing)."""
+    train nothing).
+
+    ``eos_id`` appends one separator id per sequence (many SFT
+    loaders expect eos-terminated ids) BEFORE bucketing, so batches
+    group by true final lengths — pure in-row concat, zero extra
+    exchanges; zero-length docs stay excluded rather than becoming
+    bare-separator samples.
+
+    Deliberately NO ``mix_rates=`` here: temperature mixing is a
+    SELECTION policy and this exporter already inherits it — prep
+    with ``mix_alpha=``/``mix_rates=`` (or ingest under the frozen
+    recipe) and ``result.corpus`` IS the mixed admitted set. A
+    second gate at export would square every class's keep rate
+    (each doc hash-gated twice under the same ``tmix:`` salt means
+    the same decision — but under a recipe re-fit on the mixed
+    corpus it silently re-skews), so the mix stays upstream where
+    one artifact governs every export format identically."""
     from igloo_spark.operators.packing import (
         batch_padding_stats,
         length_bucketed_batches,
@@ -1298,6 +1315,20 @@ def write_batched_token_shards(
         enc, export_unk = _export_encode(
             admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
             distributed=bpe_distributed,
+        )
+    if eos_id is not None:
+        # applied BEFORE bucketing so batches group by the true final
+        # length; empty docs pass through un-terminated (the batcher
+        # drops them — a bare separator trains nothing)
+        nonempty = F.col("n_ids") > 0
+        enc = enc.select(
+            F.col(id_col),
+            F.when(
+                nonempty,
+                F.concat("input_ids", F.array(F.lit(eos_id).cast("bigint"))),
+            ).otherwise(F.col("input_ids")).alias("input_ids"),
+            F.when(nonempty, F.col("n_ids") + 1)
+            .otherwise(F.col("n_ids")).cast("bigint").alias("n_ids"),
         )
     batched = length_bucketed_batches(
         enc, id_col=id_col, len_col="n_ids",
@@ -1354,6 +1385,8 @@ def write_batched_token_shards(
         "bucket_width": bucket_width,
         "batch_size": batch_size,
     }
+    if eos_id is not None:
+        out["eos_id"] = eos_id
     if export_unk is not None:
         out["unk_id"] = export_unk
         out["n_unk"] = _count_unk(back, "input_ids", export_unk)
@@ -1779,6 +1812,7 @@ def incremental_ingest(
     quality_model_root: str | None = None,
     quality_model_label_threshold: float = 0.6,
     persist_embeddings: bool = False,
+    persist_source: bool = False,
     tokenize: bool = False,
     tokenize_n_merges: int = 8,
     max_unk_rate: float | None = None,
@@ -1901,6 +1935,13 @@ def incremental_ingest(
     (default ``source``); ``mix_default_rate`` governs classes the
     recipe never saw (default: keep — an unseen source is recipe
     staleness, not data to drop silently).
+
+    ``persist_source=True`` stores the mix-class column alongside the
+    text (the ``persist_embeddings`` pattern, same two-direction
+    schema-uniformity validation): store views then report per-source
+    rollups, and ``--since-version`` delta cards quantify per-night
+    SOURCE-MIX drift — the natural companion of a ``mix_rates``-gated
+    store, which otherwise cannot describe its own composition.
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
@@ -1926,6 +1967,11 @@ def incremental_ingest(
     if mix_rates is not None and mix_col not in new_docs.columns:
         raise ValueError(
             f"mix_rates needs a {mix_col!r} column on the batch "
+            f"(columns: {new_docs.columns})"
+        )
+    if persist_source and mix_col not in new_docs.columns:
+        raise ValueError(
+            f"persist_source=True but batch has no {mix_col!r} column "
             f"(columns: {new_docs.columns})"
         )
     measured_unk_rate = None
@@ -2057,6 +2103,24 @@ def incremental_ingest(
         # same uniformity rule for ingest-time tokenization: input_ids
         # is a store property (a mixed store would read NULL ids for
         # some snapshots, poisoning every training export)
+        # and for the persisted mix-class column (a mixed store would
+        # read NULL sources for some snapshots, silently poisoning
+        # per-source rollups and mix-drift reports)
+        store_has_src = mix_col in history.columns
+        if store_has_src and not persist_source:
+            raise ValueError(
+                f"store at {corpus_root} persists {mix_col!r}: every "
+                f"subsequent batch must be ingested with "
+                f"persist_source=True (a non-persisting append would "
+                f"leave NULL {mix_col!r} in the merged snapshot)"
+            )
+        if persist_source and not store_has_src:
+            raise ValueError(
+                f"persist_source=True but the store at {corpus_root} "
+                f"was created without {mix_col!r}: re-create the store "
+                f"with persist_source=True from the first batch (a "
+                f"mixed store would read NULL {mix_col!r} for history)"
+            )
         store_has_ids = "input_ids" in history.columns
         if store_has_ids and not tokenize:
             raise ValueError(
@@ -2079,7 +2143,8 @@ def incremental_ingest(
     # re-projects explicitly)
     _extra_cols = (
         [F.col(mix_col)]
-        if mix_rates is not None and mix_col not in (id_col, text_col)
+        if (mix_rates is not None or persist_source)
+        and mix_col not in (id_col, text_col)
         else []
     )
     batch = new_docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
@@ -2287,7 +2352,16 @@ def incremental_ingest(
         )
     )
 
-    store_frame = accepted.select(id_col, text_col, "quality", "n_tokens")
+    store_frame = accepted.select(
+        id_col, text_col, "quality", "n_tokens",
+        # opt-in: the store carries the mix-class column, so store
+        # views report per-source rollups and --since-version delta
+        # cards quantify per-night SOURCE-MIX drift — without it a
+        # store whose admission policy is source-based (mix_rates)
+        # cannot describe its own composition. Rides the projection
+        # the admission frame already carries; no extra join.
+        *([mix_col] if persist_source else []),
+    )
     if persist_embeddings:
         # opt-in: the store carries the vector column, so vector-index
         # REPAIR can rebuild from the store's own snapshot (no external

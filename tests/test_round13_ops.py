@@ -397,3 +397,235 @@ class TestPackedFimSentinelGuards:
         )
         assert info["n_fim"] == n_fim_docs
         assert n_fim_docs > 0
+
+
+class TestBatchedEosId:
+    """r12 verdict stretch #7: the fine-tuning artifact accepts
+    eos_id (eos-terminated sequences, the SFT loader convention),
+    appended BEFORE bucketing so batches group by true final length.
+    mix_rates is deliberately absent — selection-time mixing already
+    reaches this exporter through result.corpus (see docstring)."""
+
+    EOS = 777_777
+
+    def _export(self, spark, tmp_path, name, **kw):
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_batched_token_shards,
+        )
+
+        docs = _mk_docs(spark, range(1, 31)).select("doc_id", "text")
+        r = prepare_training_corpus(docs, min_quality=0.0, n_shards=2)
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        path = str(tmp_path / name)
+        info = write_batched_token_shards(
+            docs, r, path, merges, bucket_width=8, batch_size=4, **kw
+        )
+        return path, info
+
+    def test_every_sequence_eos_terminated(self, spark, tmp_path):
+        path, info = self._export(
+            spark, tmp_path, "beos", eos_id=self.EOS
+        )
+        assert info["eos_id"] == self.EOS
+        rows = spark.read.parquet(path).collect()
+        assert rows
+        for r in rows:
+            ids = list(r["input_ids"])
+            assert ids[-1] == self.EOS
+            # bucket reflects the TRUE final length (incl. the eos)
+            assert r["bucket"] == (len(ids) - 1) // 8
+
+    def test_eos_shifts_bucketing_vs_plain(self, spark, tmp_path):
+        """A doc whose pre-eos length sits exactly on a bucket edge
+        moves up one bucket with eos — proof the separator lands
+        before bucketing, not after."""
+        p1, i1 = self._export(spark, tmp_path, "b_plain")
+        p2, i2 = self._export(spark, tmp_path, "b_eos", eos_id=self.EOS)
+        assert i2["n_seqs"] == i1["n_seqs"]  # same admitted docs
+        assert i2["n_ids"] == i1["n_ids"] + i1["n_seqs"]  # +1 id each
+        plain = {
+            r["doc_id"]: r for r in spark.read.parquet(p1).collect()
+        }
+        eosd = {
+            r["doc_id"]: r for r in spark.read.parquet(p2).collect()
+        }
+        moved = 0
+        for d, r in eosd.items():
+            n_plain = len(plain[d]["input_ids"])
+            assert len(r["input_ids"]) == n_plain + 1
+            if n_plain % 8 == 0:  # on-edge: bucket must move up
+                assert r["bucket"] == plain[d]["bucket"] + 1
+                moved += 1
+            else:
+                assert r["bucket"] == plain[d]["bucket"]
+
+    def test_cli_eos_needs_pack_or_batch(self):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--data-dir", "/root/testdata/sf0.001",
+                  "--prep-corpus", "/tmp/x13", "--eos-id", "7"])
+
+
+class TestNightlyDriftE2E:
+    """r12 verdict stretch #8: the full nightly-incremental story in
+    one place — three ingest→report cycles into one store under ONE
+    frozen mix recipe, each cycle's delta card (--since-version)
+    compared against the previous cycle's (--compare-report), with
+    the drift section's deltas checked against hand-computed values."""
+
+    def _batch_dir(self, tmp_path, spark, name, ids, tail_mod):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / name
+        d.mkdir()
+        rows = _doc_rows(
+            ids, source_of=lambda i: ("tail" if i % tail_mod == 0 else "head")
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "source": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def test_three_cycle_drift(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from igloo_spark.cli import main
+        from igloo_spark.operators.packing import (
+            apply_mix_rates,
+            load_mix_rates,
+        )
+        from igloo_spark.sources.versioned import snapshots
+
+        # three disjoint nightly batches, mix skew varying per night
+        dirs = [
+            self._batch_dir(tmp_path, spark, "night1", range(1, 61), 5),
+            self._batch_dir(tmp_path, spark, "night2", range(101, 141), 4),
+            self._batch_dir(tmp_path, spark, "night3", range(201, 281), 8),
+        ]
+        # ONE frozen recipe, fit on night 1 (the reference corpus)
+        art = str(tmp_path / "nightly_rates.json")
+        assert main(["--data-dir", dirs[0], "--fit-mix-rates", art]) == 0
+        rates, precision, _ = load_mix_rates(art)
+        assert 0 < rates["head"] < 1_000_000
+
+        store = str(tmp_path / "nightly_store")
+        cards = []
+        versions = [None]
+        admitted = []
+        for n, d in enumerate(dirs, start=1):
+            # --persist-source: the store carries the mix class, so
+            # the delta cards below can quantify source-mix drift
+            rc = main(
+                ["--data-dir", d, "--ingest", store,
+                 "--min-quality", "0.0", "--mix-rates", art,
+                 "--persist-source"]
+            )
+            assert rc == 0
+            versions.append(snapshots(store + "/corpus")[-1]["version"])
+            # hand-computed admitted set: the frozen gate over the
+            # night's batch (disjoint ids/texts -> no dedup effects)
+            docs = spark.read.parquet(d + "/documents.parquet")
+            admitted.append(
+                {
+                    r["doc_id"]
+                    for r in apply_mix_rates(
+                        docs, "doc_id", "source", rates,
+                        precision=precision,
+                    ).collect()
+                }
+            )
+            card_path = str(tmp_path / f"card{n}.json")
+            argv = [
+                "--corpus-store", store,
+                "--corpus-report", card_path,
+            ]
+            if n > 1:
+                argv += [
+                    "--since-version", str(versions[n - 1]),
+                    "--compare-report", str(tmp_path / f"card{n-1}.json"),
+                ]
+            assert main(argv) == 0
+            cards.append(_json.load(open(card_path)))
+
+        # card 1 is the full night-1 store; cards 2/3 are delta views
+        for n in (1, 2, 3):
+            assert cards[n - 1]["n_docs"] == len(admitted[n - 1])
+        # drift sections: deltas are exactly card_n - card_{n-1}
+        for n in (2, 3):
+            drift = cards[n - 1]["vs_previous"]
+            assert drift["previous_card"].endswith(f"card{n-1}.json")
+            assert drift["n_docs"]["delta"] == (
+                len(admitted[n - 1]) - len(admitted[n - 2])
+            )
+            assert drift["n_tokens"]["delta"] == (
+                cards[n - 1]["n_tokens"] - cards[n - 2]["n_tokens"]
+            )
+            # the mix drifted between nights (tail share changed), and
+            # the card quantifies it in micro-units
+            assert "source_mix" in drift
+            assert any(
+                v["drift_micro"] != 0
+                for v in drift["source_mix"].values()
+            )
+
+
+class TestPersistSourceStoreProperty:
+    """persist_source is a STORE property with the persist_embeddings
+    two-direction uniformity contract: a source-persisting store
+    rejects non-persisting appends and vice versa (a mixed store
+    would read NULL sources for some snapshots)."""
+
+    def test_store_carries_source_and_enforces_uniformity(
+        self, spark, tmp_path
+    ):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "src_store")
+        incremental_ingest(
+            _mk_docs(spark, range(1, 21)), root,
+            min_quality=0.0, persist_source=True,
+        )
+        stored = read_versioned(spark, root + "/corpus")
+        assert "source" in stored.columns
+        assert {r["source"] for r in stored.collect()} == {"head", "tail"}
+        with pytest.raises(ValueError, match="persists 'source'"):
+            incremental_ingest(
+                _mk_docs(spark, range(31, 41)), root, min_quality=0.0,
+            )
+
+    def test_non_persisting_store_rejects_persisting_append(
+        self, spark, tmp_path
+    ):
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "plain_store")
+        incremental_ingest(
+            _mk_docs(spark, range(1, 11)), root, min_quality=0.0,
+        )
+        with pytest.raises(ValueError, match="was created without"):
+            incremental_ingest(
+                _mk_docs(spark, range(21, 31)), root,
+                min_quality=0.0, persist_source=True,
+            )
+
+    def test_missing_source_column_raises(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        with pytest.raises(ValueError, match="persist_source"):
+            incremental_ingest(
+                _mk_docs(spark, range(1, 5)).drop("source"),
+                str(tmp_path / "nope2"),
+                min_quality=0.0, persist_source=True,
+            )
