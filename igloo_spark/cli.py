@@ -1328,6 +1328,41 @@ def main(argv: list[str] | None = None) -> int:
                     rc = 4
             else:
                 print("card: _meta/report.json absent (check skipped)")
+            sums_path = _os.path.join(tar_dir, "_meta", "checksums.json")
+            if _os.path.exists(sums_path):
+                # release integrity: re-hash every shard (distributed,
+                # the writer's own scan shape) against the manifest —
+                # catches truncation/bitrot/tampering without parsing
+                # a single member (tars are byte-deterministic)
+                with open(sums_path) as f:
+                    want = _json.load(f).get("shards", {})
+                got = {
+                    r["shard"]: r["sha256"]
+                    for r in session.spark.read.format("binaryFile")
+                    .load(_os.path.join(tar_dir, "shard-*.tar"))
+                    .select(
+                        F.element_at(F.split("path", "/"), -1).alias("shard"),
+                        F.sha2("content", 256).alias("sha256"),
+                    )
+                    .collect()
+                }
+                missing = sorted(set(want) - set(got))
+                extra = sorted(set(got) - set(want))
+                bad = sorted(
+                    s for s in set(want) & set(got) if want[s] != got[s]
+                )
+                if missing or extra or bad:
+                    print(
+                        f"error: --read-tar: checksum manifest mismatch "
+                        f"(missing={missing}, unexpected={extra}, "
+                        f"corrupted={bad})",
+                        file=sys.stderr,
+                    )
+                    rc = 4
+                else:
+                    print(f"checksums: {len(got)} shards sha256 OK")
+            else:
+                print("checksums: _meta/checksums.json absent (check skipped)")
             return rc
         if args.serve is not None:
             # serving path: the coordinator's Flight endpoint

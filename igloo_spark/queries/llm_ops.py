@@ -7463,3 +7463,100 @@ def x152(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cut2",
         "n_fim_ids",
     )
+
+
+# --- x153: frozen mix recipe as an ADMISSION gate (r13) -------------------
+# Pins incremental_ingest(mix_rates=)'s gate semantics exactly: the
+# recipe is FIT on a subset of classes ('zh' deliberately excluded, so
+# it arrives as an unseen class), and every document is accounted on
+# BOTH sides of the gate — kept, or the new mix_sampled_out verdict —
+# with the unseen class kept in full at the default rate (recipe
+# staleness is a signal, not silent data loss).
+
+X153_EXCLUDED_FIT_CLASS = "zh"
+
+
+def _x153_oracle() -> str:
+    gate_hash = hex_prefix_hash_sql_duckdb(
+        "concat('tmix:', CAST(d.doc_id AS VARCHAR))"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        WHERE lang <> '{X153_EXCLUDED_FIT_CLASS}'
+        GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang,
+               CAST(floor(sqrt(
+                   CAST((SELECT min(n) FROM counts) AS DOUBLE) / n
+               ) * {TMIX_PRECISION}) AS BIGINT) AS mix_rate
+        FROM counts
+    ),
+    gated AS (
+        SELECT coalesce(d.lang, '<null>') AS lang, d.doc_id,
+               CASE WHEN ({gate_hash}) % {TMIX_PRECISION}
+                         < coalesce(r.mix_rate, {TMIX_PRECISION})
+                    THEN 'kept' ELSE 'mix_sampled_out' END AS verdict
+        FROM documents d LEFT JOIN rates r USING (lang)
+    )
+    SELECT lang, verdict,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM gated
+    GROUP BY lang, verdict"""
+
+
+@register(
+    "x153_mix_admission",
+    "frozen mix recipe as an admission gate: per-(class, verdict) "
+    "counts + exact id sums, unseen class kept at the default rate",
+    _x153_oracle(),
+    tags=("sampling", "mixture", "ingest", "llm"),
+)
+def x153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 admission-gate semantics as an exact oracle: a
+    temperature recipe frozen from a REFERENCE slice (every lang but
+    'zh' — `operators.packing.temperature_rates`, one
+    |classes|-bounded aggregate + collect, the x125 bounded-fit
+    posture) gates the full corpus via `apply_mix_rates` (the same
+    ``tmix:`` salt `incremental_ingest(mix_rates=)` and the streaming
+    ingest apply), and every document lands on exactly one side:
+    ``kept`` or ``mix_sampled_out`` — the verdict accounting the
+    ingest pipeline reports, with 'zh' (unseen by the recipe) kept in
+    FULL at the default rate. The oracle re-derives the rate
+    arithmetic (correctly-rounded sqrt of a bigint-ratio double,
+    floored to integer micro-units — the x151 parity argument) and
+    the md5 gate from scratch; a changed salt, a shifted rate, a
+    dropped default, or a doc on the wrong side flips an id sum.
+
+    Scale: one |classes|-row fit aggregate, one broadcast rate join,
+    one (class, verdict)-keyed rollup — zero corpus shuffles beyond
+    the rollup's; the gate itself is scan-stage codegen, identical
+    at 100 TB (the ingest path's exact shape)."""
+    from igloo_spark.operators.packing import (
+        apply_mix_rates,
+        temperature_rates,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    rates = temperature_rates(
+        d.filter(F.col("lang") != X153_EXCLUDED_FIT_CLASS), "lang", alpha=0.5
+    )
+    kept = apply_mix_rates(d, "doc_id", "lang", rates).select(
+        "doc_id", F.lit(True).alias("__kept")
+    )
+    return (
+        d.join(kept, "doc_id", "left")
+        .groupBy(
+            F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+            F.when(F.col("__kept"), F.lit("kept"))
+            .otherwise(F.lit("mix_sampled_out"))
+            .alias("verdict"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )

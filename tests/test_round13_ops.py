@@ -629,3 +629,77 @@ class TestPersistSourceStoreProperty:
                 str(tmp_path / "nope2"),
                 min_quality=0.0, persist_source=True,
             )
+
+
+class TestTarChecksumManifest:
+    """Release-artifact integrity: write_tar_shards emits a per-shard
+    sha256 manifest (_meta/checksums.json — meaningful because the
+    tars are byte-deterministic), and --read-tar re-hashes the shards
+    against it, catching corruption no member decode would see."""
+
+    def test_manifest_written_and_correct(self, spark, tmp_path):
+        import glob
+        import hashlib
+        import os
+
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_training_shards,
+        )
+
+        docs = _mk_docs(spark, range(1, 21)).select("doc_id", "text")
+        r = prepare_training_corpus(docs, min_quality=0.0, n_shards=2)
+        path = str(tmp_path / "sum_tar")
+        write_training_shards(docs, r, path, data_format="tar")
+        manifest = json.load(open(os.path.join(path, "_meta", "checksums.json")))
+        assert manifest["algorithm"] == "sha256"
+        tars = sorted(glob.glob(os.path.join(path, "shard-*.tar")))
+        assert len(manifest["shards"]) == len(tars) > 0
+        for t in tars:
+            want = hashlib.sha256(open(t, "rb").read()).hexdigest()
+            assert manifest["shards"][os.path.basename(t)] == want
+
+    def test_read_tar_detects_corruption(self, spark, tmp_path, capsys):
+        import glob
+        import os
+
+        from igloo_spark.cli import main
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_training_shards,
+        )
+
+        docs = _mk_docs(spark, range(1, 21)).select("doc_id", "text")
+        r = prepare_training_corpus(docs, min_quality=0.0, n_shards=2)
+        path = str(tmp_path / "corrupt_tar")
+        write_training_shards(docs, r, path, data_format="tar")
+        assert main(["--read-tar", path]) == 0
+        out = capsys.readouterr().out
+        assert "sha256 OK" in out
+        # flip trailing padding bytes: every member still parses (tar
+        # ignores trailing garbage), so ONLY the checksum catches it
+        victim = sorted(glob.glob(os.path.join(path, "shard-*.tar")))[0]
+        with open(victim, "ab") as f:
+            f.write(b"\x00" * 512)
+        rc = main(["--read-tar", path])
+        captured = capsys.readouterr()
+        assert rc == 4
+        assert "corrupted" in captured.err
+        assert os.path.basename(victim) in captured.err
+
+    def test_checksums_opt_out(self, spark, tmp_path):
+        import os
+
+        from igloo_spark import sinks
+
+        df = spark.createDataFrame(
+            [(0, i, f"t{i}") for i in range(4)],
+            "shard long, doc_id long, text string",
+        )
+        path = str(tmp_path / "nosum_tar")
+        sinks.write_tar_shards(
+            df, path, {"txt": "text"}, checksums=False
+        )
+        assert not os.path.exists(
+            os.path.join(path, "_meta", "checksums.json")
+        )
