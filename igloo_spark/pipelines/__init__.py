@@ -2279,9 +2279,13 @@ def incremental_ingest(
         # the same apply_mix_rates hash gate the export/stream paths
         # use (tmix: salt, micro-unit quantization), so one artifact
         # governs every surface. Deterministic — replays and
-        # streaming retries re-gate identically.
+        # streaming retries re-gate identically. q_ok feeds BOTH the
+        # gate and the verdict accounting below — checkpoint it so
+        # the dedup/decon history probes upstream of it execute once,
+        # not once per consumer
         from igloo_spark.operators.packing import apply_mix_rates
 
+        q_ok = q_ok.localCheckpoint(eager=False)
         accepted = apply_mix_rates(
             q_ok, id_col, mix_col, mix_rates,
             default_rate=mix_default_rate, precision=mix_precision,

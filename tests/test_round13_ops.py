@@ -703,3 +703,32 @@ class TestTarChecksumManifest:
         assert not os.path.exists(
             os.path.join(path, "_meta", "checksums.json")
         )
+
+
+class TestMixGateComposesWithTokenizedStore:
+    """The admission mix gate composes with ingest-time tokenization:
+    the store's frozen vocab is learned from (and input_ids stored
+    for) exactly the mix-admitted docs, and the unk-rate gate
+    measures the admitted set — sampled-out docs cost no encode and
+    cannot trip the batch's unk contract."""
+
+    def test_tokenized_mix_store(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.operators.packing import temperature_rates
+        from igloo_spark.sources.versioned import read_versioned
+
+        docs = _mk_docs(spark, range(1, 61))
+        rates = temperature_rates(docs, "source", alpha=0.5)
+        root = str(tmp_path / "mixtok_store")
+        result = incremental_ingest(
+            docs, root, min_quality=0.0, mix_rates=rates,
+            tokenize=True, max_unk_rate=1.0,
+        )
+        kept = {r["doc_id"] for r in result.accepted.collect()}
+        stored = read_versioned(spark, root + "/corpus")
+        assert {"input_ids", "n_ids"} <= set(stored.columns)
+        rows = stored.collect()
+        assert {r["doc_id"] for r in rows} == kept
+        assert all(len(r["input_ids"]) > 0 for r in rows)
+        # the unk rate was measured (gate armed) on the admitted set
+        assert result.unk_rate is not None and result.unk_rate <= 1.0
