@@ -117,6 +117,24 @@ def main(argv: list[str] | None = None) -> int:
         "same gate ingest_stream applies in-stream",
     )
     parser.add_argument(
+        "--scrub-pii", action="store_true",
+        help="with --ingest or --prep-corpus: redact email/SSN/phone/"
+        "IP matches to class tokens ([EMAIL], [SSN], [PHONE], [IP]) "
+        "before anything derives from the text — the stored snapshot "
+        "/ exported shards, quality scores, fingerprints and "
+        "tokenization all see the scrubbed text. Keep the policy "
+        "uniform per store (scrubbed and raw copies of a document "
+        "do not exact-match)",
+    )
+    parser.add_argument(
+        "--mix-default-rate", type=int, default=None, metavar="N",
+        help="with --ingest --mix-rates: keep rate (integer "
+        "micro-units, 0..1000000) for classes ABSENT from the frozen "
+        "recipe — default keeps them all (an unseen source signals "
+        "recipe staleness, not data to drop); 0 quarantines unknown "
+        "classes instead",
+    )
+    parser.add_argument(
         "--read-tar", default=None, metavar="DIR",
         help="VERIFY a tar-shard export: parse every shard-*.tar via "
         "sources.read_tar_shards, decode the txt/ids.json (and "
@@ -503,6 +521,12 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--mix-alpha only applies to --prep-corpus/--fit-mix-rates")
     if args.mix_rates is not None and args.prep_corpus is None and args.ingest is None:
         parser.error("--mix-rates only applies to --prep-corpus/--ingest")
+    if args.mix_default_rate is not None and (
+        args.ingest is None or args.mix_rates is None
+    ):
+        parser.error("--mix-default-rate needs --ingest --mix-rates")
+    if args.scrub_pii and args.ingest is None and args.prep_corpus is None:
+        parser.error("--scrub-pii only applies to --ingest/--prep-corpus")
     if args.mix_rates is not None and args.mix_alpha is not None:
         parser.error(
             "--mix-alpha (derive from this batch) and --mix-rates "
@@ -716,6 +740,14 @@ def main(argv: list[str] | None = None) -> int:
                 except (FileNotFoundError, ValueError) as e:
                     print(f"error: --since-version: {e}", file=sys.stderr)
                     return 2
+            if args.scrub_pii:
+                # scrub at the SOURCE so selection, fingerprints and
+                # the export text join all see the redacted text
+                from pyspark.sql import functions as _F
+
+                from igloo_spark.functions.text import redact_pii
+
+                docs = docs.withColumn("text", redact_pii(_F.col("text")))
             eval_frame = None
             if args.eval_docs is not None:
                 try:
@@ -1164,6 +1196,8 @@ def main(argv: list[str] | None = None) -> int:
                     min_quality=args.min_quality,
                     mix_rates=mix_rates,
                     mix_precision=mix_precision,
+                    mix_default_rate=args.mix_default_rate,
+                    scrub_pii=args.scrub_pii,
                     postings_index_root=args.postings_index,
                     quality_model=quality_model,
                     quality_model_threshold=args.quality_model_threshold,

@@ -1813,6 +1813,7 @@ def incremental_ingest(
     quality_model_label_threshold: float = 0.6,
     persist_embeddings: bool = False,
     persist_source: bool = False,
+    scrub_pii: bool = False,
     tokenize: bool = False,
     tokenize_n_merges: int = 8,
     max_unk_rate: float | None = None,
@@ -1942,6 +1943,17 @@ def incremental_ingest(
     rollups, and ``--since-version`` delta cards quantify per-night
     SOURCE-MIX drift — the natural companion of a ``mix_rates``-gated
     store, which otherwise cannot describe its own composition.
+
+    ``scrub_pii=True`` redacts email/SSN/phone/IP matches to class
+    tokens (:func:`~igloo_spark.functions.text.redact_pii`) BEFORE
+    anything derives from the text — quality, token counts,
+    fingerprints, the stored snapshot and ingest-time tokenization
+    all see the scrubbed text, so nothing unscrubbed ever reaches a
+    commit. Chained codegen regexp, zero exchanges; deterministic
+    under replay. Keep the policy uniform per store (scrubbed and
+    raw copies of the same document do not exact-match — policy
+    drift lets duplicates escape, the same caveat as changing
+    ``min_quality`` between batches).
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
@@ -2147,7 +2159,24 @@ def incremental_ingest(
         and mix_col not in (id_col, text_col)
         else []
     )
-    batch = new_docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+    src = new_docs
+    if scrub_pii:
+        # PII scrub at ADMISSION (the pre-training legal posture):
+        # text is redacted BEFORE anything derives from it — quality,
+        # token counts, fingerprints, the stored snapshot, and any
+        # ingest-time tokenization all see the scrubbed text, so
+        # nothing unscrubbed can ever reach a commit (including via
+        # ingest_stream, which forwards this flag). One chained
+        # regexp_replace inside whole-stage codegen, zero exchanges.
+        # Deterministic, so replays re-scrub identically. Apply the
+        # SAME policy to every batch of a store: dedup compares
+        # fingerprints of stored text, so a scrubbed copy of an
+        # unscrubbed historical doc would not exact-match it (policy
+        # drift = duplicate escape, the min_quality caveat).
+        from igloo_spark.functions.text import redact_pii
+
+        src = new_docs.withColumn(text_col, redact_pii(F.col(text_col)))
+    batch = src.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col),
         F.col(text_col),
         quality_score(F.col(text_col)).alias("quality"),
@@ -2258,7 +2287,9 @@ def incremental_ingest(
             quality_model = load_quality_classifier(quality_model_root)
         else:
             quality_model = distill_quality_classifier(
-                new_docs,
+                # src, not new_docs: with scrub_pii the admission model
+                # must be fit on the text the store will actually hold
+                src,
                 id_col=id_col,
                 text_col=text_col,
                 label_threshold=quality_model_label_threshold,

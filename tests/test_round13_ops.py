@@ -732,3 +732,151 @@ class TestMixGateComposesWithTokenizedStore:
         assert all(len(r["input_ids"]) > 0 for r in rows)
         # the unk rate was measured (gate armed) on the admitted set
         assert result.unk_rate is not None and result.unk_rate <= 1.0
+
+
+class TestMixDefaultRateCli:
+    """--mix-default-rate: the CLI reach of apply_mix_rates'
+    unknown-class policy — 0 quarantines classes the frozen recipe
+    never saw instead of the default keep-all."""
+
+    def test_quarantine_unknown_classes(self, spark, tmp_path, capsys):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+        from igloo_spark.operators.packing import save_mix_rates
+        from igloo_spark.sources.versioned import read_versioned
+
+        d = tmp_path / "defrate_data"
+        d.mkdir()
+        rows = _doc_rows(range(1, 41))  # sources: head + tail
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "source": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        # recipe knows ONLY 'head' — 'tail' is unseen
+        art = str(tmp_path / "defrate_rates.json")
+        save_mix_rates({"head": 1_000_000}, art, mix_col="source")
+        store = str(tmp_path / "defrate_store")
+        rc = main(
+            ["--data-dir", str(d), "--ingest", store,
+             "--min-quality", "0.0", "--mix-rates", art,
+             "--mix-default-rate", "0"]
+        )
+        assert rc == 0
+        kept = {
+            r["doc_id"]
+            for r in read_versioned(spark, store + "/corpus").collect()
+        }
+        # every head doc kept (rate 1M), every tail doc quarantined
+        assert kept == {i for i in range(1, 41) if i % 5 != 0}
+
+    def test_needs_ingest_and_mix_rates(self):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--data-dir", "/root/testdata/sf0.001",
+                  "--ingest", "/tmp/x13b", "--mix-default-rate", "0"])
+
+
+class TestScrubPiiAtIngest:
+    """scrub_pii: redaction happens BEFORE anything derives from the
+    text — the stored snapshot, quality/token columns, fingerprints
+    and ingest-time tokenization all see the scrubbed text, so
+    nothing unscrubbed can reach a commit (ingest_stream forwards
+    the flag verbatim like every admission kwarg)."""
+
+    def _pii_docs(self, spark):
+        rows = [
+            (1, "contact me at alice@example.com for the dataset terms"),
+            (2, "my ssn is 123-45-6789 do not share it with anyone"),
+            (3, "server lives at 10.1.2.3 and answers on port eighty"),
+            (4, "plain document with no sensitive content at all here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_store_holds_only_scrubbed_text(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        root = str(tmp_path / "pii_store")
+        result = incremental_ingest(
+            self._pii_docs(spark), root,
+            min_quality=0.0, min_shared=1, scrub_pii=True,
+        )
+        assert {r["doc_id"] for r in result.accepted.collect()} == {1, 2, 3, 4}
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in read_versioned(spark, root + "/corpus").collect()
+        }
+        assert "[EMAIL]" in texts[1] and "alice@example.com" not in texts[1]
+        assert "[SSN]" in texts[2] and "123-45-6789" not in texts[2]
+        assert "[IP]" in texts[3] and "10.1.2.3" not in texts[3]
+        assert texts[4].startswith("plain document")
+
+    def test_tokenized_store_encodes_scrubbed_text(self, spark, tmp_path):
+        """The frozen vocab and the stored input_ids derive from the
+        scrubbed text: the raw PII surface never enters the token
+        space."""
+        import json as _json
+        import os
+
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / "pii_tok_store")
+        incremental_ingest(
+            self._pii_docs(spark), root,
+            min_quality=0.0, min_shared=1, scrub_pii=True, tokenize=True,
+        )
+        vocab_words = _json.dumps(
+            _json.load(open(os.path.join(root, "bpe.json")))
+        )
+        assert "alice@example.com" not in vocab_words
+        assert "123-45-6789" not in vocab_words
+
+    def test_cli_prep_exports_scrubbed_shards(self, spark, tmp_path):
+        import glob
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.cli import main
+
+        d = tmp_path / "pii_prep_data"
+        d.mkdir()
+        rows = [
+            (i, f"doc {i} reach me at user{i}@mail.test " + " ".join(
+                f"w{i}x{j}" for j in range(10)))
+            for i in range(1, 11)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = str(tmp_path / "pii_shards")
+        rc = main(
+            ["--data-dir", str(d), "--prep-corpus", out,
+             "--min-quality", "0.0", "--scrub-pii"]
+        )
+        assert rc == 0
+        back = spark.read.parquet(*glob.glob(out + "/shard=*"))
+        texts = [r["text"] for r in back.collect()]
+        assert texts
+        assert all("[EMAIL]" in t for t in texts)
+        assert not any("@mail.test" in t for t in texts)
+
+    def test_cli_scrub_needs_ingest_or_prep(self):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--sql", "SELECT 1", "--scrub-pii"])
