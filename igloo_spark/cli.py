@@ -830,19 +830,26 @@ def main(argv: list[str] | None = None) -> int:
                             file=sys.stderr,
                         )
                         return 2
-                info = write_packed_token_shards(
-                    docs, result, args.prep_corpus,
-                    bpe_merges, bpe_vocab=bpe_vocab,
-                    budget=args.pack_budget, n_shards=args.n_shards,
-                    bpe_top_v=cli_top_v,
-                    bpe_distributed=args.bpe_distributed,
-                    chunk_budget=args.chunk_budget,
-                    chunk_stride=args.chunk_stride,
-                    epochs=epochs,
-                    default_epochs=args.default_epochs,
-                    eos_id=args.eos_id,
-                    fim_rate_mod=args.fim_mod,
-                )
+                try:
+                    info = write_packed_token_shards(
+                        docs, result, args.prep_corpus,
+                        bpe_merges, bpe_vocab=bpe_vocab,
+                        budget=args.pack_budget, n_shards=args.n_shards,
+                        bpe_top_v=cli_top_v,
+                        bpe_distributed=args.bpe_distributed,
+                        chunk_budget=args.chunk_budget,
+                        chunk_stride=args.chunk_stride,
+                        epochs=epochs,
+                        default_epochs=args.default_epochs,
+                        eos_id=args.eos_id,
+                        fim_rate_mod=args.fim_mod,
+                    )
+                except ValueError as e:
+                    # contract violations (eos/sentinel/vocab id
+                    # collisions, key-overflow guards) exit cleanly
+                    # like every other CLI input error
+                    print(f"error: --pack-budget: {e}", file=sys.stderr)
+                    return 2
                 counts = result.counts.first().asDict()
                 chunked = (
                     f" (chunk budget {info['chunk_budget']}/"
@@ -878,16 +885,20 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 2
-                info = write_batched_token_shards(
-                    docs, result, args.prep_corpus,
-                    bpe_merges, bpe_vocab=bpe_vocab,
-                    bucket_width=args.bucket_width,
-                    batch_size=args.batch_size,
-                    n_shards=args.n_shards,
-                    bpe_top_v=cli_top_v,
-                    bpe_distributed=args.bpe_distributed,
-                    eos_id=args.eos_id,
-                )
+                try:
+                    info = write_batched_token_shards(
+                        docs, result, args.prep_corpus,
+                        bpe_merges, bpe_vocab=bpe_vocab,
+                        bucket_width=args.bucket_width,
+                        batch_size=args.batch_size,
+                        n_shards=args.n_shards,
+                        bpe_top_v=cli_top_v,
+                        bpe_distributed=args.bpe_distributed,
+                        eos_id=args.eos_id,
+                    )
+                except ValueError as e:
+                    print(f"error: --batch-size: {e}", file=sys.stderr)
+                    return 2
                 counts = result.counts.first().asDict()
                 print(
                     f"prepared corpus: {counts} -> {info['n_seqs']} "

@@ -478,6 +478,36 @@ def _guard_key_multiplicand(id_expr, base: int, what: str):
     ).otherwise(id_expr)
 
 
+def _guard_eos_vs_ids(
+    eos_id: "int | None",
+    export_unk: "int | None",
+    bpe_vocab: "tuple[dict[str, int], int] | None",
+) -> None:
+    """A separator must be a RESERVED id: eos_id colliding with the
+    export's unk_id corrupts the lossiness stats (every separator
+    counts as an unk) and makes the two indistinguishable in the id
+    stream; eos_id colliding with a real vocab id makes document
+    boundaries unrecoverable (a content token doubles as the
+    separator). Both fail loudly. Driver-side scans of
+    already-loaded artifacts only — a tokenized STORE's id range
+    can't be checked here (keep eos above it, the dataset card
+    records eos_id for audits)."""
+    if eos_id is None:
+        return
+    if export_unk is not None and eos_id == export_unk:
+        raise ValueError(
+            f"eos_id={eos_id} equals the export's reserved unk_id — "
+            f"separators would count as unks and the id stream becomes "
+            f"ambiguous; pick a disjoint eos_id"
+        )
+    if bpe_vocab is not None and eos_id in set(bpe_vocab[0].values()):
+        raise ValueError(
+            f"eos_id={eos_id} is a real vocab id in the artifact — "
+            f"document boundaries would be unrecoverable from the id "
+            f"stream; pick an id outside the vocab"
+        )
+
+
 def _count_unk(frame: DataFrame, ids_col: str, unk_id: int) -> int:
     """Total unk-id occurrences across an array<bigint> column — the
     capped encode's lossiness counter every exporter reports. One
@@ -986,6 +1016,7 @@ def write_packed_token_shards(
             admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
             distributed=bpe_distributed,
         )
+    _guard_eos_vs_ids(eos_id, export_unk, bpe_vocab)
     if chunk_stride is not None and chunk_budget is None:
         raise ValueError("chunk_stride needs chunk_budget")
     if fim_rate_mod is not None:
@@ -1316,6 +1347,7 @@ def write_batched_token_shards(
             admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
             distributed=bpe_distributed,
         )
+    _guard_eos_vs_ids(eos_id, export_unk, bpe_vocab)
     if eos_id is not None:
         # applied BEFORE bucketing so batches group by the true final
         # length; empty docs pass through un-terminated (the batcher

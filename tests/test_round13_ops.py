@@ -880,3 +880,79 @@ class TestScrubPiiAtIngest:
 
         with pytest.raises(SystemExit):
             main(["--sql", "SELECT 1", "--scrub-pii"])
+
+
+class TestEosReservedIdGuards:
+    """eos_id must be a RESERVED id: colliding with the export's
+    unk_id (separators would count as unks) or with a real artifact
+    vocab id (boundaries unrecoverable) fails loudly in both the
+    packed and the batched exporter."""
+
+    def _setup(self, spark):
+        from igloo_spark.operators.bpe import (
+            bpe_token_id_map,
+            learn_bpe_merges,
+        )
+        from igloo_spark.pipelines import prepare_training_corpus
+
+        docs = _mk_docs(spark, range(1, 11)).select("doc_id", "text")
+        r = prepare_training_corpus(docs, min_quality=0.0, n_shards=2)
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        vocab = bpe_token_id_map(docs, merges, top_v=None)
+        return docs, r, merges, vocab
+
+    def test_packed_eos_equals_vocab_id_raises(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_packed_token_shards
+
+        docs, r, merges, vocab = self._setup(spark)
+        unk = max(vocab.values()) + 1  # disjoint from eos below
+        a_vocab_id = min(vocab.values())
+        with pytest.raises(ValueError, match="real vocab id"):
+            write_packed_token_shards(
+                docs, r, str(tmp_path / "p1"), merges,
+                bpe_vocab=(vocab, unk), budget=32, n_shards=2,
+                eos_id=a_vocab_id,
+            )
+
+    def test_batched_eos_equals_unk_raises(self, spark, tmp_path):
+        from igloo_spark.pipelines import write_batched_token_shards
+
+        docs, r, merges, vocab = self._setup(spark)
+        unk = max(vocab.values()) + 1
+        with pytest.raises(ValueError, match="reserved unk_id"):
+            write_batched_token_shards(
+                docs, r, str(tmp_path / "b1"), merges,
+                bpe_vocab=(vocab, unk), bpe_top_v=len(vocab),
+                eos_id=unk,
+            )
+
+
+def test_cli_exporter_value_errors_exit_2(spark, tmp_path, capsys):
+    """Exporter contract violations (eos colliding with a vocab id)
+    reach the CLI as a one-line error + exit 2, not a traceback."""
+    import json as _json
+
+    from igloo_spark.cli import main
+
+    art = str(tmp_path / "cli_guard_merges.json")
+    assert main(
+        ["--data-dir", "/root/testdata/sf0.001",
+         "--fit-bpe-merges", art, "--n-merges", "3"]
+    ) == 0
+    vocab_id = min(_json.load(open(art))["vocab"].values())
+    rc = main(
+        ["--data-dir", "/root/testdata/sf0.001",
+         "--prep-corpus", str(tmp_path / "cli_guard_out"),
+         "--min-quality", "0.0", "--bpe-merges", art,
+         "--batch-size", "4", "--eos-id", str(vocab_id)]
+    )
+    assert rc == 2
+    assert "real vocab id" in capsys.readouterr().err
+    rc2 = main(
+        ["--data-dir", "/root/testdata/sf0.001",
+         "--prep-corpus", str(tmp_path / "cli_guard_out2"),
+         "--min-quality", "0.0", "--bpe-merges", art,
+         "--pack-budget", "64", "--eos-id", str(vocab_id)]
+    )
+    assert rc2 == 2
+    assert "real vocab id" in capsys.readouterr().err
