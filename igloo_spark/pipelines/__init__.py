@@ -2608,10 +2608,11 @@ def ingest_stream(
     ``pq_k_codes`` / ``vec_col``, ``learn_quantizers``,
     ``auto_compact_files``) and equally the admission/contract
     arguments (``quality_model`` / ``quality_model_root``,
-    ``persist_embeddings``, ``expectations``, ``tokenize``,
-    ``max_unk_rate`` — a failing batch contract or unk-rate gate
-    raises inside foreachBatch and stops the stream, the correct
-    fail-stop for corrupt or vocab-drifted input). That includes the
+    ``persist_embeddings``, ``persist_source``, ``scrub_pii``,
+    ``expectations``, ``tokenize``, ``max_unk_rate`` — a failing
+    batch contract or unk-rate gate raises inside foreachBatch and
+    stops the stream, the correct fail-stop for corrupt or
+    vocab-drifted input). That includes the
     FROZEN mix recipe: pass ``mix_rates=`` (the rate dict from
     :func:`~igloo_spark.operators.packing.load_mix_rates`, plus
     optional ``mix_col=`` / ``mix_default_rate=`` /
