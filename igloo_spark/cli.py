@@ -135,6 +135,14 @@ def main(argv: list[str] | None = None) -> int:
         "classes instead",
     )
     parser.add_argument(
+        "--verify-store", default=None, metavar="STORE_DIR",
+        help="INTEGRITY-check an --ingest corpus store's manifests "
+        "against the filesystem (missing/empty data files, version "
+        "gaps, broken append lineage, a behind watermark; orphaned "
+        "files reported as info) — no SparkSession, instant; exit 4 "
+        "on corruption",
+    )
+    parser.add_argument(
         "--read-tar", default=None, metavar="DIR",
         help="VERIFY a tar-shard export: parse every shard-*.tar via "
         "sources.read_tar_shards, decode the txt/ids.json (and "
@@ -474,6 +482,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--search", args.search is not None),
             ("--vector-search", args.vector_search is not None),
             ("--read-tar", args.read_tar is not None),
+            ("--verify-store", args.verify_store is not None),
         ) if on
     ]
     if not modes:
@@ -482,7 +491,7 @@ def main(argv: list[str] | None = None) -> int:
             "--check-index-sync, --repair-index, --fit-quality-model, "
             "--fit-bpe-merges, --fit-mix-rates, --corpus-report, --optimize-store, "
             "--vacuum-store, --store-history, --search, "
-            "--vector-search, or --read-tar is required"
+            "--vector-search, --read-tar, or --verify-store is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -673,6 +682,41 @@ def main(argv: list[str] | None = None) -> int:
                     f"files={s['n_files']}  committed_at={s['committed_at']}"
                 )
         return 0
+
+    if args.verify_store is not None:
+        # manifest-vs-filesystem integrity — no SparkSession (instant,
+        # scriptable), the --store-history posture
+        import os as _os
+
+        from igloo_spark.sources.versioned import verify_versioned
+
+        store = args.verify_store
+        tables = [
+            t for t in ("corpus", "fps")
+            if _os.path.isdir(f"{store}/{t}/manifests")
+        ]
+        if not tables:
+            print(f"error: no versioned tables under {store}", file=sys.stderr)
+            return 2
+        rc = 0
+        for t in tables:
+            v = verify_versioned(f"{store}/{t}")
+            status = "OK" if v["ok"] else "CORRUPT"
+            print(
+                f"{t}: {status}  versions={v['n_versions']} "
+                f"latest=v{v['latest']} orphans={v['orphan_files']}"
+            )
+            for key in (
+                "missing_files", "empty_files", "version_gaps",
+                "lineage_breaks",
+            ):
+                if v[key]:
+                    print(f"  {key}: {v[key]}", file=sys.stderr)
+            if v["watermark_behind"]:
+                print("  watermark behind newest batch_id", file=sys.stderr)
+            if not v["ok"]:
+                rc = 4
+        return rc
 
     from igloo_spark import IglooSession
 

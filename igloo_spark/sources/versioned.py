@@ -563,3 +563,94 @@ def read_version_delta(
         # empty delta: zero-row frame with the snapshot's schema
         return read_versioned(spark, root, to_version).limit(0)
     return spark.read.parquet(*files)
+
+
+def verify_versioned(root: str) -> dict:
+    """INTEGRITY check of a versioned table — the store-side
+    counterpart of the tar exports' checksum verification: the
+    manifests are the system of record, so verify that every commit
+    they promise is actually on disk and internally consistent.
+    Pure driver-side filesystem metadata (no SparkSession, instant,
+    scriptable — the ``snapshots`` posture).
+
+    Checks, in order of severity:
+
+    - ``missing_files``: manifest-referenced data files absent from
+      disk (vacuum deletes manifests BEFORE files, so this state is
+      unreachable through any documented crash — it means external
+      deletion / bitrot; the table is CORRUPT at those versions).
+    - ``empty_files``: referenced files present but zero bytes (a
+      torn external copy — parquet can never be 0 bytes).
+    - ``version_gaps``: non-contiguous surviving manifest versions
+      (vacuum drops only a PREFIX, so a hole mid-sequence means a
+      manifest was deleted by hand).
+    - ``lineage_breaks``: an ``append`` manifest that does not
+      contain its predecessor's file set (appends are strictly
+      cumulative by construction).
+    - ``watermark_behind``: the replay watermark is behind the
+      newest manifest batch_id (``write_versioned`` advances it
+      after every stamped commit and vacuum folds dropped ids in,
+      so falling behind means the watermark file was tampered with
+      or restored from an older backup — stamped replays would
+      double-commit).
+    - ``orphan_files`` (INFO, not corruption): data files no
+      surviving manifest references — the documented debris of a
+      crashed commit (files written, manifest never published) or a
+      crashed vacuum; invisible to readers, reclaimed by the next
+      vacuum.
+
+    Returns a dict with those keys plus ``n_versions`` / ``latest``
+    and ``ok`` (True iff no corruption-class finding; orphans alone
+    stay ok)."""
+    versions = _list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    missing: list[str] = []
+    empty: list[str] = []
+    referenced: set[str] = set()
+    lineage_breaks: list[int] = []
+    prev_files: "set[str] | None" = None
+    max_batch = -1
+    for v in versions:
+        m = _read_manifest(root, v)
+        fset = set(m["files"])
+        referenced.update(fset)
+        for f in m["files"]:
+            if not os.path.exists(f):
+                missing.append(f)
+            elif os.path.getsize(f) == 0:
+                empty.append(f)
+        if prev_files is not None and m["op"] == "append" and not (
+            prev_files <= fset
+        ):
+            lineage_breaks.append(v)
+        prev_files = fset
+        if m.get("batch_id") is not None:
+            max_batch = max(max_batch, m["batch_id"])
+    gaps = [
+        v for a, b in zip(versions, versions[1:]) for v in range(a + 1, b)
+    ]
+    watermark_behind = max_batch >= 0 and _read_watermark(root) < max_batch
+    orphans = []
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        for d in sorted(os.listdir(data_dir)):
+            full = os.path.join(data_dir, d)
+            if not os.path.isdir(full):
+                continue
+            for name in sorted(os.listdir(full)):
+                if name.endswith(".parquet"):
+                    p = os.path.join(full, name)
+                    if p not in referenced:
+                        orphans.append(p)
+    return {
+        "n_versions": len(versions),
+        "latest": versions[-1],
+        "missing_files": sorted(set(missing)),
+        "empty_files": sorted(set(empty)),
+        "version_gaps": gaps,
+        "lineage_breaks": lineage_breaks,
+        "watermark_behind": watermark_behind,
+        "orphan_files": len(orphans),
+        "ok": not (missing or empty or gaps or lineage_breaks or watermark_behind),
+    }

@@ -956,3 +956,99 @@ def test_cli_exporter_value_errors_exit_2(spark, tmp_path, capsys):
     )
     assert rc2 == 2
     assert "real vocab id" in capsys.readouterr().err
+
+
+class TestVerifyStore:
+    """verify_versioned / --verify-store: manifest-vs-filesystem
+    integrity for the corpus store — the system-of-record counterpart
+    of the tar exports' checksum verification. Pure FS metadata, no
+    SparkSession on the CLI path."""
+
+    def _store(self, spark, tmp_path, name):
+        from igloo_spark.pipelines import incremental_ingest
+
+        root = str(tmp_path / name)
+        incremental_ingest(
+            _mk_docs(spark, range(1, 11)), root,
+            min_quality=0.0, batch_id=0,
+        )
+        incremental_ingest(
+            _mk_docs(spark, range(21, 31)), root,
+            min_quality=0.0, batch_id=1,
+        )
+        return root
+
+    def test_healthy_store_verifies(self, spark, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        root = self._store(spark, tmp_path, "vs_ok")
+        assert main(["--verify-store", root]) == 0
+        out = capsys.readouterr().out
+        assert out.count("OK") == 2  # corpus + fps
+
+    def test_missing_file_is_corruption(self, spark, tmp_path, capsys):
+        import glob
+        import os
+
+        from igloo_spark.cli import main
+
+        root = self._store(spark, tmp_path, "vs_missing")
+        victim = sorted(
+            glob.glob(os.path.join(root, "corpus", "data", "*", "*.parquet"))
+        )[0]
+        os.remove(victim)
+        rc = main(["--verify-store", root])
+        captured = capsys.readouterr()
+        assert rc == 4
+        assert "CORRUPT" in captured.out
+        assert "missing_files" in captured.err
+
+    def test_orphans_are_info_not_corruption(self, spark, tmp_path, capsys):
+        import os
+
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import verify_versioned
+
+        root = self._store(spark, tmp_path, "vs_orphan")
+        # simulate a crashed commit: a data file no manifest references
+        d = os.path.join(root, "corpus", "data", "commit-crashed-deadbeef")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-orphan.parquet"), "wb") as f:
+            f.write(b"x" * 64)
+        v = verify_versioned(root + "/corpus")
+        assert v["ok"] and v["orphan_files"] == 1
+        assert main(["--verify-store", root]) == 0
+
+    def test_hand_deleted_manifest_is_a_gap(self, spark, tmp_path):
+        import os
+
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import verify_versioned
+
+        root = self._store(spark, tmp_path, "vs_gap")
+        incremental_ingest(
+            _mk_docs(spark, range(41, 51)), root,
+            min_quality=0.0, batch_id=2,
+        )
+        os.remove(os.path.join(root, "corpus", "manifests", "v000002.json"))
+        v = verify_versioned(root + "/corpus")
+        assert not v["ok"] and v["version_gaps"] == [2]
+
+    def test_vacuumed_store_stays_ok(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            vacuum_versioned,
+            verify_versioned,
+        )
+
+        root = self._store(spark, tmp_path, "vs_vac")
+        vacuum_versioned(root + "/corpus", keep_last=1)
+        v = verify_versioned(root + "/corpus")
+        assert v["ok"] and v["n_versions"] == 1
+
+    def test_no_store_exits_2(self, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        empty = tmp_path / "vs_none"
+        empty.mkdir()
+        rc = main(["--verify-store", str(empty)])
+        assert rc == 2
