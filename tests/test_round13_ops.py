@@ -1052,3 +1052,29 @@ class TestVerifyStore:
         empty.mkdir()
         rc = main(["--verify-store", str(empty)])
         assert rc == 2
+
+
+def test_verify_store_after_compact_and_vacuum(spark, tmp_path):
+    """Lifecycle ops keep the store verifiable: compaction commits as
+    an overwrite (exempt from the append-lineage rule) and vacuum
+    leaves a contiguous version suffix — neither is corruption."""
+    from igloo_spark.pipelines import incremental_ingest
+    from igloo_spark.sources.versioned import (
+        compact_versioned,
+        vacuum_versioned,
+        verify_versioned,
+    )
+
+    root = str(tmp_path / "vs_lifecycle")
+    incremental_ingest(
+        _mk_docs(spark, range(1, 11)), root, min_quality=0.0, batch_id=0,
+    )
+    incremental_ingest(
+        _mk_docs(spark, range(21, 31)), root, min_quality=0.0, batch_id=1,
+    )
+    compact_versioned(spark, root + "/corpus", n_files=2)
+    v = verify_versioned(root + "/corpus")
+    assert v["ok"] and v["n_versions"] == 3
+    vacuum_versioned(root + "/corpus", keep_last=1)
+    v2 = verify_versioned(root + "/corpus")
+    assert v2["ok"] and v2["n_versions"] == 1 and v2["latest"] == 3
