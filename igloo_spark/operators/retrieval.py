@@ -351,3 +351,67 @@ def probe_postings_index(
 
     wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+
+
+def rrf_fuse(
+    ranked: "dict[str, DataFrame]",
+    id_col: str,
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """HYBRID retrieVAL: reciprocal-rank fusion of named ranked lists
+    (the published RRF recipe — Cormack/Clarke/Büttcher):
+
+        score(d) = Σ_lists 1 / (k_rrf + rank_list(d))
+
+    the standard way to combine a lexical retriever (BM25) with a
+    dense one (ANN over embeddings) without score calibration — ranks
+    are comparable where raw scores are not, and ``k_rrf`` (60 in the
+    paper and every production default) damps the head so one
+    retriever cannot dominate.
+
+    Determinism across engines: each contribution is computed in
+    INTEGER nano-units (``floor(1e9 / (k_rrf + rank))``) and summed
+    as bigints, so fusion scores are exact — no float-sum ordering
+    ulps can flip a fused rank (the x117/x121 integer-operand rule).
+    Ties break on the lower id.
+
+    Inputs are ``{name: df}`` where each df carries (``id_col``,
+    ``rank``); output carries ``<name>_rank`` per list (NULL where
+    the list missed the doc), ``rrf_nano``, and ``fused_rank``
+    (row_number, top-``k``).
+
+    Scale: every input is already a top-k list, so the fusion is a
+    chain of k-row outer joins + one k-row window — driver-free and
+    constant-cost regardless of corpus size; the expensive work
+    stays in the upstream retrievers."""
+    from pyspark.sql.window import Window
+
+    if not ranked:
+        raise ValueError("ranked must name at least one list")
+    fused = None
+    contribs = []
+    for name, df in ranked.items():
+        side = df.select(
+            F.col(id_col),
+            F.col("rank").cast("bigint").alias(f"{name}_rank"),
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+        contribs.append(
+            F.coalesce(
+                F.floor(
+                    F.lit(1_000_000_000)
+                    / (F.lit(k_rrf) + F.col(f"{name}_rank"))
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            )
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    w = Window.orderBy(F.desc("rrf_nano"), F.asc(id_col))
+    return (
+        fused.withColumn("rrf_nano", score)
+        .withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= k)
+    )

@@ -25,33 +25,38 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r13 rotation (executes the r12 verdict's task 2): the one
-    # never-driver-checked query FIRST (x153, the frozen-recipe
+    # -- r13 rotation (executes the r12 verdict's task 2): the two
+    # never-driver-checked queries FIRST (x153, the frozen-recipe
     # admission gate pinning incremental_ingest(mix_rates=)'s kept/
-    # mix_sampled_out accounting + unseen-class default-keep — new
+    # mix_sampled_out accounting + unseen-class default-keep; x154,
+    # hybrid BM25+ANN retrieval fused by integer-nano RRF — both new
     # this round), then the eight r08-deferred queries (q08 q12 q15
     # q19 q29 q31 q90 q91 — the oldest verdicts in the corpus,
-    # deferred twice by family representation and due now), then 41
+    # deferred twice by family representation and due now), then 40
     # of the 46 r09-stale (aggregating CORRECTNESS_r01–r12 by latest
     # verdict: 50@r12, 50@r11, 47@r10, 46@r09, 8@r08 — the r12
     # comment's "45@r09" was an off-by-one, fixed here), deferring
-    # five by the family-representation rule: q38 (array functions,
+    # six by the family-representation rule: q38 (array functions,
     # rep by q37's explode + q84/q88/q89's array/map/json fresh at
     # r12), q74 (TPC-H agg-join shape, rep by q72/q73/q75 in-window),
     # x44 (n-gram Jaccard pairs, rep by x42 fresh at r12 + the x129/
     # x134 threshold audits in-window), x45 (embedding near-dup brute
     # pairs, rep by x71's LSH variant in-window + x121 fresh at r12),
-    # x62 (capped minhash pairs, rep by x41/x42 fresh at r12 + x129
-    # in-window). NOTE the corpus grew 201 -> 202 this round (x153).
+    # x46 (brute-force ANN, rep by x113 fresh at r12 + x123 in-window
+    # + x154's dense side in-window), x62 (capped minhash pairs, rep
+    # by x41/x42 fresh at r12 + x129 in-window). NOTE the corpus grew
+    # 201 -> 203 this round (x153, x154).
     # Zero changed-since-verdict pins: the r13 diff touches
-    # pipelines/cli/docs/tests plus the apply_mix_rates validation
-    # split (packing.py) — no PREVIOUSLY-registered query's code path
-    # calls apply_mix_rates (grep-verified; x153 itself is in this
-    # window). Exactly 50 entries. After this window the verdict-age
-    # histogram is 50@r13, 50@r12, 50@r11, 47@r10, 5@r09 — zero
-    # never-checked, max age 4 rounds. The r14 rotation: q38 q74 x44
-    # x45 x62 first, then the 45 oldest remaining (the r10 window).
+    # pipelines/cli/sinks/docs/tests plus the apply_mix_rates
+    # validation split (packing.py) and the new retrieval.rrf_fuse —
+    # no PREVIOUSLY-registered query's code path calls either
+    # (grep-verified; x153/x154 themselves are in this window).
+    # Exactly 50 entries. After this window the verdict-age histogram
+    # is 50@r13, 50@r12, 50@r11, 47@r10, 6@r09 — zero never-checked,
+    # max age 4 rounds. The r14 rotation: q38 q74 x44 x45 x46 x62
+    # first, then the 44 oldest remaining (the r10 window).
     "x153_mix_admission",
+    "x154_hybrid_rrf",
     "q08_right_full_outer",
     "q12_cross_join",
     "q15_cube_grouping_sets",
@@ -83,7 +88,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x134_dedup_threshold_sweep",
     "x135_best_quality_canonicals",
     "x136_unicode_normalization_audit",
-    "x46_ann_bruteforce_topk",
     "x59_dedup_components",
     "x64_ann_ivf_learned",
     "x69_incremental_dedup",

@@ -7560,3 +7560,100 @@ def x153(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+# --- x154: hybrid retrieval — BM25 + ANN fused by RRF (r13) ----------------
+# The RAG-serving recipe the separate retrievers (x105 lexical, x46
+# dense) compose into: rank each list, fuse by reciprocal rank in
+# integer nano-units (no score calibration, no float-sum ulps), take
+# the fused top-k. embeddings.vec_id indexes the documents corpus
+# (same 0..N-1 id space), so both retrievers rank the same documents.
+
+RRF_QUERY_VEC = 0        # the dense query: embedding of doc 0
+RRF_LIST_K = 10          # depth of each retriever's list
+RRF_K = 60               # the published RRF damping constant
+RRF_TOPK = 8             # fused results returned
+
+
+def _x154_oracle() -> str:
+    from igloo_spark.operators.retrieval import bm25_topk_sql_duckdb
+
+    bm = bm25_topk_sql_duckdb(
+        "documents", "doc_id", "text", BM25_QUERY_TERMS, RRF_LIST_K
+    )
+    cos = cosine_sql_duckdb("q.qv", "e.embedding")
+    return f"""
+    WITH bm AS (SELECT doc_id, rank FROM ({bm}) b),
+    q AS (
+        SELECT embedding AS qv FROM embeddings
+        WHERE vec_id = {RRF_QUERY_VEC}
+    ),
+    ann_scored AS (
+        SELECT e.vec_id AS doc_id, {cos} AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {RRF_QUERY_VEC}
+    ),
+    ann AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY cosine DESC, doc_id ASC
+                   ) AS BIGINT) AS rank
+            FROM ann_scored
+        ) WHERE rank <= {RRF_LIST_K}
+    ),
+    fused AS (
+        SELECT coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+               bm.rank AS bm25_rank,
+               ann.rank AS ann_rank,
+               coalesce(CAST(floor(1000000000.0 / ({RRF_K} + bm.rank)) AS BIGINT), 0)
+             + coalesce(CAST(floor(1000000000.0 / ({RRF_K} + ann.rank)) AS BIGINT), 0)
+                   AS rrf_nano
+        FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    )
+    SELECT doc_id, bm25_rank, ann_rank, rrf_nano, fused_rank FROM (
+        SELECT *, CAST(row_number() OVER (
+                   ORDER BY rrf_nano DESC, doc_id ASC
+               ) AS BIGINT) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= {RRF_TOPK}"""
+
+
+@register(
+    "x154_hybrid_rrf",
+    f"hybrid retrieval: BM25 + dense-ANN lists fused by reciprocal "
+    f"rank (k={RRF_K}, integer nano-units), fused top-{RRF_TOPK}",
+    _x154_oracle(),
+    tags=("retrieval", "similarity", "llm"),
+)
+def x154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (lexical + dense) retrieval — the RAG-serving
+    composition: BM25 over the documents table (x105's operator) and
+    exact cosine ANN over the embeddings table (x46's operator), each
+    producing a rank-annotated top-{RRF_LIST_K} list, fused by
+    `operators.retrieval.rrf_fuse` — reciprocal-rank contributions in
+    INTEGER nano-units summed as bigints, so the fused order is exact
+    in both engines (the x117/x121 integer-operand rule; no score
+    calibration between incomparable BM25 and cosine scales). The
+    oracle recomputes BOTH retrievers and the fusion arithmetic from
+    scratch; a shifted rank, a wrong damping constant, or a float-ulp
+    flip changes an integer.
+
+    Scale: the retrievers carry the corpus cost (BM25's query-sized
+    shuffles; ANN's broadcast scan — swap in the IVF/PQ probes for a
+    persisted index); the fusion itself is k-row outer joins + one
+    k-row window, constant at any corpus size."""
+    from igloo_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from igloo_spark.operators.similarity import brute_force_topk
+
+    d = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(d, "doc_id", "text", BM25_QUERY_TERMS, RRF_LIST_K)
+    ann = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == RRF_QUERY_VEC),
+        "vec_id", "embedding", RRF_LIST_K,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        {"bm25": bm.select("doc_id", "rank"), "ann": ann},
+        "doc_id", k_rrf=RRF_K, k=RRF_TOPK,
+    ).select("doc_id", "bm25_rank", "ann_rank", "rrf_nano", "fused_rank")
