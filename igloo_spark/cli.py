@@ -143,6 +143,24 @@ def main(argv: list[str] | None = None) -> int:
         "on corruption",
     )
     parser.add_argument(
+        "--hybrid-search", default=None, metavar="TEXT",
+        help="HYBRID retrieval: BM25 over a persisted postings index "
+        "(--index-root) + ANN over a persisted vector index "
+        "(--vector-index, kind from --index-kind; dense query = "
+        "--hybrid-vec's embedding) fused by reciprocal rank in "
+        "integer nano-units (operators.retrieval.rrf_fuse) — needs "
+        "--data-dir for the embeddings table",
+    )
+    parser.add_argument(
+        "--hybrid-vec", type=int, default=None, metavar="VEC_ID",
+        help="with --hybrid-search: vec_id of the dense query vector",
+    )
+    parser.add_argument(
+        "--vector-index", default=None, metavar="PATH",
+        help="with --hybrid-search: persisted vector index root "
+        "(--index-root stays the postings index)",
+    )
+    parser.add_argument(
         "--read-tar", default=None, metavar="DIR",
         help="VERIFY a tar-shard export: parse every shard-*.tar via "
         "sources.read_tar_shards, decode the txt/ids.json (and "
@@ -481,6 +499,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--store-history", args.store_history is not None),
             ("--search", args.search is not None),
             ("--vector-search", args.vector_search is not None),
+            ("--hybrid-search", args.hybrid_search is not None),
             ("--read-tar", args.read_tar is not None),
             ("--verify-store", args.verify_store is not None),
         ) if on
@@ -638,6 +657,18 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("--vector-search needs --data-dir (embeddings table for the query vector)")
         if args.index_kind == "postings":
             parser.error("--vector-search needs --index-kind ivf|pq|ivfpq")
+    if args.hybrid_search is not None:
+        if not args.index_root or not args.vector_index:
+            parser.error(
+                "--hybrid-search needs --index-root (postings) AND "
+                "--vector-index (ivf|pq|ivfpq root)"
+            )
+        if args.hybrid_vec is None:
+            parser.error("--hybrid-search needs --hybrid-vec (dense query vec_id)")
+        if not args.data_dir:
+            parser.error("--hybrid-search needs --data-dir (embeddings table)")
+        if args.index_kind == "postings":
+            parser.error("--hybrid-search needs --index-kind ivf|pq|ivfpq for --vector-index")
     if args.corpus_store is not None and not (
         args.sql is not None
         or args.query is not None
@@ -1544,6 +1575,63 @@ def main(argv: list[str] | None = None) -> int:
                 except (FileNotFoundError, ValueError) as e:
                     print(f"error: --vector-search: {e}", file=sys.stderr)
                     return 2
+            elif args.hybrid_search is not None:
+                from pyspark.sql import functions as F
+
+                from igloo_spark.operators import similarity as _sim
+                from igloo_spark.operators.retrieval import (
+                    probe_postings_index,
+                    rrf_fuse,
+                )
+
+                try:
+                    emb = session.spark.table("embeddings")
+                except Exception as e:
+                    msg = str(e).strip().split("\n")[0]
+                    print(
+                        f"error: --hybrid-search: no 'embeddings' table "
+                        f"in --data-dir ({msg})",
+                        file=sys.stderr,
+                    )
+                    return 2
+                queries = emb.filter(
+                    F.col("vec_id") == args.hybrid_vec
+                ).select("vec_id", "embedding")
+                if queries.limit(1).count() == 0:
+                    print(
+                        f"error: vec_id {args.hybrid_vec} not in the "
+                        f"embeddings table",
+                        file=sys.stderr,
+                    )
+                    return 1
+                probe = {
+                    "ivf": lambda: _sim.probe_ivf_index(
+                        session.spark, args.vector_index, queries,
+                        k=args.top_k, nprobe=args.nprobe,
+                    ),
+                    "pq": lambda: _sim.probe_pq_index(
+                        session.spark, args.vector_index, queries,
+                        k=args.top_k,
+                    ),
+                    "ivfpq": lambda: _sim.probe_ivfpq_index(
+                        session.spark, args.vector_index, queries,
+                        k=args.top_k, nprobe=args.nprobe,
+                    ),
+                }[args.index_kind]
+                try:
+                    bm = probe_postings_index(
+                        session.spark, args.index_root,
+                        args.hybrid_search.split(), k=args.top_k,
+                    ).select("doc_id", "rank")
+                    ann = probe().select(
+                        F.col("neighbor_id").alias("doc_id"), "rank"
+                    )
+                except (FileNotFoundError, ValueError) as e:
+                    print(f"error: --hybrid-search: {e}", file=sys.stderr)
+                    return 2
+                df = rrf_fuse(
+                    {"bm25": bm, "ann": ann}, "doc_id", k=args.top_k
+                ).orderBy("fused_rank")
             elif args.query is not None:
                 from igloo_spark.queries import all_queries
 

@@ -1078,3 +1078,96 @@ def test_verify_store_after_compact_and_vacuum(spark, tmp_path):
     vacuum_versioned(root + "/corpus", keep_last=1)
     v2 = verify_versioned(root + "/corpus")
     assert v2["ok"] and v2["n_versions"] == 1 and v2["latest"] == 3
+
+
+class TestHybridSearchCli:
+    """--hybrid-search: the x154 composition over PERSISTED indexes —
+    BM25 from the postings index, ANN from the vector index, fused by
+    rrf_fuse; results agree with fusing the two probes by hand."""
+
+    def _setup(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.pipelines import incremental_ingest
+
+        rows = []
+        for i in range(1, 31):
+            text = f"document body {i} " + " ".join(
+                f"tok{i}word{j}" for j in range(10)
+            ) + (" vector search" if i % 3 == 0 else " stream hash")
+            vec = [math.sin(0.7 * i + 1.3 * j) for j in range(DIM)]
+            rows.append((i, text, vec))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<double>"
+        )
+        store = str(tmp_path / "hyb_store")
+        pidx = str(tmp_path / "hyb_postings")
+        vidx = str(tmp_path / "hyb_ivf")
+        incremental_ingest(
+            docs, store, min_quality=0.0, min_shared=1,
+            postings_index_root=pidx, ivf_index_root=vidx,
+        )
+        d = tmp_path / "hyb_data"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[2] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        return str(d), pidx, vidx
+
+    def test_hybrid_matches_hand_fusion(self, spark, tmp_path, capsys):
+        from pyspark.sql import functions as F
+
+        from igloo_spark.cli import main
+        from igloo_spark.operators import similarity as _sim
+        from igloo_spark.operators.retrieval import (
+            probe_postings_index,
+            rrf_fuse,
+        )
+
+        d, pidx, vidx = self._setup(spark, tmp_path)
+        rc = main(
+            ["--data-dir", d, "--hybrid-search", "vector search",
+             "--hybrid-vec", "1", "--index-root", pidx,
+             "--vector-index", vidx, "--index-kind", "ivf"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        bm = probe_postings_index(
+            spark, pidx, ["vector", "search"], k=10
+        ).select("doc_id", "rank")
+        q = spark.read.parquet(d + "/embeddings.parquet").filter(
+            F.col("vec_id") == 1
+        )
+        ann = _sim.probe_ivf_index(spark, vidx, q, k=10, nprobe=2).select(
+            F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        want = [
+            r["doc_id"]
+            for r in rrf_fuse({"bm25": bm, "ann": ann}, "doc_id", k=10)
+            .orderBy("fused_rank")
+            .collect()
+        ]
+        assert want  # both retrievers returned something
+        for doc_id in want:
+            assert f"{doc_id}" in out
+
+    def test_hybrid_validation(self, tmp_path):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--hybrid-search", "x", "--index-root", "/tmp/p"])
+        with pytest.raises(SystemExit):
+            main(
+                ["--hybrid-search", "x", "--index-root", "/tmp/p",
+                 "--vector-index", "/tmp/v", "--hybrid-vec", "1",
+                 "--data-dir", "/tmp/d", "--index-kind", "postings"]
+            )
