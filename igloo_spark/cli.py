@@ -128,11 +128,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--mix-default-rate", type=int, default=None, metavar="N",
-        help="with --ingest --mix-rates: keep rate (integer "
-        "micro-units, 0..1000000) for classes ABSENT from the frozen "
-        "recipe — default keeps them all (an unseen source signals "
-        "recipe staleness, not data to drop); 0 quarantines unknown "
-        "classes instead",
+        help="with --ingest --mix-rates: keep rate for classes ABSENT "
+        "from the frozen recipe, as an integer in the recipe "
+        "artifact's own precision units (0..precision; the default "
+        "precision is 1e6, i.e. micro-units) — default keeps them all "
+        "(an unseen source signals recipe staleness, not data to "
+        "drop); 0 quarantines unknown classes instead",
     )
     parser.add_argument(
         "--verify-store", default=None, metavar="STORE_DIR",
@@ -141,6 +142,16 @@ def main(argv: list[str] | None = None) -> int:
         "gaps, broken append lineage, a behind watermark; orphaned "
         "files reported as info) — no SparkSession, instant; exit 4 "
         "on corruption",
+    )
+    parser.add_argument(
+        "--deep", action="store_true",
+        help="with --verify-store: additionally re-hash every "
+        "referenced data file (distributed binaryFile+sha2 scan, "
+        "needs a SparkSession) against the sha256 digests recorded "
+        "in the commit manifests — detects bitrot/tampering the "
+        "shallow existence/size checks cannot; files committed "
+        "before checksums existed are reported as unverified, not "
+        "failed",
     )
     parser.add_argument(
         "--hybrid-search", default=None, metavar="TEXT",
@@ -159,6 +170,14 @@ def main(argv: list[str] | None = None) -> int:
         "--vector-index", default=None, metavar="PATH",
         help="with --hybrid-search: persisted vector index root "
         "(--index-root stays the postings index)",
+    )
+    parser.add_argument(
+        "--strict-sync", action="store_true",
+        help="with --hybrid-search --corpus-store: exit 4 instead of "
+        "warning when either persisted index (postings or vector) is "
+        "out of sync with the corpus store — a stale index silently "
+        "returns outdated fusions otherwise; repair with "
+        "--repair-index",
     )
     parser.add_argument(
         "--read-tar", default=None, metavar="DIR",
@@ -669,20 +688,29 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("--hybrid-search needs --data-dir (embeddings table)")
         if args.index_kind == "postings":
             parser.error("--hybrid-search needs --index-kind ivf|pq|ivfpq for --vector-index")
+    if args.strict_sync:
+        if args.hybrid_search is None:
+            parser.error("--strict-sync only applies to --hybrid-search")
+        if args.corpus_store is None:
+            parser.error(
+                "--strict-sync needs --corpus-store (the store the "
+                "indexes must be in sync with)"
+            )
     if args.corpus_store is not None and not (
         args.sql is not None
         or args.query is not None
         or args.serve is not None
         or args.prep_corpus is not None
         or args.search is not None
+        or args.hybrid_search is not None
         or args.fit_bpe_merges is not None
         or args.fit_mix_rates is not None
         or args.corpus_report is not None
     ):
         parser.error(
             "--corpus-store only applies to --sql/--query/--serve/"
-            "--prep-corpus/--search/--fit-bpe-merges/--fit-mix-rates/"
-            "--corpus-report"
+            "--prep-corpus/--search/--hybrid-search/--fit-bpe-merges/"
+            "--fit-mix-rates/--corpus-report"
         )
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
@@ -716,7 +744,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.verify_store is not None:
         # manifest-vs-filesystem integrity — no SparkSession (instant,
-        # scriptable), the --store-history posture
+        # scriptable), the --store-history posture; --deep adds a
+        # distributed content re-hash and so does spin up a session
         import os as _os
 
         from igloo_spark.sources.versioned import verify_versioned
@@ -729,25 +758,44 @@ def main(argv: list[str] | None = None) -> int:
         if not tables:
             print(f"error: no versioned tables under {store}", file=sys.stderr)
             return 2
-        rc = 0
-        for t in tables:
-            v = verify_versioned(f"{store}/{t}")
-            status = "OK" if v["ok"] else "CORRUPT"
-            print(
-                f"{t}: {status}  versions={v['n_versions']} "
-                f"latest=v{v['latest']} orphans={v['orphan_files']}"
-            )
-            for key in (
-                "missing_files", "empty_files", "version_gaps",
-                "lineage_breaks",
-            ):
-                if v[key]:
-                    print(f"  {key}: {v[key]}", file=sys.stderr)
-            if v["watermark_behind"]:
-                print("  watermark behind newest batch_id", file=sys.stderr)
-            if not v["ok"]:
-                rc = 4
-        return rc
+
+        def _check(spark=None) -> int:
+            rc = 0
+            for t in tables:
+                v = verify_versioned(
+                    f"{store}/{t}", deep=args.deep, spark=spark
+                )
+                status = "OK" if v["ok"] else "CORRUPT"
+                extra = (
+                    f" deep: {v['checksums_unverified']} unverified"
+                    if args.deep else ""
+                )
+                print(
+                    f"{t}: {status}  versions={v['n_versions']} "
+                    f"latest=v{v['latest']} orphans={v['orphan_files']}"
+                    f"{extra}"
+                )
+                for key in (
+                    "missing_files", "empty_files", "version_gaps",
+                    "lineage_breaks", "checksum_mismatches",
+                ):
+                    if v[key]:
+                        print(f"  {key}: {v[key]}", file=sys.stderr)
+                if v["watermark_behind"]:
+                    print(
+                        "  watermark behind newest batch_id",
+                        file=sys.stderr,
+                    )
+                if not v["ok"]:
+                    rc = 4
+            return rc
+
+        if not args.deep:
+            return _check()
+        from igloo_spark import IglooSession
+
+        with IglooSession(master=args.master) as session:
+            return _check(session.spark)
 
     from igloo_spark import IglooSession
 
@@ -1388,12 +1436,16 @@ def main(argv: list[str] | None = None) -> int:
                 F.sum(F.col("txt").isNotNull().cast("bigint")).alias("n_txt"),
             ]
             for c in id_members.values():
-                decoded = F.from_json(
-                    F.decode(F.col(c), "UTF-8"), "array<bigint>"
-                )
-                is_null_literal = (
-                    F.trim(F.decode(F.col(c), "UTF-8")) == "null"
-                )
+                # binary->string CAST, not decode(): under ANSI mode
+                # (PySpark 4 default) decode() raises
+                # MALFORMED_CHARACTER_CODING on invalid UTF-8, which
+                # would crash the verifier on exactly the corrupted
+                # member it exists to count. cast("string") wraps the
+                # bytes unvalidated; from_json on garbage returns
+                # null, so a malformed member lands in n_bad instead.
+                as_text = F.col(c).cast("string")
+                decoded = F.from_json(as_text, "array<bigint>")
+                is_null_literal = F.trim(as_text) == "null"
                 aggs.extend(
                     [
                         F.sum(F.col(c).isNotNull().cast("bigint")).alias(f"n_{c}"),
@@ -1604,6 +1656,39 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 1
+                if args.corpus_store is not None:
+                    # freshness gate BEFORE fusing: a stale index
+                    # silently returns outdated fusions — check both
+                    # retrievers against the store (O(1)-ish counts),
+                    # warn by default, fail under --strict-sync; the
+                    # repair is the existing --repair-index path
+                    from igloo_spark.pipelines import check_index_sync
+
+                    stale = []
+                    for label, root, kind in (
+                        ("postings", args.index_root, "postings"),
+                        ("vector", args.vector_index, args.index_kind),
+                    ):
+                        s = check_index_sync(
+                            session.spark,
+                            args.corpus_store + "/corpus", root, kind=kind,
+                        )
+                        if not s["in_sync"]:
+                            stale.append(
+                                f"{label} index {root}: "
+                                f"{s['index_docs']} docs vs corpus "
+                                f"{s['corpus_docs']}"
+                            )
+                    if stale:
+                        sev = "error" if args.strict_sync else "warning"
+                        for line in stale:
+                            print(
+                                f"{sev}: --hybrid-search: stale {line} "
+                                f"(--repair-index to rebuild)",
+                                file=sys.stderr,
+                            )
+                        if args.strict_sync:
+                            return 4
                 probe = {
                     "ivf": lambda: _sim.probe_ivf_index(
                         session.spark, args.vector_index, queries,

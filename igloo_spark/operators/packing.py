@@ -91,9 +91,17 @@ def mixture_sample(
     cluster layouts; the gate is a pure codegen'd expression evaluated
     at scan speed before any shuffle.
     """
-    for value, (num, den) in {**rates, "<default>": default_rate}.items():
+    # validate rates and default_rate SEPARATELY (same reasoning as
+    # apply_mix_rates): a dict-merge under a '<default>' sentinel key
+    # would let a class literally named '<default>' shadow the
+    # default's slot and slip an out-of-range rate through
+    def _check(value, num, den):
         if den < 1 or num < 0 or num > den:
             raise ValueError(f"rate for {value!r} must satisfy 0 <= num <= den, got {num}/{den}")
+
+    for value, (num, den) in rates.items():
+        _check(value, num, den)
+    _check("<default>", *default_rate)
     h = hex_prefix_hash(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
     gate = None
     for value, (num, den) in rates.items():
@@ -554,9 +562,16 @@ def epoch_upsample(
     ``explode(sequence(0, k-1))`` — no shuffle, no rand(), and the
     output is identical under any partitioning. ``epochs`` values of
     0 drop the class entirely (a mix can zero a source out)."""
-    for cls, k in {**epochs, "<default>": default_epochs}.items():
+    # separate validation loops, not a '<default>'-sentinel dict-merge
+    # (a class literally named '<default>' must not shadow the
+    # default's validation slot — same fix as apply_mix_rates)
+    for cls, k in epochs.items():
         if k < 0:
             raise ValueError(f"epochs for {cls!r} must be >= 0, got {k}")
+    if default_epochs < 0:
+        raise ValueError(
+            f"default_epochs must be >= 0, got {default_epochs}"
+        )
     k_col = F.lit(default_epochs)
     for cls, k in epochs.items():
         k_col = F.when(F.col(mix_col) == cls, F.lit(k)).otherwise(k_col)

@@ -25,86 +25,79 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r13 rotation (executes the r12 verdict's task 2): the two
-    # never-driver-checked queries FIRST (x153, the frozen-recipe
-    # admission gate pinning incremental_ingest(mix_rates=)'s kept/
-    # mix_sampled_out accounting + unseen-class default-keep; x154,
-    # hybrid BM25+ANN retrieval fused by integer-nano RRF — both new
-    # this round), then the eight r08-deferred queries (q08 q12 q15
-    # q19 q29 q31 q90 q91 — the oldest verdicts in the corpus,
-    # deferred twice by family representation and due now), then 40
-    # of the 46 r09-stale (aggregating CORRECTNESS_r01–r12 by latest
-    # verdict: 50@r12, 50@r11, 47@r10, 46@r09, 8@r08 — the r12
-    # comment's "45@r09" was an off-by-one, fixed here), deferring
-    # six by the family-representation rule: q38 (array functions,
-    # rep by q37's explode + q84/q88/q89's array/map/json fresh at
-    # r12), q74 (TPC-H agg-join shape, rep by q72/q73/q75 in-window),
-    # x44 (n-gram Jaccard pairs, rep by x42 fresh at r12 + the x129/
-    # x134 threshold audits in-window), x45 (embedding near-dup brute
-    # pairs, rep by x71's LSH variant in-window + x121 fresh at r12),
-    # x46 (brute-force ANN, rep by x113 fresh at r12 + x123 in-window
-    # + x154's dense side in-window), x62 (capped minhash pairs, rep
-    # by x41/x42 fresh at r12 + x129 in-window). NOTE the corpus grew
-    # 201 -> 203 this round (x153, x154).
-    # Zero changed-since-verdict pins: the r13 diff touches
-    # pipelines/cli/sinks/docs/tests plus the apply_mix_rates
-    # validation split (packing.py) and the new retrieval.rrf_fuse —
-    # no PREVIOUSLY-registered query's code path calls either
-    # (grep-verified; x153/x154 themselves are in this window).
-    # Exactly 50 entries. After this window the verdict-age histogram
-    # is 50@r13, 50@r12, 50@r11, 47@r10, 6@r09 — zero never-checked,
-    # max age 4 rounds. The r14 rotation: q38 q74 x44 x45 x46 x62
-    # first, then the 44 oldest remaining (the r10 window).
-    "x153_mix_admission",
-    "x154_hybrid_rrf",
-    "q08_right_full_outer",
-    "q12_cross_join",
-    "q15_cube_grouping_sets",
-    "q19_intersect_except_all",
-    "q29_approx_aggregates",
-    "q31_window_offsets",
-    "q90_regexp_count_like",
-    "q91_try_to_timestamp",
-    "q05_local_supplier_volume",
-    "q06_revenue_change",
-    "q37_array_explode",
-    "q39_struct_map",
-    "q72_returned_items",
-    "q73_customer_distribution",
-    "q75_global_sales_opportunity",
-    "q78_regexp_extract_all",
-    "q96_regression_aggregates",
-    "q97_conditional_aggregates",
-    "q98_fuzzy_name_match",
-    "q99_gaps_islands",
-    "x114_temperature_mixture",
-    "x123_ann_ivfpq_topk",
-    "x124_pq_learned_distortion",
-    "x129_minhash_threshold_confusion",
-    "x130_split_leakage_audit",
-    "x131_ivf_cell_purity",
-    "x132_recall_nprobe_sweep",
-    "x133_context_length_sweep",
-    "x134_dedup_threshold_sweep",
-    "x135_best_quality_canonicals",
-    "x136_unicode_normalization_audit",
-    "x59_dedup_components",
-    "x64_ann_ivf_learned",
-    "x69_incremental_dedup",
-    "x70_sketch_rollup",
-    "x71_embedding_neardup_lsh",
-    "x80_embedding_quantize",
-    "x87_pagerank_dupgraph",
-    "x89_winnowing_pairs",
-    "x90_semantic_outliers",
-    "x91_scd2_history",
-    "x92_triangle_count",
-    "x93_pmi_cooccurrence",
-    "x94_bigram_logprob",
-    "x95_corpus_shuffle_shards",
-    "x96_bpe_token_stats",
-    "x97_shared_spans",
-    "x98_span_removal",
+    # -- r14 rotation (executes the r13 verdict's task 2, plus the
+    # changed-since-verdict rule): TWO pins first — the r14 diff
+    # splits epoch_upsample's '<default>'-sentinel validation
+    # (operators/packing.py), and x150/x151 are the only registered
+    # queries that call it (grep-verified; x66 calls the equally
+    # changed mixture_sample and is already in this window as an
+    # r10-stale row; write_versioned/verify_versioned/cli changes
+    # touch no query builder). Then the six r09-stale deferred twice
+    # (q38 q74 x44 x45 x46 x62), then 42 of the 47 r10-stale
+    # (aggregating CORRECTNESS_r01–r13 by latest verdict: 50@r13,
+    # 50@r12, 50@r11, 47@r10, 6@r09), deferring five by the
+    # family-representation rule: x50 (token stats, rep by x96
+    # fresh at r13 + x128 in-window), x53 (top-k n-grams, rep by
+    # x54's tf-idf in-window + x119's blocklist fresh at r11),
+    # x58 (media features, rep by x51 decode + x57 frame sampling
+    # in-window — the same multimodal mapInPandas family), x72
+    # (chunk dedup, rep by x40 exact-dedup + x142 chunking
+    # in-window), x143 (chunk coverage, rep by x142 + x139
+    # in-window).
+    # Exactly 50 entries. After this window the verdict-age
+    # histogram is 50@r14, 50@r13, 49@r12, 49@r11, 5@r10 — zero
+    # never-checked, max age 4 rounds. The r15 rotation: x50 x53
+    # x58 x72 x143 first, then the 45 oldest r11-stale.
+    "x150_epoch_upsample",
+    "x151_mix_epoch_pack",
+    "q38_array_functions",
+    "q74_large_volume_customers",
+    "x44_ngram_jaccard_pairs",
+    "x45_embedding_neardup",
+    "x46_ann_bruteforce_topk",
+    "x62_minhash_capped_pairs",
+    "q01_pricing_summary",
+    "q51_ilike_distinct_from",
+    "q52_grouping_sets",
+    "q53_array_agg",
+    "q54_natural_using_join",
+    "q55_map_construction",
+    "q56_hash_hex_functions",
+    "q57_split_part_translate",
+    "q59_higher_order_lambdas",
+    "q60_posexplode",
+    "q61_unpivot",
+    "q62_try_arithmetic",
+    "q63_sequence_array_setops",
+    "q64_lateral_subquery",
+    "q65_str_to_map",
+    "q68_pivot",
+    "q69_recursive_cte",
+    "q70_edit_distance",
+    "q71_group_by_all",
+    "q77_union_by_name",
+    "x125_quality_classifier",
+    "x126_classifier_auc",
+    "x127_bpe_merge_learning",
+    "x128_bpe_encode",
+    "x139_packed_doc_spans",
+    "x140_token_decontamination",
+    "x142_token_chunking",
+    "x40_dedup_exact",
+    "x48_language_id",
+    "x49_quality_score",
+    "x51_multimodal_decode",
+    "x52_stratified_sample",
+    "x54_tfidf_top_terms",
+    "x57_frame_sampling",
+    "x60_outlier_filter",
+    "x61_salted_aggregation",
+    "x63_ann_lsh_multiprobe",
+    "x65_sequence_packing",
+    "x66_data_mixture",
+    "x67_decontamination",
+    "x68_repetition_score",
+    "x73_column_profile",
 )
 
 def all_queries():

@@ -57,6 +57,43 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _rebase_file(root: str, f: str) -> str:
+    """Resolve a manifest-recorded data-file path against ``root`` as
+    the CALLER spells it now. Manifests record caller-form paths
+    (possibly relative, possibly a different spelling of the same
+    root), so a verifier running from another cwd — or with
+    ``./store`` vs ``store`` vs an absolute root — must not take the
+    string literally. The invariant suffix is
+    ``data/commit-*/<name>.parquet``; rebase from the last such marker
+    onto the current root, falling back to the normalized original."""
+    parts = f.replace("\\", "/").split("/")
+    for i in range(len(parts) - 2, -1, -1):
+        if parts[i] == "data" and parts[i + 1].startswith("commit-"):
+            return os.path.normpath(os.path.join(root, *parts[i:]))
+    return os.path.normpath(f)
+
+
+def _hash_files(spark: SparkSession, paths: list[str]) -> dict:
+    """Per-file sha256, computed EXECUTOR-side (``binaryFile`` scan +
+    ``sha2`` — the same distributed shape as the tar exporters'
+    checksum manifests, ``sinks/__init__.py``): cost scales with the
+    bytes hashed, parallel across the cluster, nothing rides the
+    driver but the |files|-sized digest map. Keys are basenames —
+    unique within a commit directory by construction."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.format("binaryFile")
+        .load([p if "://" in p else os.path.abspath(p) for p in paths])
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            F.sha2("content", 256).alias("sha256"),
+        )
+        .collect()
+    )
+    return {r["name"]: r["sha256"] for r in rows}
+
+
 def write_versioned(
     df: DataFrame, root: str, mode: str = "append", batch_id: int | None = None
 ) -> int:
@@ -80,14 +117,24 @@ def write_versioned(
         if f.endswith(".parquet")
     )
     files = list(new_files)
+    # content checksums at commit time: hash exactly the NEW files
+    # (executor-side), inherit carried files' digests from the parent
+    # manifest — commit cost stays proportional to the commit, never
+    # to the table. Old checksum-less manifests inherit as {} and the
+    # carried files simply stay unverified (deep verify reports them).
+    by_name = _hash_files(df.sparkSession, new_files)
+    sha256 = {f: by_name[os.path.basename(f)] for f in new_files}
     if mode == "append" and versions:
-        files = _read_manifest(root, versions[-1])["files"] + files
+        prev = _read_manifest(root, versions[-1])
+        files = prev["files"] + files
+        sha256 = {**prev.get("sha256", {}), **sha256}
     os.makedirs(_manifest_dir(root), exist_ok=True)
     manifest = {
         "version": new_version,
         "op": mode,
         "committed_at": time.time(),
         "files": files,
+        "sha256": sha256,
         "batch_id": batch_id,
     }
     final = os.path.join(_manifest_dir(root), f"v{new_version:06d}.json")
@@ -565,7 +612,9 @@ def read_version_delta(
     return spark.read.parquet(*files)
 
 
-def verify_versioned(root: str) -> dict:
+def verify_versioned(
+    root: str, deep: bool = False, spark: SparkSession | None = None
+) -> dict:
     """INTEGRITY check of a versioned table — the store-side
     counterpart of the tar exports' checksum verification: the
     manifests are the system of record, so verify that every commit
@@ -593,29 +642,48 @@ def verify_versioned(root: str) -> dict:
       so falling behind means the watermark file was tampered with
       or restored from an older backup — stamped replays would
       double-commit).
+    - ``checksum_mismatches`` (``deep=True`` only): referenced files
+      whose on-disk sha256 differs from the digest recorded in the
+      commit manifest — BITROT / silent tampering, invisible to the
+      shallow checks because the file exists and has plausible size.
+      Re-hashing is executor-side (``binaryFile`` + ``sha2``), so a
+      100 TB deep verify parallelizes like any scan; requires
+      ``spark``. Files referenced only by checksum-less pre-upgrade
+      manifests are counted in ``checksums_unverified`` and do not
+      fail the check (back-compat).
     - ``orphan_files`` (INFO, not corruption): data files no
       surviving manifest references — the documented debris of a
       crashed commit (files written, manifest never published) or a
       crashed vacuum; invisible to readers, reclaimed by the next
       vacuum.
 
+    Manifest paths are caller-form and may be relative: every path is
+    rebased onto ``root`` as spelled NOW (see :func:`_rebase_file`),
+    so verifying from a different cwd — or with ``./store`` vs
+    ``store`` — never yields a false CORRUPT verdict.
+
     Returns a dict with those keys plus ``n_versions`` / ``latest``
     and ``ok`` (True iff no corruption-class finding; orphans alone
     stay ok)."""
+    if deep and spark is None:
+        raise ValueError("deep=True needs a SparkSession to re-hash files")
     versions = _list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no versioned table at {root}")
     missing: list[str] = []
     empty: list[str] = []
     referenced: set[str] = set()
+    want_sha: dict[str, str] = {}
     lineage_breaks: list[int] = []
     prev_files: "set[str] | None" = None
     max_batch = -1
     for v in versions:
         m = _read_manifest(root, v)
-        fset = set(m["files"])
+        fset = {_rebase_file(root, f) for f in m["files"]}
         referenced.update(fset)
-        for f in m["files"]:
+        for f, sha in m.get("sha256", {}).items():
+            want_sha.setdefault(_rebase_file(root, f), sha)
+        for f in sorted(fset):
             if not os.path.exists(f):
                 missing.append(f)
             elif os.path.getsize(f) == 0:
@@ -640,9 +708,40 @@ def verify_versioned(root: str) -> dict:
                 continue
             for name in sorted(os.listdir(full)):
                 if name.endswith(".parquet"):
-                    p = os.path.join(full, name)
+                    p = os.path.normpath(os.path.join(full, name))
                     if p not in referenced:
                         orphans.append(p)
+    mismatches: list[str] = []
+    unverified = 0
+    if deep:
+        readable = sorted(
+            referenced - set(missing) - set(empty)
+        )
+        unverified = sum(1 for f in readable if f not in want_sha)
+        to_hash = [f for f in readable if f in want_sha]
+        if to_hash:
+            # keyed by full path, not basename: two commits' files
+            # can both be part-00000-*.parquet, only the commit dir
+            # disambiguates. ignoreCorruptFiles: on a CRC-checking
+            # filesystem (Hadoop local FS with .crc sidecars) a
+            # bit-flipped file raises ChecksumException mid-scan —
+            # skip it instead of aborting, then report every
+            # expected-but-unread file as a mismatch below.
+            from pyspark.sql import functions as F
+
+            got = {
+                os.path.normpath(r["path"].removeprefix("file:")): r["sha"]
+                for r in spark.read.format("binaryFile")
+                .option("ignoreCorruptFiles", "true")
+                .load([os.path.abspath(f) for f in to_hash])
+                .select("path", F.sha2("content", 256).alias("sha"))
+                .collect()
+            }
+            abs_want = {os.path.abspath(f): want_sha[f] for f in to_hash}
+            mismatches = sorted(
+                set(abs_want) - set(got)  # unreadable = FS-level corrupt
+                | {p for p, sha in got.items() if abs_want.get(p, sha) != sha}
+            )
     return {
         "n_versions": len(versions),
         "latest": versions[-1],
@@ -651,6 +750,11 @@ def verify_versioned(root: str) -> dict:
         "version_gaps": gaps,
         "lineage_breaks": lineage_breaks,
         "watermark_behind": watermark_behind,
+        "checksum_mismatches": mismatches,
+        "checksums_unverified": unverified,
         "orphan_files": len(orphans),
-        "ok": not (missing or empty or gaps or lineage_breaks or watermark_behind),
+        "ok": not (
+            missing or empty or gaps or lineage_breaks
+            or watermark_behind or mismatches
+        ),
     }

@@ -1,0 +1,454 @@
+"""Round-14 hardening: content checksums for versioned stores
+(write-time sha256 manifests + --verify-store --deep), caller-form
+path normalization in verify_versioned, the --read-tar malformed-UTF8
+member path under ANSI mode, the <default>-sentinel validation split
+replicated to mixture_sample / epoch_upsample, and index-freshness
+composition in --hybrid-search.
+
+Reference parity note: the reference's integrity story is a roadmap
+TODO (igloo-io/igloo roadmap.md:17-19, cache consistency); the store
+here records per-file digests at commit time and re-verifies them
+with the same distributed binaryFile+sha2 scan the tar exporters use.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+
+def _mk_docs(spark, ids):
+    rows = [
+        (
+            i,
+            f"document body {i} " + " ".join(
+                f"tok{i}word{j}" for j in range(12)
+            ),
+            "head" if i % 5 else "tail",
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def _store(spark, tmp_path, name):
+    from igloo_spark.pipelines import incremental_ingest
+
+    root = str(tmp_path / name)
+    incremental_ingest(
+        _mk_docs(spark, range(1, 11)), root, min_quality=0.0, batch_id=0
+    )
+    incremental_ingest(
+        _mk_docs(spark, range(21, 31)), root, min_quality=0.0, batch_id=1
+    )
+    return root
+
+
+class TestStoreContentChecksums:
+    """write_versioned records per-file sha256 in the commit manifest
+    (executor-side hash of exactly the NEW files; append commits
+    inherit carried digests, so commit cost never scales with table
+    size) and verify_versioned(deep=True) re-hashes against them."""
+
+    def test_manifest_records_sha256_for_every_file(self, spark, tmp_path):
+        root = _store(spark, tmp_path, "ck_manifest")
+        for mpath in sorted(
+            glob.glob(os.path.join(root, "corpus", "manifests", "v*.json"))
+        ):
+            with open(mpath) as f:
+                m = json.load(f)
+            assert set(m["sha256"]) == set(m["files"])
+            assert all(
+                len(h) == 64 and int(h, 16) >= 0
+                for h in m["sha256"].values()
+            )
+
+    @staticmethod
+    def _flip_byte(victim, drop_crc):
+        with open(victim, "r+b") as f:
+            f.seek(10)
+            b = f.read(1)
+            f.seek(10)
+            f.write(bytes([b[0] ^ 0xFF]))  # same size, one flipped byte
+        crc = os.path.join(
+            os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+        )
+        if drop_crc and os.path.exists(crc):
+            # object stores have no CRC sidecars — this is the profile
+            # where ONLY the manifest sha256 can catch the flip
+            os.remove(crc)
+
+    def test_bitflip_detected_only_by_deep(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import verify_versioned
+
+        root = _store(spark, tmp_path, "ck_bitflip") + "/corpus"
+        victim = sorted(
+            glob.glob(os.path.join(root, "data", "*", "*.parquet"))
+        )[0]
+        self._flip_byte(victim, drop_crc=True)
+        shallow = verify_versioned(root)
+        assert shallow["ok"]  # the gap deep mode exists to close
+        deep = verify_versioned(root, deep=True, spark=spark)
+        assert not deep["ok"]
+        assert deep["checksum_mismatches"] == [os.path.abspath(victim)]
+        assert deep["checksums_unverified"] == 0
+
+    def test_bitflip_with_crc_sidecar_still_reported(self, spark, tmp_path):
+        """On Hadoop's CRC-checking local FS the flipped file becomes
+        unreadable (ChecksumException) — deep verify must report it as
+        a mismatch, not abort the whole scan."""
+        from igloo_spark.sources.versioned import verify_versioned
+
+        root = _store(spark, tmp_path, "ck_crc") + "/corpus"
+        victim = sorted(
+            glob.glob(os.path.join(root, "data", "*", "*.parquet"))
+        )[0]
+        self._flip_byte(victim, drop_crc=False)
+        deep = verify_versioned(root, deep=True, spark=spark)
+        assert not deep["ok"]
+        assert deep["checksum_mismatches"] == [os.path.abspath(victim)]
+
+    def test_healthy_store_passes_deep(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import verify_versioned
+
+        root = _store(spark, tmp_path, "ck_ok") + "/corpus"
+        deep = verify_versioned(root, deep=True, spark=spark)
+        assert deep["ok"] and not deep["checksum_mismatches"]
+        assert deep["checksums_unverified"] == 0
+
+    def test_checksumless_old_manifests_stay_verifiable(
+        self, spark, tmp_path
+    ):
+        from igloo_spark.sources.versioned import verify_versioned
+
+        root = _store(spark, tmp_path, "ck_oldfmt") + "/corpus"
+        # simulate a pre-upgrade store: strip the digests
+        n_files = 0
+        for mpath in glob.glob(os.path.join(root, "manifests", "v*.json")):
+            with open(mpath) as f:
+                m = json.load(f)
+            n_files = max(n_files, len(m["files"]))
+            del m["sha256"]
+            with open(mpath, "w") as f:
+                json.dump(m, f)
+        assert verify_versioned(root)["ok"]
+        deep = verify_versioned(root, deep=True, spark=spark)
+        assert deep["ok"]  # unverified is reported, never failed
+        assert deep["checksums_unverified"] == n_files
+
+    def test_lifecycle_ops_keep_deep_verification(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            compact_versioned,
+            vacuum_versioned,
+            verify_versioned,
+        )
+
+        root = _store(spark, tmp_path, "ck_lifecycle") + "/corpus"
+        compact_versioned(spark, root, n_files=2)
+        vacuum_versioned(root, keep_last=1)
+        deep = verify_versioned(root, deep=True, spark=spark)
+        assert deep["ok"] and deep["checksums_unverified"] == 0
+
+    def test_deep_requires_spark(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import verify_versioned
+
+        root = _store(spark, tmp_path, "ck_nospark") + "/corpus"
+        with pytest.raises(ValueError, match="SparkSession"):
+            verify_versioned(root, deep=True)
+
+    def test_cli_deep_flag(self, spark, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        root = _store(spark, tmp_path, "ck_cli")
+        assert main(["--verify-store", root, "--deep"]) == 0
+        out = capsys.readouterr().out
+        assert "deep: 0 unverified" in out
+        victim = sorted(
+            glob.glob(os.path.join(root, "corpus", "data", "*", "*.parquet"))
+        )[0]
+        with open(victim, "r+b") as f:
+            f.seek(10)
+            b = f.read(1)
+            f.seek(10)
+            f.write(bytes([b[0] ^ 0xFF]))
+        assert main(["--verify-store", root]) == 0  # shallow: blind
+        rc = main(["--verify-store", root, "--deep"])
+        captured = capsys.readouterr()
+        assert rc == 4
+        assert "CORRUPT" in captured.out
+        assert "checksum_mismatches" in captured.err
+
+
+class TestVerifyPathNormalization:
+    """Manifests record caller-form (possibly relative) paths; the
+    verifier rebases them onto root-as-spelled-now, so a different
+    cwd or a different spelling of the same root never yields a
+    false CORRUPT verdict."""
+
+    def test_relative_manifest_paths_absolute_verifier(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from igloo_spark.sources.versioned import verify_versioned
+
+        root = _store(spark, tmp_path, "rel_store") + "/corpus"
+        # simulate a writer that recorded paths relative to the
+        # store's parent directory
+        for mpath in glob.glob(os.path.join(root, "manifests", "v*.json")):
+            with open(mpath) as f:
+                m = json.load(f)
+            m["files"] = [os.path.relpath(p, tmp_path) for p in m["files"]]
+            m["sha256"] = {
+                os.path.relpath(p, tmp_path): h
+                for p, h in m["sha256"].items()
+            }
+            with open(mpath, "w") as f:
+                json.dump(m, f)
+        elsewhere = tmp_path / "elsewhere"
+        elsewhere.mkdir()
+        monkeypatch.chdir(elsewhere)  # writer-cwd-relative paths dangle
+        v = verify_versioned(root)
+        assert v["ok"]
+        assert v["orphan_files"] == 0  # rebased paths match the walk
+        deep = verify_versioned(root, deep=True, spark=spark)
+        assert deep["ok"] and deep["checksums_unverified"] == 0
+
+    def test_dot_slash_spelling(self, spark, tmp_path, monkeypatch):
+        from igloo_spark.sources.versioned import verify_versioned
+
+        root = _store(spark, tmp_path, "spell_store")
+        monkeypatch.chdir(tmp_path)
+        v = verify_versioned("./spell_store/corpus")
+        assert v["ok"] and v["orphan_files"] == 0
+        deep = verify_versioned(
+            "./spell_store/corpus/", deep=True, spark=spark
+        )
+        assert deep["ok"] and deep["checksums_unverified"] == 0
+
+
+class TestDefaultSentinelValidation:
+    """mixture_sample / epoch_upsample validate class rates and the
+    default SEPARATELY — a class literally named '<default>' must not
+    shadow the default's validation slot (the apply_mix_rates fix,
+    replicated)."""
+
+    def test_mixture_sample_invalid_default_named_class(self, spark):
+        from pyspark.sql import functions as F
+
+        from igloo_spark.operators.packing import mixture_sample
+
+        df = _mk_docs(spark, range(1, 6)).withColumn(
+            "source", F.lit("<default>")
+        )
+        with pytest.raises(ValueError, match="<default>"):
+            # out-of-range rate on the literally-named class: the old
+            # dict-merge let the (valid) default_rate shadow it
+            mixture_sample(
+                df, "doc_id", "source", {"<default>": (5, 1)},
+                default_rate=(1, 1),
+            )
+        with pytest.raises(ValueError, match="<default>"):
+            mixture_sample(
+                df, "doc_id", "source", {}, default_rate=(2, 1)
+            )
+
+    def test_mixture_sample_default_named_class_uses_its_own_rate(
+        self, spark
+    ):
+        from pyspark.sql import functions as F
+
+        from igloo_spark.operators.packing import mixture_sample
+
+        df = _mk_docs(spark, range(1, 41)).withColumn(
+            "source", F.lit("<default>")
+        )
+        kept = mixture_sample(
+            df, "doc_id", "source", {"<default>": (0, 1)},
+            default_rate=(1, 1),
+        ).count()
+        assert kept == 0  # the class's own 0-rate wins, not the default
+
+    def test_epoch_upsample_invalid_default_named_class(self, spark):
+        from igloo_spark.operators.packing import epoch_upsample
+
+        df = _mk_docs(spark, range(1, 6))
+        with pytest.raises(ValueError, match="<default>"):
+            epoch_upsample(
+                df, "source", {"<default>": -3}, default_epochs=1
+            )
+        with pytest.raises(ValueError, match="default_epochs"):
+            epoch_upsample(df, "source", {}, default_epochs=-1)
+
+
+class TestHybridSearchSyncGate:
+    """--hybrid-search + --corpus-store: index freshness is checked
+    BEFORE fusing (both retrievers) — warn by default, exit 4 under
+    --strict-sync; --repair-index / pipelines.repair_index clears it."""
+
+    DIM = 8
+
+    def _setup(self, spark, tmp_path):
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.pipelines import incremental_ingest
+
+        def _rows(ids):
+            return [
+                (
+                    i,
+                    f"document body {i} " + " ".join(
+                        f"tok{i}word{j}" for j in range(10)
+                    ) + (" vector search" if i % 3 == 0 else " stream hash"),
+                    [math.sin(0.7 * i + 1.3 * j) for j in range(self.DIM)],
+                )
+                for i in ids
+            ]
+
+        schema = "doc_id long, text string, embedding array<double>"
+        store = str(tmp_path / "sync_store")
+        pidx = str(tmp_path / "sync_postings")
+        vidx = str(tmp_path / "sync_ivf")
+        incremental_ingest(
+            spark.createDataFrame(_rows(range(1, 31)), schema), store,
+            min_quality=0.0, min_shared=1, persist_embeddings=True,
+            postings_index_root=pidx, ivf_index_root=vidx,
+        )
+        # corpus advances; the indexes do NOT — the one-ingest lag
+        incremental_ingest(
+            spark.createDataFrame(_rows(range(41, 51)), schema), store,
+            min_quality=0.0, min_shared=1, persist_embeddings=True,
+        )
+        d = tmp_path / "sync_data"
+        d.mkdir()
+        rows = _rows(range(1, 31))
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[2] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        return store, str(d), pidx, vidx
+
+    def _args(self, store, d, pidx, vidx, *extra):
+        return [
+            "--data-dir", d, "--hybrid-search", "vector search",
+            "--hybrid-vec", "1", "--index-root", pidx,
+            "--vector-index", vidx, "--index-kind", "ivf",
+            "--corpus-store", store, *extra,
+        ]
+
+    def test_stale_index_warns_then_strict_fails_then_repair_clears(
+        self, spark, tmp_path, capsys
+    ):
+        from igloo_spark.cli import main
+        from igloo_spark.pipelines import repair_index
+
+        store, d, pidx, vidx = self._setup(spark, tmp_path)
+        # default: warn on BOTH stale retrievers but still fuse
+        rc = main(self._args(store, d, pidx, vidx))
+        captured = capsys.readouterr()
+        assert rc == 0
+        assert captured.err.count("warning: --hybrid-search: stale") == 2
+        assert "--repair-index" in captured.err
+        # strict: refuse to serve stale fusions
+        rc = main(self._args(store, d, pidx, vidx, "--strict-sync"))
+        captured = capsys.readouterr()
+        assert rc == 4
+        assert "error: --hybrid-search: stale" in captured.err
+        # the existing lag-repair path clears it
+        assert repair_index(
+            spark, store + "/corpus", pidx, "postings"
+        )["in_sync"]
+        assert repair_index(
+            spark, store + "/corpus", vidx, "ivf"
+        )["in_sync"]
+        rc = main(self._args(store, d, pidx, vidx, "--strict-sync"))
+        captured = capsys.readouterr()
+        assert rc == 0
+        assert "--hybrid-search: stale" not in captured.err
+
+    def test_strict_sync_validation(self):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):  # needs --hybrid-search
+            main(["--sql", "SELECT 1", "--strict-sync"])
+        with pytest.raises(SystemExit):  # needs --corpus-store
+            main(
+                ["--hybrid-search", "x", "--index-root", "/tmp/p",
+                 "--vector-index", "/tmp/v", "--hybrid-vec", "1",
+                 "--data-dir", "/tmp/d", "--index-kind", "ivf",
+                 "--strict-sync"]
+            )
+
+
+class TestReadTarMalformedMember:
+    """--read-tar under ANSI mode: an id member whose bytes are not
+    valid UTF-8 must COUNT as bad (exit 4) — not crash the verifier
+    with MALFORMED_CHARACTER_CODING."""
+
+    def test_invalid_utf8_member_counts_as_bad(
+        self, spark, tmp_path, capsys
+    ):
+        import hashlib
+        import tarfile
+
+        from igloo_spark.cli import main
+        from igloo_spark.operators.bpe import learn_bpe_merges
+        from igloo_spark.pipelines import (
+            prepare_training_corpus,
+            write_training_shards,
+        )
+
+        docs = _mk_docs(spark, range(1, 21)).select("doc_id", "text")
+        r = prepare_training_corpus(docs, min_quality=0.0, n_shards=2)
+        path = str(tmp_path / "tar_badutf8")
+        merges = learn_bpe_merges(docs, n_merges=3, top_v=None)
+        write_training_shards(
+            docs, r, path, data_format="tar", bpe_merges=merges
+        )
+        shard = sorted(glob.glob(os.path.join(path, "shard-*.tar")))[0]
+        rewritten = shard + ".new"
+        poisoned = False
+        with tarfile.open(shard) as src, tarfile.open(
+            rewritten, "w"
+        ) as dst:
+            for member in src.getmembers():
+                data = src.extractfile(member).read()
+                if member.name.endswith("ids.json") and not poisoned:
+                    data = b"\xff\xfe[1,2"  # invalid UTF-8, then junk
+                    poisoned = True
+                member.size = len(data)
+                import io
+
+                dst.addfile(member, io.BytesIO(data))
+        assert poisoned
+        os.replace(rewritten, shard)
+        # keep the checksum manifest consistent so ONLY the member
+        # decode path is under test
+        sums_path = os.path.join(path, "_meta", "checksums.json")
+        with open(sums_path) as f:
+            sums = json.load(f)
+        with open(shard, "rb") as f:
+            sums["shards"][os.path.basename(shard)] = hashlib.sha256(
+                f.read()
+            ).hexdigest()
+        with open(sums_path, "w") as f:
+            json.dump(sums, f)
+        rc = main(["--read-tar", path])
+        captured = capsys.readouterr()
+        assert rc == 4  # counted, not crashed
+        assert "failed to decode" in captured.err
+        assert "1 bad" in captured.out
+        assert "checksums" in captured.out and "OK" in captured.out
