@@ -167,7 +167,69 @@ def main() -> int:
                 self.prefit(spark, sf_dir)
             return score_docs(docs, self._clf)
 
-    specs = legacy + [corpus[n] for n in _EXTENDED] + [_ScoreOnly()]
+    # x155_hybrid_serve (r14): the RAG-SERVING profile over PERSISTED
+    # indexes — the one flagship family with no wall-clock bar until
+    # now. Index builds are ingest-time costs (timed via x105/ingest
+    # rows); serving is probe-postings (literal partition filter, at
+    # most |query| hash buckets) + probe-IVF (nprobe cell dirs only)
+    # + rrf_fuse (k-row joins + one k-row window). Both indexes are
+    # built ONCE in prefit, outside the timer — the timed body is
+    # what a query-serving tier pays per request batch.
+    class _HybridServe:
+        name = "x155_hybrid_serve"
+
+        def __init__(self):
+            self._roots = None
+
+        def prefit(self, spark, sf_dir):
+            import tempfile
+
+            from igloo_spark.operators.retrieval import write_postings_index
+            from igloo_spark.operators.similarity import write_ivf_index
+            from igloo_spark.sources import load_testdata_table
+
+            base = tempfile.mkdtemp(prefix="bench_hybrid_")
+            pidx = os.path.join(base, "postings")
+            vidx = os.path.join(base, "ivf")
+            write_postings_index(
+                load_testdata_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                ),
+                pidx,
+            )
+            emb = load_testdata_table(spark, sf_dir, "embeddings")
+            dim = len(emb.select("embedding").first()[0])
+            write_ivf_index(emb, vidx, n_cells=8, dim=dim)
+            self._roots = (pidx, vidx)
+
+        def spark(self, spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from igloo_spark.operators.retrieval import (
+                probe_postings_index,
+                rrf_fuse,
+            )
+            from igloo_spark.operators.similarity import probe_ivf_index
+            from igloo_spark.sources import load_testdata_table
+
+            if self._roots is None:
+                self.prefit(spark, sf_dir)
+            pidx, vidx = self._roots
+            q = load_testdata_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") == 0
+            ).select("vec_id", "embedding")
+            bm = probe_postings_index(
+                spark, pidx, ["vector", "join", "stream", "hash"], k=10
+            ).select("doc_id", "rank")
+            ann = probe_ivf_index(spark, vidx, q, k=10, nprobe=2).select(
+                F.col("neighbor_id").alias("doc_id"), "rank"
+            )
+            return rrf_fuse({"bm25": bm, "ann": ann}, "doc_id", k=8)
+
+    specs = (
+        legacy + [corpus[n] for n in _EXTENDED]
+        + [_ScoreOnly(), _HybridServe()]
+    )
     legacy_names = {s.name for s in legacy}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

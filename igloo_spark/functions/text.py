@@ -184,14 +184,81 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+# Credit cards are the one class a pure regex cannot decide: the
+# candidate shape (13-19 digits, optional single space/dash group
+# separators) false-positives on order numbers and timestamps, so the
+# match is confirmed by the Luhn checksum — an IN-ROW higher-order
+# fold over the digit string (doubling every second digit from the
+# right, subtracting 9 above 9, sum % 10 == 0). Both the candidate
+# regex and the fold use only syntax Java regex / RE2 and Spark /
+# DuckDB lambdas share, so the oracle reproduces the decision exactly.
+CARD_CANDIDATE = r"\b\d(?:[ -]?\d){12,18}\b"
+CARD_TOKEN = "[CARD]"
+
+
+def _luhn_valid(cand: Column) -> Column:
+    """True iff the candidate's digits pass the Luhn checksum (and
+    total 13-19 — the separator-flexible regex can overcount)."""
+    d = F.regexp_replace(cand, "[^0-9]", "")
+    rev = F.reverse(d)
+    digit = lambda i: F.ascii(rev.substr(i, F.lit(1))) - 48  # noqa: E731
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(rev)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            digit(i) * 2 - F.when(digit(i) >= 5, 9).otherwise(0),
+        ).otherwise(digit(i)),
+    )
+    return (
+        F.length(d).between(13, 19) & (total % 10 == 0)
+    )
+
+
+def _luhn_cards(text: Column) -> Column:
+    """Distinct Luhn-valid card-shaped substrings of ``text``."""
+    return F.array_distinct(
+        F.filter(
+            F.regexp_extract_all(text, F.lit(CARD_CANDIDATE), F.lit(0)),
+            _luhn_valid,
+        )
+    )
+
+
+def _luhn_cards_sql(expr: str) -> str:
+    digit = "(ascii(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), i, 1)) - 48)"
+    total = (
+        f"list_sum(list_transform("
+        f"range(1, length(regexp_replace(c, '[^0-9]', '', 'g')) + 1), "
+        f"i -> CASE WHEN i % 2 = 0 THEN {digit} * 2 - "
+        f"(CASE WHEN {digit} >= 5 THEN 9 ELSE 0 END) "
+        f"ELSE {digit} END))"
+    )
+    valid = (
+        f"length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19 "
+        f"AND {total} % 10 = 0"
+    )
+    return (
+        f"list_distinct(list_filter("
+        f"regexp_extract_all({expr}, '\\b\\d(?:[ -]?\\d){{12,18}}\\b'), "
+        f"c -> {valid}))"
+    )
+
+
 def pii_count(text: Column, kind: str) -> Column:
-    """Occurrences of one PII kind (email/ssn/phone/ipv4) — codegen'd
-    regexp_count, no Python in the scan stage."""
+    """Occurrences of one PII kind (email/ssn/phone/ipv4: codegen'd
+    regexp_count; card: Luhn-confirmed distinct candidates) — no
+    Python in the scan stage."""
+    if kind == "card":
+        return F.size(_luhn_cards(text)).cast("bigint")
     pat, _ = PII_PATTERNS[kind]
     return F.regexp_count(text, F.lit(pat)).cast("bigint")
 
 
 def pii_count_sql(expr: str, kind: str) -> str:
+    if kind == "card":
+        return f"CAST(len({_luhn_cards_sql(expr)}) AS BIGINT)"
     pat, _ = PII_PATTERNS[kind]
     pat_sql = pat.replace("'", "''")
     return f"CAST(len(regexp_extract_all({expr}, '{pat_sql}')) AS BIGINT)"
@@ -199,13 +266,21 @@ def pii_count_sql(expr: str, kind: str) -> str:
 
 def redact_pii(text: Column) -> Column:
     """Replace every PII match with its class token ([EMAIL], [SSN],
-    [PHONE], [IP]) — the standard pre-training scrub. Chained
-    regexp_replace stays inside whole-stage codegen; order matters and
-    is fixed by PII_PATTERNS."""
+    [PHONE], [IP], [CARD]) — the standard pre-training scrub. The
+    regex classes are chained regexp_replace inside whole-stage
+    codegen; order matters and is fixed by PII_PATTERNS. Cards go
+    LAST (an SSN-shaped string is tagged [SSN] before the card
+    candidate regex could claim it) via an in-row fold: extract
+    candidates, keep the Luhn-valid ones, literal-replace each — all
+    higher-order expressions, still zero Python."""
     out = text
     for pat, token in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, token)
-    return out
+    return F.aggregate(
+        _luhn_cards(out),
+        out,
+        lambda acc, c: F.replace(acc, c, F.lit(CARD_TOKEN)),
+    )
 
 
 def redact_pii_sql(expr: str) -> str:
@@ -213,7 +288,13 @@ def redact_pii_sql(expr: str) -> str:
     for pat, token in PII_PATTERNS.values():
         pat_sql = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{pat_sql}', '{token}', 'g')"
-    return out
+    # list_reduce uses the first element as the accumulator, so seed
+    # the scrubbed text ahead of the card list (empty list -> text)
+    return (
+        f"list_reduce(list_prepend(CAST({out} AS VARCHAR), "
+        f"{_luhn_cards_sql(out)}), "
+        f"(acc, c) -> replace(acc, c, '{CARD_TOKEN}'))"
+    )
 
 
 # --- URL canonicalization -------------------------------------------------

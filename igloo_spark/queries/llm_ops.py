@@ -1674,7 +1674,7 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x82_pii_scrub",
-    "per-source PII census: email/ssn/phone/ip counts + chars removed by redaction",
+    "per-source PII census: email/ssn/phone/ip/card counts + chars removed by redaction",
     f"""
     WITH per_doc AS (
         SELECT source,
@@ -1682,6 +1682,7 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
                {{ssn}} AS n_ssns,
                {{phone}} AS n_phones,
                {{ipv4}} AS n_ips,
+               {{card}} AS n_cards,
                CAST(length(text) - length({{redacted}}) AS BIGINT) AS delta_chars
         FROM documents
     )
@@ -1690,6 +1691,7 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_ssns) AS BIGINT) AS n_ssns,
            CAST(sum(n_phones) AS BIGINT) AS n_phones,
            CAST(sum(n_ips) AS BIGINT) AS n_ips,
+           CAST(sum(n_cards) AS BIGINT) AS n_cards,
            CAST(sum(delta_chars) AS BIGINT) AS delta_chars
     FROM per_doc GROUP BY source
     """.format(
@@ -1697,15 +1699,18 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssn=pii_count_sql("text", "ssn"),
         phone=pii_count_sql("text", "phone"),
         ipv4=pii_count_sql("text", "ipv4"),
+        card=pii_count_sql("text", "card"),
         redacted=redact_pii_sql("text"),
     ),
     tags=("text", "pii", "llm"),
 )
 def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub census — the audit step before a redacted corpus
-    ships. All four detectors are codegen'd regexp_count and the
-    redaction is a chained regexp_replace in the same scan stage: one
-    shuffle total (the per-source rollup). 100 TB shape: map-side
+    ships. The four regex detectors are codegen'd regexp_count, the
+    card detector is a Luhn-confirmed in-row fold (r14 — the most
+    common class a pure regex misses), and the redaction is chained
+    regexp_replace + a literal-replace fold in the same scan stage:
+    one shuffle total (the per-source rollup). 100 TB shape: map-side
     partial aggregation on a low-cardinality key."""
     from igloo_spark.functions.text import pii_count, redact_pii
 
@@ -1717,6 +1722,7 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count(t, "ssn").alias("n_ssns"),
         pii_count(t, "phone").alias("n_phones"),
         pii_count(t, "ipv4").alias("n_ips"),
+        pii_count(t, "card").alias("n_cards"),
         (F.length(t) - F.length(redact_pii(t))).cast("bigint").alias("delta_chars"),
     )
     return per_doc.groupBy("source").agg(
@@ -1724,6 +1730,7 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ssns").cast("bigint").alias("n_ssns"),
         F.sum("n_phones").cast("bigint").alias("n_phones"),
         F.sum("n_ips").cast("bigint").alias("n_ips"),
+        F.sum("n_cards").cast("bigint").alias("n_cards"),
         F.sum("delta_chars").cast("bigint").alias("delta_chars"),
     )
 

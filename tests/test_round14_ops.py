@@ -393,6 +393,98 @@ class TestHybridSearchSyncGate:
             )
 
 
+class TestLuhnCardScrub:
+    """The [CARD] PII class (r14): credit-card-shaped digit runs
+    confirmed by the Luhn checksum — a pure in-row higher-order fold
+    (extract candidates, keep Luhn-valid, literal-replace each), zero
+    Python, with the DuckDB twin re-deriving the same arithmetic.
+    Cards scrub LAST so [SSN]/[PHONE] claim their shapes first."""
+
+    CASES = [
+        ("card 4111 1111 1111 1111 ok", "card [CARD] ok", 1),
+        ("card 4111-1111-1111-1111 ok", "card [CARD] ok", 1),
+        ("pay 4111111111111111 now", "pay [CARD] now", 1),
+        # fails the checksum -> NOT a card, stays verbatim
+        ("invalid 4111 1111 1111 1112 stays",
+         "invalid 4111 1111 1111 1112 stays", 0),
+        # 13 digits but Luhn-invalid order number
+        ("order 1234567890123 ship", "order 1234567890123 ship", 0),
+        ("ssn 123-45-6789 and card 5500 0000 0000 0004",
+         "ssn [SSN] and card [CARD]", 1),
+        ("a@b.com pays with 4111111111111111", "[EMAIL] pays with [CARD]", 1),
+        ("no pii here at all", "no pii here at all", 0),
+    ]
+
+    def test_spark_scrub_and_count(self, spark):
+        from pyspark.sql import functions as F
+
+        from igloo_spark.functions.text import pii_count, redact_pii
+
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _, _) in enumerate(self.CASES)],
+            "i long, t string",
+        )
+        rows = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                redact_pii(F.col("t")).alias("scrubbed"),
+                pii_count(F.col("t"), "card").alias("n_cards"),
+            ).collect()
+        }
+        for i, (_, want, n) in enumerate(self.CASES):
+            assert rows[i]["scrubbed"] == want, (i, rows[i]["scrubbed"])
+            assert rows[i]["n_cards"] == n, (i, rows[i]["n_cards"])
+
+    def test_duckdb_twin_agrees(self):
+        import duckdb
+
+        from igloo_spark.functions.text import pii_count_sql, redact_pii_sql
+
+        con = duckdb.connect()
+        for t, want, n in self.CASES:
+            got = con.sql(
+                f"select {redact_pii_sql('t')} r, "
+                f"{pii_count_sql('t', 'card')} n from (select ? as t)",
+                params=[t],
+            ).fetchone()
+            assert got[0] == want, (t, got[0])
+            assert got[1] == n, (t, got[1])
+
+    def test_card_scrubbed_at_admission(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        docs = spark.createDataFrame(
+            [(1, "charge card 4111 1111 1111 1111 for the full order"),
+             (2, "plain document with no sensitive content at all")],
+            "doc_id long, text string",
+        )
+        root = str(tmp_path / "card_store")
+        incremental_ingest(
+            docs, root, min_quality=0.0, min_shared=1, scrub_pii=True
+        )
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in read_versioned(spark, root + "/corpus").collect()
+        }
+        assert "[CARD]" in texts[1]
+        assert "4111" not in texts[1]
+
+    def test_x82_matches_oracle(self, spark):
+        """The extended x82 (new n_cards column + card-aware
+        redaction delta) stays hash-identical to its DuckDB twin at
+        the driver's own oracle scale."""
+        from conftest import SF_ORACLE, assert_matches_oracle
+
+        from igloo_spark.queries import all_queries
+
+        spec = all_queries()["x82_pii_scrub"]
+        assert_matches_oracle(
+            spec.spark(spark, SF_ORACLE), spec.oracle, SF_ORACLE
+        )
+
+
 class TestReadTarMalformedMember:
     """--read-tar under ANSI mode: an id member whose bytes are not
     valid UTF-8 must COUNT as bad (exit 4) — not crash the verifier

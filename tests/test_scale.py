@@ -567,3 +567,98 @@ def test_tokenized_shard_write_scale_bounded(spark, tmp_path):
     print(f"tokenized shard write: sf0.01 {times['/root/testdata/sf0.01']:.2f}s "
           f"sf0.1 {times['/root/testdata/sf0.1']:.2f}s ratio {ratio:.1f}x")
     assert ratio < 8, (times, "tokenized write grew superlinearly vs 10x data")
+
+
+def test_round11_13_operators_scale_bounded(spark, tmp_path):
+    """r11–r13 additions at sf0.01 → sf0.1 (10× rows), the SCALE.md
+    round-11/round-13 one-off sessions made repeatable (round-4-
+    through-10 precedent): the chunk-then-pack and mix-epoch-pack
+    query shapes, the frozen-mix admission ingest, the eos-terminated
+    batched export, the tar write with its sha256 checksum manifest,
+    and the --read-tar loader-side verification. Measured ratios were
+    flat-to-1.6× for 10× data (fixed vocab/fit costs dominate; the
+    tar re-read scales with bytes); the gate asserts <8× headroom so
+    host noise never flakes it while a superlinear regression still
+    trips it."""
+    import json as _json
+
+    from igloo_spark.cli import main as _cli_main
+    from igloo_spark.operators.bpe import learn_bpe_merges
+    from igloo_spark.operators.packing import temperature_rates
+    from igloo_spark.pipelines import (
+        incremental_ingest,
+        prepare_training_corpus,
+        write_batched_token_shards,
+        write_training_shards,
+    )
+    from igloo_spark.queries import all_queries
+    from igloo_spark.sources import load_testdata_table
+
+    SFS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+    # -- query shapes (registry pattern, as in the r10 gate)
+    qs = all_queries()
+    for name in ("x144_chunk_pack", "x151_mix_epoch_pack"):
+        warm = {}
+        for sf in SFS:
+            spec = qs[name]
+            _run(spec.spark(spark, sf))  # codegen warmup
+            t0 = time.perf_counter()
+            _run(spec.spark(spark, sf))
+            warm[sf] = time.perf_counter() - t0
+        ratio = warm[SFS[1]] / max(warm[SFS[0]], 1e-9)
+        print(f"{name}: sf0.01 {warm[SFS[0]]:.3f}s sf0.1 {warm[SFS[1]]:.3f}s "
+              f"ratio {ratio:.1f}x")
+        assert ratio < 8, (name, ratio)
+
+    # -- pipeline paths
+    times: dict[str, dict[str, float]] = {}
+    for sf in SFS:
+        tag = sf.rsplit("sf", 1)[-1]
+        docs = load_testdata_table(spark, sf, "documents")
+        rates = temperature_rates(docs, "lang", alpha=0.5)
+
+        t0 = time.perf_counter()
+        incremental_ingest(
+            docs.select("doc_id", "text", "lang"),
+            str(tmp_path / f"mix_store_{tag}"),
+            min_quality=0.0, mix_rates=rates, mix_col="lang",
+        )
+        times.setdefault("mix_admission_ingest", {})[sf] = (
+            time.perf_counter() - t0
+        )
+
+        d2 = docs.select("doc_id", "text")
+        r = prepare_training_corpus(d2, min_quality=0.0, n_shards=2)
+        merges = learn_bpe_merges(d2, n_merges=8)
+        t0 = time.perf_counter()
+        write_batched_token_shards(
+            d2, r, str(tmp_path / f"eos_{tag}"), merges,
+            bucket_width=16, batch_size=8, eos_id=777_777,
+        )
+        times.setdefault("eos_batched_export", {})[sf] = (
+            time.perf_counter() - t0
+        )
+
+        tar_out = str(tmp_path / f"tar_{tag}")
+        t0 = time.perf_counter()
+        write_training_shards(
+            d2, r, tar_out, data_format="tar", bpe_merges=merges,
+        )
+        times.setdefault("tar_write_with_checksums", {})[sf] = (
+            time.perf_counter() - t0
+        )
+        with open(tar_out + "/_meta/checksums.json") as f:
+            assert _json.load(f)["shards"]  # the manifest is real
+
+        t0 = time.perf_counter()
+        assert _cli_main(["--read-tar", tar_out]) == 0
+        times.setdefault("read_tar_verify", {})[sf] = (
+            time.perf_counter() - t0
+        )
+
+    for name, t in times.items():
+        ratio = t[SFS[1]] / max(t[SFS[0]], 1e-9)
+        print(f"{name}: sf0.01 {t[SFS[0]]:.2f}s sf0.1 {t[SFS[1]]:.2f}s "
+              f"ratio {ratio:.1f}x")
+        assert ratio < 8, (name, t)

@@ -154,6 +154,10 @@ def test_multimodal_resize_plumbing(spark):
 
 
 def test_multimodal_real_decode_is_gated(spark):
+    """The codec gate is now scoped per payload: UNCOMPRESSED formats
+    decode natively (test below), but a compressed/unknown payload
+    without PIL still hits the documented NotImplementedError — at
+    action time, since the dispatch is payload-inspecting."""
     import pytest as _pytest
 
     try:
@@ -166,8 +170,44 @@ def test_multimodal_real_decode_is_gated(spark):
     from igloo_spark.sources import load_testdata_table
 
     docs = load_testdata_table(spark, SF_SMOKE, "documents").limit(1)
-    with _pytest.raises(NotImplementedError):
-        decode_media(attach_binary(docs, "doc_id", "text"), fake=False)
+    with _pytest.raises(Exception, match="codec library"):
+        decode_media(
+            attach_binary(docs, "doc_id", "text"), fake=False
+        ).collect()
+
+
+def test_multimodal_real_decode_bmp_no_codec(spark, tmp_path):
+    """decode_media(fake=False) decodes a REAL image end-to-end in
+    this sandbox: a 24-bit BMP written byte-by-byte via struct, read
+    through binaryFile → from_binary_files → the mapInPandas real
+    path — no PIL, pure-numpy parse."""
+    import struct
+
+    from igloo_spark.operators.multimodal import decode_media, from_binary_files
+
+    w, h = 5, 3
+    row = bytes([10, 20, 30] * w)  # BGR pixels
+    pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+    pixel_data = (row + pad) * h
+    data_off = 14 + 40
+    file_size = data_off + len(pixel_data)
+    header = (
+        b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                      len(pixel_data), 2835, 2835, 0, 0)
+    )
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.bmp").write_bytes(header + pixel_data)
+
+    files = spark.read.format("binaryFile").load(str(media))
+    out = decode_media(
+        from_binary_files(files, mime="image/bmp"), fake=False
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+    assert r.byte_size == file_size
 
 
 def test_multimodal_real_decode_with_pil(spark, tmp_path):
