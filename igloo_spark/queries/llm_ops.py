@@ -7664,3 +7664,168 @@ def x154(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"bm25": bm.select("doc_id", "rank"), "ann": ann},
         "doc_id", k_rrf=RRF_K, k=RRF_TOPK,
     ).select("doc_id", "bm25_rank", "ann_rank", "rrf_nano", "fused_rank")
+
+
+# --- x156: hybrid-fusion audit — per-retriever contribution (r14) ----------
+#
+# Nothing in the eval family (x113/x117/x122/x131/x132) audits the
+# FUSION step: x154 pins the fused list itself, but a serving tier
+# also wants to know what each retriever contributed — how many fused
+# results each list supplied, how many only one list saw, and how far
+# fusion moved each doc from its single-retriever rank. All integers,
+# so the audit is exactly reproducible in both engines.
+
+
+def _x156_oracle() -> str:
+    fused = _x154_oracle()
+    return f"""
+    WITH fused AS ({fused})
+    SELECT CAST(count(*) AS BIGINT) AS n_fused,
+           CAST(sum(CASE WHEN bm25_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_from_bm25,
+           CAST(sum(CASE WHEN ann_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_from_ann,
+           CAST(sum(CASE WHEN bm25_rank IS NOT NULL AND ann_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_from_both,
+           CAST(sum(CASE WHEN bm25_rank IS NOT NULL AND ann_rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bm25_only,
+           CAST(sum(CASE WHEN ann_rank IS NOT NULL AND bm25_rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ann_only,
+           CAST(coalesce(sum(bm25_rank - fused_rank), 0) AS BIGINT) AS bm25_rank_shift,
+           CAST(coalesce(sum(ann_rank - fused_rank), 0) AS BIGINT) AS ann_rank_shift,
+           CAST(min(CASE WHEN fused_rank = 1 THEN doc_id END) AS BIGINT) AS top1_doc
+    FROM fused
+    """
+
+
+@register(
+    "x156_hybrid_fusion_audit",
+    "fusion audit of the hybrid top-k: per-retriever contribution counts, "
+    "exclusive hits, integer rank shifts, top-1 provenance",
+    _x156_oracle(),
+    tags=("retrieval", "eval", "llm"),
+)
+def x156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of x154's fused list — the serving-tier question "which
+    retriever earned each result?": contribution counts (rows each
+    list supplied, rows BOTH supplied, rows only one saw) and the
+    integer rank shift fusion applied to each list (sum of
+    single-retriever rank minus fused rank; positive = fusion
+    promoted that list's docs). Composes on the registered x154
+    builder, so the audited frame IS the gated one — and the whole
+    audit is one aggregate over the k-row fused output: constant cost
+    at any corpus size (the retrievers upstream carry the corpus
+    cost, exactly as in x154).
+
+    Reference parity note: the reference has no retrieval surface at
+    all (crates/api/src/lib.rs:67-184 leaves 7 of 9 Flight RPCs
+    unimplemented); this extends the build plan's hybrid-retrieval
+    family."""
+    fused = x154(spark, sf_dir)
+    has_bm = F.col("bm25_rank").isNotNull()
+    has_ann = F.col("ann_rank").isNotNull()
+    return fused.agg(
+        F.count("*").cast("bigint").alias("n_fused"),
+        F.sum(has_bm.cast("bigint")).cast("bigint").alias("n_from_bm25"),
+        F.sum(has_ann.cast("bigint")).cast("bigint").alias("n_from_ann"),
+        F.sum((has_bm & has_ann).cast("bigint")).cast("bigint").alias("n_from_both"),
+        F.sum((has_bm & ~has_ann).cast("bigint")).cast("bigint").alias("n_bm25_only"),
+        F.sum((has_ann & ~has_bm).cast("bigint")).cast("bigint").alias("n_ann_only"),
+        F.coalesce(
+            F.sum(F.col("bm25_rank") - F.col("fused_rank")), F.lit(0)
+        ).cast("bigint").alias("bm25_rank_shift"),
+        F.coalesce(
+            F.sum(F.col("ann_rank") - F.col("fused_rank")), F.lit(0)
+        ).cast("bigint").alias("ann_rank_shift"),
+        F.min(
+            F.when(F.col("fused_rank") == 1, F.col("doc_id"))
+        ).cast("bigint").alias("top1_doc"),
+    )
+
+
+# --- x157: semantic dedup manifest (SemDeDup composition, r14) -------------
+#
+# SemDeDup (Abbas et al., 2023, arXiv:2303.09540 — public paper):
+# cluster embeddings, call within-cluster pairs above a cosine
+# threshold semantic duplicates, keep one representative per group.
+# x45/x71 already produce the PAIRS; this closes the dedup semantics
+# with the per-vector KEEP/DROP manifest, blocking on the
+# sign-projection LSH bucket (the content-determined block key
+# SCALE.md prescribes over label blocking at 100 TB) and keeping the
+# lowest id per duplicate relation — the repo-wide canonical-row
+# convention (x40's keep_id = min). Per-pair lower-id dropping is the
+# standard streaming-friendly approximation of per-group keep-one;
+# exact groups are one connected_components pass away (x59).
+
+
+def _x157_oracle() -> str:
+    bucket = _lsh_bucket_sql_duckdb("embedding")
+    cos = cosine_sql_duckdb("a.embedding", "b.embedding")
+    return f"""
+    WITH c AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    e AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} >= {NEARDUP_THRESHOLD}
+    ),
+    d AS (
+        SELECT vec_b, CAST(min(vec_a) AS BIGINT) AS dup_of,
+               CAST(count(*) AS BIGINT) AS n_lower_dups
+        FROM e GROUP BY vec_b
+    )
+    SELECT v.vec_id, v.bucket,
+           (d.dup_of IS NULL) AS is_kept,
+           d.dup_of,
+           CAST(coalesce(d.n_lower_dups, 0) AS BIGINT) AS n_lower_dups
+    FROM c v LEFT JOIN d ON v.vec_id = d.vec_b
+    """
+
+
+@register(
+    "x157_semantic_dedup",
+    f"SemDeDup manifest: LSH-bucket cosine pairs ≥ {NEARDUP_THRESHOLD} → "
+    f"per-vector keep/drop verdict (lowest-id representative)",
+    _x157_oracle(),
+    tags=("dedup", "similarity", "llm"),
+)
+def x157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup composition closed end-to-end: x71's LSH-bucketed
+    cosine pairs become a per-vector KEEP/DROP manifest — a vector is
+    dropped iff a lower-id vector in its bucket sits within the
+    cosine threshold, and the manifest records which (``dup_of``) and
+    how many (``n_lower_dups``).
+
+    Scale: candidate generation stays the bucket equi-join (block
+    sizes corpus/2^planes, turn planes up with the corpus); the
+    manifest adds one (vec_b)-keyed aggregate over the PAIRS (already
+    threshold-filtered, far smaller than the corpus) and one
+    left join back to the corpus on the id — no new corpus-sized
+    shuffle beyond the join key. Reference parity note: the reference
+    has no dedup surface (its engine is one ctx.sql delegation,
+    crates/engine/src/lib.rs:54-57); this extends the build plan's
+    dedup family."""
+    from igloo_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+        lsh_bucket,
+        lsh_planes,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = lsh_planes(LSH_N_PLANES, EMB_DIM)
+    pairs = embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", NEARDUP_THRESHOLD, LSH_N_PLANES, EMB_DIM
+    )
+    drops = pairs.groupBy("vec_b").agg(
+        F.min("vec_a").cast("bigint").alias("dup_of"),
+        F.count("*").cast("bigint").alias("n_lower_dups"),
+    )
+    vecs = emb.select(
+        "vec_id", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    return (
+        vecs.join(drops, vecs["vec_id"] == drops["vec_b"], "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+            F.coalesce("n_lower_dups", F.lit(0)).cast("bigint").alias(
+                "n_lower_dups"
+            ),
+        )
+    )

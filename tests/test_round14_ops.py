@@ -485,6 +485,78 @@ class TestLuhnCardScrub:
         )
 
 
+class TestHybridFusionAudit:
+    """x156: per-retriever contribution/rank-shift audit over x154's
+    own fused frame — integers only, constant-cost over the k-row
+    fused list."""
+
+    def test_invariants(self, spark):
+        from igloo_spark.queries import all_queries
+
+        qs = all_queries()
+        r = qs["x156_hybrid_fusion_audit"].spark(
+            spark, "/root/testdata/sf0.001"
+        ).first()
+        fused = qs["x154_hybrid_rrf"].spark(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert r["n_fused"] == len(fused)
+        # inclusion-exclusion over the two provenance flags
+        assert (
+            r["n_from_bm25"] + r["n_from_ann"] - r["n_from_both"]
+            == r["n_fused"]
+        )
+        assert r["n_bm25_only"] == r["n_from_bm25"] - r["n_from_both"]
+        assert r["n_ann_only"] == r["n_from_ann"] - r["n_from_both"]
+        top1 = [f["doc_id"] for f in fused if f["fused_rank"] == 1]
+        assert [r["top1_doc"]] == top1
+
+
+class TestSemanticDedupManifest:
+    """x157: the SemDeDup keep/drop manifest — every vector gets a
+    verdict, drops cite a LOWER-id representative in the SAME bucket
+    within the cosine threshold."""
+
+    def test_manifest_invariants(self, spark):
+        from igloo_spark.queries import all_queries
+
+        qs = all_queries()
+        sf = "/root/testdata/sf0.001"
+        rows = qs["x157_semantic_dedup"].spark(spark, sf).collect()
+        n_vecs = (
+            spark.read.parquet(sf + "/embeddings.parquet").count()
+        )
+        assert len(rows) == n_vecs  # one verdict per vector
+        by_id = {r["vec_id"]: r for r in rows}
+        for r in rows:
+            if r["is_kept"]:
+                assert r["dup_of"] is None and r["n_lower_dups"] == 0
+            else:
+                assert r["dup_of"] is not None
+                assert r["dup_of"] < r["vec_id"]  # lowest-id convention
+                assert r["n_lower_dups"] >= 1
+                # the cited representative shares the bucket
+                assert by_id[r["dup_of"]]["bucket"] == r["bucket"]
+
+    def test_agrees_with_x71_pairs(self, spark):
+        """The manifest's drop set is exactly the set of vec_b values
+        in x71's pair list (same threshold, same buckets)."""
+        from igloo_spark.queries import all_queries
+
+        qs = all_queries()
+        sf = "/root/testdata/sf0.001"
+        dropped = {
+            r["vec_id"]
+            for r in qs["x157_semantic_dedup"].spark(spark, sf).collect()
+            if not r["is_kept"]
+        }
+        pair_bs = {
+            r["vec_b"]
+            for r in qs["x71_embedding_neardup_lsh"].spark(spark, sf).collect()
+        }
+        assert dropped == pair_bs
+
+
 class TestReadTarMalformedMember:
     """--read-tar under ANSI mode: an id member whose bytes are not
     valid UTF-8 must COUNT as bad (exit 4) — not crash the verifier
