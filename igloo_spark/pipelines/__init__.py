@@ -2545,6 +2545,10 @@ def incremental_ingest(
         corpus_root,
         mode="append",
         batch_id=batch_id,
+        # per-file id min/max in the manifest: ingest batches carry
+        # roughly monotone ids, so the ranges barely overlap and
+        # id-keyed reads/merges skip most files (data skipping)
+        stats_cols=[id_col],
     )
     new_fps = winnow_fp_rows(accepted, id_col, text_col, k=span_k, w=span_w).select(
         "fp"

@@ -73,6 +73,16 @@ def _rebase_file(root: str, f: str) -> str:
     return os.path.normpath(f)
 
 
+def _manifest_files(root: str, version: int) -> list[str]:
+    """The manifest's file list rebased onto ``root`` as the caller
+    spells it now — what every CONSUMER (reads, diffs, vacuum,
+    verify) should use. Manifests keep recording caller-form paths
+    (back-compat, and the sha256 map is keyed by them); rebasing at
+    consumption makes a store written with a relative root readable,
+    diffable and vacuumable from any cwd and any spelling."""
+    return [_rebase_file(root, f) for f in _read_manifest(root, version)["files"]]
+
+
 def _hash_files(spark: SparkSession, paths: list[str]) -> dict:
     """Per-file sha256, computed EXECUTOR-side (``binaryFile`` scan +
     ``sha2`` — the same distributed shape as the tar exporters'
@@ -94,19 +104,74 @@ def _hash_files(spark: SparkSession, paths: list[str]) -> dict:
     return {r["name"]: r["sha256"] for r in rows}
 
 
+def _file_stats(
+    spark: SparkSession, new_files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file min/max for the stats columns — one column-pruned
+    scan of exactly the NEW files (grouped by input_file_name), the
+    data-skipping metadata Delta/Iceberg record at commit time. Keys
+    are basenames (unique within a commit dir); only JSON-safe values
+    (int/float/str/bool) are recorded — a non-serializable dtype just
+    skips that column's entry."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    rows = (
+        spark.read.parquet(*new_files)
+        .groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+        )
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        cols = {}
+        for c in stats_cols:
+            lo, hi = r[f"__min_{c}"], r[f"__max_{c}"]
+            if all(
+                v is None or isinstance(v, (int, float, str, bool))
+                for v in (lo, hi)
+            ):
+                cols[c] = [lo, hi]
+        out[r["__f"]] = cols
+    return out
+
+
 def write_versioned(
-    df: DataFrame, root: str, mode: str = "append", batch_id: int | None = None
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    batch_id: int | None = None,
+    stats_cols: "list[str] | None" = None,
+    carry_files: "list[str] | None" = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     ``append`` keeps the previous snapshot's files visible alongside
-    the new ones; ``overwrite`` starts the visible set fresh. Data
-    files land under a commit-scoped directory first; the manifest is
-    published last via atomic rename, so concurrent readers see either
-    the old snapshot or the new one — never a partial commit.
+    the new ones; ``overwrite`` starts the visible set fresh;
+    ``merge`` (internal — :func:`merge_into_versioned`'s pruned path)
+    keeps exactly ``carry_files`` visible alongside the new ones —
+    the file-level rewrite that makes MERGE cost scale with touched
+    files, not table size. Data files land under a commit-scoped
+    directory first; the manifest is published last via atomic
+    rename, so concurrent readers see either the old snapshot or the
+    new one — never a partial commit.
+
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (one column-pruned scan of the NEW files only) — the
+    data-skipping metadata :func:`read_versioned`'s ``between`` and
+    the pruned MERGE consume. Carried/appended files inherit their
+    recorded stats; files committed before stats existed are simply
+    conservative (never skipped).
     """
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if mode not in ("append", "overwrite", "merge"):
+        raise ValueError(f"mode must be append|overwrite|merge, got {mode!r}")
+    if (carry_files is not None) != (mode == "merge"):
+        raise ValueError("carry_files is required by (and only by) mode='merge'")
     versions = _list_versions(root)
     new_version = (versions[-1] + 1) if versions else 1
     commit_dir = os.path.join(root, "data", f"commit-{new_version:06d}-{uuid.uuid4().hex[:8]}")
@@ -122,12 +187,45 @@ def write_versioned(
     # manifest — commit cost stays proportional to the commit, never
     # to the table. Old checksum-less manifests inherit as {} and the
     # carried files simply stay unverified (deep verify reports them).
-    by_name = _hash_files(df.sparkSession, new_files)
+    by_name = _hash_files(df.sparkSession, new_files) if new_files else {}
     sha256 = {f: by_name[os.path.basename(f)] for f in new_files}
+    stats = {}
+    if stats_cols and new_files:
+        present = [c for c in stats_cols if c in df.columns]
+        if present:
+            by_name_stats = _file_stats(df.sparkSession, new_files, present)
+            stats = {
+                f: by_name_stats.get(os.path.basename(f), {})
+                for f in new_files
+            }
     if mode == "append" and versions:
         prev = _read_manifest(root, versions[-1])
         files = prev["files"] + files
         sha256 = {**prev.get("sha256", {}), **sha256}
+        stats = {**prev.get("stats", {}), **stats}
+    elif mode == "merge":
+        prev = _read_manifest(root, versions[-1]) if versions else {}
+        # carried files arrive in consumer (rebased) form; inherit
+        # their digests/stats by rebased-key lookup so the new
+        # manifest stays internally aligned
+        prev_sha = {
+            _rebase_file(root, f): s
+            for f, s in prev.get("sha256", {}).items()
+        }
+        prev_stats = {
+            _rebase_file(root, f): s
+            for f, s in prev.get("stats", {}).items()
+        }
+        carried = [_rebase_file(root, f) for f in carry_files]
+        files = carried + files
+        sha256 = {
+            **{f: prev_sha[f] for f in carried if f in prev_sha},
+            **sha256,
+        }
+        stats = {
+            **{f: prev_stats[f] for f in carried if f in prev_stats},
+            **stats,
+        }
     os.makedirs(_manifest_dir(root), exist_ok=True)
     manifest = {
         "version": new_version,
@@ -135,6 +233,7 @@ def write_versioned(
         "committed_at": time.time(),
         "files": files,
         "sha256": sha256,
+        "stats": stats,
         "batch_id": batch_id,
     }
     final = os.path.join(_manifest_dir(root), f"v{new_version:06d}.json")
@@ -149,11 +248,44 @@ def write_versioned(
     return new_version
 
 
+def prune_manifest_files(
+    root: str, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """DATA SKIPPING over the manifest's per-file stats: the files of
+    ``version`` (latest by default) whose recorded ``[min, max]`` for
+    ``col`` overlaps ``[lo, hi]``, plus — conservatively — every file
+    with no recorded stats for ``col`` (pre-stats commits are never
+    skipped). Returns ``(candidate_files, n_skipped)``. Pure manifest
+    metadata: no SparkSession, no file I/O — at a 100 TB store this
+    is the same O(|files|) driver pass Iceberg/Delta planning does."""
+    versions = _list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no manifests under {root}")
+    if version is None:
+        version = versions[-1]
+    m = _read_manifest(root, version)
+    stats = {_rebase_file(root, f): s for f, s in m.get("stats", {}).items()}
+    candidates, skipped = [], 0
+    for f in _manifest_files(root, version):
+        rng = stats.get(f, {}).get(col)
+        if (
+            rng is not None
+            and rng[0] is not None
+            and rng[1] is not None
+            and (rng[1] < lo or rng[0] > hi)
+        ):
+            skipped += 1
+            continue
+        candidates.append(f)
+    return candidates, skipped
+
+
 def read_versioned(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     merge_schema: bool = False,
+    between: "tuple | None" = None,
 ) -> DataFrame:
     """Snapshot read: latest manifest by default, ``version=N`` for
     time travel. Only manifest-listed files are scanned — files from
@@ -162,7 +294,13 @@ def read_versioned(
     ``merge_schema=True`` reconciles schema evolution across commits
     (columns added by later appends read as null in older files) at
     the cost of reading every file footer — at 100 TB, turn it on for
-    evolved tables or compact to a uniform schema and leave it off."""
+    evolved tables or compact to a uniform schema and leave it off.
+
+    ``between=(col, lo, hi)`` adds manifest-level DATA SKIPPING on
+    top of the row filter: files whose recorded stats exclude the
+    range never reach the scan at all (:func:`prune_manifest_files`),
+    then the ``col BETWEEN lo AND hi`` predicate prunes row groups
+    inside the surviving files as usual."""
     versions = _list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no manifests under {root}")
@@ -170,7 +308,20 @@ def read_versioned(
         version = versions[-1]
     elif version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    files = _read_manifest(root, version)["files"]
+    if between is not None:
+        from pyspark.sql import functions as F
+
+        col, lo, hi = between
+        files, _ = prune_manifest_files(root, col, lo, hi, version)
+        if not files:
+            return read_versioned(spark, root, version, merge_schema).limit(
+                0
+            ).filter(F.col(col).between(lo, hi))
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files).filter(F.col(col).between(lo, hi))
+    files = _manifest_files(root, version)
     if not files:
         raise ValueError(f"version {version} has an empty file list")
     reader = spark.read
@@ -249,15 +400,72 @@ def merge_upsert(
 
 
 def merge_into_versioned(
-    spark: SparkSession, root: str, delta: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    root: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    prune_col: "str | None" = None,
 ) -> int:
     """Read the latest snapshot, merge ``delta`` in, commit the result
-    as a new overwrite snapshot; returns the new version. The
-    read-merge-write round trip is what Delta/Iceberg MERGE INTO does
-    under copy-on-write."""
+    as a new snapshot; returns the new version. The read-merge-write
+    round trip is what Delta/Iceberg MERGE INTO does under
+    copy-on-write.
+
+    Default (``prune_col=None``): the whole table is rewritten as an
+    ``overwrite`` commit — correct at any size, but 100 TB of rewrite
+    for a 1-row delta. ``prune_col=<one of key_cols>`` switches to the
+    FILE-PRUNED path: the delta's ``[min, max]`` of that column is
+    checked against the manifest's per-file stats, only overlapping
+    files are read/merged/rewritten, and every other file is CARRIED
+    into the new ``merge`` manifest byte-identical — merge cost scales
+    with the touched files, not the table (files lacking recorded
+    stats are conservatively treated as touched). Safe for composite
+    keys: a file whose ``prune_col`` range excludes every delta value
+    cannot contain a row matching any delta row on ALL key columns."""
     base = read_versioned(spark, root)
-    merged = merge_upsert(base, delta.select(*base.columns), key_cols)
-    return write_versioned(merged.drop("merge_action"), root, mode="overwrite")
+    if prune_col is None:
+        merged = merge_upsert(base, delta.select(*base.columns), key_cols)
+        return write_versioned(merged.drop("merge_action"), root, mode="overwrite")
+    if prune_col not in key_cols:
+        raise ValueError(
+            f"prune_col {prune_col!r} must be one of key_cols {key_cols} — "
+            f"pruning on a non-key column could carry a file that holds a "
+            f"matching key"
+        )
+    from pyspark.sql import functions as F
+
+    bounds = delta.agg(
+        F.min(prune_col).alias("lo"),
+        F.max(prune_col).alias("hi"),
+        F.count("*").alias("n"),
+        F.count(prune_col).alias("n_nonnull"),
+    ).first()
+    if bounds["n"] == 0:
+        # empty delta: nothing to merge — the latest version IS the result
+        return _list_versions(root)[-1]
+    if bounds["n_nonnull"] < bounds["n"]:
+        # merge_upsert joins eqNullSafe, so a NULL delta key legally
+        # matches NULL base keys — but file min/max stats ignore
+        # nulls, so a skipped file could hide a matching null-key row
+        raise ValueError(
+            f"delta carries NULL {prune_col!r} values — range pruning "
+            f"cannot see null keys in file stats; use prune_col=None"
+        )
+    touched, _ = prune_manifest_files(
+        root, prune_col, bounds["lo"], bounds["hi"]
+    )
+    all_files = _manifest_files(root, _list_versions(root)[-1])
+    carried = [f for f in all_files if f not in set(touched)]
+    base_touched = (
+        spark.read.parquet(*touched) if touched else base.limit(0)
+    )
+    merged = merge_upsert(
+        base_touched, delta.select(*base.columns), key_cols
+    ).drop("merge_action")
+    return write_versioned(
+        merged, root, mode="merge", carry_files=carried,
+        stats_cols=[prune_col],
+    )
 
 
 def _watermark_path(root: str) -> str:
@@ -410,10 +618,10 @@ def vacuum_versioned(root: str, keep_last: int = 1) -> list[str]:
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(root, v)["files"])
+        referenced.update(_manifest_files(root, v))
     doomed = []
     for v in drop:
-        for f in _read_manifest(root, v)["files"]:
+        for f in _manifest_files(root, v):
             if f not in referenced:
                 doomed.append(f)
     # fold the batch ids of the manifests being dropped into the
@@ -483,8 +691,8 @@ def diff_versions(
     for v in (from_version, to_version):
         if v not in versions:
             raise ValueError(f"version {v} not in {versions}")
-    fa = _read_manifest(root, from_version)["files"]
-    fb = _read_manifest(root, to_version)["files"]
+    fa = _manifest_files(root, from_version)
+    fb = _manifest_files(root, to_version)
     shared = set(fa) & set(fb)
     old_files = [f for f in fa if f not in shared]
     new_files = [f for f in fb if f not in shared]
@@ -504,7 +712,7 @@ def diff_versions(
             (
                 fs
                 for v in reversed(versions)
-                if (fs := _read_manifest(root, v)["files"])
+                if (fs := _manifest_files(root, v))
             ),
             None,
         )
@@ -601,10 +809,10 @@ def read_version_delta(
                 )
     base = (
         set() if from_version == 0
-        else set(_read_manifest(root, from_version)["files"])
+        else set(_manifest_files(root, from_version))
     )
     files = [
-        f for f in _read_manifest(root, to_version)["files"] if f not in base
+        f for f in _manifest_files(root, to_version) if f not in base
     ]
     if not files:
         # empty delta: zero-row frame with the snapshot's schema

@@ -217,6 +217,59 @@ class TestVerifyPathNormalization:
         deep = verify_versioned(root, deep=True, spark=spark)
         assert deep["ok"] and deep["checksums_unverified"] == 0
 
+    def test_all_consumers_rebase(self, spark, tmp_path, monkeypatch):
+        """Every manifest consumer — reads, time travel, diffs, delta
+        export, vacuum — works on a store whose manifests hold paths
+        relative to a cwd nobody is in anymore (the
+        ``_manifest_files`` rebase, not just verify)."""
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import (
+            diff_versions,
+            read_version_delta,
+            read_versioned,
+            vacuum_versioned,
+        )
+
+        store = _store(spark, tmp_path, "rebase_store")
+        root = store + "/corpus"
+        for mpath in glob.glob(os.path.join(root, "manifests", "v*.json")):
+            with open(mpath) as f:
+                m = json.load(f)
+            m["files"] = [os.path.relpath(p, tmp_path) for p in m["files"]]
+            m["sha256"] = {
+                os.path.relpath(p, tmp_path): h
+                for p, h in m["sha256"].items()
+            }
+            with open(mpath, "w") as f:
+                json.dump(m, f)
+        elsewhere = tmp_path / "elsewhere2"
+        elsewhere.mkdir()
+        monkeypatch.chdir(elsewhere)
+        assert read_versioned(spark, root).count() == 20
+        assert read_versioned(spark, root, version=1).count() == 10
+        d = diff_versions(spark, root, ["doc_id"], 1, 2)
+        assert d.filter("change_type = 'insert'").count() == 10
+        assert read_version_delta(spark, root, 1, 2).count() == 10
+        # vacuum actually deletes the old commit's files (the literal
+        # path would have silently deleted nothing from this cwd)...
+        incremental_ingest(
+            _mk_docs(spark, range(41, 46)), store,
+            min_quality=0.0, batch_id=2,
+        )
+        deleted = vacuum_versioned(root, keep_last=1)
+        assert deleted == []  # appends: all files still referenced
+        from igloo_spark.sources.versioned import (
+            compact_versioned,
+            verify_versioned,
+        )
+
+        compact_versioned(spark, root, n_files=1)
+        deleted = vacuum_versioned(root, keep_last=1)
+        assert deleted  # ...and the pre-compaction files really go
+        assert all(not os.path.exists(p) for p in deleted)
+        v = verify_versioned(root, deep=True, spark=spark)
+        assert v["ok"] and v["orphan_files"] == 0
+
     def test_dot_slash_spelling(self, spark, tmp_path, monkeypatch):
         from igloo_spark.sources.versioned import verify_versioned
 
@@ -228,6 +281,160 @@ class TestVerifyPathNormalization:
             "./spell_store/corpus/", deep=True, spark=spark
         )
         assert deep["ok"] and deep["checksums_unverified"] == 0
+
+
+class TestManifestStatsAndPrunedMerge:
+    """Per-file min/max stats in the commit manifest (data-skipping
+    metadata), manifest-level pruned reads (read_versioned(between=)),
+    and the file-pruned MERGE: only files whose recorded key range
+    overlaps the delta are rewritten; everything else is CARRIED into
+    the new manifest byte-identical — merge cost scales with touched
+    files, not table size (the Delta/Iceberg copy-on-write shape)."""
+
+    @staticmethod
+    def _kv(spark, lo, hi, tag):
+        return spark.createDataFrame(
+            [(i, f"{tag}{i}") for i in range(lo, hi)], "k long, v string"
+        )
+
+    def _store(self, spark, tmp_path, name):
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / name)
+        write_versioned(
+            self._kv(spark, 0, 100, "a").repartition(1), root,
+            stats_cols=["k"],
+        )
+        write_versioned(
+            self._kv(spark, 100, 200, "b").repartition(1), root,
+            stats_cols=["k"],
+        )
+        write_versioned(
+            self._kv(spark, 200, 300, "c").repartition(1), root,
+            stats_cols=["k"],
+        )
+        return root
+
+    def test_stats_recorded_per_file(self, spark, tmp_path):
+        import json as _json
+
+        root = self._store(spark, tmp_path, "st_rec")
+        with open(
+            sorted(glob.glob(os.path.join(root, "manifests", "v*.json")))[-1]
+        ) as f:
+            m = _json.load(f)
+        assert set(m["stats"]) == set(m["files"])
+        ranges = sorted(tuple(s["k"]) for s in m["stats"].values())
+        assert ranges == [(0, 99), (100, 199), (200, 299)]
+
+    def test_between_read_skips_files(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            prune_manifest_files,
+            read_versioned,
+        )
+
+        root = self._store(spark, tmp_path, "st_read")
+        candidates, skipped = prune_manifest_files(root, "k", 120, 180)
+        assert len(candidates) == 1 and skipped == 2
+        pruned = read_versioned(spark, root, between=("k", 120, 180))
+        assert len(pruned.inputFiles()) == 1  # the scan never sees the rest
+        full = read_versioned(spark, root).filter("k between 120 and 180")
+        assert sorted(r["k"] for r in pruned.collect()) == sorted(
+            r["k"] for r in full.collect()
+        )
+        # an empty range reads zero files but keeps the schema
+        assert read_versioned(spark, root, between=("k", 900, 999)).count() == 0
+
+    def test_pruned_merge_matches_full_merge(self, spark, tmp_path):
+        import json as _json
+
+        from igloo_spark.sources.versioned import (
+            merge_into_versioned,
+            read_versioned,
+            verify_versioned,
+        )
+
+        root_p = self._store(spark, tmp_path, "st_pruned")
+        root_f = self._store(spark, tmp_path, "st_full")
+        # updates confined to the middle file's [100, 199] range:
+        # range pruning must rewrite ONLY that file
+        delta_u = spark.createDataFrame(
+            [(150, "UPDATED"), (101, "UPDATED2")], "k long, v string"
+        )
+        before = set(read_versioned(spark, root_p).inputFiles())
+        vp = merge_into_versioned(spark, root_p, delta_u, ["k"], prune_col="k")
+        merge_into_versioned(spark, root_f, delta_u, ["k"])
+        got_p = sorted(map(tuple, read_versioned(spark, root_p).collect()))
+        got_f = sorted(map(tuple, read_versioned(spark, root_f).collect()))
+        assert got_p == got_f  # identical result, file-pruned plan
+        assert (150, "UPDATED") in got_p and (101, "UPDATED2") in got_p
+        with open(
+            os.path.join(root_p, "manifests", f"v{vp:06d}.json")
+        ) as f:
+            m = _json.load(f)
+        assert m["op"] == "merge"
+        after = set(read_versioned(spark, root_p).inputFiles())
+        # the two untouched files are carried byte-identical (same
+        # paths still listed); only the 100-199 file was rewritten
+        assert len(before & after) == 2
+        # a pure insert whose range overlaps NO file carries everything
+        delta_i = spark.createDataFrame(
+            [(420, "INSERTED")], "k long, v string"
+        )
+        before_i = set(read_versioned(spark, root_p).inputFiles())
+        merge_into_versioned(spark, root_p, delta_i, ["k"], prune_col="k")
+        merge_into_versioned(spark, root_f, delta_i, ["k"])
+        assert before_i <= set(read_versioned(spark, root_p).inputFiles())
+        got_p = sorted(map(tuple, read_versioned(spark, root_p).collect()))
+        got_f = sorted(map(tuple, read_versioned(spark, root_f).collect()))
+        assert got_p == got_f and (420, "INSERTED") in got_p
+        # inherited + fresh checksums/stats keep deep verify green
+        v = verify_versioned(root_p, deep=True, spark=spark)
+        assert v["ok"] and v["checksums_unverified"] == 0
+        with open(
+            sorted(glob.glob(os.path.join(root_p, "manifests", "v*.json")))[-1]
+        ) as f:
+            m = _json.load(f)
+        assert set(m["stats"]) == set(m["files"])
+
+    def test_pruned_merge_guards(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            merge_into_versioned,
+            snapshots,
+        )
+
+        root = self._store(spark, tmp_path, "st_guards")
+        empty = self._kv(spark, 0, 0, "x")
+        v = merge_into_versioned(spark, root, empty, ["k"], prune_col="k")
+        assert v == snapshots(root)[-1]["version"] == 3  # no-op, no commit
+        with pytest.raises(ValueError, match="key_cols"):
+            merge_into_versioned(spark, root, empty, ["k"], prune_col="v")
+        nullkey = spark.createDataFrame(
+            [(None, "n")], "k long, v string"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            merge_into_versioned(spark, root, nullkey, ["k"], prune_col="k")
+
+    def test_stats_survive_append_and_prestats_files_never_skip(
+        self, spark, tmp_path
+    ):
+        from igloo_spark.sources.versioned import (
+            prune_manifest_files,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "st_mixed")
+        # a pre-stats commit (no stats_cols) ...
+        write_versioned(self._kv(spark, 0, 100, "a").repartition(1), root)
+        # ... then a stats-recording append
+        write_versioned(
+            self._kv(spark, 100, 200, "b").repartition(1), root,
+            stats_cols=["k"],
+        )
+        candidates, skipped = prune_manifest_files(root, "k", 500, 600)
+        # the stats-less file is conservatively kept, the known
+        # out-of-range file is skipped
+        assert len(candidates) == 1 and skipped == 1
 
 
 class TestDefaultSentinelValidation:
