@@ -462,6 +462,11 @@ def merge_into_versioned(
     merged = merge_upsert(
         base_touched, delta.select(*base.columns), key_cols
     ).drop("merge_action")
+    # size the rewrite to the files it replaces: the join's shuffle
+    # partitioning would otherwise spray each touched file's rows
+    # across spark.sql.shuffle.partitions tiny files — the classic
+    # MERGE small-files problem
+    merged = merged.coalesce(max(1, len(touched)))
     return write_versioned(
         merged, root, mode="merge", carry_files=carried,
         stats_cols=[prune_col],
