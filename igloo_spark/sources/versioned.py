@@ -166,13 +166,27 @@ def write_versioned(
     data-skipping metadata :func:`read_versioned`'s ``between`` and
     the pruned MERGE consume. Carried/appended files inherit their
     recorded stats; files committed before stats existed are simply
-    conservative (never skipped).
+    conservative (never skipped). The default ``None`` INHERITS the
+    columns the store already tracks (from the latest manifest), so
+    once a store opts in, compaction / streaming appends / full
+    merges keep recording stats without every caller re-declaring
+    them; pass ``[]`` to explicitly record none.
     """
     if mode not in ("append", "overwrite", "merge"):
         raise ValueError(f"mode must be append|overwrite|merge, got {mode!r}")
     if (carry_files is not None) != (mode == "merge"):
         raise ValueError("carry_files is required by (and only by) mode='merge'")
     versions = _list_versions(root)
+    if stats_cols is None and versions:
+        stats_cols = sorted(
+            {
+                c
+                for s in _read_manifest(root, versions[-1])
+                .get("stats", {})
+                .values()
+                for c in s
+            }
+        )
     new_version = (versions[-1] + 1) if versions else 1
     commit_dir = os.path.join(root, "data", f"commit-{new_version:06d}-{uuid.uuid4().hex[:8]}")
     df.write.mode("errorifexists").parquet(commit_dir)
@@ -467,9 +481,10 @@ def merge_into_versioned(
     # across spark.sql.shuffle.partitions tiny files — the classic
     # MERGE small-files problem
     merged = merged.coalesce(max(1, len(touched)))
+    # stats_cols=None: inherit ALL columns the store tracks, not just
+    # prune_col — the rewrite must not narrow the skipping metadata
     return write_versioned(
-        merged, root, mode="merge", carry_files=carried,
-        stats_cols=[prune_col],
+        merged, root, mode="merge", carry_files=carried, stats_cols=None
     )
 
 
@@ -598,11 +613,30 @@ def compact_versioned(spark: SparkSession, root: str, n_files: int = 8) -> int:
     at 100 TB is dominated by file count (footer reads, task
     scheduling), so periodic compaction is part of the table's
     lifecycle. Old versions stay readable until :func:`vacuum_versioned`.
-    """
+
+    A store that tracks per-file stats is RANGE-clustered on those
+    columns instead of hash-scattered: a plain ``repartition`` would
+    spread every key range across every output file and kill the
+    data skipping the stats exist for; ``repartitionByRange`` keeps
+    the post-compaction files' ``[min, max]`` windows disjoint (the
+    Delta/Iceberg OPTIMIZE ZORDER-lite for the 1-column case)."""
     if n_files < 1:
         raise ValueError("n_files must be >= 1")
     df = read_versioned(spark, root)
-    return write_versioned(df.repartition(n_files), root, mode="overwrite")
+    versions = _list_versions(root)
+    tracked = sorted(
+        {
+            c
+            for s in _read_manifest(root, versions[-1]).get("stats", {}).values()
+            for c in s
+        }
+    )
+    cluster = [c for c in tracked if c in df.columns]
+    if cluster:
+        df = df.repartitionByRange(n_files, *cluster)
+    else:
+        df = df.repartition(n_files)
+    return write_versioned(df, root, mode="overwrite")
 
 
 def vacuum_versioned(root: str, keep_last: int = 1) -> list[str]:

@@ -415,6 +415,47 @@ class TestManifestStatsAndPrunedMerge:
         with pytest.raises(ValueError, match="NULL"):
             merge_into_versioned(spark, root, nullkey, ["k"], prune_col="k")
 
+    def test_stats_inherited_by_lifecycle_ops(self, spark, tmp_path):
+        """Once a store tracks stats, every later commit keeps
+        recording them without re-declaring (stats_cols=None inherits
+        the tracked columns): plain appends, compaction and the full
+        merge all preserve data skipping."""
+        import json as _json
+
+        from igloo_spark.sources.versioned import (
+            compact_versioned,
+            merge_into_versioned,
+            prune_manifest_files,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "st_inherit")
+        write_versioned(
+            self._kv(spark, 0, 100, "a").repartition(1), root,
+            stats_cols=["k"],
+        )
+        # append WITHOUT declaring stats_cols: inherited
+        write_versioned(self._kv(spark, 100, 200, "b").repartition(1), root)
+        with open(
+            sorted(glob.glob(os.path.join(root, "manifests", "v*.json")))[-1]
+        ) as f:
+            m = _json.load(f)
+        assert set(m["stats"]) == set(m["files"])
+        # compaction rewrites everything and re-records stats
+        compact_versioned(spark, root, n_files=2)
+        candidates, skipped = prune_manifest_files(root, "k", 0, 50)
+        assert skipped >= 1  # skipping survives the rewrite
+        # the FULL merge (overwrite) also keeps the metadata
+        merge_into_versioned(
+            spark, root,
+            spark.createDataFrame([(5, "U")], "k long, v string"), ["k"],
+        )
+        with open(
+            sorted(glob.glob(os.path.join(root, "manifests", "v*.json")))[-1]
+        ) as f:
+            m = _json.load(f)
+        assert m["op"] == "overwrite" and set(m["stats"]) == set(m["files"])
+
     def test_stats_survive_append_and_prestats_files_never_skip(
         self, spark, tmp_path
     ):
