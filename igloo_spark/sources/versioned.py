@@ -104,21 +104,68 @@ def _hash_files(spark: SparkSession, paths: list[str]) -> dict:
     return {r["name"]: r["sha256"] for r in rows}
 
 
+# Bloom parameters for the per-file key filters: 4096 bits (512 bytes
+# base64 per file per column in the manifest) with 4 hash functions
+# holds ~400 distinct keys at <3% false-positive rate; a saturated
+# bloom (big files) degrades to "always maybe" — never a wrong skip.
+_BLOOM_M = 4096
+_BLOOM_K = 4
+
+
+def _bloom_positions(col: str):
+    """array<int> of the K bloom bit positions for a row's key value.
+    The value is cast to string first so the hash is stable across
+    column dtypes (the delta side must hash identically at merge)."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(f"bloom{i}:"), F.col(col).cast("string")),
+                F.lit(_BLOOM_M),
+            ).cast("int")
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def _bits_b64(positions) -> str:
+    import base64
+
+    ba = bytearray(_BLOOM_M // 8)
+    for p in positions:
+        ba[p // 8] |= 1 << (p % 8)
+    return base64.b64encode(bytes(ba)).decode()
+
+
+def _bloom_maybe_contains(bits_b64: str, key_positions: list[int]) -> bool:
+    import base64
+
+    ba = base64.b64decode(bits_b64)
+    return all(ba[p // 8] & (1 << (p % 8)) for p in key_positions)
+
+
 def _file_stats(
     spark: SparkSession, new_files: list[str], stats_cols: list[str]
-) -> dict:
-    """Per-file min/max for the stats columns — one column-pruned
-    scan of exactly the NEW files (grouped by input_file_name), the
-    data-skipping metadata Delta/Iceberg record at commit time. Keys
-    are basenames (unique within a commit dir); only JSON-safe values
+) -> tuple[dict, dict]:
+    """Per-file min/max AND bloom bit positions for the stats columns
+    — ONE column-pruned scan of exactly the NEW files (grouped by
+    input_file_name), the data-skipping metadata Delta/Iceberg record
+    at commit time. Returns ``(stats, blooms)`` keyed by basename
+    (unique within a commit dir); only JSON-safe min/max values
     (int/float/str/bool) are recorded — a non-serializable dtype just
-    skips that column's entry."""
+    skips that column's stats entry (its bloom is still recorded:
+    the hash is over the string cast)."""
     from pyspark.sql import functions as F
 
     aggs = []
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
+        aggs.append(
+            F.array_distinct(F.flatten(F.collect_list(_bloom_positions(c))))
+            .alias(f"__bloom_{c}")
+        )
     rows = (
         spark.read.parquet(*new_files)
         .groupBy(
@@ -127,9 +174,11 @@ def _file_stats(
         .agg(*aggs)
         .collect()
     )
-    out: dict = {}
+    stats: dict = {}
+    blooms: dict = {}
     for r in rows:
         cols = {}
+        bl = {}
         for c in stats_cols:
             lo, hi = r[f"__min_{c}"], r[f"__max_{c}"]
             if all(
@@ -137,8 +186,10 @@ def _file_stats(
                 for v in (lo, hi)
             ):
                 cols[c] = [lo, hi]
-        out[r["__f"]] = cols
-    return out
+            bl[c] = _bits_b64(r[f"__bloom_{c}"])
+        stats[r["__f"]] = cols
+        blooms[r["__f"]] = bl
+    return stats, blooms
 
 
 def write_versioned(
@@ -204,12 +255,19 @@ def write_versioned(
     by_name = _hash_files(df.sparkSession, new_files) if new_files else {}
     sha256 = {f: by_name[os.path.basename(f)] for f in new_files}
     stats = {}
+    bloom = {}
     if stats_cols and new_files:
         present = [c for c in stats_cols if c in df.columns]
         if present:
-            by_name_stats = _file_stats(df.sparkSession, new_files, present)
+            by_name_stats, by_name_bloom = _file_stats(
+                df.sparkSession, new_files, present
+            )
             stats = {
                 f: by_name_stats.get(os.path.basename(f), {})
+                for f in new_files
+            }
+            bloom = {
+                f: by_name_bloom.get(os.path.basename(f), {})
                 for f in new_files
             }
     if mode == "append" and versions:
@@ -217,29 +275,27 @@ def write_versioned(
         files = prev["files"] + files
         sha256 = {**prev.get("sha256", {}), **sha256}
         stats = {**prev.get("stats", {}), **stats}
+        bloom = {**prev.get("bloom", {}), **bloom}
     elif mode == "merge":
         prev = _read_manifest(root, versions[-1]) if versions else {}
         # carried files arrive in consumer (rebased) form; inherit
-        # their digests/stats by rebased-key lookup so the new
+        # their digests/stats/blooms by rebased-key lookup so the new
         # manifest stays internally aligned
-        prev_sha = {
-            _rebase_file(root, f): s
-            for f, s in prev.get("sha256", {}).items()
-        }
-        prev_stats = {
-            _rebase_file(root, f): s
-            for f, s in prev.get("stats", {}).items()
-        }
         carried = [_rebase_file(root, f) for f in carry_files]
         files = carried + files
-        sha256 = {
-            **{f: prev_sha[f] for f in carried if f in prev_sha},
-            **sha256,
-        }
-        stats = {
-            **{f: prev_stats[f] for f in carried if f in prev_stats},
-            **stats,
-        }
+        inherited = {}
+        for key, fresh in (("sha256", sha256), ("stats", stats), ("bloom", bloom)):
+            prev_map = {
+                _rebase_file(root, f): s
+                for f, s in prev.get(key, {}).items()
+            }
+            inherited[key] = {
+                **{f: prev_map[f] for f in carried if f in prev_map},
+                **fresh,
+            }
+        sha256, stats, bloom = (
+            inherited["sha256"], inherited["stats"], inherited["bloom"]
+        )
     os.makedirs(_manifest_dir(root), exist_ok=True)
     manifest = {
         "version": new_version,
@@ -248,6 +304,7 @@ def write_versioned(
         "files": files,
         "sha256": sha256,
         "stats": stats,
+        "bloom": bloom,
         "batch_id": batch_id,
     }
     final = os.path.join(_manifest_dir(root), f"v{new_version:06d}.json")
@@ -468,7 +525,38 @@ def merge_into_versioned(
     touched, _ = prune_manifest_files(
         root, prune_col, bounds["lo"], bounds["hi"]
     )
-    all_files = _manifest_files(root, _list_versions(root)[-1])
+    # second-stage BLOOM pruning: range stats cannot skip files whose
+    # [min, max] window covers the delta (interleaved keys — the
+    # point-lookup MERGE profile); each file's recorded bloom can.
+    # Collect the delta's per-key bit positions (capped — a huge
+    # delta touches most files anyway, and the cap bounds the driver
+    # transfer), keep a file iff some delta key MAYBE lives in it.
+    # False positives only cost an extra file rewrite; false
+    # negatives are impossible by construction.
+    _BLOOM_DELTA_CAP = 10_000
+    latest = _list_versions(root)[-1]
+    blooms = {
+        _rebase_file(root, f): b
+        for f, b in _read_manifest(root, latest).get("bloom", {}).items()
+    }
+    if touched and all(prune_col in blooms.get(f, {}) for f in touched):
+        key_pos = [
+            r["__pos"]
+            for r in delta.select(_bloom_positions(prune_col).alias("__pos"))
+            .distinct()
+            .limit(_BLOOM_DELTA_CAP + 1)
+            .collect()
+        ]
+        if len(key_pos) <= _BLOOM_DELTA_CAP:
+            touched = [
+                f
+                for f in touched
+                if any(
+                    _bloom_maybe_contains(blooms[f][prune_col], kp)
+                    for kp in key_pos
+                )
+            ]
+    all_files = _manifest_files(root, latest)
     carried = [f for f in all_files if f not in set(touched)]
     base_touched = (
         spark.read.parquet(*touched) if touched else base.limit(0)

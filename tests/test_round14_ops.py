@@ -415,6 +415,60 @@ class TestManifestStatsAndPrunedMerge:
         with pytest.raises(ValueError, match="NULL"):
             merge_into_versioned(spark, root, nullkey, ["k"], prune_col="k")
 
+    def test_bloom_prunes_interleaved_keys(self, spark, tmp_path):
+        """Second-stage bloom pruning: two files whose key RANGES
+        fully overlap (even keys vs odd keys) — range stats cannot
+        skip either, the per-file bloom skips the file that cannot
+        contain the delta's keys. Result stays identical to the full
+        rewrite."""
+        import json as _json
+
+        from igloo_spark.sources.versioned import (
+            merge_into_versioned,
+            read_versioned,
+            write_versioned,
+        )
+
+        def _mk(spark, keys, tag):
+            return spark.createDataFrame(
+                [(k, f"{tag}{k}") for k in keys], "k long, v string"
+            )
+
+        root_p = str(tmp_path / "bl_pruned")
+        root_f = str(tmp_path / "bl_full")
+        evens = list(range(0, 400, 2))
+        odds = list(range(1, 400, 2))
+        for root in (root_p, root_f):
+            write_versioned(
+                _mk(spark, evens, "e").repartition(1), root,
+                stats_cols=["k"],
+            )
+            write_versioned(
+                _mk(spark, odds, "o").repartition(1), root,
+                stats_cols=["k"],
+            )
+        with open(
+            sorted(glob.glob(os.path.join(root_p, "manifests", "v*.json")))[-1]
+        ) as f:
+            m = _json.load(f)
+        assert set(m["bloom"]) == set(m["files"])
+        # ranges overlap: [0, 398] vs [1, 399] — range pruning alone
+        # keeps both files for an even-key delta
+        delta = spark.createDataFrame(
+            [(100, "UPDATED"), (200, "UPDATED2")], "k long, v string"
+        )
+        before = set(read_versioned(spark, root_p).inputFiles())
+        merge_into_versioned(spark, root_p, delta, ["k"], prune_col="k")
+        merge_into_versioned(spark, root_f, delta, ["k"])
+        after = set(read_versioned(spark, root_p).inputFiles())
+        # the odd-keys file survives untouched: bloom said "cannot
+        # contain 100 or 200"
+        assert len(before & after) == 1
+        got_p = sorted(map(tuple, read_versioned(spark, root_p).collect()))
+        got_f = sorted(map(tuple, read_versioned(spark, root_f).collect()))
+        assert got_p == got_f
+        assert (100, "UPDATED") in got_p and (200, "UPDATED2") in got_p
+
     def test_stats_inherited_by_lifecycle_ops(self, spark, tmp_path):
         """Once a store tracks stats, every later commit keeps
         recording them without re-declaring (stats_cols=None inherits
