@@ -469,6 +469,41 @@ class TestManifestStatsAndPrunedMerge:
         assert got_p == got_f
         assert (100, "UPDATED") in got_p and (200, "UPDATED2") in got_p
 
+    def test_point_lookup_read_prunes_by_bloom(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            read_versioned,
+            read_versioned_at_keys,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "bl_read")
+        write_versioned(
+            spark.createDataFrame(
+                [(k, f"e{k}") for k in range(0, 400, 2)], "k long, v string"
+            ).repartition(1),
+            root, stats_cols=["k"],
+        )
+        write_versioned(
+            spark.createDataFrame(
+                [(k, f"o{k}") for k in range(1, 400, 2)], "k long, v string"
+            ).repartition(1),
+            root, stats_cols=["k"],
+        )
+        got = read_versioned_at_keys(spark, root, "k", [100, 202])
+        # ranges overlap, bloom prunes the odd-keys file
+        assert len(got.inputFiles()) == 1
+        assert sorted(map(tuple, got.collect())) == [
+            (100, "e100"), (202, "e202"),
+        ]
+        full = read_versioned(spark, root).filter("k in (100, 202)")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        # absent keys: zero files scanned, schema preserved
+        none = read_versioned_at_keys(spark, root, "k", [5000])
+        assert none.count() == 0 and none.columns == ["k", "v"]
+        assert read_versioned_at_keys(spark, root, "k", []).count() == 0
+
     def test_stats_inherited_by_lifecycle_ops(self, spark, tmp_path):
         """Once a store tracks stats, every later commit keeps
         recording them without re-declaring (stats_cols=None inherits
