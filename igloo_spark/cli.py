@@ -172,6 +172,20 @@ def main(argv: list[str] | None = None) -> int:
         "(--index-root stays the postings index)",
     )
     parser.add_argument(
+        "--fetch-docs", default=None, metavar="ID[,ID...]",
+        help="POINT-LOOKUP fetch from a --corpus-store: read only the "
+        "store files that can contain these doc ids (per-file range "
+        "stats + bloom filters from the commit manifests — "
+        "sources.versioned.read_versioned_at_keys), print the rows",
+    )
+    parser.add_argument(
+        "--fetch", action="store_true",
+        help="with --hybrid-search --corpus-store: join the fused "
+        "top-k ids back to the corpus store's documents (the same "
+        "bloom-pruned point lookup as --fetch-docs) — the full "
+        "search-then-fetch serving loop in one command",
+    )
+    parser.add_argument(
         "--strict-sync", action="store_true",
         help="with --hybrid-search --corpus-store: exit 4 instead of "
         "warning when either persisted index (postings or vector) is "
@@ -519,6 +533,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--search", args.search is not None),
             ("--vector-search", args.vector_search is not None),
             ("--hybrid-search", args.hybrid_search is not None),
+            ("--fetch-docs", args.fetch_docs is not None),
             ("--read-tar", args.read_tar is not None),
             ("--verify-store", args.verify_store is not None),
         ) if on
@@ -529,7 +544,8 @@ def main(argv: list[str] | None = None) -> int:
             "--check-index-sync, --repair-index, --fit-quality-model, "
             "--fit-bpe-merges, --fit-mix-rates, --corpus-report, --optimize-store, "
             "--vacuum-store, --store-history, --search, "
-            "--vector-search, --read-tar, or --verify-store is required"
+            "--vector-search, --fetch-docs, --read-tar, or --verify-store "
+            "is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -696,6 +712,21 @@ def main(argv: list[str] | None = None) -> int:
                 "--strict-sync needs --corpus-store (the store the "
                 "indexes must be in sync with)"
             )
+    if args.fetch:
+        if args.hybrid_search is None:
+            parser.error("--fetch only applies to --hybrid-search")
+        if args.corpus_store is None:
+            parser.error("--fetch needs --corpus-store (the documents)")
+    if args.fetch_docs is not None:
+        if args.corpus_store is None:
+            parser.error("--fetch-docs needs --corpus-store")
+        try:
+            [int(x) for x in args.fetch_docs.split(",") if x.strip()]
+        except ValueError:
+            parser.error(
+                f"--fetch-docs expects comma-separated integer doc ids, "
+                f"got {args.fetch_docs!r}"
+            )
     if args.corpus_store is not None and not (
         args.sql is not None
         or args.query is not None
@@ -703,14 +734,15 @@ def main(argv: list[str] | None = None) -> int:
         or args.prep_corpus is not None
         or args.search is not None
         or args.hybrid_search is not None
+        or args.fetch_docs is not None
         or args.fit_bpe_merges is not None
         or args.fit_mix_rates is not None
         or args.corpus_report is not None
     ):
         parser.error(
             "--corpus-store only applies to --sql/--query/--serve/"
-            "--prep-corpus/--search/--hybrid-search/--fit-bpe-merges/"
-            "--fit-mix-rates/--corpus-report"
+            "--prep-corpus/--search/--hybrid-search/--fetch-docs/"
+            "--fit-bpe-merges/--fit-mix-rates/--corpus-report"
         )
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
@@ -1717,6 +1749,32 @@ def main(argv: list[str] | None = None) -> int:
                 df = rrf_fuse(
                     {"bm25": bm, "ann": ann}, "doc_id", k=args.top_k
                 ).orderBy("fused_rank")
+                if args.fetch:
+                    # the full serving loop: fused ids -> bloom-pruned
+                    # point lookup of the documents (k ids, so the
+                    # collect is k rows by construction)
+                    from igloo_spark.sources.versioned import (
+                        read_versioned_at_keys,
+                    )
+
+                    ids = [r["doc_id"] for r in df.collect()]
+                    docs = read_versioned_at_keys(
+                        session.spark, args.corpus_store + "/corpus",
+                        "doc_id", ids,
+                    ).select("doc_id", "text")
+                    df = df.join(docs, "doc_id", "left").orderBy("fused_rank")
+            elif args.fetch_docs is not None:
+                from igloo_spark.sources.versioned import (
+                    read_versioned_at_keys,
+                )
+
+                ids = [
+                    int(x) for x in args.fetch_docs.split(",") if x.strip()
+                ]
+                df = read_versioned_at_keys(
+                    session.spark, args.corpus_store + "/corpus",
+                    "doc_id", ids,
+                )
             elif args.query is not None:
                 from igloo_spark.queries import all_queries
 

@@ -716,6 +716,49 @@ class TestHybridSearchSyncGate:
         assert rc == 0
         assert "--hybrid-search: stale" not in captured.err
 
+    def test_fetch_joins_documents_to_fused_ranks(
+        self, spark, tmp_path, capsys
+    ):
+        """--hybrid-search --fetch: the fused ids come back joined to
+        the corpus store's documents (bloom-pruned point lookup) —
+        the full search-then-fetch serving loop in one command."""
+        from igloo_spark.cli import main
+        from igloo_spark.pipelines import repair_index
+
+        store, d, pidx, vidx = self._setup(spark, tmp_path)
+        repair_index(spark, store + "/corpus", pidx, "postings")
+        repair_index(spark, store + "/corpus", vidx, "ivf")
+        rc = main(self._args(store, d, pidx, vidx, "--fetch"))
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "text" in out  # the joined document column
+        assert "document body" in out
+
+    def test_fetch_docs_point_lookup(self, spark, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        store, d, pidx, vidx = self._setup(spark, tmp_path)
+        rc = main(
+            ["--data-dir", d, "--corpus-store", store,
+             "--fetch-docs", "3,7"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "document body 3" in out and "document body 7" in out
+
+    def test_fetch_docs_validation(self):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):  # needs --corpus-store
+            main(["--fetch-docs", "1,2"])
+        with pytest.raises(SystemExit):  # integer ids only
+            main(
+                ["--fetch-docs", "1,x", "--corpus-store", "/tmp/s",
+                 "--data-dir", "/tmp/d"]
+            )
+        with pytest.raises(SystemExit):  # --fetch needs --hybrid-search
+            main(["--sql", "SELECT 1", "--fetch"])
+
     def test_strict_sync_validation(self):
         from igloo_spark.cli import main
 
