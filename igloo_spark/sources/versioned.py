@@ -199,6 +199,7 @@ def write_versioned(
     batch_id: int | None = None,
     stats_cols: "list[str] | None" = None,
     carry_files: "list[str] | None" = None,
+    allow_schema_change: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
@@ -211,6 +212,17 @@ def write_versioned(
     directory first; the manifest is published last via atomic
     rename, so concurrent readers see either the old snapshot or the
     new one — never a partial commit.
+
+    Appends are SCHEMA-GUARDED: manifests record the visible union
+    schema (column -> type), and an append that DROPS or RETYPES a
+    recorded column is rejected BEFORE any data lands — a mixed-type
+    column across commits corrupts every later scan, and a silently
+    narrowed schema strands the old columns behind ``merge_schema``.
+    Adding columns stays legal (the documented additive-evolution
+    path); ``allow_schema_change=True`` waives the guard for a
+    deliberate migration. Overwrites replace the schema by
+    definition; pre-guard manifests (no recorded schema) are not
+    checked.
 
     ``stats_cols`` records per-file min/max for those columns in the
     manifest (one column-pruned scan of the NEW files only) — the
@@ -228,6 +240,41 @@ def write_versioned(
     if (carry_files is not None) != (mode == "merge"):
         raise ValueError("carry_files is required by (and only by) mode='merge'")
     versions = _list_versions(root)
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = dict(new_schema)
+    if versions and mode in ("append", "merge"):
+        prev_schema = _read_manifest(root, versions[-1]).get("schema")
+        if prev_schema is not None:
+            if mode == "append" and not allow_schema_change:
+                dropped = sorted(set(prev_schema) - set(new_schema))
+                retyped = sorted(
+                    c
+                    for c in set(prev_schema) & set(new_schema)
+                    if prev_schema[c] != new_schema[c]
+                )
+                if dropped or retyped:
+                    details = []
+                    if dropped:
+                        details.append(f"drops {dropped}")
+                    if retyped:
+                        details.append(
+                            "retypes "
+                            + str(
+                                {
+                                    c: f"{prev_schema[c]} -> {new_schema[c]}"
+                                    for c in retyped
+                                }
+                            )
+                        )
+                    raise ValueError(
+                        f"append schema change rejected ({'; '.join(details)}): "
+                        f"adding columns is fine, but dropping or retyping "
+                        f"corrupts later scans across commits — pass "
+                        f"allow_schema_change=True for a deliberate migration"
+                    )
+            # the manifest records the visible UNION (old files still
+            # carry their columns; merge_schema readers see them all)
+            schema = {**prev_schema, **new_schema}
     if stats_cols is None and versions:
         stats_cols = sorted(
             {
@@ -305,6 +352,7 @@ def write_versioned(
         "sha256": sha256,
         "stats": stats,
         "bloom": bloom,
+        "schema": schema,
         "batch_id": batch_id,
     }
     final = os.path.join(_manifest_dir(root), f"v{new_version:06d}.json")

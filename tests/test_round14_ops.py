@@ -567,6 +567,79 @@ class TestManifestStatsAndPrunedMerge:
         assert len(candidates) == 1 and skipped == 1
 
 
+class TestAppendSchemaGuard:
+    """Appends are schema-guarded at commit time: dropping or
+    retyping a recorded column is rejected BEFORE any data lands
+    (a mixed-type column corrupts every later scan); adding columns
+    stays legal, allow_schema_change waives for deliberate
+    migrations, and pre-guard manifests are not checked."""
+
+    def test_retype_and_drop_rejected_before_write(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / "sg_store")
+        write_versioned(
+            spark.createDataFrame([(1, "a")], "k long, v string"), root
+        )
+        n_dirs = len(glob.glob(os.path.join(root, "data", "commit-*")))
+        with pytest.raises(ValueError, match="retypes"):
+            write_versioned(
+                spark.createDataFrame([("2", "b")], "k string, v string"),
+                root,
+            )
+        with pytest.raises(ValueError, match="drops"):
+            write_versioned(
+                spark.createDataFrame([(2,)], "k long"), root
+            )
+        # fail-fast: no data was written by the rejected commits
+        assert len(glob.glob(os.path.join(root, "data", "commit-*"))) == n_dirs
+
+    def test_additive_and_waived_changes_pass(self, spark, tmp_path):
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / "sg_ok")
+        write_versioned(
+            spark.createDataFrame([(1, "a")], "k long, v string"), root
+        )
+        write_versioned(
+            spark.createDataFrame([(2, "b")], "k long, v string")
+            .withColumn("extra", F.lit(1.5)),
+            root,
+        )  # additive: fine
+        write_versioned(
+            spark.createDataFrame([(3,)], "k long"), root,
+            allow_schema_change=True,
+        )  # deliberate migration: waived
+        with open(
+            sorted(glob.glob(os.path.join(root, "manifests", "v*.json")))[-1]
+        ) as f:
+            m = _json.load(f)
+        # the manifest records the visible UNION across commits
+        assert m["schema"] == {"k": "bigint", "v": "string", "extra": "double"}
+
+    def test_preguard_manifests_not_checked(self, spark, tmp_path):
+        import json as _json
+
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / "sg_old")
+        write_versioned(
+            spark.createDataFrame([(1, "a")], "k long, v string"), root
+        )
+        for mpath in glob.glob(os.path.join(root, "manifests", "v*.json")):
+            with open(mpath) as f:
+                m = _json.load(f)
+            del m["schema"]
+            with open(mpath, "w") as f:
+                _json.dump(m, f)
+        # a pre-guard store accepts what it always accepted
+        write_versioned(spark.createDataFrame([(2,)], "k long"), root)
+
+
 class TestDefaultSentinelValidation:
     """mixture_sample / epoch_upsample validate class rates and the
     default SEPARATELY — a class literally named '<default>' must not
