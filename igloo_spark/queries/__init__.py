@@ -26,11 +26,13 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- r14 rotation (executes the r13 verdict's task 2, plus the
-    # never-checked-first and changed-since-verdict rules): the TWO
+    # never-checked-first and changed-since-verdict rules): the THREE
     # new queries first (x156, the hybrid-fusion audit — integer
     # contribution counts + rank shifts over x154's own fused frame;
     # x157, the SemDeDup keep/drop manifest over LSH-bucket cosine
-    # pairs — both new this round). Then THREE changed-code pins —
+    # pairs; x158, MMR-diversified retrieval with the greedy steps
+    # unrolled in both engines — all new this round). Then THREE
+    # changed-code pins —
     # the r14 diff splits epoch_upsample's '<default>'-sentinel
     # validation (operators/packing.py) and x150/x151 are the only
     # registered queries that call it, and it extends redact_pii
@@ -43,10 +45,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # verify_versioned/cli/multimodal-decode changes touch no query
     # builder (x51/x57/x58 use the fake=True path, whose arithmetic
     # is untouched). Then the six r09-stale deferred twice (q38 q74
-    # x44 x45 x46 x62), then 39 of the 47 r10-stale (aggregating
+    # x44 x45 x46 x62), then 38 of the 47 r10-stale (aggregating
     # CORRECTNESS_r01–r13 by latest verdict: 50@r13, 50@r12, 50@r11,
-    # 47@r10, 6@r09), deferring eight by the family-representation
-    # rule: x50 (token stats, rep by x96 fresh at r13 + x128
+    # 47@r10, 6@r09), deferring nine by the family-representation
+    # rule: x60 (outlier filter, rep by x90 semantic outliers fresh
+    # at r13 + x121 embedding expectations fresh at r12), x50 (token stats, rep by x96 fresh at r13 + x128
     # in-window), x52 (stratified sampling, rep by x66's hash-gate
     # mixture in-window + x114's temperature mixture fresh at r13),
     # x53 (top-k n-grams, rep by x54's tf-idf in-window + x119's
@@ -58,15 +61,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # x49 quality score in-window + the x88/x101/x102 quality family
     # fresh at r11+), x72 (chunk dedup, rep by x40 exact-dedup +
     # x142 chunking in-window), x143 (chunk coverage, rep by x142 +
-    # x139 in-window). NOTE the corpus grew 203 -> 205 this round
-    # (x156, x157).
+    # x139 in-window). NOTE the corpus grew 203 -> 206 this round
+    # (x156, x157, x158).
     # Exactly 50 entries. After this window the verdict-age
-    # histogram is 50@r14, 50@r13, 49@r12, 48@r11, 8@r10 — zero
-    # never-checked, max age 4 rounds. The r15 rotation: the 8 r10
-    # (x50 x52 x53 x58 x63 x68 x72 x143) first, then the 42 oldest
-    # r11-stale.
+    # histogram is 50@r14, 50@r13, 49@r12, 48@r11, 9@r10 — zero
+    # never-checked, max age 4 rounds. The r15 rotation: the 9 r10
+    # (x50 x52 x53 x58 x60 x63 x68 x72 x143) first, then the 41
+    # oldest r11-stale.
     "x156_hybrid_fusion_audit",
     "x157_semantic_dedup",
+    "x158_mmr_diversified",
     "x150_epoch_upsample",
     "x151_mix_epoch_pack",
     "x82_pii_scrub",
@@ -109,7 +113,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x51_multimodal_decode",
     "x54_tfidf_top_terms",
     "x57_frame_sampling",
-    "x60_outlier_filter",
     "x61_salted_aggregation",
     "x65_sequence_packing",
     "x66_data_mixture",

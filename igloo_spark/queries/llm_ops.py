@@ -7829,3 +7829,173 @@ def x157(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- x158: MMR-diversified retrieval (r14) ----------------------------------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998 —
+# public paper): re-rank a candidate pool so each pick balances
+# relevance to the query against redundancy with what's already
+# picked: argmax over remaining of
+#     lambda * rel(c) - (1 - lambda) * max_{p in picked} sim(c, p).
+# The standard RAG result-diversifier nothing in the retrieval family
+# covered. Greedy selection is inherently sequential, so both engines
+# UNROLL the K steps (the BPE unrolled-merge-CTE precedent): the
+# Spark side chains K tiny plans over the k-row pool (no driver
+# collect), the oracle chains K CTEs. All ranking operands are
+# INTEGER (floored micro-cosines, milli-lambda weights), so the pick
+# sequence is float-ulp-proof in both engines given the bit-identical
+# cosine doubles x45 already pins.
+
+MMR_POOL = 10          # candidate pool: exact top-10 for query vec 0
+MMR_K = 5              # diversified picks returned
+MMR_LAMBDA_MILLI = 700 # lambda = 0.7 in milli-units
+
+
+def _x158_oracle() -> str:
+    cos = cosine_sql_duckdb("q.qv", "e.embedding")
+    pcos = cosine_sql_duckdb("a.embedding", "b.embedding")
+    lam, ilam = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    ctes = [
+        f"""q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}
+    ),
+    pool AS (
+        SELECT neighbor_id, CAST(floor(c * 1000000.0) AS BIGINT) AS rel_micro,
+               embedding
+        FROM (
+            SELECT e.vec_id AS neighbor_id, {cos} AS c, e.embedding,
+                   row_number() OVER (ORDER BY {cos} DESC, e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {RRF_QUERY_VEC}
+        ) WHERE rk <= {MMR_POOL}
+    ),
+    pairs AS (
+        SELECT a.neighbor_id AS i, b.neighbor_id AS j,
+               CAST(floor({pcos} * 1000000.0) AS BIGINT) AS sim_micro
+        FROM pool a JOIN pool b ON a.neighbor_id <> b.neighbor_id
+    ),
+    p1 AS (
+        SELECT neighbor_id, rel_micro, CAST(0 AS BIGINT) AS max_sim_micro,
+               CAST(1 AS BIGINT) AS sel_rank
+        FROM pool ORDER BY rel_micro DESC, neighbor_id LIMIT 1
+    )"""
+    ]
+    for step in range(2, MMR_K + 1):
+        prev = f"p{step - 1}"
+        ctes.append(f"""s{step} AS (
+        SELECT c.neighbor_id, c.rel_micro, m.max_sim_micro,
+               CAST({step} AS BIGINT) AS sel_rank
+        FROM pool c JOIN (
+            SELECT i, max(sim_micro) AS max_sim_micro FROM pairs
+            WHERE j IN (SELECT neighbor_id FROM {prev}) GROUP BY i
+        ) m ON c.neighbor_id = m.i
+        WHERE c.neighbor_id NOT IN (SELECT neighbor_id FROM {prev})
+        ORDER BY {lam} * c.rel_micro - {ilam} * m.max_sim_micro DESC,
+                 c.neighbor_id
+        LIMIT 1
+    ),
+    p{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{step})""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT sel_rank, neighbor_id AS doc_id, rel_micro, max_sim_micro,
+           CAST({lam} * rel_micro - {ilam} * max_sim_micro AS BIGINT)
+               AS mmr_milli
+    FROM p{MMR_K}
+    """
+    )
+
+
+@register(
+    "x158_mmr_diversified",
+    f"MMR-diversified retrieval: top-{MMR_K} of a {MMR_POOL}-candidate "
+    f"pool, lambda={MMR_LAMBDA_MILLI / 1000} in integer milli/micro units",
+    _x158_oracle(),
+    tags=("retrieval", "similarity", "llm"),
+)
+def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR over the exact top-{MMR_POOL} pool for query vec 0:
+    pick 1 is the most relevant candidate; each later pick maximizes
+    ``700*rel_micro - 300*max_sim_micro`` over the remainder (ties by
+    id). The K steps are unrolled as chained DataFrame plans — each
+    step is an anti-join (remaining), a picked-set join + max
+    aggregate over the k^2-row pair table, and a TakeOrdered(1) —
+    every frame k-row bounded, no driver collect.
+
+    Scale: candidate generation (the broadcast exact scan, or swap in
+    the IVF probe) carries the corpus cost; the MMR re-rank is
+    O(K * pool^2) on k-row frames — constant at any corpus size,
+    exactly the serving-tier shape of rrf_fuse (x154)."""
+    from igloo_spark.functions.vectors import cosine_similarity
+    from igloo_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
+    lam, ilam = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    pool = (
+        brute_force_topk(emb, q, "vec_id", "embedding", MMR_POOL)
+        .select(
+            "neighbor_id",
+            F.floor(F.col("cosine") * F.lit(1000000.0))
+            .cast("bigint").alias("rel_micro"),
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    pairs = (
+        a.join(b, F.col("a.neighbor_id") != F.col("b.neighbor_id"))
+        .select(
+            F.col("a.neighbor_id").alias("i"),
+            F.col("b.neighbor_id").alias("j"),
+            F.floor(
+                cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("sim_micro"),
+        )
+    )
+    cand = pool.select("neighbor_id", "rel_micro")
+    picks = (
+        cand.orderBy(F.desc("rel_micro"), F.asc("neighbor_id")).limit(1)
+        .select(
+            "neighbor_id", "rel_micro",
+            F.lit(0).cast("bigint").alias("max_sim_micro"),
+            F.lit(1).cast("bigint").alias("sel_rank"),
+        )
+    )
+    for step in range(2, MMR_K + 1):
+        msim = (
+            pairs.join(
+                picks.select(F.col("neighbor_id").alias("j")), "j"
+            )
+            .groupBy("i")
+            .agg(F.max("sim_micro").alias("max_sim_micro"))
+        )
+        nxt = (
+            cand.join(picks.select("neighbor_id"), "neighbor_id", "left_anti")
+            .join(msim, F.col("neighbor_id") == F.col("i"))
+            .drop("i")
+            .orderBy(
+                F.desc(
+                    F.lit(lam) * F.col("rel_micro")
+                    - F.lit(ilam) * F.col("max_sim_micro")
+                ),
+                F.asc("neighbor_id"),
+            )
+            .limit(1)
+            .select(
+                "neighbor_id", "rel_micro", "max_sim_micro",
+                F.lit(step).cast("bigint").alias("sel_rank"),
+            )
+        )
+        picks = picks.unionByName(nxt)
+    return picks.select(
+        "sel_rank",
+        F.col("neighbor_id").alias("doc_id"),
+        "rel_micro",
+        "max_sim_micro",
+        (F.lit(lam) * F.col("rel_micro") - F.lit(ilam) * F.col("max_sim_micro"))
+        .cast("bigint").alias("mmr_milli"),
+    )
