@@ -1010,6 +1010,34 @@ class TestSemanticDedupManifest:
         assert dropped == pair_bs
 
 
+class TestMmrDiversified:
+    """x158: greedy MMR invariants — distinct picks, the first pick is
+    the relevance argmax, and every later pick beats (or ties into
+    id-order against) the candidates it was chosen over."""
+
+    def test_invariants(self, spark):
+        from igloo_spark.queries import all_queries
+
+        sf = "/root/testdata/sf0.001"
+        qs = all_queries()
+        rows = sorted(
+            qs["x158_mmr_diversified"].spark(spark, sf).collect(),
+            key=lambda r: r["sel_rank"],
+        )
+        assert [r["sel_rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert len({r["doc_id"] for r in rows}) == 5
+        assert rows[0]["max_sim_micro"] == 0
+        # pick 1 is the plain relevance argmax = ANN rank 1 for vec 0
+        ann = qs["x46_ann_bruteforce_topk"].spark(spark, sf).collect()
+        top1 = [
+            r["neighbor_id"] for r in ann
+            if r["query_id"] == 0 and r["rank"] == 1
+        ]
+        assert [rows[0]["doc_id"]] == top1
+        for r in rows:
+            assert r["mmr_milli"] == 700 * r["rel_micro"] - 300 * r["max_sim_micro"]
+
+
 class TestReadTarMalformedMember:
     """--read-tar under ANSI mode: an id member whose bytes are not
     valid UTF-8 must COUNT as bad (exit 4) — not crash the verifier
