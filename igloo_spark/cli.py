@@ -13,6 +13,19 @@ import argparse
 import sys
 
 
+def _corpus_root(store: str) -> str:
+    """Resolve a --corpus-store argument to its documents table root:
+    the --prep-corpus/--ingest layout keeps documents under
+    ``<store>/corpus``; a store created at a bare root (one
+    ``write_versioned`` table) IS the table. Without the fallback a
+    bare-root store hits a confusing "no versioned table at
+    .../corpus" failure."""
+    import os as _os
+
+    sub = _os.path.join(store, "corpus")
+    return sub if _os.path.isdir(_os.path.join(sub, "manifests")) else store
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="igloo-spark")
     parser.add_argument("--sql", default=None, help="SQL query to execute")
@@ -154,6 +167,13 @@ def main(argv: list[str] | None = None) -> int:
         "failed",
     )
     parser.add_argument(
+        "--since-last", action="store_true",
+        help="with --verify-store --deep: INCREMENTAL re-hash — skip "
+        "files a previous green deep verify already hashed under the "
+        "same recorded digest (state kept beside the manifests); a "
+        "full re-hash stays the default without this flag",
+    )
+    parser.add_argument(
         "--hybrid-search", default=None, metavar="TEXT",
         help="HYBRID retrieval: BM25 over a persisted postings index "
         "(--index-root) + ANN over a persisted vector index "
@@ -184,6 +204,25 @@ def main(argv: list[str] | None = None) -> int:
         "top-k ids back to the corpus store's documents (the same "
         "bloom-pruned point lookup as --fetch-docs) — the full "
         "search-then-fetch serving loop in one command",
+    )
+    parser.add_argument(
+        "--diversify", action="store_true",
+        help="with --hybrid-search: MMR-diversify the fused top-k "
+        "(operators.retrieval.mmr_rerank — relevance = the integer "
+        "RRF nano-score, redundancy = micro-cosine to the picked "
+        "set; embeddings come from the corpus store when it persists "
+        "them, else from --data-dir's embeddings table); composes "
+        "with --fetch",
+    )
+    parser.add_argument(
+        "--mmr-lambda", type=int, default=700, metavar="MILLI",
+        help="with --diversify: relevance weight in milli-units "
+        "(default 700 = 0.7 relevance / 0.3 diversity)",
+    )
+    parser.add_argument(
+        "--mmr-k", type=int, default=None, metavar="K",
+        help="with --diversify: diversified picks returned "
+        "(default: --top-k)",
     )
     parser.add_argument(
         "--strict-sync", action="store_true",
@@ -717,6 +756,10 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("--fetch only applies to --hybrid-search")
         if args.corpus_store is None:
             parser.error("--fetch needs --corpus-store (the documents)")
+    if args.diversify and args.hybrid_search is None:
+        parser.error("--diversify only applies to --hybrid-search")
+    if args.since_last and not (args.verify_store is not None and args.deep):
+        parser.error("--since-last only applies to --verify-store --deep")
     if args.fetch_docs is not None:
         if args.corpus_store is None:
             parser.error("--fetch-docs needs --corpus-store")
@@ -783,23 +826,34 @@ def main(argv: list[str] | None = None) -> int:
         from igloo_spark.sources.versioned import verify_versioned
 
         store = args.verify_store
+        # accept the --prep-corpus layout (<root>/corpus, <root>/fps)
+        # AND a bare single-table root (a store created directly with
+        # write_versioned)
         tables = [
             t for t in ("corpus", "fps")
             if _os.path.isdir(f"{store}/{t}/manifests")
         ]
-        if not tables:
+        roots = (
+            {t: f"{store}/{t}" for t in tables}
+            if tables
+            else ({"store": store} if _os.path.isdir(f"{store}/manifests") else {})
+        )
+        if not roots:
             print(f"error: no versioned tables under {store}", file=sys.stderr)
             return 2
 
         def _check(spark=None) -> int:
             rc = 0
-            for t in tables:
+            for t, troot in roots.items():
                 v = verify_versioned(
-                    f"{store}/{t}", deep=args.deep, spark=spark
+                    troot, deep=args.deep, spark=spark,
+                    since_last=args.since_last,
                 )
                 status = "OK" if v["ok"] else "CORRUPT"
                 extra = (
-                    f" deep: {v['checksums_unverified']} unverified"
+                    f" deep: {v['checksums_unverified']} unverified, "
+                    f"{v['deep_files_hashed']} hashed, "
+                    f"{v['deep_files_skipped']} already-verified"
                     if args.deep else ""
                 )
                 print(
@@ -850,7 +904,7 @@ def main(argv: list[str] | None = None) -> int:
                 session.register_table(
                     "corpus",
                     read_versioned(
-                        session.spark, args.corpus_store + "/corpus",
+                        session.spark, _corpus_root(args.corpus_store),
                         version=args.as_of,
                     ),
                 )
@@ -888,7 +942,7 @@ def main(argv: list[str] | None = None) -> int:
 
                 try:
                     docs = read_version_delta(
-                        session.spark, args.corpus_store + "/corpus",
+                        session.spark, _corpus_root(args.corpus_store),
                         from_version=args.since_version,
                         to_version=args.as_of,
                     )
@@ -1169,7 +1223,7 @@ def main(argv: list[str] | None = None) -> int:
 
                 try:
                     docs = read_version_delta(
-                        session.spark, args.corpus_store + "/corpus",
+                        session.spark, _corpus_root(args.corpus_store),
                         from_version=args.since_version,
                         to_version=args.as_of,
                     )
@@ -1703,7 +1757,7 @@ def main(argv: list[str] | None = None) -> int:
                     ):
                         s = check_index_sync(
                             session.spark,
-                            args.corpus_store + "/corpus", root, kind=kind,
+                            _corpus_root(args.corpus_store), root, kind=kind,
                         )
                         if not s["in_sync"]:
                             stale.append(
@@ -1746,9 +1800,58 @@ def main(argv: list[str] | None = None) -> int:
                 except (FileNotFoundError, ValueError) as e:
                     print(f"error: --hybrid-search: {e}", file=sys.stderr)
                     return 2
-                df = rrf_fuse(
+                fused = rrf_fuse(
                     {"bm25": bm, "ann": ann}, "doc_id", k=args.top_k
-                ).orderBy("fused_rank")
+                )
+                order_col = "fused_rank"
+                if args.diversify:
+                    # search -> fuse -> DIVERSIFY: MMR over the fused
+                    # top-k (relevance = the integer RRF nano-score,
+                    # redundancy = micro-cosine to the picked set).
+                    # The fused frame is checkpointed first — it is
+                    # the k-row pool and feeds the embedding join,
+                    # the id collect AND the final rank join, and its
+                    # lineage embeds both index probes.
+                    from igloo_spark.operators.retrieval import mmr_rerank
+
+                    fused = fused.localCheckpoint(eager=False)
+                    emb_side = None
+                    if args.corpus_store is not None:
+                        # prefer the store's own persisted embeddings
+                        # (bloom-pruned point lookup, k ids)
+                        from igloo_spark.sources.versioned import (
+                            read_versioned,
+                            read_versioned_at_keys,
+                        )
+
+                        croot = _corpus_root(args.corpus_store)
+                        if "embedding" in read_versioned(
+                            session.spark, croot
+                        ).columns:
+                            ids = [
+                                r["doc_id"]
+                                for r in fused.select("doc_id").collect()
+                            ]
+                            emb_side = read_versioned_at_keys(
+                                session.spark, croot, "doc_id", ids
+                            ).select("doc_id", "embedding")
+                    if emb_side is None:
+                        emb_side = emb.select(
+                            F.col("vec_id").alias("doc_id"), "embedding"
+                        )
+                    pool = fused.select("doc_id", "rrf_nano").join(
+                        emb_side, "doc_id"
+                    )
+                    picks = mmr_rerank(
+                        pool, "doc_id", "embedding", "rrf_nano",
+                        k=args.mmr_k or args.top_k,
+                        lambda_milli=args.mmr_lambda,
+                    )
+                    fused = picks.join(
+                        fused.select("doc_id", "fused_rank"), "doc_id"
+                    )
+                    order_col = "sel_rank"
+                df = fused.orderBy(order_col)
                 if args.fetch:
                     # the full serving loop: fused ids -> bloom-pruned
                     # point lookup of the documents (k ids, so the
@@ -1759,10 +1862,10 @@ def main(argv: list[str] | None = None) -> int:
 
                     ids = [r["doc_id"] for r in df.collect()]
                     docs = read_versioned_at_keys(
-                        session.spark, args.corpus_store + "/corpus",
+                        session.spark, _corpus_root(args.corpus_store),
                         "doc_id", ids,
                     ).select("doc_id", "text")
-                    df = df.join(docs, "doc_id", "left").orderBy("fused_rank")
+                    df = df.join(docs, "doc_id", "left").orderBy(order_col)
             elif args.fetch_docs is not None:
                 from igloo_spark.sources.versioned import (
                     read_versioned_at_keys,
@@ -1772,7 +1875,7 @@ def main(argv: list[str] | None = None) -> int:
                     int(x) for x in args.fetch_docs.split(",") if x.strip()
                 ]
                 df = read_versioned_at_keys(
-                    session.spark, args.corpus_store + "/corpus",
+                    session.spark, _corpus_root(args.corpus_store),
                     "doc_id", ids,
                 )
             elif args.query is not None:

@@ -217,12 +217,28 @@ def _luhn_valid(cand: Column) -> Column:
 
 
 def _luhn_cards(text: Column) -> Column:
-    """Distinct Luhn-valid card-shaped substrings of ``text``."""
-    return F.array_distinct(
+    """Distinct Luhn-valid card-shaped substrings of ``text``, in a
+    DETERMINISTIC engine-independent order: length desc, then value
+    asc. Spark's array_distinct preserves first occurrence while
+    DuckDB's list_distinct guarantees nothing, and the redaction fold
+    literal-replaces each candidate in list order — when one detected
+    card string is a substring of another, replacing the longer one
+    first is also the only correct order."""
+    cards = F.array_distinct(
         F.filter(
             F.regexp_extract_all(text, F.lit(CARD_CANDIDATE), F.lit(0)),
             _luhn_valid,
         )
+    )
+    return F.array_sort(
+        cards,
+        lambda l, r: (
+            F.when(F.length(l) > F.length(r), F.lit(-1))
+            .when(F.length(l) < F.length(r), F.lit(1))
+            .when(l < r, F.lit(-1))
+            .when(l > r, F.lit(1))
+            .otherwise(F.lit(0))
+        ),
     )
 
 
@@ -239,10 +255,19 @@ def _luhn_cards_sql(expr: str) -> str:
         f"length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19 "
         f"AND {total} % 10 = 0"
     )
-    return (
+    distinct = (
         f"list_distinct(list_filter("
         f"regexp_extract_all({expr}, '\\b\\d(?:[ -]?\\d){{12,18}}\\b'), "
         f"c -> {valid}))"
+    )
+    # deterministic (length desc, value asc) order to match the Spark
+    # side: list_sort only orders by value, so sort key-prefixed
+    # strings (candidates are <= 37 chars, so 100-len is always two
+    # digits under lpad 3) and strip the 3-char prefix after
+    return (
+        f"list_transform(list_sort(list_transform({distinct}, "
+        f"c -> lpad(CAST(100 - length(c) AS VARCHAR), 3, '0') || c)), "
+        f"s -> s[4:])"
     )
 
 

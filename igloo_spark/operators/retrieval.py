@@ -415,3 +415,125 @@ def rrf_fuse(
         .withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("fused_rank") <= k)
     )
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    id_col: str = "neighbor_id",
+    emb_col: str = "embedding",
+    rel_col: str = "rel_micro",
+    k: int = 5,
+    lambda_milli: int = 700,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR 1998 — public paper) of a CANDIDATE POOL: pick 1 is the
+    most relevant candidate; each later pick maximizes
+
+        lambda_milli * rel - (1000 - lambda_milli) * max_sim_micro
+
+    over the remainder, where ``max_sim_micro`` is the floored
+    micro-cosine to the closest already-picked candidate (ties break
+    on the lower id). All ranking operands are INTEGER (``rel_col``
+    must already be integer-valued — e.g. floored micro-cosines or
+    RRF nano-scores), so the pick sequence is float-ulp-proof.
+
+    ``pool`` carries (``id_col``, ``rel_col``, ``emb_col``) and is
+    k-row by contract (a retriever's top-k). It is MATERIALIZED once
+    via ``localCheckpoint`` before the greedy unroll — the pool's
+    lineage typically embeds the corpus-cost candidate generation
+    (a brute-force or index probe), and without the checkpoint every
+    unrolled step would re-execute that scan (the r14 verdict
+    measured 603 parquet scans / 40 cartesians for K=5 without it;
+    the x64 shared-subtree precedent). The pool**2 pair table — all
+    pairs BY DEFINITION of MMR over a k-row frame — is likewise
+    checkpointed, so each greedy step is an anti-join, a picked-set
+    join + max aggregate, and a TakeOrdered(1), every frame k-row
+    bounded, no driver collect.
+
+    Returns (``sel_rank``, ``id_col``, ``rel_col``, ``max_sim_micro``,
+    ``mmr_milli``), ``k`` rows (fewer if the pool is smaller).
+
+    Scale: the upstream retriever carries the corpus cost ONCE; the
+    re-rank itself is O(K * pool^2) on materialized k-row frames —
+    constant at any corpus size, the serving-tier shape of
+    :func:`rrf_fuse`."""
+    from igloo_spark.functions.vectors import cosine_similarity
+
+    if not 0 <= lambda_milli <= 1000:
+        raise ValueError(f"lambda_milli must be in [0, 1000], got {lambda_milli}")
+    lam, ilam = lambda_milli, 1000 - lambda_milli
+    # coalesce(1) before the checkpoint: the pool inherits its
+    # retriever's partitioning (e.g. 32 shuffle partitions holding 10
+    # rows), and every greedy step re-scans it — one partition turns
+    # K * (scans per step) task launches into single tasks
+    pool = (
+        pool.select(
+            F.col(id_col),
+            F.col(rel_col).cast("bigint").alias(rel_col),
+            F.col(emb_col),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    pairs = (
+        a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("i"),
+            F.col(f"b.{id_col}").alias("j"),
+            F.floor(
+                cosine_similarity(F.col(f"a.{emb_col}"), F.col(f"b.{emb_col}"))
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("sim_micro"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    cand = pool.select(id_col, rel_col)
+    picks = (
+        cand.orderBy(F.desc(rel_col), F.asc(id_col)).limit(1)
+        .select(
+            id_col, rel_col,
+            F.lit(0).cast("bigint").alias("max_sim_micro"),
+            F.lit(1).cast("bigint").alias("sel_rank"),
+        )
+    )
+    for step in range(2, k + 1):
+        # picked-set sides are <= step rows: broadcast them so every
+        # step join is a BroadcastHashJoin over the 1-partition
+        # checkpointed frames — no exchange in the greedy chain
+        msim = (
+            pairs.join(F.broadcast(picks.select(F.col(id_col).alias("j"))), "j")
+            .groupBy("i")
+            .agg(F.max("sim_micro").alias("max_sim_micro"))
+        )
+        nxt = (
+            cand.join(F.broadcast(picks.select(id_col)), id_col, "left_anti")
+            .join(F.broadcast(msim), F.col(id_col) == F.col("i"))
+            .drop("i")
+            .orderBy(
+                F.desc(
+                    F.lit(lam) * F.col(rel_col)
+                    - F.lit(ilam) * F.col("max_sim_micro")
+                ),
+                F.asc(id_col),
+            )
+            .limit(1)
+            .select(
+                id_col, rel_col, "max_sim_micro",
+                F.lit(step).cast("bigint").alias("sel_rank"),
+            )
+        )
+        # checkpoint the growing picked set: it feeds THREE consumers
+        # next step (anti-join, pair probe, union), so an
+        # un-materialized lineage re-plans 3^K copies of every prior
+        # step — the same re-execution class the pool checkpoint fixes
+        picks = picks.unionByName(nxt).coalesce(1).localCheckpoint(eager=False)
+    return picks.select(
+        "sel_rank",
+        F.col(id_col),
+        F.col(rel_col),
+        "max_sim_micro",
+        (F.lit(lam) * F.col(rel_col) - F.lit(ilam) * F.col("max_sim_micro"))
+        .cast("bigint").alias("mmr_milli"),
+    )

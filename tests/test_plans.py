@@ -380,8 +380,17 @@ def _all_specs():
 
 
 # Deliberate exceptions to the no-cartesian rule: the cross-join surface
-# itself and the exact (all-pairs by definition) ANN baseline.
-_INTENTIONAL_CROSS = {"q12_cross_join", "x46_ann_bruteforce_topk", "q11_theta_join"}
+# itself, the exact (all-pairs by definition) ANN baseline, and MMR's
+# pool^2 pair table (all pairs BY DEFINITION of the MMR redundancy term,
+# over a k-row materialized pool — the corpus never enters the cross;
+# with mmr_rerank's localCheckpoint the cross is usually hidden behind
+# an RDD scan anyway, this entry keeps the intent explicit).
+_INTENTIONAL_CROSS = {
+    "q12_cross_join",
+    "x46_ann_bruteforce_topk",
+    "q11_theta_join",
+    "x158_mmr_diversified",
+}
 
 
 @pytest.mark.parametrize("qspec", _all_specs(), ids=lambda s: s.name)

@@ -1,0 +1,781 @@
+"""Round-15 hardening: the MMR plan fix (materialized pool/pairs — the
+r14 verdict measured 603 parquet scans per request without it) and its
+reusable mmr_rerank operator + --diversify serving surface; the
+bounded-state bloom/stats commit scan with per-file bloom sizing and
+keys-exceed-capacity skip; the pruned-MERGE delta dtype cast; NULL/
+type-mismatch guards in read_versioned_at_keys; incremental deep
+verify (--since-last); and the bare-root --corpus-store fallback.
+
+Reference parity note: the reference has no retrieval or store
+surface (its engine is one ctx.sql delegation,
+crates/engine/src/lib.rs:54-57); these harden the extension families.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+
+
+# --- MMR: plan shape + operator arithmetic ---------------------------------
+
+
+class TestMmrPlan:
+    """x158's executed plan must NOT re-run the corpus-cost candidate
+    generation per greedy step: the pool/pairs/picks frames are
+    materialized, so the final plan is k-row RDD scans only."""
+
+    def test_x158_plan_has_no_corpus_rescan(self, spark):
+        from igloo_spark.queries import all_queries
+
+        df = all_queries()["x158_mmr_diversified"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 0, plan
+        assert plan.count("CartesianProduct") == 0, plan
+        assert plan.count("BroadcastNestedLoop") == 0, plan
+        # the greedy chain itself is exchange-free (checkpointed
+        # 1-partition frames + broadcast picked sets)
+        assert plan.count("Exchange") == 0, plan
+        assert len(df.collect()) == 5
+
+    def test_mmr_rerank_matches_driver_greedy(self, spark):
+        """Operator arithmetic vs an independent numpy greedy MMR on a
+        synthetic pool (the serving pool shape: integer relevance +
+        embeddings)."""
+        import numpy as np
+
+        from igloo_spark.operators.retrieval import mmr_rerank
+
+        rng = [
+            (i, 1000 - 7 * i, [math.sin(0.9 * i + 0.31 * j) for j in range(8)])
+            for i in range(10)
+        ]
+        pool = spark.createDataFrame(
+            rng, "doc_id long, rel bigint, embedding array<double>"
+        )
+        k, lam = 5, 600
+        got = [
+            (r["sel_rank"], r["doc_id"], r["max_sim_micro"], r["mmr_milli"])
+            for r in mmr_rerank(
+                pool, "doc_id", "embedding", "rel", k=k, lambda_milli=lam
+            ).orderBy("sel_rank").collect()
+        ]
+
+        vecs = {i: np.array(v) for i, _, v in rng}
+        rel = {i: r for i, r, _ in rng}
+
+        def cos_micro(a, b):
+            d = float(vecs[a] @ vecs[b])
+            na, nb = np.linalg.norm(vecs[a]), np.linalg.norm(vecs[b])
+            c = 0.0 if na * nb == 0 else d / (na * nb)
+            return math.floor(c * 1_000_000)
+
+        remaining = sorted(rel)
+        picked, expect = [], []
+        for step in range(1, k + 1):
+            best = None
+            for c in remaining:
+                ms = max((cos_micro(c, p) for p in picked), default=0)
+                score = lam * rel[c] - (1000 - lam) * ms
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, ms, score)
+            _, c, ms, score = best
+            picked.append(c)
+            remaining.remove(c)
+            expect.append((step, c, ms, score))
+        assert got == expect
+
+    def test_mmr_rerank_validates_lambda(self, spark):
+        from igloo_spark.operators.retrieval import mmr_rerank
+
+        pool = spark.createDataFrame(
+            [(1, 1, [1.0])], "doc_id long, rel bigint, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="lambda_milli"):
+            mmr_rerank(pool, "doc_id", "embedding", "rel", lambda_milli=1500)
+
+
+# --- Bounded bloom/stats commit scan ----------------------------------------
+
+
+class TestBoundedBloomBuild:
+    """The commit-scan aggregation holds BOUNDED per-group state (one
+    collect_set per hash seed, <= m distinct ints regardless of file
+    size — the r14 verdict flagged the collect_list-of-arrays shape as
+    an executor OOM hazard), sizes each file's bloom from its key
+    cardinality, and SKIPS the bloom where even the largest m would
+    saturate past the FP bound."""
+
+    def test_commit_scan_plan_has_no_collect_list(self, spark):
+        from igloo_spark.sources.versioned import _file_stats_frame
+
+        df = spark.range(0, 100).selectExpr("id AS k", "id AS v")
+        plan = (
+            _file_stats_frame(df, ["k"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "collect_list" not in plan, plan
+        assert "collect_set" in plan
+
+    def _commit(self, spark, tmp_path, name, df):
+        from igloo_spark.sources.versioned import (
+            _list_versions,
+            _read_manifest,
+            write_versioned,
+        )
+
+        root = str(tmp_path / name)
+        write_versioned(df, root, mode="overwrite", stats_cols=["k"])
+        return _read_manifest(root, _list_versions(root)[-1]), root
+
+    def test_small_file_gets_minimum_size_bloom(self, spark, tmp_path):
+        import base64
+
+        from igloo_spark.sources.versioned import _BLOOM_M_MIN
+
+        m, _ = self._commit(
+            spark, tmp_path, "small",
+            spark.range(0, 200).selectExpr("id AS k").coalesce(1),
+        )
+        (bl,) = m["bloom"].values()
+        assert len(base64.b64decode(bl["k"])) * 8 == _BLOOM_M_MIN
+        assert list(m["rows"].values()) == [200]
+
+    def test_mid_file_gets_larger_bloom(self, spark, tmp_path):
+        import base64
+
+        from igloo_spark.sources.versioned import _BLOOM_M_MIN
+
+        m, _ = self._commit(
+            spark, tmp_path, "mid",
+            spark.range(0, 2500).selectExpr("id AS k").coalesce(1),
+        )
+        (bl,) = m["bloom"].values()
+        assert len(base64.b64decode(bl["k"])) * 8 > _BLOOM_M_MIN
+
+    def test_saturating_file_records_no_bloom(self, spark, tmp_path):
+        """A file whose distinct keys exceed even _BLOOM_M_MAX's
+        capacity records NO bloom (conservative scan) — the manifest
+        bytes must buy pruning, not a saturated 'always maybe' —
+        while its row count still lands in the manifest."""
+        m, root = self._commit(
+            spark, tmp_path, "big",
+            spark.range(0, 20_000).selectExpr("id AS k").coalesce(1),
+        )
+        (bl,) = m["bloom"].values()
+        assert bl == {}
+        assert list(m["rows"].values()) == [20_000]
+        # stats still recorded -> range pruning still works
+        (st,) = m["stats"].values()
+        assert st["k"] == [0, 19_999]
+        # and the point-lookup path still returns the right rows
+        from igloo_spark.sources.versioned import read_versioned_at_keys
+
+        got = read_versioned_at_keys(spark, root, "k", [7, 19_998]).collect()
+        assert sorted(r["k"] for r in got) == [7, 19_998]
+
+    def test_old_4096bit_manifests_still_prune(self, spark, tmp_path):
+        """Readers derive m from the stored bitset length, so a bloom
+        recorded by the r14 writer (fixed 4096 bits) keeps pruning."""
+        import base64
+
+        from igloo_spark.sources.versioned import (
+            _bloom_maybe_contains,
+            _bits_b64,
+            _list_versions,
+            _manifest_dir,
+            _read_manifest,
+            read_versioned_at_keys,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "old")
+        write_versioned(
+            spark.range(0, 100).selectExpr("id AS k").coalesce(1),
+            root, mode="overwrite", stats_cols=["k"],
+        )
+        v = _list_versions(root)[-1]
+        m = _read_manifest(root, v)
+        # rewrite the bloom at the legacy fixed size from raw hashes
+        legacy_m = 4096
+        hashes = [
+            r["__h"] for r in spark.range(0, 100)
+            .selectExpr(
+                "array(" + ",".join(
+                    f"xxhash64('bloom{i}:', CAST(id AS STRING))"
+                    for i in range(4)
+                ) + ") AS __h"
+            ).collect()
+        ]
+        positions = {h % legacy_m for hs in hashes for h in hs}
+        (fname,) = m["bloom"]
+        m["bloom"][fname] = {"k": _bits_b64(positions, legacy_m)}
+        with open(
+            os.path.join(_manifest_dir(root), f"v{v:06d}.json"), "w"
+        ) as fh:
+            json.dump(m, fh)
+        assert len(base64.b64decode(m["bloom"][fname]["k"])) * 8 == legacy_m
+        got = read_versioned_at_keys(spark, root, "k", [5]).collect()
+        assert [r["k"] for r in got] == [5]
+        # and a definitely-absent key prunes the (only) file entirely
+        assert (
+            read_versioned_at_keys(spark, root, "k", [10_000_000]).count()
+            == 0
+            or _bloom_maybe_contains(m["bloom"][fname]["k"], hashes[0])
+        )
+
+
+# --- Pruned MERGE dtype alignment -------------------------------------------
+
+
+class TestPrunedMergeDtypeCast:
+    def test_double_delta_on_bigint_table_updates_not_duplicates(
+        self, spark, tmp_path
+    ):
+        """Bloom positions hash the STRING form of the key, so a delta
+        arriving as double (150.0 -> '150.0') against a bigint table
+        ('150') would bloom-skip the true file and produce a duplicate
+        key; the delta is cast to the table schema up front."""
+        from igloo_spark.sources.versioned import (
+            merge_into_versioned,
+            read_versioned,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "dt")
+        write_versioned(
+            spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+            .repartition(4),
+            root, mode="overwrite", stats_cols=["k"],
+        )
+        delta = spark.createDataFrame(
+            [(150.0, 999), (2000.0, 1)], "k double, v long"
+        )
+        merge_into_versioned(spark, root, delta, ["k"], prune_col="k")
+        snap = read_versioned(spark, root)
+        assert snap.count() == 1001  # 1000 + 1 insert, NO duplicate 150
+        assert [
+            (r["k"], r["v"]) for r in snap.filter("k = 150").collect()
+        ] == [(150, 999)]
+        # output schema stays the table's, not the delta's
+        assert dict(snap.dtypes)["k"] == "bigint"
+
+
+# --- read_versioned_at_keys guards ------------------------------------------
+
+
+class TestAtKeysGuards:
+    def test_null_values_rejected_up_front(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            read_versioned_at_keys,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "nulls")
+        write_versioned(
+            spark.range(0, 10).selectExpr("id AS k"), root,
+            mode="overwrite", stats_cols=["k"],
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            read_versioned_at_keys(spark, root, "k", [1, None])
+
+    def test_uncomparable_stats_degrade_to_scan(self, spark, tmp_path):
+        """str keys vs int-recorded stats (a hand-upgraded or foreign
+        manifest) must degrade the range test to a conservative scan,
+        not crash with TypeError."""
+        from igloo_spark.sources.versioned import (
+            _list_versions,
+            _manifest_dir,
+            _read_manifest,
+            read_versioned_at_keys,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "mix")
+        write_versioned(
+            spark.range(0, 10).selectExpr("CAST(id AS STRING) AS k"),
+            root, mode="overwrite", stats_cols=["k"],
+        )
+        v = _list_versions(root)[-1]
+        m = _read_manifest(root, v)
+        for f in m["stats"]:
+            m["stats"][f]["k"] = [0, 9]  # ints against string keys
+            m["bloom"][f] = {}  # force the range path to decide
+        with open(
+            os.path.join(_manifest_dir(root), f"v{v:06d}.json"), "w"
+        ) as fh:
+            json.dump(m, fh)
+        got = read_versioned_at_keys(spark, root, "k", ["3"]).collect()
+        assert [r["k"] for r in got] == ["3"]
+
+
+# --- Incremental deep verify -------------------------------------------------
+
+
+class TestIncrementalDeepVerify:
+    def test_second_since_last_hashes_only_new_commit(
+        self, spark, tmp_path
+    ):
+        from igloo_spark.sources.versioned import (
+            verify_versioned,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "inc")
+        write_versioned(
+            spark.range(0, 100).selectExpr("id AS k").repartition(3),
+            root, mode="overwrite",
+        )
+        v1 = verify_versioned(root, deep=True, spark=spark, since_last=True)
+        assert v1["ok"] and v1["deep_files_hashed"] == 3
+        assert v1["deep_files_skipped"] == 0
+        write_versioned(
+            spark.range(100, 110).selectExpr("id AS k").coalesce(1),
+            root, mode="append",
+        )
+        v2 = verify_versioned(root, deep=True, spark=spark, since_last=True)
+        assert v2["ok"]
+        assert v2["deep_files_hashed"] == 1  # ONLY the new commit's file
+        assert v2["deep_files_skipped"] == 3
+        # a full (default) deep verify still re-hashes everything
+        v3 = verify_versioned(root, deep=True, spark=spark)
+        assert v3["deep_files_hashed"] == 4
+
+    def test_corruption_found_then_not_recorded_green(
+        self, spark, tmp_path
+    ):
+        """A mismatch keeps re-surfacing under --since-last until
+        repaired: the state is written only on green runs."""
+        from igloo_spark.sources.versioned import (
+            _list_versions,
+            _read_manifest,
+            verify_versioned,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "rot")
+        write_versioned(
+            spark.range(0, 50).selectExpr("id AS k").coalesce(1),
+            root, mode="overwrite",
+        )
+        (f,) = _read_manifest(root, _list_versions(root)[-1])["files"]
+        with open(f, "r+b") as fh:
+            fh.seek(20)
+            b = fh.read(1)
+            fh.seek(20)
+            fh.write(bytes([b[0] ^ 0xFF]))
+        for _ in range(2):  # still red on the SECOND since_last run
+            v = verify_versioned(
+                root, deep=True, spark=spark, since_last=True
+            )
+            assert not v["ok"] and v["checksum_mismatches"]
+            assert v["deep_files_hashed"] == 1
+
+
+# --- CLI: --diversify + bare-root stores -------------------------------------
+
+
+class TestCliDiversifyAndBareRoot:
+    DIM = 8
+
+    def _setup(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from igloo_spark.pipelines import incremental_ingest
+
+        def _rows(ids):
+            return [
+                (
+                    i,
+                    f"document body {i} " + " ".join(
+                        f"tok{i}word{j}" for j in range(10)
+                    ) + (" vector search" if i % 3 == 0 else " stream hash"),
+                    [math.sin(0.7 * i + 1.3 * j) for j in range(self.DIM)],
+                )
+                for i in ids
+            ]
+
+        schema = "doc_id long, text string, embedding array<double>"
+        store = str(tmp_path / "div_store")
+        pidx = str(tmp_path / "div_postings")
+        vidx = str(tmp_path / "div_ivf")
+        incremental_ingest(
+            spark.createDataFrame(_rows(range(1, 31)), schema), store,
+            min_quality=0.0, min_shared=1, persist_embeddings=True,
+            postings_index_root=pidx, ivf_index_root=vidx,
+        )
+        d = tmp_path / "div_data"
+        d.mkdir()
+        rows = _rows(range(1, 31))
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[2] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+        return store, str(d), pidx, vidx, {r[0]: r[2] for r in rows}
+
+    def _fused_pool(self, spark, d, pidx, vidx):
+        from pyspark.sql import functions as F
+
+        from igloo_spark.operators.retrieval import (
+            probe_postings_index,
+            rrf_fuse,
+        )
+        from igloo_spark.operators.similarity import probe_ivf_index
+
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        q = emb.filter(F.col("vec_id") == 1).select("vec_id", "embedding")
+        bm = probe_postings_index(
+            spark, pidx, "vector search".split(), k=10
+        ).select("doc_id", "rank")
+        ann = probe_ivf_index(spark, vidx, q, k=10, nprobe=2).select(
+            F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        return rrf_fuse({"bm25": bm, "ann": ann}, "doc_id", k=10)
+
+    def _numpy_mmr(self, pool_rows, vecs, k, lam):
+        import numpy as np
+
+        rel = {r["doc_id"]: r["rrf_nano"] for r in pool_rows}
+
+        def cos_micro(a, b):
+            va, vb = np.array(vecs[a]), np.array(vecs[b])
+            na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+            c = 0.0 if na * nb == 0 else float(va @ vb) / (na * nb)
+            return math.floor(c * 1_000_000)
+
+        remaining, picked = sorted(rel), []
+        for _ in range(k):
+            best = None
+            for c in remaining:
+                ms = max((cos_micro(c, p) for p in picked), default=0)
+                score = lam * rel[c] - (1000 - lam) * ms
+                if best is None or (-score, c) < best[0]:
+                    best = ((-score, c), c)
+            picked.append(best[1])
+            remaining.remove(best[1])
+        return picked
+
+    def test_diversified_topk_matches_mmr_arithmetic(
+        self, spark, tmp_path, capsys
+    ):
+        """The full search -> fuse -> diversify -> fetch loop in one
+        command, with the pick order verified against an independent
+        numpy greedy MMR over the same fused pool."""
+        import re
+
+        from igloo_spark.cli import main
+
+        store, d, pidx, vidx, vecs = self._setup(spark, tmp_path)
+        pool_rows = self._fused_pool(spark, d, pidx, vidx).collect()
+        expect = self._numpy_mmr(pool_rows, vecs, k=5, lam=700)
+
+        rc = main(
+            ["--data-dir", d, "--hybrid-search", "vector search",
+             "--hybrid-vec", "1", "--index-root", pidx,
+             "--vector-index", vidx, "--index-kind", "ivf",
+             "--corpus-store", store, "--diversify", "--mmr-k", "5",
+             "--fetch"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        # rows print ordered by sel_rank; doc_id is the first column
+        got = [
+            int(mtch.group(1))
+            for mtch in re.finditer(r"^\|(\d+)\s*\|", out, re.M)
+        ]
+        assert got == expect
+        assert "document body" in out  # --fetch joined the text
+
+    def test_diversify_validation(self):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):  # needs --hybrid-search
+            main(["--sql", "SELECT 1", "--diversify"])
+
+    def test_fetch_docs_bare_root_store(self, spark, tmp_path, capsys):
+        """--corpus-store pointing at a bare write_versioned root (no
+        <root>/corpus) resolves via the layout fallback."""
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / "bare")
+        write_versioned(
+            spark.createDataFrame(
+                [(i, f"bare doc {i}") for i in range(1, 6)],
+                "doc_id long, text string",
+            ),
+            root, mode="overwrite", stats_cols=["doc_id"],
+        )
+        d = tmp_path / "bare_data"
+        d.mkdir()
+        rc = main(
+            ["--data-dir", str(d), "--corpus-store", root,
+             "--fetch-docs", "2,4"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "bare doc 2" in out and "bare doc 4" in out
+
+    def test_verify_store_bare_root_and_since_last(
+        self, spark, tmp_path, capsys
+    ):
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / "bare_v")
+        write_versioned(
+            spark.range(0, 10).selectExpr("id AS k"), root,
+            mode="overwrite",
+        )
+        assert main(["--verify-store", root]) == 0
+        out = capsys.readouterr().out
+        assert "store: OK" in out
+        assert (
+            main(["--verify-store", root, "--deep", "--since-last"]) == 0
+        )
+        out = capsys.readouterr().out
+        assert "already-verified" in out
+        with pytest.raises(SystemExit):  # --since-last needs --deep
+            main(["--verify-store", root, "--since-last"])
+
+
+# --- SemDeDup admission gate ---------------------------------------------
+
+
+class TestSemanticDedupGate:
+    """incremental_ingest(semantic_dedup_threshold=): a paraphrase
+    duplicate — fresh text fingerprint, near-identical embedding — is
+    rejected at admission with verdict 'semantic_dup' and a dup_of
+    manifest; the history side is probed broadcast-batch, never
+    reshuffled."""
+
+    DIM = 8
+
+    def _doc(self, i, text, base_vec, eps=0.0):
+        vec = [v + eps * ((j % 3) - 1) for j, v in enumerate(base_vec)]
+        return (i, text, vec)
+
+    def _base_vec(self, seed):
+        # no positive offset: vectors must differ in SIGN pattern so
+        # distinct docs land in distinct LSH buckets / low cosines
+        return [math.sin(0.9 * seed + 0.37 * j) for j in range(self.DIM)]
+
+    def test_paraphrase_rejected_exact_kept(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        schema = "doc_id long, text string, embedding array<double>"
+        root = str(tmp_path / "sem_store")
+        b1 = spark.createDataFrame(
+            [
+                self._doc(
+                    i,
+                    f"original document {i} " + " ".join(
+                        f"w{i}x{j}" for j in range(12)
+                    ),
+                    self._base_vec(i),
+                )
+                for i in range(1, 6)
+            ],
+            schema,
+        )
+        r1 = incremental_ingest(
+            b1, root, min_quality=0.0, min_shared=1,
+            persist_embeddings=True, semantic_dedup_threshold=0.999,
+        )
+        assert r1.verdicts.filter("verdict = 'kept'").count() == 5
+
+        # batch 2: doc 11 is a PARAPHRASE of doc 3 (totally different
+        # words -> fresh fingerprints; embedding within epsilon), doc
+        # 12 is genuinely new
+        b2 = spark.createDataFrame(
+            [
+                self._doc(
+                    11,
+                    "totally rephrased content alpha beta gamma delta "
+                    "epsilon zeta eta theta iota kappa",
+                    self._base_vec(3),
+                    eps=1e-6,
+                ),
+                self._doc(
+                    12,
+                    "fresh unrelated subject matter " + " ".join(
+                        f"q{j}z" for j in range(12)
+                    ),
+                    self._base_vec(40),
+                ),
+            ],
+            schema,
+        )
+        r2 = incremental_ingest(
+            b2, root, min_quality=0.0, min_shared=1,
+            persist_embeddings=True, semantic_dedup_threshold=0.999,
+        )
+        v = {r["doc_id"]: r["verdict"] for r in r2.verdicts.collect()}
+        assert v == {11: "semantic_dup", 12: "kept"}
+        dups = [(r["doc_id"], r["dup_of"]) for r in r2.semantic_dups.collect()]
+        assert dups == [(11, 3)]
+
+    def test_within_batch_paraphrases_keep_lowest_id(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        schema = "doc_id long, text string, embedding array<double>"
+        root = str(tmp_path / "sem_intra")
+        batch = spark.createDataFrame(
+            [
+                self._doc(
+                    7,
+                    "first phrasing " + " ".join(f"a{j}b" for j in range(12)),
+                    self._base_vec(9),
+                ),
+                self._doc(
+                    8,
+                    "second phrasing " + " ".join(f"c{j}d" for j in range(12)),
+                    self._base_vec(9),
+                    eps=1e-6,
+                ),
+            ],
+            schema,
+        )
+        r = incremental_ingest(
+            batch, root, min_quality=0.0, min_shared=1,
+            persist_embeddings=True, semantic_dedup_threshold=0.999,
+        )
+        v = {row["doc_id"]: row["verdict"] for row in r.verdicts.collect()}
+        assert v == {7: "kept", 8: "semantic_dup"}
+        assert [(x["doc_id"], x["dup_of"]) for x in r.semantic_dups.collect()] \
+            == [(8, 7)]
+
+    def test_history_never_reshuffled(self, spark, tmp_path):
+        """Plan assertion: the history (store) side of the semantic
+        probe reaches the cosine filter without an Exchange — the
+        batch side is the broadcast one."""
+        from pyspark.sql import functions as F
+
+        from igloo_spark.functions.vectors import cosine_similarity
+        from igloo_spark.operators.similarity import lsh_bucket, lsh_planes
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_versioned
+
+        schema = "doc_id long, text string, embedding array<double>"
+        root = str(tmp_path / "sem_plan")
+        incremental_ingest(
+            spark.createDataFrame(
+                [
+                    self._doc(
+                        i,
+                        f"plan doc {i} " + " ".join(
+                            f"p{i}q{j}" for j in range(12)
+                        ),
+                        self._base_vec(i),
+                    )
+                    for i in range(1, 9)
+                ],
+                schema,
+            ),
+            root, min_quality=0.0, min_shared=1,
+            persist_embeddings=True, semantic_dedup_threshold=0.999,
+        )
+        # rebuild the probe exactly as the gate does and audit it
+        planes = lsh_planes(6, self.DIM)
+        history = read_versioned(spark, root + "/corpus")
+        batch = spark.createDataFrame(
+            [self._doc(99, "probe text", self._base_vec(2), eps=1e-6)], schema
+        )
+        bvec = batch.select(
+            "doc_id", "embedding",
+            lsh_bucket(F.col("embedding"), planes).alias("__bkt"),
+        )
+        hvec = history.select(
+            F.col("doc_id").alias("__kept_id"),
+            F.col("embedding").alias("__kept_vec"),
+            lsh_bucket(F.col("embedding"), planes).alias("__bkt"),
+        )
+        probe = hvec.join(F.broadcast(bvec), "__bkt").filter(
+            cosine_similarity(F.col("__kept_vec"), F.col("embedding"))
+            >= 0.999
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the ONLY exchange is the broadcast of the batch side
+        import re as _re
+
+        assert not _re.search(r"Exchange (hash|range)partitioning", plan), plan
+
+    def test_validations(self, spark, tmp_path):
+        from igloo_spark.pipelines import incremental_ingest
+
+        docs = spark.createDataFrame(
+            [(1, "text only")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="embedding"):
+            incremental_ingest(
+                docs, str(tmp_path / "v1"), semantic_dedup_threshold=0.9
+            )
+        docs2 = spark.createDataFrame(
+            [(1, "text", [1.0, 0.0])],
+            "doc_id long, text string, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="persist_embeddings"):
+            incremental_ingest(
+                docs2, str(tmp_path / "v2"), semantic_dedup_threshold=0.9
+            )
+
+
+# --- PII card-fold determinism ------------------------------------------------
+
+
+class TestCardFoldOrder:
+    """redact_pii folds detected cards longest-first in a deterministic
+    order on BOTH engines: Spark's array_distinct preserves first
+    occurrence while DuckDB's list_distinct guarantees nothing, and
+    when one detected card is a substring of another the fold order
+    changes the literal-replace result."""
+
+    # 16-digit Luhn-valid card whose trailing 13 digits are ALSO a
+    # Luhn-valid card (both appear as separate word-bounded tokens)
+    C16 = "1041043321819608"
+    C13 = "1043321819608"
+
+    def test_nested_cards_agree_across_engines(self, spark):
+        import duckdb
+
+        from igloo_spark.functions.text import redact_pii, redact_pii_sql
+        from pyspark.sql import functions as F
+
+        doc = f"pay {self.C16} or {self.C13} now"
+        got_spark = (
+            spark.createDataFrame([(doc,)], "t string")
+            .select(redact_pii(F.col("t")).alias("r"))
+            .first()["r"]
+        )
+        got_duck = duckdb.sql(
+            f"SELECT {redact_pii_sql('t')} AS r FROM "
+            f"(SELECT '{doc}' AS t)"
+        ).fetchone()[0]
+        assert got_spark == got_duck == "pay [CARD] or [CARD] now"
+
+    def test_sorted_longest_first(self, spark):
+        from igloo_spark.functions.text import _luhn_cards
+        from pyspark.sql import functions as F
+
+        doc = f"{self.C13} then {self.C16}"
+        cards = (
+            spark.createDataFrame([(doc,)], "t string")
+            .select(_luhn_cards(F.col("t")).alias("c"))
+            .first()["c"]
+        )
+        assert cards == [self.C16, self.C13]
