@@ -182,6 +182,8 @@ def main() -> int:
             self._roots = None
 
         def prefit(self, spark, sf_dir):
+            import atexit
+            import shutil
             import tempfile
 
             from igloo_spark.operators.retrieval import write_postings_index
@@ -189,6 +191,10 @@ def main() -> int:
             from igloo_spark.sources import load_testdata_table
 
             base = tempfile.mkdtemp(prefix="bench_hybrid_")
+            # repeated bench runs must not accumulate index trees in
+            # the temp dir; rmtree at interpreter exit (the indexes
+            # are probed until the timed body finishes)
+            atexit.register(shutil.rmtree, base, True)
             pidx = os.path.join(base, "postings")
             vidx = os.path.join(base, "ivf")
             write_postings_index(

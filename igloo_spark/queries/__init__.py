@@ -25,99 +25,89 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # stays in the dict (the full corpus is always declared); only the
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r14 rotation (executes the r13 verdict's task 2, plus the
-    # never-checked-first and changed-since-verdict rules): the THREE
-    # new queries first (x156, the hybrid-fusion audit — integer
-    # contribution counts + rank shifts over x154's own fused frame;
-    # x157, the SemDeDup keep/drop manifest over LSH-bucket cosine
-    # pairs; x158, MMR-diversified retrieval with the greedy steps
-    # unrolled in both engines — all new this round). Then THREE
-    # changed-code pins —
-    # the r14 diff splits epoch_upsample's '<default>'-sentinel
-    # validation (operators/packing.py) and x150/x151 are the only
-    # registered queries that call it, and it extends redact_pii
-    # with the Luhn-confirmed [CARD] class (functions/text.py) which
-    # changes x82's builder AND oracle (new n_cards column + new
-    # redaction arithmetic on both sides) — grep-verified; x66 calls
-    # the equally changed mixture_sample and is already in this
-    # window as an r10-stale row; x154 feeds x156 but its OWN output
-    # is untouched (fresh at r13 anyway); write_versioned/
-    # verify_versioned/cli/multimodal-decode changes touch no query
-    # builder (x51/x57/x58 use the fake=True path, whose arithmetic
-    # is untouched). Then the six r09-stale deferred twice (q38 q74
-    # x44 x45 x46 x62), then 38 of the 47 r10-stale (aggregating
-    # CORRECTNESS_r01–r13 by latest verdict: 50@r13, 50@r12, 50@r11,
-    # 47@r10, 6@r09), deferring nine by the family-representation
-    # rule: x60 (outlier filter, rep by x90 semantic outliers fresh
-    # at r13 + x121 embedding expectations fresh at r12), x50 (token stats, rep by x96 fresh at r13 + x128
-    # in-window), x52 (stratified sampling, rep by x66's hash-gate
-    # mixture in-window + x114's temperature mixture fresh at r13),
-    # x53 (top-k n-grams, rep by x54's tf-idf in-window + x119's
-    # blocklist fresh at r11), x58 (media features, rep by x51
-    # decode + x57 frame sampling in-window — the same multimodal
-    # mapInPandas family), x63 (ANN LSH multiprobe, rep by x46
-    # brute-force in-window + x123/x124 fresh at r13 + x157's
-    # LSH-bucket machinery in-window), x68 (repetition score, rep by
-    # x49 quality score in-window + the x88/x101/x102 quality family
-    # fresh at r11+), x72 (chunk dedup, rep by x40 exact-dedup +
-    # x142 chunking in-window), x143 (chunk coverage, rep by x142 +
-    # x139 in-window). NOTE the corpus grew 203 -> 206 this round
-    # (x156, x157, x158).
-    # Exactly 50 entries. After this window the verdict-age
-    # histogram is 50@r14, 50@r13, 49@r12, 48@r11, 9@r10 — zero
-    # never-checked, max age 4 rounds. The r15 rotation: the 9 r10
-    # (x50 x52 x53 x58 x60 x63 x68 x72 x143) first, then the 41
-    # oldest r11-stale.
-    "x156_hybrid_fusion_audit",
-    "x157_semantic_dedup",
+    # -- r15 rotation (executes the r14 verdict's task 3 with its
+    # pre-planned window, adjusted per the changed-code rule): the ONE
+    # new query first (x159, exact SemDeDup groups — connected
+    # components over the LSH-bucket cosine pairs, keep-one per
+    # transitive group; never driver-checked). Then TWO changed-code
+    # pins: x158 (this round rewires it through the new
+    # operators/retrieval.mmr_rerank with materialized pool/pairs —
+    # same arithmetic, but the executed plan is entirely new) and x82
+    # (functions/text.py now folds detected cards in deterministic
+    # longest-first order on BOTH engines — builder AND oracle
+    # changed, grep-verified; no other registered query calls
+    # redact_pii). The r15 diff's other code paths touch no registered
+    # builder: versioned-store bloom/stats/verify changes, the
+    # semantic-dedup ingest gate, and the CLI --diversify/--since-last
+    # surfaces live outside the query corpus. Then the NINE r10-stale
+    # rows deferred at r14 (x50 x52 x53 x58 x60 x63 x68 x72 x143),
+    # then 38 of the 48 r11-stale (aggregating CORRECTNESS_r01-r14 by
+    # latest verdict: 50@r14, 50@r13, 49@r12, 48@r11, 9@r10),
+    # deferring ten by the family-representation rule: x47 (LSH ANN,
+    # rep by x63 multiprobe in-window + x46 fresh r14), x120 (PQ ANN,
+    # rep by x123/x124 fresh r13), x105 (BM25, rep by x154 fresh r13
+    # + the x155 serving bench bar), x101 (repetition, rep by x68
+    # in-window + x49 fresh r14), x115 (entropy, rep by x49 fresh r14
+    # + x126 fresh r14), x112 (dup families, rep by x159 + x75
+    # in-window), x137 (token ids, rep by x127/x128 fresh r14), x141
+    # (fertility, rep by x127/x128 fresh r14 + x145 in-window), x146
+    # (length buckets, rep by x151 fresh r14 + x138/x144 in-window),
+    # x149 (span corruption, rep by x150/x151/x139 fresh r14).
+    # Exactly 50 entries; corpus grew 206 -> 207 this round (x159).
+    # After this window the verdict-age histogram is 50@r15, 50@r14,
+    # 49@r13, 48@r12, 10@r11 — zero never-checked, max age 4 rounds.
+    # The r16 rotation: the 10 deferred r11 rows first, then the
+    # oldest r12-stale.
+    "x159_semantic_dedup_groups",
     "x158_mmr_diversified",
-    "x150_epoch_upsample",
-    "x151_mix_epoch_pack",
     "x82_pii_scrub",
-    "q38_array_functions",
-    "q74_large_volume_customers",
-    "x44_ngram_jaccard_pairs",
-    "x45_embedding_neardup",
-    "x46_ann_bruteforce_topk",
-    "x62_minhash_capped_pairs",
-    "q01_pricing_summary",
-    "q51_ilike_distinct_from",
-    "q52_grouping_sets",
-    "q53_array_agg",
-    "q54_natural_using_join",
-    "q55_map_construction",
-    "q56_hash_hex_functions",
-    "q57_split_part_translate",
-    "q59_higher_order_lambdas",
-    "q60_posexplode",
-    "q61_unpivot",
-    "q62_try_arithmetic",
-    "q63_sequence_array_setops",
-    "q64_lateral_subquery",
-    "q65_str_to_map",
-    "q68_pivot",
-    "q69_recursive_cte",
-    "q70_edit_distance",
-    "q71_group_by_all",
-    "q77_union_by_name",
-    "x125_quality_classifier",
-    "x126_classifier_auc",
-    "x127_bpe_merge_learning",
-    "x128_bpe_encode",
-    "x139_packed_doc_spans",
-    "x140_token_decontamination",
-    "x142_token_chunking",
-    "x40_dedup_exact",
-    "x48_language_id",
-    "x49_quality_score",
-    "x51_multimodal_decode",
-    "x54_tfidf_top_terms",
-    "x57_frame_sampling",
-    "x61_salted_aggregation",
-    "x65_sequence_packing",
-    "x66_data_mixture",
-    "x67_decontamination",
-    "x73_column_profile",
+    "x50_token_stats",
+    "x52_stratified_sample",
+    "x53_topk_ngrams",
+    "x58_media_features",
+    "x60_outlier_filter",
+    "x63_ann_lsh_multiprobe",
+    "x68_repetition_score",
+    "x72_chunk_dedup",
+    "x143_chunk_coverage",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q13_stat_aggregates",
+    "q21_subqueries",
+    "q25_datetime_functions",
+    "q33_sessionization",
+    "q34_pivot_conditional",
+    "q35_json_extraction",
+    "x100_token_budget_select",
+    "x102_dsir_importance",
+    "x103_k_anonymity",
+    "x104_source_quality_deciles",
+    "x106_semantic_decontamination",
+    "x109_contrastive_pairs",
+    "x111_source_kl_drift",
+    "x116_blocklist_filter",
+    "x117_minhash_error_audit",
+    "x118_leakage_safe_split",
+    "x119_boilerplate_ngrams",
+    "x138_packed_token_shards",
+    "x144_chunk_pack",
+    "x145_detokenize_roundtrip",
+    "x147_temperature_mixture",
+    "x148_token_freq_audit",
+    "x56_training_data_prep",
+    "x74_numeric_histogram",
+    "x75_dedup_manifest",
+    "x76_hypertable_rollup",
+    "x77_funnel",
+    "x78_retention_cohorts",
+    "x79_quantile_binning",
+    "x81_data_expectations",
+    "x83_rag_chunking",
+    "x84_touch_attribution",
+    "x85_url_dedup",
+    "x86_dataset_split",
+    "x88_unigram_logprob",
+    "x99_winnow_cap_stats",
 )
 
 def all_queries():

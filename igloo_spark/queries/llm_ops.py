@@ -7958,3 +7958,92 @@ def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_sim_micro",
         "mmr_milli",
     )
+
+
+# --- x159: exact SemDeDup groups (r15) ---------------------------------------
+#
+# x157's manifest approximates SemDeDup with a per-PAIR lowest-id keep
+# (streaming-friendly, but A~B, B~C can drop both B and C while the
+# paper's semantics keep exactly one representative per TRANSITIVE
+# group). This closes the gap: connected components (x59's
+# pointer-jumping operator, O(log diameter) rounds) over the same
+# LSH-bucketed cosine pairs turns pairs into groups, and the manifest
+# keeps exactly the min-id vector of each group. Reference parity
+# note: the reference has no dedup surface (crates/engine/src/
+# lib.rs:54-57 is its whole engine); this is the LLM-pipeline
+# extension family's exact-group close.
+
+
+def _x159_oracle() -> str:
+    return f"""
+    WITH RECURSIVE lshp AS ({_neardup_lsh_oracle()}
+    ),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM lshp
+        UNION
+        SELECT vec_b AS a, vec_a AS b FROM lshp
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+    sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+    SELECT e.vec_id,
+           CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS group_id,
+           CAST(coalesce(s.n, 1) AS BIGINT) AS group_size,
+           (coalesce(c.component, e.vec_id) = e.vec_id) AS is_kept
+    FROM embeddings e
+    LEFT JOIN comp c ON e.vec_id = c.node
+    LEFT JOIN sizes s ON c.component = s.component
+    """
+
+
+@register(
+    "x159_semantic_dedup_groups",
+    f"exact SemDeDup groups: connected components over LSH-bucket cosine "
+    f"pairs (threshold {NEARDUP_THRESHOLD}) -> keep-one-per-transitive-group "
+    f"manifest",
+    _x159_oracle(),
+    tags=("dedup", "similarity", "llm"),
+)
+def x159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP keep-one manifest (the SemDeDup paper's semantics,
+    exact where x157's per-pair verdict is the streaming
+    approximation): LSH-bucketed cosine pairs -> transitive groups via
+    min-label pointer-jumping components -> each vector labeled with
+    its group id/size and kept iff it IS the group minimum. Singletons
+    (no pair) form their own kept group of 1.
+
+    Scale: candidate generation stays the bucket equi-join; components
+    run O(log diameter) rounds of hash-partitioned joins over the
+    PAIRS-sized edge list (near-dup groups are near-cliques, diameter
+    ~2); the manifest adds one components-sized agg and two left joins
+    keyed on the id — no corpus-sized shuffle beyond the join key."""
+    from igloo_spark.operators.dedup import connected_components
+    from igloo_spark.operators.similarity import embedding_neardup_pairs_lsh
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", NEARDUP_THRESHOLD, LSH_N_PLANES, EMB_DIM
+    )
+    comps = connected_components(pairs, "vec_a", "vec_b")
+    sizes = comps.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    return (
+        emb.select("vec_id")
+        .join(
+            comps.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+        )
+        .join(sizes, "component", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").cast("bigint").alias("group_id"),
+            F.coalesce("__n", F.lit(1)).cast("bigint").alias("group_size"),
+            (
+                F.coalesce("component", F.col("vec_id")) == F.col("vec_id")
+            ).alias("is_kept"),
+        )
+    )

@@ -725,3 +725,34 @@ def test_pruned_merge_cost_scales_with_touched_files(spark, tmp_path):
     # backstop only: the structural carried-files assertion above is
     # the real gate
     assert t_pruned < t_full * 3
+
+
+def test_round14_15_retrieval_ops_scale_bounded(spark):
+    """x157 (SemDeDup manifest), x159 (exact groups) and x158 (MMR
+    re-rank) at sf0.01 → sf0.1 (10× rows). x158 is the round-15
+    point: pre-fix its plan re-executed the corpus candidate scan
+    ~600× per request and this row would time out; with the
+    materialized pool the corpus cost is paid once, so the re-rank's
+    cost is flat in corpus size and the whole query scales like one
+    top-k scan. Gate asserts <8× headroom (host-noise-proof; a
+    superlinear regression still trips)."""
+    from igloo_spark.queries import all_queries
+
+    qs = all_queries()
+    SFS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for name in (
+        "x157_semantic_dedup",
+        "x158_mmr_diversified",
+        "x159_semantic_dedup_groups",
+    ):
+        warm = {}
+        for sf in SFS:
+            spec = qs[name]
+            _run(spec.spark(spark, sf))  # codegen warmup
+            t0 = time.perf_counter()
+            _run(spec.spark(spark, sf))
+            warm[sf] = time.perf_counter() - t0
+        ratio = warm[SFS[1]] / max(warm[SFS[0]], 1e-9)
+        print(f"{name}: sf0.01 {warm[SFS[0]]:.3f}s sf0.1 {warm[SFS[1]]:.3f}s "
+              f"ratio {ratio:.1f}x")
+        assert ratio < 8, (name, ratio)
