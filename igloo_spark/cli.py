@@ -444,8 +444,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--repair-index", default=None, metavar="STORE_DIR",
         help="rebuild the lagging index at --index-root from the corpus "
-        "store's current snapshot (postings only from the CLI; vector "
-        "kinds need the embeddings frame — use pipelines.repair_index)",
+        "store's current snapshot (--index-kind picks the layout; "
+        "vector kinds need a store ingested with --persist-embeddings "
+        "— the rebuild reads the store's own embedding column and "
+        "re-encodes against the index's frozen quantizer side tables)",
     )
     parser.add_argument(
         "--index-root", default=None, metavar="PATH",
@@ -1191,7 +1193,7 @@ def main(argv: list[str] | None = None) -> int:
             from igloo_spark.pipelines import check_index_sync
 
             status = check_index_sync(
-                session.spark, args.check_index_sync + "/corpus",
+                session.spark, _corpus_root(args.check_index_sync),
                 args.index_root, kind=args.index_kind,
             )
             print(f"index sync ({args.index_kind}): {status}")
@@ -1201,7 +1203,7 @@ def main(argv: list[str] | None = None) -> int:
 
             try:
                 out = repair_index(
-                    session.spark, args.repair_index + "/corpus",
+                    session.spark, _corpus_root(args.repair_index),
                     args.index_root, args.index_kind,
                 )
             except ValueError as e:

@@ -779,3 +779,63 @@ class TestCardFoldOrder:
             .first()["c"]
         )
         assert cards == [self.C16, self.C13]
+
+
+# --- CLI vector-index repair from an embeddings-persisting store --------------
+
+
+class TestCliVectorRepair:
+    """--repair-index now covers the vector kinds when the store was
+    ingested with --persist-embeddings: the rebuild reads the store's
+    OWN embedding column (no external frame) and re-encodes against
+    the index's frozen quantizer side tables — closing the last
+    API-only leg of the detect→repair serving loop."""
+
+    DIM = 8
+
+    def test_ivf_repair_from_store_embeddings(self, spark, tmp_path, capsys):
+        from igloo_spark.cli import main
+        from igloo_spark.pipelines import incremental_ingest
+
+        def _rows(ids):
+            return [
+                (
+                    i,
+                    f"repair doc {i} " + " ".join(
+                        f"r{i}s{j}" for j in range(10)
+                    ),
+                    [math.sin(0.7 * i + 1.3 * j) for j in range(self.DIM)],
+                )
+                for i in ids
+            ]
+
+        schema = "doc_id long, text string, embedding array<double>"
+        store = str(tmp_path / "rep_store")
+        vidx = str(tmp_path / "rep_ivf")
+        incremental_ingest(
+            spark.createDataFrame(_rows(range(1, 21)), schema), store,
+            min_quality=0.0, min_shared=1, persist_embeddings=True,
+            ivf_index_root=vidx,
+        )
+        # corpus advances, index does not -> lagging
+        incremental_ingest(
+            spark.createDataFrame(_rows(range(31, 41)), schema), store,
+            min_quality=0.0, min_shared=1, persist_embeddings=True,
+        )
+        rc = main(
+            ["--check-index-sync", store, "--index-root", vidx,
+             "--index-kind", "ivf"]
+        )
+        assert rc == 3  # lagging detected
+        capsys.readouterr()
+        rc = main(
+            ["--repair-index", store, "--index-root", vidx,
+             "--index-kind", "ivf"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "'repaired': True" in out
+        assert main(
+            ["--check-index-sync", store, "--index-root", vidx,
+             "--index-kind", "ivf"]
+        ) == 0
