@@ -130,6 +130,14 @@ def main(argv: list[str] | None = None) -> int:
         "same gate ingest_stream applies in-stream",
     )
     parser.add_argument(
+        "--semantic-dedup", type=float, default=None, metavar="COSINE",
+        help="with --ingest --persist-embeddings: reject batch docs "
+        "whose embedding's cosine to an already-kept vector (store "
+        "history or a lower-id doc in the same batch) reaches this "
+        "threshold — the paraphrase duplicates the text fingerprints "
+        "cannot see; rejections carry the 'semantic_dup' verdict",
+    )
+    parser.add_argument(
         "--scrub-pii", action="store_true",
         help="with --ingest or --prep-corpus: redact email/SSN/phone/"
         "IP matches to class tokens ([EMAIL], [SSN], [PHONE], [IP]) "
@@ -631,6 +639,14 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--mix-default-rate needs --ingest --mix-rates")
     if args.scrub_pii and args.ingest is None and args.prep_corpus is None:
         parser.error("--scrub-pii only applies to --ingest/--prep-corpus")
+    if args.semantic_dedup is not None:
+        if args.ingest is None:
+            parser.error("--semantic-dedup only applies to --ingest")
+        if not args.persist_embeddings:
+            parser.error(
+                "--semantic-dedup needs --persist-embeddings (the gate "
+                "probes the store's own kept vectors)"
+            )
     if args.mix_rates is not None and args.mix_alpha is not None:
         parser.error(
             "--mix-alpha (derive from this batch) and --mix-rates "
@@ -1437,6 +1453,7 @@ def main(argv: list[str] | None = None) -> int:
                     learn_quantizers=args.learn_quantizers,
                     expectations=expectations,
                     expectation_mode=args.expectation_mode,
+                    semantic_dedup_threshold=args.semantic_dedup,
                 )
             except Exception as e:
                 from igloo_spark.pipelines import (

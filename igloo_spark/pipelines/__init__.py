@@ -2753,7 +2753,11 @@ def ingest_stream(
     batch path's (same ``tmix:`` salt), deterministic under replay
     (the gate is pure hash arithmetic, so at-least-once redelivery
     re-gates identically), with sampled-out docs accounted as
-    ``mix_sampled_out`` verdicts rather than silently dropped. The index forwarding is
+    ``mix_sampled_out`` verdicts rather than silently dropped.
+    ``semantic_dedup_threshold=`` likewise forwards: every
+    micro-batch's embeddings are LSH-probed against the store's kept
+    vectors (frozen planes — deterministic under redelivery), so a
+    streamed paraphrase-duplicate is rejected exactly as in batch. The index forwarding is
     what keeps a streaming corpus's BM25 AND vector indexes fresh
     per micro-batch —
     without this a streamed corpus silently serves stale retrieval

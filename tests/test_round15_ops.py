@@ -839,3 +839,77 @@ class TestCliVectorRepair:
             ["--check-index-sync", store, "--index-root", vidx,
              "--index-kind", "ivf"]
         ) == 0
+
+
+class TestCliSemanticDedup:
+    """--ingest --persist-embeddings --semantic-dedup COSINE: the
+    SemDeDup admission gate on the CLI surface — a paraphrase
+    duplicate in the second batch is rejected with the
+    'semantic_dup' verdict."""
+
+    DIM = 8
+
+    def _write_docs(self, tmp_path, name, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "embedding": pa.array(
+                        [r[2] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    def _vec(self, seed, eps=0.0):
+        return [
+            math.sin(0.9 * seed + 0.37 * j) + eps * ((j % 3) - 1)
+            for j in range(self.DIM)
+        ]
+
+    def test_cli_gate_rejects_paraphrase(self, tmp_path, capsys):
+        from igloo_spark.cli import main
+
+        store = str(tmp_path / "cli_sem_store")
+        d1 = self._write_docs(
+            tmp_path, "cli_sem_b1",
+            [
+                (i, f"original {i} " + " ".join(f"w{i}x{j}" for j in range(12)),
+                 self._vec(i))
+                for i in range(1, 6)
+            ],
+        )
+        d2 = self._write_docs(
+            tmp_path, "cli_sem_b2",
+            [
+                (11, "totally rephrased alpha beta gamma delta epsilon "
+                     "zeta eta theta iota kappa", self._vec(3, eps=1e-6)),
+                (12, "fresh unrelated " + " ".join(f"q{j}z" for j in range(12)),
+                 self._vec(40)),
+            ],
+        )
+        base = ["--min-quality", "0.0", "--persist-embeddings",
+                "--semantic-dedup", "0.999"]
+        assert main(["--data-dir", d1, "--ingest", store, *base]) == 0
+        capsys.readouterr()
+        assert main(["--data-dir", d2, "--ingest", store, *base]) == 0
+        out = capsys.readouterr().out
+        assert "'semantic_dup': 1" in out
+        assert "'kept': 1" in out
+
+    def test_cli_validation(self):
+        from igloo_spark.cli import main
+
+        with pytest.raises(SystemExit):  # needs --ingest
+            main(["--sql", "SELECT 1", "--semantic-dedup", "0.9"])
+        with pytest.raises(SystemExit):  # needs --persist-embeddings
+            main(["--data-dir", "/tmp/x", "--ingest", "/tmp/s",
+                  "--semantic-dedup", "0.9"])
