@@ -131,6 +131,10 @@ def main() -> int:
         "x138_packed_token_shards",
         "x144_chunk_pack",
         "x151_mix_epoch_pack",
+        # r15: MMR serving — the pool's corpus top-k paid once behind
+        # the materialized frames, the K greedy steps flat in corpus
+        # size (the r14 plan re-ran the corpus scan ~600x per request)
+        "x158_mmr_diversified",
     )
     corpus = all_queries()
     legacy = sorted((s for s in corpus.values() if s.bench), key=lambda s: s.name)

@@ -913,3 +913,34 @@ class TestCliSemanticDedup:
         with pytest.raises(SystemExit):  # needs --persist-embeddings
             main(["--data-dir", "/tmp/x", "--ingest", "/tmp/s",
                   "--semantic-dedup", "0.9"])
+
+
+class TestIncrementalVerifyLifecycle:
+    def test_since_last_after_compact_and_vacuum(self, spark, tmp_path):
+        """Compaction rewrites the data into NEW files (hashed on the
+        next incremental verify) and vacuum drops old ones; the verify
+        state must follow — stale entries pruned, no spurious red."""
+        from igloo_spark.sources.versioned import (
+            compact_versioned,
+            vacuum_versioned,
+            verify_versioned,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "lc")
+        write_versioned(
+            spark.range(0, 90).selectExpr("id AS k").repartition(3),
+            root, mode="overwrite",
+        )
+        v = verify_versioned(root, deep=True, spark=spark, since_last=True)
+        assert v["ok"] and v["deep_files_hashed"] == 3
+        compact_versioned(spark, root, n_files=1)
+        vacuum_versioned(root, keep_last=1)
+        v = verify_versioned(root, deep=True, spark=spark, since_last=True)
+        assert v["ok"]
+        assert v["deep_files_hashed"] == 1  # the compacted file only
+        assert v["deep_files_skipped"] == 0  # old files are gone
+        # steady state: nothing new -> nothing hashed
+        v = verify_versioned(root, deep=True, spark=spark, since_last=True)
+        assert v["ok"] and v["deep_files_hashed"] == 0
+        assert v["deep_files_skipped"] == 1
