@@ -474,6 +474,7 @@ def read_versioned_at_keys(
     col: str,
     values: list,
     version: int | None = None,
+    verify: bool = False,
 ) -> DataFrame:
     """POINT-LOOKUP read: rows whose ``col`` is in ``values``, scanning
     only the files that can contain them — per-file range stats first,
@@ -488,7 +489,14 @@ def read_versioned_at_keys(
     ``values`` must be NULL-free (``isin`` never matches NULL and the
     range stats ignore nulls — the same contract as the pruned
     MERGE's key guard); a value/stat type mismatch degrades the range
-    test to a conservative scan instead of crashing."""
+    test to a conservative scan instead of crashing.
+
+    ``verify=True`` re-hashes the CANDIDATE files against their
+    manifest-recorded sha256 digests before reading and raises
+    ``ValueError`` on a mismatch — read-time bitrot detection scoped
+    to the handful of files a point lookup touches (a full-store
+    check stays ``verify_versioned(deep=True)``); candidate files
+    with no recorded digest (pre-checksum commits) pass unverified."""
     from pyspark.sql import functions as F
 
     if any(v is None for v in values):
@@ -541,6 +549,32 @@ def read_versioned_at_keys(
         candidates.append(f)
     if not candidates:
         return base_schema.limit(0)
+    if verify:
+        want = {
+            _rebase_file(root, f): sha
+            for f, sha in m.get("sha256", {}).items()
+        }
+        to_check = [f for f in candidates if f in want]
+        if to_check:
+            # keyed by full path, not basename: candidates can span
+            # commit dirs (the deep-verify keying rule)
+            got = {
+                os.path.normpath(r["path"].removeprefix("file:")): r["sha"]
+                for r in spark.read.format("binaryFile")
+                .load([os.path.abspath(f) for f in to_check])
+                .select("path", F.sha2("content", 256).alias("sha"))
+                .collect()
+            }
+            bad = sorted(
+                f for f in to_check
+                if got.get(os.path.abspath(f)) != want[f]
+            )
+            if bad:
+                raise ValueError(
+                    f"point-lookup checksum mismatch (bitrot/tampering) "
+                    f"in {len(bad)} candidate file(s): {bad} — repair "
+                    f"the store before serving from it"
+                )
     return spark.read.parquet(*candidates).filter(F.col(col).isin(values))
 
 

@@ -944,3 +944,54 @@ class TestIncrementalVerifyLifecycle:
         v = verify_versioned(root, deep=True, spark=spark, since_last=True)
         assert v["ok"] and v["deep_files_hashed"] == 0
         assert v["deep_files_skipped"] == 1
+
+
+class TestVerifiedPointLookup:
+    def test_verify_true_catches_bitflip_scoped_to_candidates(
+        self, spark, tmp_path
+    ):
+        """read_versioned_at_keys(verify=True) re-hashes only the
+        CANDIDATE files: a bit-flip in the looked-up file raises; a
+        bit-flip in a range-pruned file is invisible to this lookup
+        (full-store coverage stays --verify-store --deep)."""
+        from igloo_spark.sources.versioned import (
+            _list_versions,
+            _read_manifest,
+            read_versioned_at_keys,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "vpl")
+        # two files with disjoint key ranges
+        write_versioned(
+            spark.range(0, 100).selectExpr("id AS k").coalesce(1),
+            root, mode="overwrite", stats_cols=["k"],
+        )
+        write_versioned(
+            spark.range(1000, 1100).selectExpr("id AS k").coalesce(1),
+            root, mode="append",
+        )
+        files = _read_manifest(root, _list_versions(root)[-1])["files"]
+        low_file = next(f for f in files if "commit-000001" in f)
+        # clean lookups pass under verify
+        got = read_versioned_at_keys(spark, root, "k", [5], verify=True)
+        assert [r["k"] for r in got.collect()] == [5]
+        # corrupt the LOW-range file (drop the Hadoop-CRC sidecar —
+        # the object-store profile, as in the r14 deep-verify tests;
+        # with the sidecar present the FS itself throws on read)
+        with open(low_file, "r+b") as fh:
+            fh.seek(30)
+            b = fh.read(1)
+            fh.seek(30)
+            fh.write(bytes([b[0] ^ 0xFF]))
+        crc = os.path.join(
+            os.path.dirname(low_file),
+            "." + os.path.basename(low_file) + ".crc",
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        with pytest.raises(ValueError, match="checksum mismatch"):
+            read_versioned_at_keys(spark, root, "k", [5], verify=True)
+        # a lookup whose candidates exclude the corrupt file stays fine
+        got = read_versioned_at_keys(spark, root, "k", [1005], verify=True)
+        assert [r["k"] for r in got.collect()] == [1005]
