@@ -995,3 +995,60 @@ class TestVerifiedPointLookup:
         # a lookup whose candidates exclude the corrupt file stays fine
         got = read_versioned_at_keys(spark, root, "k", [1005], verify=True)
         assert [r["k"] for r in got.collect()] == [1005]
+
+
+class TestStreamingSemanticDedup:
+    """ingest_stream forwards semantic_dedup_threshold verbatim, so a
+    STREAMED paraphrase duplicate (fresh fingerprint, near-identical
+    embedding to an earlier micro-batch's kept doc) is rejected
+    in-stream with the 'semantic_dup' verdict."""
+
+    DIM = 8
+
+    def test_streamed_paraphrase_rejected(self, spark, tmp_path):
+        import json as _json
+
+        from igloo_spark.pipelines import ingest_stream
+        from igloo_spark.sources.versioned import read_versioned
+
+        def _vec(seed, eps=0.0):
+            return [
+                math.sin(0.9 * seed + 0.37 * j) + eps * ((j % 3) - 1)
+                for j in range(self.DIM)
+            ]
+
+        root = str(tmp_path / "st_sem")
+        src = tmp_path / "st_sem_src"
+        src.mkdir()
+        (src / "b1.json").write_text(_json.dumps(
+            {"doc_id": 1,
+             "text": "alpha beta gamma delta epsilon zeta eta theta words",
+             "embedding": _vec(3)}))
+        # same embedding (paraphrase), totally different words
+        (src / "b2.json").write_text(_json.dumps(
+            {"doc_id": 2,
+             "text": "completely different phrasing arrives in stream now",
+             "embedding": _vec(3, eps=1e-6)}))
+
+        verdicts = []
+        stream = (
+            spark.readStream
+            .schema("doc_id long, text string, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = ingest_stream(
+            stream, root, str(tmp_path / "st_sem_ck"),
+            min_quality=0.0, min_shared=1,
+            persist_embeddings=True, semantic_dedup_threshold=0.999,
+            verdict_sink=lambda df, bid: verdicts.extend(
+                (r["doc_id"], r["verdict"]) for r in df.collect()
+            ),
+        )
+        q.awaitTermination(120)
+        assert sorted(
+            r["doc_id"]
+            for r in read_versioned(spark, root + "/corpus").collect()
+        ) == [1]
+        v = dict(verdicts)
+        assert v[1] == "kept" and v[2] == "semantic_dup"
