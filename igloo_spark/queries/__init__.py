@@ -26,10 +26,12 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- r15 rotation (executes the r14 verdict's task 3 with its
-    # pre-planned window, adjusted per the changed-code rule): the ONE
-    # new query first (x159, exact SemDeDup groups — connected
+    # pre-planned window, adjusted per the changed-code rule): the TWO
+    # new queries first (x159, exact SemDeDup groups — connected
     # components over the LSH-bucket cosine pairs, keep-one per
-    # transitive group; never driver-checked). Then TWO changed-code
+    # transitive group; x160, the --diversify serving composition —
+    # x154's RRF fusion as the MMR pool with integer nano-score
+    # relevance; both never driver-checked). Then TWO changed-code
     # pins: x158 (this round rewires it through the new
     # operators/retrieval.mmr_rerank with materialized pool/pairs —
     # same arithmetic, but the executed plan is entirely new) and x82
@@ -52,13 +54,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # in-window), x137 (token ids, rep by x127/x128 fresh r14), x141
     # (fertility, rep by x127/x128 fresh r14 + x145 in-window), x146
     # (length buckets, rep by x151 fresh r14 + x138/x144 in-window),
-    # x149 (span corruption, rep by x150/x151/x139 fresh r14).
-    # Exactly 50 entries; corpus grew 206 -> 207 this round (x159).
+    # x149 (span corruption, rep by x150/x151/x139 fresh r14), and
+    # x99 (winnow cap stats, rep by x62's capped pairs fresh r14 +
+    # x89's winnowing bench row). Exactly 50 entries; corpus grew
+    # 206 -> 208 this round (x159, x160).
     # After this window the verdict-age histogram is 50@r15, 50@r14,
-    # 49@r13, 48@r12, 10@r11 — zero never-checked, max age 4 rounds.
-    # The r16 rotation: the 10 deferred r11 rows first, then the
+    # 49@r13, 48@r12, 11@r11 — zero never-checked, max age 4 rounds.
+    # The r16 rotation: the 11 deferred r11 rows first, then the
     # oldest r12-stale.
     "x159_semantic_dedup_groups",
+    "x160_diversified_hybrid",
     "x158_mmr_diversified",
     "x82_pii_scrub",
     "x50_token_stats",
@@ -107,7 +112,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x85_url_dedup",
     "x86_dataset_split",
     "x88_unigram_logprob",
-    "x99_winnow_cap_stats",
 )
 
 def all_queries():

@@ -8047,3 +8047,101 @@ def x159(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_kept"),
         )
     )
+
+
+# --- x160: diversified hybrid serving — RRF fuse then MMR (r15) --------------
+#
+# The EXACT composition the CLI's --hybrid-search --diversify serves:
+# x154's BM25+ANN reciprocal-rank fusion produces the pool, relevance
+# is the integer RRF nano-score, and mmr_rerank picks the diversified
+# top-K. x158 pins the MMR arithmetic over a brute-force cosine pool;
+# this pins the SERVING pool (fused ranks, not raw cosines), so the
+# --diversify path's end-to-end arithmetic is hash-verified by the
+# driver's gate. All operands integer (nano-score relevance,
+# micro-cosine redundancy) — float-ulp-proof in both engines.
+
+MMR_SERVE_K = 4
+
+
+def _x160_oracle() -> str:
+    fused = _x154_oracle()
+    pcos = cosine_sql_duckdb("a.embedding", "b.embedding")
+    lam, ilam = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    ctes = [
+        f"""fused AS ({fused}
+    ),
+    pool AS (
+        SELECT f.doc_id, f.rrf_nano, e.embedding
+        FROM fused f JOIN embeddings e ON e.vec_id = f.doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               CAST(floor({pcos} * 1000000.0) AS BIGINT) AS sim_micro
+        FROM pool a JOIN pool b ON a.doc_id <> b.doc_id
+    ),
+    p1 AS (
+        SELECT doc_id, rrf_nano, CAST(0 AS BIGINT) AS max_sim_micro,
+               CAST(1 AS BIGINT) AS sel_rank
+        FROM pool ORDER BY rrf_nano DESC, doc_id LIMIT 1
+    )"""
+    ]
+    for step in range(2, MMR_SERVE_K + 1):
+        prev = f"p{step - 1}"
+        ctes.append(f"""s{step} AS (
+        SELECT c.doc_id, c.rrf_nano, m.max_sim_micro,
+               CAST({step} AS BIGINT) AS sel_rank
+        FROM pool c JOIN (
+            SELECT i, max(sim_micro) AS max_sim_micro FROM pairs
+            WHERE j IN (SELECT doc_id FROM {prev}) GROUP BY i
+        ) m ON c.doc_id = m.i
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+        ORDER BY {lam} * c.rrf_nano - {ilam} * m.max_sim_micro DESC,
+                 c.doc_id
+        LIMIT 1
+    ),
+    p{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{step})""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT sel_rank, doc_id, rrf_nano, max_sim_micro,
+           CAST({lam} * rrf_nano - {ilam} * max_sim_micro AS BIGINT)
+               AS mmr_milli
+    FROM p{MMR_SERVE_K}
+    """
+    )
+
+
+@register(
+    "x160_diversified_hybrid",
+    f"diversified hybrid serving: BM25+ANN RRF fusion -> MMR top-"
+    f"{MMR_SERVE_K} (relevance = integer RRF nano-score) — the "
+    f"--hybrid-search --diversify composition",
+    _x160_oracle(),
+    tags=("retrieval", "similarity", "llm"),
+)
+def x160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The --diversify serving loop as an oracle-backed query: x154's
+    fused top-{RRF_TOPK} (BM25 + exact-cosine ANN, reciprocal-rank
+    fusion in integer nano-units) joined to its embeddings becomes
+    mmr_rerank's pool, relevance = ``rrf_nano``. The oracle recomputes
+    BOTH retrievers, the fusion AND the K greedy steps from scratch —
+    a shifted fused rank or a flipped pick changes an integer.
+
+    Scale: the retrievers carry the corpus cost (swap in the
+    persisted-index probes in production — the CLI path does); the
+    fusion is k-row joins and the MMR re-rank runs on materialized
+    k-row frames, both constant at any corpus size."""
+    from igloo_spark.operators.retrieval import mmr_rerank
+
+    emb = table(spark, sf_dir, "embeddings")
+    pool = (
+        x154(spark, sf_dir)
+        .select("doc_id", "rrf_nano")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+    )
+    return mmr_rerank(
+        pool, "doc_id", "embedding", "rrf_nano",
+        k=MMR_SERVE_K, lambda_milli=MMR_LAMBDA_MILLI,
+    )
