@@ -207,6 +207,14 @@ def main(argv: list[str] | None = None) -> int:
         "sources.versioned.read_versioned_at_keys), print the rows",
     )
     parser.add_argument(
+        "--delete-docs", default=None, metavar="ID[,ID...]",
+        help="ROW-LEVEL DELETE from a --corpus-store (GDPR / "
+        "right-to-be-forgotten): commit a new snapshot without these "
+        "doc ids, rewriting only the files that can contain them "
+        "(range stats + bloom pruning); older snapshots still hold "
+        "the rows until --vacuum-store physically removes them",
+    )
+    parser.add_argument(
         "--fetch", action="store_true",
         help="with --hybrid-search --corpus-store: join the fused "
         "top-k ids back to the corpus store's documents (the same "
@@ -583,6 +591,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--vector-search", args.vector_search is not None),
             ("--hybrid-search", args.hybrid_search is not None),
             ("--fetch-docs", args.fetch_docs is not None),
+            ("--delete-docs", args.delete_docs is not None),
             ("--read-tar", args.read_tar is not None),
             ("--verify-store", args.verify_store is not None),
         ) if on
@@ -593,8 +602,8 @@ def main(argv: list[str] | None = None) -> int:
             "--check-index-sync, --repair-index, --fit-quality-model, "
             "--fit-bpe-merges, --fit-mix-rates, --corpus-report, --optimize-store, "
             "--vacuum-store, --store-history, --search, "
-            "--vector-search, --fetch-docs, --read-tar, or --verify-store "
-            "is required"
+            "--vector-search, --fetch-docs, --delete-docs, --read-tar, "
+            "or --verify-store is required"
         )
     # fail loudly on conflicting modes rather than silently ignoring one
     if len(modes) > 1:
@@ -788,6 +797,16 @@ def main(argv: list[str] | None = None) -> int:
                 f"--fetch-docs expects comma-separated integer doc ids, "
                 f"got {args.fetch_docs!r}"
             )
+    if args.delete_docs is not None:
+        if args.corpus_store is None:
+            parser.error("--delete-docs needs --corpus-store")
+        try:
+            [int(x) for x in args.delete_docs.split(",") if x.strip()]
+        except ValueError:
+            parser.error(
+                f"--delete-docs expects comma-separated integer doc ids, "
+                f"got {args.delete_docs!r}"
+            )
     if args.corpus_store is not None and not (
         args.sql is not None
         or args.query is not None
@@ -796,6 +815,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.search is not None
         or args.hybrid_search is not None
         or args.fetch_docs is not None
+        or args.delete_docs is not None
         or args.fit_bpe_merges is not None
         or args.fit_mix_rates is not None
         or args.corpus_report is not None
@@ -803,7 +823,8 @@ def main(argv: list[str] | None = None) -> int:
         parser.error(
             "--corpus-store only applies to --sql/--query/--serve/"
             "--prep-corpus/--search/--hybrid-search/--fetch-docs/"
-            "--fit-bpe-merges/--fit-mix-rates/--corpus-report"
+            "--delete-docs/--fit-bpe-merges/--fit-mix-rates/"
+            "--corpus-report"
         )
     if (args.check_index_sync or args.repair_index) and not args.index_root:
         parser.error("--check-index-sync/--repair-index need --index-root")
@@ -1204,6 +1225,25 @@ def main(argv: list[str] | None = None) -> int:
                         f"vacuumed {t}: {len(deleted)} data files reclaimed "
                         f"(kept last {args.keep_last} versions)"
                     )
+            return 0
+        if args.delete_docs is not None:
+            from igloo_spark.sources.versioned import delete_from_versioned
+
+            ids = [
+                int(x) for x in args.delete_docs.split(",") if x.strip()
+            ]
+            try:
+                v = delete_from_versioned(
+                    session.spark, _corpus_root(args.corpus_store),
+                    "doc_id", ids,
+                )
+            except (FileNotFoundError, ValueError) as e:
+                print(f"error: --delete-docs: {e}", file=sys.stderr)
+                return 2
+            print(
+                f"deleted {len(ids)} doc id(s) -> corpus v{v} "
+                f"(older snapshots retain them until --vacuum-store)"
+            )
             return 0
         if args.check_index_sync is not None:
             from igloo_spark.pipelines import check_index_sync

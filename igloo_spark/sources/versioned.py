@@ -814,6 +814,105 @@ def merge_into_versioned(
     )
 
 
+def delete_from_versioned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values: list,
+) -> int:
+    """ROW-LEVEL DELETE (the GDPR / right-to-be-forgotten path):
+    commit a new snapshot without the rows whose ``col`` is in
+    ``values``, rewriting ONLY the files that can contain them —
+    per-file range stats first, then blooms (the point-lookup pruning
+    :func:`read_versioned_at_keys` uses), every other file CARRIED
+    into the new ``merge``-op manifest byte-identical. At a 100 TB
+    store a 50-id deletion touches a handful of files, not the table.
+
+    Returns the new version. ``values`` must be NULL-free (the
+    at-keys/pruned-MERGE contract — stats and ``isin`` cannot see
+    nulls). Deletion is LOGICAL until older snapshots are vacuumed:
+    time travel still reads the pre-delete versions by design, so a
+    compliance hard-delete is this call followed by
+    :func:`vacuum_versioned` (which physically removes the
+    no-longer-referenced files) — the same two-step Delta/Iceberg
+    documents. An empty ``values`` or no matching rows still commits
+    correctly (all files carried or rewritten unchanged)."""
+    from pyspark.sql import functions as F
+
+    if any(v is None for v in values):
+        raise ValueError(
+            f"delete_from_versioned got a NULL {col!r} value — stats "
+            f"and isin cannot see nulls; rewrite via prune_col=None "
+            f"MERGE semantics instead"
+        )
+    versions = _list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    latest = versions[-1]
+    if not values:
+        return latest
+    base = read_versioned(spark, root)
+    # align the value dtypes to the table's (the pruned-MERGE cast
+    # rule: blooms/stats compare the string form, '150.0' != '150');
+    # infer-then-cast rather than schema-at-create so 5.0 against a
+    # bigint table casts instead of being rejected, and a value that
+    # cannot cast (nulls out) raises instead of silently not matching
+    kdf = spark.createDataFrame([(v,) for v in values], ["__v"]).select(
+        F.col("__v").cast(base.schema[col].dataType).alias(col)
+    )
+    cast_values = [r[0] for r in kdf.distinct().collect()]
+    if any(v is None for v in cast_values):
+        raise ValueError(
+            f"delete value(s) do not cast to {col!r}'s type "
+            f"{base.schema[col].dataType.simpleString()}: {values!r}"
+        )
+    m = _read_manifest(root, latest)
+    stats = {_rebase_file(root, f): s for f, s in m.get("stats", {}).items()}
+    blooms = {_rebase_file(root, f): b for f, b in m.get("bloom", {}).items()}
+    key_hashes = [
+        r["__h"]
+        for r in kdf.select(_bloom_hashes(col).alias("__h"))
+        .distinct()
+        .collect()
+    ]
+    touched = []
+    for f in _manifest_files(root, latest):
+        rng = stats.get(f, {}).get(col)
+        try:
+            if (
+                rng is not None
+                and rng[0] is not None
+                and rng[1] is not None
+                and all(v < rng[0] or v > rng[1] for v in cast_values)
+            ):
+                continue
+        except TypeError:
+            pass  # uncomparable stats: conservative — treat as touched
+        bits = blooms.get(f, {}).get(col)
+        if bits is not None and not any(
+            _bloom_maybe_contains(bits, kh) for kh in key_hashes
+        ):
+            continue
+        touched.append(f)
+    carried = [
+        f for f in _manifest_files(root, latest) if f not in set(touched)
+    ]
+    if not touched:
+        # no file can contain a target key: the delete is a no-op,
+        # but commit it anyway so callers get a version that PROVES
+        # the keys are gone (idempotent replays, audit trails)
+        kept = base.limit(0)
+    else:
+        kept = (
+            spark.read.parquet(*touched)
+            .filter(~F.col(col).isin(cast_values))
+            .coalesce(max(1, len(touched)))
+        )
+    return write_versioned(
+        kept, root, mode="merge", carry_files=carried, stats_cols=None
+    )
+
+
 def _watermark_path(root: str) -> str:
     # lives beside the manifests but doesn't match the v*.json pattern,
     # so version listing never picks it up

@@ -1052,3 +1052,128 @@ class TestStreamingSemanticDedup:
         ) == [1]
         v = dict(verdicts)
         assert v[1] == "kept" and v[2] == "semantic_dup"
+
+
+# --- Row-level delete (GDPR path) --------------------------------------------
+
+
+class TestDeleteFromVersioned:
+    """delete_from_versioned: commit a snapshot without the named
+    keys, rewriting ONLY the files that can contain them (range
+    stats + bloom pruning — the point-lookup shape applied to
+    deletion); logical until vacuum, physical after."""
+
+    def _store(self, spark, tmp_path, name):
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / name)
+        # three files with disjoint key ranges
+        write_versioned(
+            spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+            .coalesce(1),
+            root, mode="overwrite", stats_cols=["k"],
+        )
+        write_versioned(
+            spark.range(1000, 1100).selectExpr("id AS k", "id * 2 AS v")
+            .coalesce(1),
+            root, mode="append",
+        )
+        write_versioned(
+            spark.range(2000, 2100).selectExpr("id AS k", "id * 2 AS v")
+            .coalesce(1),
+            root, mode="append",
+        )
+        return root
+
+    def test_delete_rewrites_only_touched_files(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            delete_from_versioned,
+            read_versioned,
+        )
+
+        root = self._store(spark, tmp_path, "del")
+        before = set(read_versioned(spark, root).inputFiles())
+        v = delete_from_versioned(spark, root, "k", [5, 17])
+        snap = read_versioned(spark, root)
+        after = set(snap.inputFiles())
+        assert snap.count() == 298
+        assert snap.filter("k IN (5, 17)").count() == 0
+        # the two untouched-range files are carried byte-identical
+        assert len(before & after) == 2
+        # time travel still reads the pre-delete snapshot (logical)
+        assert read_versioned(spark, root, v - 1).filter(
+            "k IN (5, 17)"
+        ).count() == 2
+
+    def test_delete_then_vacuum_is_physical(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            delete_from_versioned,
+            read_versioned,
+            vacuum_versioned,
+        )
+
+        root = self._store(spark, tmp_path, "del_vac")
+        delete_from_versioned(spark, root, "k", [1005])
+        vacuum_versioned(root, keep_last=1)
+        # only the post-delete snapshot survives; the pre-delete file
+        # holding k=1005 is physically gone
+        import glob as _glob
+        import os as _os
+
+        snap = read_versioned(spark, root)
+        assert snap.filter("k = 1005").count() == 0
+        on_disk = set(
+            _os.path.normpath(p) for p in _glob.glob(
+                _os.path.join(root, "data", "*", "*.parquet")
+            )
+        )
+        assert on_disk == {
+            _os.path.normpath(p.removeprefix("file:"))
+            for p in snap.inputFiles()
+        }
+
+    def test_delete_dtype_and_null_guards(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            delete_from_versioned,
+            read_versioned,
+        )
+
+        root = self._store(spark, tmp_path, "del_guard")
+        with pytest.raises(ValueError, match="NULL"):
+            delete_from_versioned(spark, root, "k", [5, None])
+        # float-spelled keys are cast to the table dtype before
+        # stats/bloom pruning (the pruned-MERGE rule)
+        delete_from_versioned(spark, root, "k", [5.0])
+        assert read_versioned(spark, root).filter("k = 5").count() == 0
+
+    def test_cli_delete_docs(self, spark, tmp_path, capsys):
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import (
+            read_versioned,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "cli_del")
+        write_versioned(
+            spark.createDataFrame(
+                [(i, f"doc {i}") for i in range(1, 8)],
+                "doc_id long, text string",
+            ),
+            root, mode="overwrite", stats_cols=["doc_id"],
+        )
+        d = tmp_path / "cli_del_data"
+        d.mkdir()
+        rc = main(
+            ["--data-dir", str(d), "--corpus-store", root,
+             "--delete-docs", "2,4"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "deleted 2 doc id(s)" in out
+        snap = read_versioned(spark, root)
+        assert sorted(r["doc_id"] for r in snap.collect()) == [1, 3, 5, 6, 7]
+        with pytest.raises(SystemExit):  # needs --corpus-store
+            main(["--delete-docs", "1"])
+        with pytest.raises(SystemExit):  # integer ids only
+            main(["--delete-docs", "1,x", "--corpus-store", root,
+                  "--data-dir", str(d)])
