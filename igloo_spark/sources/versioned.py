@@ -836,7 +836,16 @@ def delete_from_versioned(
     :func:`vacuum_versioned` (which physically removes the
     no-longer-referenced files) — the same two-step Delta/Iceberg
     documents. An empty ``values`` or no matching rows still commits
-    correctly (all files carried or rewritten unchanged)."""
+    correctly (all files carried or rewritten unchanged).
+
+    Derived artifacts: a delete makes persisted indexes STALE (they
+    still rank the deleted ids) — ``check_index_sync`` flags the
+    count mismatch and ``repair_index`` rebuilds from the post-delete
+    snapshot, the standard detect→repair contract. On an ``--ingest``
+    store the fps table keeps the deleted docs' winnowed fingerprints
+    (64-bit hashes only, no text — they exist so a RE-SUBMITTED copy
+    of deleted content is still recognized as a duplicate; drop the
+    fps table wholesale if even hashes must go)."""
     from pyspark.sql import functions as F
 
     if any(v is None for v in values):

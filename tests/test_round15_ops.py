@@ -1177,3 +1177,38 @@ class TestDeleteFromVersioned:
         with pytest.raises(SystemExit):  # integer ids only
             main(["--delete-docs", "1,x", "--corpus-store", root,
                   "--data-dir", str(d)])
+
+    def test_delete_flags_indexes_stale_then_repair(self, spark, tmp_path):
+        """After a delete, persisted indexes still rank the deleted
+        ids — check_index_sync flags the mismatch and repair_index
+        rebuilds from the post-delete snapshot (the detect→repair
+        contract, now covering deletes)."""
+        from igloo_spark.pipelines import (
+            check_index_sync,
+            incremental_ingest,
+            repair_index,
+        )
+        from igloo_spark.sources.versioned import delete_from_versioned
+
+        store = str(tmp_path / "del_idx")
+        pidx = str(tmp_path / "del_idx_postings")
+        incremental_ingest(
+            spark.createDataFrame(
+                [
+                    (i, f"indexed doc {i} " + " ".join(
+                        f"t{i}u{j}" for j in range(10)
+                    ))
+                    for i in range(1, 11)
+                ],
+                "doc_id long, text string",
+            ),
+            store, min_quality=0.0, min_shared=1,
+            postings_index_root=pidx,
+        )
+        assert check_index_sync(spark, store + "/corpus", pidx)["in_sync"]
+        delete_from_versioned(spark, store + "/corpus", "doc_id", [3, 7])
+        s = check_index_sync(spark, store + "/corpus", pidx)
+        assert not s["in_sync"]  # index still holds the deleted ids
+        assert repair_index(spark, store + "/corpus", pidx, "postings")[
+            "in_sync"
+        ]
