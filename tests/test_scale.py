@@ -756,3 +756,37 @@ def test_round14_15_retrieval_ops_scale_bounded(spark):
         print(f"{name}: sf0.01 {warm[SFS[0]]:.3f}s sf0.1 {warm[SFS[1]]:.3f}s "
               f"ratio {ratio:.1f}x")
         assert ratio < 8, (name, ratio)
+
+
+def test_delete_cost_scales_with_touched_files(spark, tmp_path):
+    """Row-level delete (r15): against a many-file store, deleting
+    keys confined to ONE file's range must rewrite only that file —
+    the GDPR-delete profile at 100 TB (cost ∝ touched files)."""
+    from igloo_spark.sources.versioned import (
+        delete_from_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "del_scale")
+    n_files, rows_per = 16, 5000
+    for i in range(n_files):
+        write_versioned(
+            spark.range(i * rows_per, (i + 1) * rows_per)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1),
+            root,
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["k"] if i == 0 else None,
+        )
+    before = set(read_versioned(spark, root).inputFiles())
+    t0 = time.perf_counter()
+    delete_from_versioned(spark, root, "k", [7, 19])  # both in file 0
+    dt = time.perf_counter() - t0
+    snap = read_versioned(spark, root)
+    after = set(snap.inputFiles())
+    carried = before & after
+    print(f"pruned delete: {dt:.2f}s carried {len(carried)}/{n_files} files")
+    assert len(carried) == n_files - 1  # exactly one file rewritten
+    assert snap.count() == n_files * rows_per - 2
+    assert snap.filter("k IN (7, 19)").count() == 0
