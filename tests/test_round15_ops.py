@@ -1212,3 +1212,55 @@ class TestDeleteFromVersioned:
         assert repair_index(spark, store + "/corpus", pidx, "postings")[
             "in_sync"
         ]
+
+
+class TestEdgeCases:
+    def test_mmr_pool_smaller_than_k(self, spark):
+        from igloo_spark.operators.retrieval import mmr_rerank
+
+        pool = spark.createDataFrame(
+            [(i, 10 - i, [float(i), 1.0]) for i in range(3)],
+            "doc_id long, rel bigint, embedding array<double>",
+        )
+        got = mmr_rerank(pool, "doc_id", "embedding", "rel", k=5).collect()
+        assert sorted(r["sel_rank"] for r in got) == [1, 2, 3]
+
+    def test_delete_without_stats_full_conservative(self, spark, tmp_path):
+        """A store with no recorded stats/blooms cannot prune — every
+        file is conservatively rewritten, result still correct."""
+        from igloo_spark.sources.versioned import (
+            delete_from_versioned,
+            read_versioned,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "del_nostats")
+        write_versioned(
+            spark.range(0, 50).selectExpr("id AS k").repartition(2),
+            root, mode="overwrite",
+        )
+        delete_from_versioned(spark, root, "k", [3])
+        snap = read_versioned(spark, root)
+        assert snap.count() == 49
+        assert snap.filter("k = 3").count() == 0
+
+    def test_bloom_sizing_is_per_column(self, spark, tmp_path):
+        """One file, two tracked columns of very different cardinality:
+        the low-cardinality column records a bloom, the saturating one
+        records none — decisions are per file AND per column."""
+        from igloo_spark.sources.versioned import (
+            _list_versions,
+            _read_manifest,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "percol")
+        df = spark.range(0, 20_000).selectExpr(
+            "id AS hi_card", "id % 50 AS lo_card"
+        ).coalesce(1)
+        write_versioned(
+            df, root, mode="overwrite", stats_cols=["hi_card", "lo_card"]
+        )
+        m = _read_manifest(root, _list_versions(root)[-1])
+        (bl,) = m["bloom"].values()
+        assert "lo_card" in bl and "hi_card" not in bl
