@@ -1959,3 +1959,141 @@ def test_fim_cut_point_invariants(igloo, lens, id_offset, min_len, rate_mod):
         for (doc_id, ids) in rows:
             if len(ids) >= min_len:
                 assert out[doc_id]["fim"] == 1
+
+
+# --- r15: bloom fold/sizing invariants (pure Python, no Spark) --------------
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=200,
+    )
+)
+def test_bloom_fold_never_false_negative(hashes):
+    """For ANY raw-hash multiset: fold positions to the chosen m,
+    serialize the bitset, and every recorded key must probe
+    maybe-present — false negatives are impossible by construction
+    at every legal bloom size (the pruning-safety invariant)."""
+    from igloo_spark.sources.versioned import (
+        _BLOOM_K,
+        _BLOOM_M_MAX,
+        _bits_b64,
+        _bloom_maybe_contains,
+        _choose_bloom,
+        _fold_positions,
+    )
+
+    # writer side: K positions per key at the largest modulus
+    keys = [hashes[i : i + _BLOOM_K] for i in range(0, len(hashes), _BLOOM_K)]
+    keys = [k for k in keys if len(k) == _BLOOM_K]
+    if not keys:
+        return
+    positions = {h % _BLOOM_M_MAX for k in keys for h in k}
+    chosen = _choose_bloom(positions)
+    if chosen is None:
+        return  # bloom omitted: conservative scan, trivially safe
+    m, folded = chosen
+    assert folded == _fold_positions(positions, m)
+    bits = _bits_b64(folded, m)
+    for k in keys:
+        assert _bloom_maybe_contains(bits, k)
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(
+    positions=st.sets(
+        st.integers(min_value=0, max_value=32767), min_size=1, max_size=5000
+    )
+)
+def test_bloom_sizing_respects_fp_bound(positions):
+    """_choose_bloom either returns an m whose estimated FP rate
+    clears the bound, or None — never a saturated bitset."""
+    from igloo_spark.sources.versioned import (
+        _BLOOM_K,
+        _BLOOM_M_MAX,
+        _BLOOM_M_MIN,
+        _BLOOM_MAX_FP,
+        _choose_bloom,
+    )
+
+    chosen = _choose_bloom(positions)
+    if chosen is None:
+        folded_max = {p % _BLOOM_M_MAX for p in positions}
+        assert (len(folded_max) / _BLOOM_M_MAX) ** _BLOOM_K > _BLOOM_MAX_FP
+    else:
+        m, folded = chosen
+        assert _BLOOM_M_MIN <= m <= _BLOOM_M_MAX
+        assert m & (m - 1) == 0  # power of two (fold validity)
+        assert (len(folded) / m) ** _BLOOM_K <= _BLOOM_MAX_FP
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(2, 12),
+    lam=st.integers(0, 1000),
+)
+def test_mmr_rerank_matches_numpy_greedy(spark, seed, n, lam):
+    """mmr_rerank vs an independent numpy greedy MMR over random
+    integer-relevance pools — pick order, max-sim and scores must
+    agree exactly for any pool size and lambda."""
+    import math
+    import random
+
+    import numpy as np
+
+    from igloo_spark.operators.retrieval import mmr_rerank
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.randrange(0, 10_000),
+            [rng.uniform(-1, 1) for _ in range(6)],
+        )
+        for i in range(n)
+    ]
+    k = min(5, n)
+    pool = spark.createDataFrame(
+        rows, "doc_id long, rel bigint, embedding array<double>"
+    )
+    got = [
+        (r["sel_rank"], r["doc_id"], r["max_sim_micro"])
+        for r in mmr_rerank(pool, "doc_id", "embedding", "rel", k=k,
+                            lambda_milli=lam).orderBy("sel_rank").collect()
+    ]
+    del np  # sequential folds below, not SIMD: ulp-identical to Spark
+    vecs = {i: v for i, _, v in rows}
+    rel = {i: r for i, r, _ in rows}
+
+    def _dot(x, y):
+        # mirror Spark's aggregate(zip_with(...)) LEFT-TO-RIGHT fold
+        acc = 0.0
+        for a, b in zip(x, y):
+            acc += a * b
+        return acc
+
+    def cmicro(a, b):
+        na = math.sqrt(_dot(vecs[a], vecs[a]))
+        nb = math.sqrt(_dot(vecs[b], vecs[b]))
+        c = 0.0 if na * nb == 0 else _dot(vecs[a], vecs[b]) / (na * nb)
+        return math.floor(c * 1_000_000)
+
+    remaining, picked, expect = sorted(rel), [], []
+    for step in range(1, k + 1):
+        best = None
+        for c in remaining:
+            ms = max((cmicro(c, p) for p in picked), default=0)
+            score = lam * rel[c] - (1000 - lam) * ms
+            if best is None or (-score, c) < best[0]:
+                best = ((-score, c), c, ms)
+        picked.append(best[1])
+        remaining.remove(best[1])
+        expect.append((step, best[1], best[2]))
+    assert got == expect
