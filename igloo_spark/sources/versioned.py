@@ -835,8 +835,10 @@ def delete_from_versioned(
     compliance hard-delete is this call followed by
     :func:`vacuum_versioned` (which physically removes the
     no-longer-referenced files) — the same two-step Delta/Iceberg
-    documents. An empty ``values`` or no matching rows still commits
-    correctly (all files carried or rewritten unchanged).
+    documents. An empty ``values``, or keys no file can contain,
+    return the current version without a commit (the empty-delta
+    MERGE rule); keys that prune to some files but match no row
+    rewrite those files unchanged.
 
     Derived artifacts: a delete makes persisted indexes STALE (they
     still rank the deleted ids) — ``check_index_sync`` flags the
@@ -907,16 +909,15 @@ def delete_from_versioned(
         f for f in _manifest_files(root, latest) if f not in set(touched)
     ]
     if not touched:
-        # no file can contain a target key: the delete is a no-op,
-        # but commit it anyway so callers get a version that PROVES
-        # the keys are gone (idempotent replays, audit trails)
-        kept = base.limit(0)
-    else:
-        kept = (
-            spark.read.parquet(*touched)
-            .filter(~F.col(col).isin(cast_values))
-            .coalesce(max(1, len(touched)))
-        )
+        # no file can contain a target key: the latest version already
+        # satisfies the postcondition (the empty-delta MERGE rule) —
+        # no commit, no empty-file debris
+        return latest
+    kept = (
+        spark.read.parquet(*touched)
+        .filter(~F.col(col).isin(cast_values))
+        .coalesce(max(1, len(touched)))
+    )
     return write_versioned(
         kept, root, mode="merge", carry_files=carried, stats_cols=None
     )

@@ -1264,3 +1264,28 @@ class TestEdgeCases:
         m = _read_manifest(root, _list_versions(root)[-1])
         (bl,) = m["bloom"].values()
         assert "lo_card" in bl and "hi_card" not in bl
+
+
+def test_delete_of_absent_keys_is_a_noop(spark, tmp_path):
+    """Keys outside every file's range: no file can contain them, so
+    the latest version already satisfies the postcondition — no new
+    commit, no empty-file debris (the empty-delta MERGE rule)."""
+    from igloo_spark.sources.versioned import (
+        _list_versions,
+        delete_from_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "del_absent")
+    write_versioned(
+        spark.range(0, 300).selectExpr("id AS k").repartition(3),
+        root, mode="overwrite", stats_cols=["k"],
+    )
+    v_before = _list_versions(root)[-1]
+    files_before = set(read_versioned(spark, root).inputFiles())
+    v = delete_from_versioned(spark, root, "k", [999_999])
+    assert v == v_before
+    snap = read_versioned(spark, root)
+    assert snap.count() == 300
+    assert set(snap.inputFiles()) == files_before
