@@ -456,12 +456,18 @@ def prune_manifest_files(
     candidates, skipped = [], 0
     for f in _manifest_files(root, version):
         rng = stats.get(f, {}).get(col)
-        if (
-            rng is not None
-            and rng[0] is not None
-            and rng[1] is not None
-            and (rng[1] < lo or rng[0] > hi)
-        ):
+        try:
+            skip = (
+                rng is not None
+                and rng[0] is not None
+                and rng[1] is not None
+                and (rng[1] < lo or rng[0] > hi)
+            )
+        except TypeError:
+            # bound/stat type mismatch: conservative — never skip on
+            # an uncomparable range (the at-keys rule)
+            skip = False
+        if skip:
             skipped += 1
             continue
         candidates.append(f)

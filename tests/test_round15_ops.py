@@ -1289,3 +1289,20 @@ def test_delete_of_absent_keys_is_a_noop(spark, tmp_path):
     snap = read_versioned(spark, root)
     assert snap.count() == 300
     assert set(snap.inputFiles()) == files_before
+
+
+def test_between_read_degrades_on_uncomparable_bounds(spark, tmp_path):
+    """read_versioned(between=) with bounds whose type cannot compare
+    to the recorded stats scans conservatively instead of crashing
+    (the at-keys TypeError rule applied to the range-read path)."""
+    from igloo_spark.sources.versioned import read_versioned, write_versioned
+
+    root = str(tmp_path / "btw_mix")
+    write_versioned(
+        spark.range(0, 10).selectExpr("CAST(id AS STRING) AS k"),
+        root, mode="overwrite", stats_cols=["k"],
+    )
+    # int bounds vs string-recorded stats: the manifest-level prune
+    # must not TypeError; the row filter then compares post-cast
+    got = read_versioned(spark, root, between=("k", 3, 5))
+    assert sorted(r["k"] for r in got.collect()) == ["3", "4", "5"]
