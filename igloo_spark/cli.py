@@ -547,8 +547,29 @@ def main(argv: list[str] | None = None) -> int:
         "the store), or --prep-corpus (shard-export the store)",
     )
     parser.add_argument(
-        "--as-of", type=int, default=None, metavar="VERSION",
-        help="time-travel version for --corpus-store (default: latest snapshot)",
+        "--as-of", default=None, metavar="VERSION|TAG",
+        help="time-travel version (integer) or snapshot tag (name) "
+        "for --corpus-store (default: latest snapshot)",
+    )
+    parser.add_argument(
+        "--tag-store", default=None, metavar="STORE_DIR",
+        help="tag a store's snapshot with --tag NAME [--tag-version V] "
+        "(pins it — and later versions — against --vacuum-store; "
+        "re-tagging moves the ref), or drop one with --drop-tag NAME; "
+        "no SparkSession",
+    )
+    parser.add_argument(
+        "--tag", default=None, metavar="NAME",
+        help="with --tag-store: the snapshot ref name to create/move",
+    )
+    parser.add_argument(
+        "--tag-version", type=int, default=None, metavar="V",
+        help="with --tag-store --tag: version to pin (default: latest)",
+    )
+    parser.add_argument(
+        "--drop-tag", default=None, metavar="NAME",
+        help="with --tag-store: release this ref (snapshot becomes "
+        "vacuumable again)",
     )
     parser.add_argument(
         "--since-version", type=int, default=None, metavar="V",
@@ -587,6 +608,7 @@ def main(argv: list[str] | None = None) -> int:
             ("--optimize-store", args.optimize_store is not None),
             ("--vacuum-store", args.vacuum_store is not None),
             ("--store-history", args.store_history is not None),
+            ("--tag-store", args.tag_store is not None),
             ("--search", args.search is not None),
             ("--vector-search", args.vector_search is not None),
             ("--hybrid-search", args.hybrid_search is not None),
@@ -601,7 +623,7 @@ def main(argv: list[str] | None = None) -> int:
             "one of --sql, --query, --serve, --prep-corpus, --ingest, "
             "--check-index-sync, --repair-index, --fit-quality-model, "
             "--fit-bpe-merges, --fit-mix-rates, --corpus-report, --optimize-store, "
-            "--vacuum-store, --store-history, --search, "
+            "--vacuum-store, --store-history, --tag-store, --search, "
             "--vector-search, --fetch-docs, --delete-docs, --read-tar, "
             "or --verify-store is required"
         )
@@ -749,6 +771,15 @@ def main(argv: list[str] | None = None) -> int:
         parser.error("--quality-model and --quality-model-root are mutually exclusive")
     if args.as_of is not None and args.corpus_store is None:
         parser.error("--as-of only applies to --corpus-store")
+    if args.as_of is not None and args.as_of.lstrip("-").isdigit():
+        args.as_of = int(args.as_of)
+    if args.tag_store is not None:
+        if (args.tag is None) == (args.drop_tag is None):
+            parser.error("--tag-store needs exactly one of --tag / --drop-tag")
+    elif args.tag is not None or args.drop_tag is not None or (
+        args.tag_version is not None
+    ):
+        parser.error("--tag/--tag-version/--drop-tag only apply to --tag-store")
     if args.search is not None and not args.index_root:
         parser.error("--search needs --index-root (a persisted postings index)")
     if args.vector_search is not None:
@@ -833,6 +864,33 @@ def main(argv: list[str] | None = None) -> int:
     # column when it was ingested with --persist-embeddings (otherwise
     # repair_index raises and we exit 2 with its message)
 
+    if args.tag_store is not None:
+        # ref metadata only — no SparkSession (instant, scriptable)
+        import os as _os
+
+        from igloo_spark.sources.versioned import delete_tag, tag_versioned
+
+        store = args.tag_store
+        roots = [
+            f"{store}/{t}" for t in ("corpus", "fps")
+            if _os.path.isdir(f"{store}/{t}/manifests")
+        ] or ([store] if _os.path.isdir(f"{store}/manifests") else [])
+        if not roots:
+            print(f"error: no versioned tables under {store}", file=sys.stderr)
+            return 2
+        try:
+            for troot in roots:
+                if args.tag is not None:
+                    v = tag_versioned(troot, args.tag, args.tag_version)
+                    print(f"{troot}: tag {args.tag!r} -> v{v}")
+                else:
+                    delete_tag(troot, args.drop_tag)
+                    print(f"{troot}: dropped tag {args.drop_tag!r}")
+        except (FileNotFoundError, ValueError) as e:
+            print(f"error: --tag-store: {e}", file=sys.stderr)
+            return 2
+        return 0
+
     if args.store_history is not None:
         # manifest metadata only — no SparkSession (instant, scriptable)
         import os as _os
@@ -840,19 +898,25 @@ def main(argv: list[str] | None = None) -> int:
         from igloo_spark.sources.versioned import snapshots
 
         store = args.store_history
-        tables = [
-            t for t in ("corpus", "fps")
+        roots = {
+            t: f"{store}/{t}" for t in ("corpus", "fps")
             if _os.path.isdir(f"{store}/{t}/manifests")
-        ]
-        if not tables:
+        } or (
+            {"store": store} if _os.path.isdir(f"{store}/manifests") else {}
+        )
+        if not roots:
             print(f"error: no versioned tables under {store}", file=sys.stderr)
             return 2
-        for t in tables:
+        for t, troot in roots.items():
             print(f"{t}:")
-            for s in snapshots(f"{store}/{t}"):
+            for s in snapshots(troot):
+                tags = (
+                    "  tags=" + ",".join(s["tags"]) if s["tags"] else ""
+                )
                 print(
                     f"  v{s['version']}  {s['op']:<10s} "
                     f"files={s['n_files']}  committed_at={s['committed_at']}"
+                    f"{tags}"
                 )
         return 0
 

@@ -584,16 +584,93 @@ def read_versioned_at_keys(
     return spark.read.parquet(*candidates).filter(F.col(col).isin(values))
 
 
+def _tags_path(root: str) -> str:
+    # beside the manifests, not matching v*.json (the watermark rule)
+    return os.path.join(_manifest_dir(root), "tags.json")
+
+
+def read_tags(root: str) -> dict:
+    """The store's named snapshot refs: ``{tag: version}``."""
+    path = _tags_path(root)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_tags(root: str, tags: dict) -> None:
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    tmp = _tags_path(root) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(tags, f)
+    os.rename(tmp, _tags_path(root))  # atomic publication
+
+
+def tag_versioned(root: str, tag: str, version: int | None = None) -> int:
+    """Name a snapshot (Iceberg/Delta refs, scaled down): ``tag`` maps
+    to ``version`` (latest by default) in an atomically-published
+    sidecar. Tags PIN their snapshot — and, to preserve the
+    prefix-drop invariant verify depends on, every later one — against
+    :func:`vacuum_versioned`, so "the blessed training snapshot"
+    stays time-travelable while untagged history ahead of it is
+    reclaimed. Re-tagging moves the ref (the mutable-branch-head
+    semantic); returns the pinned version."""
+    if not tag or tag.strip() != tag:
+        raise ValueError(f"invalid tag {tag!r}")
+    if tag.lstrip("-").isdigit():
+        raise ValueError(
+            f"tag {tag!r} is an integer spelling — ambiguous with a "
+            f"version number in readers"
+        )
+    versions = _list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    tags = read_tags(root)
+    tags[tag] = version
+    _write_tags(root, tags)
+    return version
+
+
+def delete_tag(root: str, tag: str) -> None:
+    """Drop a named ref; its snapshot becomes vacuumable again."""
+    tags = read_tags(root)
+    if tag not in tags:
+        raise ValueError(
+            f"no tag {tag!r} at {root} (tags: {sorted(tags)})"
+        )
+    del tags[tag]
+    _write_tags(root, tags)
+
+
+def resolve_version(root: str, version) -> "int | None":
+    """Resolve a version spec: int passes through, a string resolves
+    via the tag refs, None stays None (latest)."""
+    if version is None or isinstance(version, int):
+        return version
+    tags = read_tags(root)
+    if version not in tags:
+        raise ValueError(
+            f"no tag {version!r} at {root} (tags: {sorted(tags)})"
+        )
+    return tags[version]
+
+
 def read_versioned(
     spark: SparkSession,
     root: str,
-    version: int | None = None,
+    version: "int | str | None" = None,
     merge_schema: bool = False,
     between: "tuple | None" = None,
 ) -> DataFrame:
     """Snapshot read: latest manifest by default, ``version=N`` for
-    time travel. Only manifest-listed files are scanned — files from
-    uncommitted or failed writes are invisible by construction.
+    time travel, ``version="name"`` for a tagged snapshot
+    (:func:`tag_versioned`). Only manifest-listed files are scanned —
+    files from uncommitted or failed writes are invisible by
+    construction.
 
     ``merge_schema=True`` reconciles schema evolution across commits
     (columns added by later appends read as null in older files) at
@@ -608,6 +685,7 @@ def read_versioned(
     versions = _list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no manifests under {root}")
+    version = resolve_version(root, version)
     if version is None:
         version = versions[-1]
     elif version not in versions:
@@ -635,14 +713,18 @@ def read_versioned(
 
 
 def snapshots(root: str) -> list[dict]:
-    """Snapshot log (version, op, committed_at, n_files) — the
+    """Snapshot log (version, op, committed_at, n_files, tags) — the
     ``<table>.snapshots`` metadata-table equivalent."""
+    by_version: dict = {}
+    for t, v in read_tags(root).items():
+        by_version.setdefault(v, []).append(t)
     return [
         {
             "version": v,
             "op": (m := _read_manifest(root, v))["op"],
             "committed_at": m["committed_at"],
             "n_files": len(m["files"]),
+            "tags": sorted(by_version.get(v, [])),
         }
         for v in _list_versions(root)
     ]
@@ -1089,13 +1171,30 @@ def vacuum_versioned(root: str, keep_last: int = 1) -> list[str]:
     works until vacuum, then storage is reclaimed. Deletion order is
     manifests first, then files — a crashed vacuum leaves orphaned
     (invisible) files, never a manifest pointing at deleted data.
+
+    TAGGED snapshots (:func:`tag_versioned`) are never dropped: the
+    retention cutoff moves back to the oldest pinned version, so a
+    blessed ref (and, for contiguity, everything after it) survives
+    any ``keep_last``; :func:`delete_tag` releases the pin.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(root)
     if len(versions) <= keep_last:
         return []
-    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    # tags PIN snapshots: drop only the PREFIX strictly below both the
+    # keep_last window and the OLDEST tagged version — keeping
+    # everything from the oldest pin onward preserves the contiguity
+    # and append-lineage invariants verify_versioned checks (a
+    # mid-sequence hole would read as hand-deleted manifests)
+    cutoff = versions[-keep_last]
+    tagged = read_tags(root).values()
+    if tagged:
+        cutoff = min(cutoff, min(tagged))
+    keep = [v for v in versions if v >= cutoff]
+    drop = [v for v in versions if v < cutoff]
+    if not drop:
+        return []
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_manifest_files(root, v))
@@ -1260,10 +1359,13 @@ def read_version_delta(
     validated and a non-append commit raises with guidance (export
     from the full snapshot, or pick a from_version after the rewrite).
     ``from_version`` may be 0, meaning "everything up to to_version"
-    (the bootstrap export)."""
+    (the bootstrap export). Either bound may be a tag name
+    (:func:`tag_versioned`)."""
     versions = _list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no manifests under {root}")
+    from_version = resolve_version(root, from_version)
+    to_version = resolve_version(root, to_version)
     if to_version is None:
         to_version = versions[-1]
     if to_version not in versions:

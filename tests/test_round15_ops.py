@@ -1306,3 +1306,111 @@ def test_between_read_degrades_on_uncomparable_bounds(spark, tmp_path):
     # must not TypeError; the row filter then compares post-cast
     got = read_versioned(spark, root, between=("k", 3, 5))
     assert sorted(r["k"] for r in got.collect()) == ["3", "4", "5"]
+
+
+# --- Snapshot tags (named refs) ----------------------------------------------
+
+
+class TestSnapshotTags:
+    """tag_versioned: named refs that read by name and PIN their
+    snapshot (and, for the prefix-drop contiguity invariant,
+    everything after it) against vacuum — the blessed-training-
+    snapshot lifecycle."""
+
+    def _store(self, spark, tmp_path, name, n=4):
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / name)
+        for i in range(n):
+            write_versioned(
+                spark.range(i * 10, (i + 1) * 10).selectExpr("id AS k")
+                .coalesce(1),
+                root, mode="overwrite" if i == 0 else "append",
+            )
+        return root
+
+    def test_tag_read_move_and_drop(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            delete_tag,
+            read_versioned,
+            snapshots,
+            tag_versioned,
+        )
+
+        root = self._store(spark, tmp_path, "tags")
+        assert tag_versioned(root, "blessed", 2) == 2
+        assert read_versioned(spark, root, "blessed").count() == 20
+        assert read_versioned(spark, root, 2).count() == 20
+        # snapshots log surfaces the ref
+        assert ["blessed"] in [s["tags"] for s in snapshots(root)]
+        # re-tag moves the ref
+        assert tag_versioned(root, "blessed") == 4  # latest
+        assert read_versioned(spark, root, "blessed").count() == 40
+        delete_tag(root, "blessed")
+        with pytest.raises(ValueError, match="no tag"):
+            read_versioned(spark, root, "blessed")
+
+    def test_tag_validation(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import tag_versioned
+
+        root = self._store(spark, tmp_path, "tagv", n=1)
+        with pytest.raises(ValueError, match="ambiguous"):
+            tag_versioned(root, "3")
+        with pytest.raises(ValueError, match="not in"):
+            tag_versioned(root, "ghost", 99)
+
+    def test_vacuum_never_drops_tagged(self, spark, tmp_path):
+        from igloo_spark.sources.versioned import (
+            _list_versions,
+            read_versioned,
+            tag_versioned,
+            vacuum_versioned,
+            delete_tag,
+        )
+
+        root = self._store(spark, tmp_path, "tagvac")
+        tag_versioned(root, "blessed", 2)
+        vacuum_versioned(root, keep_last=1)
+        # cutoff moved back to the pin: v2..v4 survive, v1 dropped
+        assert _list_versions(root) == [2, 3, 4]
+        assert read_versioned(spark, root, "blessed").count() == 20
+        # releasing the pin makes it vacuumable again
+        delete_tag(root, "blessed")
+        vacuum_versioned(root, keep_last=1)
+        assert _list_versions(root) == [4]
+
+    def test_cli_tag_as_of_and_history(self, spark, tmp_path, capsys):
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import write_versioned
+
+        root = str(tmp_path / "cli_tag")
+        for i in range(3):
+            write_versioned(
+                spark.createDataFrame(
+                    [(j, f"doc {j} v{i}") for j in range(5)],
+                    "doc_id long, text string",
+                ),
+                root, mode="overwrite" if i == 0 else "append",
+            )
+        d = tmp_path / "cli_tag_data"
+        d.mkdir()
+        assert main(["--tag-store", root, "--tag", "prod",
+                     "--tag-version", "2"]) == 0
+        out = capsys.readouterr().out
+        assert "tag 'prod' -> v2" in out
+        # --as-of accepts the tag name on a query
+        rc = main(
+            ["--data-dir", str(d), "--corpus-store", root,
+             "--as-of", "prod",
+             "--sql", "SELECT count(*) AS n FROM corpus"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "10" in out  # v2 = two appends of 5
+        # history shows the ref; drop releases it
+        assert main(["--store-history", root]) == 0
+        assert "tags=prod" in capsys.readouterr().out
+        assert main(["--tag-store", root, "--drop-tag", "prod"]) == 0
+        capsys.readouterr()
+        with pytest.raises(SystemExit):  # --tag needs --tag-store
+            main(["--sql", "SELECT 1", "--tag", "x"])
