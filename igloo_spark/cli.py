@@ -572,11 +572,12 @@ def main(argv: list[str] | None = None) -> int:
         "vacuumable again)",
     )
     parser.add_argument(
-        "--since-version", type=int, default=None, metavar="V",
+        "--since-version", default=None, metavar="V|TAG",
         help="with --corpus-store and --prep-corpus/--corpus-report: "
         "operate on the DELTA only — documents appended after store "
-        "version V (manifest file diff, scans only the new files; "
-        "requires an append-only range). 0 = everything (bootstrap)",
+        "version V, an integer or a snapshot tag (manifest file diff, "
+        "scans only the new files; requires an append-only range). "
+        "0 = everything (bootstrap)",
     )
     parser.add_argument("--master", default=None, help="Spark master URL (default local[ncpus])")
     parser.add_argument("--limit", type=int, default=20, help="max rows to display")
@@ -757,6 +758,10 @@ def main(argv: list[str] | None = None) -> int:
             "--since-version needs --corpus-store with --prep-corpus "
             "or --corpus-report"
         )
+    if args.since_version is not None and args.since_version.lstrip(
+        "-"
+    ).isdigit():
+        args.since_version = int(args.since_version)
     if args.tokenize and args.ingest is None:
         parser.error("--tokenize only applies to --ingest")
     if args.eval_docs is not None and (

@@ -1414,3 +1414,46 @@ class TestSnapshotTags:
         capsys.readouterr()
         with pytest.raises(SystemExit):  # --tag needs --tag-store
             main(["--sql", "SELECT 1", "--tag", "x"])
+
+    def test_since_version_accepts_tag(self, spark, tmp_path, capsys):
+        """The nightly loop by name: tag the last export, then
+        --since-version <tag> exports only the delta since it."""
+        import json as _json
+
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import (
+            read_version_delta,
+            tag_versioned,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "since_tag")
+        write_versioned(
+            spark.createDataFrame(
+                [(j, f"first batch doc {j} alpha beta") for j in range(5)],
+                "doc_id long, text string",
+            ),
+            root, mode="overwrite",
+        )
+        tag_versioned(root, "last-export")
+        write_versioned(
+            spark.createDataFrame(
+                [(j, f"second batch doc {j} gamma delta")
+                 for j in range(10, 13)],
+                "doc_id long, text string",
+            ),
+            root, mode="append",
+        )
+        delta = read_version_delta(spark, root, "last-export")
+        assert sorted(r["doc_id"] for r in delta.collect()) == [10, 11, 12]
+        out = str(tmp_path / "since_tag_card.json")
+        d = tmp_path / "since_tag_data"
+        d.mkdir()
+        rc = main(
+            ["--data-dir", str(d), "--corpus-store", root,
+             "--corpus-report", out, "--since-version", "last-export"]
+        )
+        capsys.readouterr()
+        assert rc == 0
+        card = _json.load(open(out))
+        assert card["n_docs"] == 3
