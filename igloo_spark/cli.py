@@ -563,6 +563,13 @@ def main(argv: list[str] | None = None) -> int:
         help="with --tag-store: the snapshot ref name to create/move",
     )
     parser.add_argument(
+        "--tag-after", default=None, metavar="NAME",
+        help="with --corpus-store --prep-corpus: after a successful "
+        "export, move this snapshot tag to the store's current "
+        "version — pairs with --since-version NAME for the nightly "
+        "export-the-delta loop by name",
+    )
+    parser.add_argument(
         "--tag-version", type=int, default=None, metavar="V",
         help="with --tag-store --tag: version to pin (default: latest)",
     )
@@ -762,6 +769,10 @@ def main(argv: list[str] | None = None) -> int:
         "-"
     ).isdigit():
         args.since_version = int(args.since_version)
+    if args.tag_after is not None and not (
+        args.corpus_store is not None and args.prep_corpus is not None
+    ):
+        parser.error("--tag-after needs --corpus-store with --prep-corpus")
     if args.tokenize and args.ingest is None:
         parser.error("--tokenize only applies to --ingest")
     if args.eval_docs is not None and (
@@ -1037,6 +1048,18 @@ def main(argv: list[str] | None = None) -> int:
                 write_training_shards,
             )
 
+            def _export_done() -> int:
+                # move the named ref to the version just exported so
+                # the next --since-version NAME picks up from here
+                if args.tag_after is not None:
+                    from igloo_spark.sources.versioned import tag_versioned
+
+                    v = tag_versioned(
+                        _corpus_root(args.corpus_store), args.tag_after
+                    )
+                    print(f"tagged corpus v{v} as {args.tag_after!r}")
+                return 0
+
             # ingest → store → export is the production loop: prefer the
             # versioned store's accepted corpus when one is given
             docs = session.spark.table(
@@ -1190,7 +1213,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"{chunked}{mixed}{fimmed} in "
                     f"{info['n_shards']} shards at {args.prep_corpus}"
                 )
-                return 0
+                return _export_done()
             if args.batch_size is not None:
                 from igloo_spark.pipelines import write_batched_token_shards
 
@@ -1225,7 +1248,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"{info['pad_waste_micro']}ppm) in "
                     f"{info['n_shards']} shards at {args.prep_corpus}"
                 )
-                return 0
+                return _export_done()
             if (
                 args.denoise_window is not None or args.fim_mod is not None
             ) and (bpe_merges is None and not {"input_ids", "n_ids"} <= set(docs.columns)):
@@ -1262,7 +1285,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"{info['n_shards']} shards{denoised}{fimmed} at "
                 f"{args.prep_corpus}"
             )
-            return 0
+            return _export_done()
         if args.optimize_store is not None or args.vacuum_store is not None:
             import os as _os
 

@@ -1457,3 +1457,48 @@ class TestSnapshotTags:
         assert rc == 0
         card = _json.load(open(out))
         assert card["n_docs"] == 3
+
+    def test_nightly_loop_by_name(self, spark, tmp_path, capsys):
+        """The full export-the-delta loop by name: ingest -> export
+        --tag-after -> ingest more -> export --since-version TAG
+        exports only the delta and moves the ref forward."""
+        from igloo_spark.cli import main
+        from igloo_spark.pipelines import incremental_ingest
+        from igloo_spark.sources.versioned import read_tags
+
+        store = str(tmp_path / "loop_store")
+        docs1 = spark.createDataFrame(
+            [(j, "night one doc %d " % j + " ".join(
+                f"a{j}b{k}" for k in range(10))) for j in range(1, 6)],
+            "doc_id long, text string",
+        )
+        incremental_ingest(docs1, store, min_quality=0.0, min_shared=1)
+        d = tmp_path / "loop_data"
+        d.mkdir()
+        out1 = str(tmp_path / "loop_out1")
+        rc = main(
+            ["--data-dir", str(d), "--corpus-store", store,
+             "--prep-corpus", out1, "--min-quality", "0.0",
+             "--tag-after", "last-export"]
+        )
+        o = capsys.readouterr().out
+        assert rc == 0 and "tagged corpus" in o
+        v1 = read_tags(store + "/corpus")["last-export"]
+
+        docs2 = spark.createDataFrame(
+            [(j, "night two doc %d " % j + " ".join(
+                f"c{j}d{k}" for k in range(10))) for j in range(11, 14)],
+            "doc_id long, text string",
+        )
+        incremental_ingest(docs2, store, min_quality=0.0, min_shared=1)
+        out2 = str(tmp_path / "loop_out2")
+        rc = main(
+            ["--data-dir", str(d), "--corpus-store", store,
+             "--prep-corpus", out2, "--min-quality", "0.0",
+             "--since-version", "last-export", "--tag-after", "last-export"]
+        )
+        o = capsys.readouterr().out
+        assert rc == 0
+        back = spark.read.parquet(out2)
+        assert sorted(r["doc_id"] for r in back.collect()) == [11, 12, 13]
+        assert read_tags(store + "/corpus")["last-export"] > v1
