@@ -207,6 +207,13 @@ def main(argv: list[str] | None = None) -> int:
         "sources.versioned.read_versioned_at_keys), print the rows",
     )
     parser.add_argument(
+        "--verify-fetch", action="store_true",
+        help="with --fetch-docs or --hybrid-search --fetch: re-hash the "
+        "candidate files against their manifest sha256 digests before "
+        "reading (read-time bitrot detection scoped to the lookup; "
+        "exit 4 on mismatch)",
+    )
+    parser.add_argument(
         "--delete-docs", default=None, metavar="ID[,ID...]",
         help="ROW-LEVEL DELETE from a --corpus-store (GDPR / "
         "right-to-be-forgotten): commit a new snapshot without these "
@@ -844,6 +851,11 @@ def main(argv: list[str] | None = None) -> int:
                 f"--fetch-docs expects comma-separated integer doc ids, "
                 f"got {args.fetch_docs!r}"
             )
+    if args.verify_fetch and args.fetch_docs is None and not args.fetch:
+        parser.error(
+            "--verify-fetch only applies to --fetch-docs or "
+            "--hybrid-search --fetch"
+        )
     if args.delete_docs is not None:
         if args.corpus_store is None:
             parser.error("--delete-docs needs --corpus-store")
@@ -2012,10 +2024,14 @@ def main(argv: list[str] | None = None) -> int:
                     )
 
                     ids = [r["doc_id"] for r in df.collect()]
-                    docs = read_versioned_at_keys(
-                        session.spark, _corpus_root(args.corpus_store),
-                        "doc_id", ids,
-                    ).select("doc_id", "text")
+                    try:
+                        docs = read_versioned_at_keys(
+                            session.spark, _corpus_root(args.corpus_store),
+                            "doc_id", ids, verify=args.verify_fetch,
+                        ).select("doc_id", "text")
+                    except ValueError as e:
+                        print(f"error: --fetch: {e}", file=sys.stderr)
+                        return 4
                     df = df.join(docs, "doc_id", "left").orderBy(order_col)
             elif args.fetch_docs is not None:
                 from igloo_spark.sources.versioned import (
@@ -2025,10 +2041,14 @@ def main(argv: list[str] | None = None) -> int:
                 ids = [
                     int(x) for x in args.fetch_docs.split(",") if x.strip()
                 ]
-                df = read_versioned_at_keys(
-                    session.spark, _corpus_root(args.corpus_store),
-                    "doc_id", ids,
-                )
+                try:
+                    df = read_versioned_at_keys(
+                        session.spark, _corpus_root(args.corpus_store),
+                        "doc_id", ids, verify=args.verify_fetch,
+                    )
+                except ValueError as e:
+                    print(f"error: --fetch-docs: {e}", file=sys.stderr)
+                    return 4
             elif args.query is not None:
                 from igloo_spark.queries import all_queries
 

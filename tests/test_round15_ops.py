@@ -1502,3 +1502,50 @@ class TestSnapshotTags:
         back = spark.read.parquet(out2)
         assert sorted(r["doc_id"] for r in back.collect()) == [11, 12, 13]
         assert read_tags(store + "/corpus")["last-export"] > v1
+
+
+class TestVerifyFetchCli:
+    def test_verify_fetch_clean_and_corrupt(self, spark, tmp_path, capsys):
+        from igloo_spark.cli import main
+        from igloo_spark.sources.versioned import (
+            _list_versions,
+            _read_manifest,
+            write_versioned,
+        )
+
+        root = str(tmp_path / "vf")
+        write_versioned(
+            spark.createDataFrame(
+                [(i, f"vf doc {i}") for i in range(1, 6)],
+                "doc_id long, text string",
+            ),
+            root, mode="overwrite", stats_cols=["doc_id"],
+        )
+        d = tmp_path / "vf_data"
+        d.mkdir()
+        base = ["--data-dir", str(d), "--corpus-store", root]
+        assert main([*base, "--fetch-docs", "2", "--verify-fetch"]) == 0
+        capsys.readouterr()
+        # corrupt the first data file; drop the CRC sidecar (the
+        # lookup key 2 sorts into the low file either way, and verify
+        # hashes every candidate)
+        f = sorted(_read_manifest(root, _list_versions(root)[-1])["files"])[0]
+        mid = os.path.getsize(f) // 2  # data pages, not the footer —
+        # footer corruption is self-detecting at schema read; the
+        # verify flag exists for the silent-data-bitflip case
+        with open(f, "r+b") as fh:
+            fh.seek(mid)
+            b = fh.read(1)
+            fh.seek(mid)
+            fh.write(bytes([b[0] ^ 0xFF]))
+        crc = os.path.join(
+            os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        rc = main([*base, "--fetch-docs", "2", "--verify-fetch"])
+        err = capsys.readouterr().err
+        assert rc == 4
+        assert "checksum mismatch" in err
+        with pytest.raises(SystemExit):  # needs a fetch mode
+            main(["--sql", "SELECT 1", "--verify-fetch"])
