@@ -26,12 +26,13 @@ from igloo_spark.queries import surface  # noqa: E402,F401
 # iteration order changes.
 _GATE_PRIORITY: tuple[str, ...] = (
     # -- r15 rotation (executes the r14 verdict's task 3 with its
-    # pre-planned window, adjusted per the changed-code rule): the TWO
-    # new queries first (x159, exact SemDeDup groups — connected
+    # pre-planned window, adjusted per the changed-code rule): the
+    # THREE new queries first (x159, exact SemDeDup groups — connected
     # components over the LSH-bucket cosine pairs, keep-one per
     # transitive group; x160, the --diversify serving composition —
     # x154's RRF fusion as the MMR pool with integer nano-score
-    # relevance; both never driver-checked). Then TWO changed-code
+    # relevance; x161, tri-retriever RRF — the n-ary fusion chain no
+    # 2-list query pins; all never driver-checked). Then TWO changed-code
     # pins: x158 (this round rewires it through the new
     # operators/retrieval.mmr_rerank with materialized pool/pairs —
     # same arithmetic, but the executed plan is entirely new) and x82
@@ -54,16 +55,19 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # in-window), x137 (token ids, rep by x127/x128 fresh r14), x141
     # (fertility, rep by x127/x128 fresh r14 + x145 in-window), x146
     # (length buckets, rep by x151 fresh r14 + x138/x144 in-window),
-    # x149 (span corruption, rep by x150/x151/x139 fresh r14), and
+    # x149 (span corruption, rep by x150/x151/x139 fresh r14),
     # x99 (winnow cap stats, rep by x62's capped pairs fresh r14 +
-    # x89's winnowing bench row). Exactly 50 entries; corpus grew
-    # 206 -> 208 this round (x159, x160).
+    # x89's winnowing bench row), and x74 (numeric histogram, rep by
+    # x79 quantile binning + x73 column profile, both in-window).
+    # Exactly 50 entries; corpus grew 206 -> 209 this round
+    # (x159, x160, x161).
     # After this window the verdict-age histogram is 50@r15, 50@r14,
-    # 49@r13, 48@r12, 11@r11 — zero never-checked, max age 4 rounds.
-    # The r16 rotation: the 11 deferred r11 rows first, then the
+    # 49@r13, 48@r12, 12@r11 — zero never-checked, max age 4 rounds.
+    # The r16 rotation: the 12 deferred r11 rows first, then the
     # oldest r12-stale.
     "x159_semantic_dedup_groups",
     "x160_diversified_hybrid",
+    "x161_tri_hybrid_rrf",
     "x158_mmr_diversified",
     "x82_pii_scrub",
     "x50_token_stats",
@@ -100,7 +104,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "x147_temperature_mixture",
     "x148_token_freq_audit",
     "x56_training_data_prep",
-    "x74_numeric_histogram",
     "x75_dedup_manifest",
     "x76_hypertable_rollup",
     "x77_funnel",

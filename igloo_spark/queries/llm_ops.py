@@ -8145,3 +8145,120 @@ def x160(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool, "doc_id", "embedding", "rrf_nano",
         k=MMR_SERVE_K, lambda_milli=MMR_LAMBDA_MILLI,
     )
+
+
+# --- x161: tri-retriever hybrid fusion (r15) ---------------------------------
+#
+# rrf_fuse is n-ary (any {name: ranked list} dict), but every fused
+# query so far pins exactly two lists. Production hybrid stacks
+# routinely fuse three (lexical + exact dense + a cheap approximate
+# dense probe); this pins the 3-way chain of full-outer joins, the
+# per-list NULL rank columns, and the 3-term integer nano-sum.
+
+
+def _x161_oracle() -> str:
+    from igloo_spark.operators.retrieval import bm25_topk_sql_duckdb
+
+    bm = bm25_topk_sql_duckdb(
+        "documents", "doc_id", "text", BM25_QUERY_TERMS, RRF_LIST_K
+    )
+    cos = cosine_sql_duckdb("q.qv", "e.embedding")
+    lcos = cosine_sql_duckdb("lq.qv", "e.embedding")
+    bucket = _lsh_bucket_sql_duckdb("embedding")
+    nano = "coalesce(CAST(floor(1000000000.0 / ({k} + {r})) AS BIGINT), 0)"
+    return f"""
+    WITH bm AS (SELECT doc_id, rank FROM ({bm}) b),
+    q AS (
+        SELECT embedding AS qv FROM embeddings
+        WHERE vec_id = {RRF_QUERY_VEC}
+    ),
+    ann AS (
+        SELECT doc_id, rank FROM (
+            SELECT e.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY {cos} DESC, e.vec_id ASC
+                   ) AS BIGINT) AS rank
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {RRF_QUERY_VEC}
+        ) WHERE rank <= {RRF_LIST_K}
+    ),
+    c AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    lq AS (
+        SELECT vec_id AS qid, embedding AS qv, bucket FROM c
+        WHERE vec_id = {RRF_QUERY_VEC}
+    ),
+    lsh AS (
+        SELECT doc_id, rank FROM (
+            SELECT e.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY {lcos} DESC, e.vec_id ASC
+                   ) AS BIGINT) AS rank
+            FROM c e JOIN lq ON e.bucket = lq.bucket
+            WHERE e.vec_id <> lq.qid
+        ) WHERE rank <= {RRF_LIST_K}
+    ),
+    f2 AS (
+        SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+               b.rank AS bm25_rank, a.rank AS ann_rank
+        FROM bm b FULL OUTER JOIN ann a ON b.doc_id = a.doc_id
+    ),
+    f3 AS (
+        SELECT coalesce(f.doc_id, l.doc_id) AS doc_id,
+               f.bm25_rank, f.ann_rank, l.rank AS lsh_rank
+        FROM f2 f FULL OUTER JOIN lsh l ON f.doc_id = l.doc_id
+    ),
+    fused AS (
+        SELECT doc_id, bm25_rank, ann_rank, lsh_rank,
+               {nano.format(k=RRF_K, r='bm25_rank')}
+             + {nano.format(k=RRF_K, r='ann_rank')}
+             + {nano.format(k=RRF_K, r='lsh_rank')} AS rrf_nano
+        FROM f3
+    )
+    SELECT doc_id, bm25_rank, ann_rank, lsh_rank, rrf_nano, fused_rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                   ORDER BY rrf_nano DESC, doc_id ASC
+               ) AS BIGINT) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= {RRF_TOPK}"""
+
+
+@register(
+    "x161_tri_hybrid_rrf",
+    f"tri-retriever hybrid: BM25 + exact ANN + LSH ANN fused by "
+    f"reciprocal rank (3-way outer-join chain, integer nano-units), "
+    f"fused top-{RRF_TOPK}",
+    _x161_oracle(),
+    tags=("retrieval", "similarity", "llm"),
+)
+def x161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x154 with a third list: the cheap single-bucket LSH probe
+    (x47's operator) joins the fusion, so the n-ary shape of
+    rrf_fuse — a CHAIN of k-row full-outer joins, one NULLable rank
+    column per list, a 3-term bigint nano-sum — is pinned against an
+    oracle that recomputes all three retrievers and the fusion from
+    scratch.
+
+    Scale: each list is already top-k, so fusion cost stays k-row
+    regardless of list count; the retrievers carry the corpus cost
+    (the LSH list's candidate set is one bucket equi-join)."""
+    from igloo_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from igloo_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    d = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
+    bm = bm25_topk(d, "doc_id", "text", BM25_QUERY_TERMS, RRF_LIST_K)
+    ann = brute_force_topk(emb, q, "vec_id", "embedding", RRF_LIST_K).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    lsh = lsh_topk(
+        emb, q, "vec_id", "embedding", RRF_LIST_K, LSH_N_PLANES, EMB_DIM
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        {"bm25": bm.select("doc_id", "rank"), "ann": ann, "lsh": lsh},
+        "doc_id", k_rrf=RRF_K, k=RRF_TOPK,
+    ).select(
+        "doc_id", "bm25_rank", "ann_rank", "lsh_rank", "rrf_nano",
+        "fused_rank",
+    )
