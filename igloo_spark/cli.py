@@ -1476,12 +1476,20 @@ def main(argv: list[str] | None = None) -> int:
                 if args.bpe_top_v == -1
                 else (args.bpe_top_v or None)
             )
+            from igloo_spark.operators.bpe import corpus_vocab
+
+            # one vocab fetch shared by training and id assignment
+            # (both use the same top_v cap, so the rows are identical)
+            vocab_rows = corpus_vocab(docs, top_v=top_v)
             merges = learn_bpe_merges(
-                docs, n_merges=args.n_merges, top_v=top_v
+                docs, n_merges=args.n_merges, top_v=top_v,
+                vocab_rows=vocab_rows,
             )
             # freeze the id vocab with the merges: ids then come from
             # the artifact, not from whichever corpus is encoded later
-            vocab = bpe_token_id_map(docs, merges, top_v=top_v)
+            vocab = bpe_token_id_map(
+                docs, merges, top_v=top_v, vocab_rows=vocab_rows
+            )
             save_bpe_merges(merges, args.fit_bpe_merges, vocab=vocab)
             print(
                 f"learned {len(merges)} BPE merges "

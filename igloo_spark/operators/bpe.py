@@ -95,12 +95,34 @@ def _bounded_vocab(
     return rows
 
 
+def corpus_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_v: int | None = None,
+    max_vocab_rows: int | None = MAX_VOCAB_ROWS,
+) -> list:
+    """One driver-side ``(word, freq)`` vocabulary fetch, reusable
+    across the module's consumers via their ``vocab_rows=`` parameter.
+
+    ``learn_bpe_merges``, ``bpe_token_id_map``, ``bpe_word_ids``,
+    ``bpe_segmentations`` and ``bpe_encode_ids`` each need the corpus
+    vocabulary; called independently they each run the corpus-sized
+    word-frequency aggregation + driver collect. A training+encode
+    composition (learn → id map → encode) therefore paid that pass 3-4
+    times per job. Fetch once here and pass the rows down — every
+    consumer treats the list as an unordered (word, freq) mapping, so
+    sharing one fetch is result-identical (guide §1.2: remove repeated
+    passes before tuning anything else)."""
+    return _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     top_v: int | None = 50_000,
     max_vocab_rows: int | None = MAX_VOCAB_ROWS,
+    vocab_rows: list | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges: ``[(left, right,
     occurrence_count_at_merge_time), …]`` in learned order.
@@ -111,11 +133,14 @@ def learn_bpe_merges(
     under any partitioning. Stops early if no adjacent pair remains
     (single-symbol vocab). Each selected pair's count is > 0, so the
     corpus-wide symbol count strictly decreases by exactly that count
-    per merge — the invariant x127 gates on."""
-    vocab = {
-        r["word"]: r["freq"]
-        for r in _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
-    }
+    per merge — the invariant x127 gates on.
+
+    ``vocab_rows`` (a :func:`corpus_vocab` fetch) skips this call's own
+    vocabulary pass — the learned table is identical because training
+    reads the rows as an unordered word→freq dict."""
+    if vocab_rows is None:
+        vocab_rows = _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
+    vocab = {r["word"]: r["freq"] for r in vocab_rows}
     symbols: dict[str, tuple[str, ...]] = {w: tuple(w) for w in vocab}
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -170,6 +195,7 @@ def bpe_segmentations(
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     top_v: int | None = 50_000,
+    vocab_rows: list | None = None,
 ) -> DataFrame:
     """``(word, freq, n_symbols)``: each vocab word's symbol count
     under the learned merges — segmentation is a pure function of the
@@ -177,9 +203,14 @@ def bpe_segmentations(
     bounded vocab) and returned as a small frame the caller
     broadcast-joins against exploded corpus words. At 100 TB this is
     the difference between segmenting ~1e5 vocab entries and
-    re-segmenting ~1e13 token instances."""
+    re-segmenting ~1e13 token instances. ``vocab_rows`` reuses a
+    :func:`corpus_vocab` fetch instead of running another one."""
     spark = docs.sparkSession
-    rows = _bounded_vocab(docs, text_col, top_v, MAX_VOCAB_ROWS)
+    rows = (
+        vocab_rows
+        if vocab_rows is not None
+        else _bounded_vocab(docs, text_col, top_v, MAX_VOCAB_ROWS)
+    )
     return spark.createDataFrame(
         [
             (r["word"], r["freq"], len(_apply_merges(r["word"], merges)))
@@ -195,6 +226,7 @@ def bpe_token_id_map(
     text_col: str = "text",
     top_v: int | None = None,
     max_vocab_rows: int | None = MAX_VOCAB_ROWS,
+    vocab_rows: list | None = None,
 ) -> dict[str, int]:
     """Token string → id, the standard id-assignment convention:
     the base alphabet (every distinct character across the vocab,
@@ -207,11 +239,12 @@ def bpe_token_id_map(
     the SQL oracle's min-ordinal dedup).
 
     The alphabet derives from the SAME bounded vocab pass training
-    uses (one groupBy(word)); cost is vocab-sized."""
-    vocab_words = [
-        r["word"]
-        for r in _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
-    ]
+    uses (one groupBy(word)); cost is vocab-sized. ``vocab_rows``
+    reuses a :func:`corpus_vocab` fetch (the alphabet is a SET of the
+    rows' characters + a sort, so row order cannot change the ids)."""
+    if vocab_rows is None:
+        vocab_rows = _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
+    vocab_words = [r["word"] for r in vocab_rows]
     alphabet = sorted({ch for w in vocab_words for ch in w})
     ids: dict[str, int] = {}
     for sym in alphabet + [left + right for left, right, _ in merges]:
@@ -228,6 +261,7 @@ def bpe_word_ids(
     token_ids: dict[str, int] | None = None,
     unk_id: int | None = None,
     max_vocab_rows: int | None = MAX_VOCAB_ROWS,
+    vocab_rows: list | None = None,
 ) -> DataFrame:
     """``(word, freq, ids array<bigint>)``: each vocab word's token-id
     sequence under the learned merges + id map — the broadcast-join
@@ -242,11 +276,14 @@ def bpe_word_ids(
     fallback), or raises loudly if ``unk_id`` is None so a silent
     tokenizer/corpus mismatch can't ship wrong ids."""
     spark = docs.sparkSession
+    if vocab_rows is None:
+        vocab_rows = _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
     id_map = (
         token_ids
         if token_ids is not None
         else bpe_token_id_map(
-            docs, merges, text_col, top_v, max_vocab_rows=max_vocab_rows
+            docs, merges, text_col, top_v,
+            max_vocab_rows=max_vocab_rows, vocab_rows=vocab_rows,
         )
     )
 
@@ -265,9 +302,8 @@ def bpe_word_ids(
                 )
         return out
 
-    rows = _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
     return spark.createDataFrame(
-        [(r["word"], r["freq"], _ids(r["word"])) for r in rows],
+        [(r["word"], r["freq"], _ids(r["word"])) for r in vocab_rows],
         "word string, freq bigint, ids array<bigint>",
     )
 
@@ -380,6 +416,7 @@ def bpe_encode_ids(
     unk_id: int | None = None,
     max_vocab_rows: int | None = MAX_VOCAB_ROWS,
     distributed: bool = False,
+    vocab_rows: list | None = None,
 ) -> DataFrame:
     """Encode every document to ``input_ids array<bigint>`` — the
     pretraining handoff: word order is preserved (posexplode position
@@ -442,48 +479,46 @@ def bpe_encode_ids(
         word_ids = bpe_word_ids(
             docs, merges, text_col, top_v,
             token_ids=token_ids, unk_id=unk_id,
-            max_vocab_rows=max_vocab_rows,
+            max_vocab_rows=max_vocab_rows, vocab_rows=vocab_rows,
         )
         id_table = F.broadcast(
             word_ids.select(F.col("word").alias("__word"), "ids")
         )
+    # posexplode_OUTER keeps blank documents as one (__pos NULL,
+    # __word NULL) row, so the groupBy below covers EVERY document and
+    # the old blank-doc closure (a third docs scan + a join per encode)
+    # is unnecessary. Per-word contributions:
+    #   blank/empty word  → empty array (the row only keeps its doc in
+    #                       the groupBy; flatten ignores it),
+    #   out-of-table word → [unk_id] under a top_v cap, else empty
+    #                       (identical to the old inner join DROPPING
+    #                       the row — a dropped row contributes nothing
+    #                       to the flatten),
+    #   vocab word        → its id sequence.
+    empty = F.array().cast("array<bigint>")
     occ = docs.select(
         F.col(id_col),
         F.posexplode_outer(_words(F.col(text_col))).alias("__pos", "__word"),
     )
-    occ = occ.filter(F.length(F.coalesce("__word", F.lit(""))) > 0)
-    if unk_id is not None:
-        # out-of-table words (possible only under a top_v cap — an
-        # uncapped table covers every corpus word) fall back to one
-        # unk_id; the coalesce is a no-op when the table is complete
-        joined = occ.join(id_table, "__word", "left").withColumn(
-            "ids",
-            F.coalesce(
-                "ids", F.array(F.lit(unk_id).cast("bigint"))
-            ),
-        )
-    else:
-        joined = occ.join(id_table, "__word")
-    enc = (
+    fallback = (
+        F.array(F.lit(unk_id).cast("bigint")) if unk_id is not None else empty
+    )
+    joined = occ.join(id_table, "__word", "left").withColumn(
+        "__ids",
+        F.when(
+            F.length(F.coalesce("__word", F.lit(""))) == 0, empty
+        ).otherwise(F.coalesce("ids", fallback)),
+    )
+    return (
         joined
         .groupBy(id_col)
         .agg(
             F.flatten(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos", "ids"))),
-                    lambda s: s["ids"],
+                    F.array_sort(F.collect_list(F.struct("__pos", "__ids"))),
+                    lambda s: s["__ids"],
                 )
             ).alias("input_ids")
-        )
-    )
-    return (
-        docs.select(id_col)
-        .join(enc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(
-                "input_ids", F.array().cast("array<bigint>")
-            ).alias("input_ids"),
         )
         .withColumn("n_ids", F.size("input_ids").cast("bigint"))
     )
@@ -521,10 +556,16 @@ def pack_token_rows(
     on."""
     from igloo_spark.operators.packing import pack_sequences
 
-    packed = pack_sequences(
-        encoded, id_col, F.col("n_ids"), [], budget, n_shards
+    # input_ids rides THROUGH the placement window (carry_cols) rather
+    # than being re-joined afterwards: the old `packed.join(encoded)`
+    # re-evaluated the whole encode lineage a second time and added a
+    # sort-merge join + an extra exchange before the final agg. With
+    # the carry, the (shard, bin) agg also reuses the window's
+    # hash(shard) partitioning — one payload exchange total.
+    joined = pack_sequences(
+        encoded, id_col, F.col("n_ids"), [], budget, n_shards,
+        carry_cols=["input_ids"],
     )
-    joined = packed.join(encoded.select(id_col, "input_ids"), id_col)
     aggs = [
         F.count("*").cast("bigint").alias("n_docs"),
         F.flatten(

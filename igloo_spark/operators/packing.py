@@ -29,6 +29,7 @@ def pack_sequences(
     stream_cols: list[str],
     budget: int,
     n_shards: int = 8,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each document to a fixed-budget training sequence (bin).
 
@@ -43,6 +44,12 @@ def pack_sequences(
     partition to ~1/n_shards of a stream, so parallelism is
     ``n_streams × n_shards`` regardless of corpus size. The shard gate
     is a deterministic hash of the id — no data movement decides it.
+
+    ``carry_cols`` rides payload columns (e.g. the token arrays)
+    through the placement window so a consumer that needs placement +
+    payload does not have to re-join — and therefore re-compute — its
+    input lineage (the guide §8 rule: the payload should cross exactly
+    one exchange, the one that already decides placement).
     """
     if budget < 1 or n_shards < 1:
         raise ValueError(f"budget and n_shards must be >= 1, got {budget}, {n_shards}")
@@ -54,6 +61,7 @@ def pack_sequences(
         df.select(
             F.col(id_col),
             *[F.col(c) for c in stream_cols],
+            *[F.col(c) for c in (carry_cols or [])],
             token_col.cast("bigint").alias("n_tokens"),
         )
         .withColumn("shard", shard.cast("bigint"))

@@ -2605,6 +2605,10 @@ def incremental_ingest(
             tok_merges = learn_bpe_merges(
                 new_docs, text_col=text_col, n_merges=tokenize_n_merges
             )
+            # NOTE: not shared with the learn's vocab fetch — the learn
+            # caps at its top_v=50k default while the id map is
+            # deliberately uncapped (the alphabet must cover rare
+            # characters that only appear in long-tail words)
             tok_vocab = bpe_token_id_map(new_docs, tok_merges, text_col=text_col)
             tok_unk = len(tok_vocab)
             _os.makedirs(store_root, exist_ok=True)

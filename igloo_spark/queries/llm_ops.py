@@ -4988,8 +4988,15 @@ def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    seg = bpe_segmentations(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    seg = bpe_segmentations(d, merges, top_v=None, vocab_rows=vocab_rows)
     occ = d.select(
         "source", "doc_id", F.explode(_words(F.col("text"))).alias("word")
     ).filter(F.length("word") > 0)
@@ -5997,9 +6004,18 @@ def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    vocab_size = len(bpe_token_id_map(d, merges, top_v=None))
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    vocab_size = len(
+        bpe_token_id_map(d, merges, top_v=None, vocab_rows=vocab_rows)
+    )
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     return (
         enc.orderBy("doc_id")
         .limit(_TOKEN_ID_HEAD)
@@ -6082,8 +6098,15 @@ def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     return pack_token_rows(
         enc, budget=PACK_ID_BUDGET, n_shards=PACK_SHARDS
     ).select(
@@ -6160,8 +6183,15 @@ def x139(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     packed = pack_token_rows(
         enc, budget=PACK_ID_BUDGET, n_shards=PACK_SHARDS, with_spans=True
     )
@@ -6230,10 +6260,19 @@ def x140(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
     # one encode feeds train + eval branches; checkpoint so the
     # posexplode+join+agg exchange runs once, not once per consumer
-    enc = bpe_encode_ids(d, merges, top_v=None).localCheckpoint(eager=False)
+    enc = bpe_encode_ids(
+        d, merges, top_v=None, vocab_rows=vocab_rows
+    ).localCheckpoint(eager=False)
     grams = token_ngram_keys(enc, n=DECON_NGRAM).localCheckpoint(eager=False)
     train = grams.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
     eval_g = (
@@ -6384,8 +6423,17 @@ def x141(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     fit = d.filter(F.col("doc_id") % FERT_FIT_MOD == 0)
-    merges = learn_bpe_merges(fit, n_merges=_BPE_N_MERGES, top_v=None)
-    vocab = bpe_token_id_map(fit, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # one fit-subset vocab fetch shared by training and id assignment
+    # (the encode below walks the FULL corpus's words, so it keeps its
+    # own fetch — passing the fit vocab there would turn out-of-fit
+    # words into word-level unks instead of symbol-level fallbacks)
+    fit_vocab = corpus_vocab(fit, top_v=None)
+    merges = learn_bpe_merges(
+        fit, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=fit_vocab
+    )
+    vocab = bpe_token_id_map(fit, merges, top_v=None, vocab_rows=fit_vocab)
     unk = len(vocab)
     enc = bpe_encode_ids(d, merges, token_ids=vocab, unk_id=unk)
     stats = d.select(
@@ -6481,8 +6529,15 @@ def x142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     sel = d.select("doc_id").orderBy("doc_id").limit(_TOKEN_ID_HEAD)
     return chunk_token_rows(
         enc.join(sel, "doc_id", "leftsemi"),
@@ -6567,8 +6622,17 @@ def x143(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None).localCheckpoint(eager=False)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    enc = bpe_encode_ids(
+        d, merges, top_v=None, vocab_rows=vocab_rows
+    ).localCheckpoint(eager=False)
     chunks = chunk_token_rows(enc, budget=CHUNK_BUDGET, stride=CHUNK_STRIDE)
     per_doc = (
         chunks.groupBy("doc_id")
@@ -6684,8 +6748,15 @@ def x144(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     chunks = chunk_token_rows(
         enc, budget=CHUNK_BUDGET, stride=CHUNK_STRIDE
     ).select(
@@ -6766,9 +6837,16 @@ def x145(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    id_map = bpe_token_id_map(d, merges, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    id_map = bpe_token_id_map(d, merges, top_v=None, vocab_rows=vocab_rows)
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     sel = d.select("doc_id", "text").orderBy("doc_id").limit(_TOKEN_ID_HEAD)
     tok_df = spark.createDataFrame(
         [(v, k) for k, v in id_map.items()], "id bigint, tok string"
@@ -6876,8 +6954,15 @@ def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     batched = length_bucketed_batches(
         enc,
         bucket_width=LEN_BUCKET_WIDTH,
@@ -7041,8 +7126,15 @@ def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igloo_spark.operators.bpe import bpe_encode_ids, learn_bpe_merges
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     occ = (
         enc.join(d.select("doc_id", "source"), "doc_id")
         .select("source", F.explode("input_ids").alias("id"))
@@ -7154,8 +7246,15 @@ def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     sel = d.select("doc_id").orderBy("doc_id").limit(_TOKEN_ID_HEAD)
     out = span_corrupt(
         enc.join(sel, "doc_id", "leftsemi"),
@@ -7450,8 +7549,15 @@ def x152(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(d, n_merges=_BPE_N_MERGES, top_v=None)
-    enc = bpe_encode_ids(d, merges, top_v=None)
+    from igloo_spark.operators.bpe import corpus_vocab
+
+    # ONE vocabulary fetch shared by every vocab consumer below
+    # (each used to run its own corpus-sized word-frequency pass)
+    vocab_rows = corpus_vocab(d, top_v=None)
+    merges = learn_bpe_merges(
+        d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
+    )
+    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
     sel = d.select("doc_id").orderBy("doc_id").limit(_TOKEN_ID_HEAD)
     out = fim_transform(
         enc.join(sel, "doc_id", "leftsemi"),
