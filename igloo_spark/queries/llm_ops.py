@@ -3549,21 +3549,27 @@ def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "), " ")
         ).alias("w"),
     )
-    # feeds corpus counts AND the per-source probe — one explode pass
-    toks = toks.localCheckpoint(eager=False)
+    # ONE corpus-sized aggregation: collapse the token stream straight
+    # to (source, w) counts — corpus counts are the per-source sums, so
+    # the vocab cap and the per-source probe both derive from this
+    # |sources|×|vocab| frame. (The previous shape localCheckpoint'ed
+    # the EXPLODED token stream — materializing every token occurrence
+    # — and then aggregated that stream twice, once for the corpus
+    # vocab and once for the per-source counts.)
+    sw = (
+        toks.groupBy("source", "w")
+        .agg(F.count("*").alias("sn"))
+        .localCheckpoint(eager=False)  # feeds the vocab cap AND the probe
+    )
     vocab = (
-        toks.groupBy("w")
-        .agg(F.count("*").alias("n"))
+        sw.groupBy("w")
+        .agg(F.sum("sn").alias("n"))
         .orderBy(F.desc("n"), F.asc("w"))
         .limit(KL_VOCAB_TOP)
     )
     vocab = vocab.localCheckpoint(eager=False)  # capped: K rows, reused twice
     qtot = vocab.agg(F.sum("n").cast("double").alias("qn"))
-    sv = (
-        toks.join(F.broadcast(vocab.select("w")), "w")
-        .groupBy("source", "w")
-        .agg(F.count("*").alias("sn"))
-    )
+    sv = sw.join(F.broadcast(vocab.select("w")), "w")
     stot = sv.groupBy("source").agg(F.sum("sn").cast("double").alias("pn"))
     terms = (
         sv.join(F.broadcast(stot), "source")
