@@ -82,6 +82,94 @@ class QualityClassifier:
         return self.weights[self.n_buckets + 1]
 
 
+def collect_fit_rows(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    n_buckets: int = N_BUCKETS,
+    sample_mod: int = 1,
+    sample_salt: str = "qclf-sample-v1",
+    max_fit_rows: int = 10_000,
+) -> list:
+    """The Spark half of :func:`fit_quality_classifier`: collect the
+    bounded, id-sorted labeled sample to the driver.
+
+    Split out so a caller that needs the sample more than once (e.g.
+    x125's refit-determinism gate) pays the corpus-side job ONCE and
+    re-fits from the same rows (guide §1.2: remove repeated passes
+    first). The row SET is deterministic by construction — the sample
+    gate is an md5 hash of the id, never ``rand()``, and the
+    ``take()`` is only order-arbitrary when the sample exceeds
+    ``max_fit_rows``, which raises — and the id sort makes the ORDER
+    deterministic, so sharing one collect is result-identical to
+    collecting twice."""
+    sampled = docs
+    if sample_mod > 1:
+        gate = hex_prefix_hash(
+            F.concat(
+                F.lit(sample_salt), F.lit(":"), F.col(id_col).cast("string")
+            )
+        ) % sample_mod == 0
+        sampled = docs.filter(gate)
+    rows = (
+        sampled.select(
+            F.col(id_col).alias("_id"),
+            token_bucket_array(F.col(text_col), n_buckets).alias("_buckets"),
+            token_count(F.col(text_col)).alias("_n"),
+            alpha_ratio(F.col(text_col)).alias("_alpha"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .take(max_fit_rows + 1)
+    )
+    if len(rows) > max_fit_rows:
+        raise ValueError(
+            f"fit sample exceeds max_fit_rows={max_fit_rows} "
+            f"(sample_mod={sample_mod} kept more than {max_fit_rows} rows); "
+            f"raise sample_mod to thin the hash-gated sample, or raise "
+            f"max_fit_rows if the driver can genuinely hold it"
+        )
+    rows.sort(key=lambda r: r["_id"])
+    return rows
+
+
+def fit_from_rows(
+    rows: list,
+    *,
+    n_buckets: int = N_BUCKETS,
+    iters: int = 300,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+) -> QualityClassifier:
+    """The numpy half of :func:`fit_quality_classifier`: deterministic
+    zero-init fixed-iteration full-batch gradient descent over an
+    id-sorted sample (no random state — refitting the same rows
+    reproduces bit-identical weights)."""
+    import numpy as np
+
+    dim = n_buckets + 2
+    X = np.zeros((len(rows), dim))
+    y = np.zeros(len(rows))
+    for i, r in enumerate(rows):
+        if r["_n"]:
+            counts = np.bincount(r["_buckets"], minlength=n_buckets)
+            X[i, :n_buckets] = counts / r["_n"]
+        X[i, n_buckets] = min(r["_n"] / 100.0, 1.0)
+        X[i, n_buckets + 1] = r["_alpha"]
+        y[i] = r["_y"]
+    w = np.zeros(dim)
+    b = 0.0
+    n = max(len(rows), 1)
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / n + l2 * w)
+        b -= lr * float(g.mean())
+    return QualityClassifier(tuple(float(v) for v in w), float(b), n_buckets)
+
+
 def fit_quality_classifier(
     docs: DataFrame,
     *,
@@ -110,55 +198,22 @@ def fit_quality_classifier(
     is independent of partitioning and arrival order. Zero-init +
     fixed-iteration full-batch gradient descent has no random state:
     refitting the same sample reproduces bit-identical weights (an
-    invariant x125 exposes to the driver as a boolean)."""
-    import numpy as np
+    invariant x125 exposes to the driver as a boolean).
 
-    sampled = docs
-    if sample_mod > 1:
-        gate = hex_prefix_hash(
-            F.concat(
-                F.lit(sample_salt), F.lit(":"), F.col(id_col).cast("string")
-            )
-        ) % sample_mod == 0
-        sampled = docs.filter(gate)
-    rows = (
-        sampled.select(
-            F.col(id_col).alias("_id"),
-            token_bucket_array(F.col(text_col), n_buckets).alias("_buckets"),
-            token_count(F.col(text_col)).alias("_n"),
-            alpha_ratio(F.col(text_col)).alias("_alpha"),
-            F.col(label_col).cast("double").alias("_y"),
-        )
-        .take(max_fit_rows + 1)
+    Composed from :func:`collect_fit_rows` (the one Spark job) +
+    :func:`fit_from_rows` (driver-side numpy) so callers can share the
+    collected sample across refits."""
+    rows = collect_fit_rows(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        label_col=label_col,
+        n_buckets=n_buckets,
+        sample_mod=sample_mod,
+        sample_salt=sample_salt,
+        max_fit_rows=max_fit_rows,
     )
-    if len(rows) > max_fit_rows:
-        raise ValueError(
-            f"fit sample exceeds max_fit_rows={max_fit_rows} "
-            f"(sample_mod={sample_mod} kept more than {max_fit_rows} rows); "
-            f"raise sample_mod to thin the hash-gated sample, or raise "
-            f"max_fit_rows if the driver can genuinely hold it"
-        )
-    rows.sort(key=lambda r: r["_id"])
-    dim = n_buckets + 2
-    X = np.zeros((len(rows), dim))
-    y = np.zeros(len(rows))
-    for i, r in enumerate(rows):
-        if r["_n"]:
-            counts = np.bincount(r["_buckets"], minlength=n_buckets)
-            X[i, :n_buckets] = counts / r["_n"]
-        X[i, n_buckets] = min(r["_n"] / 100.0, 1.0)
-        X[i, n_buckets + 1] = r["_alpha"]
-        y[i] = r["_y"]
-    w = np.zeros(dim)
-    b = 0.0
-    n = max(len(rows), 1)
-    for _ in range(iters):
-        z = X @ w + b
-        p = 1.0 / (1.0 + np.exp(-z))
-        g = p - y
-        w -= lr * (X.T @ g / n + l2 * w)
-        b -= lr * float(g.mean())
-    return QualityClassifier(tuple(float(v) for v in w), float(b), n_buckets)
+    return fit_from_rows(rows, n_buckets=n_buckets, iters=iters, lr=lr, l2=l2)
 
 
 def classifier_score(clf: QualityClassifier, text: Column) -> Column:

@@ -4602,10 +4602,25 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The holdout gate is a 1-row aggregate broadcast-crossJoined into
     the per-source rollup (the x54 scalar pattern — no driver-side
-    stats round-trip in the returned plan)."""
+    stats round-trip in the returned plan).
+
+    Shape (r15 optimization, guide §1.2/§2.3): ONE corpus pass. The
+    per-source rollup carries three extra holdout partial sums
+    (holdout count / correct / positives) so the accuracy gate is an
+    aggregate of the |sources|-row frame instead of a second corpus
+    scan; the sums divide to exactly the old ``avg`` values (0/1
+    doubles sum exactly). The student is scored under
+    ``F.when(holdout, …)`` so the heavy logit expression still runs
+    only on holdout rows. The refit-determinism gate re-runs the
+    numpy fit on the SAME collected sample instead of re-collecting
+    it — the Spark half's row set/order is deterministic by
+    construction (md5 sample gate + id sort; an over-cap take()
+    raises), so the gate still proves the part that could drift: the
+    float fit."""
     from igloo_spark.operators.classifier import (
-        fit_quality_classifier,
-        score_docs,
+        classifier_score,
+        collect_fit_rows,
+        fit_from_rows,
     )
     from igloo_spark.operators.packing import split_assign
 
@@ -4620,16 +4635,33 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=QCLF_SALT,
     )
     train = labeled.filter(F.col("split") == "train")
-    clf = fit_quality_classifier(train)
-    refit_ok = fit_quality_classifier(train) == clf
-    scored = score_docs(labeled, clf)
-    gates = (
-        scored.filter(F.col("split") == "holdout")
+    fit_rows = collect_fit_rows(train)
+    clf = fit_from_rows(fit_rows)
+    refit_ok = fit_from_rows(fit_rows) == clf
+    hold = F.col("split") == "holdout"
+    correct = (
+        (classifier_score(clf, F.col("text")) >= 0) == (F.col("label") == 1)
+    ).cast("bigint")
+    per_source = (
+        labeled.groupBy("source")
         .agg(
-            F.avg(
-                (F.col("clf_pred") == (F.col("label") == 1)).cast("double")
-            ).alias("_acc"),
-            F.avg(F.col("label").cast("double")).alias("_pos"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+            F.sum((F.col("split") == "train").cast("int"))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(hold.cast("bigint")).alias("_hn"),
+            F.sum(F.when(hold, correct)).alias("_hc"),
+            F.sum(F.when(hold, F.col("label").cast("bigint"))).alias("_hp"),
+        )
+        # |sources| rows; materialized so the gate agg below does not
+        # re-run the corpus-sized aggregation lineage
+        .localCheckpoint(eager=False)
+    )
+    gates = (
+        per_source.agg(
+            (F.sum("_hc") / F.sum("_hn")).alias("_acc"),
+            (F.sum("_hp") / F.sum("_hn")).alias("_pos"),
         )
         .select(
             (
@@ -4642,14 +4674,7 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        labeled.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("label").cast("bigint").alias("n_pos"),
-            F.sum((F.col("split") == "train").cast("int"))
-            .cast("bigint")
-            .alias("n_train"),
-        )
+        per_source.select("source", "n_docs", "n_pos", "n_train")
         .crossJoin(F.broadcast(gates))
         .withColumn("refit_deterministic", F.lit(bool(refit_ok)))
     )
