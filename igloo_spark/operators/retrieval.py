@@ -291,8 +291,6 @@ def probe_postings_index(
     mismatched bucket count (that would silently prune to the WRONG
     directories and return bogus empties). Returns the same
     (doc_id, score, rank) frame as :func:`bm25_topk` computed live."""
-    from igloo_spark.functions.hashing import hex_prefix_hash
-
     import glob as _glob
     import os as _os
 
@@ -313,13 +311,16 @@ def probe_postings_index(
         return spark.createDataFrame(
             [], "doc_id bigint, score double, rank bigint"
         )
-    probe = spark.createDataFrame([(t,) for t in terms], "term string")
+    # bucket ids computed driver-side: hex_prefix_hash is md5-derived
+    # (functions/hashing.py), so hashlib reproduces it byte-for-byte on
+    # the handful of literal query terms — no createDataFrame + collect
+    # round-trip (a whole Spark job) per serve request
+    import hashlib as _hashlib
+
     buckets = sorted(
         {
-            r["b"]
-            for r in probe.select(
-                (hex_prefix_hash(F.col("term")) % n_buckets).cast("int").alias("b")
-            ).collect()
+            int(_hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+            for t in terms
         }
     )
     posting = (
@@ -381,31 +382,48 @@ def rrf_fuse(
     the list missed the doc), ``rrf_nano``, and ``fused_rank``
     (row_number, top-``k``).
 
-    Scale: every input is already a top-k list, so the fusion is a
-    chain of k-row outer joins + one k-row window — driver-free and
-    constant-cost regardless of corpus size; the expensive work
-    stays in the upstream retrievers."""
+    Scale: every input is already a top-k list, so the fusion is one
+    union + one k·n_lists-row aggregation + one k-row window —
+    driver-free and constant-cost regardless of corpus size; the
+    expensive work stays in the upstream retrievers. (r15
+    optimization, guide §2.4: the previous chain of full-outer joins
+    cost two exchanges + sorts PER LIST — n-ary fusion now pays ONE
+    exchange total. Value-identical: each list is a row_number rank
+    list, so ids are unique and non-NULL per list, and
+    ``max(when(list=name, rank))`` reproduces exactly the outer
+    join's NULLable per-list rank columns.)"""
     from pyspark.sql.window import Window
 
     if not ranked:
         raise ValueError("ranked must name at least one list")
-    fused = None
-    contribs = []
-    for name, df in ranked.items():
-        side = df.select(
+    tagged = [
+        df.select(
             F.col(id_col),
-            F.col("rank").cast("bigint").alias(f"{name}_rank"),
+            F.lit(name).alias("_list"),
+            F.col("rank").cast("bigint").alias("_rank"),
         )
-        fused = side if fused is None else fused.join(side, id_col, "full_outer")
-        contribs.append(
-            F.coalesce(
-                F.floor(
-                    F.lit(1_000_000_000)
-                    / (F.lit(k_rrf) + F.col(f"{name}_rank"))
-                ).cast("bigint"),
-                F.lit(0).cast("bigint"),
+        for name, df in ranked.items()
+    ]
+    stacked = tagged[0]
+    for t in tagged[1:]:
+        stacked = stacked.unionByName(t)
+    fused = stacked.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_list") == name, F.col("_rank"))).alias(
+                f"{name}_rank"
             )
+            for name in ranked
+        ]
+    )
+    contribs = [
+        F.coalesce(
+            F.floor(
+                F.lit(1_000_000_000) / (F.lit(k_rrf) + F.col(f"{name}_rank"))
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
         )
+        for name in ranked
+    ]
     score = contribs[0]
     for c in contribs[1:]:
         score = score + c
