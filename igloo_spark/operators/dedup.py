@@ -817,26 +817,41 @@ def winnow_pairs(
     controlled by construction, and AQE skew-join splits anything that
     still runs hot.
 
-    The capped fingerprint table is lazily checkpointed so the
-    self-join's two sides SHARE one computation — without it each
-    side recomputes the whole scan → gram → winnow-select → cap
-    chain (the executed plan showed two Generate/Window subtrees;
-    the fingerprint selection is the expensive interpreted-HOF part).
-    Same pattern as the MinHash signature checkpoint above. The
-    self-join is pinned to sort-merge: the checkpoint snapshot makes
-    the static planner broadcast the (corpus-scale) fingerprint table
-    — the same misestimate trap documented at
-    ``extend_shared_spans``.
+    Pair expansion is IN-ROW, not a self-join: the cap window in
+    ``winnow_fingerprints`` already hash-partitions the rows by
+    ``fp``, so the follow-up ``groupBy(fp).collect_list(id)`` reuses
+    that exchange (zero new shuffles), its aggregation state is
+    bounded at ``max_fp_docs`` ids per group BY the cap filter that
+    precedes it, and the sorted id list expands to its C(n, 2)
+    ``doc_a < doc_b`` pairs with one transform-over-slices expression.
+    The earlier self-join shape re-shuffled the checkpointed
+    fingerprint table twice more (both SMJ sides) and generated n^2
+    join rows only to filter half away; this computes the expensive
+    scan → gram → winnow-select chain once (single consumer — no
+    checkpoint needed) and moves two exchanges' worth of work
+    in-row.
     """
     fp = winnow_fingerprints(
         df, id_col, text_col, k=k, w=w, max_fp_docs=max_fp_docs
-    ).localCheckpoint(eager=False)
-    a = fp.select(F.col(id_col).alias("doc_a"), "fp")
-    b = fp.select(F.col(id_col).alias("doc_b"), "fp")
+    )
+    # the inner self-join dropped NULL keys; replicate that contract
+    ids = (
+        fp.filter(F.col("fp").isNotNull() & F.col(id_col).isNotNull())
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b.hint("merge"), "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        ids.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

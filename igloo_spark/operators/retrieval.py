@@ -456,23 +456,33 @@ def mmr_rerank(
     RRF nano-scores), so the pick sequence is float-ulp-proof.
 
     ``pool`` carries (``id_col``, ``rel_col``, ``emb_col``) and is
-    k-row by contract (a retriever's top-k). It is MATERIALIZED once
-    via ``localCheckpoint`` before the greedy unroll — the pool's
-    lineage typically embeds the corpus-cost candidate generation
-    (a brute-force or index probe), and without the checkpoint every
-    unrolled step would re-execute that scan (the r14 verdict
-    measured 603 parquet scans / 40 cartesians for K=5 without it;
-    the x64 shared-subtree precedent). The pool**2 pair table — all
-    pairs BY DEFINITION of MMR over a k-row frame — is likewise
-    checkpointed, so each greedy step is an anti-join, a picked-set
-    join + max aggregate, and a TakeOrdered(1), every frame k-row
-    bounded, no driver collect.
+    k-row by contract (a retriever's top-k). Its lineage — typically
+    the corpus-cost candidate generation (a brute-force or index
+    probe) — is consumed exactly ONCE, by the pool aggregation below;
+    no frame is re-executed and no driver collect happens (the r14
+    verdict measured 603 parquet scans / 40 cartesians for K=5 when
+    each unrolled step re-ran the un-materialized pool lineage).
 
     Returns (``sel_rank``, ``id_col``, ``rel_col``, ``max_sim_micro``,
     ``mmr_milli``), ``k`` rows (fewer if the pool is smaller).
 
-    Scale: the upstream retriever carries the corpus cost ONCE; the
-    re-rank itself is O(K * pool^2) on materialized k-row frames —
+    Shape: the pool is collapsed to ONE row (``collect_list`` of
+    (id, rel, emb) structs, ``array_sort``\\ ed so ties scan in id
+    order) and the whole greedy unroll runs as a single
+    ``aggregate(sequence(2, k), ...)`` higher-order fold inside one
+    projection — each fold step filters the un-picked candidates,
+    takes ``array_max`` of the micro-cosines to the picked set, and
+    keeps the (score desc, id asc) argmax via a strict-``>`` in-order
+    scan. One job, one k-row aggregation, zero joins, zero
+    checkpoints; the earlier implementation unrolled K driver-issued
+    steps over localCheckpoint'd pool/pairs frames (~3 jobs per pick
+    of pure orchestration). The pairwise micro-cosines are evaluated
+    lazily per (candidate, picked) probe — same expression, same
+    left-to-right fold, bit-identical values.
+
+    Scale: the upstream retriever carries the corpus cost ONCE (the
+    pool aggregation is its only consumer); the re-rank itself is
+    O(K * pool^2) integer/HOF work on a single k-row array —
     constant at any corpus size, the serving-tier shape of
     :func:`rrf_fuse`."""
     from igloo_spark.functions.vectors import cosine_similarity
@@ -480,78 +490,98 @@ def mmr_rerank(
     if not 0 <= lambda_milli <= 1000:
         raise ValueError(f"lambda_milli must be in [0, 1000], got {lambda_milli}")
     lam, ilam = lambda_milli, 1000 - lambda_milli
-    # coalesce(1) before the checkpoint: the pool inherits its
-    # retriever's partitioning (e.g. 32 shuffle partitions holding 10
-    # rows), and every greedy step re-scans it — one partition turns
-    # K * (scans per step) task launches into single tasks
-    pool = (
-        pool.select(
-            F.col(id_col),
-            F.col(rel_col).cast("bigint").alias(rel_col),
-            F.col(emb_col),
-        )
-        .coalesce(1)
-        .localCheckpoint(eager=False)
-    )
-    a, b = pool.alias("a"), pool.alias("b")
-    pairs = (
-        a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("i"),
-            F.col(f"b.{id_col}").alias("j"),
-            F.floor(
-                cosine_similarity(F.col(f"a.{emb_col}"), F.col(f"b.{emb_col}"))
-                * F.lit(1000000.0)
-            ).cast("bigint").alias("sim_micro"),
-        )
-        .coalesce(1)
-        .localCheckpoint(eager=False)
-    )
-    cand = pool.select(id_col, rel_col)
-    picks = (
-        cand.orderBy(F.desc(rel_col), F.asc(id_col)).limit(1)
-        .select(
-            id_col, rel_col,
-            F.lit(0).cast("bigint").alias("max_sim_micro"),
-            F.lit(1).cast("bigint").alias("sel_rank"),
-        )
-    )
-    for step in range(2, k + 1):
-        # picked-set sides are <= step rows: broadcast them so every
-        # step join is a BroadcastHashJoin over the 1-partition
-        # checkpointed frames — no exchange in the greedy chain
-        msim = (
-            pairs.join(F.broadcast(picks.select(F.col(id_col).alias("j"))), "j")
-            .groupBy("i")
-            .agg(F.max("sim_micro").alias("max_sim_micro"))
-        )
-        nxt = (
-            cand.join(F.broadcast(picks.select(id_col)), id_col, "left_anti")
-            .join(F.broadcast(msim), F.col(id_col) == F.col("i"))
-            .drop("i")
-            .orderBy(
-                F.desc(
-                    F.lit(lam) * F.col(rel_col)
-                    - F.lit(ilam) * F.col("max_sim_micro")
-                ),
-                F.asc(id_col),
+
+    # one row: the id-sorted pool (unique ids make the struct sort a
+    # pure id sort, the canonical tie-break order for every argmax)
+    ps_df = pool.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col(rel_col).cast("bigint").alias("rel"),
+                    F.col(emb_col).alias("emb"),
+                )
             )
-            .limit(1)
-            .select(
-                id_col, rel_col, "max_sim_micro",
-                F.lit(step).cast("bigint").alias("sel_rank"),
-            )
+        ).alias("ps")
+    )
+    ps = F.col("ps")
+
+    def sim(p, q):
+        # identical expression to the old pairs frame: floor of the
+        # candidate->picked micro-cosine (cosine is evaluation-order
+        # symmetric: same products, same fold order either way)
+        return F.floor(
+            cosine_similarity(p["emb"], q["emb"]) * F.lit(1000000.0)
+        ).cast("bigint")
+
+    def pick_struct(c, ms, rank):
+        return F.struct(
+            c["id"].alias("id"),
+            c["rel"].alias("rel"),
+            ms.cast("bigint").alias("ms"),
+            rank.cast("bigint").alias("rank"),
+            c["emb"].alias("emb"),
         )
-        # checkpoint the growing picked set: it feeds THREE consumers
-        # next step (anti-join, pair probe, union), so an
-        # un-materialized lineage re-plans 3^K copies of every prior
-        # step — the same re-execution class the pool checkpoint fixes
-        picks = picks.unionByName(nxt).coalesce(1).localCheckpoint(eager=False)
-    return picks.select(
-        "sel_rank",
-        F.col(id_col),
-        F.col(rel_col),
-        "max_sim_micro",
-        (F.lit(lam) * F.col(rel_col) - F.lit(ilam) * F.col("max_sim_micro"))
-        .cast("bigint").alias("mmr_milli"),
+
+    # pick 1: (rel desc, id asc) argmax — strict > over the id-sorted
+    # array keeps the first (lowest-id) of any rel tie; empty pool
+    # gives a NULL seed that the filter below drops, leaving a
+    # correctly-typed empty picked array
+    first = F.aggregate(
+        ps,
+        F.element_at(ps, F.lit(1)),
+        lambda b, x: F.when(x["rel"] > b["rel"], x).otherwise(b),
+    )
+    init_picked = F.filter(
+        F.array(pick_struct(first, F.lit(0), F.lit(1))),
+        lambda p: p["id"].isNotNull(),
+    )
+
+    def step(picked, s):
+        remaining = F.filter(
+            ps, lambda p: ~F.exists(picked, lambda q: q["id"] == p["id"])
+        )
+        scored = F.transform(
+            remaining,
+            lambda p: F.struct(
+                p["id"].alias("id"),
+                p["rel"].alias("rel"),
+                p["emb"].alias("emb"),
+                F.array_max(
+                    F.transform(picked, lambda q: sim(p, q))
+                ).alias("ms"),
+            ),
+        )
+        # (lam*rel - ilam*ms) desc, id asc — strict > over the
+        # id-ordered scored array; exhausted pool -> NULL -> no-op
+        best = F.aggregate(
+            scored,
+            F.element_at(scored, F.lit(1)),
+            lambda b, x: F.when(
+                F.lit(lam) * x["rel"] - F.lit(ilam) * x["ms"]
+                > F.lit(lam) * b["rel"] - F.lit(ilam) * b["ms"],
+                x,
+            ).otherwise(b),
+        )
+        return F.when(
+            best["id"].isNotNull(),
+            F.concat(picked, F.array(pick_struct(best, best["ms"], s))),
+        ).otherwise(picked)
+
+    picked_final = (
+        F.aggregate(F.sequence(F.lit(2), F.lit(k)), init_picked, step)
+        if k >= 2
+        else init_picked
+    )
+    return (
+        ps_df.select(F.explode(picked_final).alias("p"))
+        .select(
+            F.col("p.rank").alias("sel_rank"),
+            F.col("p.id").alias(id_col),
+            F.col("p.rel").alias(rel_col),
+            F.col("p.ms").alias("max_sim_micro"),
+            (F.lit(lam) * F.col("p.rel") - F.lit(ilam) * F.col("p.ms"))
+            .cast("bigint")
+            .alias("mmr_milli"),
+        )
     )
