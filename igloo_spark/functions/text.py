@@ -32,6 +32,20 @@ def _count_occurrences(col: Column, pat: str) -> Column:
     return (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit("")))) / len(pat)
 
 
+def _let(col: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``col`` ONCE and
+    hand it to ``body`` as a lambda variable (a 1-element
+    ``transform``). Catalyst inlines multiply-referenced aliases when
+    projections collapse, so an expression like ``language_id`` that
+    references a heavy subterm from every CASE branch gets that
+    subterm re-expanded per reference — codegen's subexpression
+    elimination does not reach conditionally-evaluated branches.
+    A lambda variable, by contrast, is evaluated exactly once and
+    every reference is a cheap bound-value read. Values are
+    unchanged — only the evaluation count."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def count_occurrences_sql(expr: str, pat: str) -> str:
     pat_sql = pat.replace("'", "''")
     return f"((length({expr}) - length(replace({expr}, '{pat_sql}', ''))) / {len(pat)})"
@@ -76,12 +90,37 @@ def alpha_ratio_sql(expr: str) -> str:
 def quality_score(text: Column) -> Column:
     """Deterministic [0,1] quality heuristic: alphabetic ratio,
     length saturation, and an English-stopword signal — the standard
-    cheap pre-filters for LLM training corpora."""
-    toks = token_count(text).cast("double")
-    len_score = F.least(toks / F.lit(100.0), F.lit(1.0))
-    stop_hits = sum((_count_occurrences(F.lower(text), m) for m in LANG_MARKERS["en"]), F.lit(0))
-    stop_score = F.least(stop_hits / F.greatest(toks, F.lit(1.0)) * 10.0, F.lit(1.0))
-    return (0.5 * alpha_ratio(text) + 0.3 * len_score + 0.2 * stop_score).cast("double")
+    cheap pre-filters for LLM training corpora.
+
+    The token count, stopword hits (over ONE lowered copy) and alpha
+    ratio are let-bound (:func:`_let`) so each text pass runs once
+    per row however often the combination references it — the naive
+    form re-ran ``token_count``'s trim+split for every reference."""
+
+    def mk(v):
+        toks = v["toks"]
+        len_score = F.least(toks / F.lit(100.0), F.lit(1.0))
+        stop_score = F.least(
+            v["hits"] / F.greatest(toks, F.lit(1.0)) * 10.0, F.lit(1.0)
+        )
+        return (0.5 * v["alpha"] + 0.3 * len_score + 0.2 * stop_score).cast(
+            "double"
+        )
+
+    return _let(
+        F.struct(
+            token_count(text).cast("double").alias("toks"),
+            _let(
+                F.lower(text),
+                lambda lo: sum(
+                    (_count_occurrences(lo, m) for m in LANG_MARKERS["en"]),
+                    F.lit(0),
+                ),
+            ).alias("hits"),
+            alpha_ratio(text).alias("alpha"),
+        ),
+        mk,
+    )
 
 
 def quality_score_sql(expr: str) -> str:
@@ -100,17 +139,32 @@ def language_id(text: Column) -> Column:
 
     Ties break by fixed language order (en, de, fr, es) — the oracle
     SQL uses the same CASE chain so tie behavior is identical.
+
+    Both the lowered text and the per-language hit counts are
+    let-bound (:func:`_let`): the naive CASE chain referenced every
+    count from ``greatest`` inside every branch, re-expanding ~60
+    length/replace passes per row; here each marker's replace pass
+    runs exactly once and the argmax chain reads struct fields.
     """
-    lowered = F.lower(text)
-    counts = {
-        lang: sum((_count_occurrences(lowered, m) for m in markers), F.lit(0))
-        for lang, markers in LANG_MARKERS.items()
-    }
-    best = F.greatest(*counts.values())
-    result = F.when(best <= 0, F.lit("und"))
-    for lang in LANG_MARKERS:  # fixed dict order = deterministic tie-break
-        result = result.when(counts[lang] == best, F.lit(lang))
-    return result
+
+    def per_counts(lo):
+        return F.struct(
+            *[
+                sum(
+                    (_count_occurrences(lo, m) for m in markers), F.lit(0)
+                ).alias(lang)
+                for lang, markers in LANG_MARKERS.items()
+            ]
+        )
+
+    def pick(c):
+        best = F.greatest(*[c[lang] for lang in LANG_MARKERS])
+        result = F.when(best <= 0, F.lit("und"))
+        for lang in LANG_MARKERS:  # fixed dict order = deterministic tie-break
+            result = result.when(c[lang] == best, F.lit(lang))
+        return result
+
+    return _let(_let(F.lower(text), per_counts), pick)
 
 
 def language_id_sql(expr: str) -> str:

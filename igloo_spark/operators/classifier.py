@@ -225,6 +225,8 @@ def classifier_score(clf: QualityClassifier, text: Column) -> Column:
     weight array is a foldable literal, so interpreted-lambda
     re-evaluation (the r07 HOF rule) costs nothing. Blank documents
     score exactly ``w_alpha·alpha + bias``."""
+    from igloo_spark.functions.text import _let
+
     w_arr = F.array(*[F.lit(w) for w in clf.weights[: clf.n_buckets]])
     buckets = token_bucket_array(text, clf.n_buckets)
     tok_sum = F.aggregate(
@@ -236,13 +238,20 @@ def classifier_score(clf: QualityClassifier, text: Column) -> Column:
         lambda acc, x: acc + x,
     )
     n = token_count(text).cast("double")
-    unigram = F.when(n > 0, tok_sum / n).otherwise(F.lit(0.0))
-    return (
-        unigram
-        + F.lit(clf.w_len) * F.least(n / 100.0, F.lit(1.0))
-        + F.lit(clf.w_alpha) * alpha_ratio(text)
-        + F.lit(clf.bias)
-    ).cast("double")
+    # let-bind the three text passes (weight fold, token count, alpha)
+    # so each runs once per row — the naive combination re-ran
+    # token_count's trim+split for every one of its three references
+    return _let(
+        F.struct(
+            tok_sum.alias("s"), n.alias("n"), alpha_ratio(text).alias("a")
+        ),
+        lambda v: (
+            F.when(v["n"] > 0, v["s"] / v["n"]).otherwise(F.lit(0.0))
+            + F.lit(clf.w_len) * F.least(v["n"] / 100.0, F.lit(1.0))
+            + F.lit(clf.w_alpha) * v["a"]
+            + F.lit(clf.bias)
+        ).cast("double"),
+    )
 
 
 def score_docs(
@@ -256,7 +265,12 @@ def score_docs(
     scoring pass. Pure narrow projection: composes with any scan and
     keeps predicate pushdown below it intact."""
     z = classifier_score(clf, F.col(text_col))
-    return docs.withColumn(score_col, z).withColumn(pred_col, z >= 0)
+    # reference the score COLUMN for the decision, not the scoring
+    # expression tree — embedding z twice would leave single-eval to
+    # codegen subexpression elimination instead of guaranteeing it
+    return docs.withColumn(score_col, z).withColumn(
+        pred_col, F.col(score_col) >= 0
+    )
 
 
 def distill_quality_classifier(

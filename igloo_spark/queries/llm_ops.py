@@ -414,7 +414,10 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igloo_spark.operators.dedup import lsh_band_keys, minhash_signatures_mapside
 
-    docs = table(spark, sf_dir, "documents")
+    # fan_out: the signature pass is pure per-row md5 compute (16
+    # universal hashes over every shingle) with zero shuffles — a
+    # single-file scan would run it on one core (measured 2.7x slower)
+    docs = table(spark, sf_dir, "documents", fan_out=True)
     sig = minhash_signatures_mapside(docs, "doc_id", "text", 2, N_HASHES)
     return lsh_band_keys(sig, "doc_id", N_HASHES, BANDS).select(
         "doc_id", F.col("band").cast("bigint").alias("band"), "band_key"
@@ -622,7 +625,9 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
     from igloo_spark.operators.similarity import brute_force_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: the exact scan is per-row cosine compute against every
+    # broadcast query vector — map-heavy, no corpus shuffle
+    emb = table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
     return brute_force_topk(emb, queries, "vec_id", "embedding", ANN_K)
 
@@ -8056,22 +8061,24 @@ def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (also the serving CLI's ``--diversify`` path): pick 1 is
     the most relevant candidate; each later pick maximizes
     ``700*rel_micro - 300*max_sim_micro`` over the remainder (ties by
-    id). The K steps are unrolled as chained DataFrame plans over the
-    MATERIALIZED (localCheckpoint) k-row pool and pool^2 pair frames —
-    the r14 verdict measured 603 parquet scans / 40 cartesians when
-    the un-materialized candidate lineage was re-executed per step;
-    with the checkpoint the corpus-cost candidate generation runs
-    exactly once and every greedy step is an anti-join, a picked-set
-    join + max aggregate, and a TakeOrdered(1) over k-row RDD scans.
+    id). The whole greedy unroll runs as ONE higher-order fold over
+    the pool collapsed to a single id-sorted struct array (see
+    mmr_rerank) — the candidate-generation lineage is consumed
+    exactly once and no step re-executes it (the r14 verdict measured
+    603 parquet scans / 40 cartesians when each unrolled step re-ran
+    the un-materialized pool lineage).
 
     Scale: candidate generation (the broadcast exact scan, or swap in
     the IVF probe) carries the corpus cost ONCE; the MMR re-rank is
-    O(K * pool^2) on materialized k-row frames — constant at any
-    corpus size, exactly the serving-tier shape of rrf_fuse (x154)."""
+    O(K * pool^2) integer/HOF work on one k-row array — constant at
+    any corpus size, exactly the serving-tier shape of rrf_fuse
+    (x154)."""
     from igloo_spark.operators.retrieval import mmr_rerank
     from igloo_spark.operators.similarity import brute_force_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: candidate generation is the same map-heavy exact scan
+    # as x46
+    emb = table(spark, sf_dir, "embeddings", fan_out=True)
     q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
     pool = (
         brute_force_topk(emb, q, "vec_id", "embedding", MMR_POOL)

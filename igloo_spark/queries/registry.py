@@ -39,7 +39,9 @@ def register(
     return deco
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     from igloo_spark.sources import load_testdata_table
 
     # The driver's correctness gate calls queries with ITS OWN session,
@@ -47,7 +49,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC (ltz↔ntz conversions use the session timezone); it is
     # runtime-settable, so pin it on every table load.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return load_testdata_table(spark, sf_dir, name)
+    return load_testdata_table(spark, sf_dir, name, fan_out=fan_out)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:

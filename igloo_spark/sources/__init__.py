@@ -43,7 +43,40 @@ _EXT_FORMAT = {
 }
 
 
-def load_testdata_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+# Scale-adaptive scan fan-out (guide §2.5 "input skew: one huge
+# unsplittable file ... repartition immediately after the read", §6
+# split sizing). A single small parquet file is ONE scan task no
+# matter how many cores the session has — parquet row groups are the
+# split floor — so every per-row-expensive pass over it (md5
+# fingerprints, tokenization, encode) runs single-threaded while the
+# other cores idle. Fanning the scan out to the session's parallelism
+# is OPT-IN per call site: it pays an extra round-robin exchange of
+# the raw rows, which only wins when per-row compute dominates the
+# scan (md5/HOF-heavy passes; measured 2-3x there) and LOSES on
+# cheap-expression aggregations (the exchange + 32-task partial aggs
+# cost more than the single-task pipeline they replace). The size
+# condition keeps it scale-adaptive: at production scale (many files
+# / >= cores x 4 MB) it is a no-op, so no corpus-sized shuffle is
+# ever added; the floor keeps broadcast-bound dimension tables on
+# the cheap single-task path.
+_FANOUT_MIN_BYTES = 512 * 1024
+_FANOUT_BYTES_PER_CORE = 4 * 1024 * 1024
+
+
+def _fan_out_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if cores > 1 and _FANOUT_MIN_BYTES <= size < cores * _FANOUT_BYTES_PER_CORE:
+        return df.repartition(cores)
+    return df
+
+
+def load_testdata_table(
+    spark: SparkSession, sf_dir: str, table: str, fan_out: bool = False
+) -> DataFrame:
     """Load one driver-testdata table with type normalization.
 
     ``events.ts`` has shipped as three parquet physical types across
@@ -60,7 +93,10 @@ def load_testdata_table(spark: SparkSession, sf_dir: str, table: str) -> DataFra
         # runtime-settable; needed when the caller's session was built
         # without our defaults (e.g. the driver's own SparkSession)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    df = spark.read.parquet(path)
+    if fan_out:
+        df = _fan_out_small_scan(spark, df, path)
     if table == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
