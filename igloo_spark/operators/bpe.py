@@ -66,6 +66,13 @@ def word_frequencies(
 # construction and skip the guard.
 MAX_VOCAB_ROWS = 1_000_000
 
+# Vocabularies at or under this row count encode via an inlined
+# literal word→ids map (one narrow projection, zero joins/shuffles);
+# larger ones take the broadcast-join path. Bounds the literal-map
+# expression so plans stay small and the map's linear key scan stays
+# cheaper than a hash join would be.
+_INLINE_VOCAB_MAX = 512
+
 
 def _bounded_vocab(
     docs: DataFrame,
@@ -276,6 +283,29 @@ def bpe_word_ids(
     fallback), or raises loudly if ``unk_id`` is None so a silent
     tokenizer/corpus mismatch can't ship wrong ids."""
     spark = docs.sparkSession
+    return spark.createDataFrame(
+        _word_id_rows(
+            docs, merges, text_col, top_v,
+            token_ids=token_ids, unk_id=unk_id,
+            max_vocab_rows=max_vocab_rows, vocab_rows=vocab_rows,
+        ),
+        "word string, freq bigint, ids array<bigint>",
+    )
+
+
+def _word_id_rows(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    top_v: int | None = None,
+    token_ids: dict[str, int] | None = None,
+    unk_id: int | None = None,
+    max_vocab_rows: int | None = MAX_VOCAB_ROWS,
+    vocab_rows: list | None = None,
+) -> list[tuple[str, int, list[int]]]:
+    """Driver-side ``(word, freq, ids)`` tuples — the rows behind
+    :func:`bpe_word_ids`, exposed so :func:`bpe_encode_ids` can
+    inline a small table as a literal map instead of joining."""
     if vocab_rows is None:
         vocab_rows = _bounded_vocab(docs, text_col, top_v, max_vocab_rows)
     id_map = (
@@ -302,10 +332,7 @@ def bpe_word_ids(
                 )
         return out
 
-    return spark.createDataFrame(
-        [(r["word"], r["freq"], _ids(r["word"])) for r in vocab_rows],
-        "word string, freq bigint, ids array<bigint>",
-    )
+    return [(r["word"], r["freq"], _ids(r["word"])) for r in vocab_rows]
 
 
 def bpe_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
@@ -466,6 +493,10 @@ def bpe_encode_ids(
             "driver path's word-level unk substitution — drop top_v "
             "(full-fidelity ids) or drop distributed (capped ids)"
         )
+    empty = F.array().cast("array<bigint>")
+    fallback = (
+        F.array(F.lit(unk_id).cast("bigint")) if unk_id is not None else empty
+    )
     if distributed:
         # huge-vocab mode: segmentation runs executor-side (one
         # Arrow-batched stage, bpe_word_ids_distributed) and the id
@@ -476,10 +507,51 @@ def bpe_encode_ids(
         )
         id_table = word_ids.select(F.col("word").alias("__word"), "ids")
     else:
-        word_ids = bpe_word_ids(
+        rows = _word_id_rows(
             docs, merges, text_col, top_v,
             token_ids=token_ids, unk_id=unk_id,
             max_vocab_rows=max_vocab_rows, vocab_rows=vocab_rows,
+        )
+        if len(rows) <= _INLINE_VOCAB_MAX:
+            # small-vocab fast path: inline the word→ids table as a
+            # literal map and encode with ONE narrow projection —
+            # flatten(transform(words, w -> map[w])) preserves word
+            # order by construction, so the posexplode + broadcast
+            # join + sort-inside-collect groupBy (and its corpus-
+            # sized exchange) disappear entirely. Per-word semantics
+            # are identical to the join path: vocab word → its id
+            # sequence, out-of-table word → [unk_id] under a cap /
+            # nothing otherwise, blank text → empty array. Bounded:
+            # a vocabulary over _INLINE_VOCAB_MAX entries (any real
+            # corpus) takes the broadcast-join path below — a giant
+            # literal map would bloat the plan, and at that size the
+            # join is the right shape anyway.
+            entries: list = []
+            for w, _freq, ids in rows:
+                entries.append(F.lit(w))
+                entries.append(
+                    F.lit([int(i) for i in ids]).cast("array<bigint>")
+                    if ids
+                    else empty
+                )
+            if entries:
+                id_map_col = F.create_map(*entries)
+                lookup = lambda w: F.coalesce(  # noqa: E731
+                    F.element_at(id_map_col, w), fallback
+                )
+            else:
+                lookup = lambda w: fallback  # noqa: E731
+            ids_col = F.flatten(F.transform(_words(F.col(text_col)), lookup))
+            return (
+                docs.select(
+                    F.col(id_col),
+                    F.coalesce(ids_col, empty).alias("input_ids"),
+                )
+                .withColumn("n_ids", F.size("input_ids").cast("bigint"))
+            )
+        spark = docs.sparkSession
+        word_ids = spark.createDataFrame(
+            rows, "word string, freq bigint, ids array<bigint>"
         )
         id_table = F.broadcast(
             word_ids.select(F.col("word").alias("__word"), "ids")
@@ -495,13 +567,9 @@ def bpe_encode_ids(
     #                       the row — a dropped row contributes nothing
     #                       to the flatten),
     #   vocab word        → its id sequence.
-    empty = F.array().cast("array<bigint>")
     occ = docs.select(
         F.col(id_col),
         F.posexplode_outer(_words(F.col(text_col))).alias("__pos", "__word"),
-    )
-    fallback = (
-        F.array(F.lit(unk_id).cast("bigint")) if unk_id is not None else empty
     )
     joined = occ.join(id_table, "__word", "left").withColumn(
         "__ids",

@@ -4629,17 +4629,27 @@ def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from igloo_spark.operators.packing import split_assign
 
-    d = table(spark, sf_dir, "documents")
-    labeled = split_assign(
-        d.withColumn(
-            "label",
-            (quality_score(F.col("text")) >= QCLF_LABEL_THR).cast("int"),
-        ),
-        "doc_id",
-        dict(QCLF_SPLITS),
-        salt=QCLF_SALT,
-    )
-    train = labeled.filter(F.col("split") == "train")
+    def _labeled(frame):
+        return split_assign(
+            frame.withColumn(
+                "label",
+                (quality_score(F.col("text")) >= QCLF_LABEL_THR).cast("int"),
+            ),
+            "doc_id",
+            dict(QCLF_SPLITS),
+            salt=QCLF_SALT,
+        )
+
+    labeled = _labeled(table(spark, sf_dir, "documents"))
+    # fan_out for the FIT collect only: the sample fetch evaluates the
+    # teacher label + per-token md5 buckets for every sampled row — a
+    # single-task pass on a one-file scan (measured 0.9s -> 0.6s
+    # fanned). The sample SET is partitioning-independent (md5 gate;
+    # sub-cap take() returns all rows) and the fit sorts by id. The
+    # per-source rollup keeps the cheap single-task scan pipeline.
+    train = _labeled(
+        table(spark, sf_dir, "documents", fan_out=True)
+    ).filter(F.col("split") == "train")
     fit_rows = collect_fit_rows(train)
     clf = fit_from_rows(fit_rows)
     refit_ok = fit_from_rows(fit_rows) == clf
