@@ -529,7 +529,7 @@ def mmr_rerank(
     # correctly-typed empty picked array
     first = F.aggregate(
         ps,
-        F.element_at(ps, F.lit(1)),
+        F.try_element_at(ps, F.lit(1)),
         lambda b, x: F.when(x["rel"] > b["rel"], x).otherwise(b),
     )
     init_picked = F.filter(
@@ -556,7 +556,7 @@ def mmr_rerank(
         # id-ordered scored array; exhausted pool -> NULL -> no-op
         best = F.aggregate(
             scored,
-            F.element_at(scored, F.lit(1)),
+            F.try_element_at(scored, F.lit(1)),
             lambda b, x: F.when(
                 F.lit(lam) * x["rel"] - F.lit(ilam) * x["ms"]
                 > F.lit(lam) * b["rel"] - F.lit(ilam) * b["ms"],
