@@ -5042,6 +5042,59 @@ def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = learn_bpe_merges(
         d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
     )
+    from igloo_spark.operators.bpe import _INLINE_VOCAB_MAX, _apply_merges
+
+    seg_rows = [
+        (r["word"], len(_apply_merges(r["word"], merges)))
+        for r in vocab_rows
+    ]
+    if len(seg_rows) <= _INLINE_VOCAB_MAX:
+        # small-vocab fast path (same bound/rationale as
+        # bpe_encode_ids): inline word→n_symbols as a literal map and
+        # roll the per-word sums up IN-ROW, so the per-source agg sees
+        # one row per document instead of one per word occurrence —
+        # the explode, the broadcast join and the word-stream partial
+        # agg disappear. Join semantics preserved exactly: a word
+        # outside the table contributes to NO aggregate (inner join
+        # dropped it), a document with zero matching words is not
+        # counted in n_docs (it had no joined rows), and doc_ids are
+        # unique so countDistinct(doc_id) == count of doc rows.
+        from igloo_spark.functions.text import _let
+
+        entries: list = []
+        for w, n in seg_rows:
+            entries.extend([F.lit(w), F.lit(int(n))])
+        m = F.create_map(*entries)
+        zero = F.lit(0).cast("bigint")
+        wv = F.filter(
+            _words(F.col("text")),
+            lambda w: (F.length(w) > 0)
+            & F.try_element_at(m, w).isNotNull(),
+        )
+        stats = _let(
+            wv,
+            lambda v: F.struct(
+                F.size(v).cast("bigint").alias("nw"),
+                F.aggregate(
+                    v, zero, lambda a, w: a + F.length(w).cast("bigint")
+                ).alias("nc"),
+                F.aggregate(
+                    v, zero, lambda a, w: a + F.try_element_at(m, w).cast("bigint")
+                ).alias("nt"),
+            ),
+        )
+        per = (
+            d.select("source", stats.alias("st"))
+            .select("source", "st.*")
+            .filter(F.col("nw") > 0)
+        )
+        return per.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("total_words"),
+            F.sum("nc").cast("bigint").alias("total_chars"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("nc") / F.sum("nt"), 6).alias("compression_ratio"),
+        )
     seg = bpe_segmentations(d, merges, top_v=None, vocab_rows=vocab_rows)
     occ = d.select(
         "source", "doc_id", F.explode(_words(F.col("text"))).alias("word")
