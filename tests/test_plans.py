@@ -380,11 +380,12 @@ def _all_specs():
 
 
 # Deliberate exceptions to the no-cartesian rule: the cross-join surface
-# itself, the exact (all-pairs by definition) ANN baseline, and MMR's
-# pool^2 pair table (all pairs BY DEFINITION of the MMR redundancy term,
-# over a k-row materialized pool — the corpus never enters the cross;
-# with mmr_rerank's localCheckpoint the cross is usually hidden behind
-# an RDD scan anyway, this entry keeps the intent explicit).
+# itself and the exact (all-pairs by definition) ANN baseline. x158
+# stays whitelisted for historical intent only — since the r15 fold
+# rewrite mmr_rerank computes its pool^2 similarities inside one
+# higher-order expression (no join nodes at all), so the entry is
+# never exercised; it documents that all-pairs over the k-row pool
+# would be acceptable BY DEFINITION of the MMR redundancy term.
 _INTENTIONAL_CROSS = {
     "q12_cross_join",
     "x46_ann_bruteforce_topk",
