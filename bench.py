@@ -166,7 +166,11 @@ def main() -> int:
             from igloo_spark.operators.classifier import score_docs
             from igloo_spark.sources import load_testdata_table
 
-            docs = load_testdata_table(spark, sf_dir, "documents")
+            # fan_out: the scoring pass is the literal-frozen per-token
+            # md5 expression per row with no downstream exchange — the
+            # canonical fan-out profile (measured 0.45s -> 0.14s in
+            # interleaved A/B; a no-op at gate SFs / production sizes)
+            docs = load_testdata_table(spark, sf_dir, "documents", fan_out=True)
             if self._clf is None:
                 self.prefit(spark, sf_dir)
             return score_docs(docs, self._clf)

@@ -2179,7 +2179,13 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL); this is part of the §2.D training-data surface."""
     from igloo_spark.operators.dedup import winnow_pairs
 
-    d = table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    # fan_out: the gram+winnow selection is per-row md5-heavy compute
+    # (one md5 per k-gram) ahead of the fp-keyed exchange — measured
+    # ~0.85x fanned in interleaved A/B (the earlier rejection predated
+    # the in-row pair expansion that removed the self-join)
+    d = table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.length(F.trim("text")) > 0
+    )
     return winnow_pairs(
         d, "doc_id", "text",
         k=_WINNOW_K, w=_WINNOW_W,
@@ -6205,7 +6211,12 @@ def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = learn_bpe_merges(
         d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
     )
-    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
+    # fan_out on the ENCODE side only (separate load: the vocab fetch
+    # above keeps the cheap single-task scan — fanning it was measured
+    # 2x worse): with the small-vocab literal-map encode the per-row
+    # projection dominates this pipeline, measured ~0.82x fanned
+    d_enc = table(spark, sf_dir, "documents", fan_out=True)
+    enc = bpe_encode_ids(d_enc, merges, top_v=None, vocab_rows=vocab_rows)
     return pack_token_rows(
         enc, budget=PACK_ID_BUDGET, n_shards=PACK_SHARDS
     ).select(
@@ -6855,7 +6866,11 @@ def x144(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = learn_bpe_merges(
         d, n_merges=_BPE_N_MERGES, top_v=None, vocab_rows=vocab_rows
     )
-    enc = bpe_encode_ids(d, merges, top_v=None, vocab_rows=vocab_rows)
+    # fan_out on the ENCODE side only, as in x138: the encode + chunk
+    # slicing is per-row HOF-heavy, measured ~0.82x fanned in
+    # interleaved A/B; the vocab fetch keeps its single-task scan
+    d_enc = table(spark, sf_dir, "documents", fan_out=True)
+    enc = bpe_encode_ids(d_enc, merges, top_v=None, vocab_rows=vocab_rows)
     chunks = chunk_token_rows(
         enc, budget=CHUNK_BUDGET, stride=CHUNK_STRIDE
     ).select(

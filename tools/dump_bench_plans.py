@@ -59,7 +59,11 @@ def main() -> int:
             from igloo_spark.operators.classifier import score_docs
             from igloo_spark.sources import load_testdata_table
 
-            return score_docs(load_testdata_table(spark, sf_dir, "documents"), self._clf)
+            # mirrors bench.py's _ScoreOnly: fan_out on the scoring scan
+            return score_docs(
+                load_testdata_table(spark, sf_dir, "documents", fan_out=True),
+                self._clf,
+            )
 
     class _HybridServe:
         name = "x155_hybrid_serve"
