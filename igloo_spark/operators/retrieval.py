@@ -86,13 +86,18 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
-    top = per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
-    # rank over the k surviving rows only (single tiny partition —
-    # this window never sees corpus-scale data)
+    # top-k and rank in ONE window pass: the rank<=k filter compiles
+    # to a WindowGroupLimit, so each map task keeps only k rows before
+    # the single-partition exchange — one pass over per_doc instead of
+    # a TakeOrdered followed by a second exchange+sort for the rank
+    # window (same (score desc, id asc) order, identical rows/ranks)
     from pyspark.sql.window import Window
 
     wr = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def bm25_topk_sql_duckdb(
@@ -347,11 +352,16 @@ def probe_postings_index(
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
-    top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # one fused window pass (rank<=k -> WindowGroupLimit) instead of
+    # TakeOrdered + a second exchange for the rank window — see
+    # bm25_topk; identical rows/ranks, one fewer stage per serve probe
     from pyspark.sql.window import Window
 
     wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def rrf_fuse(
