@@ -24,9 +24,12 @@ import pytest
 
 
 class TestMmrPlan:
-    """x158's executed plan must NOT re-run the corpus-cost candidate
-    generation per greedy step: the pool/pairs/picks frames are
-    materialized, so the final plan is k-row RDD scans only."""
+    """x158's plan must NOT re-run the corpus-cost candidate
+    generation per greedy step: since the r15 higher-order-fold
+    rewrite of mmr_rerank the whole greedy unroll is ONE projection
+    over a single pool aggregation, so every plan count below is
+    CONSTANT IN K (the r14 bug multiplied corpus scans ~K*steps: 603
+    scans / 40 cartesians measured for K=5)."""
 
     def test_x158_plan_has_no_corpus_rescan(self, spark):
         from igloo_spark.queries import all_queries
@@ -35,12 +38,17 @@ class TestMmrPlan:
             spark, "/root/testdata/sf0.001"
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Scan parquet") == 0, plan
+        # exactly the candidate-generation lineage, consumed once:
+        # the query-vector scan, the brute-force corpus scan, and the
+        # pool embedding attach — NOT K-proportional re-scans
+        assert plan.count("Scan parquet") == 3, plan
         assert plan.count("CartesianProduct") == 0, plan
-        assert plan.count("BroadcastNestedLoop") == 0, plan
-        # the greedy chain itself is exchange-free (checkpointed
-        # 1-partition frames + broadcast picked sets)
-        assert plan.count("Exchange") == 0, plan
+        # the one sanctioned nested-loop: the broadcast 1-row query
+        # side against the corpus inside brute_force_topk
+        assert plan.count("BroadcastNestedLoop") <= 1, plan
+        # greedy steps add no exchanges: the fold runs inside one
+        # projection after a single-partition pool aggregation
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
         assert len(df.collect()) == 5
 
     def test_mmr_rerank_matches_driver_greedy(self, spark):
