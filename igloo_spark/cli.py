@@ -1145,15 +1145,18 @@ def main(argv: list[str] | None = None) -> int:
             cli_top_v = None if args.bpe_top_v == 0 else args.bpe_top_v
             bpe_merges = None
             bpe_vocab = None
+            bpe_word_ids = None
             if args.bpe_merges is not None:
                 from igloo_spark.operators.bpe import (
                     load_bpe_merges,
                     load_bpe_vocab,
+                    load_bpe_word_ids,
                 )
 
                 try:
                     bpe_merges = load_bpe_merges(args.bpe_merges)
                     bpe_vocab = load_bpe_vocab(args.bpe_merges)
+                    bpe_word_ids = load_bpe_word_ids(args.bpe_merges)
                 except (FileNotFoundError, ValueError) as e:
                     print(f"error: --bpe-merges: {e}", file=sys.stderr)
                     return 2
@@ -1189,6 +1192,7 @@ def main(argv: list[str] | None = None) -> int:
                         budget=args.pack_budget, n_shards=args.n_shards,
                         bpe_top_v=cli_top_v,
                         bpe_distributed=args.bpe_distributed,
+                        bpe_word_ids=bpe_word_ids,
                         chunk_budget=args.chunk_budget,
                         chunk_stride=args.chunk_stride,
                         epochs=epochs,
@@ -1246,6 +1250,7 @@ def main(argv: list[str] | None = None) -> int:
                         n_shards=args.n_shards,
                         bpe_top_v=cli_top_v,
                         bpe_distributed=args.bpe_distributed,
+                        bpe_word_ids=bpe_word_ids,
                         eos_id=args.eos_id,
                     )
                 except ValueError as e:
@@ -1277,6 +1282,7 @@ def main(argv: list[str] | None = None) -> int:
                 bpe_merges=bpe_merges, bpe_vocab=bpe_vocab,
                 bpe_top_v=cli_top_v,
                 bpe_distributed=args.bpe_distributed,
+                bpe_word_ids=bpe_word_ids,
                 denoise_window=args.denoise_window,
                 denoise_mask_mod=args.denoise_mask_mod,
                 fim_rate_mod=args.fim_mod,
@@ -1490,7 +1496,21 @@ def main(argv: list[str] | None = None) -> int:
             vocab = bpe_token_id_map(
                 docs, merges, top_v=top_v, vocab_rows=vocab_rows
             )
-            save_bpe_merges(merges, args.fit_bpe_merges, vocab=vocab)
+            # persist the word -> id-sequence derivation too: the
+            # vocab rows are already in hand, so the table is pure
+            # driver-side segmentation (zero extra Spark jobs) and
+            # every later frozen-artifact encode skips ITS corpus
+            # vocabulary pass entirely (guide §1.2)
+            from igloo_spark.operators.bpe import frozen_word_ids
+
+            word_ids = frozen_word_ids(
+                docs, merges, top_v=top_v, token_ids=vocab,
+                unk_id=len(vocab), vocab_rows=vocab_rows,
+            )
+            save_bpe_merges(
+                merges, args.fit_bpe_merges, vocab=vocab,
+                word_ids=word_ids,
+            )
             print(
                 f"learned {len(merges)} BPE merges "
                 f"({len(vocab)} vocab ids, top_v "

@@ -444,6 +444,7 @@ def bpe_encode_ids(
     max_vocab_rows: int | None = MAX_VOCAB_ROWS,
     distributed: bool = False,
     vocab_rows: list | None = None,
+    word_ids_map: dict[str, list[int]] | None = None,
 ) -> DataFrame:
     """Encode every document to ``input_ids array<bigint>`` — the
     pretraining handoff: word order is preserved (posexplode position
@@ -472,11 +473,39 @@ def bpe_encode_ids(
     joins shuffle-side instead of broadcasting — byte-identical ids,
     one extra exchange, no driver bound at any vocabulary size.
 
+    ``word_ids_map`` (a :func:`load_bpe_word_ids` table from a
+    word-ids-carrying artifact) skips the encode's own corpus
+    vocabulary pass entirely — the word→ids derivation was persisted
+    at fit time, so this call runs ZERO pre-encode Spark jobs.
+    Requires ``unk_id``: a word outside the frozen word table
+    contributes ``[unk_id]`` (word-level UNK, the ``top_v``-cap
+    contract — the artifact's word table IS a frozen vocabulary cap).
+
     Plan shape at 100 TB: one posexplode (narrow), one BROADCAST join
     against the vocab id table (default mode), one groupBy(doc) with
     sort-inside-collect — no corpus self-join, no per-token Python.
     Blank documents encode to the empty array (left join keeps
     them)."""
+    if word_ids_map is not None:
+        if unk_id is None:
+            raise ValueError(
+                "word_ids_map needs unk_id: a frozen word table makes "
+                "out-of-table words unmappable, and dropping them from "
+                "input_ids silently would corrupt the training data"
+            )
+        if distributed:
+            raise ValueError(
+                "word_ids_map is incompatible with distributed=True: "
+                "the distributed path segments executor-side and needs "
+                "no driver word table"
+            )
+        if top_v is not None:
+            raise ValueError(
+                "top_v is incompatible with word_ids_map: the frozen "
+                "word table already caps the vocabulary at the fit "
+                "corpus's words — re-capping by this corpus's "
+                "frequencies would make ids batch-dependent"
+            )
     if top_v is not None and unk_id is None:
         raise ValueError(
             "bpe_encode_ids with top_v set needs unk_id: a capped "
@@ -507,11 +536,19 @@ def bpe_encode_ids(
         )
         id_table = word_ids.select(F.col("word").alias("__word"), "ids")
     else:
-        rows = _word_id_rows(
-            docs, merges, text_col, top_v,
-            token_ids=token_ids, unk_id=unk_id,
-            max_vocab_rows=max_vocab_rows, vocab_rows=vocab_rows,
-        )
+        if word_ids_map is not None:
+            # frozen word table from the artifact: zero pre-encode
+            # Spark jobs (sorted for a deterministic literal-map /
+            # broadcast-table layout across runs)
+            rows = [
+                (w, 0, list(word_ids_map[w])) for w in sorted(word_ids_map)
+            ]
+        else:
+            rows = _word_id_rows(
+                docs, merges, text_col, top_v,
+                token_ids=token_ids, unk_id=unk_id,
+                max_vocab_rows=max_vocab_rows, vocab_rows=vocab_rows,
+            )
         if len(rows) <= _INLINE_VOCAB_MAX:
             # small-vocab fast path: inline the word→ids table as a
             # literal map and encode with ONE narrow projection —
@@ -687,6 +724,7 @@ def save_bpe_merges(
     merges: list[tuple[str, str, int]],
     path: str,
     vocab: dict[str, int] | None = None,
+    word_ids: dict[str, list[int]] | None = None,
 ) -> None:
     """Persist a learned merge table as a JSON artifact (strings and
     integer counts — exact by construction), tmp-then-``os.replace``
@@ -701,10 +739,27 @@ def save_bpe_merges(
     same merges would disagree on ids. A vocab-carrying artifact also
     records ``unk_id`` (= len(vocab), the reserved next id) for
     symbols outside the training alphabet — the char-level analogue
-    of a byte-level tokenizer's fallback."""
+    of a byte-level tokenizer's fallback.
+
+    ``word_ids`` (a :func:`frozen_word_ids` table — the fit corpus's
+    word → id-sequence derivation) additionally persists the WORD
+    TABLE in the artifact, so consumers encode with zero corpus
+    passes: without it, every frozen-artifact encode re-derives the
+    word→ids map with one corpus-sized word-frequency pass + driver
+    collect per run (guide §1.2 — the same derivation re-paid on
+    every export). The trade, stated honestly: the word table caps
+    the vocabulary at what the FIT corpus saw, so an encode-corpus
+    word outside it maps to ``[unk_id]`` (word-level UNK — the
+    established ``top_v``-cap contract) instead of being segmented
+    symbol-wise. Requires ``vocab`` (the unk id comes from it)."""
     import json
     import os
 
+    if word_ids is not None and vocab is None:
+        raise ValueError(
+            "word_ids needs vocab: the word table's out-of-table "
+            "fallback is the frozen vocab's reserved unk_id"
+        )
     payload = {
         "format": _BPE_FORMAT,
         "version": 1,
@@ -713,6 +768,10 @@ def save_bpe_merges(
     if vocab is not None:
         payload["vocab"] = vocab
         payload["unk_id"] = len(vocab)
+    if word_ids is not None:
+        payload["word_ids"] = {
+            w: [int(i) for i in ids] for w, ids in word_ids.items()
+        }
     tmp = f"{path}.tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1, ensure_ascii=False)
@@ -752,6 +811,52 @@ def load_bpe_vocab(path: str) -> tuple[dict[str, int], int] | None:
         return None
     vocab = {str(k): int(v) for k, v in payload["vocab"].items()}
     return vocab, int(payload.get("unk_id", len(vocab)))
+
+
+def load_bpe_word_ids(path: str) -> dict[str, list[int]] | None:
+    """Load the frozen word → id-sequence table from a
+    word-ids-carrying :func:`save_bpe_merges` artifact, or ``None``
+    for an artifact without one (consumers then re-derive the table
+    from their own corpus — the pre-r16 behavior, one corpus pass per
+    encode)."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != _BPE_FORMAT:
+        raise ValueError(
+            f"{path}: not a BPE merge artifact (format={payload.get('format')!r})"
+        )
+    if "word_ids" not in payload:
+        return None
+    return {
+        str(w): [int(i) for i in ids]
+        for w, ids in payload["word_ids"].items()
+    }
+
+
+def frozen_word_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    top_v: int | None = None,
+    token_ids: dict[str, int] | None = None,
+    unk_id: int | None = None,
+    max_vocab_rows: int | None = MAX_VOCAB_ROWS,
+    vocab_rows: list | None = None,
+) -> dict[str, list[int]]:
+    """The fit corpus's word → id-sequence derivation as a plain dict
+    — what :func:`save_bpe_merges` persists under ``word_ids`` so
+    every later frozen-artifact encode skips its own corpus pass.
+    Reuses a :func:`corpus_vocab` fetch via ``vocab_rows`` (at fit
+    time the rows are already in hand — deriving the table is then
+    pure driver-side segmentation, zero extra Spark jobs)."""
+    rows = _word_id_rows(
+        docs, merges, text_col, top_v,
+        token_ids=token_ids, unk_id=unk_id,
+        max_vocab_rows=max_vocab_rows, vocab_rows=vocab_rows,
+    )
+    return {w: [int(i) for i in ids] for w, _freq, ids in rows}
 
 
 def token_ngram_keys(

@@ -530,12 +530,19 @@ def temperature_sample(
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     counts = df.groupBy(mix_col).agg(F.count("*").alias("__n"))
-    n_min = counts.agg(
-        F.min("__n").cast("double").alias("__n_min")
-    )
-    ratio = F.col("__n_min") / F.col("__n")
+    # n_min via an unpartitioned window over the |classes|-row counts
+    # frame, NOT a separate min-aggregate crossJoined back: the agg
+    # formulation duplicated the counts subtree (plans showed the
+    # corpus scanned TWICE for the rates table — guide §2.4); the
+    # window costs one single-partition exchange of |classes| rows and
+    # the counts aggregation runs once. Arithmetic unchanged: the same
+    # double division, correctly rounded sqrt, floor to precision.
+    from pyspark.sql.window import Window as _W
+
+    n_min = F.min("__n").over(_W.partitionBy()).cast("double")
+    ratio = n_min / F.col("__n")
     scaled = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(alpha))
-    rates = counts.crossJoin(F.broadcast(n_min)).select(
+    rates = counts.select(
         mix_col,
         F.floor(scaled * precision).cast("bigint").alias("mix_rate"),
     )

@@ -1090,6 +1090,26 @@ def pq_books_table(spark, books: list[list[list[float]]]) -> DataFrame:
     )
 
 
+def _quantizer_table(spark, centroids, books) -> DataFrame:
+    """BOTH quantizers as ONE one-row broadcastable table — the fused
+    form of :func:`centroids_table` + :func:`pq_books_table` for the
+    IVFADC probe side, which needs ``cents`` and ``books`` together.
+    Two separate 1-row tables cost two BroadcastExchange jobs per
+    query (measured ~0.2-0.3 s of fixed latency each at any data
+    size — the dominant cost of the x123 probe side); one table with
+    both columns is one broadcast, byte-identical downstream (the
+    consuming expressions read the same ``cents``/``books``
+    columns)."""
+    import json
+
+    cpay = json.dumps([[float(v) for v in row] for row in centroids])
+    bpay = json.dumps([[[float(v) for v in c] for c in b] for b in books])
+    return spark.range(1).select(
+        F.from_json(F.lit(cpay), "array<array<double>>").alias("cents"),
+        F.from_json(F.lit(bpay), "array<array<array<double>>>").alias("books"),
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -351,6 +351,7 @@ def _export_encode(
     id_col: str,
     text_col: str,
     distributed: bool = False,
+    bpe_word_ids: "dict[str, list[int]] | None" = None,
 ) -> "tuple[DataFrame, int | None]":
     """The shard exporters' text-mode encode, BOUNDED by default:
     every driver-side vocabulary fetch over a SELF-DERIVED vocab is
@@ -369,6 +370,16 @@ def _export_encode(
     ``MAX_VOCAB_ROWS`` guard still raises on a vocabulary too large
     to collect (the escape hatch is ``distributed=True``).
 
+    ``bpe_word_ids`` (a ``load_bpe_word_ids`` table from a
+    word-ids-carrying artifact) removes the frozen path's one
+    remaining corpus pass: the word→ids derivation was persisted at
+    fit time, so the encode builds its word table from the artifact
+    with ZERO pre-encode Spark jobs (out-of-table words → the
+    artifact's unk_id, word-level — the frozen word table is a
+    vocabulary cap fixed at fit time). Honored only in the default
+    frozen mode: an explicit ``bpe_top_v`` re-cap or
+    ``distributed=True`` re-derives from the export corpus as before.
+
     Returns ``(encoded frame, unk_id)`` — the unk id is the frozen
     artifact's, the derived map's reserved fallback, or None when the
     encode is uncapped self-derived (complete table, no fallback
@@ -378,6 +389,17 @@ def _export_encode(
     tok_ids, tok_unk = bpe_vocab if bpe_vocab is not None else (None, None)
     if bpe_top_v == CAP_SELF_DERIVED:
         bpe_top_v = None if bpe_vocab is not None else DEFAULT_SELF_TOP_V
+    if (
+        bpe_word_ids is not None
+        and tok_ids is not None
+        and not distributed
+        and bpe_top_v is None
+    ):
+        return bpe_encode_ids(
+            docs, bpe_merges, id_col=id_col, text_col=text_col,
+            token_ids=tok_ids, unk_id=tok_unk,
+            word_ids_map=bpe_word_ids,
+        ), tok_unk
     if distributed:
         # huge-vocab mode: NO driver-side vocab fetch at all — the
         # segmentation runs executor-side and the id table joins
@@ -540,6 +562,7 @@ def write_training_shards(
     bpe_vocab: "tuple[dict[str, int], int] | None" = None,
     bpe_top_v: "int | None" = CAP_SELF_DERIVED,
     bpe_distributed: bool = False,
+    bpe_word_ids: "dict[str, list[int]] | None" = None,
     denoise_window: "int | None" = None,
     denoise_mask_mod: int = 5,
     denoise_sentinel_base: int = 1_000_000,
@@ -605,7 +628,7 @@ def write_training_shards(
     if bpe_merges is not None:
         enc, export_unk = _export_encode(
             docs, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
-            distributed=bpe_distributed,
+            distributed=bpe_distributed, bpe_word_ids=bpe_word_ids,
         )
         shard_cols = shard_cols.join(enc, id_col)
         ids_frame = enc
@@ -931,6 +954,7 @@ def write_packed_token_shards(
     n_shards: int = 4,
     bpe_top_v: "int | None" = CAP_SELF_DERIVED,
     bpe_distributed: bool = False,
+    bpe_word_ids: "dict[str, list[int]] | None" = None,
     chunk_budget: "int | None" = None,
     chunk_stride: "int | None" = None,
     chunk_key_base: int = 1_000_000,
@@ -1014,7 +1038,7 @@ def write_packed_token_shards(
     else:
         enc, export_unk = _export_encode(
             admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
-            distributed=bpe_distributed,
+            distributed=bpe_distributed, bpe_word_ids=bpe_word_ids,
         )
     _guard_eos_vs_ids(eos_id, export_unk, bpe_vocab)
     if chunk_stride is not None and chunk_budget is None:
@@ -1283,6 +1307,7 @@ def write_batched_token_shards(
     n_shards: int = 4,
     bpe_top_v: "int | None" = CAP_SELF_DERIVED,
     bpe_distributed: bool = False,
+    bpe_word_ids: "dict[str, list[int]] | None" = None,
     eos_id: "int | None" = None,
 ) -> dict:
     """The FINE-TUNING / INFERENCE artifact: per-sequence rows grouped
@@ -1345,7 +1370,7 @@ def write_batched_token_shards(
     else:
         enc, export_unk = _export_encode(
             admitted, bpe_merges, bpe_vocab, bpe_top_v, id_col, text_col,
-            distributed=bpe_distributed,
+            distributed=bpe_distributed, bpe_word_ids=bpe_word_ids,
         )
     _guard_eos_vs_ids(eos_id, export_unk, bpe_vocab)
     if eos_id is not None:

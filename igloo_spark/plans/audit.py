@@ -58,8 +58,16 @@ _SCAN_RE = re.compile(
 
 
 def audit_plan(df: DataFrame) -> PlanAudit:
-    """Inspect the executed (post-AQE-planning) physical plan."""
+    """Inspect the executed (post-AQE-planning) physical plan.
+
+    For a frame that has already run an action, AdaptiveSparkPlan's
+    toString appends the superseded ``== Initial Plan ==`` copy after
+    the final plan; counting nodes across both sections would double
+    every operator, so the audit counts the FINAL plan section only
+    (identical output for never-executed frames, which have no such
+    section)."""
     plan = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    plan = plan.split("== Initial Plan ==")[0]
     def _split_filters(s: str) -> list[str]:
         # split on commas outside parentheses: "EqualTo(a,7), IsNotNull(b)"
         parts = re.split(r",\s*(?![^()]*\))", s or "")

@@ -4481,7 +4481,11 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual codebooks."""
     from igloo_spark.operators.similarity import ivfpq_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: the fused cell+code assignment is per-row Arrow matmul
+    # compute over every corpus vector (the same profile as x46's
+    # exact scan, which fan-out sped 1.35x) — a single-file scan runs
+    # the whole kernel on one core
+    emb = table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
     return ivfpq_topk(
         emb, queries, "vec_id", "embedding",
@@ -7551,11 +7555,21 @@ def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = temperature_sample(
         d, "doc_id", "source", alpha=0.5, precision=TMIX_PRECISION
     )
+    # token_count BEFORE the epoch explode: the count is a pure
+    # function of the text, so computing it on the kept stream (once
+    # per document) and letting the explode replicate the INT — not
+    # the text — halves the per-row work on upsampled classes and
+    # narrows the Generate's output (guide §2.3, project early)
+    kept = kept.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
     ups = epoch_upsample(kept, "source", X151_EPOCHS, default_epochs=1)
     copies = ups.select(
         (F.col("doc_id") * X151_KEY_BASE + F.col("epoch")).alias("copy_id"),
         F.col("doc_id"),
-        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.col("n_tokens"),
     )
     packed = pack_sequences(
         copies, "copy_id", F.col("n_tokens"), [], X151_BUDGET, X151_SHARDS

@@ -16,6 +16,18 @@ from decimal import Decimal
 import duckdb
 import pytest
 
+# Test-session core count (r16, VERDICT item 3): the suite runs
+# thousands of tiny-fixture Spark actions whose cost is per-job fixed
+# overhead, not data — measured on test_round7_ops: local[32] 152 s,
+# local[8] 117 s, local[4] 133 s (same tests, same host phase), so the
+# suite-wide sweet spot is ~8. This is TEST configuration only: it
+# must not read the driver's $SPARK_GRAFT_CPUS (bench.py's contract),
+# or a 32-core bench env would silently inflate the verify run past
+# the driver's budget. No test asserts an absolute core count
+# (the one defaultParallelism use is relative). Override with
+# IGLOO_TEST_CPUS.
+os.environ["SPARK_GRAFT_CPUS"] = os.environ.get("IGLOO_TEST_CPUS", "8")
+
 SF_SMOKE = os.environ.get("IGLOO_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = os.environ.get("IGLOO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -46,6 +58,34 @@ def igloo():
 @pytest.fixture(scope="session")
 def spark(igloo):
     return igloo.spark
+
+
+@pytest.fixture(scope="session")
+def corpus_frames(spark):
+    """Session-scoped build cache for registered query DataFrames
+    (r16, VERDICT item 3): the oracle battery, the two corpus plan
+    sweeps, the audit-report walker and the smoke schema contract
+    each rebuilt every registered query (~0.5 s of driver-side plan
+    construction per query, ~100-180 s per full walk; the x64/x125/
+    x126/x127 fits run at construction time and cost multiples of
+    that). DataFrames are immutable plans, so sharing one build per
+    (name, sf_dir) across read-only consumers changes nothing the
+    tests assert — each still executes/inspects its own way. Tests
+    that need a FRESH build under special session state (the non-UTC
+    robustness test, the adversarial-config module) do not use this
+    fixture."""
+    from igloo_spark.queries import all_queries
+
+    specs = all_queries()
+    cache: dict = {}
+
+    def get(name: str, sf_dir: str = SF_SMOKE):
+        key = (name, sf_dir)
+        if key not in cache:
+            cache[key] = specs[name].spark(spark, sf_dir)
+        return cache[key]
+
+    return get
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -23,8 +23,10 @@ def _specs():
 
 
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
-def test_query_matches_oracle(igloo, spec):
-    df = spec.spark(igloo.spark, SF_DIR)
+def test_query_matches_oracle(igloo, corpus_frames, spec):
+    # shared session-scoped build (conftest.corpus_frames): identical
+    # DataFrame, built once for this file + the plan sweeps + smoke
+    df = corpus_frames(spec.name, SF_DIR)
     if spec.oracle is None:
         # driver does a rows-only check for these; assert it runs + has rows
         assert df.count() >= 0

@@ -192,12 +192,12 @@ def _bench_specs():
 
 
 @pytest.mark.parametrize("bspec", _bench_specs(), ids=lambda s: s.name)
-def test_bench_queries_scale_hygiene(spark, bspec):
+def test_bench_queries_scale_hygiene(spark, corpus_frames, bspec):
     """Blanket regression net over the headline set: nothing in it may
     cartesian-join or drop to row-at-a-time Python."""
     from igloo_spark.plans import audit_plan
 
-    a = audit_plan(bspec.spark(spark, SF))
+    a = audit_plan(corpus_frames(bspec.name, SF))
     assert a.cartesian_products == 0, f"{bspec.name} has a cartesian product"
     assert a.python_row_udfs == 0, f"{bspec.name} uses a row-Python UDF"
 
@@ -395,7 +395,7 @@ _INTENTIONAL_CROSS = {
 
 
 @pytest.mark.parametrize("qspec", _all_specs(), ids=lambda s: s.name)
-def test_corpus_plan_hygiene(spark, qspec):
+def test_corpus_plan_hygiene(spark, corpus_frames, qspec):
     """Blanket net over the ENTIRE corpus: no row-at-a-time Python
     anywhere, no accidental cartesian products (the two failure modes
     that silently sink a 100 TB run), and at most ONE Arrow-batched
@@ -412,12 +412,16 @@ def test_corpus_plan_hygiene(spark, qspec):
     the checkpoint materializes it."""
     from igloo_spark.plans import audit_plan
 
-    df = qspec.spark(spark, SF)
+    df = corpus_frames(qspec.name, SF)
     a = audit_plan(df)
     assert a.python_row_udfs == 0, f"{qspec.name} uses a row-Python UDF"
     if qspec.name not in _INTENTIONAL_CROSS:
         assert a.cartesian_products == 0, f"{qspec.name} has a cartesian product"
+    # final-plan section only: a cached frame the oracle battery has
+    # executed prints the superseded "== Initial Plan ==" copy too,
+    # which would double-count every Python stage
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     n_py = sum(
         plan.count(node)
         for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
@@ -535,7 +539,7 @@ def test_shared_subtree_exchange_budget(spark, qname, max_exchanges):
     assert n <= max_exchanges, f"{qname}: {n} exchanges (budget {max_exchanges})"
 
 
-def test_audit_report_covers_entire_corpus(spark):
+def test_audit_report_covers_entire_corpus(spark, corpus_frames):
     """The CLI --audit path (plans.audit_report) must format every
     declared query's plan without error — exotic shapes (checkpointed
     RDD scans, generators, pandas-UDF stages, recursive CTEs) have
@@ -544,6 +548,6 @@ def test_audit_report_covers_entire_corpus(spark):
     from igloo_spark.plans import audit_report
     from igloo_spark.queries import all_queries
 
-    for name, spec in all_queries().items():
-        report = audit_report(spec.spark(spark, "/root/testdata/sf0.001"))
+    for name in all_queries():
+        report = audit_report(corpus_frames(name, "/root/testdata/sf0.001"))
         assert isinstance(report, str) and report, name

@@ -614,7 +614,7 @@ def test_driver_entry_contract(igloo):
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
 
 
-def test_driver_canonicalizer_schema_contract(igloo):
+def test_driver_canonicalizer_schema_contract(igloo, corpus_frames):
     """The driver's correctness gate canonicalizes results with pandas
     (sort_values over every column, then hash). Raw ArrayType/MapType/
     StructType top-level columns are unhashable there and turn a green
@@ -632,7 +632,7 @@ def test_driver_canonicalizer_schema_contract(igloo):
     for name, spec in all_queries().items():
         if spec.oracle is None:
             continue
-        df = spec.spark(igloo.spark, "/root/testdata/sf0.001")
+        df = corpus_frames(name, "/root/testdata/sf0.001")
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
