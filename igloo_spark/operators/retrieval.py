@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from igloo_spark.sources import _read_parquet_cached_schema
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -71,7 +73,20 @@ def bm25_topk(
     tf = posting.groupBy(id_col, "dl", "term").agg(
         F.count("*").cast("double").alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("n_t"))
+    # The tf >= 1.0 filter is a tautology (tf is a group count, always
+    # >= 1) that Catalyst cannot prove away, so the dfreq branch keeps
+    # consuming the tf column instead of collapsing to a keys-only
+    # distinct. That keeps its aggregate subtree byte-canonical with
+    # the scored branch's, and Spark's exchange reuse then collapses
+    # the two into ONE corpus scan + explode + tf aggregation (a plain
+    # count("*") let Catalyst prune the partial count from the dfreq
+    # copy, which broke canonical equality and duplicated the whole
+    # corpus-sized subtree).
+    dfreq = (
+        tf.filter(F.col("tf") >= 1.0)
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("n_t"))
+    )
     scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("n_t") + 0.5) / (F.col("n_t") + 0.5)
@@ -241,7 +256,9 @@ def append_postings(
     index is a derived, rebuildable artifact, not a versioned store.
     """
     spark = new_docs.sparkSession
-    old = spark.read.parquet(path + "/_stats").first()
+    old = spark.read.schema(
+        "n_docs double, sum_dl double, avgdl double, n_buckets int"
+    ).parquet(path + "/_stats").first()
     n_buckets = int(old["n_buckets"])
     posting, batch_stats = _posting_rows(new_docs, id_col, text_col, n_buckets)
     from igloo_spark.sinks import write_parquet
@@ -305,7 +322,12 @@ def probe_postings_index(
     # (otherwise the base dir is missing until the next optimize_*)
     recover_interrupted_compaction(path.rstrip("/"))
     terms = [t.lower() for t in query_terms]
-    stats = spark.read.parquet(path + "/_stats")
+    # explicit schema: the _stats layout is fixed by
+    # write_postings_index, so the footer-read schema-inference JOB
+    # (~0.1 s of fixed latency per serve request) is pure overhead
+    stats = spark.read.schema(
+        "n_docs double, sum_dl double, avgdl double, n_buckets int"
+    ).parquet(path + "/_stats")
     n_buckets = int(stats.select("n_buckets").first()[0])
     stats = stats.select("n_docs", "avgdl")
     if not _glob.glob(_os.path.join(path, "bucket=*")):
@@ -329,7 +351,7 @@ def probe_postings_index(
         }
     )
     posting = (
-        spark.read.parquet(path)
+        _read_parquet_cached_schema(spark, path)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )

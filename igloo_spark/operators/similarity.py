@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from igloo_spark.functions.vectors import cosine_similarity
+from igloo_spark.sources import _read_parquet_cached_schema
 
 
 def lsh_planes(n_planes: int, dim: int) -> list[list[int]]:
@@ -213,7 +214,7 @@ def learned_ivf_centroids(
 
     Returns unit-normalized centroids in the same shape as
     :func:`ivf_centroids`, so they drop straight into
-    ``centroids_table`` / ``ivf_topk`` and the broadcast plan is
+    ``centroids_expr`` / ``ivf_topk`` and the plan shape is
     unchanged. At 100 TB fit on a sample (``sample_fraction`` ≪ 1):
     k-means quality converges long before the full corpus is seen,
     and the fit is a side job whose output is just k×dim doubles.
@@ -236,34 +237,44 @@ def learned_ivf_centroids(
     return out
 
 
-def centroids_table(spark, centroids: list[list[float]]) -> DataFrame:
-    """Centroid matrix as a one-row broadcastable table. Centroids are
-    *data*, not expression literals: a literal form would put
-    n_cells × dim constant nodes into every per-row expression that
-    touches them, and Catalyst analysis of that tree ends up costing
-    more than the query. This is also the shape a learned quantizer
-    arrives in (k-means output is a DataFrame, not source code).
-
-    Built JVM-side (``range(1)`` + a constant-folded ``from_json`` of
-    ONE string literal), not ``spark.createDataFrame``: the latter is
-    a Python-RDD plan whose broadcast job runs |defaultParallelism|
-    Python tasks — measured 1.6 s × 32 tasks cold in the event log,
-    the single largest slice of x55's cold run — for one row of
-    data."""
+def centroids_expr(centroids: list[list[float]]):
+    """Centroid matrix as ONE constant-foldable column expression —
+    ``from_json`` of a single string literal. Catalyst folds it once
+    at plan time into a literal array; the fold result is identical
+    to what the pre-r16 one-row ``cents`` table folded to after its
+    crossJoin, but the 1-row crossJoin scaffolding — a
+    BroadcastExchange JOB per table per query, ~0.1-0.3 s of fixed
+    latency each regardless of data size — disappears. Spelling out
+    n_cells × dim literal *nodes* instead would make Catalyst
+    analysis dominate; a single string-literal node has no such
+    cost. (``spark.createDataFrame`` is worse still: a Python-RDD
+    plan whose broadcast job runs |defaultParallelism| Python tasks —
+    measured 1.6 s × 32 tasks cold — for one row of data.)"""
     import json
 
     payload = json.dumps([[float(v) for v in row] for row in centroids])
-    return spark.range(1).select(
-        F.from_json(F.lit(payload), "array<array<double>>").alias("cents")
+    return F.from_json(F.lit(payload), "array<array<double>>")
+
+
+def books_expr(books: list[list[list[float]]]):
+    """PQ codebooks ``books[m][k][j]`` as ONE constant-foldable column
+    expression (same rationale as :func:`centroids_expr`)."""
+    import json
+
+    payload = json.dumps(
+        [[[float(v) for v in c] for c in b] for b in books]
     )
+    return F.from_json(F.lit(payload), "array<array<array<double>>>")
 
 
-def _centroid_dot_structs(vec_col):
-    """Array of structs (d, negc), one per centroid in the joined
-    ``cents`` column: dot with the centroid plus a negated-index
-    tiebreaker so struct max/sort order is (d DESC, cell ASC)."""
+def _centroid_dot_structs(vec_col, cents=None):
+    """Array of structs (d, negc), one per centroid in ``cents`` (the
+    joined ``cents`` column by default, or an explicit centroid
+    expression from :func:`centroids_expr`): dot with the centroid
+    plus a negated-index tiebreaker so struct max/sort order is
+    (d DESC, cell ASC)."""
     return F.transform(
-        F.col("cents"),
+        F.col("cents") if cents is None else cents,
         lambda cent, i: F.struct(
             F.aggregate(
                 F.zip_with(vec_col, cent, lambda x, y: x.cast("double") * y),
@@ -275,19 +286,20 @@ def _centroid_dot_structs(vec_col):
     )
 
 
-def ivf_cell(vec_col):
+def ivf_cell(vec_col, cents=None):
     """Nearest-centroid cell id (argmax cosine — centroids are unit
-    vectors, so argmax dot) from the joined ``cents`` column. Pure
-    per-row expression: no shuffle, no window — the assignment happens
-    map-side inside the scan stage."""
-    best = F.array_max(_centroid_dot_structs(vec_col))
+    vectors, so argmax dot) from the ``cents`` centroid source (see
+    :func:`_centroid_dot_structs`). Pure per-row expression: no
+    shuffle, no window — the assignment happens map-side inside the
+    scan stage."""
+    best = F.array_max(_centroid_dot_structs(vec_col, cents))
     return (-best["negc"]).cast("bigint")
 
 
-def ivf_probe_cells(vec_col, nprobe: int):
+def ivf_probe_cells(vec_col, nprobe: int, cents=None):
     """Array of the query's nprobe nearest cells, best first. Map-side:
     sort the (d, negc) structs descending and slice."""
-    ranked = F.reverse(F.array_sort(_centroid_dot_structs(vec_col)))
+    ranked = F.reverse(F.array_sort(_centroid_dot_structs(vec_col, cents)))
     return F.transform(
         F.slice(ranked, 1, nprobe), lambda s: (-s["negc"]).cast("bigint")
     )
@@ -341,11 +353,10 @@ def ivf_assign(
             F.col(vec_col).alias("vec"),
             _cell(F.col(vec_col)).alias("cell"),
         )
-    cents_df = centroids_table(corpus.sparkSession, centroids)
-    return corpus.crossJoin(F.broadcast(cents_df)).select(
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        ivf_cell(F.col(vec_col)).alias("cell"),
+        ivf_cell(F.col(vec_col), centroids_expr(centroids)).alias("cell"),
     )
 
 
@@ -384,7 +395,6 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = ivf_centroids(n_cells, dim)
-    cents_df = centroids_table(corpus.sparkSession, centroids)
     c = (
         assigned
         if assigned is not None
@@ -393,10 +403,12 @@ def ivf_topk(
             centroids=centroids, n_cells=n_cells, dim=dim, vectorized=vectorized,
         )
     )
-    q = queries.crossJoin(F.broadcast(cents_df)).select(
+    q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell"),
+        F.explode(
+            ivf_probe_cells(F.col(vec_col), nprobe, centroids_expr(centroids))
+        ).alias("cell"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -673,12 +685,11 @@ def diversity_cap(
     """
     from pyspark.sql.window import Window
 
-    spark = df.sparkSession
-    cents = centroids_table(spark, ivf_centroids(n_cells, dim))
-    structs = _centroid_dot_structs(F.col(vec_col))
-    assigned = df.crossJoin(F.broadcast(cents)).select(
+    cents = centroids_expr(ivf_centroids(n_cells, dim))
+    structs = _centroid_dot_structs(F.col(vec_col), cents)
+    assigned = df.select(
         F.col(id_col),
-        ivf_cell(F.col(vec_col)).alias("cell"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
         F.round(F.array_max(structs)["d"], 6).alias("centrality"),
     )
     w = Window.partitionBy("cell").orderBy(
@@ -758,7 +769,7 @@ def append_ivf(
     import json as _json
 
     spark = new_vectors.sparkSession
-    payload = spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+    payload = spark.read.schema("centroids_json string").parquet(path + "/_centroids").first()["centroids_json"]
     centroids = _json.loads(payload)
     assigned = ivf_assign(
         new_vectors, id_col, vec_col, centroids=centroids,
@@ -822,17 +833,23 @@ def probe_ivf_index(
             "cosine double, rank bigint",
         )
 
-    payload = spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+    payload = spark.read.schema("centroids_json string").parquet(path + "/_centroids").first()["centroids_json"]
     centroids = _json.loads(payload)
-    cents_df = centroids_table(spark, centroids)
-    q = queries.crossJoin(F.broadcast(cents_df)).select(
+    q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell"),
+        F.explode(
+            ivf_probe_cells(F.col(vec_col), nprobe, centroids_expr(centroids))
+        ).alias("cell"),
     )
-    q = q.localCheckpoint(eager=False)  # feeds the cell collect + the join
+    # q feeds both the cell collect and the join, but it is a
+    # |queries|-row pushed-filter scan + per-row expressions — cheaper
+    # to recompute once than to localCheckpoint (the checkpoint's
+    # materialization was a whole extra JOB per serve request, and the
+    # probe-cell expressions are deterministic, so both evaluations
+    # agree)
     cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    idx = _read_parquet_cached_schema(spark, path).filter(F.col("cell").isin(cells))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         idx.join(F.broadcast(q), "cell")
@@ -1078,38 +1095,6 @@ def pq_assign_codes(
     )
 
 
-def pq_books_table(spark, books: list[list[list[float]]]) -> DataFrame:
-    """Codebooks as a one-row broadcastable ``books[m][k][j]`` table
-    (same rationale as :func:`centroids_table`: m×k×subdim literal
-    nodes in every expression would dominate Catalyst analysis)."""
-    import json
-
-    payload = json.dumps([[[float(v) for v in c] for c in b] for b in books])
-    return spark.range(1).select(
-        F.from_json(F.lit(payload), "array<array<array<double>>>").alias("books")
-    )
-
-
-def _quantizer_table(spark, centroids, books) -> DataFrame:
-    """BOTH quantizers as ONE one-row broadcastable table — the fused
-    form of :func:`centroids_table` + :func:`pq_books_table` for the
-    IVFADC probe side, which needs ``cents`` and ``books`` together.
-    Two separate 1-row tables cost two BroadcastExchange jobs per
-    query (measured ~0.2-0.3 s of fixed latency each at any data
-    size — the dominant cost of the x123 probe side); one table with
-    both columns is one broadcast, byte-identical downstream (the
-    consuming expressions read the same ``cents``/``books``
-    columns)."""
-    import json
-
-    cpay = json.dumps([[float(v) for v in row] for row in centroids])
-    bpay = json.dumps([[[float(v) for v in c] for c in b] for b in books])
-    return spark.range(1).select(
-        F.from_json(F.lit(cpay), "array<array<double>>").alias("cents"),
-        F.from_json(F.lit(bpay), "array<array<array<double>>>").alias("books"),
-    )
-
-
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1166,16 +1151,13 @@ def _pq_adc_topk(
 
     m_sub = len(books)
     subdim = len(books[0][0])
-    q = (
-        queries.crossJoin(F.broadcast(pq_books_table(queries.sparkSession, books)))
-        .select(
-            F.col(id_col).alias("query_id"),
-            *[
-                F.slice(F.col(vec_col), m * subdim + 1, subdim).alias(f"sub{m}")
-                for m in range(m_sub)
-            ],
-            "books",
-        )
+    bks = books_expr(books)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.slice(F.col(vec_col), m * subdim + 1, subdim).alias(f"sub{m}")
+            for m in range(m_sub)
+        ],
     )
 
     def _dtable(m: int):
@@ -1184,7 +1166,7 @@ def _pq_adc_topk(
         # default to the index column
         sub = F.col(f"sub{m}")
         return F.transform(
-            F.element_at("books", m + 1),
+            F.element_at(bks, m + 1),
             lambda c: dot(sub, sub) - 2 * dot(sub, c) + dot(c, c),
         ).alias(f"dt{m}")
 
@@ -1254,7 +1236,9 @@ def write_pq_index(
 def _read_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
     import json as _json
 
-    payload = spark.read.parquet(path + "/_codebooks").first()["codebooks_json"]
+    payload = spark.read.schema("codebooks_json string, residual boolean").parquet(
+        path + "/_codebooks"
+    ).first()["codebooks_json"]
     return _json.loads(payload)
 
 
@@ -1338,7 +1322,7 @@ def probe_pq_index(
             [], "query_id bigint, neighbor_id bigint, adist_micro bigint, rank bigint"
         )
     books = _read_pq_codebooks(spark, path)
-    codes = spark.read.parquet(path)
+    codes = _read_parquet_cached_schema(spark, path)
     return _pq_adc_topk(codes, queries, books, id_col=id_col, vec_col=vec_col, k=k)
 
 
@@ -1480,27 +1464,25 @@ def _ivfpq_rank(
 
     m_sub = len(books)
     subdim = len(books[0][0])
-    spark = queries.sparkSession
+    cents = centroids_expr(centroids)
+    bks = books_expr(books)
     if residual:
         q = (
-            queries.crossJoin(F.broadcast(centroids_table(spark, centroids)))
-            .crossJoin(F.broadcast(pq_books_table(spark, books)))
-            .select(
+            queries.select(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("qvec"),
-                F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell"),
-                "cents",
-                "books",
+                F.explode(
+                    ivf_probe_cells(F.col(vec_col), nprobe, cents)
+                ).alias("cell"),
             )
             .select(
                 "query_id",
                 "cell",
                 F.zip_with(
                     F.col("qvec"),
-                    F.element_at(F.col("cents"), F.col("cell").cast("int") + 1),
+                    F.element_at(cents, F.col("cell").cast("int") + 1),
                     lambda x, c: x.cast("double") - c,
                 ).alias("rvec"),
-                "books",
             )
             .select(
                 "query_id",
@@ -1509,28 +1491,24 @@ def _ivfpq_rank(
                     F.slice(F.col("rvec"), m * subdim + 1, subdim).alias(f"sub{m}")
                     for m in range(m_sub)
                 ],
-                "books",
             )
         )
     else:
-        q = (
-            queries.crossJoin(F.broadcast(centroids_table(spark, centroids)))
-            .crossJoin(F.broadcast(pq_books_table(spark, books)))
-            .select(
-                F.col(id_col).alias("query_id"),
-                F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell"),
-                *[
-                    F.slice(F.col(vec_col), m * subdim + 1, subdim).alias(f"sub{m}")
-                    for m in range(m_sub)
-                ],
-                "books",
-            )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                ivf_probe_cells(F.col(vec_col), nprobe, cents)
+            ).alias("cell"),
+            *[
+                F.slice(F.col(vec_col), m * subdim + 1, subdim).alias(f"sub{m}")
+                for m in range(m_sub)
+            ],
         )
 
     def _dtable(m: int):
         sub = F.col(f"sub{m}")
         return F.transform(
-            F.element_at("books", m + 1),
+            F.element_at(bks, m + 1),
             lambda c: dot(sub, sub) - 2 * dot(sub, c) + dot(c, c),
         ).alias(f"dt{m}")
 
@@ -1626,9 +1604,11 @@ def append_ivfpq(
 
     spark = new_vectors.sparkSession
     centroids = _json.loads(
-        spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+        spark.read.schema("centroids_json string").parquet(path + "/_centroids").first()["centroids_json"]
     )
-    brow = spark.read.parquet(path + "/_codebooks").first()
+    brow = spark.read.schema("codebooks_json string, residual boolean").parquet(
+        path + "/_codebooks"
+    ).first()
     books = _json.loads(brow["codebooks_json"])
     # pre-r09 indexes have no residual column — they are direct-coded
     residual = bool(brow["residual"]) if "residual" in brow.__fields__ else False
@@ -1681,22 +1661,22 @@ def probe_ivfpq_index(
             "adist_micro bigint, rank bigint",
         )
     centroids = _json.loads(
-        spark.read.parquet(path + "/_centroids").first()["centroids_json"]
+        spark.read.schema("centroids_json string").parquet(path + "/_centroids").first()["centroids_json"]
     )
-    brow = spark.read.parquet(path + "/_codebooks").first()
+    brow = spark.read.schema("codebooks_json string, residual boolean").parquet(
+        path + "/_codebooks"
+    ).first()
     books = _json.loads(brow["codebooks_json"])
     # encoding mode is index state, not a caller argument (pre-r09
     # indexes lack the column and are direct-coded)
     residual = bool(brow["residual"]) if "residual" in brow.__fields__ else False
-    cents_df = centroids_table(spark, centroids)
-    qc = (
-        queries.crossJoin(F.broadcast(cents_df))
-        .select(
-            F.explode(ivf_probe_cells(F.col(vec_col), nprobe)).alias("cell")
-        )
+    qc = queries.select(
+        F.explode(
+            ivf_probe_cells(F.col(vec_col), nprobe, centroids_expr(centroids))
+        ).alias("cell")
     )
     cells = sorted({r["cell"] for r in qc.distinct().collect()})
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    idx = _read_parquet_cached_schema(spark, path).filter(F.col("cell").isin(cells))
     return _ivfpq_rank(
         idx, queries, centroids, books,
         id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe,

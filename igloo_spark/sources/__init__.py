@@ -74,6 +74,32 @@ def _fan_out_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFr
     return df
 
 
+# Schema cache for repeated reads of the SAME immutable fixture file:
+# plain ``spark.read.parquet`` re-infers the schema on every call — a
+# driver footer-read JOB (~50-150 ms fixed latency) per read, paid by
+# every query build even though the file has not changed. Caching the
+# inferred StructType (METADATA only — never rows, never results; the
+# same class of cache as Spark's own file-listing cache, guide §6) and
+# passing it back via ``.schema(...)`` skips the inference job on
+# every subsequent read. Keyed on (path, mtime, size) so a rewritten
+# file re-infers.
+_SCHEMA_CACHE: dict[tuple[str, float, int], StructType] = {}
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_testdata_table(
     spark: SparkSession, sf_dir: str, table: str, fan_out: bool = False
 ) -> DataFrame:
@@ -94,7 +120,7 @@ def load_testdata_table(
         # without our defaults (e.g. the driver's own SparkSession)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{table}.parquet")
-    df = spark.read.parquet(path)
+    df = _read_parquet_cached_schema(spark, path)
     if fan_out:
         df = _fan_out_small_scan(spark, df, path)
     if table == "events":

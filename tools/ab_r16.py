@@ -551,8 +551,187 @@ def arms_x151_rates(spark):
     return old, lambda: cur.spark(spark, SF_DIR)
 
 
+def _cents_table(spark, centroids):
+    """pre-r16 centroids_table, reconstructed for the old arms."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    payload = json.dumps([[float(v) for v in row] for row in centroids])
+    return spark.range(1).select(
+        F.from_json(F.lit(payload), "array<array<double>>").alias("cents")
+    )
+
+
+def _books_table(spark, books):
+    import json
+
+    from pyspark.sql import functions as F
+
+    payload = json.dumps([[[float(v) for v in c] for c in b] for b in books])
+    return spark.range(1).select(
+        F.from_json(F.lit(payload), "array<array<array<double>>>").alias(
+            "books"
+        )
+    )
+
+
+def arms_x123_inline(spark):
+    """A = pre-r16 probe side (two 1-row crossJoin broadcast tables),
+    B = current (quantizers inlined as constant-folded expressions,
+    zero probe-side scaffolding joins). Corpus side identical (both
+    use the committed fan_out state)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from igloo_spark.functions.vectors import dot
+    from igloo_spark.operators.similarity import (
+        ivf_probe_cells,
+        ivfpq_assign,
+    )
+    from igloo_spark.queries import all_queries
+    import igloo_spark.queries.llm_ops as llm
+    from igloo_spark.queries.registry import table
+
+    cur = all_queries()["x123_ann_ivfpq_topk"]
+
+    def old():
+        from igloo_spark.operators.similarity import (
+            ivf_centroids,
+            pq_codebooks,
+        )
+
+        centroids = ivf_centroids(llm.IVF_CELLS, llm.EMB_DIM)
+        books = pq_codebooks(llm.PQ_M, llm.PQ_K, llm.EMB_DIM)
+        m_sub, subdim = llm.PQ_M, llm.EMB_DIM // llm.PQ_M
+        emb = table(spark, SF_DIR, "embeddings", fan_out=True)
+        queries = emb.filter(F.col("vec_id").isin(*llm.ANN_QUERY_IDS))
+        assigned = ivfpq_assign(
+            emb, "vec_id", "embedding", centroids=centroids, books=books,
+            n_cells=llm.IVF_CELLS, m_sub=llm.PQ_M, k_codes=llm.PQ_K,
+            dim=llm.EMB_DIM,
+        )
+        # pre-r16 _ivfpq_rank direct branch, verbatim: the per-row
+        # expressions read the joined cents/books columns
+        q = (
+            queries.crossJoin(F.broadcast(_cents_table(spark, centroids)))
+            .crossJoin(F.broadcast(_books_table(spark, books)))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.explode(
+                    ivf_probe_cells(
+                        F.col("embedding"), llm.IVF_NPROBE, F.col("cents")
+                    )
+                ).alias("cell"),
+                *[
+                    F.slice(
+                        F.col("embedding"), m * subdim + 1, subdim
+                    ).alias(f"sub{m}")
+                    for m in range(m_sub)
+                ],
+                "books",
+            )
+        )
+
+        def _dtable(m: int):
+            sub = F.col(f"sub{m}")
+            return F.transform(
+                F.element_at("books", m + 1),
+                lambda c: dot(sub, sub) - 2 * dot(sub, c) + dot(c, c),
+            ).alias(f"dt{m}")
+
+        q = q.select("query_id", "cell", *[_dtable(m) for m in range(m_sub)])
+        adist = F.element_at(F.col("dt0"), F.col("codes").getItem(0) + 1)
+        for m in range(1, m_sub):
+            adist = adist + F.element_at(
+                F.col(f"dt{m}"), F.col("codes").getItem(m) + 1
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adist_micro"), F.asc("neighbor_id")
+        )
+        return (
+            assigned.join(F.broadcast(q), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("cell").cast("bigint").alias("cell"),
+                F.floor(adist * 1000000.0).cast("bigint").alias(
+                    "adist_micro"
+                ),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k_top())
+        )
+
+    def k_top():
+        return llm.ANN_K
+
+    return old, lambda: cur.spark(spark, SF_DIR)
+
+
+def arms_x55_inline(spark):
+    """A = pre-r16 ivf_topk probe side (1-row crossJoin cents table),
+    B = current (centroids_expr)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from igloo_spark.functions.vectors import cosine_similarity
+    from igloo_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+    from igloo_spark.queries import all_queries
+    import igloo_spark.queries.llm_ops as llm
+    from igloo_spark.queries.registry import table
+
+    cur = all_queries()["x55_ann_ivf_topk"]
+
+    def old():
+        centroids = ivf_centroids(llm.IVF_CELLS, llm.EMB_DIM)
+        emb = table(spark, SF_DIR, "embeddings")
+        queries = emb.filter(F.col("vec_id").isin(*llm.ANN_QUERY_IDS))
+        c = ivf_assign(
+            emb, "vec_id", "embedding", centroids=centroids,
+            n_cells=llm.IVF_CELLS, dim=llm.EMB_DIM,
+        )
+        q = queries.crossJoin(
+            F.broadcast(_cents_table(spark, centroids))
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.explode(
+                ivf_probe_cells(
+                    F.col("embedding"), llm.IVF_NPROBE, F.col("cents")
+                )
+            ).alias("cell"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            c.join(F.broadcast(q), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cell",
+                cosine_similarity(
+                    F.col("query_vec"), F.col("vec")
+                ).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= llm.ANN_K)
+        )
+
+    return old, lambda: cur.spark(spark, SF_DIR)
+
+
 CASES = {
     "x151_rates": arms_x151_rates,
+    "x123_inline": arms_x123_inline,
+    "x55_inline": arms_x55_inline,
     "x123_fanout": arms_x123_fanout,
     "x105_fuse": arms_x105_fuse,
     "x128_rollup": arms_x128_rollup,
