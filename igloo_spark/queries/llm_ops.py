@@ -4481,11 +4481,12 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual codebooks."""
     from igloo_spark.operators.similarity import ivfpq_topk
 
-    # fan_out: the fused cell+code assignment is per-row Arrow matmul
-    # compute over every corpus vector (the same profile as x46's
-    # exact scan, which fan-out sped 1.35x) — a single-file scan runs
-    # the whole kernel on one core
-    emb = table(spark, sf_dir, "embeddings", fan_out=True)
+    # NO fan_out, measured twice (r16 interleaved A/B, quiet phase:
+    # no-fan-out min 0.922/med 1.070 vs fan-out min 1.180/med 1.312 —
+    # every rep worse): unlike x46's exact-cosine kernel, the fused
+    # IVFADC assign is cheap enough per row that the round-robin
+    # exchange of raw embeddings costs more than the parallelism buys
+    emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*ANN_QUERY_IDS))
     return ivfpq_topk(
         emb, queries, "vec_id", "embedding",

@@ -49,6 +49,12 @@ class TestMmrPlan:
         # greedy steps add no exchanges: the fold runs inside one
         # projection after a single-partition pool aggregation
         assert plan.count("Exchange hashpartitioning") <= 1, plan
+        # bound ALL exchange kinds (r15 advice): a K-proportional
+        # regression via range-partitioning or SinglePartition
+        # exchanges (a per-step sort/collect creeping back) must fail
+        # this too, not just the hashpartitioning check above; budget
+        # = 1 hash + 1 single-partition pool agg + broadcasts (<= 2)
+        assert plan.count("Exchange") <= 4, plan
         assert len(df.collect()) == 5
 
     def test_mmr_rerank_matches_driver_greedy(self, spark):

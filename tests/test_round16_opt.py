@@ -8,8 +8,9 @@ Covers (see OPTIMIZATION_r16.md):
   zero-pre-encode-jobs property the change exists for;
 - x151's token_count hoist (count once per kept document, the epoch
   explode replicates the INT): values identical to the in-line form;
-- x123's fan-out opt-in (row-identical; shape pinned by the standing
-  fan-out tests in test_round15_opt.py).
+- x123's fan-out opt-in was MEASURED AND REVERTED this round (quiet
+  -phase interleaved A/B: worse on every rep; the fan-out mechanism
+  itself stays pinned by the standing tests in test_round15_opt.py).
 """
 
 from __future__ import annotations
